@@ -1,0 +1,52 @@
+"""Benchmark harness — runs every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is fully materialized JVM-side via the noop sink (no
+driver-side collect, no Python row serde) so we time the real plan:
+scan → filter/join/agg → project.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main():
+    from nosql_join_stream_spark.session import get_session
+    from nosql_join_stream_spark.queries import REGISTRY
+
+    spark = get_session("bench")
+    # warm the JVM + parquet footers once with the flagship query
+    REGISTRY["join_fk_inner"].fn(spark, SF_DIR).write.format("noop") \
+        .mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, qd in REGISTRY.items():
+        t0 = time.perf_counter()
+        qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "registry_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

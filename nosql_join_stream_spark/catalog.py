@@ -1,0 +1,65 @@
+"""Table catalog: logical table name → parquet path under a scale dir.
+
+Stand-in for the reference's DB namespaces (Mongo ``db/collection``,
+Cassandra ``keyspace/table`` — reference join/package.scala:32-33,
+storage.scala:383-384,402-403).  The reference resolves a name to a
+live cursor; we resolve it to a lazily-scanned columnar DataFrame, so
+Catalyst gets predicate pushdown / column pruning / partition pruning
+for free (reference had to push the query into the DB by hand,
+storage.scala:597-602,648-652).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+class UnknownTableError(KeyError):
+    """Raised before execution when a table name cannot be resolved —
+    mirrors the reference's fail-fast builder validation (missing
+    db/collection ⇒ Left(error) ⇒ failed stream,
+    mongo/channel/package.scala:252-259,268)."""
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        raise UnknownTableError(f"table '{name}' not found under {sf_dir}")
+    return path
+
+
+# Parquet columns physically stored as TIMESTAMP(NANOS) — Spark rejects
+# them by default (PARQUET_TYPE_ILLEGAL).  We read them as raw int64
+# nanos via the legacy conf and restore TimestampType (values are
+# microsecond-aligned in the test data, so the ns→µs conversion is
+# lossless).  DuckDB oracles should CAST(ts AS TIMESTAMP) to match µs.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Scan a catalog table. Lazy; nothing runs until an action."""
+    path = table_path(sf_dir or DEFAULT_SF_DIR, name)
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            from pyspark.sql import functions as F
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every catalog table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

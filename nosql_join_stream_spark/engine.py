@@ -1,0 +1,103 @@
+"""Engine — the user-facing facade (reference "channel API" analog).
+
+Reference: ``create[T] { b ⇒ b.q(...); b.sort(...); b.limit(...);
+b.skip(...); b.db(...); b.collection(...) }`` builds a validated,
+resource-safe stream (mongo/channel/package.scala:250-319); invalid
+builders short-circuit to a failed stream before any I/O
+(:252-259,268).  Here ``Engine.read`` builds a lazy DataFrame with the
+same validation-before-execution contract, and the reference's three
+stream backends (scalaz/Rx/Akka) collapse into one DataFrame API
+(SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from nosql_join_stream_spark import catalog
+from nosql_join_stream_spark.dsl import Q, QuerySpec
+from nosql_join_stream_spark.operators.join import inner_join
+from nosql_join_stream_spark.operators.log import log_from
+
+
+class QueryValidationError(ValueError):
+    """Pre-execution validation failure — reference builder ``Left(err)``
+    (mongo/channel/package.scala:252-259)."""
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        self.spark = spark
+        self.sf_dir = sf_dir or catalog.DEFAULT_SF_DIR
+
+    # -- sources -------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        """Bare scan (reference S1-S6, storage.scala:593-658)."""
+        return catalog.load_table(self.spark, name, self.sf_dir)
+
+    def read(
+        self,
+        table: str,
+        where: Column | Q | str | None = None,
+        sort: Sequence[tuple[str, bool]] | None = None,
+        limit: int | None = None,
+        skip: int | None = None,
+    ) -> DataFrame:
+        """Channel-API reader (reference S9, mongo/channel/package.scala:250-263).
+
+        ``where`` accepts a DSL ``Q``, a raw ``Column``, or an MQL/SQL
+        string: strings starting with '{' are parsed as MQL (reference
+        mqlparser), anything else as a SQL boolean expression.  Parse
+        errors raise *before* execution, matching the reference's
+        failed-stream semantics (IntegrationMongoClientSpec.scala:59-76).
+        """
+        if not table:
+            raise QueryValidationError("collection/table name is required")
+        df = self.table(table)
+        from_string = isinstance(where, str)
+        if from_string:
+            from nosql_join_stream_spark.mql import mql_to_column
+            where = mql_to_column(where) if where.lstrip().startswith("{") \
+                else self._sql_predicate(where)
+        if limit is not None and limit < 0:
+            raise QueryValidationError(f"limit must be >= 0, got {limit}")
+        if skip is not None and skip < 0:
+            raise QueryValidationError(f"skip must be >= 0, got {skip}")
+        if from_string and where is not None:
+            # analysis errors (bad column, non-boolean expr) must also
+            # fail fast, like the reference's failed-stream semantics
+            try:
+                df = df.filter(where)
+            except Exception as e:
+                raise QueryValidationError(f"bad filter: {e}") from e
+            where = None
+        spec = QuerySpec(where=where, sort=list(sort or []), limit=limit, skip=skip)
+        return spec.apply(df)
+
+    @staticmethod
+    def _sql_predicate(expr: str) -> Column:
+        from pyspark.sql import functions as F
+        try:
+            return F.expr(expr)
+        except Exception as e:  # Catalyst parse error → fail fast
+            raise QueryValidationError(f"bad filter expression {expr!r}: {e}") from e
+
+    def sql(self, query: str) -> DataFrame:
+        """String front end: full SQL over registered catalog views
+        (replaces the reference MQL front end, SURVEY.md §2.9)."""
+        catalog.register_views(self.spark, self.sf_dir)
+        return self.spark.sql(query)
+
+    # -- operators -------------------------------------------------------
+    def join_inner(self, outer: DataFrame, inner: DataFrame, on, mapper=None,
+                   **kw) -> DataFrame:
+        """Reference ``Join[M].inner`` (join/package.scala:52-63)."""
+        return inner_join(outer, inner, on, mapper, **kw)
+
+    def log_from(self, table: str, key, offset: int = 0, *,
+                 key_col: str = "user_id", seq_col: str = "event_id") -> DataFrame:
+        """Reference ``Log[M].from`` (log/package.scala:56-62)."""
+        return log_from(self.table(table), key, offset,
+                        key_col=key_col, seq_col=seq_col)

@@ -1,0 +1,2 @@
+"""Operators: reference-parity (join, log, combinators) and
+beyond-reference scale operators (dedup, similarity, text, multimodal)."""

@@ -1,0 +1,71 @@
+"""The join — reference parity for ``Join[M].inner``.
+
+Reference semantics (join/package.scala:52-63,66-68,74-132): for each
+outer record, interpret ``innerQ(outerRecord)`` into a fresh per-key DB
+query and emit ``mapper(outer, inner)`` per matching pair — an index
+nested-loop, one-to-many INNER join costing one DB round-trip per
+outer row (the N+1 pattern, storage.scala:390-391,628-631).
+
+Spark-first replacement: a single distributed join.  In every
+reference usage the correlated predicate is an equality against the
+outer record (``"lang" $eq outer.get("index")`` JoinMongoSpec.scala:55;
+``fk("sensor", r.getLong("sensor"))`` JoinCassandraSpec.scala:40-43),
+i.e. an equi-join — Catalyst then chooses broadcast-hash vs
+sort-merge vs shuffled-hash.  Non-equi correlated predicates (the DSL
+allows ``$gt`` etc. against outer values) are theta joins.
+
+Scale notes (100 TB):
+- the small (dimension) side should be broadcast — pass
+  ``broadcast_outer=True`` or rely on AQE + autoBroadcastJoinThreshold;
+- output order is NOT the reference's outer-order-with-contiguous-inner
+  groups (flatMapConcat, mongo/channel/package.scala:45-46); callers
+  needing determinism add an explicit orderBy (SURVEY.md §7.3.1) —
+  correctness parity is defined on multisets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def inner_join(
+    outer: DataFrame,
+    inner: DataFrame,
+    on: str | Sequence[str] | Column,
+    mapper: Callable[[DataFrame], list[Column]] | Sequence[Column] | None = None,
+    how: str = "inner",
+    broadcast_outer: bool = False,
+    broadcast_inner: bool = False,
+) -> DataFrame:
+    """Distributed replacement for ``Join[M].inner(...)(mapper)``.
+
+    - ``on``: join key name(s) for an equi-join, or an arbitrary Column
+      condition for a theta join (reference correlated predicate).
+    - ``mapper``: projection over the joined row — the reference's
+      arbitrary ``(Record, Record) ⇒ A`` closure (join/package.scala:56)
+      becomes a list of Column expressions (JVM-side, codegen'd) or a
+      callable receiving the joined DataFrame.
+    - ``how``: the reference only has "inner"; Spark gives the rest
+      (left/right/full/semi/anti/cross) for free — exposed here.
+    """
+    if broadcast_outer:
+        outer = F.broadcast(outer)
+    if broadcast_inner:
+        inner = F.broadcast(inner)
+    if isinstance(on, str):
+        cond = outer[on] == inner[on]
+    elif isinstance(on, (list, tuple)):
+        cond = None
+        for k in on:
+            c = outer[k] == inner[k]
+            cond = c if cond is None else (cond & c)
+    else:
+        cond = on
+    joined = outer.join(inner, cond, how)
+    if mapper is None:
+        return joined
+    cols = mapper(joined) if callable(mapper) else list(mapper)
+    return joined.select(*cols)

@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Replaces the reference's user-supplied ``Context`` (ExecutorService /
+Rx scheduler / Akka dispatcher — reference join/package.scala:40,
+storage.scala:620-622): on Spark, scheduling belongs to the cluster.
+
+Defaults are tuned for local[N] testing but are the same knobs that
+matter on a 1000-executor cluster:
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+- shuffle partitions sized to cores locally (cluster: ~2-3x total cores
+  or AQE-advisory driven),
+- Arrow enabled so the Pandas-UDF slow path is at least vectorized,
+- UTC session timezone so results compare bit-for-bit with DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(app_name: str = "nosql_join_stream_spark",
+                cpus: str | int | None = None,
+                shuffle_partitions: int | None = None,
+                extra_conf: dict | None = None) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    ``local[cpus]`` single-JVM for tests; on a real cluster the master
+    URL comes from spark-submit and these conf defaults still apply.
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if SparkSession.getActiveSession() is None:
+        # master only applies when we are the one creating the JVM.
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,41 @@
+"""Typed projection — reference ``column[B]`` and ``as[T]``.
+
+Reference: ``stream.column[B]("name")`` casts one field per record
+(mongo/channel/package.scala:181-188); ``stream.as[T]`` derives a
+case-class decoder matching field names, returning ``Option[T]`` —
+decode failure ⇒ None, never an error (mongo/channel/package.scala:
+194-203, mongotypes/package.scala:73-205).
+
+Spark-first: ``try_cast`` gives exactly the null-on-failure contract
+(SURVEY.md §7.3.3); missing fields surface as NULL literal columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def column(df: DataFrame, name: str, dtype: str | T.DataType) -> DataFrame:
+    """Single-field extraction + safe cast (reference P11)."""
+    return df.select(F.col(name).try_cast(dtype).alias(name))
+
+
+def as_schema(df: DataFrame, schema: T.StructType | dict) -> DataFrame:
+    """Multi-field name-matched projection with null-safe casts
+    (reference P12).  ``schema``: StructType or {name: dtype} dict.
+    Fields absent from ``df`` become typed NULL columns (the
+    reference's None), mistyped fields become NULL via try_cast."""
+    if isinstance(schema, dict):
+        items = list(schema.items())
+    else:
+        items = [(f.name, f.dataType) for f in schema.fields]
+    existing = set(df.columns)
+    cols = []
+    for name, dtype in items:
+        if name in existing:
+            cols.append(F.col(name).try_cast(dtype).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    return df.select(*cols)

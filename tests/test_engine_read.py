@@ -1,0 +1,60 @@
+"""Channel-API reader: validation-before-execution, DSL predicates,
+sort/skip/limit — reference mongo/channel/package.scala:250-319 and
+error specs IntegrationMongoClientSpec.scala:59-129."""
+
+from __future__ import annotations
+
+import pytest
+
+from nosql_join_stream_spark.catalog import UnknownTableError
+from nosql_join_stream_spark.dsl import q
+from nosql_join_stream_spark.engine import QueryValidationError
+from nosql_join_stream_spark.mql import MQLParseError
+
+
+def test_missing_table_fails_fast(engine):
+    with pytest.raises(UnknownTableError):
+        engine.read("no_such_collection")
+
+
+def test_empty_table_name_fails(engine):
+    with pytest.raises(QueryValidationError):
+        engine.read("")
+
+
+def test_invalid_mql_fails_before_execution(engine):
+    with pytest.raises(MQLParseError):
+        engine.read("orders", where='{"o_totalprice": {"$frobnicate": 1}}')
+
+
+def test_invalid_sql_predicate_fails(engine):
+    with pytest.raises(QueryValidationError):
+        engine.read("orders", where="o_totalprice >>> 1")
+
+
+def test_negative_limit_fails(engine):
+    with pytest.raises(QueryValidationError):
+        engine.read("orders", limit=-1)
+
+
+def test_dsl_chain_matches_sql(engine):
+    dsl_count = engine.read(
+        "orders", where=q("o_totalprice").gte(1000.0).lte(50000.0)).count()
+    sql_count = engine.read(
+        "orders", where="o_totalprice >= 1000.0 AND o_totalprice <= 50000.0").count()
+    assert dsl_count == sql_count
+
+
+def test_sort_skip_limit(engine):
+    full = [r.o_orderkey for r in engine.read(
+        "orders", sort=[("o_totalprice", False), ("o_orderkey", True)],
+        limit=30).select("o_orderkey").collect()]
+    page = [r.o_orderkey for r in engine.read(
+        "orders", sort=[("o_totalprice", False), ("o_orderkey", True)],
+        skip=10, limit=20).select("o_orderkey").collect()]
+    assert page == full[10:30]
+
+
+def test_dsl_literal_type_check():
+    with pytest.raises(TypeError):
+        q("x").eq(object())

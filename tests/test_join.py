@@ -1,0 +1,73 @@
+"""Join semantics — mirrors reference JoinMongoSpec / JoinCassandraSpec:
+deterministic-count golden assertions (join output = programmersSize,
+JoinMongoSpec.scala:75; = measureSize × sensors.size,
+JoinCassandraSpec.scala:80-82)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nosql_join_stream_spark.operators.join import inner_join
+
+
+def test_fk_join_count_equals_fact_rows(engine):
+    """Every lineitem row has a matching supplier (FK integrity) →
+    inner-join count == fact-side count (the reference's
+    measures×sensors invariant)."""
+    supplier = engine.table("supplier")
+    lineitem = engine.table("lineitem")
+    joined = inner_join(supplier, lineitem,
+                        on=supplier["s_suppkey"] == lineitem["l_suppkey"],
+                        broadcast_outer=True)
+    assert joined.count() == lineitem.count()
+
+
+def test_inner_join_drops_unmatched(engine, spark):
+    """Inner semantics: outer rows with no match emit nothing
+    (JoinCassandraSpec.scala:80-82)."""
+    supplier = engine.table("supplier")
+    ghost = spark.range(1).select(
+        F.lit(10**9).alias("l_suppkey"), F.lit(1.0).alias("l_quantity"))
+    joined = inner_join(supplier, ghost,
+                        on=supplier["s_suppkey"] == ghost["l_suppkey"])
+    assert joined.count() == 0
+
+
+def test_mapper_projection(engine):
+    """mapper: (Record, Record) ⇒ A arbitrary projection
+    (join/package.scala:56) as Column expressions."""
+    nation = engine.table("nation")
+    customer = engine.table("customer")
+    out = inner_join(
+        nation, customer,
+        on=nation["n_nationkey"] == customer["c_nationkey"],
+        mapper=lambda j: [F.concat(j["c_name"], F.lit(" uses "),
+                                   j["n_name"]).alias("msg")])
+    row = out.limit(1).collect()
+    assert out.columns == ["msg"]
+    assert len(row) == 1 and " uses " in row[0].msg
+
+
+def test_one_to_many_multiplicity(engine):
+    """One-to-many: per-key output count == per-key inner count."""
+    supplier = engine.table("supplier")
+    lineitem = engine.table("lineitem")
+    per_key_inner = {r["l_suppkey"]: r["cnt"] for r in
+                     lineitem.groupBy("l_suppkey").agg(F.count("*").alias("cnt")).collect()}
+    joined = inner_join(supplier, lineitem,
+                        on=supplier["s_suppkey"] == lineitem["l_suppkey"])
+    per_key_join = {r["s_suppkey"]: r["cnt"] for r in
+                    joined.groupBy("s_suppkey").agg(F.count("*").alias("cnt")).collect()}
+    assert per_key_join == per_key_inner
+
+
+def test_theta_join_non_equi(engine):
+    """Non-equi correlated predicate (DSL allows $gt against outer
+    values) → theta join."""
+    nation = engine.table("nation").filter(F.col("n_nationkey") < 3)
+    customer = engine.table("customer").filter(F.col("c_custkey") < 20)
+    out = inner_join(nation, customer,
+                     on=customer["c_nationkey"] > nation["n_nationkey"])
+    expected = (nation.crossJoin(customer.select("c_nationkey", "c_custkey"))
+                .filter(F.col("c_nationkey") > F.col("n_nationkey")).count())
+    assert out.count() == expected

@@ -1,0 +1,60 @@
+"""MQL parser — grammar surface from reference
+mongo/mqlparser/package.scala:67-235 (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nosql_join_stream_spark.mql import MQLParseError, mql_to_column
+
+
+def _count(engine, table, mql):
+    return engine.table(table).filter(mql_to_column(mql)).count()
+
+
+def test_implicit_eq(engine):
+    n = _count(engine, "orders", '{"o_orderstatus": "F"}')
+    assert n == engine.read("orders", where="o_orderstatus = 'F'").count()
+
+
+def test_multi_selector_range(engine):
+    n = _count(engine, "lineitem", '{"l_quantity": {"$gt": 10, "$lt": 20}}')
+    assert n == engine.read(
+        "lineitem", where="l_quantity > 10 AND l_quantity < 20").count()
+
+
+def test_in_nin(engine):
+    n_in = _count(engine, "lineitem", '{"l_linenumber": {"$in": [1, 2]}}')
+    n_nin = _count(engine, "lineitem", '{"l_linenumber": {"$nin": [1, 2]}}')
+    assert n_in + n_nin == engine.table("lineitem").count()
+
+
+def test_and_or(engine):
+    mql = ('{"$or": [{"o_orderstatus": "F"}, '
+           '{"$and": [{"o_orderstatus": "O"}, {"o_totalprice": {"$gte": 10000}}]}]}')
+    n = _count(engine, "orders", mql)
+    sql = ("o_orderstatus = 'F' OR (o_orderstatus = 'O' AND o_totalprice >= 10000)")
+    assert n == engine.read("orders", where=sql).count()
+
+
+def test_ne(engine):
+    n = _count(engine, "orders", '{"o_orderstatus": {"$ne": "F"}}')
+    assert n == engine.read("orders", where="o_orderstatus <> 'F'").count()
+
+
+def test_date_literal():
+    col = mql_to_column('{"ts": {"$gte": "12 Aug 2015 10:30:00:000 PM UTC"}}')
+    assert col is not None  # parsed, typed as timestamp
+
+
+@pytest.mark.parametrize("bad", [
+    "not json at all",
+    "{}",
+    '{"f": {"$frobnicate": 3}}',
+    '{"f": {"$in": []}}',
+    '{"f": {"$in": [1, "a"]}}',  # heterogeneous array (:101-131)
+    '{"$and": []}',
+])
+def test_parse_errors(bad):
+    with pytest.raises(MQLParseError):
+        mql_to_column(bad)
