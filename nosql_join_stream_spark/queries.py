@@ -225,6 +225,119 @@ def typed_as_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference parity: partitioned event-log scan (SURVEY §2.1 S7-S8, §3.3)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Reference parity: stream combinators (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "zip_streams",
+    """
+    WITH l AS (SELECT event_id AS l_event_id, value AS l_value,
+                      row_number() OVER (ORDER BY event_id) AS pos
+               FROM events WHERE user_id = 3),
+         r AS (SELECT event_id AS r_event_id, value AS r_value,
+                      row_number() OVER (ORDER BY event_id) AS pos
+               FROM events WHERE user_id = 5)
+    SELECT l_event_id, l_value, r_event_id, r_value,
+           ROUND(l_value + r_value, 2) AS pair_sum
+    FROM l JOIN r USING (pos)
+    """,
+    doc="zip/zipWith (reference mongo/channel/package.scala:92-108): "
+        "positional pairing of two ordered streams, stops at the shorter "
+        "(PartitionedLogCassandraSpec.scala:116-152). Order-defined via "
+        "row_number; pairs two users' event logs.",
+)
+def zip_streams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.combinators import zip_with
+    e = _engine(spark, sf_dir)
+    left = e.log_from("events", key=3).select("event_id", "value")
+    right = e.log_from("events", key=5).select("event_id", "value")
+    return zip_with(
+        left, right, ["event_id"], ["event_id"],
+        mapper=lambda z: [
+            z["l_event_id"], z["l_value"], z["r_event_id"], z["r_value"],
+            F.round(z["l_value"] + z["r_value"], 2).alias("pair_sum"),
+        ])
+
+
+@register(
+    "either_merge",
+    """
+    SELECT c_name AS name, c_acctbal AS acctbal, 'left' AS side
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT s_name AS name, s_acctbal AS acctbal, 'right' AS side
+    FROM supplier
+    """,
+    doc="either (reference wye.either nondeterministic merge, "
+        "mongo/channel/package.scala:129-131) → tagged union; the reference "
+        "asserts only the combined multiset (IntegrationMongoClientSpec:181-206).",
+)
+def either_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.combinators import either_merge
+    e = _engine(spark, sf_dir)
+    left = (e.read("customer", where=q("c_mktsegment").eq("BUILDING"))
+            .select(F.col("c_name").alias("name"),
+                    F.col("c_acctbal").alias("acctbal")))
+    right = e.table("supplier").select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"))
+    return either_merge(left, right)
+
+
+@register(
+    "concat_logs",
+    """
+    SELECT * FROM (
+      SELECT 0 AS __src, event_id, user_id, value FROM events WHERE user_id = 1
+      UNION ALL
+      SELECT 1 AS __src, event_id, user_id, value FROM events WHERE user_id = 2
+    ) ORDER BY __src, event_id
+    """,
+    doc="++ sequential concat of two logs (reference SportCenterSpec.scala:88, "
+        "okcFeed.source ++ cleFeed.source) with an explicit order contract.",
+)
+def concat_logs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.combinators import concat_streams
+    e = _engine(spark, sf_dir)
+    a = e.log_from("events", key=1).select("event_id", "user_id", "value")
+    b = e.log_from("events", key=2).select("event_id", "user_id", "value")
+    return concat_streams(a, b, order_col="event_id").select(
+        "__src", "event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Streaming (SURVEY §2.7): unbounded log + event-time window
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+@register(
+    "stream_windowed_counts",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS w_start,
+           event_type,
+           count(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming over the event log (reference S7/S8 unbounded "
+        "scan): readStream parquet → watermark → tumbling window agg, drained "
+        "with Trigger.AvailableNow into a memory sink; complete-mode result "
+        "equals the batch aggregation, so it IS oracle-checkable.",
+)
+def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.streaming.log_stream import (
+        read_log_stream, run_available_now, windowed_counts)
+    from nosql_join_stream_spark.catalog import table_path
+    _STREAM_SEQ[0] += 1
+    name = f"stream_windowed_counts_{_STREAM_SEQ[0]}"
+    stream = read_log_stream(spark, table_path(sf_dir, "events"))
+    run_available_now(windowed_counts(stream), name)
+    return spark.table(name)
+
+
 @register(
     "log_scan_offset",
     """
