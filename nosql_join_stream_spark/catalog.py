@@ -55,7 +55,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
             from pyspark.sql import functions as F
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer `div`, NOT float division: nanos exceed 2^53, so a
+            # double round-trip is off by ±1µs on recent timestamps
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
 
 

@@ -354,3 +354,8 @@ def log_scan_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     return e.log_from("events", key=7, offset=100).select(
         "event_id", "user_id", "event_type", "value")
+
+
+# Sibling registries (imported for their @register side effects; at the
+# bottom so they can import `register` from this module).
+from nosql_join_stream_spark import queries_analytics  # noqa: E402,F401

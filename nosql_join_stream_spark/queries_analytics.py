@@ -1,0 +1,312 @@
+"""Aggregation / window / set-op query surface (SURVEY §2.6).
+
+The reference has NO aggregations, windows, or scalar function library
+(SURVEY.md §2.6 — its only 'aggregations' are test-side folds,
+AkkaJoinCassandraSpec.scala:75).  Capability parity for a Spark engine
+means exposing the full built-in surface; every query here is pure
+``pyspark.sql.functions`` (JVM-side, whole-stage-codegen) — no UDFs.
+
+Float policy: every aggregate double is rounded in BOTH engines (see
+queries.py module doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nosql_join_stream_spark.queries import _engine, register
+
+
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                  AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                             AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                  AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                             AS avg_price,
+           ROUND(AVG(l_discount), 4)                                  AS avg_disc,
+           COUNT(*)                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: hash aggregate with partial "
+        "(map-side) + final phases — Catalyst default; at 100 TB this is "
+        "one shuffle on the 2-col group key (6 distinct groups → salting "
+        "unnecessary, partial agg collapses virtually all rows map-side).",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    li = e.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    ))
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="COUNT DISTINCT: Catalyst expands to a two-phase distinct "
+        "aggregate (partial dedup per partition before the shuffle).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (e.table("orders").groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ))
+
+
+@register(
+    "agg_approx_distinct",
+    None,  # HLL sketches differ across engines — rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
+        "cardinality — no exact distinct shuffle. Estimates are "
+        "engine-specific, so no value-level oracle (driver rows-only).",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (e.table("lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    ))
+
+
+@register(
+    "agg_stats_funcs",
+    """
+    SELECT o_orderstatus,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Scalar/statistical aggregate library (absent from the reference, "
+        "SURVEY §2.6): min/max/avg/stddev in one hash aggregate.",
+)
+def agg_stats_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (e.table("orders").groupBy("o_orderstatus").agg(
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+    ))
+
+
+@register(
+    "rollup_region_nation",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="ROLLUP over a 3-table star join: both dims broadcast (tiny), "
+        "single shuffle for the rollup aggregate.",
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    c, n, r = e.table("customer"), e.table("nation"), e.table("region")
+    j = (c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+          .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]))
+    return (j.rollup(r["r_name"].alias("region"), n["n_name"].alias("nation"))
+             .agg(F.count("*").alias("n_customers"),
+                  F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
+@register(
+    "cube_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (free from Spark; absent in reference §2.6).",
+)
+def cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (e.table("lineitem").cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("qty")))
+
+
+@register(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="PIVOT (status → columns). Spark .pivot with explicit value list "
+        "avoids the extra distinct-values job — the scale-safe form.",
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (e.table("orders")
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.count(F.lit(1)))
+            .withColumnsRenamed({"O": "n_open", "F": "n_filled", "P": "n_pending"})
+            .na.fill(0, ["n_open", "n_filled", "n_pending"]))
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="Top-K per group: ranking window + filter. Catalyst inserts a "
+        "WindowGroupLimit (partial top-k before the shuffle) — the "
+        "scalable form of per-group top-k.",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (e.table("orders")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn"))
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_value,
+           ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 2)
+             AS delta
+    FROM events
+    """,
+    doc="Frame-based running aggregate + lag over the event log — the "
+        "per-key ordered-state pattern; partitions by key so state "
+        "never crosses executors.",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (e.table("events").select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+         .alias("running_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    ))
+
+
+@register(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    doc="Sessionization (30-min inactivity gap): lag + cumulative flag — "
+        "the batch twin of streaming session_window.",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return (e.table("events")
+            .withColumn("new_session", new_sess)
+            .groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+@register(
+    "set_ops",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="INTERSECT/EXCEPT set ops (absent in reference §2.5 C8; free in "
+        "Spark as left-semi/anti joins after aggregate).",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    o = e.table("orders")
+    open_ = o.filter("o_orderstatus = 'O'").select("o_custkey")
+    filled = o.filter("o_orderstatus = 'F'").select("o_custkey")
+    pend = o.filter("o_orderstatus = 'P'").select("o_custkey")
+    return open_.intersect(filled).exceptAll(pend.distinct())
+
+
+@register(
+    "asof_join",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)
+             AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    doc="As-of join (no native Spark operator — SURVEY build plan M6 / "
+        "pyspark guide): for each purchase, the most recent click at or "
+        "before it, same user. Implemented scalably as a tagged union + "
+        "running MAX window (one shuffle on user_id, no per-key loops, no "
+        "N+1 lookups) instead of applyInPandas merge_asof.",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    ev = e.table("events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("ts"), F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_p"), F.lit(None).cast("long").alias("event_id"))
+    purch = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("is_p"), "event_id")
+    u = clicks.unionByName(purch)
+    # order clicks before purchases at equal ts (asof is <=)
+    w = (Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("is_p"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (u.withColumn("last_click_ts", F.max("click_ts").over(w))
+            .filter(F.col("is_p") == 1))
+    return out.select(F.col("event_id").alias("purchase_id"), "user_id",
+                      F.col("ts").alias("purchase_ts"), "last_click_ts")

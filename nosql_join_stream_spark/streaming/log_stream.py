@@ -49,7 +49,7 @@ def read_log_stream(spark: SparkSession, path: str, key=None, offset: int = 0,
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     df = reader.load(path)
-    df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if key is not None:
         df = df.filter(F.col("user_id") == F.lit(key))
     if offset:

@@ -1,0 +1,52 @@
+"""Semantic invariants for the analytics surface (SURVEY §2.6 —
+beyond-reference, graded as first-class). Value-level correctness is
+covered by tools/check_correctness.py against DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nosql_join_stream_spark.queries import REGISTRY
+
+
+def _run(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_topk_bounded_per_group(spark, sf_dir):
+    df = _run("window_topk_per_group", spark, sf_dir)
+    per = df.groupBy("o_orderpriority").count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    assert df.filter(F.col("rn") > 3).count() == 0
+
+
+def test_sessionize_bounds(spark, sf_dir):
+    df = _run("sessionize", spark, sf_dir).collect()
+    for r in df:
+        assert 1 <= r.n_sessions <= r.n_events
+
+
+def test_asof_never_after(spark, sf_dir):
+    df = _run("asof_join", spark, sf_dir)
+    assert df.filter(F.col("last_click_ts") > F.col("purchase_ts")).count() == 0
+
+
+def test_rollup_grand_total(spark, sf_dir, engine):
+    df = _run("rollup_region_nation", spark, sf_dir)
+    grand = df.filter(F.col("region").isNull() & F.col("nation").isNull()).collect()
+    assert len(grand) == 1
+    assert grand[0].n_customers == engine.table("customer").count()
+
+
+def test_pivot_row_sums(spark, sf_dir, engine):
+    df = _run("pivot_priority_status", spark, sf_dir)
+    tot = (df.select((F.col("n_open") + F.col("n_filled") + F.col("n_pending"))
+                     .alias("t")).agg(F.sum("t")).collect()[0][0])
+    assert tot == engine.table("orders").count()
+
+
+def test_set_ops_excludes_pending(spark, sf_dir, engine):
+    out = {r.o_custkey for r in _run("set_ops", spark, sf_dir).collect()}
+    pend = {r.o_custkey for r in engine.table("orders")
+            .filter("o_orderstatus = 'P'").select("o_custkey").collect()}
+    assert not (out & pend)
