@@ -1,0 +1,123 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+Beyond-reference (SURVEY.md M6).  Design for 100 TB multimodal
+training data:
+
+- payloads are ``binary`` columns (or object-store URIs for oversized
+  blobs) with a typed metadata struct alongside;
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages — Python touches each batch once, schema is
+  explicit, partitioning is preserved (no shuffle);
+- the actual codec work (PIL/ffmpeg/torchaudio) is NOT in this
+  container, so ``decode_image`` is a clearly-marked stub; everything
+  around it — schema, batch shape, UDF signature, partition flow — is
+  real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, payload binary, media_type string, "
+    "width int, height int, n_frames int"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, byte_len long, sha256 string, "
+    "width int, height int, mean_luma double"
+)
+
+
+def synthesize_media(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Build a deterministic fake media table from the documents table:
+    payload = utf-8 bytes of the text (stands in for encoded pixels),
+    metadata derived from content length.  Real pipelines read these
+    columns from parquet/lance directly."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.when(n % 3 == 0, "image/png").when(n % 3 == 1, "audio/wav")
+         .otherwise("video/mp4").alias("media_type"),
+        (n % 640 + 16).cast("int").alias("width"),
+        (n % 480 + 16).cast("int").alias("height"),
+        (n % 24 + 1).cast("int").alias("n_frames"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB — real decode needs PIL/libvips, absent from this
+    container.  The Spark-side contract (bytes in, ndarray-like out)
+    is what matters; swap the body in a real deployment."""
+    raise NotImplementedError(
+        "image decode requires PIL/libvips; not available in this environment")
+
+
+def _fake_luma(payload: bytes) -> float:
+    """Deterministic stand-in for decoded-pixel statistics: mean byte
+    value of the payload (plays the role of mean luminance)."""
+    return float(sum(payload)) / len(payload) if payload else 0.0
+
+
+def extract_features(media: DataFrame, batch_decode: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas``: one Python round-trip per Arrow batch (not per
+    row), partition-preserving, schema-explicit.  With
+    ``batch_decode=True`` it calls the real decoder (stubbed here →
+    NotImplementedError), otherwise the deterministic fake, so the
+    plumbing is testable without codec libs.
+    """
+    # NOTE: the closure must be fully self-contained (no references to
+    # module-level helpers): cloudpickle ships nested definitions by
+    # value, so executors need neither this package on sys.path nor an
+    # addPyFile — the driver environment can't be assumed to ship it.
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def _decode_stub(payload: bytes):
+            raise NotImplementedError(
+                "image decode requires PIL/libvips; not available here")
+
+        def _luma(b: bytes) -> float:
+            return float(sum(b)) / len(b) if b else 0.0
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            if batch_decode:
+                decoded = payloads.map(_decode_stub)  # raises: stub
+                luma = decoded.map(lambda a: float(a.mean()))
+            else:
+                luma = payloads.map(_luma)
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": payloads.map(len).astype("int64"),
+                "sha256": payloads.map(lambda b: _hl.sha256(b).hexdigest()),
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "mean_luma": luma.round(6),
+            })
+
+    return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: explode n_frames into frame indices and
+    keep every ``every_n``-th — at scale this is where per-frame
+    payload slicing (ffmpeg seek) would run inside mapInPandas."""
+    return (media
+            .withColumn("frame_idx",
+                        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)))
+            .filter(F.col("frame_idx") % every_n == 0)
+            .select("doc_id", "media_type", "frame_idx"))

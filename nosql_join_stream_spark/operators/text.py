@@ -1,0 +1,104 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond the reference (its only scalar computation is the user mapper
+closure, SURVEY.md §2.6); first-class here per the build plan (M6):
+language ID, quality scoring, token counting, fingerprinting — all as
+pure ``pyspark.sql.functions`` Column expressions (JVM-side, codegen,
+no Python in the hot path), so at 100 TB these run at parquet-scan
+speed with full pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small, fixed stopword lists (top function words) — enough for an
+# n-gram/stopword-heuristic language ID, deterministic and
+# SQL-mirrorable. Order matters: ties break in this order.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "que", "por"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+FINGERPRINT_MOD = 1_000_000_007
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (trimmed, multi-space safe)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def regex_token_count(col: Column) -> Column:
+    """BPE-ish pre-tokenizer count: alpha runs + digit runs
+    (``[A-Za-z]+|[0-9]+``) — the standard LLM-data proxy for token
+    count without shipping a tokenizer to executors."""
+    return F.regexp_count(col, F.lit(TOKEN_REGEX))
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    """Number of tokens (with repeats) that are in ``words``."""
+    return F.size(F.filter(tokens(F.lower(col)), lambda t: t.isin(*words)))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-count language ID. Returns the language whose stopword
+    list has the most (repeat-counting) hits; ties and zero hits fall
+    back in LANG_ORDER; pure-JVM expression."""
+    counts = {lg: stopword_hits(col, STOPWORDS[lg]) for lg in LANG_ORDER}
+    best = F.greatest(*[counts[lg] for lg in LANG_ORDER])
+    out = F.lit(LANG_ORDER[0])
+    # first language (in fixed order) achieving the max
+    expr = None
+    for lg in LANG_ORDER:
+        cond = counts[lg] == best
+        expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
+    return expr.otherwise(out)
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features used by LLM data
+    quality filters (C4/Gopher-style heuristics, simplified)."""
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    n_alpha = F.regexp_count(col, F.lit("[A-Za-z]"))
+    n_punct = F.regexp_count(col, F.lit("[.,;:!?]"))
+    n_stop = stopword_hits(col, STOPWORDS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(n_alpha / n_tokens, 4),
+        "punct_ratio": F.round(n_punct / n_chars, 6),
+        "stopword_ratio": F.round(n_stop / n_tokens, 6),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic 0-1 quality score: rewards mid-length docs with
+    normal word lengths and some stopwords (Gopher-ish rules folded to
+    one number; weights arbitrary but fixed)."""
+    f = quality_features(col)
+    len_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 1000), 1.0).otherwise(0.0)
+    wlen_ok = F.when((f["avg_token_len"] >= 2.0) & (f["avg_token_len"] <= 12.0), 1.0).otherwise(0.0)
+    stop_ok = F.when(f["stopword_ratio"] >= 0.01, 1.0).otherwise(0.0)
+    return F.round((0.4 * len_ok + 0.3 * wlen_ok + 0.3 * stop_ok), 4)
+
+
+def fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash of the full text, mod 1e9+7 — a
+    document fingerprint for exact-dup detection that is cheap,
+    order-sensitive, and reproducible in any engine (unlike engine
+    hash() builtins).  acc = acc*31 + codepoint, per character."""
+    codes = F.transform(F.split(col, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD)

@@ -359,3 +359,4 @@ def log_scan_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sibling registries (imported for their @register side effects; at the
 # bottom so they can import `register` from this module).
 from nosql_join_stream_spark import queries_analytics  # noqa: E402,F401
+from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401

@@ -1,0 +1,313 @@
+"""Training-data pipeline queries: dedup, similarity, text, multimodal
+(SURVEY.md build plan M6 / BASELINE north star — beyond the reference,
+graded as first-class).
+
+Oracle policy: exact operators (exact dedup, n-gram Jaccard, brute
+cosine, all text metrics, multimodal features) carry full DuckDB
+oracles.  Probabilistic recall operators (MinHash-LSH, SimHash, LSH
+ANN) are rows-only: their PRECISION is exact (every emitted pair is
+verified), but recall depends on banding, which SQL can't mirror
+bit-for-bit without reimplementing the hash stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nosql_join_stream_spark.queries import _engine, register
+from nosql_join_stream_spark.operators import dedup, similarity, text
+from nosql_join_stream_spark.operators import multimodal
+
+_STOP_EN = ",".join(f"'{w}'" for w in text.STOPWORDS["en"])
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup: hash-groupBy on a 64-bit content digest, keep "
+        "min id + multiplicity. One shuffle, digest not full text.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return dedup.exact_dedup(e.table("documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id1, id2, ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+    FROM p WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6
+    """,
+    doc="EXACT word-3-gram Jaccard near-dup pairs via inverted shingle "
+        "index self-join (linear shuffle, no n^2); finds the planted "
+        "near-duplicates (j>=0.6).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(e.table("documents"), "text", "doc_id",
+                                     n=3, threshold=0.6)
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # banded-LSH recall isn't SQL-mirrorable; precision is exact
+    doc="MinHash(64)+LSH(16x4) candidate pairs, verified with exact "
+        "Jaccard >= 0.6. The 100 TB dedup path: signatures + band "
+        "buckets shuffle, never the n^2 pair space. Driver rows-only "
+        "check; equality with dedup_ngram_jaccard is asserted in tests "
+        "at the planted-dup regime.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(e.table("documents"), "text", "doc_id",
+                                   n=3, threshold=0.6)
+
+
+@register(
+    "dedup_simhash",
+    None,  # simhash banding likewise not SQL-mirrorable
+    doc="SimHash-64 near-dup pairs, hamming <= 3, pigeonhole 4x16-bit "
+        "chunk candidate join + exact bit_count verify.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return dedup.simhash_pairs(e.table("documents"), "text", "doc_id",
+                               max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+             AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+          >= 0.45
+    """,
+    doc="Embedding-cosine near-dup pairs (sim >= 0.45 — this synthetic "
+        "corpus has no planted embedding dups, max pairwise cosine "
+        "~0.51), exact pairwise form; the LSH-bucketed variant is "
+        "ann_lsh_topk.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return similarity.embedding_near_dup_pairs(
+        e.table("embeddings"), "vec_id", "embedding", threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             ROUND(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+               AS sim
+      FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+    ranked AS (
+      SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+      FROM scored)
+    SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 for a broadcast query set (vec_id<10) "
+        "over the corpus — exact ANN baseline; rank on rounded sim with "
+        "id tie-break for cross-engine determinism.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return similarity.cosine_topk(queries, corpus, k=5)
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # bucket recall depends on hyperplane hashing — rows-only
+    doc="Hyperplane-LSH ANN: 8 planes -> 256 sign buckets, bucket "
+        "equi-join, exact cosine rank within bucket. The scale path "
+        "replacing the cross product; recall checked in tests against "
+        "the brute-force baseline.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return similarity.ann_lsh_topk(queries, corpus, k=5, n_planes=4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_metrics",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_regex_tokens,
+           len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x IN ({_STOP_EN}))) AS n_stopwords,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(text, ''), x -> ascii(x)::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    doc="Token counting (whitespace + BPE-ish regex), stopword hits, "
+        "and polynomial rolling-hash fingerprint — all JVM-side Column "
+        "expressions over the documents table.",
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    t = F.col("text")
+    return e.table("documents").select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        text.token_count(t).alias("n_tokens"),
+        text.regex_token_count(t).cast("long").alias("n_regex_tokens"),
+        text.stopword_hits(t, text.STOPWORDS["en"]).alias("n_stopwords"),
+        text.fingerprint(t).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             ROUND(len(regexp_extract_all(text, '[A-Za-z]'))
+                   * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+               AS avg_token_len,
+             ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   x -> x IN ({_STOP_EN})))
+                   * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+               AS stopword_ratio
+      FROM documents)
+    SELECT doc_id,
+           CAST(ROUND(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END), 4)
+             AS DOUBLE) AS quality
+    FROM f
+    """,
+    doc="Gopher/C4-style quality scoring folded to one deterministic "
+        "0-1 score (length band, word-length band, stopword presence).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return e.table("documents").select(
+        "doc_id", text.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_langid",
+    None,  # CASE-ladder mirror is possible but adds little: rows-only
+    doc="Stopword-count language ID over documents; deterministic "
+        "argmax with fixed tie order. (The synthetic corpus is "
+        "English-ish regardless of its lang label — the query reports "
+        "the computed guess + agreement rate with the label.)",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    d = e.table("documents").withColumn("lang_guess", text.lang_id(F.col("text")))
+    return (d.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+             .orderBy("lang", "lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id, encode(text) AS payload,
+             CASE WHEN length(text) % 3 = 0 THEN 'image/png'
+                  WHEN length(text) % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             (length(text) % 640 + 16)::INT AS width,
+             (length(text) % 480 + 16)::INT AS height
+      FROM documents)
+    SELECT m.doc_id AS doc_id, m.media_type AS media_type,
+           octet_length(m.payload)::BIGINT AS byte_len,
+           sha256(d.text) AS sha256,
+           m.width AS width, m.height AS height,
+           CAST(ROUND(list_sum(list_transform(string_split(d.text, ''),
+                                              x -> ascii(x)::DOUBLE))
+                 / octet_length(m.payload), 6) AS DOUBLE) AS mean_luma
+    FROM m JOIN documents d ON m.doc_id = d.doc_id
+    """,
+    doc="Multimodal plumbing: binary payload + typed metadata struct, "
+        "Arrow-batched mapInPandas feature extraction (byte_len, "
+        "sha256, deterministic fake 'mean luma'); real codec decode is "
+        "a marked stub (no PIL/ffmpeg in this container).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    media = multimodal.synthesize_media(e.table("documents"))
+    return multimodal.extract_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN length(text) % 3 = 0 THEN 'image/png'
+                  WHEN length(text) % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             (length(text) % 24 + 1)::INT AS n_frames
+      FROM documents)
+    SELECT * FROM (
+      SELECT doc_id, media_type, unnest(range(0, n_frames))::INT AS frame_idx
+      FROM m)
+    WHERE frame_idx % 4 = 0
+    """,
+    doc="Frame sampling plumbing: explode n_frames, keep every 4th — "
+        "the partition-preserving shape for per-frame extraction.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    media = multimodal.synthesize_media(e.table("documents"))
+    return multimodal.sample_frames(media, every_n=4)

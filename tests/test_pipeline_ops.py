@@ -1,0 +1,94 @@
+"""Dedup / similarity / text / multimodal operator semantics.
+Value-level parity with DuckDB is covered by tools/check_correctness.py;
+these tests pin the operator CONTRACTS (precision-exactness, recall at
+the planted-dup regime, stub gating)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_join_stream_spark.operators import dedup, multimodal, similarity, text
+from nosql_join_stream_spark.queries import REGISTRY
+
+
+def _pairs(df):
+    return {(r.id1, r.id2) for r in df.collect()}
+
+
+def test_minhash_lsh_matches_exact_at_high_jaccard(spark, sf_dir, engine):
+    docs = engine.table("documents")
+    exact = _pairs(dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.6))
+    lsh = _pairs(dedup.minhash_lsh_pairs(docs, "text", "doc_id", 3, 0.6))
+    # precision is exact by construction (verified pairs) → subset;
+    # at the planted-dup regime (j≈0.97) banding recall ≈ 1 → equality
+    assert lsh == exact
+
+
+def test_simhash_pairs_are_verified(spark, sf_dir, engine):
+    docs = engine.table("documents")
+    out = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    rows = out.collect()
+    assert all(r.hamming <= 3 for r in rows)
+    assert all(r.id1 < r.id2 for r in rows)
+
+
+def test_exact_dedup_conserves_rows(spark, sf_dir, engine):
+    docs = engine.table("documents")
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_ann_lsh_precision_and_recall(spark, sf_dir, engine):
+    emb = engine.table("embeddings")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    brute = similarity.cosine_topk(q, c, k=5)
+    annd = similarity.ann_lsh_topk(q, c, k=5, n_planes=4, dim=64)
+    bsims = {(r.q_id, r.c_id): r.sim for r in brute.collect()}
+    asims = {(r.q_id, r.c_id): r.sim for r in annd.collect()}
+    # precision: any pair ANN returns that brute force also ranked must
+    # agree on the exact similarity value
+    for k_, v in asims.items():
+        if k_ in bsims:
+            assert abs(v - bsims[k_]) < 1e-9
+    # weak recall bound at 16 buckets
+    hits = len(set(asims) & set(bsims))
+    assert hits / len(bsims) > 0.15
+
+
+def test_multimodal_sha256_and_stub(spark, sf_dir, engine):
+    docs = engine.table("documents").limit(8)
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.extract_features(media).collect()
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for r in feats:
+        assert r.sha256 == hashlib.sha256(src[r.doc_id].encode()).hexdigest()
+        assert r.byte_len == len(src[r.doc_id].encode())
+    # the real decoder is a marked stub in this container
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(media, batch_decode=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+
+
+def test_fingerprint_known_value(spark):
+    df = spark.createDataFrame([("abc",)], "t string")
+    fp = df.select(text.fingerprint(F.col("t")).alias("f")).collect()[0].f
+    assert fp == ((0 * 31 + 97) * 31 + 98) * 31 + 99  # 96354
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("der hund und die katze ist",)], "t string")
+    got = [r.g for r in df.select(text.lang_id(F.col("t")).alias("g")).collect()]
+    assert got == ["en", "de"]
+
+
+def test_frame_sampling(spark, sf_dir, engine):
+    media = multimodal.synthesize_media(engine.table("documents").limit(20))
+    out = multimodal.sample_frames(media, every_n=4)
+    assert out.filter(F.col("frame_idx") % 4 != 0).count() == 0
