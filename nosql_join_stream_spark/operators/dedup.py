@@ -52,11 +52,30 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
               .drop("__h"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Raise partition count to the cluster's parallelism when the
+    input arrives under-partitioned (e.g. one small parquet file).
+    The per-doc signature/shingle kernels are CPU-bound, so a cheap
+    round-robin shuffle of the raw text buys full-core speedup; a
+    wide input (the 100 TB case) is left untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(col, n: int = 3):
-    """Distinct word n-gram set of a text column (JVM-side)."""
+    """Distinct word n-gram set of a text column (JVM-side).
+
+    Built from n length-aligned slices zipped with concat — O(n·|toks|)
+    total, unlike the naive per-index ``slice(toks, i, n)`` transform
+    which is O(n²) per doc (each slice walks the array)."""
     toks = F.split(F.trim(col), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    count = F.size(toks) - n + 1
+    grams = F.slice(toks, 1, count)
+    for i in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, i + 1, count),
+                           lambda x, y: F.concat_ws(" ", x, y))
     return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
             .otherwise(F.array(F.array_join(toks, " ")))
 
@@ -81,7 +100,8 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str, id_col: str,
     This exact form IS the oracle; at extreme scale minhash_lsh_pairs
     replaces step 3's candidate generation.
     """
-    sh = (df.select(F.col(id_col).alias("id"),
+    sh = (_spread(df)
+            .select(F.col(id_col).alias("id"),
                     word_shingles(F.col(content_col), n).alias("sh"))
             .withColumn("n_sh", F.size("sh")))
     ex = sh.select("id", F.explode("sh").alias("g"))
@@ -132,7 +152,7 @@ def minhash_signatures(df: DataFrame, content_col: str, id_col: str,
     preserving: no shuffle until the band join.
     """
     params = _perm_params()
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(word_shingles(F.col(content_col), n),
                     lambda g: F.pmod(F.xxhash64(g), F.lit(_PRIME))).alias("hv"))
@@ -186,8 +206,9 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, id_col: str,
              .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
              .distinct())
     # exact verification — join the shingle sets back in
-    sh = (df.select(F.col(id_col).alias("id"),
-                    word_shingles(F.col(content_col), n).alias("sh")))
+    sh = (_spread(df)
+          .select(F.col(id_col).alias("id"),
+                  word_shingles(F.col(content_col), n).alias("sh")))
     verified = (cand
                 .join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
                 .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2"))
@@ -203,7 +224,7 @@ def simhash_signatures(df: DataFrame, content_col: str, id_col: str) -> DataFram
     numpy kernel unpacks hash bits and sums ±1 per position (token
     frequency weighted); sign → bit.  Same output as a per-bit
     aggregate expression tree, ~20× faster (vectorized, one pass)."""
-    hashed = df.select(
+    hashed = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(F.split(F.trim(F.lower(F.col(content_col))), r"\s+"),
                     lambda t: F.xxhash64(t)).alias("th"))
