@@ -339,6 +339,62 @@ def stream_windowed_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="Streaming dedup with bounded state (dropDuplicatesWithinWatermark): "
+        "one state entry per key until the watermark passes; append-mode "
+        "key-only output is deterministic and equals batch DISTINCT.",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.streaming.log_stream import (
+        dedup_stream, read_log_stream, run_available_now)
+    from nosql_join_stream_spark.catalog import table_path
+    _STREAM_SEQ[0] += 1
+    name = f"stream_dedup_keys_{_STREAM_SEQ[0]}"
+    stream = read_log_stream(spark, table_path(sf_dir, "events"))
+    run_available_now(dedup_stream(stream, ["user_id", "event_type"]), name,
+                      output_mode="append")
+    return spark.table(name)
+
+
+@register(
+    "stream_sessionize_stateful",
+    """
+    WITH gaps AS (
+      SELECT user_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM gaps GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+        "per-user running 30-min-gap session stats, one fixed-width state "
+        "row per user; cumulative emissions folded with max(struct(...)) so "
+        "the final answer is batch-split-invariant and oracle-checkable.",
+)
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.streaming.log_stream import (
+        read_log_stream, run_available_now, stateful_session_stats)
+    from nosql_join_stream_spark.catalog import table_path
+    _STREAM_SEQ[0] += 1
+    name = f"stream_sessionize_{_STREAM_SEQ[0]}"
+    stream = read_log_stream(spark, table_path(sf_dir, "events"))
+    run_available_now(stateful_session_stats(stream), name,
+                      output_mode="update")
+    final = F.max(F.struct("n_events", "n_sessions", "sum_value")).alias("s")
+    return (spark.table(name).groupBy("user_id").agg(final)
+            .select("user_id", F.col("s.n_sessions").alias("n_sessions"),
+                    F.col("s.n_events").alias("n_events"),
+                    F.col("s.sum_value").alias("sum_value")))
+
+
+@register(
     "log_scan_offset",
     """
     SELECT event_id, user_id, event_type, value

@@ -72,6 +72,67 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour",
                     F.col("event_type"), F.col("n_events"), F.col("sum_value")))
 
 
+def dedup_stream(stream: DataFrame, keys: list[str],
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedup with bounded state (beyond-reference; the 100 TB
+    ingest path).  ``dropDuplicatesWithinWatermark`` keeps one state
+    entry per key only until the watermark passes it, so state size is
+    O(keys-per-watermark-window), not O(all history).  Emitting only
+    the key columns makes the append-mode result deterministic (each
+    key appears exactly once, whichever batch saw it first) and equal
+    to batch ``SELECT DISTINCT keys`` — the oracle."""
+    return (stream.withWatermark("ts", watermark)
+                  .dropDuplicatesWithinWatermark(keys)
+                  .select(*keys))
+
+
+def stateful_session_stats(stream: DataFrame,
+                           gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running session/event/value stats with a
+    ``gap_minutes`` inactivity session cut.
+
+    The reference has no stateful streaming at all (SURVEY.md §2.7
+    T6); this is the Spark-native form a 100 TB pipeline needs: state
+    is one fixed-width row per user in the state store, each
+    micro-batch updates it from Arrow-batched pandas, and the emitted
+    row is the running total.  Emissions are cumulative, so the final
+    answer per user is recoverable from any update history with
+    ``max(struct(n_events, ...))`` — deterministic even if the source
+    splits into several micro-batches.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+    out_schema = ("user_id long, n_sessions long, n_events long, "
+                  "sum_value double")
+    state_schema = ("last_ts long, n_sessions long, n_events long, "
+                    "sum_value double")
+
+    def fn(key, pdfs, state):
+        import pandas as _pd
+        if state.exists:
+            last_ts, n_sessions, n_events, sum_value = state.get
+        else:
+            last_ts, n_sessions, n_events, sum_value = None, 0, 0, 0.0
+        pdf = _pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts = pdf["ts"].astype("int64").to_numpy()  # ns
+        for t in ts:
+            if last_ts is None or t - last_ts > gap_ns:
+                n_sessions += 1
+            last_ts = int(t)
+        n_events += len(pdf)
+        sum_value += float(pdf["value"].sum())
+        state.update((last_ts, n_sessions, n_events, sum_value))
+        yield _pd.DataFrame([{"user_id": key[0], "n_sessions": n_sessions,
+                              "n_events": n_events,
+                              "sum_value": round(sum_value, 2)}])
+
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def run_available_now(agg: DataFrame, query_name: str,
                       output_mode: str = "complete") -> None:
     """Drain everything currently in the source and stop — the batch

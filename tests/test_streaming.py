@@ -34,3 +34,42 @@ def test_windowed_counts_match_batch(spark, engine, sf_dir):
              .select(F.col("window.start").alias("w_start"), "event_type", "n", "s"))
     want = {(r.w_start, r.event_type): (r.n, r.s) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_dedup_matches_batch_distinct(spark, engine, sf_dir):
+    from nosql_join_stream_spark.streaming.log_stream import dedup_stream
+    stream = read_log_stream(spark, table_path(sf_dir, "events"))
+    run_available_now(dedup_stream(stream, ["user_id", "event_type"]),
+                      "t_dedup", output_mode="append")
+    got = {(r.user_id, r.event_type) for r in spark.table("t_dedup").collect()}
+    want = {(r.user_id, r.event_type)
+            for r in engine.table("events")
+                           .select("user_id", "event_type").distinct().collect()}
+    assert got == want
+    # append-mode emits each key exactly once
+    assert spark.table("t_dedup").count() == len(want)
+
+
+def test_stateful_sessionize_matches_batch(spark, engine, sf_dir):
+    from nosql_join_stream_spark.streaming.log_stream import stateful_session_stats
+    stream = read_log_stream(spark, table_path(sf_dir, "events"))
+    run_available_now(stateful_session_stats(stream), "t_sess",
+                      output_mode="update")
+    final = F.max(F.struct("n_events", "n_sessions", "sum_value")).alias("s")
+    got = {r.user_id: (r["s"].n_sessions, r["s"].n_events, r["s"].sum_value)
+           for r in spark.table("t_sess").groupBy("user_id").agg(final).collect()}
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    batch = (engine.table("events")
+             .withColumn("ns", new_sess).groupBy("user_id")
+             .agg(F.sum("ns").alias("n_sessions"), F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("sum_value")))
+    want = {r.user_id: (r.n_sessions, r.n_events, r.sum_value)
+            for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid, (ns, ne, sv) in want.items():
+        gns, gne, gsv = got[uid]
+        assert (gns, gne) == (ns, ne), uid
+        assert abs(gsv - sv) < 0.02, uid
