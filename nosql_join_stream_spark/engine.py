@@ -101,3 +101,12 @@ class Engine:
         """Reference ``Log[M].from`` (log/package.scala:56-62)."""
         return log_from(self.table(table), key, offset,
                         key_col=key_col, seq_col=seq_col)
+
+    # -- sinks ---------------------------------------------------------
+    def write(self, df: DataFrame, path: str, fmt: str = "parquet",
+              mode: str = "overwrite",
+              partition_by=None) -> None:
+        """Batch sink (reference S10 — test-only there; first-class here).
+        See sinks.write_table / sinks.write_bucketed for layout notes."""
+        from nosql_join_stream_spark.sinks import write_table
+        write_table(df, path, fmt=fmt, mode=mode, partition_by=partition_by)

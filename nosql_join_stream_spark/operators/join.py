@@ -69,3 +69,37 @@ def inner_join(
         return joined
     cols = mapper(joined) if callable(mapper) else list(mapper)
     return joined.select(*cols)
+
+
+def salted_join(left: DataFrame, right: DataFrame,
+                on: str | Sequence[str], num_salts: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Skew-resilient equi-join — result-identical to
+    ``left.join(right, on, how)``, execution-resilient to hot keys.
+
+    A hot join key (one key holding a large share of rows — the classic
+    100 TB failure mode AQE's skew-join split can miss when the hot key
+    is a single shuffle block on the build side) pins the whole key to
+    one reducer.  Salting splits it: each left row gets a deterministic
+    salt in ``[0, num_salts)`` hashed from the full row, the right side
+    is replicated once per salt value, and the shuffle key becomes
+    ``(key, salt)`` — a hot key now spreads over ``num_salts``
+    reducers.  Each left row meets exactly one copy of each matching
+    right row, so the joined multiset is unchanged (asserted against
+    the plain-join oracle).
+
+    Cost model: right-side shuffle volume × ``num_salts`` — use when
+    right is the small/dimension side and left is the skewed fact.
+    Supported ``how``: inner / left / left_semi / left_anti (unmatched
+    right rows would otherwise surface once per salt).
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join does not support how={how!r}: "
+                         "unmatched right rows would appear once per salt")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                  F.lit(num_salts)).cast("int")
+    l_s = left.withColumn("__salt", salt)
+    r_s = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
+    return l_s.join(r_s, keys + ["__salt"], how).drop("__salt")

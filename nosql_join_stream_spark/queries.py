@@ -114,6 +114,29 @@ def join_outer_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_salted_skew",
+    """
+    SELECT l.l_orderkey AS orderkey, l.l_linenumber AS l_linenumber,
+           l.l_quantity AS l_quantity, o.o_custkey AS o_custkey,
+           o.o_orderstatus AS o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="Skew-resilient salted equi-join: fact side salted on a row hash, "
+        "dimension side replicated per salt, shuffle key (key, salt) — "
+        "joined multiset identical to the plain join (the oracle), hot "
+        "keys spread over num_salts reducers.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.join import salted_join
+    e = _engine(spark, sf_dir)
+    fact = e.table("lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_linenumber", "l_quantity")
+    dim = e.table("orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_custkey", "o_orderstatus")
+    return salted_join(fact, dim, on="orderkey", num_salts=8)
+
+
 # ---------------------------------------------------------------------------
 # Reference parity: predicates / sort / skip / limit (SURVEY §2.3-2.4)
 # ---------------------------------------------------------------------------

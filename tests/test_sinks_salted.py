@@ -1,0 +1,83 @@
+"""Sinks (reference S10 — test-only there) and the salted skew join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nosql_join_stream_spark.operators.join import salted_join
+from nosql_join_stream_spark.sinks import write_bucketed, write_table
+
+
+def test_salted_join_equals_plain_join(engine):
+    fact = engine.table("lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_linenumber", "l_quantity")
+    dim = engine.table("orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_custkey")
+    salted = salted_join(fact, dim, on="orderkey", num_salts=8)
+    plain = fact.join(dim, "orderkey")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_left_anti(engine):
+    fact = engine.table("lineitem").select(
+        F.col("l_orderkey").alias("orderkey"))
+    dim = (engine.table("orders")
+           .filter("o_orderkey % 2 = 0")
+           .select(F.col("o_orderkey").alias("orderkey")))
+    salted = salted_join(fact, dim, on="orderkey", num_salts=4, how="left_anti")
+    plain = fact.join(dim, "orderkey", "left_anti")
+    assert salted.count() == plain.count()
+
+
+def test_salted_join_rejects_right_outer(engine):
+    df = engine.table("orders")
+    import pytest
+    with pytest.raises(ValueError):
+        salted_join(df, df, on="o_orderkey", how="right")
+
+
+def test_write_partitioned_roundtrip(engine, spark, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    engine.write(engine.table("orders"), out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert back.count() == engine.table("orders").count()
+    # hive-style partition dirs exist → downstream scans prune on status
+    import os
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(out))
+    pruned = back.filter("o_orderstatus = 'O'")
+    assert pruned.count() == engine.table("orders").filter("o_orderstatus = 'O'").count()
+
+
+def test_write_bucketed_join_has_no_shuffle(engine, spark):
+    # bucket metadata needs the session catalog (warehouse dir is a
+    # static conf, so the default ./spark-warehouse is used; cleaned below)
+    import shutil
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+    orders = engine.table("orders")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], num_buckets=8,
+                   sort_by=["o_orderkey"])
+    lineitem = engine.table("lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    write_bucketed(lineitem, "lineitem_b", ["o_orderkey"], num_buckets=8,
+                   sort_by=["o_orderkey"])
+    # disable broadcast so the planner must pick sort-merge — the case
+    # bucketing exists for (two big sides); bucketed layout then needs
+    # no Exchange on either side
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        assert j.count() == engine.table("lineitem").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    import shutil
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
