@@ -174,6 +174,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(queries, corpus, k=5, n_planes=4, dim=64)
 
 
+@register(
+    "ann_ivf_topk",
+    None,  # cell recall depends on the trained centroids — rows-only
+    doc="IVF ANN: deterministic spherical k-means cells, corpus assigned "
+        "once (mapInPandas, no corpus shuffle), queries probe nprobe "
+        "nearest cells, broadcast cell equi-join + exact cosine rerank. "
+        "Recall vs brute force asserted in tests.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return similarity.ann_ivf_topk(queries, corpus, k=5, n_cells=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -92,3 +92,25 @@ def test_frame_sampling(spark, sf_dir, engine):
     media = multimodal.synthesize_media(engine.table("documents").limit(20))
     out = multimodal.sample_frames(media, every_n=4)
     assert out.filter(F.col("frame_idx") % 4 != 0).count() == 0
+
+
+def test_ann_ivf_precision_recall_and_determinism(spark, sf_dir, engine):
+    emb = engine.table("embeddings")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    brute = similarity.cosine_topk(q, c, k=5)
+    ivf = similarity.ann_ivf_topk(q, c, k=5, n_cells=16, nprobe=4)
+    bsims = {(r.q_id, r.c_id): r.sim for r in brute.collect()}
+    asims = {(r.q_id, r.c_id): r.sim for r in ivf.collect()}
+    # precision: sims agree exactly wherever both ranked the pair
+    for k_, v in asims.items():
+        if k_ in bsims:
+            assert abs(v - bsims[k_]) < 1e-9
+    # data-adaptive cells should beat blind hyperplanes on recall
+    hits = len(set(asims) & set(bsims))
+    assert hits / len(bsims) > 0.5
+    # deterministic end-to-end (fixed init, ordered sample)
+    again = {(r.q_id, r.c_id): r.sim
+             for r in similarity.ann_ivf_topk(q, c, k=5, n_cells=16,
+                                              nprobe=4).collect()}
+    assert again == asims
