@@ -27,15 +27,39 @@ from pyspark.sql import functions as F
 
 
 def _with_pos(df: DataFrame, order_by: Sequence[str], pos_col: str) -> DataFrame:
-    """Assign 1-based positions by ``order_by``.
+    """Assign 1-based global positions by ``order_by`` — scalably.
 
-    Single-window row_number over an unpartitioned window serializes
-    through one task; acceptable for the reference's one-to-one zip
-    semantics (inherently a total order).  For large logs, zip on a
-    pre-existing dense sequence column instead (see ``zip_on_seq``).
+    An unpartitioned ``row_number()`` window funnels every row through
+    one task (the classic 100 TB cliff).  Instead, the two-pass dense
+    global index (what RDD ``zipWithIndex`` does, kept in DataFrame
+    land so codegen survives):
+
+    1. range-repartition + sort within partitions on the order key —
+       partitions now hold disjoint, internally-sorted key ranges;
+    2. within-partition ``row_number`` over a window partitioned by
+       ``spark_partition_id()`` — fully parallel;
+    3. per-partition row counts (a partitions-sized aggregate) →
+       cumulative offsets via a tiny single-partition window —
+       broadcast-joined back.
+
+    Global position = offset + within-partition rank.  Range
+    partitioning puts equal keys in one partition, so the index
+    matches the single-window result for any total ``order_by``.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(pos_col, F.row_number().over(w))
+    cols = [F.col(c) for c in order_by]
+    d = (df.repartitionByRange(*cols)
+           .sortWithinPartitions(*cols)
+           .withColumn("__pid", F.spark_partition_id()))
+    w_in = Window.partitionBy("__pid").orderBy(*cols)
+    d = d.withColumn("__rn", F.row_number().over(w_in))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (d.groupBy("__pid").agg(F.count("*").alias("__n"))
+                .withColumn("__off", F.coalesce(F.sum("__n").over(w_off),
+                                                F.lit(0)))
+                .select("__pid", "__off"))
+    return (d.join(F.broadcast(offsets), "__pid")
+             .withColumn(pos_col, (F.col("__off") + F.col("__rn")).cast("int"))
+             .drop("__pid", "__rn", "__off"))
 
 
 def zip_streams(left: DataFrame, right: DataFrame,

