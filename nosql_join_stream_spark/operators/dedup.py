@@ -88,51 +88,62 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str, id_col: str,
     identical to the naive inverted-index join but the candidate set
     shrinks by orders of magnitude:
 
-    1. global shingle document-frequency defines a rare-first total
-       order; each doc sorts its shingle set by it;
-    2. only the first ``|x| - ceil(τ|x|) + 1`` shingles (the prefix)
-       are indexed — two sets with J >= τ MUST share a prefix shingle;
-    3. prefix equi-join (+ length filter τ|x| <= |y| <= |x|/τ) yields
-       candidates; exact Jaccard via array_intersect verifies.
+    1. a fixed global total order over shingles — here xxhash64, which
+       needs NO corpus statistics (canonical PPJoin orders by rare-
+       first document frequency to minimize candidates, but that costs
+       an extra count+join+regroup = 3 shuffles; any fixed order keeps
+       the filter exact, and verification removes the extra candidates
+       a random order lets through);
+    2. each doc sorts its shingle hashes and indexes only the first
+       ``|x| - ceil(τ|x|) + 1`` (the prefix) — two sets with J >= τ
+       MUST share a prefix element under a common total order;
+    3. prefix equi-join on the 8-byte hash with the length filter
+       (τ|x| <= |y| <= |x|/τ) AND the positional filter: a match at
+       0-based sorted positions (px, py) bounds the overlap by
+       ``min(|x|-px, |y|-py)``, which must reach the J >= τ overlap
+       requirement ``ceil(τ/(1+τ)·(|x|+|y|))`` — valid at each pair's
+       first common element, so pruning per-occurrence is lossless;
+    4. exact Jaccard over the sorted hash sets verifies.  Working on
+       hashes end-to-end means shuffles carry longs, never shingle
+       strings; a hash collision can only ADD a candidate (removed by
+       verify) — altering a verified count needs two distinct shingles
+       of ONE pair colliding at 64 bits (~1e-10 corpus-wide).
 
-    Shuffles: one explode+count for DF, one prefix join, one verify
-    join — all linear-ish in corpus size, never the n² pair space.
-    This exact form IS the oracle; at extreme scale minhash_lsh_pairs
-    replaces step 3's candidate generation.
+    Shuffles: one prefix self-join + one verify join, both linear in
+    corpus size, never the n² pair space.  This exact form IS the
+    oracle; at extreme scale minhash_lsh_pairs replaces the candidate
+    generation.
     """
+    tau = float(threshold)
     sh = (_spread(df)
             .select(F.col(id_col).alias("id"),
-                    word_shingles(F.col(content_col), n).alias("sh"))
-            .withColumn("n_sh", F.size("sh")))
-    ex = sh.select("id", F.explode("sh").alias("g"))
-    gdf = ex.groupBy("g").agg(F.count("*").alias("df"))
-    # rare-first order key per shingle occurrence, collected per doc
-    ordered = (ex.join(gdf, "g")
-                 .groupBy("id")
-                 .agg(F.array_sort(F.collect_list(F.struct("df", "g"))).alias("og")))
+                    F.array_sort(F.transform(
+                        word_shingles(F.col(content_col), n),
+                        lambda g: F.xxhash64(g))).alias("hv"))
+            .withColumn("n_sh", F.size("hv")))
     prefix_len = (F.col("n_sh")
-                  - F.ceil(F.lit(float(threshold)) * F.col("n_sh")).cast("int")
+                  - F.ceil(F.lit(tau) * F.col("n_sh")).cast("int")
                   + F.lit(1))
-    pref = (sh.alias("s")
-              .join(ordered.alias("o"), F.col("s.id") == F.col("o.id"))
-              .select(F.col("s.id").alias("id"), F.col("s.n_sh").alias("n_sh"),
-                      F.col("s.sh").alias("sh"),
-                      F.slice(F.col("o.og.g"), 1, prefix_len).alias("prefix")))
-    ex_p = pref.select("id", "n_sh", F.explode("prefix").alias("g"))
+    ex_p = (sh.select("id", "n_sh",
+                      F.posexplode(F.slice("hv", 1, prefix_len))
+                       .alias("p", "g")))
     a, b = ex_p.alias("a"), ex_p.alias("b")
+    n1, n2 = F.col("a.n_sh"), F.col("b.n_sh")
+    min_overlap = F.ceil(F.lit(tau / (1.0 + tau)) * (n1 + n2))
+    overlap_ub = F.least(n1 - F.col("a.p"), n2 - F.col("b.p"))
     cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
                    & (F.col("a.id") < F.col("b.id"))
-                   & (F.col("b.n_sh") * F.lit(float(threshold)) <= F.col("a.n_sh"))
-                   & (F.col("a.n_sh") * F.lit(float(threshold)) <= F.col("b.n_sh")))
+                   & (n2 * F.lit(tau) <= n1) & (n1 * F.lit(tau) <= n2)
+                   & (overlap_ub >= min_overlap))
              .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
              .distinct())
-    sets = pref.select("id", "sh", "n_sh")
+    sets = sh.select("id", "hv", "n_sh")
     verified = (cand
-                .join(sets.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"),
+                .join(sets.select(F.col("id").alias("id1"), F.col("hv").alias("h1"),
                                   F.col("n_sh").alias("n1")), "id1")
-                .join(sets.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"),
+                .join(sets.select(F.col("id").alias("id2"), F.col("hv").alias("h2"),
                                   F.col("n_sh").alias("n2")), "id2"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
+    inter = F.size(F.array_intersect("h1", "h2"))
     j = inter / (F.col("n1") + F.col("n2") - inter)
     return (verified.withColumn("jaccard", F.round(j, 4))
                     .filter(F.col("jaccard") >= threshold)
