@@ -26,3 +26,10 @@ def sf_dir():
 def engine(spark, sf_dir):
     from nosql_join_stream_spark.engine import Engine
     return Engine(spark, sf_dir)
+
+
+@pytest.fixture(scope="session")
+def orders_cached(engine):
+    df = engine.table("orders").cache()
+    df.count()
+    return df

@@ -1,0 +1,129 @@
+"""Property-based equivalence tests (hypothesis).
+
+The reference proves operators with fixed-cardinality golden counts
+(SURVEY.md §5); these go further: randomized inputs, equivalence
+oracles in plain Python or between two independent code paths.
+Example counts are kept small — each example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from nosql_join_stream_spark.dsl import q
+from nosql_join_stream_spark.mql import mql_to_column
+from nosql_join_stream_spark.operators.join import salted_join
+
+SLOW = settings(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+FIELDS = ["o_orderkey", "o_custkey", "o_totalprice"]
+RANGE_OPS = {"$gt": "gt", "$gte": "gte", "$lt": "lt", "$lte": "lte",
+             "$ne": "ne"}
+
+
+@st.composite
+def predicate(draw):
+    field = draw(st.sampled_from(FIELDS))
+    op = draw(st.sampled_from(list(RANGE_OPS) + ["$eq", "$in", "$nin"]))
+    if op in ("$in", "$nin"):
+        val = draw(st.lists(st.integers(0, 2000), min_size=1, max_size=5))
+    elif field == "o_totalprice":
+        val = draw(st.floats(0, 500000, allow_nan=False, width=32))
+    else:
+        val = draw(st.integers(0, 2000))
+    return field, op, val
+
+
+@SLOW
+@given(preds=st.lists(predicate(), min_size=1, max_size=3),
+       conj=st.sampled_from(["$and", "$or"]))
+def test_mql_equals_dsl(orders_cached, preds, conj):
+    """The MQL string front end and the Q DSL must compile to the same
+    filter semantics — row sets equal on random predicates."""
+    clauses, dsl_terms = [], []
+    for field, op, val in preds:
+        clauses.append({field: val if op == "$eq" else {op: val}})
+        t = q(field)
+        if op == "$eq":
+            t = t.eq(val)
+        elif op == "$in":
+            t = t.isin(*val)
+        elif op == "$nin":
+            t = t.nin(*val)
+        else:
+            t = getattr(t, RANGE_OPS[op])(val)
+        dsl_terms.append(t.column())
+    mql = json.dumps({conj: clauses} if len(clauses) > 1 else clauses[0])
+    dsl_col = dsl_terms[0]
+    for c in dsl_terms[1:]:
+        dsl_col = (dsl_col & c) if conj == "$and" else (dsl_col | c)
+    got = {r.o_orderkey for r in
+           orders_cached.filter(mql_to_column(mql)).select("o_orderkey").collect()}
+    want = {r.o_orderkey for r in
+            orders_cached.filter(dsl_col).select("o_orderkey").collect()}
+    assert got == want
+
+
+@SLOW
+@given(keys=st.lists(st.integers(0, 4), min_size=1, max_size=40),
+       rkeys=st.lists(st.integers(0, 4), min_size=0, max_size=10))
+def test_salted_join_random_skew(spark, keys, rkeys):
+    """salted_join must equal the plain join on any key multiset,
+    including maximally skewed ones (all rows one key)."""
+    left = spark.createDataFrame([(k, i) for i, k in enumerate(keys)],
+                                 "k int, lv int")
+    right = spark.createDataFrame([(k, i * 10) for i, k in enumerate(rkeys)],
+                                  "k int, rv int")
+    got = sorted((r.k, r.lv, r.rv)
+                 for r in salted_join(left, right, on="k", num_salts=4).collect())
+    want = sorted((r.k, r.lv, r.rv)
+                  for r in left.join(right, "k").collect())
+    assert got == want
+
+
+@SLOW
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=12))
+def test_word_shingles_match_python_reference(spark, texts):
+    """word_shingles (zip_with slices) equals the obvious Python set
+    construction on arbitrary whitespace-ridden text."""
+    from nosql_join_stream_spark.operators.dedup import word_shingles
+
+    def ref(text, n=3):
+        toks = text.strip().split()
+        if not toks:
+            toks = [""] if not text.strip() else toks
+        if len(toks) >= n:
+            out, seen = [], set()
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                if g not in seen:
+                    seen.add(g)
+                    out.append(g)
+            return out
+        return [" ".join(toks)]
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    got = {r.i: r.sh for r in
+           df.select("i", word_shingles(F.col("text")).alias("sh")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), repr(t)
+
+
+@SLOW
+@given(n_left=st.integers(0, 25), n_right=st.integers(0, 25))
+def test_zip_streams_pairs_ith_rows(spark, n_left, n_right):
+    from nosql_join_stream_spark.operators.combinators import zip_streams
+    left = spark.createDataFrame([(i, i * 2) for i in range(n_left)],
+                                 "seq int, v int")
+    right = spark.createDataFrame([(i, i * 3) for i in range(n_right)],
+                                  "seq int, w int")
+    z = zip_streams(left, right, ["seq"], ["seq"])
+    rows = {(r.l_seq, r.r_seq) for r in z.collect()}
+    assert rows == {(i, i) for i in range(min(n_left, n_right))}
