@@ -383,6 +383,34 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id AS event_id, e.user_id AS user_id,
+           e.event_type AS event_type, e.value AS value,
+           c.c_name AS c_name, c.c_nationkey AS c_nationkey
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Stream-static join: unbounded event log enriched with a broadcast "
+        "batch dimension per micro-batch — no stream-side shuffle, no state "
+        "store; drained append result equals the batch join.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.streaming.log_stream import (
+        enrich_stream, read_log_stream, run_available_now)
+    from nosql_join_stream_spark.catalog import table_path, load_table
+    _STREAM_SEQ[0] += 1
+    name = f"stream_enrich_{_STREAM_SEQ[0]}"
+    stream = read_log_stream(spark, table_path(sf_dir, "events"))
+    cust = load_table(spark, "customer", sf_dir)
+    joined = enrich_stream(
+        stream, cust, on=stream["user_id"] == cust["c_custkey"],
+        select_cols=["event_id", "user_id", "event_type", "value",
+                     "c_name", "c_nationkey"])
+    run_available_now(joined, name, output_mode="append")
+    return spark.table(name)
+
+
+@register(
     "stream_sessionize_stateful",
     """
     WITH gaps AS (

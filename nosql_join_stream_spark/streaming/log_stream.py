@@ -72,6 +72,20 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour",
                     F.col("event_type"), F.col("n_events"), F.col("sum_value")))
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, on,
+                  select_cols=None) -> DataFrame:
+    """Stream-static join — enrich an unbounded log with a batch
+    dimension table (beyond-reference: the reference's join only runs
+    batch-to-batch; its N+1 per-record lookups ARE this, done badly).
+    The static side is broadcast into every micro-batch, so no
+    stream-side shuffle and no state store; each matched event is
+    emitted exactly once in append mode, making the drained result
+    equal to the batch join (the oracle)."""
+    from pyspark.sql import functions as _F
+    j = stream.join(_F.broadcast(dim), on=on)
+    return j.select(*select_cols) if select_cols else j
+
+
 def dedup_stream(stream: DataFrame, keys: list[str],
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming dedup with bounded state (beyond-reference; the 100 TB

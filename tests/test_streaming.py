@@ -73,3 +73,19 @@ def test_stateful_sessionize_matches_batch(spark, engine, sf_dir):
         gns, gne, gsv = got[uid]
         assert (gns, gne) == (ns, ne), uid
         assert abs(gsv - sv) < 0.02, uid
+
+
+def test_stream_static_enrich_matches_batch_join(spark, engine, sf_dir):
+    from nosql_join_stream_spark.streaming.log_stream import enrich_stream
+    stream = read_log_stream(spark, table_path(sf_dir, "events"))
+    cust = engine.table("customer")
+    joined = enrich_stream(
+        stream, cust, on=stream["user_id"] == cust["c_custkey"],
+        select_cols=["event_id", "c_name"])
+    run_available_now(joined, "t_enrich", output_mode="append")
+    got = {(r.event_id, r.c_name) for r in spark.table("t_enrich").collect()}
+    want = {(r.event_id, r.c_name)
+            for r in engine.table("events")
+                           .join(cust, F.col("user_id") == F.col("c_custkey"))
+                           .select("event_id", "c_name").collect()}
+    assert got == want

@@ -30,7 +30,8 @@ ONLY = set(sys.argv[1:])
 # queries whose algorithm is intentionally all-pairs over a broadcast side
 CROSS_OK = {"ann_cosine_topk", "zip_streams"}
 # streaming queries materialize through a memory sink — no batch plan to audit
-SKIP = {"stream_windowed_counts", "stream_dedup_keys", "stream_sessionize_stateful"}
+SKIP = {"stream_windowed_counts", "stream_dedup_keys",
+        "stream_sessionize_stateful", "stream_static_enrich"}
 
 
 def main() -> None:
