@@ -100,6 +100,25 @@ def either_merge(left: DataFrame, right: DataFrame,
     return lt.unionByName(rt, allowMissingColumns=True)
 
 
+def pipe(df: DataFrame, *fns) -> DataFrame:
+    """Reference ``|>`` transducer fusion (mongo/channel/package.scala:
+    53-55): feed the stream through a chain of stream-to-stream
+    functions.  Spark-first this is just function composition over the
+    lazy plan — each ``fn: DataFrame -> DataFrame``; Catalyst fuses the
+    stages exactly as scalaz fuses ``Process1``."""
+    for fn in fns:
+        df = fn(df)
+    return df
+
+
+def tee(left: DataFrame, right: DataFrame, transducer) -> DataFrame:
+    """Reference ``tee(other)(t)`` (mongo/channel/package.scala:118-119)
+    — a custom two-input transducer.  Relationally the general form is
+    any function of two DataFrames (join/union/zip compose the common
+    cases, SURVEY.md §2.5 C5); provided for API parity."""
+    return transducer(left, right)
+
+
 def concat_streams(first: DataFrame, second: DataFrame,
                    order_col: str | None = None) -> DataFrame:
     """Reference ``++`` sequential concat (SportCenterSpec.scala:88).

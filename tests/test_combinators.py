@@ -47,3 +47,17 @@ def test_concat_order(spark):
     b = spark.createDataFrame([(1,), (0,)], "seq int")
     out = concat_streams(a, b, order_col="seq").select("seq").collect()
     assert [r.seq for r in out] == [1, 2, 0, 1]
+
+
+def test_pipe_and_tee(engine):
+    from nosql_join_stream_spark.operators.combinators import pipe, tee
+    from pyspark.sql import functions as F
+    orders = engine.table("orders")
+    out = pipe(orders,
+               lambda d: d.filter("o_totalprice > 0"),
+               lambda d: d.select("o_orderkey", "o_orderstatus"))
+    assert out.columns == ["o_orderkey", "o_orderstatus"]
+    assert out.count() == orders.filter("o_totalprice > 0").count()
+    t = tee(orders.select("o_custkey"), orders.select("o_custkey"),
+            lambda l, r: l.intersect(r))
+    assert t.count() == orders.select("o_custkey").distinct().count()
