@@ -230,6 +230,56 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, id_col: str,
                     .select("id1", "id2", "jaccard"))
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs (id1,id2) →
+    (id, comp) where comp is the minimum id reachable from id.
+
+    Hash-min label propagation: every node starts labeled with itself;
+    each round pulls the min label over its neighbors; stops when no
+    label changes.  Rounds needed = graph diameter — near-dup clusters
+    are dense and tiny, so this converges in 2-3 rounds.  Each round
+    is one equi-join + one min-aggregate (both shuffles on id, AQE
+    coalesced); ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1.  The driver-side loop holds
+    only a changed-row COUNT, never data.
+    """
+    edges = (pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+                  .unionByName(pairs.select(F.col("id2").alias("src"),
+                                            F.col("id1").alias("dst")))
+                  .distinct())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+                   .withColumn("comp", F.col("id"))
+                   .localCheckpoint())
+    for _ in range(max_iter):
+        pulled = (edges.join(labels, edges["dst"] == labels["id"])
+                       .groupBy("src").agg(F.min("comp").alias("ncomp")))
+        new_labels = (labels.join(pulled, labels["id"] == pulled["src"], "left")
+                            .select(labels["id"],
+                                    F.least("comp", "ncomp").alias("comp"))
+                            .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_resolve(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Resolve near-dup PAIRS into per-document verdicts: every doc gets
+    (id, canonical_id, is_duplicate) — singletons are their own
+    canonical.  This is the step a training pipeline actually consumes
+    (keep canonical, drop is_duplicate)."""
+    comp = connected_components(pairs)
+    ids = df.select(F.col(id_col).alias("id"))
+    return (ids.join(comp, "id", "left")
+               .select("id",
+                       F.coalesce("comp", F.col("id")).alias("canonical_id"))
+               .withColumn("is_duplicate",
+                           F.col("id") != F.col("canonical_id")))
+
+
 def simhash_signatures(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64 (JVM-side), then one
     numpy kernel unpacks hash bits and sums ±1 per position (token

@@ -72,6 +72,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_resolve_canonical",
+    """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (
+      SELECT id1, id2 FROM p
+      WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6),
+    ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION SELECT id2, id1 FROM pairs),
+    reach(id, comp) AS (
+      SELECT src AS id, src AS comp FROM ed
+      UNION
+      SELECT ed.src, r.comp FROM ed JOIN reach r ON ed.dst = r.id),
+    comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+    SELECT d.doc_id AS id,
+           COALESCE(c.comp, d.doc_id) AS canonical_id,
+           d.doc_id <> COALESCE(c.comp, d.doc_id) AS is_duplicate
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+    doc="Dedup cluster resolution: exact Jaccard pairs -> connected "
+        "components (hash-min label propagation, converges in diameter "
+        "rounds) -> per-doc (canonical_id, is_duplicate). The step a "
+        "training pipeline consumes; oracle is a DuckDB recursive CTE.",
+)
+def dedup_resolve_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                      n=3, threshold=0.6)
+    return dedup.dedup_resolve(docs, pairs, "doc_id")
+
+
+@register(
     "dedup_minhash_lsh",
     None,  # banded-LSH recall isn't SQL-mirrorable; precision is exact
     doc="MinHash(64)+LSH(16x4) candidate pairs, verified with exact "

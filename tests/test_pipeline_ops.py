@@ -114,3 +114,20 @@ def test_ann_ivf_precision_recall_and_determinism(spark, sf_dir, engine):
              for r in similarity.ann_ivf_topk(q, c, k=5, n_cells=16,
                                               nprobe=4).collect()}
     assert again == asims
+
+
+def test_connected_components_chain_triangle_singleton(spark, engine):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id1 long, id2 long")
+    comp = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # resolve over a doc universe including singletons 98/99
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 98, 99]],
+                                 "doc_id long")
+    res = {r.id: (r.canonical_id, r.is_duplicate)
+           for r in dedup.dedup_resolve(docs, pairs, "doc_id").collect()}
+    assert res[1] == (1, False) and res[4] == (1, True)
+    assert res[98] == (98, False) and res[99] == (99, False)
