@@ -169,6 +169,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.table("embeddings"), "vec_id", "embedding", threshold=0.45)
 
 
+@register(
+    "train_test_split",
+    """
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN doc_id % 10 < 8 THEN 'train'
+                WHEN doc_id % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic 80/10/10 corpus split on a stable id function — "
+        "reproducible across engines and runs, no RNG; at scale the same "
+        "expression becomes the partition column of the written layout.",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    bucket = F.col("doc_id") % 10
+    return (e.table("documents")
+            .select("doc_id", "lang", "n_chars",
+                    F.when(bucket < 8, "train")
+                     .when(bucket < 9, "val")
+                     .otherwise("test").alias("split")))
+
+
+@register(
+    "corpus_stats",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    doc="Per-language corpus inventory — the first query every training "
+        "pipeline runs; partial aggregation map-side, one shuffle on lang.",
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (e.table("documents").groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.countDistinct("source").alias("n_sources")))
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -58,3 +58,17 @@ def test_sort_skip_limit(engine):
 def test_dsl_literal_type_check():
     with pytest.raises(TypeError):
         q("x").eq(object())
+
+
+def test_runtime_error_propagates(spark, tmp_path):
+    # reference T4: mid-stream fetch errors surface as stream failure
+    # (error-injection modules, storage.scala:240-284). Spark analog: a
+    # corrupt file fails the task -> the action raises; nothing is
+    # silently swallowed.
+    bad = tmp_path / "corrupt.parquet"
+    bad.write_bytes(b"PAR1 this is not really parquet PAR1")
+    df = spark.read.schema("a long").parquet(str(bad))
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception):
+        df.collect()

@@ -58,3 +58,29 @@ def test_date_literal():
 def test_parse_errors(bad):
     with pytest.raises(MQLParseError):
         mql_to_column(bad)
+
+
+def test_eq_unwrapping(engine):
+    # {"f": {"$eq": v}} must equal {"f": v} (UNNECESSARY_NAME_OP,
+    # mqlparser :72,184-191,209-211)
+    a = _count(engine, "orders", '{"o_orderstatus": {"$eq": "F"}}')
+    b = _count(engine, "orders", '{"o_orderstatus": "F"}')
+    assert a == b > 0
+
+
+def test_all_on_array_column(spark, engine):
+    from nosql_join_stream_spark.mql import mql_to_column
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [2, 3]), (3, [1, 3, 4])], "id int, xs array<int>")
+    got = {r.id for r in
+           df.filter(mql_to_column('{"xs": {"$all": [1, 3]}}')).collect()}
+    assert got == {1, 3}
+
+
+def test_dotted_field_path(spark):
+    from nosql_join_stream_spark.mql import mql_to_column
+    df = spark.createDataFrame([(1, {"age": 41}), (2, {"age": 17})],
+                               "id int, user struct<age:int>")
+    got = {r.id for r in
+           df.filter(mql_to_column('{"user.age": {"$gte": 18}}')).collect()}
+    assert got == {1}
