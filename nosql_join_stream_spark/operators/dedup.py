@@ -243,26 +243,32 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     round N doesn't replay rounds 1..N-1.  The driver-side loop holds
     only a changed-row COUNT, never data.
     """
+    # checkpoint the edge list once — every round joins against it, and
+    # without this the (possibly expensive) pair-generation plan would
+    # re-execute per round
     edges = (pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
                   .unionByName(pairs.select(F.col("id2").alias("src"),
                                             F.col("id1").alias("dst")))
-                  .distinct())
+                  .distinct()
+                  .localCheckpoint())
     labels = (edges.select(F.col("src").alias("id")).distinct()
                    .withColumn("comp", F.col("id"))
                    .localCheckpoint())
+    # labels only ever decrease, so sum(comp) is a monotone convergence
+    # witness: unchanged sum ⟺ fixed point.  One tiny aggregate per
+    # round instead of a join+count against the previous labels.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         pulled = (edges.join(labels, edges["dst"] == labels["id"])
                        .groupBy("src").agg(F.min("comp").alias("ncomp")))
-        new_labels = (labels.join(pulled, labels["id"] == pulled["src"], "left")
-                            .select(labels["id"],
-                                    F.least("comp", "ncomp").alias("comp"))
-                            .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                   .filter(F.col("n.comp") != F.col("o.comp")).count())
-        labels = new_labels
-        if changed == 0:
+        labels = (labels.join(pulled, labels["id"] == pulled["src"], "left")
+                        .select(labels["id"],
+                                F.least("comp", "ncomp").alias("comp"))
+                        .localCheckpoint())
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

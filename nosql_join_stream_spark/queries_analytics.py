@@ -258,6 +258,40 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_agg",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS sid
+      FROM g)
+    SELECT user_id, MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Native session_window (30-min gap) per-session aggregate — the "
+        "operator form of sessionize; session end = last event + gap. "
+        "Oracle reconstructs sessions with lag + running sum.",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (e.table("events")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id",
+                    F.col("session_window.start").alias("s_start"),
+                    F.col("session_window.end").alias("s_end"),
+                    "n_events", "sum_value"))
+
+
+@register(
     "set_ops",
     """
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
