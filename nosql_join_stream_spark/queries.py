@@ -182,6 +182,26 @@ def pred_all_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pred_date_mql",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '2000-07-15 12:00:00'
+    """,
+    doc="MQL typed date literal (reference format 'dd MMM yyyy "
+        "hh:mm:ss:SSS a z', mongo/package.scala:133) compiled to a "
+        "pushed-down timestamp range predicate.",
+)
+def pred_date_mql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    mql = ('{"$and": [{"o_orderdate": {"$gte": "01 Jan 1998 12:00:00:000 AM UTC"}}, '
+           '{"o_orderdate": {"$lt": "15 Jul 2000 12:00:00:000 PM UTC"}}]}')
+    return e.read("orders", where=mql).select(
+        "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
     "sort_skip_limit",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -229,6 +229,29 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_moving_avg",
+    """
+    SELECT user_id, event_id, value,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+             AS mavg4
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="Frame-based moving average (ROWS BETWEEN 3 PRECEDING AND "
+        "CURRENT ROW) per user — the bounded-frame window family, "
+        "shuffle on user_id only.",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-3, 0))
+    return (e.table("events").filter("event_type = 'purchase'")
+            .select("user_id", "event_id", "value",
+                    F.round(F.avg("value").over(w), 4).alias("mavg4")))
+
+
+@register(
     "sessionize",
     """
     WITH gaps AS (

@@ -193,6 +193,30 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_freq_topk",
+    """
+    WITH t AS (
+      SELECT unnest(string_split(trim(lower(text)), ' ')) AS tok
+      FROM documents)
+    SELECT tok, COUNT(*) AS freq
+    FROM t WHERE tok <> ''
+    GROUP BY tok ORDER BY freq DESC, tok LIMIT 20
+    """,
+    doc="Corpus token frequency top-20: explode -> partial-agg count -> "
+        "TakeOrderedAndProject; the vocabulary-histogram pass of a "
+        "tokenizer pipeline, one shuffle on token.",
+)
+def token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    toks = (e.table("documents")
+            .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), " "))
+                     .alias("tok"))
+            .filter(F.col("tok") != ""))
+    return (toks.groupBy("tok").agg(F.count("*").alias("freq"))
+                .orderBy(F.col("freq").desc(), "tok").limit(20))
+
+
+@register(
     "corpus_stats",
     """
     SELECT lang, COUNT(*) AS n_docs,

@@ -1,0 +1,94 @@
+"""Scaling probe — empirical "would this hold at N×?" evidence.
+
+Synthesizes corpora at 1x/4x/16x of sf0.1 (copies get a per-copy token
+appended so cross-copy texts are distinct and near-dup structure scales
+linearly instead of quadratically), then times the shuffle-heavy
+operators.  Linear-ish wall-clock growth = the plan scales; superlinear
+growth = a hidden n² or a single-task bottleneck.
+
+Results recorded in SCALING.md.  Writes only under /tmp.
+
+Usage: python tools/scale_probe.py [max_factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MAX_FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from nosql_join_stream_spark.session import get_session
+    from nosql_join_stream_spark.operators import dedup, similarity
+
+    spark = get_session("scale-probe")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_docs = docs.count()
+
+    def grow(df, ident, factor):
+        # every copy interleaves a copy-specific token between all words:
+        # cross-copy Jaccard drops to 0 (every 3-gram carries the copy
+        # token) while within-copy planted near-dups are preserved, so
+        # the TRUE pair count — and the work — scales linearly with
+        # factor instead of quadratically (applied at factor=1 too, for
+        # comparability)
+        copies = spark.range(factor).select(F.col("id").alias("__copy"))
+        out = df.crossJoin(copies)
+        out = out.withColumn(ident, F.col(ident) + F.col("__copy") * 10_000_000)
+        if "text" in df.columns:
+            tok = F.concat(F.lit(" c"), F.col("__copy").cast("string"), F.lit(" "))
+            out = out.withColumn(
+                "text", F.regexp_replace("text", r"\s+", tok))
+        return out.drop("__copy")
+
+    factor = 1
+    while factor <= MAX_FACTOR:
+        d = grow(docs, "doc_id", factor)
+        e = grow(emb, "vec_id", factor)
+        path_d = f"/tmp/scale_docs_{factor}x.parquet"
+        path_e = f"/tmp/scale_emb_{factor}x.parquet"
+        d.write.mode("overwrite").parquet(path_d)
+        e.write.mode("overwrite").parquet(path_e)
+        dd = spark.read.parquet(path_d)
+        ee = spark.read.parquet(path_e)
+
+        results = {}
+        t0 = time.perf_counter()
+        results["ngram_pairs"] = dedup.ngram_jaccard_pairs(
+            dd, "text", "doc_id").count()
+        results["ngram_s"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        results["minhash_pairs"] = dedup.minhash_lsh_pairs(
+            dd, "text", "doc_id").count()
+        results["minhash_s"] = round(time.perf_counter() - t0, 2)
+
+        # simhash is excluded: the injected copy token dominates its
+        # token-histogram signature, collapsing all docs within hamming
+        # radius — the probe's perturbation defeats that measure by
+        # construction, so its timing would reflect a quadratic OUTPUT,
+        # not the operator
+
+        q = ee.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding")
+        c = ee.select(F.col("vec_id").alias("c_id"), "embedding")
+        t0 = time.perf_counter()
+        results["ann_lsh_rows"] = similarity.ann_lsh_topk(
+            q, c, k=5, n_planes=4, dim=64).count()
+        results["ann_lsh_s"] = round(time.perf_counter() - t0, 2)
+
+        print(f"factor={factor:3d} docs={n_docs * factor:7d} {results}",
+              flush=True)
+        factor *= 4
+
+
+if __name__ == "__main__":
+    main()
