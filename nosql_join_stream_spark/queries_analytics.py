@@ -229,6 +229,71 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-shaped six-table star join (local supplier volume): "
+        "dimension chain broadcast, fact joins shuffle on their keys, "
+        "Catalyst reorders and pushes both filters to the scans — the "
+        "multi-join optimization showcase.",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    r = e.table("region").filter(F.col("r_name") == "ASIA")
+    n = e.table("nation")
+    c = e.table("customer")
+    o = e.table("orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    l = e.table("lineitem")
+    s = e.table("supplier")
+    joined = (r.join(n, n["n_regionkey"] == r["r_regionkey"])
+               .join(c, c["c_nationkey"] == n["n_nationkey"])
+               .join(o, o["o_custkey"] == c["c_custkey"])
+               .join(l, l["l_orderkey"] == o["o_orderkey"])
+               .join(s, (s["s_suppkey"] == l["l_suppkey"])
+                     & (s["s_nationkey"] == c["c_nationkey"])))
+    return (joined.groupBy(n["n_name"].alias("nation"))
+            .agg(F.round(F.sum(l["l_extendedprice"] * (1 - l["l_discount"])), 2)
+                  .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+        "SQL quantile_cont semantics); the approx_percentile sketch is "
+        "the 100 TB form — same plan shape, bounded state.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (e.table("lineitem").groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+                 F.round(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4)
+                  .alias("price_p99")))
+
+
+@register(
     "window_moving_avg",
     """
     SELECT user_id, event_id, value,
