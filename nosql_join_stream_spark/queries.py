@@ -431,6 +431,41 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id, p.value AS purchase_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+    doc="Stream-stream interval join (purchases x clicks within the "
+        "preceding hour, same user): watermarks + the time bound keep "
+        "both join state stores bounded; drained append result equals "
+        "the batch theta join.",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.streaming.log_stream import (
+        interval_join_streams, read_log_stream, run_available_now)
+    from nosql_join_stream_spark.catalog import table_path
+    _STREAM_SEQ[0] += 1
+    name = f"stream_ij_{_STREAM_SEQ[0]}"
+    purchases = (read_log_stream(spark, table_path(sf_dir, "events"))
+                 .filter("event_type = 'purchase'"))
+    clicks = (read_log_stream(spark, table_path(sf_dir, "events"))
+              .filter("event_type = 'click'"))
+    joined = interval_join_streams(purchases, clicks, key="user_id",
+                                   within="1 hour")
+    out = joined.select(F.col("l.event_id").alias("purchase_id"),
+                        F.col("r.event_id").alias("click_id"),
+                        F.col("l.user_id").alias("user_id"),
+                        F.col("l.value").alias("purchase_value"))
+    run_available_now(out, name, output_mode="append")
+    return spark.table(name)
+
+
+@register(
     "stream_sessionize_stateful",
     """
     WITH gaps AS (

@@ -86,6 +86,28 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on,
     return j.select(*select_cols) if select_cols else j
 
 
+def interval_join_streams(left: DataFrame, right: DataFrame,
+                          key: str, within: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound:
+    pair each left event with right events of the same key whose
+    timestamp falls in ``[left.ts - within, left.ts]``.
+
+    The time bound + watermarks are what make this feasible unbounded:
+    they let Spark expire buffered rows from BOTH state stores once
+    the watermark passes the interval, so state is
+    O(events-per-watermark-window), not O(stream history).  Append
+    mode emits each matched pair exactly once → the drained result
+    equals the batch theta join (the oracle).
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {within}"))
+            & (F.col("r.ts") <= F.col("l.ts")))
+    return l.join(r, cond, "inner")
+
+
 def dedup_stream(stream: DataFrame, keys: list[str],
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming dedup with bounded state (beyond-reference; the 100 TB

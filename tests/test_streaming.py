@@ -89,3 +89,26 @@ def test_stream_static_enrich_matches_batch_join(spark, engine, sf_dir):
                            .join(cust, F.col("user_id") == F.col("c_custkey"))
                            .select("event_id", "c_name").collect()}
     assert got == want
+
+
+def test_stream_interval_join_matches_batch(spark, engine, sf_dir):
+    from nosql_join_stream_spark.streaming.log_stream import interval_join_streams
+    p = (read_log_stream(spark, table_path(sf_dir, "events"))
+         .filter("event_type = 'purchase'"))
+    c = (read_log_stream(spark, table_path(sf_dir, "events"))
+         .filter("event_type = 'click'"))
+    out = (interval_join_streams(p, c, key="user_id", within="1 hour")
+           .select(F.col("l.event_id").alias("pid"),
+                   F.col("r.event_id").alias("cid")))
+    run_available_now(out, "t_ij", output_mode="append")
+    got = {(r.pid, r.cid) for r in spark.table("t_ij").collect()}
+    ev = engine.table("events")
+    pb = ev.filter("event_type = 'purchase'").alias("p")
+    cb = ev.filter("event_type = 'click'").alias("c")
+    batch = pb.join(cb, (F.col("p.user_id") == F.col("c.user_id"))
+                    & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+                    & (F.col("c.ts") <= F.col("p.ts")))
+    want = {(r.pid, r.cid)
+            for r in batch.select(F.col("p.event_id").alias("pid"),
+                                  F.col("c.event_id").alias("cid")).collect()}
+    assert got == want and len(got) > 0

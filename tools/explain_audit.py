@@ -31,7 +31,8 @@ ONLY = set(sys.argv[1:])
 CROSS_OK = {"ann_cosine_topk", "zip_streams"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
-        "stream_sessionize_stateful", "stream_static_enrich"}
+        "stream_sessionize_stateful", "stream_static_enrich",
+        "stream_interval_join"}
 
 
 def main() -> None:
