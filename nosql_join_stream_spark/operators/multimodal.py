@@ -112,6 +112,49 @@ def extract_features(media: DataFrame, batch_decode: bool = False) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, target_w: int = 128,
+                  batch_decode: bool = False) -> DataFrame:
+    """Resize plumbing: integer-stride downsample to ``target_w``.
+
+    Real deployments decode → interpolate → re-encode inside this same
+    mapInPandas stage (PIL absent here → ``batch_decode=True`` raises
+    the marked stub).  The fake path is still a REAL byte
+    transformation with deterministic, oracle-computable geometry:
+    stride = ceil(width / target_w); new dims = ceil(dim / stride);
+    payload' = payload[::stride] (so byte_len' = ceil(len / stride)).
+    Partition-preserving, no shuffle.
+    """
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import pandas as _pd
+
+        def _decode_stub(payload: bytes):
+            raise NotImplementedError(
+                "image resize requires PIL/libvips; not available here")
+
+        for pdf in batches:
+            if batch_decode:
+                pdf["payload"].map(_decode_stub)
+            stride = pdf["width"].map(
+                lambda w: max(1, _math.ceil(w / target_w)))
+            payload = [b[::s] for b, s in zip(pdf["payload"], stride)]
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "width": [_math.ceil(w / s) for w, s
+                          in zip(pdf["width"], stride)],
+                "height": [_math.ceil(h / s) for h, s
+                           in zip(pdf["height"], stride)],
+                "payload": payload,
+                "byte_len": [len(b) for b in payload],
+            })
+
+    return media.mapInPandas(
+        op, schema="doc_id long, media_type string, width int, height int, "
+                   "payload binary, byte_len long")
+
+
 def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     """Frame-sampling plumbing: explode n_frames into frame indices and
     keep every ``every_n``-th — at scale this is where per-frame

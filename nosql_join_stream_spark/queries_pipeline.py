@@ -445,3 +445,33 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     media = multimodal.synthesize_media(e.table("documents"))
     return multimodal.sample_frames(media, every_n=4)
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN length(text) % 3 = 0 THEN 'image/png'
+                  WHEN length(text) % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             (length(text) % 640 + 16)::INT AS w,
+             (length(text) % 480 + 16)::INT AS h,
+             octet_length(encode(text)) AS blen
+      FROM documents),
+    s AS (SELECT *, GREATEST(1, CEIL(w / 128.0))::INT AS stride FROM m)
+    SELECT doc_id, media_type,
+           CEIL(w * 1.0 / stride)::INT AS width,
+           CEIL(h * 1.0 / stride)::INT AS height,
+           CEIL(blen * 1.0 / stride)::BIGINT AS byte_len
+    FROM s
+    """,
+    doc="Resize plumbing (integer-stride downsample to width<=128): "
+        "decode->interpolate->re-encode runs in this mapInPandas stage "
+        "in real deployments; geometry and byte counts are exact here.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    media = multimodal.synthesize_media(e.table("documents"))
+    return (multimodal.resize_images(media, target_w=128)
+            .select("doc_id", "media_type", "width", "height", "byte_len"))

@@ -131,3 +131,24 @@ def test_connected_components_chain_triangle_singleton(spark, engine):
            for r in dedup.dedup_resolve(docs, pairs, "doc_id").collect()}
     assert res[1] == (1, False) and res[4] == (1, True)
     assert res[98] == (98, False) and res[99] == (99, False)
+
+
+def test_resize_stride_geometry_and_stub(spark, engine):
+    import math
+    docs = engine.table("documents").limit(16)
+    media = multimodal.synthesize_media(docs)
+    src = {r.doc_id: (r.width, r.height, len(r.payload))
+           for r in media.collect()}
+    out = {r.doc_id: (r.width, r.height, r.byte_len, bytes(r.payload))
+           for r in multimodal.resize_images(media, target_w=128).collect()}
+    for did, (w, h, blen) in src.items():
+        stride = max(1, math.ceil(w / 128))
+        nw, nh, nlen, payload = out[did]
+        assert (nw, nh) == (math.ceil(w / stride), math.ceil(h / stride))
+        assert nlen == math.ceil(blen / stride) == len(payload)
+        assert nw <= 128
+    import pytest
+    with pytest.raises(Exception) as ei:
+        multimodal.resize_images(media, batch_decode=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
