@@ -475,3 +475,46 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthesize_media(e.table("documents"))
     return (multimodal.resize_images(media, target_w=128)
             .select("doc_id", "media_type", "width", "height", "byte_len"))
+
+
+@register(
+    "agg_geomean_udaf",
+    """
+    SELECT o_orderstatus,
+           ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderstatus
+    """,
+    doc="Custom aggregate (GROUPED_AGG pandas UDAF): geometric mean per "
+        "group, one Arrow batch per group — the sanctioned custom-agg "
+        "shape; oracle is the exp/avg/ln identity.",
+)
+def agg_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.functions import geometric_mean
+    e = _engine(spark, sf_dir)
+    return (e.table("orders").filter("o_totalprice > 0")
+            .groupBy("o_orderstatus")
+            .agg(F.round(geometric_mean("o_totalprice"), 4)
+                  .alias("geomean_price")))
+
+
+@register(
+    "text_sentences_udtf",
+    """
+    WITH s AS (
+      SELECT doc_id, trim(unnest(string_split(text, '.'))) AS sentence
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id, sentence,
+           len(string_split(sentence, ' ')) AS n_words
+    FROM s WHERE sentence <> ''
+    """,
+    doc="Python UDTF (lateral view generator): one row per sentence "
+        "with word count — the reference's flatMap closure as a typed "
+        "table function.",
+)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.functions import SentenceSplit
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").filter("doc_id < 50")
+    return (docs.lateralJoin(SentenceSplit(F.col("text").outer()))
+                .select("doc_id", "sentence", "n_words"))
