@@ -182,6 +182,51 @@ def pred_all_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_left_anti",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+    doc="Left-anti join (customers with no high-value order): absent from the "
+        "reference (inner-only, SURVEY §2.2) — free from Spark via "
+        "how='left_anti', one broadcast/shuffle hash join, no NOT-IN "
+        "null traps.",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    c = e.table("customer")
+    o = e.table("orders").filter(F.col("o_totalprice") > 300000)
+    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@register(
+    "sql_exists_decorrelated",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """,
+    doc="Engine.sql passthrough (reference P9 raw-string queries): a "
+        "correlated EXISTS subquery — Catalyst decorrelates it into a "
+        "left-semi hash join; the reference's correlated innerQ per "
+        "record IS this pattern, executed N+1.",
+)
+def sql_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return e.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+    """)
+
+
+@register(
     "pred_date_mql",
     """
     SELECT o_orderkey, o_orderdate, o_totalprice
