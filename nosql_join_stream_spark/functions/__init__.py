@@ -19,6 +19,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
 
 
 def normalize_text(col):
@@ -27,7 +28,10 @@ def normalize_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-@pandas_udf("double")
+# a DataType instance, not a DDL string: string return types are parsed
+# through the ACTIVE SparkContext at decoration time, which would make
+# this module unimportable before a session exists
+@pandas_udf(DoubleType())
 def geometric_mean(v: "pd.Series") -> float:
     """GROUPED_AGG pandas UDAF: exp(mean(ln x)) over positive values.
     Arrow ships each group's column once; numpy reduces it — the
