@@ -518,3 +518,77 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = e.table("documents").filter("doc_id < 50")
     return (docs.lateralJoin(SentenceSplit(F.col("text").outer()))
                 .select("doc_id", "sentence", "n_words"))
+
+
+@register(
+    "pipeline_clean_corpus",
+    f"""
+    WITH RECURSIVE f AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]'))
+               * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS atl,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x IN ({_STOP_EN})))
+               * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS swr
+      FROM documents),
+    base AS (
+      SELECT doc_id, text FROM f
+      WHERE 0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (CASE WHEN ROUND(atl, 4) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (CASE WHEN ROUND(swr, 6) >= 0.01 THEN 1.0 ELSE 0.0 END)
+          >= 0.7),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM base),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (
+      SELECT id1, id2 FROM p
+      WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6),
+    ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION SELECT id2, id1 FROM pairs),
+    reach(id, comp) AS (
+      SELECT src AS id, src AS comp FROM ed
+      UNION
+      SELECT ed.src, r.comp FROM ed JOIN reach r ON ed.dst = r.id),
+    comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id % 10 < 8 THEN 'train'
+                WHEN b.doc_id % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM base b LEFT JOIN comp c ON b.doc_id = c.id
+    WHERE COALESCE(c.comp, b.doc_id) = b.doc_id
+    """,
+    doc="End-to-end training-corpus pipeline: quality filter (>=0.7) -> "
+        "exact near-dup resolution (keep canonical) -> deterministic "
+        "split assignment. One composed oracle proves the operators "
+        "compose; each stage is the registry operator, unchanged.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    base = (docs.withColumn("quality", text.quality_score(F.col("text")))
+                .filter(F.col("quality") >= 0.7)
+                .select("doc_id", "text"))
+    pairs = dedup.ngram_jaccard_pairs(base, "text", "doc_id",
+                                      n=3, threshold=0.6)
+    resolved = dedup.dedup_resolve(base, pairs, "doc_id")
+    keep = resolved.filter(~F.col("is_duplicate")).select(
+        F.col("id").alias("doc_id"))
+    bucket = F.col("doc_id") % 10
+    return (base.join(keep, "doc_id")
+            .select("doc_id",
+                    F.when(bucket < 8, "train")
+                     .when(bucket < 9, "val")
+                     .otherwise("test").alias("split")))
