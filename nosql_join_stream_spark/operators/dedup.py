@@ -190,15 +190,24 @@ def minhash_signatures(df: DataFrame, content_col: str, id_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, content_col: str, id_col: str,
                       n: int = 3, threshold: float = 0.6,
-                      bands: int = _BANDS) -> DataFrame:
+                      bands: int = _BANDS,
+                      min_band_matches: int = 2) -> DataFrame:
     """MinHash-LSH candidate generation + EXACT Jaccard verification.
 
     banding: signature split into ``bands`` bands of 64/bands rows;
     docs sharing any full band land in one bucket (hash-shuffle on
     the band key — linear, never n²).  Candidates are then verified
     with exact n-gram Jaccard, so output precision is exact and only
-    recall depends on (bands, rows): at j=threshold=0.6, recall≈0.93;
-    at the planted-dup regime j≥0.9, recall≈1-1e-10.
+    recall depends on the banding.
+
+    ``min_band_matches`` requires that many band collisions per pair
+    (counted by the same aggregate that dedupes candidates, so it
+    costs nothing extra).  The 16x4 single-band s-curve passes random
+    background pairs (j≈0.1) at ~1.6e-3 — quadratic-corpus poison at
+    scale; requiring 2 bands cuts that ~1000x while keeping the
+    near-dup regime intact (recall at j=0.8 ≈ 0.998, at j≥0.9
+    ≈ 1-1e-7; at exactly j=0.6 it is ~0.64 vs 0.89 — set
+    ``min_band_matches=1`` when hunting marginal pairs).
     """
     rows_per_band = _N_HASHES // bands
     sigs = minhash_signatures(df, content_col, id_col, n)
@@ -214,17 +223,26 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, id_col: str,
     cand = (a.join(b, (F.col("a.b.band") == F.col("b.b.band"))
                    & (F.col("a.b.bh") == F.col("b.b.bh"))
                    & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-             .distinct())
-    # exact verification — join the shingle sets back in
+             .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+             .agg(F.count("*").alias("__nb"))
+             .filter(F.col("__nb") >= min_band_matches)
+             .select("id1", "id2"))
+    # exact verification — join the shingle sets back in, as sorted
+    # 64-bit hash arrays (same trick as ngram_jaccard_pairs: 5-8x
+    # smaller than the strings, so the join side broadcasts/shuffles
+    # cheaply and array_intersect compares longs; a collision altering
+    # a verified count needs two distinct shingles of ONE pair
+    # colliding at 64 bits, ~1e-10 corpus-wide)
     sh = (_spread(df)
           .select(F.col(id_col).alias("id"),
-                  word_shingles(F.col(content_col), n).alias("sh")))
+                  F.array_sort(F.transform(
+                      word_shingles(F.col(content_col), n),
+                      lambda g: F.xxhash64(g))).alias("hv")))
     verified = (cand
-                .join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
-                .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size("sh1") + F.size("sh2") - inter
+                .join(sh.select(F.col("id").alias("id1"), F.col("hv").alias("h1")), "id1")
+                .join(sh.select(F.col("id").alias("id2"), F.col("hv").alias("h2")), "id2"))
+    inter = F.size(F.array_intersect("h1", "h2"))
+    union = F.size("h1") + F.size("h2") - inter
     return (verified.withColumn("jaccard", F.round(inter / union, 4))
                     .filter(F.col("jaccard") >= threshold)
                     .select("id1", "id2", "jaccard"))

@@ -8,7 +8,8 @@ growth = a hidden n² or a single-task bottleneck.
 
 Results recorded in SCALING.md.  Writes only under /tmp.
 
-Usage: python tools/scale_probe.py [max_factor]
+Usage: python tools/scale_probe.py [max_factor] [op ...]
+       ops default to all of: ngram minhash ann
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 MAX_FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+OPS = set(sys.argv[2:]) or {"ngram", "minhash", "ann"}
 
 
 def main() -> None:
@@ -61,15 +63,17 @@ def main() -> None:
         ee = spark.read.parquet(path_e)
 
         results = {}
-        t0 = time.perf_counter()
-        results["ngram_pairs"] = dedup.ngram_jaccard_pairs(
-            dd, "text", "doc_id").count()
-        results["ngram_s"] = round(time.perf_counter() - t0, 2)
+        if "ngram" in OPS:
+            t0 = time.perf_counter()
+            results["ngram_pairs"] = dedup.ngram_jaccard_pairs(
+                dd, "text", "doc_id").count()
+            results["ngram_s"] = round(time.perf_counter() - t0, 2)
 
-        t0 = time.perf_counter()
-        results["minhash_pairs"] = dedup.minhash_lsh_pairs(
-            dd, "text", "doc_id").count()
-        results["minhash_s"] = round(time.perf_counter() - t0, 2)
+        if "minhash" in OPS:
+            t0 = time.perf_counter()
+            results["minhash_pairs"] = dedup.minhash_lsh_pairs(
+                dd, "text", "doc_id").count()
+            results["minhash_s"] = round(time.perf_counter() - t0, 2)
 
         # simhash is excluded: the injected copy token dominates its
         # token-histogram signature, collapsing all docs within hamming
@@ -77,13 +81,14 @@ def main() -> None:
         # construction, so its timing would reflect a quadratic OUTPUT,
         # not the operator
 
-        q = ee.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("q_id"), "embedding")
-        c = ee.select(F.col("vec_id").alias("c_id"), "embedding")
-        t0 = time.perf_counter()
-        results["ann_lsh_rows"] = similarity.ann_lsh_topk(
-            q, c, k=5, n_planes=4, dim=64).count()
-        results["ann_lsh_s"] = round(time.perf_counter() - t0, 2)
+        if "ann" in OPS:
+            q = ee.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("q_id"), "embedding")
+            c = ee.select(F.col("vec_id").alias("c_id"), "embedding")
+            t0 = time.perf_counter()
+            results["ann_lsh_rows"] = similarity.ann_lsh_topk(
+                q, c, k=5, n_planes=4, dim=64).count()
+            results["ann_lsh_s"] = round(time.perf_counter() - t0, 2)
 
         print(f"factor={factor:3d} docs={n_docs * factor:7d} {results}",
               flush=True)
