@@ -170,15 +170,34 @@ def stateful_session_stats(stream: DataFrame,
 
 
 def run_available_now(agg: DataFrame, query_name: str,
-                      output_mode: str = "complete") -> None:
+                      output_mode: str = "complete",
+                      shuffle_partitions: int | None = 8) -> None:
     """Drain everything currently in the source and stop — the batch
     test harness for streaming queries (Trigger.AvailableNow).
 
     Default ``complete`` mode: with a finite backfill, append mode
     withholds windows the watermark hasn't passed, so complete mode is
     the one whose final memory-sink contents equal the batch answer.
+
+    ``shuffle_partitions`` sizes STATEFUL-operator parallelism: each
+    shuffle partition owns a state store that pays load/commit per
+    micro-batch, so a state-heavy query wants partitions sized to key
+    cardinality × executors, not the batch shuffle default (locally:
+    32 stores cost ~5x more wall than 8 for the same data).  The
+    value is locked into the checkpoint at first start — deliberate
+    here, since each drain uses a fresh query.  ``None`` keeps the
+    session setting.
     """
-    q = (agg.writeStream.outputMode(output_mode)
-         .format("memory").queryName(query_name)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    spark = agg.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(shuffle_partitions))
+    try:
+        q = (agg.writeStream.outputMode(output_mode)
+             .format("memory").queryName(query_name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
