@@ -373,9 +373,32 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", text.quality_score(F.col("text")).alias("quality"))
 
 
+def _lang_in(lg: str) -> str:
+    return ",".join(f"'{w}'" for w in text.STOPWORDS[lg])
+
+
 @register(
     "text_langid",
-    None,  # CASE-ladder mirror is possible but adds little: rows-only
+    f"""
+    WITH t AS (
+      SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents),
+    c AS (
+      SELECT lang,
+             len(list_filter(toks, x -> x IN ({_lang_in('en')}))) AS c_en,
+             len(list_filter(toks, x -> x IN ({_lang_in('de')}))) AS c_de,
+             len(list_filter(toks, x -> x IN ({_lang_in('fr')}))) AS c_fr,
+             len(list_filter(toks, x -> x IN ({_lang_in('es')}))) AS c_es
+      FROM t),
+    g AS (
+      SELECT lang,
+             CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                  WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                  WHEN c_fr >= c_es THEN 'fr'
+                  ELSE 'es' END AS lang_guess
+      FROM c)
+    SELECT lang, lang_guess, COUNT(*) AS n FROM g GROUP BY lang, lang_guess
+    """,
     doc="Stopword-count language ID over documents; deterministic "
         "argmax with fixed tie order. (The synthetic corpus is "
         "English-ish regardless of its lang label — the query reports "
