@@ -48,6 +48,11 @@ def test_write_partitioned_roundtrip(engine, spark, tmp_path):
     assert any(d.startswith("o_orderstatus=") for d in os.listdir(out))
     pruned = back.filter("o_orderstatus = 'O'")
     assert pruned.count() == engine.table("orders").filter("o_orderstatus = 'O'").count()
+    # the filter must reach the scan as a partition filter (directory
+    # pruning), not a post-scan row filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in \
+        plan.split("PartitionFilters", 1)[1][:200], plan
 
 
 def test_write_bucketed_join_has_no_shuffle(engine, spark):
