@@ -29,9 +29,9 @@ from nosql_join_stream_spark.dsl import Q, q
 from nosql_join_stream_spark.engine import Engine, QueryValidationError
 from nosql_join_stream_spark.mql import MQLParseError, mql_to_column
 from nosql_join_stream_spark.session import get_session
-from nosql_join_stream_spark.sinks import write_bucketed, write_table
+from nosql_join_stream_spark.sinks import compact, write_bucketed, write_table
 
 __all__ = ["Engine", "get_session", "load_table", "TABLES",
            "Q", "q", "mql_to_column",
            "QueryValidationError", "MQLParseError",
-           "write_table", "write_bucketed"]
+           "write_table", "write_bucketed", "compact"]

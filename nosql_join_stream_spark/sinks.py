@@ -16,24 +16,62 @@ decisions that matter at 100 TB:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet",
                 mode: str = "overwrite",
-                partition_by: Sequence[str] | None = None) -> None:
+                partition_by: Sequence[str] | None = None,
+                sort_by: Sequence[str] | None = None) -> None:
     """Batch sink: write ``df`` to ``path`` (reference S10 analog).
 
     ``partition_by`` produces hive-style ``col=value`` directories —
-    the partition-pruning contract downstream scans rely on.  Parquet
-    default: columnar + stats for min/max skipping.
+    the partition-pruning contract downstream scans rely on.
+    ``sort_by`` sorts within output files so parquet row-group min/max
+    stats become selective — range filters on the sort key then skip
+    whole row groups at scan time (data skipping without an index).
     """
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     w = df.write.format(fmt).mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def compact(spark: SparkSession, path: str,
+            target_file_bytes: int = 128 * 1024 * 1024,
+            sort_by: Sequence[str] | None = None) -> int:
+    """Small-file compaction — the unglamorous operator every 100 TB
+    lake needs: streaming sinks and fine-grained partitions produce
+    thousands of KB-sized files whose per-file open/footer cost
+    dominates scans.  Rewrites ``path`` into ``ceil(bytes/target)``
+    files (optionally re-sorted for stats selectivity) and returns the
+    new file count.  The rewrite stages into ``path + '.compact'``
+    then swaps, so a failed job never leaves ``path`` half-written.
+    """
+    import glob
+    import os
+    import shutil
+
+    total = sum(os.path.getsize(f)
+                for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                   recursive=True))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartitionByRange(n_files, *sort_by) \
+               .sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(n_files)
+    tmp = path.rstrip("/") + ".compact"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],

@@ -86,3 +86,22 @@ def test_write_bucketed_join_has_no_shuffle(engine, spark):
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
     import shutil
     shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_compact_small_files(engine, spark, tmp_path):
+    from nosql_join_stream_spark.sinks import compact
+    out = str(tmp_path / "frag")
+    # fragment: 64 tiny files
+    engine.table("lineitem").repartition(64).write.parquet(out)
+    import glob
+    assert len(glob.glob(f"{out}/*.parquet")) == 64
+    before = engine.table("lineitem").count()
+    n = compact(spark, out, target_file_bytes=256 * 1024 * 1024,
+                sort_by=["l_orderkey"])
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) == n < 64
+    back = spark.read.parquet(out)
+    assert back.count() == before
+    # sorted layout -> row-group stats selective on the sort key
+    assert back.filter("l_orderkey = 1").count() == \
+        engine.table("lineitem").filter("l_orderkey = 1").count()
