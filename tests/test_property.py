@@ -127,3 +127,37 @@ def test_zip_streams_pairs_ith_rows(spark, n_left, n_right):
     z = zip_streams(left, right, ["seq"], ["seq"])
     rows = {(r.l_seq, r.r_seq) for r in z.collect()}
     assert rows == {(i, i) for i in range(min(n_left, n_right))}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_minhash_finds_planted_high_jaccard_dups(spark, data):
+    """Contract: at the planted-dup regime (one token substituted in a
+    ~40-token doc → j ≈ 0.85+), MinHash-LSH candidates verified
+    exactly must equal the exact n-gram Jaccard pairs."""
+    from nosql_join_stream_spark.operators.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs)
+    rng = data.draw(st.randoms(use_true_random=False))
+    vocab = [f"w{i}" for i in range(200)]
+    docs = []
+    for i in range(20):
+        toks = [rng.choice(vocab) for _ in range(40)]
+        docs.append((i * 2, " ".join(toks)))
+        dup = list(toks)
+        dup[rng.randrange(40)] = rng.choice(vocab)  # one-token edit
+        docs.append((i * 2 + 1, " ".join(dup)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {(r.id1, r.id2): r.jaccard
+             for r in ngram_jaccard_pairs(df, "text", "doc_id",
+                                          threshold=0.6).collect()}
+    lsh = {(r.id1, r.id2): r.jaccard
+           for r in minhash_lsh_pairs(df, "text", "doc_id",
+                                      threshold=0.6).collect()}
+    # precision: every LSH pair is exact-verified, so values match
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9
+    # recall at high j: every planted pair with j >= 0.8 is found
+    for k, v in exact.items():
+        if v >= 0.8:
+            assert k in lsh, (k, v)
