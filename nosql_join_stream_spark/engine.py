@@ -37,6 +37,26 @@ class Engine:
         """Bare scan (reference S1-S6, storage.scala:593-658)."""
         return catalog.load_table(self.spark, name, self.sf_dir)
 
+    def load(self, path: str, fmt: str = "parquet",
+             schema=None, **options) -> DataFrame:
+        """Generic file-source scan — the reference's connector family
+        (Mongo/Cassandra only, build.sbt:34-35,55-56) widened to any
+        Spark DataSource: parquet/orc (columnar, full pushdown +
+        pruning), csv/json (row formats — pass an explicit ``schema``;
+        schema inference scans the data twice and types drift at
+        scale).  Options forward to ``DataFrameReader.option``.
+        """
+        r = self.spark.read.format(fmt)
+        if schema is not None:
+            r = r.schema(schema)
+        elif fmt in ("csv", "json"):
+            raise QueryValidationError(
+                f"{fmt} source requires an explicit schema "
+                "(inference double-scans and drifts at scale)")
+        for k, v in options.items():
+            r = r.option(k, v)
+        return r.load(path)
+
     def read(
         self,
         table: str,

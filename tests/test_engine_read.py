@@ -72,3 +72,24 @@ def test_runtime_error_propagates(spark, tmp_path):
     from py4j.protocol import Py4JJavaError
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_load_multiple_formats_roundtrip(engine, spark, tmp_path):
+    from nosql_join_stream_spark.engine import QueryValidationError
+    src = engine.table("nation")
+    want = {(r.n_nationkey, r.n_name) for r in src.collect()}
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        w = src.write.format(fmt).mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.save(p)
+        kw = {"schema": src.schema} if fmt in ("csv", "json") else {}
+        opts = {"header": "true"} if fmt == "csv" else {}
+        back = engine.load(p, fmt, **kw, **opts)
+        got = {(r.n_nationkey, r.n_name) for r in back.collect()}
+        assert got == want, fmt
+    # row formats without a schema fail fast
+    import pytest
+    with pytest.raises(QueryValidationError):
+        engine.load(str(tmp_path / "csv"), "csv")
