@@ -169,6 +169,25 @@ def stateful_session_stats(stream: DataFrame,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def write_stream_files(df: DataFrame, path: str, checkpoint: str,
+                       fmt: str = "parquet",
+                       available_now: bool = True):
+    """Durable streaming sink: checkpointed file output (exactly-once
+    via the sink's transaction log + source offsets — restarting over
+    a grown source processes only new data; asserted in tests).
+    ``available_now=True`` drains and stops (backfill mode); False
+    returns the running continuous query."""
+    q = (df.writeStream.format(fmt)
+         .option("path", path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append"))
+    if available_now:
+        sq = q.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return None
+    return q.start()
+
+
 def run_available_now(agg: DataFrame, query_name: str,
                       output_mode: str = "complete",
                       shuffle_partitions: int | None = 8) -> None:

@@ -129,13 +129,11 @@ def test_checkpoint_resume_exactly_once(spark, engine, tmp_path):
        .parquet(str(src))
 
     def drain():
+        from nosql_join_stream_spark.streaming.log_stream import (
+            write_stream_files)
         stream = (spark.readStream.schema(raw.schema)
                   .format("parquet").load(str(src)))
-        q = (stream.writeStream.format("parquet")
-             .option("path", str(out))
-             .option("checkpointLocation", str(ckpt))
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
+        write_stream_files(stream, str(out), str(ckpt))
 
     drain()
     n_first = spark.read.parquet(str(out)).count()
