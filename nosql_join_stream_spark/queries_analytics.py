@@ -294,6 +294,48 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_lead_lag",
+    """
+    SELECT user_id, event_id, value,
+           ROUND(lag(value) OVER w, 2) AS prev_value,
+           ROUND(lead(value) OVER w, 2) AS next_value
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Navigation window functions (lag/lead) per user ordered by "
+        "event time — one shuffle on user_id.",
+)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (e.table("events").filter("event_type = 'purchase'")
+            .select("user_id", "event_id", "value",
+                    F.round(F.lag("value").over(w), 2).alias("prev_value"),
+                    F.round(F.lead("value").over(w), 2).alias("next_value")))
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form behind rollup/cube), "
+        "via the SQL front end — one expand + one aggregate shuffle.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return e.sql("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@register(
     "window_moving_avg",
     """
     SELECT user_id, event_id, value,
