@@ -26,12 +26,13 @@ text analysis, multimodal columns) live under :mod:`operators`.
 
 from nosql_join_stream_spark.catalog import TABLES, load_table
 from nosql_join_stream_spark.dsl import Q, q
-from nosql_join_stream_spark.engine import Engine, QueryValidationError
+from nosql_join_stream_spark.engine import (Engine, QueryTimeoutError,
+                                            QueryValidationError)
 from nosql_join_stream_spark.mql import MQLParseError, mql_to_column
 from nosql_join_stream_spark.session import get_session
 from nosql_join_stream_spark.sinks import compact, write_bucketed, write_table
 
 __all__ = ["Engine", "get_session", "load_table", "TABLES",
            "Q", "q", "mql_to_column",
-           "QueryValidationError", "MQLParseError",
+           "QueryValidationError", "QueryTimeoutError", "MQLParseError",
            "write_table", "write_bucketed", "compact"]

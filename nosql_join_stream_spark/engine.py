@@ -27,6 +27,11 @@ class QueryValidationError(ValueError):
     (mongo/channel/package.scala:252-259)."""
 
 
+class QueryTimeoutError(TimeoutError):
+    """Query exceeded its deadline and was cancelled — reference
+    ``maxTimeMS`` (mongo/channel/package.scala:241,280)."""
+
+
 class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
         self.spark = spark
@@ -121,6 +126,42 @@ class Engine:
         """Reference ``Log[M].from`` (log/package.scala:56-62)."""
         return log_from(self.table(table), key, offset,
                         key_col=key_col, seq_col=seq_col)
+
+    def collect_with_timeout(self, df: DataFrame, timeout_ms: int):
+        """Reference ``maxTimeMS`` (O4, mongo/channel/package.scala:241,
+        280) — the server-side query timeout, mapped to its honest
+        Spark analog: run the action in a job group and cancel the
+        group when the deadline passes.  Raises
+        :class:`QueryTimeoutError`; partial results are discarded.
+        """
+        import threading
+        import uuid
+
+        sc = self.spark.sparkContext
+        group = f"timeout-{uuid.uuid4().hex[:12]}"
+        result: dict = {}
+
+        def run():
+            # InheritableThread propagates the job group to the JVM
+            sc.setJobGroup(group, "collect_with_timeout",
+                           interruptOnCancel=True)
+            try:
+                result["rows"] = df.collect()
+            except Exception as ex:  # cancellation surfaces here
+                result["error"] = ex
+
+        from pyspark import InheritableThread
+        t = InheritableThread(target=run)
+        t.start()
+        t.join(timeout_ms / 1000.0)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            t.join(30)
+            raise QueryTimeoutError(
+                f"query exceeded {timeout_ms} ms and was cancelled")
+        if "error" in result:
+            raise result["error"]
+        return result["rows"]
 
     # -- sinks ---------------------------------------------------------
     def write(self, df: DataFrame, path: str, fmt: str = "parquet",

@@ -93,3 +93,18 @@ def test_load_multiple_formats_roundtrip(engine, spark, tmp_path):
     import pytest
     with pytest.raises(QueryValidationError):
         engine.load(str(tmp_path / "csv"), "csv")
+
+
+def test_collect_with_timeout(engine, spark):
+    from nosql_join_stream_spark.engine import QueryTimeoutError
+    import pytest
+    # fast query completes well inside the deadline
+    rows = engine.collect_with_timeout(
+        engine.table("nation").select("n_nationkey"), timeout_ms=60_000)
+    assert len(rows) > 0
+    # pathological query (lineitem x lineitem cross product) must be
+    # cancelled at the deadline, not run to completion
+    li = engine.table("lineitem").select("l_orderkey")
+    slow = li.crossJoin(li.withColumnRenamed("l_orderkey", "r"))
+    with pytest.raises(QueryTimeoutError):
+        engine.collect_with_timeout(slow, timeout_ms=2_000)
