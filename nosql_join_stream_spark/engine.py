@@ -134,7 +134,6 @@ class Engine:
         group when the deadline passes.  Raises
         :class:`QueryTimeoutError`; partial results are discarded.
         """
-        import threading
         import uuid
 
         sc = self.spark.sparkContext

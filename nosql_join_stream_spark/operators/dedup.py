@@ -18,7 +18,7 @@ recall only, never precision.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # fixed MinHash permutation parameters: (a*x + b) mod PRIME, seeds fixed.
