@@ -615,3 +615,28 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(bucket < 8, "train")
                      .when(bucket < 9, "val")
                      .otherwise("test").alias("split")))
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS am
+      FROM embeddings),
+    sc AS (SELECT vec_id,
+                  CASE WHEN am > 0 THEN am / 127.0 ELSE 1.0 END AS scale
+           FROM s)
+    SELECT e.vec_id,
+           ROUND(sc.scale, 8) AS scale,
+           list_transform(e.embedding::DOUBLE[],
+                          x -> CAST(ROUND(x / sc.scale) AS INT)) AS q_embedding
+    FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id
+    """,
+    doc="Symmetric int8 embedding quantization (scale = max|x|/127): "
+        "4x storage/shuffle reduction for recall screening; pure JVM "
+        "array expressions at scan speed.",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return similarity.quantize_embeddings(e.table("embeddings"))
