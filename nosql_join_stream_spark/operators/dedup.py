@@ -359,3 +359,30 @@ def simhash_pairs(df: DataFrame, content_col: str, id_col: str,
     return (cand.withColumn("hamming", ham)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("id1", "id2", "hamming"))
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame,
+                  content_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Benchmark decontamination: train docs sharing ≥1 word n-gram
+    with any benchmark doc, with the count of distinct shared grams.
+
+    The standard eval-leakage sweep before LLM training.  Both sides
+    shingle to distinct word n-grams (hashed to 8-byte longs so the
+    shuffle never carries strings); the benchmark's gram set — small
+    by construction (benchmarks are KBs, corpora are TBs) — deduped
+    and BROADCAST, so the 100 TB train side joins map-side with no
+    shuffle; one final shuffle on doc id counts distinct shared grams.
+    A 64-bit collision can only add a gram hit (~1e-10 corpus-wide).
+
+    Returns (id, n_shared), one row per contaminated train doc.
+    """
+    def grams(df):
+        return (df.select(F.col(id_col).alias("id"),
+                          F.explode(word_shingles(F.col(content_col), n))
+                           .alias("g"))
+                  .select("id", F.xxhash64("g").alias("gh")))
+
+    bench_grams = grams(benchmark).select("gh").distinct()
+    hits = grams(_spread(train)).join(F.broadcast(bench_grams), "gh")
+    return (hits.groupBy("id")
+                .agg(F.count_distinct("gh").alias("n_shared")))

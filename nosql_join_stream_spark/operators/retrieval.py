@@ -1,0 +1,100 @@
+"""Corpus retrieval scoring: TF-IDF and BM25, pure DataFrame ops.
+
+Beyond the reference (which has no scoring surface; its only per-row
+computation is the user mapper closure — see SURVEY.md §2.6): these are
+the ranking/weighting passes of a training-data pipeline (quality-aware
+sampling, query-based corpus filtering, nearest-benchmark retrieval).
+
+Scale shape: tokenize → explode is map-side; term statistics are one
+shuffle on token (partial aggregation applies); document scores are one
+shuffle on doc id.  Corpus-level scalars (N, avgdl) join in via a
+1-row broadcast aggregate rather than a driver-side ``.count()`` so the
+whole computation stays one declarative plan — at 100 TB nothing
+round-trips through the driver and AQE can pick the physical strategy.
+All math is plain ``ln``/arithmetic on JVM columns (codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _join_scalar(df: DataFrame, scalar: DataFrame) -> DataFrame:
+    """Attach a 1-row aggregate to every row. Plans as a
+    BroadcastNestedLoopJoin whose build side is a single row — the
+    intended shape: a constant equi-key would constant-fold to the
+    same plan, and a driver-side collect would break the single
+    declarative plan. Allowlisted in tools/explain_audit.py."""
+    return df.crossJoin(F.broadcast(scalar))
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok) with repeats — lowercased, single-space split,
+    empty tokens dropped (mirrors string_split(trim(lower)) in SQL)."""
+    return (df.select(
+                F.col(id_col),
+                F.explode(F.split(F.trim(F.lower(F.col(text_col))), " "))
+                 .alias("tok"))
+              .filter(F.col("tok") != ""))
+
+
+def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
+               k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed); score rounded to 4 dp and
+    ties broken on token so the ranking is a total order (engine-
+    portable).  Returns (id, tok, tfidf, rnk), rnk in 1..k.
+    """
+    toks = _tokens(df, text_col, id_col)
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = (toks.select(id_col, "tok").distinct()
+                 .groupBy("tok").agg(F.count("*").alias("df")))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (_join_scalar(tf.join(F.broadcast(dfreq), "tok"), n_docs)
+              .withColumn(
+                    "tfidf",
+                    F.round(F.col("tf") *
+                            (F.log((F.col("n_docs") + 1.0) /
+                                   (F.col("df") + 1.0)) + 1.0), 4)))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(id_col)
+               .orderBy(F.col("tfidf").desc(), F.col("tok")))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k)
+                  .select(id_col, "tok", "tfidf", "rnk"))
+
+
+def bm25_topk(df: DataFrame, text_col: str, id_col: str,
+              query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-``k`` documents by BM25 against a fixed bag of query terms.
+
+    Robertson/Sparck-Jones idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+    per-term tf saturation with document-length normalization
+    (k1, b). Scores rounded to 4 dp; total order (score desc, id).
+    """
+    toks = _tokens(df, text_col, id_col)
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = (dl.agg(F.avg("dl").alias("avgdl"),
+                     F.count("*").alias("n_docs")))
+    tf = (toks.filter(F.col("tok").isin(query_terms))
+              .groupBy(id_col, "tok").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    per_term = (_join_scalar(tf.join(F.broadcast(dfreq), "tok")
+                               .join(dl, id_col), corpus)
+                  .withColumn(
+                      "idf",
+                      F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) /
+                            (F.col("df") + 0.5)))
+                  .withColumn(
+                      "w",
+                      F.col("idf") * F.col("tf") * (k1 + 1.0) /
+                      (F.col("tf") + k1 * (1.0 - b +
+                                           b * F.col("dl") / F.col("avgdl")))))
+    scores = (per_term.groupBy(id_col)
+                      .agg(F.round(F.sum("w"), 4).alias("bm25"))
+                      .orderBy(F.col("bm25").desc(), F.col(id_col))
+                      .limit(k))
+    return scores

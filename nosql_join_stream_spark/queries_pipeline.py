@@ -640,3 +640,141 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     return similarity.quantize_embeddings(e.table("embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Retrieval scoring / decontamination / mixture sampling
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(trim(lower(text)), ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+           WHERE tok <> '' GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t
+              WHERE tok <> '' GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0),
+                   4) AS tfidf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rnk
+      FROM scored)
+    SELECT doc_id, tok, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+    doc="Top-3 TF-IDF terms per document (smoothed idf, 4-dp rounded, "
+        "token tiebreak): tokenize map-side, one shuffle for term "
+        "stats (broadcast back), one window on doc id. The signature "
+        "terms a mixture/quality sampler keys on.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import retrieval
+    e = _engine(spark, sf_dir)
+    return retrieval.tfidf_topk(e.table("documents"), "text", "doc_id", k=3)
+
+
+@register(
+    "bm25_search",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(trim(lower(text)), ' ')) AS tok
+      FROM documents),
+    tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tt GROUP BY doc_id),
+    corpus AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tt
+           WHERE tok IN ('hash', 'spark', 'window') GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    w AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) AS w
+      FROM tf JOIN dfreq USING (tok)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN corpus c)
+    SELECT doc_id, ROUND(SUM(w), 4) AS bm25
+    FROM w GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 top-20 docs for a fixed query bag (k1=1.2, b=0.75, "
+        "RSJ idf): corpus scalars join as 1-row broadcast aggregates "
+        "(no driver round-trip); per-term partial weights shuffle once "
+        "on doc id -> TakeOrderedAndProject.",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import retrieval
+    e = _engine(spark, sf_dir)
+    return retrieval.bm25_topk(e.table("documents"), "text", "doc_id",
+                               ["hash", "spark", "window"], k=20)
+
+
+@register(
+    "decontaminate_overlap",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    bench AS (SELECT DISTINCT unnest(sh) AS g FROM s
+              WHERE doc_id % 25 = 0),
+    train AS (SELECT doc_id, unnest(sh) AS g FROM s
+              WHERE doc_id % 25 <> 0)
+    SELECT t.doc_id AS id, COUNT(DISTINCT t.g) AS n_shared
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+    doc="Benchmark decontamination: train docs sharing any word "
+        "3-gram with the held-out benchmark slice (doc_id%25=0). "
+        "Benchmark gram set deduped + BROADCAST (benchmarks are KBs, "
+        "corpora TBs) -> map-side semi-join at scan speed, one "
+        "shuffle to count distinct shared grams per doc.",
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return dedup.decontaminate(train, bench, "text", "doc_id", n=3)
+
+
+@register(
+    "sample_stratified",
+    """
+    WITH r AS (
+      SELECT *,
+             CASE WHEN lang = 'en' THEN 250.0 ELSE 700.0 END AS rate,
+             ((doc_id * 2654435761) % 4294967296) % 1000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, source,
+           ROUND(1000.0 / rate, 6) AS weight
+    FROM r WHERE bucket < rate
+    """,
+    doc="Deterministic stratified mixture sampling: keep rows whose "
+        "Knuth-hash bucket of doc_id falls under the stratum rate "
+        "(en downsampled to 25%, rest 70%), with Horvitz-Thompson "
+        "weight 1/rate. Pure row-local JVM expression: no shuffle, no "
+        "RNG, bit-reproducible across engines and retries.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import sampling
+    e = _engine(spark, sf_dir)
+    return (sampling.stratified_sample(
+                e.table("documents"), "doc_id", "lang",
+                {"en": 250}, default_per_mille=700)
+            .select("doc_id", "lang", "source", "weight"))

@@ -28,7 +28,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ONLY = set(sys.argv[1:])
 
 # queries whose algorithm is intentionally all-pairs over a broadcast side
-CROSS_OK = {"ann_cosine_topk", "zip_streams"}
+# (brute-force cosine; zip) or that attach a 1-row corpus-scalar aggregate
+# (N, avgdl) via a single-row broadcast BNLJ (tfidf/bm25)
+CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
+            "bm25_search"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
