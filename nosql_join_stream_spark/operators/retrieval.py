@@ -98,3 +98,25 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str,
                       .orderBy(F.col("bm25").desc(), F.col(id_col))
                       .limit(k))
     return scores
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the perplexity-proxy quality signal (low mean log-prob
+    = rare-token soup; high = stopword-heavy boilerplate; filters cut
+    both tails).
+
+    Vocabulary counts are one token shuffle; the (token, ln p) table
+    broadcasts back (vocabularies are MBs even at 100 TB); the corpus
+    total joins as a 1-row broadcast aggregate.  No smoothing: the LM
+    is trained on the same corpus it scores, so every token is in
+    vocabulary.  Returns (id, n_tokens, mean_logprob) rounded to 4 dp.
+    """
+    toks = _tokens(df, text_col, id_col)
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    scored = (_join_scalar(toks.join(F.broadcast(vocab), "tok"), total)
+              .withColumn("lp", F.log(F.col("c") / F.col("total"))))
+    return (scored.groupBy(id_col)
+                  .agg(F.count("*").alias("n_tokens"),
+                       F.round(F.avg("lp"), 4).alias("mean_logprob")))

@@ -271,3 +271,52 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
 
     return df.select(F.col(id_col), F.col(vec)).mapInPandas(
         op, schema="id1 long, id2 long, sim double")
+
+
+def cluster_assign(df: DataFrame, k: int = 8, id_col: str = "vec_id",
+                   vec: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment for semantic curation (cluster-then-
+    balance mixtures, cluster-level dedup/filtering).
+
+    Centroids = the ``k`` rows with the smallest ids — a deterministic,
+    engine-portable seeding (an oracle can reproduce it; k-means++
+    can't).  Centroids broadcast as a float64 matrix; the corpus
+    streams through one Arrow mapInPandas GEMM (sims = X @ C^T row-
+    normalized), so the 100 TB side never shuffles and the plan is a
+    pure scan → map.  Cosine rounded to 6 dp before argmax; ties break
+    to the lowest centroid id (np.argmax first-max == SQL ORDER BY
+    sim DESC, cid ASC) so the assignment is bit-reproducible.
+
+    Returns (id, cluster_id, sim).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    cents = (df.select(F.col(id_col).alias("cid"), F.col(vec).alias("cv"))
+               .orderBy("cid").limit(k).toPandas())
+    cm = np.stack(cents["cv"].to_list()).astype("float64")
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    cids = cents["cid"].to_numpy()
+    bc = spark.sparkContext.broadcast((cids, cm))
+
+    out_schema = f"{id_col} long, cluster_id long, sim double"
+
+    def op(batches):
+        c_ids, c_m = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec].to_list()).astype("float64")
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = np.round((x / n) @ c_m.T, 6)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "cluster_id": c_ids[best],
+                "sim": sims[np.arange(len(best)), best],
+            })
+
+    from nosql_join_stream_spark.operators.dedup import _spread
+    return _spread(df.select(id_col, vec)).mapInPandas(op, out_schema)

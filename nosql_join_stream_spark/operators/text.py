@@ -102,3 +102,33 @@ def fingerprint(col: Column) -> Column:
     return F.aggregate(
         codes, F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD)
+
+
+def pack_sequences(df, id_col: str, shard_col: str, budget: int,
+                   text_col: str = "text"):
+    """Concat-and-chunk sequence packing: the layout step that turns a
+    document corpus into fixed-size training sequences.
+
+    Documents concatenate in deterministic ``id`` order within a shard
+    (``shard_col``); a running token count places each doc at a global
+    offset; the doc's sequence is ``offset // budget`` and its start
+    within that sequence ``offset % budget`` (docs may straddle
+    boundaries, as concat-then-chunk training data does).
+
+    The window partitions by shard, so at 100 TB the cumulative sum
+    parallelizes across shards (a global, unpartitioned window would
+    serialize on one task); shards are independent streams, matching
+    how packing shards are actually written.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col(text_col))
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(n_tok).over(w)
+    off = cum - n_tok
+    return df.select(
+        F.col(id_col), F.col(shard_col),
+        n_tok.alias("n_tokens"),
+        F.floor(off / budget).alias("seq_id"),
+        (off % budget).alias("offset_in_seq"))

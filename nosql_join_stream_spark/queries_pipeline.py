@@ -778,3 +778,123 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e.table("documents"), "doc_id", "lang",
                 {"en": 250}, default_per_mille=700)
             .select("doc_id", "lang", "source", "weight"))
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(trim(lower(text)), ' ')) AS tok
+      FROM documents),
+    tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM tt GROUP BY tok),
+    tot AS (SELECT SUM(c) AS total FROM vocab)
+    SELECT tt.doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(vocab.c * 1.0 / tot.total)), 4) AS mean_logprob
+    FROM tt JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY tt.doc_id
+    """,
+    doc="Perplexity-proxy quality signal: per-doc mean log-prob under "
+        "the corpus's own unigram LM. One token shuffle for the "
+        "vocabulary, broadcast back; corpus total as 1-row broadcast "
+        "aggregate; one shuffle on doc id.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import retrieval
+    e = _engine(spark, sf_dir)
+    return retrieval.unigram_logprob(e.table("documents"), "text", "doc_id")
+
+
+@register(
+    "doc_pack_sequences",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(trim(text), ' '),
+                             x -> x <> '')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS off
+      FROM d)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(off / 512) AS BIGINT) AS seq_id,
+           off % 512 AS offset_in_seq
+    FROM c
+    """,
+    doc="Concat-and-chunk sequence packing (budget 512 tokens): "
+        "running token count per shard places each doc at its "
+        "training-sequence id + offset. Window partitions by shard so "
+        "the cumsum parallelizes; no global single-partition window.",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return text.pack_sequences(e.table("documents"), "doc_id", "source",
+                               budget=512)
+
+
+@register(
+    "cluster_assign_kmeans",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      ORDER BY vec_id LIMIT 8),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.cv::DOUBLE[]), 6) AS sim
+      FROM embeddings e CROSS JOIN cents c),
+    ranked AS (
+      SELECT vec_id, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS rn
+      FROM sims)
+    SELECT vec_id, cid AS cluster_id, sim FROM ranked WHERE rn = 1
+    """,
+    doc="Nearest-centroid assignment for semantic curation: 8 "
+        "deterministic centroids (lowest ids) broadcast as a float64 "
+        "matrix; corpus streams through one Arrow mapInPandas GEMM — "
+        "scan -> map, zero shuffle of the big side. Cosine rounded to "
+        "6 dp before argmax, ties to lowest centroid id.",
+)
+def cluster_assign_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return similarity.cluster_assign(e.table("embeddings"), k=8)
+
+
+@register(
+    "quality_decile_buckets",
+    """
+    WITH b AS (
+      SELECT quantile_cont(n_chars,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+      FROM documents)
+    SELECT len(list_filter(b.bs, x -> x < d.n_chars)) + 1 AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(d.n_chars) AS min_chars, MAX(d.n_chars) AS max_chars
+    FROM documents d CROSS JOIN b
+    GROUP BY 1
+    """,
+    doc="Curriculum/quality bucketing at scale: exact decile "
+        "boundaries computed once (tiny), broadcast, then bucket "
+        "assignment is a map-side array scan — the scalable form of "
+        "NTILE, which would serialize on one global window partition.",
+)
+def quality_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.retrieval import _join_scalar
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    b = docs.agg(F.percentile(
+        "n_chars", F.lit([i / 10 for i in range(1, 10)])).alias("bs"))
+    assigned = (_join_scalar(docs, b)
+                .withColumn(
+                    "bucket",
+                    F.size(F.filter("bs",
+                                    lambda x: x < F.col("n_chars"))) + 1))
+    return (assigned.groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))

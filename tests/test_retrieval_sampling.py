@@ -78,3 +78,37 @@ def test_stratified_sample_deterministic_and_weighted(spark, engine):
     n_en = docs.filter("lang = 'en'").count()
     k_en = s1.filter("lang = 'en'").count()
     assert 0 < k_en < n_en * 0.45
+
+
+def test_unigram_logprob_hand_computed(spark):
+    df = spark.createDataFrame([(0, "a a b"), (1, "b")],
+                               "doc_id long, text string")
+    # corpus: a×2, b×2, total 4 -> p(a)=p(b)=0.5
+    got = {r.doc_id: (r.n_tokens, r.mean_logprob)
+           for r in retrieval.unigram_logprob(df, "text", "doc_id").collect()}
+    lp = round(math.log(0.5), 4)
+    assert got == {0: (3, lp), 1: (1, lp)}
+
+
+def test_pack_sequences_straddles_boundary(spark):
+    from nosql_join_stream_spark.operators import text as text_ops
+    rows = [(i, "s", " ".join(["w"] * n))
+            for i, n in [(0, 3), (1, 4), (2, 2), (3, 5)]]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: (r.seq_id, r.offset_in_seq)
+           for r in text_ops.pack_sequences(df, "doc_id", "source",
+                                            budget=5).collect()}
+    # offsets 0,3,7,9 with budget 5 -> seqs 0,0,1,1; doc1 straddles 5
+    assert out == {0: (0, 0), 1: (0, 3), 2: (1, 2), 3: (1, 4)}
+
+
+def test_cluster_assign_centroids_map_to_themselves(spark, engine):
+    from nosql_join_stream_spark.operators import similarity
+    emb = engine.table("embeddings")
+    out = similarity.cluster_assign(emb, k=4)
+    cent_rows = {r.vec_id: (r.cluster_id, r.sim)
+                 for r in out.filter("vec_id < 4").collect()}
+    assert all(cent_rows[i] == (i, 1.0) for i in range(4))
+    # every vector assigned exactly once, to a valid centroid
+    assert out.count() == emb.count()
+    assert out.filter("cluster_id >= 4 or cluster_id < 0").count() == 0
