@@ -1,2 +1,3 @@
 """Operators: reference-parity (join, log, combinators) and
-beyond-reference scale operators (dedup, similarity, text, multimodal)."""
+beyond-reference scale operators (dedup, similarity, retrieval,
+sampling, text, multimodal)."""

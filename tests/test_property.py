@@ -161,3 +161,29 @@ def test_minhash_finds_planted_high_jaccard_dups(spark, data):
     for k, v in exact.items():
         if v >= 0.8:
             assert k in lsh, (k, v)
+
+
+@SLOW
+@given(lens=st.lists(st.tuples(st.integers(0, 1), st.integers(1, 9)),
+                     min_size=1, max_size=30),
+       budget=st.integers(2, 12))
+def test_pack_sequences_invariants(spark, lens, budget):
+    """Packing is a bijection onto the concatenated token stream:
+    within each shard, offsets reconstruct the running sum, every
+    offset_in_seq < budget, and seq ids are the straddle-aware floor
+    of the global offset (python reference replay)."""
+    from nosql_join_stream_spark.operators.text import pack_sequences
+    rows = [(i, f"s{shard}", " ".join(["w"] * n))
+            for i, (shard, n) in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: r for r in
+           pack_sequences(df, "doc_id", "source", budget=budget).collect()}
+    offsets: dict[str, int] = {}
+    for i, (shard, n) in enumerate(lens):
+        key = f"s{shard}"
+        off = offsets.get(key, 0)
+        r = got[i]
+        assert (r.n_tokens, r.seq_id, r.offset_in_seq) == \
+            (n, off // budget, off % budget)
+        assert 0 <= r.offset_in_seq < budget
+        offsets[key] = off + n

@@ -81,6 +81,31 @@ def main() -> None:
         # construction, so its timing would reflect a quadratic OUTPUT,
         # not the operator
 
+        if "cluster" in OPS:
+            t0 = time.perf_counter()
+            results["cluster_rows"] = similarity.cluster_assign(
+                ee, k=8).count()
+            results["cluster_s"] = round(time.perf_counter() - t0, 2)
+
+        if "decon" in OPS:
+            # benchmark side stays FIXED (benchmarks don't grow with the
+            # corpus); only the train side scales
+            # copy-0 slice: same tokenization as the grown corpus, so
+            # real overlaps exist, but its size doesn't grow with factor
+            bench = dd.filter((F.col("doc_id") % 25 == 0)
+                              & (F.col("doc_id") < 10_000_000))
+            t0 = time.perf_counter()
+            results["decon_rows"] = dedup.decontaminate(
+                dd, bench, "text", "doc_id").count()
+            results["decon_s"] = round(time.perf_counter() - t0, 2)
+
+        if "tfidf" in OPS:
+            from nosql_join_stream_spark.operators import retrieval
+            t0 = time.perf_counter()
+            results["tfidf_rows"] = retrieval.tfidf_topk(
+                dd, "text", "doc_id").count()
+            results["tfidf_s"] = round(time.perf_counter() - t0, 2)
+
         if "ann" in OPS:
             q = ee.filter(F.col("vec_id") < 10).select(
                 F.col("vec_id").alias("q_id"), "embedding")
