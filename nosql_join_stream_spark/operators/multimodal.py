@@ -163,3 +163,31 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)))
             .filter(F.col("frame_idx") % every_n == 0)
             .select("doc_id", "media_type", "frame_idx"))
+
+
+def chunk_payload(media: DataFrame, chunk_bytes: int = 64) -> DataFrame:
+    """Fixed-window byte chunking of a binary payload column — how
+    audio/video gets segmented for windowed feature extraction
+    (spectrogram frames, VAD windows) before the per-chunk decode UDF.
+
+    Pure JVM expressions: explode(sequence) fans each row into
+    ceil(len/chunk) rows; substring slices the binary; sha2 gives a
+    per-chunk content address (dedup/caching key).  Row-local — no
+    shuffle, scales as a scan; the fan-out factor is len/chunk, which
+    parquet row-group sizing already bounds.
+
+    Returns (doc_id, chunk_id, byte_off, chunk_len, chunk_sha).
+    """
+    cs = int(chunk_bytes)
+    n_chunks = F.ceil(F.octet_length("payload") / F.lit(float(cs)))
+    chunked = media.select(
+        "doc_id", "payload",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             (n_chunks - 1).cast("long"))).alias("chunk_id"))
+    chunk = F.substring(F.col("payload"),
+                        (F.col("chunk_id") * cs + 1).cast("int"), cs)
+    return chunked.select(
+        "doc_id", "chunk_id",
+        (F.col("chunk_id") * cs).alias("byte_off"),
+        F.octet_length(chunk).alias("chunk_len"),
+        F.sha2(chunk, 256).alias("chunk_sha"))

@@ -474,3 +474,34 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("is_p") == 1))
     return out.select(F.col("event_id").alias("purchase_id"), "user_id",
                       F.col("ts").alias("purchase_ts"), "last_click_ts")
+
+
+@register(
+    "skew_key_profile",
+    """
+    WITH c AS (
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey)
+    SELECT COUNT(*) AS n_keys,
+           ROUND(AVG(n), 4) AS avg_rows,
+           quantile_cont(n, 0.5) AS p50,
+           quantile_cont(n, 0.9) AS p90,
+           quantile_cont(n, 0.99) AS p99,
+           MAX(n) AS max_rows
+    FROM c
+    """,
+    doc="Join-key skew diagnostic (run before choosing broadcast/"
+        "salt/AQE strategy): per-key row counts -> count quantiles + "
+        "max. Two cheap shuffles (partial agg both); the profile that "
+        "justifies salted_join's existence.",
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    cnt = (e.table("lineitem").groupBy("l_suppkey")
+            .agg(F.count("*").alias("n")))
+    return cnt.agg(
+        F.count("*").alias("n_keys"),
+        F.round(F.avg("n"), 4).alias("avg_rows"),
+        F.percentile("n", F.lit(0.5)).alias("p50"),
+        F.percentile("n", F.lit(0.9)).alias("p90"),
+        F.percentile("n", F.lit(0.99)).alias("p99"),
+        F.max("n").alias("max_rows"))

@@ -898,3 +898,82 @@ def quality_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.min("n_chars").alias("min_chars"),
                  F.max("n_chars").alias("max_chars")))
+
+
+@register(
+    "contamination_rate_by_source",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    bench AS (SELECT DISTINCT unnest(sh) AS g FROM s
+              WHERE doc_id % 25 = 0),
+    train AS (SELECT doc_id, source, unnest(sh) AS g FROM s
+              WHERE doc_id % 25 <> 0),
+    hit AS (SELECT DISTINCT t.doc_id FROM train t
+            JOIN bench b ON t.g = b.g)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(h.doc_id) AS n_contaminated,
+           ROUND(COUNT(h.doc_id) * 1.0 / COUNT(*), 4) AS rate
+    FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 25 <> 0
+    GROUP BY d.source
+    """,
+    doc="Composition: decontaminate -> per-source leakage rollup, the "
+        "report a data owner acts on (drop or re-crawl a source). "
+        "Operators compose unchanged; one extra tiny shuffle on "
+        "source.",
+)
+def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    hits = (dedup.decontaminate(train, bench, "text", "doc_id", n=3)
+            .select(F.col("id").alias("doc_id"),
+                    F.lit(1).alias("is_hit")))
+    return (train.join(hits, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count("is_hit").alias("n_contaminated"),
+                 F.round(F.count("is_hit") / F.count("*"), 4).alias("rate")))
+
+
+@register(
+    "multimodal_audio_chunks",
+    """
+    WITH m AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS blen
+      FROM documents),
+    c AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(blen / 64.0) AS BIGINT)))
+               AS chunk_id
+      FROM m)
+    SELECT doc_id, chunk_id,
+           chunk_id * 64 AS byte_off,
+           octet_length(encode(substring(text, CAST(chunk_id * 64 + 1
+                                                    AS BIGINT), 64)))
+             AS chunk_len,
+           sha256(substring(text, CAST(chunk_id * 64 + 1 AS BIGINT), 64))
+             AS chunk_sha
+    FROM c
+    """,
+    doc="Fixed 64-byte windowed chunking of binary payloads (audio/"
+        "video segmentation before per-chunk decode): explode(sequence)"
+        " fan-out + binary substring + sha256 content address, all "
+        "row-local JVM expressions — scales as a scan, no shuffle. "
+        "Oracle mirrors bytes via ASCII text (payload = encode(text)).",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    media = multimodal.synthesize_media(e.table("documents"))
+    return multimodal.chunk_payload(media, chunk_bytes=64)

@@ -152,3 +152,20 @@ def test_resize_stride_geometry_and_stub(spark, engine):
         multimodal.resize_images(media, batch_decode=True).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError)
+
+
+def test_chunk_payload_geometry_and_reassembly(spark):
+    from nosql_join_stream_spark.operators import multimodal as mm
+    df = spark.createDataFrame([(1, "a" * 100), (2, "xyz"), (3, "b" * 64)],
+                               "doc_id long, text string")
+    out = mm.chunk_payload(mm.synthesize_media(df), chunk_bytes=64)
+    rows = sorted(((r.doc_id, r.chunk_id, r.byte_off, r.chunk_len)
+                   for r in out.collect()))
+    # 100 bytes -> 64+36; 3 -> 3; 64 -> exactly one full chunk
+    assert rows == [(1, 0, 0, 64), (1, 1, 64, 36),
+                    (2, 0, 0, 3), (3, 0, 0, 64)]
+    # chunk_len sums reassemble the payload byte length
+    tot = {r[0]: 0 for r in rows}
+    for d, _, _, n in rows:
+        tot[d] += n
+    assert tot == {1: 100, 2: 3, 3: 64}
