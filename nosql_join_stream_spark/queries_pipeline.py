@@ -977,3 +977,48 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     media = multimodal.synthesize_media(e.table("documents"))
     return multimodal.chunk_payload(media, chunk_bytes=64)
+
+
+@register(
+    "stream_quality_filter",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             ROUND(len(regexp_extract_all(text, '[A-Za-z]'))
+                   * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+               AS avg_token_len,
+             ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   x -> x IN ({_STOP_EN})))
+                   * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+               AS stopword_ratio
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(ROUND(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN stopword_ratio >= 0.01 THEN 1.0 ELSE 0.0 END), 4)
+               AS DOUBLE) AS quality
+      FROM f)
+    SELECT doc_id, quality FROM q WHERE quality >= 0.7
+    """,
+    doc="Streaming corpus ingest + quality gate: documents arrive as "
+        "parquet files (continuous crawl), each micro-batch applies "
+        "the row-local quality score and passes survivors through in "
+        "append mode — stateless, exactly-once via checkpointed file "
+        "offsets; drained result equals the batch filter (the oracle).",
+)
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.streaming.log_stream import (
+        DOCUMENTS_SCHEMA, read_table_stream, run_available_now)
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    _STREAM_SEQ[0] += 1
+    name = f"stream_qf_{_STREAM_SEQ[0]}"
+    docs = read_table_stream(spark, table_path(sf_dir, "documents"),
+                             DOCUMENTS_SCHEMA)
+    out = (docs.select("doc_id",
+                       text.quality_score(F.col("text")).alias("quality"))
+               .filter(F.col("quality") >= 0.7))
+    run_available_now(out, name, output_mode="append")
+    return spark.table(name)

@@ -220,3 +220,27 @@ def run_available_now(agg: DataFrame, query_name: str,
     finally:
         if shuffle_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def read_table_stream(spark: SparkSession, path: str,
+                      schema: T.StructType,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Unbounded file-source scan of any parquet table (the ingest
+    side of a continuously-crawled corpus: new parquet files appear,
+    the stream picks them up exactly once via checkpointed offsets)."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.load(path)

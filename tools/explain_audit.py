@@ -36,7 +36,8 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
-        "stream_interval_join"}
+        "stream_interval_join",
+        "stream_quality_filter"}
 
 
 def main() -> None:
