@@ -505,3 +505,35 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n", F.lit(0.9)).alias("p90"),
         F.percentile("n", F.lit(0.99)).alias("p99"),
         F.max("n").alias("max_rows"))
+
+
+@register(
+    "schemaless_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS n_with_k,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Schemaless dynamic-payload handling (SURVEY §7.3 risk 4: "
+        "Mongo documents have no fixed schema; reference decodes "
+        "per-row into Option fields, mongotypes/package.scala:77-105): "
+        "JSON props column -> typed field extraction with NULL on "
+        "missing/mistyped, then relational aggregation. "
+        "get_json_object is JVM-side codegen; at 100 TB prefer "
+        "from_json with a partial schema so pruning applies.",
+)
+def schemaless_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (e.table("events")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.count(k).alias("n_with_k"),
+                 F.sum(k).alias("sum_k"),
+                 F.round(F.avg(k), 4).alias("avg_k")))
