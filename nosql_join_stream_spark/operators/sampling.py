@@ -18,12 +18,20 @@ from pyspark.sql import functions as F
 
 KNUTH = 2654435761
 MOD = 4294967296  # 2^32
+RED = 2147483648  # 2^31 — pre-multiply reduction
 BUCKETS = 1000
 
 
 def hash_bucket(id_col: Column) -> Column:
-    """Deterministic per-mille bucket of a non-negative integer id."""
-    return ((id_col.cast("long") * F.lit(KNUTH)) % F.lit(MOD)) % F.lit(BUCKETS)
+    """Deterministic per-mille bucket of a non-negative integer id.
+
+    The id is reduced mod 2^31 BEFORE the Knuth multiply so the
+    product stays < 2^63 for any 64-bit id: without the reduction,
+    ids ≥ ~3.5e9 (routine at 100 TB) overflow signed int64 — Spark
+    under ANSI mode throws, DuckDB silently promotes to int128, and
+    the two engines diverge.  Same formula on both sides."""
+    r = id_col.cast("long") % F.lit(RED)
+    return ((r * F.lit(KNUTH)) % F.lit(MOD)) % F.lit(BUCKETS)
 
 
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,

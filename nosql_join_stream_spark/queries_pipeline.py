@@ -759,7 +759,8 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT *,
              CASE WHEN lang = 'en' THEN 250.0 ELSE 700.0 END AS rate,
-             ((doc_id * 2654435761) % 4294967296) % 1000 AS bucket
+             (((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000
+               AS bucket
       FROM documents)
     SELECT doc_id, lang, source,
            ROUND(1000.0 / rate, 6) AS weight

@@ -112,3 +112,19 @@ def test_cluster_assign_centroids_map_to_themselves(spark, engine):
     # every vector assigned exactly once, to a valid centroid
     assert out.count() == emb.count()
     assert out.filter("cluster_id >= 4 or cluster_id < 0").count() == 0
+
+
+def test_stratified_sample_huge_ids_no_overflow(spark):
+    # ids ≥ 2^31 would overflow int64 in the naive Knuth multiply;
+    # the mod-2^31 reduction must keep ANSI Spark from throwing and
+    # stay deterministic
+    ids = [2**62 + 7, 2**40, 3_500_000_000, 5]
+    df = spark.createDataFrame([(i, "en") for i in ids],
+                               "doc_id long, lang string")
+    out1 = sorted(r.doc_id for r in
+                  sampling.stratified_sample(df, "doc_id", "lang",
+                                             {"en": 500}).collect())
+    out2 = sorted(r.doc_id for r in
+                  sampling.stratified_sample(df, "doc_id", "lang",
+                                             {"en": 500}).collect())
+    assert out1 == out2  # deterministic, no exception
