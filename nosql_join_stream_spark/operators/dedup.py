@@ -386,3 +386,67 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
     hits = grams(_spread(train)).join(F.broadcast(bench_grams), "gh")
     return (hits.groupBy("id")
                 .agg(F.count_distinct("gh").alias("n_shared")))
+
+
+def _shingle_prefix(df: DataFrame, content_col: str, id_col: str,
+                    n: int, tau: float):
+    """(sorted-hash shingle sets, prefix-exploded index) for PPJoin —
+    shared by the self-join and cross-set forms."""
+    sh = (_spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.array_sort(F.transform(
+                        word_shingles(F.col(content_col), n),
+                        lambda g: F.xxhash64(g))).alias("hv"))
+            .withColumn("n_sh", F.size("hv")))
+    prefix_len = (F.col("n_sh")
+                  - F.ceil(F.lit(tau) * F.col("n_sh")).cast("int")
+                  + F.lit(1))
+    ex = (sh.select("id", "n_sh",
+                    F.posexplode(F.slice("hv", 1, prefix_len))
+                     .alias("p", "g")))
+    return sh, ex
+
+
+def ngram_jaccard_pairs_between(left: DataFrame, right: DataFrame,
+                                content_col: str, id_col: str,
+                                n: int = 3,
+                                threshold: float = 0.6) -> DataFrame:
+    """EXACT cross-set n-gram Jaccard pairs (left_id, right_id,
+    jaccard ≥ threshold) — the INCREMENTAL dedup form: dedup a new
+    ingest batch against the standing corpus without re-self-joining
+    the corpus.
+
+    Same lossless PPJoin prefix + length + positional filters as
+    ``ngram_jaccard_pairs`` (see its docstring for the theory; the
+    R×S form indexes both sides' prefixes under the same global hash
+    order — any pair with J ≥ τ must collide on a prefix element).
+    At 100 TB the corpus-side shingle index is a one-time artifact
+    (write it bucketed by gram hash via sinks.write_bucketed) and each
+    day's batch joins against it shuffle-free; here both sides build
+    inline.  Caller guarantees the two id sets are disjoint.
+    """
+    tau = float(threshold)
+    sh_l, ex_l = _shingle_prefix(left, content_col, id_col, n, tau)
+    sh_r, ex_r = _shingle_prefix(right, content_col, id_col, n, tau)
+    a, b = ex_l.alias("a"), ex_r.alias("b")
+    n1, n2 = F.col("a.n_sh"), F.col("b.n_sh")
+    min_overlap = F.ceil(F.lit(tau / (1.0 + tau)) * (n1 + n2))
+    overlap_ub = F.least(n1 - F.col("a.p"), n2 - F.col("b.p"))
+    cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (n2 * F.lit(tau) <= n1) & (n1 * F.lit(tau) <= n2)
+                   & (overlap_ub >= min_overlap))
+             .select(F.col("a.id").alias("left_id"),
+                     F.col("b.id").alias("right_id"))
+             .distinct())
+    verified = (cand
+                .join(sh_l.select(F.col("id").alias("left_id"),
+                                  F.col("hv").alias("h1"),
+                                  F.col("n_sh").alias("n1")), "left_id")
+                .join(sh_r.select(F.col("id").alias("right_id"),
+                                  F.col("hv").alias("h2"),
+                                  F.col("n_sh").alias("n2")), "right_id"))
+    inter = F.size(F.array_intersect("h1", "h2"))
+    j = inter / (F.col("n1") + F.col("n2") - inter)
+    return (verified.withColumn("jaccard", F.round(j, 4))
+                    .filter(F.col("jaccard") >= threshold)
+                    .select("left_id", "right_id", "jaccard"))

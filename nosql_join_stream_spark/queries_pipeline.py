@@ -1023,3 +1023,44 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                .filter(F.col("quality") >= 0.7))
     run_available_now(out, name, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    corp AS (SELECT * FROM e WHERE doc_id % 10 <> 9),
+    batch AS (SELECT * FROM e WHERE doc_id % 10 = 9),
+    p AS (SELECT c.doc_id AS left_id, b.doc_id AS right_id,
+                 count(*) AS common,
+                 any_value(c.n) AS n1, any_value(b.n) AS n2
+          FROM corp c JOIN batch b ON c.g = b.g
+          GROUP BY 1, 2)
+    SELECT left_id, right_id,
+           ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+    FROM p
+    WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6
+    """,
+    doc="Incremental dedup: the day's ingest batch (doc_id%10=9) "
+        "joins against the standing corpus via the cross-set PPJoin — "
+        "prefix/length/positional filters unchanged, no corpus "
+        "self-join. At 100 TB the corpus shingle index is a standing "
+        "bucketed artifact; only the batch shuffles.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    return dedup.ngram_jaccard_pairs_between(corpus, batch, "text",
+                                             "doc_id", n=3, threshold=0.6)

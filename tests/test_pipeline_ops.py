@@ -169,3 +169,22 @@ def test_chunk_payload_geometry_and_reassembly(spark):
     for d, _, _, n in rows:
         tot[d] += n
     assert tot == {1: 100, 2: 3, 3: 64}
+
+
+def test_incremental_dedup_equals_full_selfjoin_cross_pairs(spark, engine):
+    from nosql_join_stream_spark.operators import dedup
+    docs = engine.table("documents")
+    full = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                     n=3, threshold=0.6)
+    # full emits id1 < id2; restrict to pairs straddling the split
+    cross_full = {
+        (min(r.id1, r.id2), max(r.id1, r.id2), r.jaccard)
+        for r in full.collect()
+        if (r.id1 % 2 == 0) != (r.id2 % 2 == 0)}
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    got = {(min(r.left_id, r.right_id), max(r.left_id, r.right_id), r.jaccard)
+           for r in dedup.ngram_jaccard_pairs_between(
+               corpus, batch, "text", "doc_id", n=3,
+               threshold=0.6).collect()}
+    assert got == cross_full and len(got) > 0
