@@ -115,18 +115,7 @@ def ngram_jaccard_pairs(df: DataFrame, content_col: str, id_col: str,
     generation.
     """
     tau = float(threshold)
-    sh = (_spread(df)
-            .select(F.col(id_col).alias("id"),
-                    F.array_sort(F.transform(
-                        word_shingles(F.col(content_col), n),
-                        lambda g: F.xxhash64(g))).alias("hv"))
-            .withColumn("n_sh", F.size("hv")))
-    prefix_len = (F.col("n_sh")
-                  - F.ceil(F.lit(tau) * F.col("n_sh")).cast("int")
-                  + F.lit(1))
-    ex_p = (sh.select("id", "n_sh",
-                      F.posexplode(F.slice("hv", 1, prefix_len))
-                       .alias("p", "g")))
+    sh, ex_p = _shingle_prefix(df, content_col, id_col, n, tau)
     a, b = ex_p.alias("a"), ex_p.alias("b")
     n1, n2 = F.col("a.n_sh"), F.col("b.n_sh")
     min_overlap = F.ceil(F.lit(tau / (1.0 + tau)) * (n1 + n2))

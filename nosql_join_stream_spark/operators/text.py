@@ -132,3 +132,30 @@ def pack_sequences(df, id_col: str, shard_col: str, budget: int,
         n_tok.alias("n_tokens"),
         F.floor(off / budget).alias("seq_id"),
         (off % budget).alias("offset_in_seq"))
+
+
+def novelty_ratio(df, content_col: str, id_col: str, n: int = 3):
+    """Per-document novelty: the fraction of its distinct word
+    n-grams whose FIRST occurrence (minimum id over the corpus) is
+    this document — near 1 for fresh content, near 0 for remixes of
+    earlier documents.  A curation signal complementary to pairwise
+    dedup (catches heavy borrowing below any pairwise threshold).
+
+    Two linear shuffles: min-id per gram (partial agg), then a
+    per-doc count; grams travel as 8-byte hashes, never strings.
+    """
+    from nosql_join_stream_spark.operators.dedup import _spread, word_shingles
+
+    grams = (_spread(df)
+             .select(F.col(id_col).alias("id"),
+                     F.explode(word_shingles(F.col(content_col), n))
+                      .alias("g"))
+             .select("id", F.xxhash64("g").alias("gh")))
+    first = grams.groupBy("gh").agg(F.min("id").alias("first_id"))
+    return (grams.join(first, "gh")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum((F.col("first_id") == F.col("id")).cast("long"))
+                  .alias("n_novel"))
+            .withColumn("novelty",
+                        F.round(F.col("n_novel") / F.col("n_grams"), 4)))

@@ -1064,3 +1064,36 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 9)
     return dedup.ngram_jaccard_pairs_between(corpus, batch, "text",
                                              "doc_id", n=3, threshold=0.6)
+
+
+@register(
+    "text_novelty_ratio",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id AS id, unnest(sh) AS g FROM s),
+    f AS (SELECT g, MIN(id) AS first_id FROM e GROUP BY g)
+    SELECT e.id, COUNT(*) AS n_grams,
+           SUM(CASE WHEN f.first_id = e.id THEN 1 ELSE 0 END) AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_id = e.id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS novelty
+    FROM e JOIN f USING (g)
+    GROUP BY e.id
+    """,
+    doc="Per-doc novelty: fraction of its distinct 3-grams first "
+        "introduced by this doc (min-id attribution) — catches heavy "
+        "borrowing below any pairwise-dedup threshold. Two linear "
+        "shuffles, grams as 8-byte hashes.",
+)
+def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (text.novelty_ratio(e.table("documents"), "text", "doc_id")
+            .select(F.col("id"), "n_grams", "n_novel", "novelty"))
