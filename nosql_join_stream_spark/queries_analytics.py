@@ -537,3 +537,71 @@ def schemaless_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(k).alias("n_with_k"),
                  F.sum(k).alias("sum_k"),
                  F.round(F.avg(k), 4).alias("avg_k")))
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id)
+    SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 'view>click', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 'view>click>purchase', (SELECT COUNT(*) FROM p)
+    """,
+    doc="Ordered funnel (view -> click -> purchase): each stage is "
+        "the min event time strictly after the previous stage's, per "
+        "user — three key-local aggregates + two equi-joins on "
+        "user_id, all shuffles on the same key so AQE can reuse the "
+        "exchange; counts roll up to one row per stage.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    ev = e.table("events")
+    v = (ev.filter(F.col("event_type") == "view")
+           .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.filter(F.col("event_type") == "click")
+           .join(v, "user_id")
+           .filter(F.col("ts") > F.col("t1"))
+           .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .join(c, "user_id")
+           .filter(F.col("ts") > F.col("t2"))
+           .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    def stage(df, name):
+        return df.agg(F.count("*").alias("n_users")) \
+                 .select(F.lit(name).alias("stage"), "n_users")
+    return (stage(v, "view")
+            .unionByName(stage(c, "view>click"))
+            .unionByName(stage(p, "view>click>purchase")))
+
+
+@register(
+    "agg_approx_percentiles",
+    None,  # t-digest/KLL sketch internals aren't SQL-mirrorable
+    doc="approx_percentile (accuracy 10000) per group — the 100 TB "
+        "quantile path: sketches merge map-side, no global sort, "
+        "memory O(accuracy) per group vs exact percentile's full "
+        "per-group sort. Closeness to the exact form is asserted in "
+        "tests; rows-only driver check.",
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (e.table("lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.approx_percentile(
+                    "l_extendedprice",
+                    F.lit([0.5, 0.9, 0.99]), F.lit(10000))
+                  .alias("approx_pcts")))

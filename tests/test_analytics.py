@@ -50,3 +50,22 @@ def test_set_ops_excludes_pending(spark, sf_dir, engine):
     pend = {r.o_custkey for r in engine.table("orders")
             .filter("o_orderstatus = 'P'").select("o_custkey").collect()}
     assert not (out & pend)
+
+
+def test_approx_percentiles_close_to_exact(spark, engine):
+    li = engine.table("lineitem")
+    approx = {r.l_returnflag: r.approx_pcts for r in
+              li.groupBy("l_returnflag")
+                .agg(F.approx_percentile("l_extendedprice",
+                                         F.lit([0.5, 0.9, 0.99]),
+                                         F.lit(10000)).alias("approx_pcts"))
+                .collect()}
+    exact = {r.l_returnflag: r.pcts for r in
+             li.groupBy("l_returnflag")
+               .agg(F.percentile("l_extendedprice",
+                                 F.lit([0.5, 0.9, 0.99])).alias("pcts"))
+               .collect()}
+    assert set(approx) == set(exact)
+    for flag, ap in approx.items():
+        for a, x in zip(ap, exact[flag]):
+            assert abs(a - x) <= max(abs(x) * 0.02, 1.0)
