@@ -164,3 +164,15 @@ def novelty_ratio(df, content_col: str, id_col: str, n: int = 3):
                   .alias("n_novel"))
             .withColumn("novelty",
                         F.round(F.col("n_novel") / F.col("n_grams"), 4)))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical cleaning pass before dedup/fingerprinting: lowercase,
+    punctuation → space, whitespace collapsed, trimmed.  Pure JVM
+    regexp chain at scan speed; engine-portable (same regexes run in
+    the oracle).  Near-dup measures over normalized text stop counting
+    case/punct variants as distinct content."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, r"[.,;:!?\"'()\[\]{}]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

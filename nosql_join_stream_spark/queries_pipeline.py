@@ -1097,3 +1097,33 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     return (text.novelty_ratio(e.table("documents"), "text", "doc_id")
             .select(F.col("id"), "n_grams", "n_novel", "novelty"))
+
+
+@register(
+    "text_normalize",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[.,;:!?"''()\[\]{}]', ' ', 'g'),
+                    '\s+', ' ', 'g')) AS norm
+      FROM documents)
+    SELECT doc_id,
+           length(norm) AS norm_chars,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(norm, ''), x -> ascii(x)::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS norm_fp
+    FROM n
+    """,
+    doc="Canonical text normalization (lowercase, punct -> space, "
+        "whitespace collapse) + rolling-hash fingerprint of the "
+        "normalized form — the pre-dedup cleaning pass; all JVM regexp "
+        "chain at scan speed.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    norm = text.normalize_text(F.col("text"))
+    return e.table("documents").select(
+        "doc_id",
+        F.length(norm).alias("norm_chars"),
+        text.fingerprint(norm).alias("norm_fp"))
