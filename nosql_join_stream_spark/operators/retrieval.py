@@ -120,3 +120,52 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return (scored.groupBy(id_col)
                   .agg(F.count("*").alias("n_tokens"),
                        F.round(F.avg("lp"), 4).alias("mean_logprob")))
+
+
+def hybrid_rrf_topk(docs: DataFrame, emb: DataFrame, text_col: str,
+                    id_col: str, query_terms: list[str],
+                    query_vec: list[float], k: int = 10,
+                    rrf_k: int = 60) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion:
+    rrf(d) = 1/(rrf_k + rank_bm25(d)) + 1/(rrf_k + rank_cosine(d)),
+    missing-from-one-ranking contributes 0 for that component.
+
+    The modern RAG/corpus-search pattern; both rankings are full
+    declarative plans (BM25 per-term stats + one 64-dim cosine as a
+    JVM zip_with/aggregate against a literal query vector — no Python,
+    no shuffle on the embedding side beyond the final rank window).
+    Ranks are total orders (rounded score desc, id) so fusion is
+    engine-portable.  Returns (id, rrf, bm25_rank, cos_rank) top-k.
+    """
+    from pyspark.sql import Window
+
+    bm = bm25_topk(docs, text_col, id_col, query_terms,
+                   k=1 << 30)  # full ranking
+    wb = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    bm = bm.select(id_col, F.row_number().over(wb).alias("bm25_rank"))
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(F.zip_with(F.col("embedding"), qv,
+                                 lambda a, b: a.cast("double") * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"),
+                    lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    sim = F.round(dot / (nrm * F.lit(qn)), 6)
+    wc = Window.orderBy(F.col("sim").desc(), F.col(id_col))
+    cos = (emb.select(F.col("vec_id").alias(id_col), sim.alias("sim"))
+              .select(id_col, F.row_number().over(wc).alias("cos_rank")))
+
+    fused = (bm.join(cos, id_col, "full_outer")
+               .withColumn(
+                   "rrf",
+                   F.round(
+                       F.coalesce(1.0 / (rrf_k + F.col("bm25_rank")),
+                                  F.lit(0.0))
+                       + F.coalesce(1.0 / (rrf_k + F.col("cos_rank")),
+                                    F.lit(0.0)), 6)))
+    return (fused.orderBy(F.col("rrf").desc(), F.col(id_col))
+                 .select(id_col, "rrf", "bm25_rank", "cos_rank")
+                 .limit(k))

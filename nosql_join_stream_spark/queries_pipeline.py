@@ -1127,3 +1127,64 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(norm).alias("norm_chars"),
         text.fingerprint(norm).alias("norm_fp"))
+
+
+@register(
+    "hybrid_search_rrf",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(trim(lower(text)), ' ')) AS tok
+      FROM documents),
+    tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tt GROUP BY doc_id),
+    corpus AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tt
+           WHERE tok IN ('hash', 'spark', 'window') GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    w AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (c.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)) AS w
+      FROM tf JOIN dfreq USING (tok)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN corpus c),
+    bs AS (SELECT doc_id, ROUND(SUM(w), 4) AS bm25 FROM w GROUP BY doc_id),
+    br AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS bm25_rank
+           FROM bs),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cs AS (SELECT e.vec_id AS doc_id,
+                  ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                               q.embedding::DOUBLE[]), 6)
+                    AS sim
+           FROM embeddings e CROSS JOIN q),
+    cr AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+                    AS cos_rank
+           FROM cs)
+    SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + br.bm25_rank), 0)
+                 + COALESCE(1.0 / (60 + cr.cos_rank), 0), 6) AS rrf,
+           br.bm25_rank, cr.cos_rank
+    FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+    ORDER BY rrf DESC, COALESCE(br.doc_id, cr.doc_id) LIMIT 10
+    """,
+    doc="Hybrid lexical+semantic retrieval: reciprocal-rank fusion of "
+        "the full BM25 ranking and the embedding-cosine ranking "
+        "against a fixed query (terms + vec_id 0's vector). Both "
+        "rankings are declarative plans; fusion is one outer join. "
+        "The modern RAG search pattern, engine-portable ranks.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import retrieval
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0)
+               .select("embedding").head()[0]]
+    return retrieval.hybrid_rrf_topk(
+        e.table("documents"), emb, "text", "doc_id",
+        ["hash", "spark", "window"], qvec, k=10)
