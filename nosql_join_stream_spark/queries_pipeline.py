@@ -1188,3 +1188,35 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.hybrid_rrf_topk(
         e.table("documents"), emb, "text", "doc_id",
         ["hash", "spark", "window"], qvec, k=10)
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    WITH e AS (
+      SELECT label, unnest(embedding::DOUBLE[]) AS x,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings),
+    c AS (SELECT label, pos, AVG(x) AS m FROM e GROUP BY label, pos)
+    SELECT label,
+           CAST(COUNT(*) AS INTEGER) AS dim,
+           list(ROUND(m, 6) ORDER BY pos) AS centroid
+    FROM c GROUP BY label
+    """,
+    doc="Per-label mean embedding (class centroids for semantic "
+        "curation / nearest-class filtering): posexplode -> one "
+        "(label, dim) shuffle with partial aggregation -> re-assemble "
+        "ordered arrays. At 100 TB the shuffle carries (label, pos, "
+        "partial sum) — never whole vectors.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    ex = (e.table("embeddings")
+           .select("label", F.posexplode("embedding").alias("pos", "x")))
+    c = (ex.groupBy("label", "pos")
+           .agg(F.avg(F.col("x").cast("double")).alias("m")))
+    return (c.groupBy("label")
+             .agg(F.count("*").cast("int").alias("dim"),
+                  F.transform(
+                      F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                      lambda s: F.round(s["m"], 6)).alias("centroid")))
