@@ -1220,3 +1220,60 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.transform(
                       F.array_sort(F.collect_list(F.struct("pos", "m"))),
                       lambda s: F.round(s["m"], 6)).alias("centroid")))
+
+
+@register(
+    "stream_decontaminate",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    bench AS (SELECT DISTINCT unnest(sh) AS g FROM s
+              WHERE doc_id % 25 = 0),
+    train AS (SELECT doc_id, unnest(sh) AS g FROM s
+              WHERE doc_id % 25 <> 0)
+    SELECT t.doc_id AS id, COUNT(DISTINCT t.g) AS n_shared
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+    doc="Streaming decontamination at ingest: incoming docs explode "
+        "to grams in-stream and semi-join the STATIC broadcast "
+        "benchmark gram set (stream-static join); per-doc distinct "
+        "counts aggregate in complete mode and the drained result "
+        "equals batch decontaminate (same oracle). Leakage is flagged "
+        "the moment a doc arrives, not in a nightly sweep.",
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.streaming.log_stream import (
+        DOCUMENTS_SCHEMA, read_table_stream, run_available_now)
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    _STREAM_SEQ[0] += 1
+    name = f"stream_decon_{_STREAM_SEQ[0]}"
+    e = _engine(spark, sf_dir)
+    bench_grams = (e.table("documents")
+                   .filter(F.col("doc_id") % 25 == 0)
+                   .select(F.explode(dedup.word_shingles(F.col("text"), 3))
+                            .alias("g"))
+                   .select(F.xxhash64("g").alias("gh")).distinct())
+    docs = (read_table_stream(spark, table_path(sf_dir, "documents"),
+                              DOCUMENTS_SCHEMA)
+            .filter(F.col("doc_id") % 25 != 0))
+    grams = (docs.select(F.col("doc_id").alias("id"),
+                         F.explode(dedup.word_shingles(F.col("text"), 3))
+                          .alias("g"))
+                 .select("id", F.xxhash64("g").alias("gh")))
+    hits = grams.join(F.broadcast(bench_grams), "gh")
+    # (id, gh) is already unique: word_shingles emits DISTINCT grams
+    # per doc and bench_grams is deduped, so a plain count equals the
+    # distinct count (streaming forbids distinct aggregates)
+    agg = hits.groupBy("id").agg(F.count("*").alias("n_shared"))
+    run_available_now(agg, name, output_mode="complete")
+    return spark.table(name)
