@@ -1277,3 +1277,42 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = hits.groupBy("id").agg(F.count("*").alias("n_shared"))
     run_available_now(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@register(
+    "text_repetition_ratio",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM t WHERE len(toks) >= 2),
+    c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+    SELECT doc_id, MAX(c) AS max_bigram, SUM(c) AS n_bigrams,
+           ROUND(MAX(c) * 1.0 / SUM(c), 4) AS repetition
+    FROM c GROUP BY doc_id
+    """,
+    doc="Intra-doc repetition (Gopher-style): most-frequent bigram's "
+        "share of all bigram occurrences — near 1 flags looping "
+        "boilerplate/SEO spam that pairwise dedup can't see. Bigrams "
+        "WITH repeats (unlike the dedup shingles); one (doc, gram) "
+        "shuffle with partial agg, then a per-doc rollup.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), " ")
+    cnt = F.size(toks) - 1
+    bigrams = F.zip_with(F.slice(toks, 1, cnt),
+                         F.slice(toks, 2, cnt),
+                         lambda x, y: F.concat_ws(" ", x, y))
+    grams = (dedup._spread(e.table("documents"))
+             .filter(F.size(toks) >= 2)
+             .select("doc_id", F.explode(bigrams).alias("g")))
+    c = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return (c.groupBy("doc_id")
+             .agg(F.max("c").alias("max_bigram"),
+                  F.sum("c").alias("n_bigrams"),
+                  F.round(F.max("c") / F.sum("c"), 4).alias("repetition")))
