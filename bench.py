@@ -47,6 +47,19 @@ def main():
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    groups: dict[str, float] = {}
+    for name, t in timings.items():
+        fam = ("stream" if name.startswith("stream_") else
+               "dedup" if name.startswith(("dedup_", "pipeline_")) else
+               "text" if name.startswith(("text_", "token_", "corpus_",
+                                          "doc_", "quality_", "sample_",
+                                          "decontaminate_",
+                                          "contamination_")) else
+               "embedding" if name.startswith(("ann_", "embedding_",
+                                               "cluster_", "hybrid_")) else
+               "multimodal" if name.startswith("multimodal_") else
+               "relational")
+        groups[fam] = round(groups.get(fam, 0.0) + t, 4)
     out = {
         "metric": "registry_total_wall",
         "value": round(sum(timings.values()), 4),
@@ -54,6 +67,8 @@ def main():
         "queries": timings,
         "sf": sf,
         "cold_total": round(cold_total, 4),
+        "groups": groups,
+        "n_queries": len(timings),
     }
     print(json.dumps(out))
 
