@@ -69,3 +69,12 @@ def test_approx_percentiles_close_to_exact(spark, engine):
     for flag, ap in approx.items():
         for a, x in zip(ap, exact[flag]):
             assert abs(a - x) <= max(abs(x) * 0.02, 1.0)
+
+
+def test_funnel_stages_monotone_nonincreasing(spark, sf_dir):
+    from nosql_join_stream_spark.queries import REGISTRY
+    rows = {r.stage: r.n_users for r in
+            REGISTRY["funnel_view_click_purchase"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"view", "view>click", "view>click>purchase"}
+    assert rows["view"] >= rows["view>click"] >= rows["view>click>purchase"]
+    assert rows["view"] > 0

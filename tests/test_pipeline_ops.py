@@ -188,3 +188,17 @@ def test_incremental_dedup_equals_full_selfjoin_cross_pairs(spark, engine):
                corpus, batch, "text", "doc_id", n=3,
                threshold=0.6).collect()}
     assert got == cross_full and len(got) > 0
+
+
+def test_normalize_text_idempotent_and_canonical(spark):
+    from nosql_join_stream_spark.operators.text import normalize_text
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD! (it's here)  "), (2, "a.b;c")],
+        "id long, text string")
+    once = normalize_text(F.col("text"))
+    out = df.select(once.alias("n1"), normalize_text(once).alias("n2")).collect()
+    for r in out:
+        assert r.n1 == r.n2  # idempotent
+    vals = {r.n1 for r in out}
+    assert "hello world it s here" in vals
+    assert "a b c" in vals
