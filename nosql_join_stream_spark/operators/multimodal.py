@@ -191,3 +191,29 @@ def chunk_payload(media: DataFrame, chunk_bytes: int = 64) -> DataFrame:
         (F.col("chunk_id") * cs).alias("byte_off"),
         F.octet_length(chunk).alias("chunk_len"),
         F.sha2(chunk, 256).alias("chunk_sha"))
+
+
+def patch_grid(media: DataFrame, patch: int = 32) -> DataFrame:
+    """ViT-style patch tiling geometry from image metadata: one row
+    per (doc, patch) with pixel rectangle (x0, y0, pw, ph), edge
+    patches clipped.  Pure integer arithmetic + explode(sequence) —
+    row-local, scan-speed; the downstream per-patch decode/embed UDF
+    consumes these coordinates plus the payload.
+
+    Returns (doc_id, patch_id, x0, y0, pw, ph).
+    """
+    p = int(patch)
+    nx = F.ceil(F.col("width") / F.lit(float(p))).cast("long")
+    ny = F.ceil(F.col("height") / F.lit(float(p))).cast("long")
+    n = (nx * ny).cast("long")
+    g = media.select(
+        "doc_id", "width", "height", nx.alias("nx"),
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             (n - 1).cast("long"))).alias("patch_id"))
+    x0 = (F.col("patch_id") % F.col("nx")) * p
+    y0 = F.floor(F.col("patch_id") / F.col("nx")) * p
+    return g.select(
+        "doc_id", "patch_id",
+        x0.alias("x0"), y0.alias("y0"),
+        F.least(F.lit(p).cast("long"), F.col("width") - x0).alias("pw"),
+        F.least(F.lit(p).cast("long"), F.col("height") - y0).alias("ph"))

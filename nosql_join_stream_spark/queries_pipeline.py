@@ -1316,3 +1316,36 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.max("c").alias("max_bigram"),
                   F.sum("c").alias("n_bigrams"),
                   F.round(F.max("c") / F.sum("c"), 4).alias("repetition")))
+
+
+@register(
+    "multimodal_patch_grid",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             (length(text) % 640 + 16)::BIGINT AS width,
+             (length(text) % 480 + 16)::BIGINT AS height
+      FROM documents),
+    g AS (
+      SELECT doc_id, width, height,
+             CAST(ceil(width / 32.0) AS BIGINT) AS nx,
+             unnest(range(0, CAST(ceil(width / 32.0) AS BIGINT)
+                             * CAST(ceil(height / 32.0) AS BIGINT)))
+               AS patch_id
+      FROM m)
+    SELECT doc_id, patch_id,
+           (patch_id % nx) * 32 AS x0,
+           (patch_id // nx) * 32 AS y0,
+           LEAST(32, width - (patch_id % nx) * 32) AS pw,
+           LEAST(32, height - (patch_id // nx) * 32) AS ph
+    FROM g
+    """,
+    doc="ViT-style 32px patch tiling from image metadata: one row per "
+        "patch with its clipped pixel rectangle; integer arithmetic + "
+        "explode(sequence), row-local at scan speed — the coordinate "
+        "feed for a per-patch decode/embed UDF.",
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    media = multimodal.synthesize_media(e.table("documents"))
+    return multimodal.patch_grid(media, patch=32)

@@ -202,3 +202,21 @@ def test_normalize_text_idempotent_and_canonical(spark):
     vals = {r.n1 for r in out}
     assert "hello world it s here" in vals
     assert "a b c" in vals
+
+
+def test_patch_grid_tiles_image_exactly(spark):
+    from nosql_join_stream_spark.operators import multimodal as mm
+    df = spark.createDataFrame(
+        [(1, "x" * 50), (2, "y" * 100), (3, "z" * 17)],
+        "doc_id long, text string")
+    media = mm.synthesize_media(df)
+    dims = {r.doc_id: (r.width, r.height) for r in media.collect()}
+    got = (mm.patch_grid(media, patch=32)
+           .groupBy("doc_id")
+           .agg(F.sum(F.col("pw") * F.col("ph")).alias("area"),
+                F.min("pw").alias("minw"), F.max("pw").alias("maxw"))
+           .collect())
+    for r in got:
+        w, h = dims[r.doc_id]
+        assert r.area == w * h  # patches tile exactly, no overlap/gap
+        assert 1 <= r.minw <= r.maxw <= 32
