@@ -605,3 +605,40 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "l_extendedprice",
                     F.lit([0.5, 0.9, 0.99]), F.lit(10000))
                   .alias("approx_pcts")))
+
+
+@register(
+    "events_interarrival_stats",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           ROUND(AVG(gap_us) / 1e6, 4) AS avg_gap_s,
+           ROUND(MIN(gap_us) / 1e6, 4) AS min_gap_s,
+           ROUND(MAX(gap_us) / 1e6, 4) AS max_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Per-user inter-arrival stats (avg/min/max gap): the event-"
+        "sequence feature pass behind session models and burstiness "
+        "filters. One shuffle on user_id serves BOTH the lag window "
+        "and the aggregate (exchange reuse); micros stay integer until "
+        "the final rounding.",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (e.table("events")
+            .select("user_id",
+                    (F.unix_micros("ts")
+                     - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"))
+            .filter(F.col("gap_us").isNotNull()))
+    return (gaps.groupBy("user_id")
+            .agg(F.count("*").alias("n_gaps"),
+                 F.round(F.avg("gap_us") / 1e6, 4).alias("avg_gap_s"),
+                 F.round(F.min("gap_us") / 1e6, 4).alias("min_gap_s"),
+                 F.round(F.max("gap_us") / 1e6, 4).alias("max_gap_s")))
