@@ -128,3 +128,39 @@ def test_stratified_sample_huge_ids_no_overflow(spark):
                   sampling.stratified_sample(df, "doc_id", "lang",
                                              {"en": 500}).collect())
     assert out1 == out2  # deterministic, no exception
+
+
+def test_hybrid_rrf_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "spark spark spark"),   # lexical winner
+         (1, "spark hash"),
+         (2, "sort merge")],         # no query terms
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>")
+    out = retrieval.hybrid_rrf_topk(docs, emb, "text", "doc_id",
+                                    ["spark"], [1.0, 0.0], k=3)
+    rows = {r.doc_id: r for r in out.collect()}
+    # cosine ranks: doc1 sim=1 -> 1, doc2 -> 2, doc0 sim=0 -> 3
+    # bm25 ranks: doc0 -> 1, doc1 -> 2; doc2 unranked
+    assert rows[1].bm25_rank == 2 and rows[1].cos_rank == 1
+    assert rows[0].bm25_rank == 1 and rows[0].cos_rank == 3
+    assert rows[2].bm25_rank is None and rows[2].cos_rank == 2
+    # doc1 (strong in both) fuses highest
+    assert rows[1].rrf > rows[0].rrf > rows[2].rrf
+    exp = round(1 / 62 + 1 / 61, 6)
+    assert abs(rows[1].rrf - exp) < 1e-9
+
+
+def test_label_centroids_match_numpy(spark, engine):
+    import numpy as np
+    emb = engine.table("embeddings")
+    pdf = emb.toPandas()
+    from nosql_join_stream_spark.queries import REGISTRY
+    got = {r.label: r.centroid for r in
+           REGISTRY["embedding_label_centroids"].fn(
+               spark, "/root/testdata/sf0.001").collect()}
+    for label, grp in pdf.groupby("label"):
+        exp = np.stack(grp["embedding"].to_list()).astype("float64").mean(axis=0)
+        assert np.allclose(np.array(got[label]), np.round(exp, 6), atol=1e-6)

@@ -81,6 +81,17 @@ def main() -> None:
         # construction, so its timing would reflect a quadratic OUTPUT,
         # not the operator
 
+        if "incr" in OPS:
+            # batch fixed (copy-0 slice), corpus grows with factor —
+            # the daily-ingest shape; wall should stay near-flat
+            batch = dd.filter((F.col("doc_id") % 10 == 9)
+                              & (F.col("doc_id") < 10_000_000))
+            corpus = dd.join(batch.select("doc_id"), "doc_id", "left_anti")
+            t0 = time.perf_counter()
+            results["incr_pairs"] = dedup.ngram_jaccard_pairs_between(
+                corpus, batch, "text", "doc_id").count()
+            results["incr_s"] = round(time.perf_counter() - t0, 2)
+
         if "cluster" in OPS:
             t0 = time.perf_counter()
             results["cluster_rows"] = similarity.cluster_assign(
