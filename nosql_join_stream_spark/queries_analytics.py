@@ -642,3 +642,68 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("gap_us") / 1e6, 4).alias("avg_gap_s"),
                  F.round(F.min("gap_us") / 1e6, 4).alias("min_gap_s"),
                  F.round(F.max("gap_us") / 1e6, 4).alias("max_gap_s")))
+
+
+@register(
+    "latest_event_per_user",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+    doc="CDC-style compaction: latest record per key by event time "
+        "(deterministic event_id tiebreak) — the upsert-view pattern "
+        "over an append-only log. One shuffle on the key; at 100 TB "
+        "write the log bucketed by user_id and the window needs no "
+        "exchange at all.",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    return (e.table("events")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_type"),
+                    F.col("value").alias("last_value")))
+
+
+@register(
+    "integrity_orphan_check",
+    """
+    SELECT 'lineitem_orphans' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
+    UNION ALL
+    SELECT 'order_custkey_orphans',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    """,
+    doc="Referential-integrity audit before joins are trusted: "
+        "left-anti probes (FK without parent) per relationship. "
+        "Anti-joins broadcast the key side when small; a nonzero "
+        "count is the signal to quarantine an ingest batch.",
+)
+def integrity_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    li_bad = (e.table("lineitem")
+              .join(e.table("orders"),
+                    F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+              .agg(F.count("*").alias("n_bad"))
+              .select(F.lit("lineitem_orphans").alias("check_name"), "n_bad"))
+    o_bad = (e.table("orders")
+             .join(e.table("customer"),
+                   F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+             .agg(F.count("*").alias("n_bad"))
+             .select(F.lit("order_custkey_orphans").alias("check_name"),
+                     "n_bad"))
+    return li_bad.unionByName(o_bad)
