@@ -707,3 +707,56 @@ def integrity_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit("order_custkey_orphans").alias("check_name"),
                      "n_bad"))
     return li_bad.unionByName(o_bad)
+
+
+@register(
+    "window_rank_distributions",
+    """
+    SELECT o_orderkey, o_totalprice,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Rank-distribution window surface (percent_rank / cume_dist / "
+        "ntile) partitioned by status — per-partition parallel, "
+        "deterministic total order via the key tiebreak.",
+)
+def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    w = (Window.partitionBy("o_orderstatus")
+               .orderBy("o_totalprice", "o_orderkey"))
+    return (e.table("orders")
+            .select("o_orderkey", "o_totalprice",
+                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cume"),
+                    F.ntile(4).over(w).alias("quartile")))
+
+
+@register(
+    "unpivot_order_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+    doc="Unpivot (wide -> long): lineitem metrics melt to (key, "
+        "metric, value) rows — the layout metric stores and feature "
+        "pipelines ingest; Spark's native unpivot is a zero-shuffle "
+        "row-local expansion (the SQL UNION mirror rescans; the "
+        "DataFrame form does not).",
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (e.table("lineitem")
+            .unpivot(["l_orderkey", "l_linenumber"],
+                     ["l_quantity", "l_extendedprice", "l_discount"],
+                     "metric", "value")
+            .withColumn("metric",
+                        F.regexp_replace("metric", "^l_", "")))
