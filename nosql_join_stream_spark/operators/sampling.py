@@ -40,6 +40,11 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     """Keep each row iff hash_bucket(id) < rate(stratum); attach
     ``weight`` = 1000/rate so downstream aggregates stay unbiased
     (Horvitz-Thompson).  Rates are per-mille (0..1000)."""
+    for name, r in [("default", default_per_mille), *rates_per_mille.items()]:
+        if not 0 <= r <= BUCKETS:
+            raise ValueError(
+                f"rate for {name!r} must be in [0, {BUCKETS}] per-mille, "
+                f"got {r}")
     rate = F.lit(float(default_per_mille))
     for value, r in sorted(rates_per_mille.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(float(r))) \

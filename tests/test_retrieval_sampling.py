@@ -164,3 +164,13 @@ def test_label_centroids_match_numpy(spark, engine):
     for label, grp in pdf.groupby("label"):
         exp = np.stack(grp["embedding"].to_list()).astype("float64").mean(axis=0)
         assert np.allclose(np.array(got[label]), np.round(exp, 6), atol=1e-6)
+
+
+def test_stratified_sample_rejects_bad_rates(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="per-mille"):
+        sampling.stratified_sample(df, "doc_id", "lang", {"en": 1500})
+    with _pytest.raises(ValueError, match="per-mille"):
+        sampling.stratified_sample(df, "doc_id", "lang", {},
+                                   default_per_mille=-1)
