@@ -179,6 +179,8 @@ def chunk_payload(media: DataFrame, chunk_bytes: int = 64) -> DataFrame:
     Returns (doc_id, chunk_id, byte_off, chunk_len, chunk_sha).
     """
     cs = int(chunk_bytes)
+    if cs < 1:
+        raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
     n_chunks = F.ceil(F.octet_length("payload") / F.lit(float(cs)))
     chunked = media.select(
         "doc_id", "payload",

@@ -75,6 +75,8 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str,
     per-term tf saturation with document-length normalization
     (k1, b). Scores rounded to 4 dp; total order (score desc, id).
     """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
     toks = _tokens(df, text_col, id_col)
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     corpus = (dl.agg(F.avg("dl").alias("avgdl"),

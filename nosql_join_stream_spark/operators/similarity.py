@@ -292,6 +292,8 @@ def cluster_assign(df: DataFrame, k: int = 8, id_col: str = "vec_id",
     import numpy as np
     import pandas as pd
 
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     spark = df.sparkSession
     cents = (df.select(F.col(id_col).alias("cid"), F.col(vec).alias("cv"))
                .orderBy("cid").limit(k).toPandas())

@@ -122,6 +122,8 @@ def pack_sequences(df, id_col: str, shard_col: str, budget: int,
     """
     from pyspark.sql import Window
 
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
     n_tok = token_count(F.col(text_col))
     w = (Window.partitionBy(shard_col).orderBy(id_col)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -220,3 +220,22 @@ def test_patch_grid_tiles_image_exactly(spark):
         w, h = dims[r.doc_id]
         assert r.area == w * h  # patches tile exactly, no overlap/gap
         assert 1 <= r.minw <= r.maxw <= 32
+
+
+def test_operator_param_validation_fails_fast(spark):
+    import pytest as _pytest
+    from nosql_join_stream_spark.operators import (multimodal as mm,
+                                                   retrieval, similarity,
+                                                   text as text_ops)
+    df = spark.createDataFrame([(1, "s", "a b")],
+                               "doc_id long, source string, text string")
+    with _pytest.raises(ValueError, match="query_terms"):
+        retrieval.bm25_topk(df, "text", "doc_id", [])
+    with _pytest.raises(ValueError, match="budget"):
+        text_ops.pack_sequences(df, "doc_id", "source", budget=0)
+    with _pytest.raises(ValueError, match="chunk_bytes"):
+        mm.chunk_payload(mm.synthesize_media(df), chunk_bytes=0)
+    emb = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="k must be"):
+        similarity.cluster_assign(emb, k=0)
