@@ -110,6 +110,13 @@ def main() -> None:
                 dd, bench, "text", "doc_id").count()
             results["decon_s"] = round(time.perf_counter() - t0, 2)
 
+        if "novelty" in OPS:
+            from nosql_join_stream_spark.operators import text as text_ops
+            t0 = time.perf_counter()
+            results["novelty_rows"] = text_ops.novelty_ratio(
+                dd, "text", "doc_id").count()
+            results["novelty_s"] = round(time.perf_counter() - t0, 2)
+
         if "tfidf" in OPS:
             from nosql_join_stream_spark.operators import retrieval
             t0 = time.perf_counter()
