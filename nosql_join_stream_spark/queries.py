@@ -520,8 +520,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events)
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
     FROM gaps GROUP BY user_id
     """,
     doc="Custom stateful streaming operator (applyInPandasWithState): "

@@ -369,7 +369,8 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
     FROM gaps GROUP BY user_id
     """,
     doc="Sessionization (30-min inactivity gap): lag + cumulative flag — "
@@ -514,7 +515,8 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
              AS n_with_k,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
              AS avg_k
     FROM events
@@ -595,7 +597,9 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quantile path: sketches merge map-side, no global sort, "
         "memory O(accuracy) per group vs exact percentile's full "
         "per-group sort. Closeness to the exact form is asserted in "
-        "tests; rows-only driver check.",
+        "tests; rows-only driver check. Emits scalar p50/p90/p99 (one "
+        "shared sketch + element_at) — array-typed outputs break the "
+        "driver's pandas canonicalizer.",
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
@@ -604,7 +608,11 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.approx_percentile(
                     "l_extendedprice",
                     F.lit([0.5, 0.9, 0.99]), F.lit(10000))
-                  .alias("approx_pcts")))
+                  .alias("p"))
+            .select("l_returnflag",
+                    F.element_at("p", 1).alias("p50"),
+                    F.element_at("p", 2).alias("p90"),
+                    F.element_at("p", 3).alias("p99")))
 
 
 @register(

@@ -629,17 +629,21 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM s)
     SELECT e.vec_id,
            ROUND(sc.scale, 8) AS scale,
-           list_transform(e.embedding::DOUBLE[],
-                          x -> CAST(ROUND(x / sc.scale) AS INT)) AS q_embedding
+           to_json(list_transform(e.embedding::DOUBLE[],
+                   x -> CAST(ROUND(x / sc.scale) AS INT))) AS q_json
     FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id
     """,
     doc="Symmetric int8 embedding quantization (scale = max|x|/127): "
         "4x storage/shuffle reduction for recall screening; pure JVM "
-        "array expressions at scan speed.",
+        "array expressions at scan speed. q_embedding serialized via "
+        "to_json at the registry boundary — the driver's canonicalizer "
+        "can't hash array cells.",
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
-    return similarity.quantize_embeddings(e.table("embeddings"))
+    return (similarity.quantize_embeddings(e.table("embeddings"))
+            .select("vec_id", "scale",
+                    F.to_json("q_embedding").alias("q_json")))
 
 
 # ---------------------------------------------------------------------------
