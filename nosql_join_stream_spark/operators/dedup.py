@@ -424,6 +424,12 @@ def ngram_jaccard_pairs_between(left: DataFrame, right: DataFrame,
     # Pass broadcast_right=False when the right side is NOT small.
     if broadcast_right:
         ex_r, sh_r = F.broadcast(ex_r), F.broadcast(sh_r)
+    return _ppjoin_between(sh_l, ex_l, sh_r, ex_r, tau)
+
+
+def _ppjoin_between(sh_l, ex_l, sh_r, ex_r, tau: float) -> DataFrame:
+    """Cross-set PPJoin core on prebuilt (shingle-set, prefix-index)
+    pairs — shared by the inline and bucketed-standing-index forms."""
     a, b = ex_l.alias("a"), ex_r.alias("b")
     n1, n2 = F.col("a.n_sh"), F.col("b.n_sh")
     min_overlap = F.ceil(F.lit(tau / (1.0 + tau)) * (n1 + n2))
@@ -444,5 +450,56 @@ def ngram_jaccard_pairs_between(left: DataFrame, right: DataFrame,
     inter = F.size(F.array_intersect("h1", "h2"))
     j = inter / (F.col("n1") + F.col("n2") - inter)
     return (verified.withColumn("jaccard", F.round(j, 4))
-                    .filter(F.col("jaccard") >= threshold)
+                    .filter(F.col("jaccard") >= tau)
                     .select("left_id", "right_id", "jaccard"))
+
+
+def ngram_jaccard_pairs_between_bucketed(
+        corpus: DataFrame, batch: DataFrame, content_col: str, id_col: str,
+        n: int = 3, threshold: float = 0.6,
+        db: str = "nsjs_index", location: str | None = None,
+        num_buckets: int = 16, rebuild: bool = True) -> DataFrame:
+    """Incremental dedup against a STANDING bucketed corpus index —
+    the 100 TB production form of ``ngram_jaccard_pairs_between``
+    (and the bulk answer to the reference's per-key index lookups,
+    storage.scala:390-391).
+
+    One-time (``rebuild=True`` here for a self-contained demo): the
+    corpus prefix index is written as a managed table bucketed+sorted
+    by gram hash ``g``, and the corpus shingle-set table bucketed by
+    ``id`` (sinks.write_bucketed).  Per batch: the batch builds its
+    own prefix index inline and sort-merge-joins the bucketed corpus
+    index on ``g`` — the corpus side reads its co-located buckets IN
+    PLACE (zero Exchange; only the day's batch shuffles), regardless
+    of batch size, which is exactly when the broadcast hint of the
+    inline form stops being an option.  Candidate verification joins
+    the set tables the same way.  Results are identical to the inline
+    form (same lossless PPJoin filters).
+    """
+    import os
+    import shutil
+
+    spark = corpus.sparkSession
+    tau = float(threshold)
+    if location is None:
+        location = os.path.abspath(".nsjs_index_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{location}'")
+    if rebuild:
+        from nosql_join_stream_spark.sinks import write_bucketed
+        # a fresh session's in-memory catalog doesn't know tables a
+        # previous session left at this location — drop AND clear the
+        # stale dirs or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        for t in ("corpus_prefix", "corpus_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+            p = location.removeprefix("file:")
+            if os.path.isdir(os.path.join(p, t)):
+                shutil.rmtree(os.path.join(p, t), ignore_errors=True)
+        sh_c, ex_c = _shingle_prefix(corpus, content_col, id_col, n, tau)
+        write_bucketed(ex_c, f"{db}.corpus_prefix", ["g"],
+                       num_buckets=num_buckets, sort_by=["g"])
+        write_bucketed(sh_c, f"{db}.corpus_sets", ["id"],
+                       num_buckets=num_buckets, sort_by=["id"])
+    ex_l = spark.table(f"{db}.corpus_prefix")
+    sh_l = spark.table(f"{db}.corpus_sets")
+    sh_r, ex_r = _shingle_prefix(batch, content_col, id_col, n, tau)
+    return _ppjoin_between(sh_l, ex_l, sh_r, ex_r, tau)

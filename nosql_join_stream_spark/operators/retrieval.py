@@ -127,22 +127,27 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def hybrid_rrf_topk(docs: DataFrame, emb: DataFrame, text_col: str,
                     id_col: str, query_terms: list[str],
                     query_vec: list[float], k: int = 10,
-                    rrf_k: int = 60) -> DataFrame:
+                    rrf_k: int = 60, head_n: int = 1000) -> DataFrame:
     """Hybrid lexical+semantic retrieval via reciprocal-rank fusion:
     rrf(d) = 1/(rrf_k + rank_bm25(d)) + 1/(rrf_k + rank_cosine(d)),
-    missing-from-one-ranking contributes 0 for that component.
+    missing-from-one-ranking-head contributes 0 for that component.
 
-    The modern RAG/corpus-search pattern; both rankings are full
-    declarative plans (BM25 per-term stats + one 64-dim cosine as a
-    JVM zip_with/aggregate against a literal query vector — no Python,
-    no shuffle on the embedding side beyond the final rank window).
-    Ranks are total orders (rounded score desc, id) so fusion is
-    engine-portable.  Returns (id, rrf, bm25_rank, cos_rank) top-k.
+    The modern RAG/corpus-search pattern.  Each ranking is truncated
+    to its top ``head_n`` BEFORE rank assignment — the standard RRF
+    formulation (fuse each retriever's head), and the scale shape that
+    matters: ``orderBy().limit(head_n)`` compiles to
+    TakeOrderedAndProject (per-partition top-N, merged on one small
+    node), so no full-corpus ranking ever funnels through a single
+    task; the rank windows then run over ≤ head_n rows.  Ranks are
+    total orders (rounded score desc, id) so fusion is engine-
+    portable.  Returns (id, rrf, bm25_rank, cos_rank) top-k.
     """
     from pyspark.sql import Window
 
+    if head_n < k:
+        raise ValueError(f"head_n ({head_n}) must be >= k ({k})")
     bm = bm25_topk(docs, text_col, id_col, query_terms,
-                   k=1 << 30)  # full ranking
+                   k=head_n)  # ranking head via TakeOrderedAndProject
     wb = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
     bm = bm.select(id_col, F.row_number().over(wb).alias("bm25_rank"))
 
@@ -158,6 +163,7 @@ def hybrid_rrf_topk(docs: DataFrame, emb: DataFrame, text_col: str,
     sim = F.round(dot / (nrm * F.lit(qn)), 6)
     wc = Window.orderBy(F.col("sim").desc(), F.col(id_col))
     cos = (emb.select(F.col("vec_id").alias(id_col), sim.alias("sim"))
+              .orderBy(F.col("sim").desc(), F.col(id_col)).limit(head_n)
               .select(id_col, F.row_number().over(wc).alias("cos_rank")))
 
     fused = (bm.join(cos, id_col, "full_outer")

@@ -226,51 +226,77 @@ def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec: str = "embedding",
                              threshold: float = 0.95,
-                             block_ids=None) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id1 < id2, sim ≥ τ).
+                             block_ids=None,
+                             max_block_rows: int = 65536) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (id1 < id2, sim ≥ τ).
 
-    Block-broadcast GEMM kernel: the comparison block (default: the
-    whole corpus — must fit in executor memory; at larger scale pass
-    LSH-bucket ``block_ids`` or use ann_lsh_topk) is broadcast as a
-    normalized float64 matrix; the corpus streams through mapInPandas
-    and each Arrow batch does one matrix multiply.  ~100× the
-    throughput of per-pair expression evaluation (higher-order Column
-    functions are interpreted, not codegen'd), and the corpus side
-    never shuffles.
+    Block-broadcast GEMM kernel with BOUNDED driver/executor memory:
+    the corpus is split into ``ceil(n / max_block_rows)`` hash blocks
+    on ``xxhash64(id)``; each block in turn is broadcast as a
+    normalized float64 matrix (≤ max_block_rows × dim × 8 B — 32 MB at
+    the default for 64-dim) and the full corpus streams through
+    mapInPandas doing one matrix multiply per Arrow batch.  A pair
+    (a, b), a < b, is emitted exactly once: in the block that owns b
+    (blocks partition the id space).  ~100× the throughput of per-pair
+    expression evaluation (higher-order Column functions are
+    interpreted, not codegen'd) and the streamed corpus side never
+    shuffles; cost is n_blocks corpus scans — this is the EXACT path;
+    the sub-quadratic scale path is ann_lsh_topk / MinHash banding.
+
+    ``block_ids``: restrict the broadcast side to an explicit id list
+    (e.g. one LSH bucket) — single bounded block, caller-controlled.
     """
+    import math
+
     import numpy as np
 
     spark = df.sparkSession
-    block_df = df.select(F.col(id_col), F.col(vec))
-    if block_ids is not None:
-        block_df = block_df.filter(F.col(id_col).isin(*block_ids))
-    pdf = block_df.toPandas()
-    ids = pdf[id_col].to_numpy().astype("int64")
-    m = np.stack(pdf[vec].to_list()).astype("float64")
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    b = spark.sparkContext.broadcast((ids, m))
+    base = df.select(F.col(id_col), F.col(vec))
     thr = float(threshold)
     id_name, vec_name = id_col, vec
 
-    def op(batches):
-        import numpy as _np
-        import pandas as _pd
-        bids, bm = b.value
-        for part in batches:
-            if len(part) == 0:
-                continue
-            vids = part[id_name].to_numpy().astype("int64")
-            v = _np.stack(part[vec_name].to_list()).astype("float64")
-            v = v / _np.linalg.norm(v, axis=1, keepdims=True)
-            sims = _np.round(v @ bm.T, 6)
-            rows, cols = _np.where(sims >= thr)
-            i1, i2 = vids[rows], bids[cols]
-            keep = i1 < i2
-            yield _pd.DataFrame({"id1": i1[keep], "id2": i2[keep],
-                                 "sim": sims[rows, cols][keep]})
+    def pairs_against(block_pdf) -> DataFrame:
+        ids = block_pdf[id_name].to_numpy().astype("int64")
+        m = np.stack(block_pdf[vec_name].to_list()).astype("float64")
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        b = spark.sparkContext.broadcast((ids, m))
 
-    return df.select(F.col(id_col), F.col(vec)).mapInPandas(
-        op, schema="id1 long, id2 long, sim double")
+        def op(batches):
+            import numpy as _np
+            import pandas as _pd
+            bids, bm = b.value
+            for part in batches:
+                if len(part) == 0:
+                    continue
+                vids = part[id_name].to_numpy().astype("int64")
+                v = _np.stack(part[vec_name].to_list()).astype("float64")
+                v = v / _np.linalg.norm(v, axis=1, keepdims=True)
+                sims = _np.round(v @ bm.T, 6)
+                rows, cols = _np.where(sims >= thr)
+                i1, i2 = vids[rows], bids[cols]
+                keep = i1 < i2
+                yield _pd.DataFrame({"id1": i1[keep], "id2": i2[keep],
+                                     "sim": sims[rows, cols][keep]})
+
+        return base.mapInPandas(op, schema="id1 long, id2 long, sim double")
+
+    if block_ids is not None:
+        return pairs_against(
+            base.filter(F.col(id_col).isin(*block_ids)).toPandas())
+
+    n_blocks = max(1, math.ceil(base.count() / max_block_rows))
+    if n_blocks == 1:
+        return pairs_against(base.toPandas())
+    out = None
+    for blk in range(n_blocks):
+        pdf = base.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)) == blk
+        ).toPandas()
+        if len(pdf) == 0:
+            continue
+        part = pairs_against(pdf)
+        out = part if out is None else out.unionAll(part)
+    return out
 
 
 def cluster_assign(df: DataFrame, k: int = 8, id_col: str = "vec_id",

@@ -78,17 +78,31 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    None,  # HLL sketches differ across engines — rows-only check
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(*) AS n_rows,
+           1 AS approx_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++): the 100 TB path for "
-        "cardinality — no exact distinct shuffle. Estimates are "
-        "engine-specific, so no value-level oracle (driver rows-only).",
+        "cardinality — no exact distinct shuffle. HLL estimates are "
+        "engine-specific, so the sketch value itself can't be hashed "
+        "across engines; instead the query ASSERTS the sketch in-plan "
+        "(|approx - exact| <= 3*rsd*exact, rsd=0.02) and emits the "
+        "boolean alongside the exact count — a full value oracle.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     return (e.table("lineitem").groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.count("*").alias("n_rows"),
-    ))
+                F.approx_count_distinct("l_partkey", 0.02)
+                 .alias("approx_parts"),
+                F.count_distinct("l_partkey").alias("exact_parts"),
+                F.count("*").alias("n_rows"))
+            .select("l_returnflag", "exact_parts", "n_rows",
+                    (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                     <= 0.06 * F.col("exact_parts"))
+                    .cast("int").alias("approx_within_tol")))
 
 
 @register(
@@ -592,27 +606,41 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_percentiles",
-    None,  # t-digest/KLL sketch internals aren't SQL-mirrorable
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+           1 AS approx_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="approx_percentile (accuracy 10000) per group — the 100 TB "
         "quantile path: sketches merge map-side, no global sort, "
         "memory O(accuracy) per group vs exact percentile's full "
-        "per-group sort. Closeness to the exact form is asserted in "
-        "tests; rows-only driver check. Emits scalar p50/p90/p99 (one "
-        "shared sketch + element_at) — array-typed outputs break the "
-        "driver's pandas canonicalizer.",
+        "per-group sort. Sketch values are engine-specific, so the "
+        "query ASSERTS the sketch in-plan (each approx within 1% of "
+        "the exact interpolated percentile) and emits the boolean "
+        "alongside the exact values — a full value oracle.",
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
-    return (e.table("lineitem")
+    qs = F.lit([0.5, 0.9, 0.99])
+    base = (e.table("lineitem")
             .groupBy("l_returnflag")
-            .agg(F.approx_percentile(
-                    "l_extendedprice",
-                    F.lit([0.5, 0.9, 0.99]), F.lit(10000))
-                  .alias("p"))
-            .select("l_returnflag",
-                    F.element_at("p", 1).alias("p50"),
-                    F.element_at("p", 2).alias("p90"),
-                    F.element_at("p", 3).alias("p99")))
+            .agg(F.approx_percentile("l_extendedprice", qs, F.lit(10000))
+                  .alias("p"),
+                 F.percentile("l_extendedprice", qs).alias("x")))
+    ok = None
+    for i in (1, 2, 3):
+        c = (F.abs(F.element_at("p", i) - F.element_at("x", i))
+             <= 0.01 * F.element_at("x", i))
+        ok = c if ok is None else (ok & c)
+    return base.select(
+        "l_returnflag",
+        F.round(F.element_at("x", 1), 4).alias("exact_p50"),
+        F.round(F.element_at("x", 2), 4).alias("exact_p90"),
+        F.round(F.element_at("x", 3), 4).alias("exact_p99"),
+        ok.cast("int").alias("approx_within_tol"))
 
 
 @register(

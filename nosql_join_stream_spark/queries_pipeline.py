@@ -1071,6 +1071,48 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_bucketed",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    corp AS (SELECT * FROM e WHERE doc_id % 10 <> 9),
+    batch AS (SELECT * FROM e WHERE doc_id % 10 = 9),
+    p AS (SELECT c.doc_id AS left_id, b.doc_id AS right_id,
+                 count(*) AS common,
+                 any_value(c.n) AS n1, any_value(b.n) AS n2
+          FROM corp c JOIN batch b ON c.g = b.g
+          GROUP BY 1, 2)
+    SELECT left_id, right_id,
+           ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+    FROM p
+    WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6
+    """,
+    doc="Incremental dedup against a STANDING bucketed corpus shingle "
+        "index (sinks.write_bucketed, bucketed+sorted by gram hash): "
+        "the batch sort-merge-joins the index with ZERO corpus-side "
+        "Exchange — the production 100 TB shape when the day's batch "
+        "is too big to broadcast. Same lossless PPJoin filters and "
+        "identical results to dedup_incremental_batch (one oracle).",
+)
+def dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    return dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, batch, "text", "doc_id", n=3, threshold=0.6)
+
+
+@register(
     "text_novelty_ratio",
     """
     WITH s AS (
@@ -1155,20 +1197,22 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN dl ON tf.doc_id = dl.doc_id
               CROSS JOIN corpus c),
     bs AS (SELECT doc_id, ROUND(SUM(w), 4) AS bm25 FROM w GROUP BY doc_id),
+    bh AS (SELECT doc_id, bm25 FROM bs ORDER BY bm25 DESC, doc_id LIMIT 1000),
     br AS (SELECT doc_id,
                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
                     AS bm25_rank
-           FROM bs),
+           FROM bh),
     q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
     cs AS (SELECT e.vec_id AS doc_id,
                   ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
                                                q.embedding::DOUBLE[]), 6)
                     AS sim
            FROM embeddings e CROSS JOIN q),
+    ch AS (SELECT doc_id, sim FROM cs ORDER BY sim DESC, doc_id LIMIT 1000),
     cr AS (SELECT doc_id,
                   ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
                     AS cos_rank
-           FROM cs)
+           FROM ch)
     SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id,
            ROUND(COALESCE(1.0 / (60 + br.bm25_rank), 0)
                  + COALESCE(1.0 / (60 + cr.cos_rank), 0), 6) AS rrf,
@@ -1177,7 +1221,8 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY rrf DESC, COALESCE(br.doc_id, cr.doc_id) LIMIT 10
     """,
     doc="Hybrid lexical+semantic retrieval: reciprocal-rank fusion of "
-        "the full BM25 ranking and the embedding-cosine ranking "
+        "the BM25 and embedding-cosine ranking HEADS (top-1000 each, "
+        "TakeOrderedAndProject — no full-corpus single-task window) "
         "against a fixed query (terms + vec_id 0's vector). Both "
         "rankings are declarative plans; fusion is one outer join. "
         "The modern RAG search pattern, engine-portable ranks.",
@@ -1204,14 +1249,19 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT label, pos, AVG(x) AS m FROM e GROUP BY label, pos)
     SELECT label,
            CAST(COUNT(*) AS INTEGER) AS dim,
-           list(ROUND(m, 6) ORDER BY pos) AS centroid
+           to_json(list(CAST(ROUND(m * 1000000) AS BIGINT) ORDER BY pos))
+             AS centroid_q6_json
     FROM c GROUP BY label
     """,
     doc="Per-label mean embedding (class centroids for semantic "
         "curation / nearest-class filtering): posexplode -> one "
         "(label, dim) shuffle with partial aggregation -> re-assemble "
         "ordered arrays. At 100 TB the shuffle carries (label, pos, "
-        "partial sum) — never whole vectors.",
+        "partial sum) — never whole vectors. Centroid serialized at "
+        "the registry boundary as micro-unit (x1e6) BIGINT JSON: "
+        "array cells break the driver's canonicalizer, and int JSON "
+        "side-steps Jackson-vs-DuckDB double formatting (1.0E-6 vs "
+        "1e-06).",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
@@ -1221,9 +1271,10 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.avg(F.col("x").cast("double")).alias("m")))
     return (c.groupBy("label")
              .agg(F.count("*").cast("int").alias("dim"),
-                  F.transform(
+                  F.to_json(F.transform(
                       F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                      lambda s: F.round(s["m"], 6)).alias("centroid")))
+                      lambda s: F.round(s["m"] * 1e6).cast("long"))
+                  ).alias("centroid_q6_json")))
 
 
 @register(

@@ -239,3 +239,39 @@ def test_operator_param_validation_fails_fast(spark):
                                 "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="k must be"):
         similarity.cluster_assign(emb, k=0)
+
+
+def test_embedding_near_dup_blocked_equals_single_block(spark, engine):
+    """The bounded-memory hash-block loop must emit exactly the same
+    pair set as one whole-corpus block (each pair once, in the block
+    that owns its larger id)."""
+    emb = engine.table("embeddings")
+    whole = similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45)
+    blocked = similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, max_block_rows=64)
+    w = {(r.id1, r.id2, r.sim) for r in whole.collect()}
+    b = {(r.id1, r.id2, r.sim) for r in blocked.collect()}
+    assert len(w) > 0 and w == b
+    # multi-block really engaged
+    assert emb.count() > 64
+
+
+def test_hybrid_rrf_head_truncation(spark):
+    from nosql_join_stream_spark.operators import retrieval
+    docs = spark.createDataFrame(
+        [(0, "spark spark spark"), (1, "spark hash"), (2, "sort merge")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>")
+    # head_n=2: doc0 (cos rank 3) falls out of the cosine head; its
+    # rrf keeps only the bm25 component
+    out = retrieval.hybrid_rrf_topk(docs, emb, "text", "doc_id",
+                                    ["spark"], [1.0, 0.0], k=2, head_n=2)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].cos_rank is None and rows[0].bm25_rank == 1
+    assert abs(rows[0].rrf - round(1 / 61, 6)) < 1e-9
+    with pytest.raises(ValueError):
+        retrieval.hybrid_rrf_topk(docs, emb, "text", "doc_id",
+                                  ["spark"], [1.0, 0.0], k=5, head_n=2)

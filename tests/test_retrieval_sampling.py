@@ -154,16 +154,19 @@ def test_hybrid_rrf_hand_computed(spark):
 
 
 def test_label_centroids_match_numpy(spark, engine):
+    import json
+
     import numpy as np
     emb = engine.table("embeddings")
     pdf = emb.toPandas()
     from nosql_join_stream_spark.queries import REGISTRY
-    got = {r.label: r.centroid for r in
+    got = {r.label: json.loads(r.centroid_q6_json) for r in
            REGISTRY["embedding_label_centroids"].fn(
                spark, "/root/testdata/sf0.001").collect()}
     for label, grp in pdf.groupby("label"):
         exp = np.stack(grp["embedding"].to_list()).astype("float64").mean(axis=0)
-        assert np.allclose(np.array(got[label]), np.round(exp, 6), atol=1e-6)
+        # centroid serialized as micro-units (x1e6, rounded to long)
+        assert np.allclose(np.array(got[label]) / 1e6, exp, atol=1e-6)
 
 
 def test_stratified_sample_rejects_bad_rates(spark):

@@ -105,3 +105,53 @@ def test_compact_small_files(engine, spark, tmp_path):
     # sorted layout -> row-group stats selective on the sort key
     assert back.filter("l_orderkey = 1").count() == \
         engine.table("lineitem").filter("l_orderkey = 1").count()
+
+
+def test_bucketed_incremental_index_no_corpus_shuffle(engine, spark, tmp_path):
+    """The standing bucketed corpus shingle index joins a (non-
+    broadcast) batch prefix index with an Exchange ONLY on the batch
+    side — the corpus reads its co-located buckets in place."""
+    import shutil
+
+    from nosql_join_stream_spark.operators import dedup
+
+    spark.sql("DROP TABLE IF EXISTS nsjs_index.corpus_prefix")
+    spark.sql("DROP TABLE IF EXISTS nsjs_index.corpus_sets")
+    loc = str(tmp_path / "nsjs_index")
+    docs = engine.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    out = dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, batch, "text", "doc_id", n=3, threshold=0.6, location=loc)
+    inline = dedup.ngram_jaccard_pairs_between(
+        corpus, batch, "text", "doc_id", n=3, threshold=0.6)
+    got = {(r.left_id, r.right_id, r.jaccard) for r in out.collect()}
+    exp = {(r.left_id, r.right_id, r.jaccard) for r in inline.collect()}
+    assert got == exp
+
+    # isolate the candidate-generation join: bucketed index vs batch
+    # prefix, broadcast off (the case bucketing exists for)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ex_l = spark.table("nsjs_index.corpus_prefix")
+        _, ex_r = dedup._shingle_prefix(batch, "text", "doc_id", 3, 0.6)
+        j = ex_l.join(ex_r.withColumnRenamed("id", "rid")
+                          .withColumnRenamed("n_sh", "rn")
+                          .withColumnRenamed("p", "rp"), "g")
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # exactly one join-key shuffle — the batch side (the second
+        # Exchange in the plan is _spread's batch-side RoundRobin);
+        # a shuffled corpus side would make it two
+        n_hash = plan.count("Exchange hashpartitioning")
+        assert n_hash == 1, f"expected batch-side-only join shuffle:\n{plan}"
+        # corpus side read its buckets in place
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS nsjs_index.corpus_prefix")
+    spark.sql("DROP TABLE IF EXISTS nsjs_index.corpus_sets")
+    spark.sql("DROP DATABASE IF EXISTS nsjs_index")
+    shutil.rmtree(loc, ignore_errors=True)
