@@ -42,15 +42,43 @@ class Engine:
         """Bare scan (reference S1-S6, storage.scala:593-658)."""
         return catalog.load_table(self.spark, name, self.sf_dir)
 
-    def load(self, path: str, fmt: str = "parquet",
+    #: live-connector formats (reference storage.scala:593-616 Mongo
+    #: cursor scan, :644-658 Cassandra; drivers build.sbt:34-35,55-56)
+    #: -> the options each REQUIRES before any I/O can happen.  These
+    #: sources take no path: location comes entirely from options.
+    CONNECTOR_REQUIRED = {
+        "mongodb": ("connection.uri", "database", "collection"),
+        "org.apache.spark.sql.cassandra": ("keyspace", "table"),
+    }
+
+    def load(self, path: str | None = None, fmt: str = "parquet",
              schema=None, **options) -> DataFrame:
-        """Generic file-source scan — the reference's connector family
+        """Source scan — the reference's connector family
         (Mongo/Cassandra only, build.sbt:34-35,55-56) widened to any
         Spark DataSource: parquet/orc (columnar, full pushdown +
         pruning), csv/json (row formats — pass an explicit ``schema``;
         schema inference scans the data twice and types drift at
-        scale).  Options forward to ``DataFrameReader.option``.
+        scale), and the live connectors themselves (``fmt="mongodb"``
+        / ``"org.apache.spark.sql.cassandra"`` — pathless; location
+        and credentials forward as options, with the reference's
+        fail-fast builder validation applied BEFORE any I/O).  The
+        connector jars ship outside this repo; option assembly and
+        validation are unit-tested without a live database.
         """
+        required = self.CONNECTOR_REQUIRED.get(fmt, ())
+        if required:
+            if path is not None:
+                raise QueryValidationError(
+                    f"{fmt} source takes no path; pass location via "
+                    f"options {required}")
+            missing = [k for k in required if k not in options]
+            if missing:
+                raise QueryValidationError(
+                    f"{fmt} source requires options {missing} "
+                    "(reference builder db/collection validation, "
+                    "mongo/channel/package.scala:252-259)")
+        elif path is None:
+            raise QueryValidationError(f"{fmt} source requires a path")
         r = self.spark.read.format(fmt)
         if schema is not None:
             r = r.schema(schema)
@@ -60,7 +88,7 @@ class Engine:
                 "(inference double-scans and drifts at scale)")
         for k, v in options.items():
             r = r.option(k, v)
-        return r.load(path)
+        return r.load(path) if path is not None else r.load()
 
     def read(
         self,

@@ -274,13 +274,51 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(queries, corpus, k=5)
 
 
+def _ann_lsh_oracle() -> str:
+    """The hyperplanes are deterministic SHA-256 constants
+    (similarity._hyperplanes), so the WHOLE LSH pipeline is SQL-
+    mirrorable: embed the 4 plane vectors as literals (exact binary
+    fractions v/2^31 — decimal repr round-trips), recompute sign-bit
+    buckets, bucket-join, cosine-rank.  Turns this query from a
+    rows-only check into a full value oracle."""
+    planes = similarity._hyperplanes(4, 64)
+    lits = ["[" + ",".join(repr(x) for x in p) + "]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits))
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding, {bucket} AS b
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding, {bucket} AS b
+          FROM embeddings),
+    s AS (SELECT q.q_id, c.c_id,
+                 ROUND(list_dot_product(q.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[]))), 6)
+                   AS sim
+          FROM q JOIN c ON q.b = c.b AND q.q_id <> c.c_id),
+    r AS (SELECT q_id, c_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY sim DESC, c_id) AS rank
+          FROM s)
+    SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    """
+
+
 @register(
     "ann_lsh_topk",
-    None,  # bucket recall depends on hyperplane hashing — rows-only
-    doc="Hyperplane-LSH ANN: 8 planes -> 256 sign buckets, bucket "
+    _ann_lsh_oracle(),
+    doc="Hyperplane-LSH ANN: 4 planes -> 16 sign buckets, bucket "
         "equi-join, exact cosine rank within bucket. The scale path "
-        "replacing the cross product; recall checked in tests against "
-        "the brute-force baseline.",
+        "replacing the cross product. Full value oracle: the SHA-256 "
+        "hyperplanes are deterministic constants, embedded in the SQL "
+        "as literals so DuckDB reproduces buckets, ranks, and sims "
+        "exactly.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)

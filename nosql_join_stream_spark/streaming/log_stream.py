@@ -16,10 +16,15 @@ deployment needs bounded state.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: serializes set/restore of the session-global shuffle-partitions conf
+#: across concurrent run_available_now drains in one session
+_SHUFFLE_CONF_LOCK = threading.Lock()
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -206,20 +211,27 @@ def run_available_now(agg: DataFrame, query_name: str,
     value is locked into the checkpoint at first start — deliberate
     here, since each drain uses a fresh query.  ``None`` keeps the
     session setting.
+
+    The set/restore of the session conf is serialized under a process
+    lock: two concurrent drains in one session would otherwise race on
+    the global and could restore the wrong value (Spark offers no
+    per-query scope for this conf — it's captured at ``.start()``, so
+    the lock can release before the drain finishes).
     """
     spark = agg.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(shuffle_partitions))
-    try:
-        q = (agg.writeStream.outputMode(output_mode)
-             .format("memory").queryName(query_name)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
-    finally:
+    with _SHUFFLE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
         if shuffle_partitions:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(shuffle_partitions))
+        try:
+            q = (agg.writeStream.outputMode(output_mode)
+                 .format("memory").queryName(query_name)
+                 .trigger(availableNow=True).start())
+        finally:
+            if shuffle_partitions:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
 
 
 DOCUMENTS_SCHEMA = T.StructType([

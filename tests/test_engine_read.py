@@ -108,3 +108,98 @@ def test_collect_with_timeout(engine, spark):
     slow = li.crossJoin(li.withColumnRenamed("l_orderkey", "r"))
     with pytest.raises(QueryTimeoutError):
         engine.collect_with_timeout(slow, timeout_ms=2_000)
+
+
+class _RecorderReader:
+    """Stands in for DataFrameReader: records format/schema/options and
+    whether load() got a path — connector assembly without a live DB."""
+
+    def __init__(self):
+        self.fmt = None
+        self.opts = {}
+        self.loaded_path = "UNSET"
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def schema(self, s):
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def load(self, path=None):
+        self.loaded_path = path
+        return "DF"
+
+
+class _FakeSpark:
+    def __init__(self, reader):
+        self.read = reader
+
+
+def test_connector_mongodb_option_assembly():
+    from nosql_join_stream_spark.engine import Engine
+    rec = _RecorderReader()
+    e = Engine(_FakeSpark(rec), "unused")
+    out = e.load(fmt="mongodb", **{"connection.uri": "mongodb://h:27017",
+                                   "database": "shop", "collection": "orders",
+                                   "readPreference.name": "secondary"})
+    assert out == "DF"
+    assert rec.fmt == "mongodb"
+    assert rec.opts["database"] == "shop"
+    assert rec.opts["readPreference.name"] == "secondary"
+    assert rec.loaded_path is None  # pathless source
+
+
+def test_connector_cassandra_option_assembly():
+    from nosql_join_stream_spark.engine import Engine
+    rec = _RecorderReader()
+    e = Engine(_FakeSpark(rec), "unused")
+    e.load(fmt="org.apache.spark.sql.cassandra",
+           keyspace="ks", table="events")
+    assert rec.fmt == "org.apache.spark.sql.cassandra"
+    assert rec.opts == {"keyspace": "ks", "table": "events"}
+    assert rec.loaded_path is None
+
+
+def test_connector_validation_fails_before_io():
+    from nosql_join_stream_spark.engine import Engine, QueryValidationError
+    rec = _RecorderReader()
+    e = Engine(_FakeSpark(rec), "unused")
+    with pytest.raises(QueryValidationError, match="collection"):
+        e.load(fmt="mongodb", **{"connection.uri": "mongodb://h", "database": "d"})
+    with pytest.raises(QueryValidationError, match="keyspace"):
+        e.load(fmt="org.apache.spark.sql.cassandra", table="t")
+    with pytest.raises(QueryValidationError, match="no path"):
+        e.load("/some/path", fmt="mongodb",
+               **{"connection.uri": "u", "database": "d", "collection": "c"})
+    with pytest.raises(QueryValidationError, match="requires a path"):
+        e.load(fmt="parquet")
+    assert rec.loaded_path == "UNSET"  # nothing reached load()
+
+
+def test_midscan_corruption_fails_loudly(engine, spark, tmp_path):
+    # reference T4, the stronger form (storage.scala:240-284 injects
+    # failures MID-stream): a parquet file whose footer is intact but
+    # whose data pages are garbage passes planning, then fails inside
+    # the scan task — the action must raise, not silently skip the
+    # file (spark.sql.files.ignoreCorruptFiles stays false).
+    import glob
+
+    out = str(tmp_path / "multi")
+    engine.table("orders").repartition(4).write.parquet(out)
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) >= 2
+    victim = files[1]
+    raw = bytearray(open(victim, "rb").read())
+    # trash the data pages; keep magic header and the footer
+    # (len-4..len: metadata length + "PAR1") so planning succeeds
+    for i in range(8, max(9, len(raw) - 2048)):
+        raw[i] = 0x5A
+    open(victim, "wb").write(bytes(raw))
+    df = spark.read.parquet(out)  # planning OK — footers readable
+    with pytest.raises(Exception):
+        df.collect()

@@ -9,7 +9,9 @@ growth = a hidden n² or a single-task bottleneck.
 Results recorded in SCALING.md.  Writes only under /tmp.
 
 Usage: python tools/scale_probe.py [max_factor] [op ...]
-       ops default to all of: ngram minhash ann
+       ops default to: ngram minhash ann
+       also available: incr cluster decon novelty tfidf neardup rrf
+                       textq pack mm
 """
 
 from __future__ import annotations
@@ -132,6 +134,58 @@ def main() -> None:
             results["ann_lsh_rows"] = similarity.ann_lsh_topk(
                 q, c, k=5, n_planes=4, dim=64).count()
             results["ann_lsh_s"] = round(time.perf_counter() - t0, 2)
+
+        if "neardup" in OPS:
+            # exact GEMM near-dup with BOUNDED blocks: a small
+            # max_block_rows forces the multi-block loop even at 1x, so
+            # the curve measures the n_blocks-scans shape (expected
+            # ~quadratic in factor — it's the exact path; LSH/minhash
+            # is the sub-quadratic handoff) with driver memory constant
+            t0 = time.perf_counter()
+            results["neardup_pairs"] = similarity.embedding_near_dup_pairs(
+                ee, "vec_id", "embedding", threshold=0.45,
+                max_block_rows=4096).count()
+            results["neardup_s"] = round(time.perf_counter() - t0, 2)
+
+        if "rrf" in OPS:
+            from nosql_join_stream_spark.operators import retrieval
+            qvec = [float(x) for x in
+                    ee.filter(F.col("vec_id") == 0)
+                      .select("embedding").head()[0]]
+            t0 = time.perf_counter()
+            results["rrf_rows"] = retrieval.hybrid_rrf_topk(
+                dd, ee, "text", "doc_id",
+                ["hash", "spark", "window"], qvec, k=10).count()
+            results["rrf_s"] = round(time.perf_counter() - t0, 2)
+
+        if "textq" in OPS:
+            from nosql_join_stream_spark.operators import text as text_ops
+            feats = text_ops.quality_features(F.col("text"))
+            t0 = time.perf_counter()
+            results["textq_rows"] = (dd.select(
+                "doc_id", *[c.alias(k) for k, c in feats.items()],
+                text_ops.lang_id(F.col("text")).alias("lang_guess"),
+                text_ops.fingerprint(F.col("text")).alias("fp"))
+                .count())
+            results["textq_s"] = round(time.perf_counter() - t0, 2)
+
+        if "pack" in OPS:
+            from nosql_join_stream_spark.operators import text as text_ops
+            sharded = dd.withColumn("shard", F.col("doc_id") % 64)
+            t0 = time.perf_counter()
+            results["pack_rows"] = text_ops.pack_sequences(
+                sharded, "doc_id", "shard", budget=2048).count()
+            results["pack_s"] = round(time.perf_counter() - t0, 2)
+
+        if "mm" in OPS:
+            from nosql_join_stream_spark.operators import multimodal
+            media = multimodal.synthesize_media(dd, "text", "doc_id")
+            t0 = time.perf_counter()
+            results["mm_feat_rows"] = multimodal.extract_features(
+                media).count()
+            results["mm_patch_rows"] = multimodal.patch_grid(
+                media, patch=32).count()
+            results["mm_s"] = round(time.perf_counter() - t0, 2)
 
         print(f"factor={factor:3d} docs={n_docs * factor:7d} {results}",
               flush=True)
