@@ -119,12 +119,33 @@ def dedup_resolve_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    None,  # banded-LSH recall isn't SQL-mirrorable; precision is exact
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id1, id2, ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+    FROM p WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6
+    """,
     doc="MinHash(64)+LSH(16x4) candidate pairs, verified with exact "
         "Jaccard >= 0.6. The 100 TB dedup path: signatures + band "
-        "buckets shuffle, never the n^2 pair space. Driver rows-only "
-        "check; equality with dedup_ngram_jaccard is asserted in tests "
-        "at the planted-dup regime.",
+        "buckets shuffle, never the n^2 pair space. Oracle = the exact "
+        "all-pairs Jaccard SQL: banding recall is probabilistic in "
+        "general, but hashing is deterministic (no RNG) and on this "
+        "corpus's planted-dup regime the banded output EQUALS the "
+        "exact pair set (verified at sf0.01 AND sf0.1), so the exact "
+        "SQL is a sound, stable full-value oracle here.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
