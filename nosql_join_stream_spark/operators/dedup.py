@@ -482,7 +482,12 @@ def ngram_jaccard_pairs_between_bucketed(
     spark = corpus.sparkSession
     tau = float(threshold)
     if location is None:
-        location = os.path.abspath(".nsjs_index_warehouse")
+        # per-process tmp dir: works from any (even read-only) cwd and
+        # isolates concurrent sessions; reuse within a process is what
+        # the standing-index story wants
+        import tempfile
+        location = os.path.join(tempfile.gettempdir(),
+                                f"nsjs_index_{os.getpid()}")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{location}'")
     if rebuild:
         from nosql_join_stream_spark.sinks import write_bucketed

@@ -178,3 +178,45 @@ def normalize_text(col: Column) -> Column:
     t = F.regexp_replace(t, r"[.,;:!?\"'()\[\]{}]", " ")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+def chunk_text_sliding(df, content_col: str, id_col: str,
+                       chunk_tokens: int = 128, stride: int = 64):
+    """Sliding-window token chunking — the RAG / context-window prep
+    step that turns documents into overlapping fixed-size passages
+    (chunk i covers tokens [i*stride, i*stride + chunk_tokens)).
+
+    Pure JVM Column expressions (split → sequence → explode → slice →
+    concat_ws): runs at scan speed with zero shuffle — at 100 TB this
+    is a map-only pass whose output partitioning follows the input,
+    ready for the embedding/index stage downstream.  ``stride ==
+    chunk_tokens`` gives disjoint chunks; ``stride < chunk_tokens``
+    the usual overlap.  Window starts at every multiple of ``stride``
+    below the token count, so trailing tokens always land in a (short)
+    final chunk.
+
+    Returns (id, chunk_id, start_tok, n_tokens, chunk_text).
+    """
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_tokens and stride must be >= 1, got "
+            f"{chunk_tokens}, {stride}")
+    if stride > chunk_tokens:
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would "
+            "drop tokens between windows")
+    toks = F.split(F.trim(F.col(content_col)), " ")
+    n = F.size(toks)
+    n_windows = F.ceil(n / F.lit(stride)).cast("int")
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), n.alias("__n"),
+        F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("chunk_id"))
+    start = F.col("chunk_id") * stride
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int"),
+        (start + 1).cast("long").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - start)
+         .cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice("__toks", start + 1, chunk_tokens))
+         .alias("chunk_text"))

@@ -1235,6 +1235,38 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_sliding",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      FROM documents),
+    w AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, CAST(ceil(len(toks) * 1.0 / 64) AS BIGINT)))
+               AS chunk_id
+      FROM t)
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           chunk_id * 64 + 1 AS start_tok,
+           least(128, n - chunk_id * 64) AS n_tokens,
+           array_to_string(list_slice(toks, chunk_id * 64 + 1,
+                                      chunk_id * 64 + 128), ' ')
+             AS chunk_text
+    FROM w
+    """,
+    doc="Sliding-window token chunking (128-token chunks, stride 64) — "
+        "the RAG/context-window passage prep. Map-only JVM pass "
+        "(split -> sequence explode -> slice), zero shuffle; output "
+        "partitioning follows the input into the downstream "
+        "embedding/index stage.",
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return text.chunk_text_sliding(e.table("documents"), "text", "doc_id",
+                                   chunk_tokens=128, stride=64)
+
+
+@register(
     "hybrid_search_rrf",
     """
     WITH t AS (

@@ -275,3 +275,30 @@ def test_hybrid_rrf_head_truncation(spark):
     with pytest.raises(ValueError):
         retrieval.hybrid_rrf_topk(docs, emb, "text", "doc_id",
                                   ["spark"], [1.0, 0.0], k=5, head_n=2)
+
+
+def test_chunk_text_sliding_geometry_and_reassembly(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "only two"),
+         (3, "x")],
+        "doc_id long, text string")
+    # disjoint chunks (stride == chunk): reassembly equals original
+    out = text.chunk_text_sliding(df, "text", "doc_id",
+                                  chunk_tokens=4, stride=4)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [r.chunk_id for r in d1] == [0, 1, 2]
+    assert [r.n_tokens for r in d1] == [4, 4, 2]
+    assert " ".join(r.chunk_text for r in d1) == \
+        " ".join(f"t{i}" for i in range(10))
+    # overlapping: starts at every stride multiple below n
+    ov = text.chunk_text_sliding(df.filter("doc_id = 1"), "text", "doc_id",
+                                 chunk_tokens=4, stride=2)
+    o = sorted(ov.collect(), key=lambda r: r.chunk_id)
+    assert [r.start_tok for r in o] == [1, 3, 5, 7, 9]
+    assert o[0].chunk_text == "t0 t1 t2 t3"
+    assert o[-1].chunk_text == "t8 t9"
+    with pytest.raises(ValueError, match="stride"):
+        text.chunk_text_sliding(df, "text", "doc_id",
+                                chunk_tokens=4, stride=8)
