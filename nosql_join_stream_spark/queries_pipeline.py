@@ -1426,6 +1426,77 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_incremental_dedup",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    corp AS (SELECT * FROM e WHERE doc_id % 10 <> 9),
+    batch AS (SELECT * FROM e WHERE doc_id % 10 = 9),
+    p AS (SELECT c.doc_id AS left_id, b.doc_id AS right_id,
+                 count(*) AS common,
+                 any_value(c.n) AS n1, any_value(b.n) AS n2
+          FROM corp c JOIN batch b ON c.g = b.g
+          GROUP BY 1, 2)
+    SELECT left_id, right_id,
+           ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+    FROM p
+    WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6
+    """,
+    doc="Streaming incremental dedup at ingest: the day's docs arrive "
+        "as a STREAM, explode to distinct grams in-stream, and join "
+        "the STATIC standing-corpus gram index (stream-static join — "
+        "the static side stays partitioned, nothing broadcasts); "
+        "(corpus doc, new doc, n1, n2) pair counts aggregate in "
+        "complete mode, Jaccard computed post-agg. Drained result "
+        "equals batch incremental dedup (same oracle): a near-dup is "
+        "flagged the moment the doc arrives.",
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.streaming.log_stream import (
+        DOCUMENTS_SCHEMA, read_table_stream, run_available_now)
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    _STREAM_SEQ[0] += 1
+    name = f"stream_incrdedup_{_STREAM_SEQ[0]}"
+    e = _engine(spark, sf_dir)
+    corpus = (e.table("documents").filter(F.col("doc_id") % 10 != 9)
+              .select(F.col("doc_id").alias("left_id"),
+                      dedup.word_shingles(F.col("text"), 3).alias("sh"))
+              .select("left_id", F.size("sh").alias("n1"),
+                      F.explode("sh").alias("g"))
+              .select("left_id", "n1", F.xxhash64("g").alias("gh")))
+    batch = (read_table_stream(spark, table_path(sf_dir, "documents"),
+                               DOCUMENTS_SCHEMA)
+             .filter(F.col("doc_id") % 10 == 9)
+             .select(F.col("doc_id").alias("right_id"),
+                     dedup.word_shingles(F.col("text"), 3).alias("sh"))
+             .select("right_id", F.size("sh").alias("n2"),
+                     F.explode("sh").alias("g"))
+             .select("right_id", "n2", F.xxhash64("g").alias("gh")))
+    # grams are DISTINCT per doc (word_shingles), so plain count ==
+    # distinct count; n1/n2 ride in the grouping key (functionally
+    # dependent on the ids) since streaming forbids distinct/any aggs
+    agg = (batch.join(corpus, "gh")
+                .groupBy("left_id", "right_id", "n1", "n2")
+                .agg(F.count("*").alias("common")))
+    j = F.round(F.col("common") /
+                (F.col("n1") + F.col("n2") - F.col("common")), 4)
+    out = (agg.select("left_id", "right_id", j.alias("jaccard"))
+              .filter(F.col("jaccard") >= 0.6))
+    run_available_now(out, name, output_mode="complete")
+    return spark.table(name)
+
+
+@register(
     "text_repetition_ratio",
     """
     WITH t AS (

@@ -37,7 +37,8 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
         "stream_interval_join",
-        "stream_quality_filter", "stream_decontaminate"}
+        "stream_quality_filter", "stream_decontaminate",
+        "stream_incremental_dedup"}
 
 
 def main() -> None:

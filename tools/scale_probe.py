@@ -94,6 +94,22 @@ def main() -> None:
                 corpus, batch, "text", "doc_id").count()
             results["incr_s"] = round(time.perf_counter() - t0, 2)
 
+        if "incrb" in OPS:
+            # standing bucketed index: first timing includes the one-
+            # time index BUILD; second timing is the per-batch JOIN
+            # cost alone (rebuild=False) — the steady-state number
+            batch = dd.filter((F.col("doc_id") % 10 == 9)
+                              & (F.col("doc_id") < 10_000_000))
+            corpus = dd.join(batch.select("doc_id"), "doc_id", "left_anti")
+            t0 = time.perf_counter()
+            results["incrb_pairs"] = dedup.ngram_jaccard_pairs_between_bucketed(
+                corpus, batch, "text", "doc_id").count()
+            results["incrb_build_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            dedup.ngram_jaccard_pairs_between_bucketed(
+                corpus, batch, "text", "doc_id", rebuild=False).count()
+            results["incrb_join_s"] = round(time.perf_counter() - t0, 2)
+
         if "cluster" in OPS:
             t0 = time.perf_counter()
             results["cluster_rows"] = similarity.cluster_assign(
