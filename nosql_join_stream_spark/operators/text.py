@@ -180,6 +180,36 @@ def normalize_text(col: Column) -> Column:
     return F.trim(t)
 
 
+#: PII patterns — kept to syntax that means the same thing in Java
+#: regex (Spark) and RE2 (DuckDB): ASCII classes, greedy quantifiers,
+#: no lookaround.  Replacement order matters: emails first (contain
+#: dots/digits), then IPs (all-digit dotted), then phones (digit runs).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails / IPv4s / phone-like digit runs to typed
+    placeholder tags — the privacy pass every training corpus needs
+    before anything is retained.  A chain of JVM ``regexp_replace``
+    at scan speed; patterns are engine-portable so the oracle applies
+    the identical chain."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII hit counts (pre-redaction), for audit rollups."""
+    return {f"n_{name}": F.regexp_count(col, F.lit(pat))
+            for name, pat, _ in PII_PATTERNS}
+
+
 def chunk_text_sliding(df, content_col: str, id_col: str,
                        chunk_tokens: int = 128, stride: int = 64):
     """Sliding-window token chunking — the RAG / context-window prep

@@ -1234,6 +1234,47 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.fingerprint(norm).alias("norm_fp"))
 
 
+def _pii_oracle() -> str:
+    """Built from the SAME text.PII_PATTERNS constants the operator
+    uses (single source of truth); DuckDB needs the 'g' flag for
+    global replace and len(regexp_extract_all) for counts.  Patterns
+    are RE2/Java-portable by construction (see PII_PATTERNS doc)."""
+    redact = "text"
+    for _, pat, repl in text.PII_PATTERNS:
+        redact = f"regexp_replace({redact}, '{pat}', '{repl}', 'g')"
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in text.PII_PATTERNS)
+    return f"""
+    SELECT doc_id,
+           {counts},
+           sha256({redact}) AS redacted_sha,
+           length({redact}) AS redacted_len
+    FROM documents
+    """
+
+
+@register(
+    "text_redact_pii",
+    _pii_oracle(),
+    doc="PII scrub (emails / IPv4s / phone-like digit runs -> typed "
+        "tags) + per-kind hit counts — the privacy pass before "
+        "retention. Chain of JVM regexp_replace at scan speed, zero "
+        "shuffle; the oracle applies the identical chain and the "
+        "sha256 of the redacted text pins byte-for-byte equality "
+        "across engines.",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    red = text.redact_pii(F.col("text"))
+    counts = text.pii_counts(F.col("text"))
+    return e.table("documents").select(
+        "doc_id",
+        *[c.alias(k) for k, c in counts.items()],
+        F.sha2(red, 256).alias("redacted_sha"),
+        F.length(red).alias("redacted_len"))
+
+
 @register(
     "text_chunk_sliding",
     """

@@ -302,3 +302,19 @@ def test_chunk_text_sliding_geometry_and_reassembly(spark):
     with pytest.raises(ValueError, match="stride"):
         text.chunk_text_sliding(df, "text", "doc_id",
                                 chunk_tokens=4, stride=8)
+
+
+def test_redact_pii_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@site.co and 10.0.0.1 or +1-800-555-0100 ok"),
+         (2, "no pii here just words"),
+         (3, "edge 999.999.999.999 and a@b.io")],
+        "doc_id long, text string")
+    red = df.select("doc_id", text.redact_pii(F.col("text")).alias("t"),
+                    *[c.alias(k) for k, c in
+                      text.pii_counts(F.col("text")).items()])
+    rows = {r.doc_id: r for r in red.collect()}
+    assert rows[1].t == "mail me at <EMAIL> and <IP> or <PHONE> ok"
+    assert (rows[1].n_email, rows[1].n_ip, rows[1].n_phone) == (1, 1, 1)
+    assert rows[2].t == "no pii here just words"
+    assert rows[3].n_email == 1 and rows[3].n_ip == 1  # \d{1,3} is lexical
