@@ -180,6 +180,36 @@ def normalize_text(col: Column) -> Column:
     return F.trim(t)
 
 
+def common_gram_ratio(df, content_col: str, id_col: str,
+                      n: int = 3, min_docs: int = 5):
+    """Per-document boilerplate ratio: the fraction of a doc's
+    distinct word ``n``-grams that appear in ≥ ``min_docs`` documents
+    corpus-wide.  The popularity-based complement of
+    ``novelty_ratio``: novelty credits the FIRST introducer of a gram,
+    this flags template/boilerplate content symmetrically (the
+    original gets flagged too) — the signal behind header/footer and
+    SEO-template stripping.
+
+    Two linear shuffles (gram doc-frequency, per-doc rollup), grams as
+    8-byte hashes — same scale shape as novelty_ratio.
+    Returns (id, n_grams, n_common, boilerplate) rounded to 4 dp.
+    """
+    from nosql_join_stream_spark.operators.dedup import word_shingles
+
+    e = df.select(F.col(id_col).alias("id"),
+                  F.explode(word_shingles(F.col(content_col), n)).alias("g")) \
+          .select("id", F.xxhash64("g").alias("gh"))
+    dfreq = e.groupBy("gh").agg(F.count("*").alias("df"))
+    marked = e.join(dfreq, "gh")
+    return (marked.groupBy("id")
+                  .agg(F.count("*").alias("n_grams"),
+                       F.sum((F.col("df") >= min_docs).cast("long"))
+                        .alias("n_common"))
+                  .withColumn("boilerplate",
+                              F.round(F.col("n_common") /
+                                      F.col("n_grams"), 4)))
+
+
 #: PII patterns — kept to syntax that means the same thing in Java
 #: regex (Spark) and RE2 (DuckDB): ASCII classes, greedy quantifiers,
 #: no lookaround.  Replacement order matters: emails first (contain

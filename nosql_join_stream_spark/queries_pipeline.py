@@ -1234,6 +1234,135 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.fingerprint(norm).alias("norm_fp"))
 
 
+@register(
+    "text_boilerplate_ratio",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id AS id, unnest(sh) AS g FROM s),
+    f AS (SELECT g, COUNT(*) AS df FROM e GROUP BY g)
+    SELECT e.id, COUNT(*) AS n_grams,
+           SUM(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) AS n_common,
+           ROUND(SUM(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS boilerplate
+    FROM e JOIN f USING (g)
+    GROUP BY e.id
+    """,
+    doc="Per-doc boilerplate ratio: fraction of distinct 3-grams "
+        "appearing in >= 5 docs corpus-wide — the popularity-based "
+        "complement of novelty_ratio (flags template content "
+        "symmetrically, original included). Two linear shuffles, "
+        "grams as 8-byte hashes.",
+)
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return text.common_gram_ratio(e.table("documents"), "text", "doc_id",
+                                  n=3, min_docs=5)
+
+
+@register(
+    "sample_temperature_weights",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS tot_tokens FROM s),
+    w AS (SELECT source, n_docs, n_tokens,
+                 n_tokens * 1.0 / tot_tokens AS p,
+                 POW(n_tokens * 1.0 / tot_tokens, 0.3) AS w_raw
+          FROM s CROSS JOIN tot),
+    z AS (SELECT SUM(w_raw) AS z FROM w)
+    SELECT source, n_docs, n_tokens,
+           ROUND(p, 6) AS p,
+           ROUND(w_raw / z.z, 6) AS weight
+    FROM w CROSS JOIN z
+    """,
+    doc="Temperature-based mixture re-weighting (alpha=0.3, the "
+        "multilingual-sampling standard): per-source token share p -> "
+        "sampling weight p^alpha / Z, flattening the head so "
+        "low-resource sources aren't drowned. Two 1-row broadcast "
+        "scalar joins (corpus totals) keep it one declarative plan — "
+        "the weights table then drives stratified_sample rates.",
+)
+def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    s = (e.table("documents")
+         .groupBy("source")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum(text.token_count(F.col("text"))).alias("n_tokens")))
+    tot = s.agg(F.sum("n_tokens").alias("tot_tokens"))
+    w = (s.crossJoin(F.broadcast(tot))
+          .withColumn("p", F.col("n_tokens") / F.col("tot_tokens"))
+          .withColumn("w_raw", F.pow("p", F.lit(0.3))))
+    z = w.agg(F.sum("w_raw").alias("z"))
+    return (w.crossJoin(F.broadcast(z))
+             .select("source", "n_docs", "n_tokens",
+                     F.round("p", 6).alias("p"),
+                     F.round(F.col("w_raw") / F.col("z"), 6)
+                      .alias("weight")))
+
+
+@register(
+    "corpus_source_kl",
+    """
+    WITH t AS (
+      SELECT source,
+             unnest(string_split(trim(lower(text)), ' ')) AS tok
+      FROM documents),
+    tt AS (SELECT source, tok FROM t WHERE tok <> ''),
+    sc AS (SELECT source, tok, COUNT(*) AS c_st FROM tt
+           GROUP BY source, tok),
+    st AS (SELECT source, SUM(c_st) AS n_s FROM sc GROUP BY source),
+    qc AS (SELECT tok, COUNT(*) AS c_t FROM tt GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_tot FROM tt)
+    SELECT sc.source,
+           ANY_VALUE(st.n_s) AS n_tokens,
+           ROUND(SUM((sc.c_st * 1.0 / st.n_s)
+                     * ln((sc.c_st * 1.0 / st.n_s)
+                          / (qc.c_t * 1.0 / n.n_tot))), 4) AS kl
+    FROM sc JOIN st USING (source)
+            JOIN qc USING (tok)
+            CROSS JOIN n
+    GROUP BY sc.source
+    """,
+    doc="Per-source unigram KL divergence vs the whole corpus — the "
+        "distribution-drift / outlier-source detector behind mixture "
+        "QA (a source whose token distribution diverges is machine "
+        "junk, wrong language, or template spam). One token shuffle "
+        "for counts; vocab tables join on token; corpus total rides a "
+        "1-row broadcast. Every source token is in the corpus by "
+        "construction, so KL is finite.",
+)
+def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    toks = (e.table("documents")
+            .select("source",
+                    F.explode(F.split(F.trim(F.lower(F.col("text"))), " "))
+                     .alias("tok"))
+            .filter(F.col("tok") != ""))
+    sc = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    st = sc.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    qc = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    n = toks.agg(F.count("*").alias("n_tot"))
+    p = F.col("c_st") / F.col("n_s")
+    q = F.col("c_t") / F.col("n_tot")
+    return (sc.join(F.broadcast(st), "source")
+              .join(qc, "tok")
+              .crossJoin(F.broadcast(n))
+              .groupBy("source")
+              .agg(F.first("n_s").alias("n_tokens"),
+                   F.round(F.sum(p * F.log(p / q)), 4).alias("kl")))
+
+
 def _pii_oracle() -> str:
     """Built from the SAME text.PII_PATTERNS constants the operator
     uses (single source of truth); DuckDB needs the 'g' flag for

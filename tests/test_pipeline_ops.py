@@ -318,3 +318,20 @@ def test_redact_pii_planted(spark):
     assert (rows[1].n_email, rows[1].n_ip, rows[1].n_phone) == (1, 1, 1)
     assert rows[2].t == "no pii here just words"
     assert rows[3].n_email == 1 and rows[3].n_ip == 1  # \d{1,3} is lexical
+
+
+def test_common_gram_ratio_planted_boilerplate(spark):
+    # 6 docs share the same footer 3-gram run; each has a unique body
+    footer = "subscribe to our newsletter today"
+    df = spark.createDataFrame(
+        [(i, f"unique body words {i}a {i}b {i}c " + footer)
+         for i in range(6)] + [(99, "totally original content here now")],
+        "doc_id long, text string")
+    out = {r.id: r for r in text.common_gram_ratio(
+        df, "text", "doc_id", n=3, min_docs=5).collect()}
+    # the footer grams appear in 6 >= 5 docs -> common; body grams don't
+    assert all(0 < out[i].boilerplate < 1 for i in range(6))
+    assert out[99].boilerplate == 0.0
+    # shared: "unique body words" + "subscribe to our" +
+    # "to our newsletter" + "our newsletter today"
+    assert out[0].n_common == 4
