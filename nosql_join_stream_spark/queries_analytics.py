@@ -681,6 +681,67 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_time_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (day, hour)
+    """,
+    doc="Hypertable-style continuous-aggregate rollup: hourly event "
+        "stats with day and grand totals in ONE pass (GROUP BY ROLLUP "
+        "on the time hierarchy — partial aggregation map-side, no "
+        "second scan for the coarser grain). At 100 TB this is the "
+        "materialized rollup a time-series store maintains; here it's "
+        "a single declarative plan.",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (e.table("events")
+            .rollup(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+                    F.hour("ts").alias("hour"))
+            .agg(F.count("*").alias("n_events"),
+                 F.count_distinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT e.user_id, f.cohort,
+             date_diff('day', f.cohort,
+                       CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+      FROM events e JOIN f USING (user_id))
+    SELECT cohort, day_offset, COUNT(DISTINCT user_id) AS n_users
+    FROM a GROUP BY cohort, day_offset
+    """,
+    doc="Cohort retention triangle: users grouped by first-seen day, "
+        "activity counted at each day offset — the engagement view "
+        "behind every usage dashboard. First-seen table is users-"
+        "sized (broadcasts); events scan once; two shuffles total "
+        "(user min, cohort/offset rollup).",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    ev = e.table("events")
+    f = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort"))
+    a = (ev.join(F.broadcast(f), "user_id")
+           .select("user_id", "cohort",
+                   F.datediff(F.to_date(F.date_trunc("day", F.col("ts"))),
+                              F.col("cohort")).alias("day_offset")))
+    return (a.groupBy("cohort", "day_offset")
+             .agg(F.count_distinct("user_id").alias("n_users")))
+
+
+@register(
     "latest_event_per_user",
     """
     WITH r AS (
