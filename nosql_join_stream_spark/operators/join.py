@@ -103,3 +103,45 @@ def salted_join(left: DataFrame, right: DataFrame,
     r_s = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
     return l_s.join(r_s, keys + ["__salt"], how).drop("__salt")
+
+
+def range_join_binned(left: DataFrame, right: DataFrame,
+                      left_ts: str, right_ts: str,
+                      lower_us: int, upper_us: int,
+                      bin_us: int | None = None,
+                      condition=None) -> DataFrame:
+    """Scalable time-range join: all (left, right) pairs with
+    ``right_ts − left_ts ∈ [lower_us, upper_us]`` (microsecond
+    timestamps), executed as an EQUI-join on time bins instead of the
+    BroadcastNestedLoopJoin a raw theta join compiles to.
+
+    Each left row explodes to the bins its window [ts+lower, ts+upper]
+    overlaps (``(upper−lower)/bin + 2`` rows — constant fan-out); the
+    right side keys by its single bin; the bin equi-join shuffles both
+    sides once and the exact range predicate filters residuals inside
+    the join.  This is the standard interval/range-join binning
+    technique: at 100 TB the theta form is O(|L|·|R|) and
+    single-node-ish, the binned form is one partitioned hash join
+    whose cost tracks the TRUE match count.  ``bin_us`` defaults to
+    the window width (fan-out 3).  ``condition`` optionally adds a
+    residual predicate over the joined columns (e.g. different user).
+
+    Both inputs must have fully disjoint column names — including the
+    two timestamp columns (prefix/alias beforehand).
+    """
+    if upper_us < lower_us:
+        raise ValueError(f"upper_us ({upper_us}) < lower_us ({lower_us})")
+    if bin_us is None:
+        bin_us = max(1, upper_us - lower_us)
+    if bin_us < 1:
+        raise ValueError(f"bin_us must be >= 1, got {bin_us}")
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    lo_bin = F.floor((l_us + lower_us) / bin_us)
+    hi_bin = F.floor((l_us + upper_us) / bin_us)
+    l_b = left.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    r_b = right.withColumn("__bin", F.floor(r_us / bin_us))
+    cond = ((r_us >= l_us + lower_us) & (r_us <= l_us + upper_us))
+    if condition is not None:
+        cond = cond & condition
+    return l_b.join(r_b, "__bin").filter(cond).drop("__bin")

@@ -742,6 +742,43 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_coactivity_range_join",
+    """
+    SELECT p.event_id, COUNT(*) AS n_coactive
+    FROM events p JOIN events o
+      ON o.user_id <> p.user_id
+     AND epoch_us(o.ts) BETWEEN epoch_us(p.ts) - 60000000
+                            AND epoch_us(p.ts) + 60000000
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+    doc="Range join via time-bin equi-join (operators/join.py "
+        "range_join_binned): for every purchase, count events by OTHER "
+        "users within +-60 s. A raw theta join on the time window "
+        "compiles to BroadcastNestedLoopJoin (O(n*m), the 100 TB "
+        "killer); binning makes it one partitioned hash join on the "
+        "bin key with constant per-row fan-out and a residual filter.",
+)
+def events_coactivity_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.join import range_join_binned
+    e = _engine(spark, sf_dir)
+    ev = e.table("events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select(F.col("event_id").alias("p_event_id"),
+                           F.col("user_id").alias("p_user_id"),
+                           F.col("ts").alias("p_ts")))
+    others = ev.select(F.col("user_id").alias("o_user_id"),
+                       F.col("ts").alias("o_ts"))
+    minute = 60_000_000
+    pairs = range_join_binned(
+        purchases, others, "p_ts", "o_ts",
+        lower_us=-minute, upper_us=minute,
+        condition=F.col("o_user_id") != F.col("p_user_id"))
+    return (pairs.groupBy(F.col("p_event_id").alias("event_id"))
+                 .agg(F.count("*").alias("n_coactive")))
+
+
+@register(
     "latest_event_per_user",
     """
     WITH r AS (

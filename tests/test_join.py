@@ -71,3 +71,36 @@ def test_theta_join_non_equi(engine):
     expected = (nation.crossJoin(customer.select("c_nationkey", "c_custkey"))
                 .filter(F.col("c_nationkey") > F.col("n_nationkey")).count())
     assert out.count() == expected
+
+
+def test_range_join_binned_equals_theta_and_avoids_bnlj(engine, spark):
+    from pyspark.sql import functions as F
+
+    from nosql_join_stream_spark.operators.join import range_join_binned
+    ev = engine.table("events")
+    left = (ev.filter(F.col("event_type") == "purchase")
+              .select(F.col("event_id").alias("l_id"),
+                      F.col("user_id").alias("l_user"),
+                      F.col("ts").alias("l_ts")))
+    right = ev.select(F.col("event_id").alias("r_id"),
+                      F.col("user_id").alias("r_user"),
+                      F.col("ts").alias("r_ts"))
+    m = 60_000_000
+    binned = range_join_binned(left, right, "l_ts", "r_ts", -m, m,
+                               condition=F.col("r_user") != F.col("l_user"))
+    theta = left.join(
+        right,
+        (F.unix_micros("r_ts") >= F.unix_micros("l_ts") - m)
+        & (F.unix_micros("r_ts") <= F.unix_micros("l_ts") + m)
+        & (F.col("r_user") != F.col("l_user")))
+    got = {(r.l_id, r.r_id) for r in binned.collect()}
+    want = {(r.l_id, r.r_id) for r in theta.collect()}
+    assert got == want and len(got) > 0
+    # the point of binning: an equi-join plan, not a nested loop
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # inverted bounds must fail fast
+    import pytest
+    with pytest.raises(ValueError):
+        range_join_binned(left, right, "l_ts", "r_ts", m, -m)
