@@ -348,3 +348,82 @@ def cluster_assign(df: DataFrame, k: int = 8, id_col: str = "vec_id",
 
     from nosql_join_stream_spark.operators.dedup import _spread
     return _spread(df.select(id_col, vec)).mapInPandas(op, out_schema)
+
+
+def pq_encode(df: DataFrame, id_col: str = "vec_id",
+              vec: str = "embedding", m: int = 8, k: int = 16,
+              sample: int = 4096, iters: int = 8) -> DataFrame:
+    """Product quantization: split each vector into ``m`` subvectors
+    and encode each against a ``k``-centroid codebook — ``m`` bytes
+    per vector (64x smaller than fp64x64), the memory layout that
+    makes billion-scale ANN shortlists fit in RAM.  IVF partitions
+    the corpus (ann_ivf_topk); PQ compresses within the cell — the
+    canonical IVF+PQ pairing.
+
+    Codebooks train driver-side on a bounded, id-ordered sample with
+    deterministic strided init + Lloyd iterations (same recipe as
+    _ivf_centroids — engine-portable, no RNG; the codebook table is
+    m*k*(dim/m) doubles, tiny).  Encoding is one Arrow mapInPandas
+    pass over the corpus — distances to all m*k centroids per batch
+    via numpy, no shuffle, partitioning preserved.
+
+    Returns (id, codes_json, recon_cos): the m codes as a JSON int
+    array and the cosine between the original vector and its
+    reconstruction (the per-row quantization-quality witness).
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec).orderBy(id_col).limit(sample).toPandas()
+    X = np.stack(pdf[vec].to_list()).astype("float64")
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) not divisible by m ({m})")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        step = max(1, len(S) // k)
+        c = S[::step][:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for ki in range(k):
+                pts = S[a == ki]
+                if len(pts):
+                    c[ki] = pts.mean(0)
+        books.append(c)
+    bc = spark.sparkContext.broadcast(np.stack(books))  # (m, k, sub)
+    id_name, vec_name = id_col, vec
+
+    def op(batches):
+        import json as _json
+
+        import numpy as _np
+        import pandas as _pd
+        B = bc.value
+        m_, k_, sub_ = B.shape
+        for part in batches:
+            if len(part) == 0:
+                continue
+            V = _np.stack(part[vec_name].to_list()).astype("float64")
+            codes = _np.empty((len(V), m_), dtype="int64")
+            recon = _np.empty_like(V)
+            for j in range(m_):
+                S = V[:, j * sub_:(j + 1) * sub_]
+                d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1)
+                cj = d2.argmin(1)
+                codes[:, j] = cj
+                recon[:, j * sub_:(j + 1) * sub_] = B[j][cj]
+            num = (V * recon).sum(1)
+            den = _np.linalg.norm(V, axis=1) * _np.linalg.norm(recon, axis=1)
+            den[den == 0] = 1.0
+            yield _pd.DataFrame({
+                id_name: part[id_name].to_numpy(),
+                "codes_json": [_json.dumps(c) for c in codes.tolist()],
+                "recon_cos": _np.round(num / den, 4),
+            })
+
+    from nosql_join_stream_spark.operators.dedup import _spread
+    return _spread(df.select(id_col, vec)).mapInPandas(
+        op, schema=f"{id_col} long, codes_json string, recon_cos double")

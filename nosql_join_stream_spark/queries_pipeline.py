@@ -1235,6 +1235,23 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_pq_codes",
+    None,  # codebooks are data-dependent Lloyd output — like ann_ivf,
+    # not SQL-mirrorable; per-row quality witness recon_cos is emitted
+    doc="Product quantization (m=8 subspaces x 16 centroids): 8 bytes "
+        "per vector, the IVF+PQ memory layout for billion-scale ANN "
+        "shortlists. Deterministic strided-init Lloyd codebooks on a "
+        "bounded driver sample; encoding is one Arrow mapInPandas "
+        "pass, no shuffle. Emits per-row reconstruction cosine as the "
+        "quantization-quality witness; driver rows-only (codebooks "
+        "data-dependent), determinism + quality asserted in tests.",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return similarity.pq_encode(e.table("embeddings"))
+
+
+@register(
     "text_boilerplate_ratio",
     """
     WITH s AS (

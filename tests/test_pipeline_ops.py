@@ -335,3 +335,21 @@ def test_common_gram_ratio_planted_boilerplate(spark):
     # shared: "unique body words" + "subscribe to our" +
     # "to our newsletter" + "our newsletter today"
     assert out[0].n_common == 4
+
+
+def test_pq_encode_deterministic_and_faithful(spark, engine):
+    import json
+    emb = engine.table("embeddings")
+    a = {r.vec_id: (r.codes_json, r.recon_cos)
+         for r in similarity.pq_encode(emb).collect()}
+    b = {r.vec_id: (r.codes_json, r.recon_cos)
+         for r in similarity.pq_encode(emb).collect()}
+    assert a == b  # deterministic codebooks + assignment, no RNG
+    codes = [json.loads(c) for c, _ in a.values()]
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes)
+    recs = [r for _, r in a.values()]
+    assert all(-1.0 <= r <= 1.0 for r in recs)
+    # 16 centroids per 8-dim subspace reconstruct these vectors well
+    assert sum(recs) / len(recs) > 0.6
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_encode(emb, m=7)
