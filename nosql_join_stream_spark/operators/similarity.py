@@ -350,6 +350,35 @@ def cluster_assign(df: DataFrame, k: int = 8, id_col: str = "vec_id",
     return _spread(df.select(id_col, vec)).mapInPandas(op, out_schema)
 
 
+def _pq_codebooks(df: DataFrame, id_col: str, vec: str, m: int, k: int,
+                  sample: int = 4096, iters: int = 8):
+    """(m, k, dim/m) PQ codebooks: deterministic strided-init Lloyd
+    per subspace on a bounded, id-ordered driver sample (same recipe
+    as _ivf_centroids — engine-portable, no RNG; the table is tiny)."""
+    import numpy as np
+
+    pdf = df.select(id_col, vec).orderBy(id_col).limit(sample).toPandas()
+    X = np.stack(pdf[vec].to_list()).astype("float64")
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) not divisible by m ({m})")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * sub:(j + 1) * sub]
+        step = max(1, len(S) // k)
+        c = S[::step][:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for ki in range(k):
+                pts = S[a == ki]
+                if len(pts):
+                    c[ki] = pts.mean(0)
+        books.append(c)
+    return np.stack(books)
+
+
 def pq_encode(df: DataFrame, id_col: str = "vec_id",
               vec: str = "embedding", m: int = 8, k: int = 16,
               sample: int = 4096, iters: int = 8) -> DataFrame:
@@ -374,26 +403,8 @@ def pq_encode(df: DataFrame, id_col: str = "vec_id",
     import numpy as np
 
     spark = df.sparkSession
-    pdf = df.select(id_col, vec).orderBy(id_col).limit(sample).toPandas()
-    X = np.stack(pdf[vec].to_list()).astype("float64")
-    dim = X.shape[1]
-    if dim % m != 0:
-        raise ValueError(f"dim ({dim}) not divisible by m ({m})")
-    sub = dim // m
-    books = []
-    for j in range(m):
-        S = X[:, j * sub:(j + 1) * sub]
-        step = max(1, len(S) // k)
-        c = S[::step][:k].copy()
-        for _ in range(iters):
-            d2 = ((S[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-            a = d2.argmin(1)
-            for ki in range(k):
-                pts = S[a == ki]
-                if len(pts):
-                    c[ki] = pts.mean(0)
-        books.append(c)
-    bc = spark.sparkContext.broadcast(np.stack(books))  # (m, k, sub)
+    bc = spark.sparkContext.broadcast(
+        _pq_codebooks(df, id_col, vec, m, k, sample, iters))
     id_name, vec_name = id_col, vec
 
     def op(batches):
@@ -427,3 +438,117 @@ def pq_encode(df: DataFrame, id_col: str = "vec_id",
     from nosql_join_stream_spark.operators.dedup import _spread
     return _spread(df.select(id_col, vec)).mapInPandas(
         op, schema=f"{id_col} long, codes_json string, recon_cos double")
+
+
+def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   n_cells: int = 16, nprobe: int = 4,
+                   m: int = 8, pq_k: int = 16, shortlist_factor: int = 4,
+                   query_id: str = "q_id", corpus_id: str = "c_id",
+                   vec: str = "embedding") -> DataFrame:
+    """IVF+PQ ANN — the production billion-scale recipe, end to end:
+
+    1. corpus pass (one mapInPandas, no shuffle): assign each vector
+       to its IVF cell AND its m-byte PQ code; the emitted candidate
+       table carries CODES ONLY — at 100 TB this is the whole point,
+       the scan that feeds the join moves 8 bytes/vector, not the
+       vector;
+    2. queries probe their ``nprobe`` nearest cells; the broadcast
+       cell equi-join scores candidates by asymmetric distance (query
+       subvector · centroid lookup — numpy per Arrow batch);
+    3. only the per-query ``shortlist_factor * k`` best candidates by
+       PQ score join BACK to the full vectors for the exact cosine
+       rerank (the single place full vectors are touched).
+
+    Output (q_id, c_id, sim, rank): sim is the EXACT cosine of the
+    reranked head — approximation affects recall only, like
+    ann_lsh_topk / ann_ivf_topk.  Deterministic end to end.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cents = _ivf_centroids(corpus, vec, corpus_id, n_cells)
+    books = _pq_codebooks(corpus, corpus_id, vec, m, pq_k)
+    bc = spark.sparkContext.broadcast((cents, books))
+    sub = books.shape[2]
+
+    def encode_corpus(batches):
+        import pandas as _pd
+        C, B = bc.value
+        for part in batches:
+            if len(part) == 0:
+                continue
+            V = np.stack(part.iloc[:, 1].to_list()).astype("float64")
+            vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cell = (vn @ C.T).argmax(axis=1).astype("int32")
+            codes = np.empty((len(V), len(B)), dtype="int32")
+            for j in range(len(B)):
+                S = V[:, j * sub:(j + 1) * sub]
+                codes[:, j] = ((S[:, None, :] - B[j][None, :, :]) ** 2
+                               ).sum(-1).argmin(1)
+            yield _pd.DataFrame({"__cid": part.iloc[:, 0], "__cell": cell,
+                                 "__codes": list(codes)})
+
+    def probe_queries(batches):
+        import pandas as _pd
+        C, _ = bc.value
+        np_ = min(nprobe, len(C))
+        for part in batches:
+            if len(part) == 0:
+                continue
+            V = np.stack(part.iloc[:, 1].to_list()).astype("float64")
+            vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            order = np.argsort(-(vn @ C.T), axis=1)[:, :np_]
+            out = part.loc[part.index.repeat(np_)]
+            yield _pd.DataFrame({"__qid": out.iloc[:, 0],
+                                 "__cell": order.reshape(-1).astype("int32"),
+                                 "__qv": out.iloc[:, 1]})
+
+    def adc_score(batches):
+        """Asymmetric distance: sum_j q_sub_j · book[j][code_j] — an
+        inner-product approximation from codes alone."""
+        import pandas as _pd
+        _, B = bc.value
+        for part in batches:
+            if len(part) == 0:
+                continue
+            Q = np.stack(part["__qv"].to_list()).astype("float64")
+            codes = np.stack(part["__codes"].to_list()).astype("int64")
+            score = np.zeros(len(part))
+            for j in range(len(B)):
+                score += (Q[:, j * sub:(j + 1) * sub]
+                          * B[j][codes[:, j]]).sum(1)
+            yield _pd.DataFrame({"__qid": part["__qid"],
+                                 "__cid": part["__cid"],
+                                 "__adc": np.round(score, 6)})
+
+    vec_t = dict(corpus.dtypes)[vec]
+    c_codes = corpus.select(F.col(corpus_id), F.col(vec)).mapInPandas(
+        encode_corpus, schema=f"__cid long, __cell int, __codes array<int>")
+    q_probe = queries.select(F.col(query_id), F.col(vec)).mapInPandas(
+        probe_queries, schema=f"__qid long, __cell int, __qv {vec_t}")
+    cand = (F.broadcast(q_probe).join(c_codes, "__cell")
+            .filter(F.col("__qid") != F.col("__cid")))
+    scored = cand.mapInPandas(
+        adc_score, schema="__qid long, __cid long, __adc double")
+    w = Window.partitionBy("__qid").orderBy(F.col("__adc").desc(),
+                                            F.col("__cid"))
+    short = (scored.withColumn("__r", F.row_number().over(w))
+                   .filter(F.col("__r") <= shortlist_factor * k)
+                   .drop("__r", "__adc"))
+    # ONLY the shortlist touches full vectors again
+    qv = queries.select(F.col(query_id).alias("__qid"),
+                        F.col(vec).alias("__qv"))
+    cv = corpus.select(F.col(corpus_id).alias("__cid"),
+                       F.col(vec).alias("__cv"))
+    sim = F.round(cosine(
+        F.transform("__qv", lambda x: x.cast("double")),
+        F.transform("__cv", lambda x: x.cast("double"))), 6)
+    reranked = (short.join(F.broadcast(qv), "__qid")
+                     .join(cv, "__cid")
+                     .withColumn("sim", sim))
+    w2 = Window.partitionBy("__qid").orderBy(F.col("sim").desc(),
+                                             F.col("__cid"))
+    return (reranked.withColumn("rank", F.row_number().over(w2))
+                    .filter(F.col("rank") <= k)
+                    .select(F.col("__qid").alias(query_id),
+                            F.col("__cid").alias(corpus_id), "sim", "rank"))

@@ -1235,6 +1235,27 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_topk",
+    None,  # cells + codebooks are data-dependent Lloyd output (like
+    # ann_ivf); recall-only approximation, sims exact after rerank
+    doc="IVF+PQ ANN end to end — the billion-scale production recipe: "
+        "corpus emits (cell, 8-byte PQ code) in ONE mapInPandas pass; "
+        "candidates score by asymmetric distance from CODES alone "
+        "(the join moves 8 bytes/vector, not vectors); only the "
+        "per-query shortlist joins back to full vectors for exact "
+        "cosine rerank. Driver rows-only; recall + exact-sim-on-"
+        "overlap asserted in tests against the brute-force baseline.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return similarity.ann_ivfpq_topk(queries, corpus, k=5)
+
+
+@register(
     "embedding_pq_codes",
     None,  # codebooks are data-dependent Lloyd output — like ann_ivf,
     # not SQL-mirrorable; per-row quality witness recon_cos is emitted

@@ -353,3 +353,24 @@ def test_pq_encode_deterministic_and_faithful(spark, engine):
     assert sum(recs) / len(recs) > 0.6
     with pytest.raises(ValueError, match="divisible"):
         similarity.pq_encode(emb, m=7)
+
+
+def test_ann_ivfpq_recall_and_exact_rerank(spark, engine):
+    emb = engine.table("embeddings")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"),
+                                         "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    brute = {(r.q_id, r.c_id): r.sim
+             for r in similarity.cosine_topk(q, c, k=5).collect()}
+    got = {(r.q_id, r.c_id): r.sim
+           for r in similarity.ann_ivfpq_topk(q, c, k=5).collect()}
+    # sims are EXACT after rerank wherever both ranked the pair
+    for kk, v in got.items():
+        if kk in brute:
+            assert abs(v - brute[kk]) < 1e-9
+    # codes-only candidate scoring must still find a solid share
+    assert len(set(got) & set(brute)) / len(brute) > 0.4
+    # deterministic end to end
+    again = {(r.q_id, r.c_id): r.sim
+             for r in similarity.ann_ivfpq_topk(q, c, k=5).collect()}
+    assert again == got
