@@ -1,19 +1,23 @@
 """Similarity search over embedding columns (array<float>).
 
-Beyond-reference (SURVEY.md M6).  Two paths:
+Beyond-reference (SURVEY.md M6).  The family, in escalating scale:
 
-- brute-force cosine top-k: exact baseline.  The query set is small
-  and BROADCAST; the corpus streams through one scan — no shuffle of
-  the corpus at all, per-query top-k via ranking window.  All math in
-  JVM expressions (zip_with/aggregate) in double precision.
-- LSH-bucketed ANN (random hyperplanes): the scale path — corpus
-  hashed once into sign-bit buckets; queries probe only their bucket
-  (+ optional multi-probe).  Recall < 1, precision exact within
-  retrieved set.
+- brute-force cosine top-k: exact baseline (broadcast queries × one
+  corpus scan, JVM zip_with/aggregate math);
+- hyperplane-LSH ANN: sign-bit bucket equi-join, data-oblivious;
+- IVF ANN: k-means cells (deterministic bounded-sample Lloyd),
+  data-adaptive buckets, broadcast-centroid assignment;
+- int8 / product quantization: 4× resp. 64× smaller vectors for
+  shortlist screening (PQ = m subspace codebooks);
+- IVF+PQ top-k: the billion-scale recipe — codes-only candidate scan
+  (8 bytes/vector through the join), asymmetric-distance scoring,
+  exact cosine rerank of the per-query shortlist;
+- bounded-block exact near-dup pairs and broadcast-GEMM k-means
+  assignment for curation.
 
-At 100 TB the corpus side stays partitioned; only signatures/buckets
-shuffle.  An IVF variant would replace hyperplanes with k-means
-centroids — same join shape.
+At 100 TB the corpus side stays partitioned: only buckets/cells/codes
+shuffle, centroid & codebook tables broadcast, and full vectors are
+touched once (scan) plus once per shortlist hit (rerank).
 """
 
 from __future__ import annotations
