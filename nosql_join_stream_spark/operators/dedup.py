@@ -80,6 +80,34 @@ def word_shingles(col, n: int = 3):
             .otherwise(F.array(F.array_join(toks, " ")))
 
 
+def ngram_dup_coverage(df: DataFrame, content_col: str, id_col: str,
+                       n: int = 3) -> DataFrame:
+    """Per-document duplication coverage: the fraction of a doc's
+    distinct word n-grams that also appear in at least one OTHER doc
+    (the corpus-overlap metric from "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022 — flags partial/templated
+    duplication that whole-doc dedup misses).
+
+    Scale shape: grams hash to 8-byte longs before any shuffle; one
+    hash-agg per gram (map-side combined) counts how many docs carry
+    it, then a co-partitioned join back (both sides already hashed on
+    the gram key — AQE keeps it local) and one final agg per doc.
+    Never materializes a pair space.
+    """
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(content_col), n)).alias("g"))
+    sh = sh.select("id", F.xxhash64("g").alias("gh"))
+    gram_docs = sh.groupBy("gh").agg(F.count("*").alias("ndocs"))
+    return (sh.join(gram_docs, "gh")
+              .groupBy("id")
+              .agg(F.count("*").alias("n_grams"),
+                   F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+                    .alias("n_dup_grams"))
+              .withColumn("dup_frac",
+                          F.round(F.col("n_dup_grams") / F.col("n_grams"), 4)))
+
+
 def ngram_jaccard_pairs(df: DataFrame, content_col: str, id_col: str,
                         n: int = 3, threshold: float = 0.6) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (id1 < id2, j >= threshold).
@@ -293,15 +321,33 @@ def dedup_resolve(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
                            F.col("id") != F.col("canonical_id")))
 
 
-def simhash_signatures(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64 (JVM-side), then one
+def simhash_signatures(df: DataFrame, content_col: str, id_col: str,
+                       token_hash: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash per doc: per-token hash (JVM-side), then one
     numpy kernel unpacks hash bits and sums ±1 per position (token
     frequency weighted); sign → bit.  Same output as a per-bit
-    aggregate expression tree, ~20× faster (vectorized, one pass)."""
-    hashed = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(F.split(F.trim(F.lower(F.col(content_col))), r"\s+"),
-                    lambda t: F.xxhash64(t)).alias("th"))
+    aggregate expression tree, ~20× faster (vectorized, one pass).
+
+    token_hash picks the per-token hash function:
+      - "xxhash64" (default): fastest JVM hash, 64 signature bits.
+      - "sha2_60": first 15 hex chars of SHA-256 parsed as a 60-bit
+        int.  Slower per token but byte-identical to DuckDB's
+        ``cast('0x' || substr(sha256(t),1,15) as bigint)``, which
+        turns the whole operator into a full cross-engine value
+        oracle (bits 60–63 of the signature are then always 0;
+        the 4×16-bit pigeonhole blocking below is unaffected).
+    """
+    toks = F.split(F.trim(F.lower(F.col(content_col))), r"\s+")
+    if token_hash == "xxhash64":
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+    elif token_hash == "sha2_60":
+        th = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10)
+                       .cast("long"))
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash!r}")
+    hashed = _spread(df).select(F.col(id_col).alias("id"), th.alias("th"))
 
     def op(batches):
         import numpy as _np
@@ -321,7 +367,8 @@ def simhash_signatures(df: DataFrame, content_col: str, id_col: str) -> DataFram
 
 
 def simhash_pairs(df: DataFrame, content_col: str, id_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  token_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Candidate generation: split the 64-bit signature into 4 16-bit
@@ -329,7 +376,7 @@ def simhash_pairs(df: DataFrame, content_col: str, id_col: str,
     (pigeonhole), so an equi-join per chunk finds all candidates with
     a linear shuffle; then verify with bit_count(xor).
     """
-    sigs = simhash_signatures(df, content_col, id_col)
+    sigs = simhash_signatures(df, content_col, id_col, token_hash=token_hash)
     chunks = sigs.select(
         "id", "sig",
         F.explode(F.array(*[

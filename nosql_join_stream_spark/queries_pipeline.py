@@ -155,14 +155,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    None,  # simhash banding likewise not SQL-mirrorable
+    """
+    WITH th AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(sha256(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                     AS tok
+            FROM documents)),
+    bits AS (
+      SELECT doc_id, b AS bit,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) g
+      GROUP BY doc_id, b),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
     doc="SimHash-64 near-dup pairs, hamming <= 3, pigeonhole 4x16-bit "
-        "chunk candidate join + exact bit_count verify.",
+        "chunk candidate join + exact bit_count verify.  Full value "
+        "oracle: token hash is sha2_60 (first 15 hex chars of SHA-256 "
+        "as a 60-bit int — byte-identical in Spark conv() and DuckDB "
+        "'0x' cast), so the oracle recomputes signatures exactly; its "
+        "brute-force n^2 pair scan returns the same set the pigeonhole "
+        "blocking does (blocking is lossless for hamming <= 3).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     return dedup.simhash_pairs(e.table("documents"), "text", "doc_id",
-                               max_hamming=3)
+                               max_hamming=3, token_hash="sha2_60")
 
 
 @register(

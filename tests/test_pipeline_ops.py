@@ -33,6 +33,20 @@ def test_simhash_pairs_are_verified(spark, sf_dir, engine):
     rows = out.collect()
     assert all(r.hamming <= 3 for r in rows)
     assert all(r.id1 < r.id2 for r in rows)
+    # cross-variant invariant: pairs with identical normalized text
+    # hash to identical signatures under ANY token hash, so both
+    # variants must surface them (near-threshold pairs may differ —
+    # SimHash is hash-dependent by construction)
+    sha = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3,
+                              token_hash="sha2_60")
+    sha_pairs = {(r.id1, r.id2) for r in sha.collect()}
+    norm = [(r.doc_id, " ".join(r.text.strip().lower().split()))
+            for r in docs.select("doc_id", "text").collect()]
+    ident = {(a, b) for i, (a, ta) in enumerate(norm)
+             for b, tb in norm[i + 1:] if ta == tb}
+    ident = {(min(p), max(p)) for p in ident}
+    xx_pairs = {(r.id1, r.id2) for r in rows}
+    assert ident <= xx_pairs and ident <= sha_pairs
 
 
 def test_exact_dedup_conserves_rows(spark, sf_dir, engine):
