@@ -844,6 +844,43 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_coverage",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    g AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    gd AS (SELECT g, COUNT(*) AS ndocs FROM g GROUP BY g)
+    SELECT g.doc_id AS id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           ROUND(SUM(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS dup_frac
+    FROM g JOIN gd USING (g)
+    GROUP BY g.doc_id
+    """,
+    doc="Per-doc duplication coverage (Lee et al. 2022): fraction of "
+        "each doc's distinct word 3-grams shared with any other doc — "
+        "catches templated/partial duplication whole-doc dedup misses. "
+        "Grams hash to 8-byte longs pre-shuffle; gram-count agg + "
+        "co-partitioned join back + per-doc agg; no pair space. "
+        "Oracle counts the same grams as strings (collision-free at "
+        "validation scale).",
+)
+def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return dedup.ngram_dup_coverage(e.table("documents"), "text", "doc_id",
+                                    n=3)
+
+
+@register(
     "sample_stratified",
     """
     WITH r AS (

@@ -49,6 +49,24 @@ def test_simhash_pairs_are_verified(spark, sf_dir, engine):
     assert ident <= xx_pairs and ident <= sha_pairs
 
 
+def test_ngram_dup_coverage_invariants(spark, sf_dir, engine):
+    docs = engine.table("documents")
+    out = dedup.ngram_dup_coverage(docs, "text", "doc_id", n=3)
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == docs.count()          # every doc scored
+    assert all(0.0 <= r.dup_frac <= 1.0 for r in rows.values())
+    assert all(r.n_dup_grams <= r.n_grams for r in rows.values())
+    # a doc with an exact duplicate shares ALL grams → dup_frac == 1
+    texts = docs.select("doc_id", "text").collect()
+    seen = {}
+    for r in texts:
+        seen.setdefault(r.text.strip(), []).append(r.doc_id)
+    for ids in seen.values():
+        if len(ids) > 1:
+            for i in ids:
+                assert rows[i].dup_frac == 1.0
+
+
 def test_exact_dedup_conserves_rows(spark, sf_dir, engine):
     docs = engine.table("documents")
     out = dedup.exact_dedup(docs, "text", "doc_id")
