@@ -121,6 +121,28 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                           F.col("__cid").alias(corpus_id), "sim", "rank"))
 
 
+def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension health/drift statistics (mean, sample std, min,
+    max) over an embedding column — the standard monitor for encoder
+    drift, dead dimensions, and normalization bugs in a training-data
+    pipeline.
+
+    Scale shape: posexplode multiplies rows by dim, but the groupBy
+    aggregates map-side (partial combine) down to dim rows per
+    partition before the only shuffle — at any corpus size the
+    exchange carries O(dim x partitions) rows, so the job stays
+    scan-bound.  Dims are reported 1-based.
+    """
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("pos", "v")) \
+           .select((F.col("pos") + 1).alias("dim"),
+                   F.col("v").cast("double").alias("v"))
+    return (ex.groupBy("dim")
+              .agg(F.round(F.avg("v"), 4).alias("mean"),
+                   F.round(F.stddev_samp("v"), 4).alias("std"),
+                   F.round(F.min("v"), 4).alias("vmin"),
+                   F.round(F.max("v"), 4).alias("vmax")))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization per vector: scale = max|x|/127,

@@ -704,6 +704,27 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dim_stats",
+    """
+    SELECT d.dim,
+           ROUND(AVG(embedding[d.dim]::DOUBLE), 4) AS mean,
+           ROUND(STDDEV_SAMP(embedding[d.dim]::DOUBLE), 4) AS std,
+           ROUND(MIN(embedding[d.dim]::DOUBLE), 4) AS vmin,
+           ROUND(MAX(embedding[d.dim]::DOUBLE), 4) AS vmax
+    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) d
+    GROUP BY d.dim
+    """,
+    doc="Per-dimension embedding health stats (mean/std/min/max, "
+        "1-based dim): the drift / dead-dimension / normalization-bug "
+        "monitor. posexplode then map-side partial agg -> the shuffle "
+        "carries O(dim x partitions) rows regardless of corpus size.",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return similarity.embedding_dim_stats(e.table("embeddings"), "embedding")
+
+
+@register(
     "embedding_quantize",
     """
     WITH s AS (

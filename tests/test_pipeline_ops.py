@@ -74,6 +74,22 @@ def test_exact_dedup_conserves_rows(spark, sf_dir, engine):
     assert total == docs.count()
 
 
+def test_embedding_dim_stats_vs_numpy(spark, sf_dir, engine):
+    import numpy as np
+    emb = engine.table("embeddings")
+    out = {r.dim: r for r in
+           similarity.embedding_dim_stats(emb, "embedding").collect()}
+    mat = np.array([r.embedding for r in emb.select("embedding").collect()],
+                   dtype="float64")
+    assert len(out) == mat.shape[1]
+    for d in (1, mat.shape[1] // 2, mat.shape[1]):
+        col = mat[:, d - 1]
+        assert out[d].mean == round(float(col.mean()), 4)
+        assert out[d].std == round(float(col.std(ddof=1)), 4)
+        assert out[d].vmin == round(float(col.min()), 4)
+        assert out[d].vmax == round(float(col.max()), 4)
+
+
 def test_ann_lsh_precision_and_recall(spark, sf_dir, engine):
     emb = engine.table("embeddings")
     q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding")
