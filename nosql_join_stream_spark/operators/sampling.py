@@ -13,7 +13,7 @@ replay it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 KNUTH = 2654435761
@@ -32,6 +32,49 @@ def hash_bucket(id_col: Column) -> Column:
     the two engines diverge.  Same formula on both sides."""
     r = id_col.cast("long") % F.lit(RED)
     return ((r * F.lit(KNUTH)) % F.lit(MOD)) % F.lit(BUCKETS)
+
+
+def order_hash(id_col: Column) -> Column:
+    """60-bit deterministic ordering hash of an id: first 15 hex chars
+    of SHA-256, parsed as an int.  Identical formula in DuckDB
+    (``cast('0x' || substr(sha256(id::varchar),1,15) as bigint)``), so
+    hash-ordered selections replay bit-for-bit across engines."""
+    return F.conv(F.substring(F.sha2(id_col.cast("string"), 256), 1, 15),
+                  16, 10).cast("long")
+
+
+def cap_per_group(df: DataFrame, group_col: str, id_col: str,
+                  cap: int) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the mixture-control
+    downsampler (cap docs per domain/source/lang before training).
+    Selection is the ``cap`` smallest ``order_hash(id)`` per group:
+    deterministic, engine-replayable, unbiased w.r.t. content.
+
+    Scale shape: a naive per-group ``row_number`` ranks EVERY row of
+    the largest group in one task.  Instead, group counts (tiny —
+    one row per group) broadcast back, and groups bigger than 4x cap
+    are prefiltered to hashes under a 4x-oversampled threshold
+    (hash is uniform on [0, 2^60)), so the rank window sees O(cap)
+    rows per group no matter how skewed the corpus.  The final
+    row_number is exact on the survivors; the prefilter drops a
+    should-have-survived row only if fewer than ``cap`` of n hashes
+    land under a 4x-proportional cutoff — vanishing for any real
+    group size (Chernoff), and deterministic either way.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = order_hash(F.col(id_col))
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    thresh = ((F.lit(4.0 * cap) / F.col("__n")) * F.lit(float(1 << 60))) \
+        .cast("long")
+    surv = (df.withColumn("__h", h)
+              .join(F.broadcast(counts), group_col)
+              .filter((F.col("__n") <= F.lit(4 * cap))
+                      | (F.col("__h") < thresh)))
+    w = Window.partitionBy(group_col).orderBy("__h", id_col)
+    return (surv.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= cap)
+                .drop("__h", "__n", "__rn"))
 
 
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,

@@ -930,6 +930,41 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_cap_per_group",
+    """
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             cast(concat('0x', substr(sha256(doc_id::VARCHAR), 1, 15))
+                  AS BIGINT) AS hh
+      FROM documents),
+    c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    surv AS (
+      SELECT h.doc_id, h.lang, h.source, h.hh
+      FROM h JOIN c USING (lang)
+      WHERE c.n <= 200
+         OR h.hh < CAST((200.0 / c.n) * 1152921504606846976.0 AS BIGINT)),
+    r AS (SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+                   AS rn
+          FROM surv)
+    SELECT doc_id, lang, source FROM r WHERE rn <= 50
+    """,
+    doc="Mixture-control quota: keep at most 50 docs per language, "
+        "chosen as the 50 smallest sha2-60 id hashes (deterministic, "
+        "content-unbiased, engine-replayable). Groups over 4x the cap "
+        "are prefiltered to a 4x-oversampled hash threshold before the "
+        "rank window, so the per-group ranking task holds O(cap) rows "
+        "however skewed the corpus — no full-group sort anywhere.",
+)
+def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import sampling
+    e = _engine(spark, sf_dir)
+    return (sampling.cap_per_group(e.table("documents"), "lang", "doc_id",
+                                   cap=50)
+            .select("doc_id", "lang", "source"))
+
+
+@register(
     "text_unigram_logprob",
     """
     WITH t AS (

@@ -169,6 +169,26 @@ def test_label_centroids_match_numpy(spark, engine):
         assert np.allclose(np.array(got[label]) / 1e6, exp, atol=1e-6)
 
 
+def test_cap_per_group_picks_smallest_hashes(spark):
+    import hashlib
+    rows = [(i, "g%d" % (i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = sampling.cap_per_group(df, "grp", "id", cap=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.grp, set()).add(r.id)
+    # exact Python replay: 5 smallest sha2-60 hashes per group
+    def h(i):
+        return int(hashlib.sha256(str(i).encode()).hexdigest()[:15], 16)
+    for g in ("g0", "g1", "g2"):
+        ids = [i for i, gg in rows if gg == g]
+        want = set(sorted(ids, key=lambda i: (h(i), i))[:5])
+        assert got[g] == want, g
+    # cap larger than the group keeps everything
+    tiny = sampling.cap_per_group(df.filter("id < 4"), "grp", "id", cap=10)
+    assert tiny.count() == 4
+
+
 def test_stratified_sample_rejects_bad_rates(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     import pytest as _pytest
