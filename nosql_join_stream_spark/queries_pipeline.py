@@ -1209,6 +1209,48 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dim_stats",
+    """
+    SELECT d.dim,
+           ROUND(AVG(embedding[d.dim]::DOUBLE), 4) AS mean,
+           ROUND(STDDEV_SAMP(embedding[d.dim]::DOUBLE), 4) AS std,
+           ROUND(MIN(embedding[d.dim]::DOUBLE), 4) AS vmin,
+           ROUND(MAX(embedding[d.dim]::DOUBLE), 4) AS vmax
+    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) d
+    GROUP BY d.dim
+    """,
+    doc="Streaming encoder-drift monitor: embeddings arrive as parquet "
+        "files, each micro-batch folds into per-dimension mean/std/"
+        "min/max (incremental aggregates — complete mode's drained "
+        "state equals the batch answer, the embedding_dim_stats "
+        "oracle). The live twin of the batch health check: point it "
+        "at the encoder's output directory and watch dims drift.",
+)
+def stream_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.streaming.log_stream import (
+        EMBEDDINGS_SCHEMA, read_table_stream, run_available_now)
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    _STREAM_SEQ[0] += 1
+    name = f"stream_dim_{_STREAM_SEQ[0]}"
+    emb = read_table_stream(spark, table_path(sf_dir, "embeddings"),
+                            EMBEDDINGS_SCHEMA)
+    ex = (emb.select(F.posexplode("embedding").alias("pos", "v"))
+             .select((F.col("pos") + 1).alias("dim"),
+                     F.col("v").cast("double").alias("v")))
+    agg = ex.groupBy("dim").agg(F.avg("v").alias("m"),
+                                F.stddev_samp("v").alias("s"),
+                                F.min("v").alias("lo"),
+                                F.max("v").alias("hi"))
+    out = agg.select("dim", F.round("m", 4).alias("mean"),
+                     F.round("s", 4).alias("std"),
+                     F.round("lo", 4).alias("vmin"),
+                     F.round("hi", 4).alias("vmax"))
+    run_available_now(out, name, output_mode="complete")
+    return spark.table(name)
+
+
+@register(
     "dedup_incremental_batch",
     """
     WITH s AS (

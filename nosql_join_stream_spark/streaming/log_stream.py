@@ -242,6 +242,12 @@ DOCUMENTS_SCHEMA = T.StructType([
     T.StructField("n_chars", T.LongType()),
 ])
 
+EMBEDDINGS_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("label", T.StringType()),
+])
+
 
 def read_table_stream(spark: SparkSession, path: str,
                       schema: T.StructType,

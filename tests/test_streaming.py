@@ -114,6 +114,21 @@ def test_stream_interval_join_matches_batch(spark, engine, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_stream_dim_stats_matches_batch(spark, engine, sf_dir):
+    from nosql_join_stream_spark.operators import similarity
+    from nosql_join_stream_spark.queries import REGISTRY
+    got = {r.dim: r for r in
+           REGISTRY["stream_dim_stats"].fn(spark, sf_dir).collect()}
+    want = {r.dim: r for r in
+            similarity.embedding_dim_stats(
+                engine.table("embeddings"), "embedding").collect()}
+    assert set(got) == set(want)
+    for d, w in want.items():
+        g = got[d]
+        assert (g.mean, g.std, g.vmin, g.vmax) == \
+               (w.mean, w.std, w.vmin, w.vmax), d
+
+
 def test_checkpoint_resume_exactly_once(spark, engine, tmp_path):
     # the reference's resumable offset scan (Log[M].from(offset), T1)
     # done Spark-native: a checkpointed file-source stream restarted
