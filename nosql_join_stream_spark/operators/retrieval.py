@@ -177,3 +177,49 @@ def hybrid_rrf_topk(docs: DataFrame, emb: DataFrame, text_col: str,
     return (fused.orderBy(F.col("rrf").desc(), F.col(id_col))
                  .select(id_col, "rrf", "bm25_rank", "cos_rank")
                  .limit(k))
+
+
+def phrase_search(df: DataFrame, text_col: str, id_col: str,
+                  phrase: str) -> DataFrame:
+    """Exact phrase match via a positional posting list: docs (and
+    occurrence counts) where the phrase's words appear consecutively.
+
+    Scale shape: the token stream filters to the phrase's word set
+    FIRST — a tiny IN-list that prunes at scan time, so only the
+    phrase words' postings (the inverted-index rows a real index
+    would fetch) ever shuffle; the full text never moves.  Postings
+    group per (doc, word) then fold to one position-map row per doc,
+    and the adjacency check ``pos(w[i+1]) ∋ p+i`` is a pure array
+    expression — overlapping occurrences included, no regex, no
+    second scan.  A standing inverted index (write the (tok, doc,
+    positions) table bucketed by tok via sinks.write_bucketed) makes
+    repeat queries index-lookups with zero corpus-side shuffle —
+    the same handoff dedup_incremental_bucketed proves.
+    """
+    words = phrase.strip().lower().split()
+    if not words:
+        raise ValueError("phrase must contain at least one word")
+    toks = (df.select(
+                F.col(id_col).alias("id"),
+                F.posexplode(F.split(F.trim(F.lower(F.col(text_col))),
+                                     r"\s+")).alias("pos", "tok"))
+              .filter(F.col("tok").isin(*set(words))))
+    postings = toks.groupBy("id", "tok").agg(F.collect_list("pos").alias("ps"))
+    pm = (postings.groupBy("id")
+                  .agg(F.map_from_entries(
+                      F.collect_list(F.struct("tok", "ps"))).alias("pm")))
+    first = F.col("pm").getItem(words[0])
+    starts = F.filter(first, lambda p: F.lit(True) if len(words) == 1 else
+                      _all_adjacent(words, p))
+    # docs missing words[0] have a null map entry: size(null) = -1,
+    # dropped by the n_matches > 0 gate below
+    return (pm.select("id", F.size(starts).alias("n_matches"))
+              .filter(F.col("n_matches") > 0))
+
+
+def _all_adjacent(words: list[str], p):
+    cond = None
+    for i in range(1, len(words)):
+        c = F.array_contains(F.col("pm").getItem(words[i]), p + i)
+        cond = c if cond is None else cond & c
+    return cond

@@ -965,6 +965,33 @@ def sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_phrase_search",
+    """
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(list_filter(range(1, len(tk) - 1),
+                     p -> tk[p] = 'slow' AND tk[p+1] = 'hash'
+                          AND tk[p+2] = 'batch')) AS n_matches
+          FROM t)
+    SELECT doc_id AS id, n_matches FROM m WHERE n_matches > 0
+    """,
+    doc="Exact phrase search ('slow hash batch') over a positional "
+        "posting list: phrase-word IN-filter prunes at scan, only "
+        "those postings shuffle (per-doc position map), adjacency is "
+        "a pure array expression counting overlapping occurrences. "
+        "The full text never moves; a bucketed standing index makes "
+        "repeats shuffle-free.",
+)
+def retrieval_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import retrieval
+    e = _engine(spark, sf_dir)
+    return retrieval.phrase_search(e.table("documents"), "text", "doc_id",
+                                   "slow hash batch")
+
+
+@register(
     "text_unigram_logprob",
     """
     WITH t AS (

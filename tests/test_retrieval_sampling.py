@@ -169,6 +169,25 @@ def test_label_centroids_match_numpy(spark, engine):
         assert np.allclose(np.array(got[label]) / 1e6, exp, atol=1e-6)
 
 
+def test_phrase_search_hand_computed(spark):
+    rows = [
+        (0, "a b c a b c"),       # two disjoint "a b c"
+        (1, "a a a"),             # overlapping "a a": starts 0,1
+        (2, "a b x c"),           # broken phrase
+        (3, "c b a"),             # wrong order
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.n_matches for r in
+           retrieval.phrase_search(df, "text", "doc_id", "a b c").collect()}
+    assert got == {0: 2}
+    got2 = {r.id: r.n_matches for r in
+            retrieval.phrase_search(df, "text", "doc_id", "a a").collect()}
+    assert got2 == {1: 2}
+    got1 = {r.id: r.n_matches for r in
+            retrieval.phrase_search(df, "text", "doc_id", "a").collect()}
+    assert got1 == {0: 2, 1: 3, 2: 1, 3: 1}
+
+
 def test_cap_per_group_picks_smallest_hashes(spark):
     import hashlib
     rows = [(i, "g%d" % (i % 3)) for i in range(200)]
