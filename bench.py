@@ -53,7 +53,7 @@ def main():
                "dedup" if name.startswith(("dedup_", "pipeline_")) else
                "text" if name.startswith(("text_", "token_", "corpus_",
                                           "doc_", "quality_", "sample_",
-                                          "decontaminate_",
+                                          "decontaminate_", "retrieval_",
                                           "contamination_")) else
                "embedding" if name.startswith(("ann_", "embedding_",
                                                "cluster_", "hybrid_")) else

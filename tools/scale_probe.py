@@ -10,8 +10,8 @@ Results recorded in SCALING.md.  Writes only under /tmp.
 
 Usage: python tools/scale_probe.py [max_factor] [op ...]
        ops default to: ngram minhash ann
-       also available: incr cluster decon novelty tfidf neardup rrf
-                       textq pack mm
+       also available: incr incrb cluster decon novelty tfidf neardup
+                       rrf textq pack mm coverage cap phrase dimstats
 """
 
 from __future__ import annotations
@@ -202,6 +202,37 @@ def main() -> None:
             results["mm_patch_rows"] = multimodal.patch_grid(
                 media, patch=32).count()
             results["mm_s"] = round(time.perf_counter() - t0, 2)
+
+        if "coverage" in OPS:
+            t0 = time.perf_counter()
+            results["coverage_rows"] = dedup.ngram_dup_coverage(
+                dd, "text", "doc_id").count()
+            results["coverage_s"] = round(time.perf_counter() - t0, 2)
+
+        if "cap" in OPS:
+            from nosql_join_stream_spark.operators import sampling
+            t0 = time.perf_counter()
+            results["cap_rows"] = sampling.cap_per_group(
+                dd, "lang", "doc_id", cap=50).count()
+            results["cap_s"] = round(time.perf_counter() - t0, 2)
+
+        if "phrase" in OPS:
+            # the injected copy token sits between every pair of words,
+            # so multi-word adjacency never matches (rows=0 by
+            # construction) — the probe measures the posting-list
+            # pipeline cost (scan filter, per-doc grouping, map fold),
+            # which is the part that scales with the corpus
+            from nosql_join_stream_spark.operators import retrieval
+            t0 = time.perf_counter()
+            results["phrase_rows"] = retrieval.phrase_search(
+                dd, "text", "doc_id", "slow hash batch").count()
+            results["phrase_s"] = round(time.perf_counter() - t0, 2)
+
+        if "dimstats" in OPS:
+            t0 = time.perf_counter()
+            results["dimstats_rows"] = similarity.embedding_dim_stats(
+                ee, "embedding").count()
+            results["dimstats_s"] = round(time.perf_counter() - t0, 2)
 
         print(f"factor={factor:3d} docs={n_docs * factor:7d} {results}",
               flush=True)
