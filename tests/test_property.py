@@ -187,3 +187,58 @@ def test_pack_sequences_invariants(spark, lens, budget):
             (n, off // budget, off % budget)
         assert 0 <= r.offset_in_seq < budget
         offsets[key] = off + n
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+           st.lists(st.sampled_from("abc"), min_size=0, max_size=12)
+             .map(" ".join),
+           min_size=1, max_size=8),
+       phrase=st.lists(st.sampled_from("abc"), min_size=1, max_size=3)
+                .map(" ".join))
+def test_phrase_search_matches_python_reference(spark, texts, phrase):
+    """phrase_search (positional posting map) equals the obvious
+    Python sliding-window count, overlaps included."""
+    from nosql_join_stream_spark.operators.retrieval import phrase_search
+
+    words = phrase.split()
+
+    def ref(text):
+        toks = text.strip().lower().split()
+        return sum(1 for p in range(len(toks) - len(words) + 1)
+                   if toks[p:p + len(words)] == words)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r.id: r.n_matches for r in
+           phrase_search(df, "text", "doc_id", phrase).collect()}
+    want = {i: ref(t) for i, t in enumerate(texts) if ref(t) > 0}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ids=st.lists(st.integers(0, 10**12), min_size=1, max_size=40,
+                    unique=True),
+       cap=st.integers(1, 4))
+def test_cap_per_group_property(spark, ids, cap):
+    """cap_per_group keeps exactly min(cap, |group|) rows per group,
+    and they are the cap smallest sha2-60 id hashes."""
+    import hashlib
+    from nosql_join_stream_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "g%d" % (i % 3)) for i in ids]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = cap_per_group(df, "grp", "id", cap=cap)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.grp, set()).add(r.id)
+
+    def h(i):
+        return int(hashlib.sha256(str(i).encode()).hexdigest()[:15], 16)
+
+    for g in {"g%d" % (i % 3) for i in ids}:
+        members = [i for i in ids if "g%d" % (i % 3) == g]
+        want = set(sorted(members, key=lambda i: (h(i), i))[:cap])
+        assert got.get(g, set()) == want, g
