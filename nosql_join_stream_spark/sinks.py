@@ -4,14 +4,17 @@ Reference S10 (SURVEY.md §2.1): the library ships NO sinks; tests
 attach buffer sinks / ``Sink.seq`` / ``runFold``
 (JoinMongoSpec.scala:62, PartitionedLogAkkaSpec.scala:52,
 AkkaJoinCassandraSpec.scala:75).  Spark-first, a sink is
-``df.write`` / ``df.writeStream`` — these helpers add the two layout
-decisions that matter at 100 TB:
+``df.write`` / ``df.writeStream`` — these helpers add the three
+layout decisions that matter at 100 TB:
 
 - **partitioning** (``partition_by``): directory-level pruning for
   every downstream scan that filters on the partition column;
 - **bucketing** (``write_bucketed``): pre-shuffled layout so a later
   equi-join/agg on the bucket key is shuffle-free (sort-merge join
-  reads co-located buckets directly).
+  reads co-located buckets directly);
+- **z-ordering** (``write_zordered``): Morton-curve clustering so
+  row-group min/max stats prune range filters on several columns at
+  once, not just a sort's leading column.
 """
 
 from __future__ import annotations
@@ -19,7 +22,8 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet",
@@ -89,3 +93,57 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def _zorder_value(cols: Sequence[Column], bits: int = 16) -> Column:
+    """Interleave the bits of pre-normalized [0, 2^bits) integer
+    columns into one Morton (Z-curve) key — pure JVM shift/or
+    expressions, codegen-friendly."""
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, cols: Sequence[str],
+                   n_files: int = 16, bits: int = 16) -> None:
+    """Z-order layout: cluster rows along a Morton space-filling curve
+    over ``cols`` so parquet min/max stats stay selective for range
+    filters on ANY of the columns — multi-dimensional data skipping
+    where a plain sort helps only its leading column.
+
+    Each column min/max-normalizes to a ``bits``-bit integer via a
+    1-row broadcast aggregate (no driver round-trip), bits interleave
+    into the Morton key, and ``repartitionByRange`` + per-file sort on
+    that key give every output file a tight bounding box in
+    (col1, col2, ...) space.  At 100 TB this is the difference between
+    a box query touching a handful of row groups and touching all of
+    them; the write itself is one range-partitioned shuffle, the same
+    cost as any global sort.
+    """
+    if len(cols) < 2:
+        raise ValueError("z-ordering needs >= 2 columns; "
+                         "use write_table(sort_by=...) for one")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__max_{c}")]
+    ranges = df.agg(*aggs)
+    top = F.lit(float((1 << bits) - 1))
+    normed = []
+    for c in cols:
+        span = F.col(f"__max_{c}") - F.col(f"__min_{c}")
+        frac = F.when(span > 0,
+                      (F.col(c).cast("double") - F.col(f"__min_{c}")) / span) \
+                .otherwise(F.lit(0.0))
+        normed.append(F.round(frac * top).cast("long"))
+    out = (df.crossJoin(F.broadcast(ranges))
+             .withColumn("__z", _zorder_value(normed, bits))
+             .repartitionByRange(n_files, "__z")
+             .sortWithinPartitions("__z")
+             .drop("__z", *[f"__{m}_{c}" for c in cols
+                            for m in ("min", "max")]))
+    out.write.mode("overwrite").parquet(path)

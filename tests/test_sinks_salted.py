@@ -155,3 +155,51 @@ def test_bucketed_incremental_index_no_corpus_shuffle(engine, spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS nsjs_index.corpus_sets")
     spark.sql("DROP DATABASE IF EXISTS nsjs_index")
     shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_write_zordered_tightens_file_bounding_boxes(engine, spark, tmp_path):
+    from nosql_join_stream_spark.sinks import write_zordered
+
+    orders = engine.table("orders").select("o_orderkey", "o_custkey",
+                                           "o_totalprice")
+    zpath = str(tmp_path / "z")
+    npath = str(tmp_path / "naive")
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=8)
+    orders.repartition(8).write.parquet(npath)
+
+    lo = orders.agg(F.min("o_custkey"), F.max("o_custkey"),
+                    F.min("o_totalprice"), F.max("o_totalprice")).first()
+    ck_span = float(lo[1] - lo[0]) or 1.0
+    tp_span = float(lo[3] - lo[2]) or 1.0
+
+    def area_sum(path):
+        import glob
+        total = 0.0
+        files = glob.glob(path + "/*.parquet")
+        assert len(files) >= 2
+        for f in files:
+            r = spark.read.parquet(f).agg(
+                F.min("o_custkey"), F.max("o_custkey"),
+                F.min("o_totalprice"), F.max("o_totalprice")).first()
+            total += ((r[1] - r[0]) / ck_span) * (float(r[3] - r[2]) / tp_span)
+        return total
+
+    z_area, n_area = area_sum(zpath), area_sum(npath)
+    # a random/naive layout's every file spans ~the whole box (area ~8);
+    # z-ordered files cover disjoint curve segments with tight boxes
+    assert z_area < n_area * 0.5, (z_area, n_area)
+
+    # content round-trips exactly
+    back = spark.read.parquet(zpath)
+    assert back.count() == orders.count()
+    assert ({r.o_orderkey for r in back.select("o_orderkey").collect()}
+            == {r.o_orderkey for r in orders.select("o_orderkey").collect()})
+
+    # a 2-D box filter's matching files: prunable subset of the layout
+    hit = [f for f in __import__("glob").glob(zpath + "/*.parquet")
+           if (lambda r: r[0] is not None)(
+               spark.read.parquet(f)
+               .filter((F.col("o_custkey") <= lo[0] + 0.25 * ck_span)
+                       & (F.col("o_totalprice") <= lo[2] + 0.25 * tp_span))
+               .agg(F.min("o_custkey")).first())]
+    assert len(hit) <= 4  # the box touches a minority of z-files
