@@ -709,6 +709,42 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rate_spikes",
+    """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sd
+          FROM h GROUP BY 1)
+    SELECT h.event_type, h.hr, h.n,
+           ROUND(s.mu, 4) AS mu, ROUND(s.sd, 4) AS sd,
+           ROUND((h.n - s.mu) / s.sd, 4) AS zscore
+    FROM h JOIN s USING (event_type)
+    WHERE h.n > s.mu + 3 * s.sd
+    """,
+    doc="Rate-anomaly monitor: hours where an event type's count "
+        "exceeds its own mean + 3 sigma — the ops alarm over the "
+        "ingest log. Hourly rollup (map-side partial agg), per-type "
+        "stats are a types-sized table that broadcasts back; two "
+        "shuffles total, both on keys that stay tiny at any scale.",
+)
+def events_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    h = (e.table("events")
+          .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+          .agg(F.count("*").alias("n")))
+    s = h.groupBy("event_type").agg(F.avg("n").alias("_mu"),
+                                    F.stddev_samp("n").alias("_sd"))
+    return (h.join(F.broadcast(s), "event_type")
+             .filter(F.col("n") > F.col("_mu") + 3 * F.col("_sd"))
+             .select("event_type", "hr", "n",
+                     F.round("_mu", 4).alias("mu"),
+                     F.round("_sd", 4).alias("sd"),
+                     F.round((F.col("n") - F.col("_mu")) / F.col("_sd"), 4)
+                      .alias("zscore")))
+
+
+@register(
     "events_cohort_retention",
     """
     WITH f AS (

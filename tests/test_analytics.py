@@ -78,3 +78,13 @@ def test_funnel_stages_monotone_nonincreasing(spark, sf_dir):
     assert set(rows) == {"view", "view>click", "view>click>purchase"}
     assert rows["view"] >= rows["view>click"] >= rows["view>click>purchase"]
     assert rows["view"] > 0
+
+
+def test_rate_spikes_all_above_3_sigma(spark, sf_dir):
+    rows = _run("events_rate_spikes", spark, sf_dir).collect()
+    assert all(r.zscore > 3.0 for r in rows)
+    assert all(r.n > r.mu + 3 * r.sd - 1e-6 for r in rows)
+    # spikes are by construction rare for every type
+    total_hours = (_run("events_time_rollup", spark, sf_dir)
+                   .filter("day IS NOT NULL AND hour IS NOT NULL").count())
+    assert len(rows) < 0.05 * max(total_hours, 1)
