@@ -98,3 +98,23 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
               .withColumn("weight",
                           F.round(F.lit(float(BUCKETS)) / F.col("_rate"), 6))
               .drop("_rate"))
+
+
+def global_shuffle(df: DataFrame, id_col: str,
+                   pos_col: str = "shuffle_pos") -> DataFrame:
+    """Deterministic global training-order shuffle: rows enumerated
+    1..N in sha2-60 hash order of their id — the reproducible
+    permutation training runs need (same order on every rerun and
+    every engine, no RNG state to ship).
+
+    Scale shape: hash order via ``repartitionByRange`` + the two-pass
+    dense index (combinators._with_pos) — an unpartitioned
+    ``row_number`` window would funnel the whole corpus through one
+    task; this form's only global structure is a partitions-sized
+    offset table that broadcasts.  Ties (60-bit hash collisions are
+    birthday-real at billions of rows) break on the id, keeping the
+    order total and the position unique.
+    """
+    from nosql_join_stream_spark.operators.combinators import _with_pos
+    d = df.withColumn("__sh", order_hash(F.col(id_col)))
+    return _with_pos(d, ["__sh", id_col], pos_col).drop("__sh")

@@ -930,6 +930,29 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_global_shuffle",
+    """
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY cast(concat('0x', substr(sha256(doc_id::VARCHAR), 1, 15))
+                           AS BIGINT), doc_id) AS INTEGER) AS shuffle_pos
+    FROM documents
+    """,
+    doc="Deterministic global training-order shuffle: rows enumerated "
+        "1..N in sha2-60 hash order of doc_id (reproducible across "
+        "reruns and engines, no RNG state). Range-partitioned sort + "
+        "two-pass dense index — no single-task global row_number "
+        "window; the only global structure is a partitions-sized "
+        "offset table that broadcasts.",
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import sampling
+    e = _engine(spark, sf_dir)
+    return (sampling.global_shuffle(e.table("documents"), "doc_id")
+            .select("doc_id", "lang", "shuffle_pos"))
+
+
+@register(
     "sample_cap_per_group",
     """
     WITH h AS (

@@ -208,6 +208,22 @@ def test_cap_per_group_picks_smallest_hashes(spark):
     assert tiny.count() == 4
 
 
+def test_global_shuffle_is_exact_hash_permutation(spark):
+    import hashlib
+    ids = [3, 11, 42, 7, 900, 12345, 0, 2**40]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r.id: r.shuffle_pos for r in
+           sampling.global_shuffle(df, "id").collect()}
+
+    def h(i):
+        return int(hashlib.sha256(str(i).encode()).hexdigest()[:15], 16)
+
+    want = {i: p + 1 for p, i in
+            enumerate(sorted(ids, key=lambda i: (h(i), i)))}
+    assert got == want
+    assert sorted(got.values()) == list(range(1, len(ids) + 1))
+
+
 def test_stratified_sample_rejects_bad_rates(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     import pytest as _pytest
