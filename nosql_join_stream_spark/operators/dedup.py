@@ -337,14 +337,12 @@ def simhash_signatures(df: DataFrame, content_col: str, id_col: str,
         oracle (bits 60–63 of the signature are then always 0;
         the 4×16-bit pigeonhole blocking below is unaffected).
     """
+    from nosql_join_stream_spark.operators.sampling import order_hash
     toks = F.split(F.trim(F.lower(F.col(content_col))), r"\s+")
     if token_hash == "xxhash64":
         th = F.transform(toks, lambda t: F.xxhash64(t))
     elif token_hash == "sha2_60":
-        th = F.transform(
-            toks,
-            lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 15), 16, 10)
-                       .cast("long"))
+        th = F.transform(toks, order_hash)
     else:
         raise ValueError(f"unknown token_hash: {token_hash!r}")
     hashed = _spread(df).select(F.col(id_col).alias("id"), th.alias("th"))

@@ -12,6 +12,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
        ops default to: ngram minhash ann
        also available: incr incrb cluster decon novelty tfidf neardup
                        rrf textq pack mm coverage cap phrase dimstats
+                       shuffle
 """
 
 from __future__ import annotations
@@ -227,6 +228,13 @@ def main() -> None:
             results["phrase_rows"] = retrieval.phrase_search(
                 dd, "text", "doc_id", "slow hash batch").count()
             results["phrase_s"] = round(time.perf_counter() - t0, 2)
+
+        if "shuffle" in OPS:
+            from nosql_join_stream_spark.operators import sampling
+            t0 = time.perf_counter()
+            results["shuffle_rows"] = sampling.global_shuffle(
+                dd, "doc_id").count()
+            results["shuffle_s"] = round(time.perf_counter() - t0, 2)
 
         if "dimstats" in OPS:
             t0 = time.perf_counter()
