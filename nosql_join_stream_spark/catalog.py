@@ -37,11 +37,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return path
 
 
-# Parquet columns physically stored as TIMESTAMP(NANOS) — Spark rejects
-# them by default (PARQUET_TYPE_ILLEGAL).  We read them as raw int64
-# nanos via the legacy conf and restore TimestampType (values are
-# microsecond-aligned in the test data, so the ns→µs conversion is
-# lossless).  DuckDB oracles should CAST(ts AS TIMESTAMP) to match µs.
+# Timestamp normalization at the catalog boundary.  The driver's test
+# data has shipped `events.ts` in two physical forms across rounds:
+#   - TIMESTAMP(NANOS): Spark rejects it by default (PARQUET_TYPE_
+#     ILLEGAL); we read raw int64 nanos via the legacy conf and restore
+#     TimestampType (values are µs-aligned, so ns→µs is lossless);
+#   - TIMESTAMP(MICROS, isAdjustedToUTC=false): loads as TIMESTAMP_NTZ,
+#     which unix_micros / numeric casts / unions-with-TIMESTAMP reject.
+# Both are normalized to plain TIMESTAMP here, once, so every operator
+# downstream sees one type.  The session timezone is pinned to UTC
+# (session.py), so NTZ→TIMESTAMP is value-identical to DuckDB's naive
+# reading of the same parquet.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
@@ -52,12 +58,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
-            from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
+    for c, dtype in df.dtypes:
+        if c in nanos_cols and dtype == "bigint":
             # integer `div`, NOT float division: nanos exceed 2^53, so a
             # double round-trip is off by ±1µs on recent timestamps
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -22,6 +22,19 @@ from pyspark.sql.functions import pandas_udf, udtf
 from pyspark.sql.types import DoubleType
 
 
+def epoch_us(col):
+    """Microseconds since epoch for TIMESTAMP *and* TIMESTAMP_NTZ.
+
+    Parquet timestamps written without a timezone (isAdjustedToUTC =
+    false) load as TIMESTAMP_NTZ, which ``unix_micros`` / numeric casts
+    reject outright.  Casting NTZ -> TIMESTAMP interprets the naive
+    value in the session timezone (pinned to UTC in session.py), so the
+    result equals DuckDB's ``epoch_us(ts)`` on the same naive value.
+    """
+    return F.unix_micros(F.col(col).cast("timestamp")
+                         if isinstance(col, str) else col.cast("timestamp"))
+
+
 def normalize_text(col):
     """Scalar normalization as pure Column composition (whole-stage
     codegen, no Python): lowercase, collapse whitespace, trim."""

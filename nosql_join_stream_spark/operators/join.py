@@ -135,8 +135,9 @@ def range_join_binned(left: DataFrame, right: DataFrame,
         bin_us = max(1, upper_us - lower_us)
     if bin_us < 1:
         raise ValueError(f"bin_us must be >= 1, got {bin_us}")
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
+    from nosql_join_stream_spark.functions import epoch_us
+    l_us = epoch_us(left_ts)
+    r_us = epoch_us(right_ts)
     lo_bin = F.floor((l_us + lower_us) / bin_us)
     hi_bin = F.floor((l_us + upper_us) / bin_us)
     l_b = left.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from nosql_join_stream_spark.functions import epoch_us
 from nosql_join_stream_spark.queries import _engine, register
 
 
@@ -393,8 +394,14 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w))
-    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # Interval comparison, not epoch casts: works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike (parquet timestamps without tz load as NTZ,
+    # which Spark refuses to cast to BIGINT) and mirrors the oracle's
+    # `ts - lag(ts) > INTERVAL 30 MINUTE` exactly.
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1).otherwise(0)
     return (e.table("events")
             .withColumn("new_session", new_sess)
             .groupBy("user_id")
@@ -478,8 +485,12 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter("event_type = 'click'").select(
         "user_id", F.col("ts").alias("ts"), F.col("ts").alias("click_ts"),
         F.lit(0).alias("is_p"), F.lit(None).cast("long").alias("event_id"))
+    # null literal typed to whatever ts actually is (TIMESTAMP vs
+    # TIMESTAMP_NTZ depends on how the parquet was written) so the
+    # union branches agree
+    ts_type = ev.schema["ts"].dataType
     purch = ev.filter("event_type = 'purchase'").select(
-        "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"),
+        "user_id", "ts", F.lit(None).cast(ts_type).alias("click_ts"),
         F.lit(1).alias("is_p"), "event_id")
     u = clicks.unionByName(purch)
     # order clicks before purchases at equal ts (asof is <=)
@@ -670,8 +681,8 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (e.table("events")
             .select("user_id",
-                    (F.unix_micros("ts")
-                     - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"))
+                    (epoch_us("ts")
+                     - F.lag(epoch_us("ts")).over(w)).alias("gap_us"))
             .filter(F.col("gap_us").isNotNull()))
     return (gaps.groupBy("user_id")
             .agg(F.count("*").alias("n_gaps"),

@@ -26,14 +26,26 @@ from pyspark.sql import types as T
 #: across concurrent run_available_now drains in one session
 _SHUFFLE_CONF_LOCK = threading.Lock()
 
-EVENTS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),  # nanos-as-long (catalog note)
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(ts_dtype: str) -> T.StructType:
+    """Stream-source schema for the events log, with ``ts`` declared as
+    whatever this round's parquet physically stores (catalog.py note):
+    nanos-as-long (legacy TIMESTAMP(NANOS)), TIMESTAMP_NTZ (naive
+    micros), or plain TIMESTAMP (UTC-adjusted micros)."""
+    ts_type = {"bigint": T.LongType(),
+               "timestamp_ntz": T.TimestampNTZType()}.get(
+                   ts_dtype, T.TimestampType())
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+
+
+#: default shape (current test data: naive-micros parquet → NTZ)
+EVENTS_SCHEMA = _events_schema("timestamp_ntz")
 
 
 def read_log_stream(spark: SparkSession, path: str, key=None, offset: int = 0,
@@ -45,7 +57,12 @@ def read_log_stream(spark: SparkSession, path: str, key=None, offset: int = 0,
     BASELINE.md) becomes declarative trigger pacing.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    # footer-only batch peek: learn the physical ts encoding so the
+    # declared stream schema matches, then normalize to TIMESTAMP once
+    # (same contract as catalog.load_table)
+    ts_dtype = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    reader = spark.readStream.schema(_events_schema(ts_dtype)) \
+                  .format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isfile(path):
@@ -54,7 +71,11 @@ def read_log_stream(spark: SparkSession, path: str, key=None, offset: int = 0,
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     df = reader.load(path)
-    df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_dtype == "bigint":
+        # integer `div`: nanos exceed 2^53 (catalog.py note)
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if key is not None:
         df = df.filter(F.col("user_id") == F.lit(key))
     if offset:
