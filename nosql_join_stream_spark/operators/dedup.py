@@ -276,7 +276,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     is one equi-join + one min-aggregate (both shuffles on id, AQE
     coalesced); ``localCheckpoint`` truncates the growing lineage so
     round N doesn't replay rounds 1..N-1.  The driver-side loop holds
-    only a changed-row COUNT, never data.
+    only a changed-row SUM, never data.
+
+    Job economy: every checkpoint is LAZY (eager=False), so each
+    round's convergence-witness aggregate is the single Spark job that
+    also materializes that round's labels (and, in round 1, the edge
+    list).  The eager form costs 2 jobs per round plus 3 setup jobs —
+    measured ~2x the wall time at sf0.1 for identical results.
     """
     # checkpoint the edge list once — every round joins against it, and
     # without this the (possibly expensive) pair-generation plan would
@@ -285,21 +291,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                   .unionByName(pairs.select(F.col("id2").alias("src"),
                                             F.col("id1").alias("dst")))
                   .distinct()
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
     labels = (edges.select(F.col("src").alias("id")).distinct()
                    .withColumn("comp", F.col("id"))
-                   .localCheckpoint())
+                   .localCheckpoint(eager=False))
     # labels only ever decrease, so sum(comp) is a monotone convergence
     # witness: unchanged sum ⟺ fixed point.  One tiny aggregate per
     # round instead of a join+count against the previous labels.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    prev_sum = None
     for _ in range(max_iter):
         pulled = (edges.join(labels, edges["dst"] == labels["id"])
                        .groupBy("src").agg(F.min("comp").alias("ncomp")))
         labels = (labels.join(pulled, labels["id"] == pulled["src"], "left")
                         .select(labels["id"],
                                 F.least("comp", "ncomp").alias("comp"))
-                        .localCheckpoint())
+                        .localCheckpoint(eager=False))
         new_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if new_sum == prev_sum:
             break
@@ -425,7 +431,16 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
 def _shingle_prefix(df: DataFrame, content_col: str, id_col: str,
                     n: int, tau: float):
     """(sorted-hash shingle sets, prefix-exploded index) for PPJoin —
-    shared by the self-join and cross-set forms."""
+    shared by the self-join and cross-set forms.
+
+    Deliberately NOT cached/checkpointed: the shingle scan is consumed
+    3-4 times per PPJoin (both sides of the prefix self-join + both
+    verify lookups), but Spark reuses the shuffle exchange for the
+    self-join sides, and an A/B at sf0.1 showed materializing the
+    big hv arrays (localCheckpoint) costs more in memory/GC than the
+    recompute saves — recompute is a streaming scan that never holds
+    the arrays resident.
+    """
     sh = (_spread(df)
             .select(F.col(id_col).alias("id"),
                     F.array_sort(F.transform(
