@@ -77,6 +77,49 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str,
                 .drop("__h", "__n", "__rn"))
 
 
+def budget_per_group(df: DataFrame, group_col: str, id_col: str,
+                     weight_col: str, budget: int,
+                     oversample: float = 4.0) -> DataFrame:
+    """Keep rows per group in deterministic hash order until a WEIGHT
+    budget is spent — the token-budget mixture draw: given per-source
+    token budgets (e.g. from temperature re-weighting), materialize
+    the actual training subset.  A row is kept iff the summed weight
+    of all earlier-hashed rows in its group is still under ``budget``
+    (so the draw overshoots by at most one document — the standard
+    convention; taking ``<= budget`` instead would undershoot).
+
+    Scale shape (same design as cap_per_group): per-group weight
+    totals (one tiny row per group) broadcast back; groups within
+    budget keep everything and SKIP the window entirely; over-budget
+    groups prefilter to hashes under an ``oversample``-proportional
+    cutoff — hashes are uniform and weights hash-independent, so the
+    surviving prefix holds ~oversample x the budget's worth of weight
+    — and only those O(budget) survivors flow into the exclusive
+    prefix-sum window.  The cumsum is exact on the survivors; like
+    cap_per_group, the cutoff drops a true winner only if the kept
+    prefix holds under 1/oversample of its expected weight
+    (Chernoff-vanishing), and deterministically so — an oracle
+    replaying the same cutoff gets the same rows.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    h = order_hash(F.col(id_col))
+    totals = df.groupBy(group_col).agg(F.sum(weight_col).alias("__tot"))
+    frac = F.lit(float(oversample) * budget) / F.col("__tot")
+    thresh = (frac * F.lit(float(1 << 60))).cast("long")
+    surv = (df.withColumn("__h", h)
+              .join(F.broadcast(totals), group_col)
+              .filter((F.col("__tot") <= F.lit(budget))
+                      | (F.col("__h") < thresh)))
+    w = (Window.partitionBy(group_col).orderBy("__h", id_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    spent = F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    return (surv.withColumn("__spent", spent)
+                .filter((F.col("__tot") <= F.lit(budget))
+                        | (F.col("__spent") < F.lit(budget)))
+                .drop("__h", "__tot", "__spent"))
+
+
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
                       rates_per_mille: dict[str, int],
                       default_per_mille: int = 1000) -> DataFrame:

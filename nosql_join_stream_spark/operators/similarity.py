@@ -578,3 +578,54 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                     .filter(F.col("rank") <= k)
                     .select(F.col("__qid").alias(query_id),
                             F.col("__cid").alias(corpus_id), "sim", "rank"))
+
+
+def semantic_dedup(df: DataFrame, k: int = 8, threshold: float = 0.4,
+                   id_col: str = "vec_id",
+                   vec: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space, compare pairs only WITHIN a cluster,
+    and resolve near-dup groups to one canonical representative.
+
+    Composition of already-verified kernels: ``cluster_assign`` blocks
+    the corpus into ``k`` nearest-centroid cells (deterministic
+    lowest-id centroid seeding, broadcast GEMM, zero corpus shuffle);
+    each cell self-joins on cluster_id and verifies candidates with
+    exact cosine (rounded to 6 dp, so any engine agrees); the
+    surviving pairs feed hash-min connected components
+    (dedup.connected_components) and every row gets a verdict.
+
+    Within-cluster comparison is the SemDeDup approximation BY DESIGN:
+    cross-cluster near-dups are not sought (at embedding thresholds
+    worth deduping, near-dups co-locate with their cluster centroid).
+    Scale shape: pair space is sum of squared CELL sizes, not corpus
+    size squared — at 100 TB pick k proportional to n (SemDeDup uses
+    ~n/10k cells) so cells stay bounded; the cell self-join shuffles
+    on cluster_id, and AQE's skew split handles a hot cell.
+
+    Returns (id, cluster_id, canonical_id, is_duplicate).
+    """
+    from nosql_join_stream_spark.operators.dedup import dedup_resolve
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    assign = cluster_assign(df, k=k, id_col=id_col, vec=vec)
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.transform(vec, lambda x: x.cast("double"))
+                      .alias("v"))
+    cells = (assign.select(F.col(id_col).alias("id"), "cluster_id")
+                   .join(vecs, "id"))
+    a, b = cells.alias("a"), cells.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    pairs = (a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .withColumn("sim", sim)
+              .filter(F.col("sim") >= threshold)
+              .select(F.col("a.id").alias("id1"),
+                      F.col("b.id").alias("id2")))
+    verdicts = dedup_resolve(df.select(F.col(id_col).alias("id")),
+                             pairs, "id")
+    return (verdicts.join(assign.select(F.col(id_col).alias("id"),
+                                        "cluster_id"), "id")
+                    .select("id", "cluster_id", "canonical_id",
+                            "is_duplicate"))

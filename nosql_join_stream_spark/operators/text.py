@@ -280,3 +280,56 @@ def chunk_text_sliding(df, content_col: str, id_col: str,
          .cast("long").alias("n_tokens"),
         F.concat_ws(" ", F.slice("__toks", start + 1, chunk_tokens))
          .alias("chunk_text"))
+
+
+def drop_common_paragraphs(df, content_col: str, id_col: str,
+                           words_per_para: int = 10,
+                           max_docs: int = 2):
+    """Paragraph-level boilerplate removal (the CCNet / C4 cleaning
+    step): split every document into consecutive ``words_per_para``-
+    word blocks ("paragraphs" — this corpus has no newline structure,
+    so blocks are the paragraph unit), count how many DISTINCT
+    documents each block appears in corpus-wide, and rebuild each
+    document keeping only blocks seen in at most ``max_docs``
+    documents, in their original order.  Catches shared headers,
+    footers, navigation chrome, and license blurbs that whole-document
+    and near-dup passes both miss.
+
+    Scale shape: two linear shuffles — block doc-frequency (grouped on
+    the block's 8-byte xxhash64, map-side combined) and the per-doc
+    rebuild.  The frequency join carries (hash, count); block STRINGS
+    travel only inside the per-doc rebuild rows they came from.  The
+    rebuild is collect_list of (position, block) structs + array_sort
+    — per-doc state, never a global window.
+
+    Returns (id, n_paras, n_dropped, kept_text); kept_text is '' when
+    every block was boilerplate.
+    """
+    from pyspark.sql import functions as F
+
+    if words_per_para < 1:
+        raise ValueError(f"words_per_para must be >= 1, got {words_per_para}")
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    w = words_per_para
+    toks = F.split(F.trim(F.col(content_col)), r"\s+")
+    n_paras = F.greatest(F.ceil(F.size(toks) / F.lit(w)), F.lit(1)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "))
+    p = (df.select(F.col(id_col).alias("id"),
+                   F.posexplode(paras).alias("i", "para"))
+           .withColumn("ph", F.xxhash64("para")))
+    dfreq = (p.select("id", "ph").distinct()
+              .groupBy("ph").agg(F.count("*").alias("nd")))
+    keep = F.col("nd") <= max_docs
+    kept_struct = F.when(keep, F.struct("i", "para"))
+    return (p.join(dfreq, "ph")
+             .groupBy("id")
+             .agg(F.count("*").alias("n_paras"),
+                  F.sum((~keep).cast("long")).alias("n_dropped"),
+                  F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(kept_struct)),
+                          lambda s: s["para"]),
+                      " ").alias("kept_text")))

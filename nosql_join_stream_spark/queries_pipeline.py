@@ -1986,3 +1986,171 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     media = multimodal.synthesize_media(e.table("documents"))
     return multimodal.patch_grid(media, patch=32)
+
+
+@register(
+    "text_paragraph_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, GREATEST(CAST(ceil(len(tk) / 10.0) AS BIGINT), 1)),
+               i -> {'i': i,
+                     'para': array_to_string(tk[(i*10+1):(i*10+10)], ' ')}))
+               AS s
+      FROM toks),
+    p2 AS (SELECT doc_id, s.i AS i, s.para AS para FROM p),
+    f AS (SELECT para, COUNT(DISTINCT doc_id) AS nd FROM p2 GROUP BY para)
+    SELECT p2.doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN f.nd > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           COALESCE(array_to_string(list(p2.para ORDER BY p2.i)
+                                      FILTER (WHERE f.nd <= 2), ' '), '')
+             AS kept_text
+    FROM p2 JOIN f USING (para)
+    GROUP BY p2.doc_id
+    """,
+    doc="CCNet-style paragraph-level boilerplate removal: documents "
+        "split into consecutive 10-word blocks, blocks appearing in "
+        ">2 documents corpus-wide dropped, text rebuilt in original "
+        "order. Two linear shuffles (block doc-frequency on 8-byte "
+        "hashes, per-doc rebuild); no global window.",
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (text.drop_common_paragraphs(e.table("documents"), "text",
+                                        "doc_id", words_per_para=10,
+                                        max_docs=2)
+            .select(F.col("id").alias("doc_id"), "n_paras", "n_dropped",
+                    "kept_text"))
+
+
+@register(
+    "sample_token_budget",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(concat('0x', substr(sha256(doc_id::VARCHAR), 1, 15))
+                  AS BIGINT) AS hh
+      FROM documents),
+    t AS (SELECT source, SUM(n_tokens) AS tot FROM d GROUP BY source),
+    surv AS (
+      SELECT d.doc_id, d.source, d.n_tokens, d.hh, t.tot
+      FROM d JOIN t USING (source)
+      WHERE t.tot <= 600
+         OR d.hh < CAST((4.0 * 600 / t.tot) * 1152921504606846976.0
+                        AS BIGINT)),
+    c AS (
+      SELECT doc_id, source, n_tokens, tot,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY hh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS spent
+      FROM surv)
+    SELECT doc_id, source, n_tokens
+    FROM c WHERE tot <= 600 OR spent < 600
+    """,
+    doc="Token-budget mixture draw: per source, keep documents in "
+        "deterministic sha2-60 hash order until 600 tokens are "
+        "spent — materializes the training subset that the "
+        "temperature-weight table prescribes. Over-budget sources "
+        "prefilter to a 4x-oversampled hash cutoff before the "
+        "prefix-sum window (cap_per_group's design), so the window "
+        "task holds O(budget) rows however large the source.",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import sampling
+    e = _engine(spark, sf_dir)
+    docs = (e.table("documents")
+            .withColumn("n_tokens",
+                        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                         .cast("long")))
+    return (sampling.budget_per_group(docs, "source", "doc_id",
+                                      "n_tokens", budget=600)
+            .select("doc_id", "source", "n_tokens"))
+
+
+@register(
+    "dedup_head_grams",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id,
+                 array_to_string(
+                   (string_split_regex(trim(lower(text)), '\\s+'))[1:20],
+                   ' ') AS head
+          FROM documents)
+    GROUP BY head
+    """,
+    doc="Leading-window exact dedup (RefinedWeb-style): documents "
+        "collapsing to the same normalized first-20-token head keep "
+        "the smallest id — catches truncation/pagination variants of "
+        "one page that whole-text hashing misses. Same single-shuffle "
+        "digest groupBy as dedup_exact, on a derived key.",
+)
+def dedup_head_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    head = F.array_join(
+        F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 20),
+        " ")
+    docs = e.table("documents").withColumn("__head", head)
+    return dedup.exact_dedup(docs, "__head", "doc_id")
+
+
+@register(
+    "dedup_semantic_clusters",
+    """
+    WITH RECURSIVE cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      ORDER BY vec_id LIMIT 8),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.cv::DOUBLE[]), 6) AS sim
+      FROM embeddings e CROSS JOIN cents c),
+    assign AS (
+      SELECT vec_id, cid AS cluster_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) AS rn
+        FROM sims) WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM assign a
+      JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                         eb.embedding::DOUBLE[]), 6)
+            >= 0.4),
+    ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION SELECT id2, id1 FROM pairs),
+    reach(id, comp) AS (
+      SELECT src AS id, src AS comp FROM ed
+      UNION
+      SELECT ed.src, r.comp FROM ed JOIN reach r ON ed.dst = r.id),
+    comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+    SELECT e.vec_id, a.cluster_id,
+           COALESCE(c.comp, e.vec_id) AS canonical_id,
+           (COALESCE(c.comp, e.vec_id) <> e.vec_id) AS is_duplicate
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    LEFT JOIN comp c ON c.id = e.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): "
+        "nearest-centroid cells block the pair space (within-cell "
+        "comparison is the method's approximation), exact 6-dp cosine "
+        "verifies, hash-min connected components pick one canonical "
+        "per near-dup group. Pair cost is sum of squared CELL sizes — "
+        "at 100 TB scale k with n so cells stay bounded.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (similarity.semantic_dedup(e.table("embeddings"), k=8,
+                                      threshold=0.4)
+            .select(F.col("id").alias("vec_id"), "cluster_id",
+                    "canonical_id", "is_duplicate"))

@@ -422,3 +422,92 @@ def test_ann_ivfpq_recall_and_exact_rerank(spark, engine):
     again = {(r.q_id, r.c_id): r.sim
              for r in similarity.ann_ivfpq_topk(q, c, k=5).collect()}
     assert again == got
+
+
+def test_drop_common_paragraphs_drops_shared_blocks(spark):
+    # 3 docs share an identical leading 4-word block; each has a
+    # unique tail block.  max_docs=2 → the shared block (3 docs) is
+    # dropped everywhere, unique blocks survive in original order.
+    rows = [(i, f"the same shared head tail{i} a b c") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in text.drop_common_paragraphs(
+        df, "text", "doc_id", words_per_para=4, max_docs=2).collect()}
+    assert len(out) == 3
+    for i in range(3):
+        assert out[i].n_paras == 2
+        assert out[i].n_dropped == 1
+        assert out[i].kept_text == f"tail{i} a b c"
+
+
+def test_drop_common_paragraphs_all_dropped_gives_empty(spark):
+    rows = [(i, "x y z") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.drop_common_paragraphs(df, "text", "doc_id",
+                                      words_per_para=3, max_docs=2)
+    assert all(r.kept_text == "" and r.n_dropped == 1
+               for r in out.collect())
+
+
+def test_drop_common_paragraphs_preserves_order(spark):
+    # one doc, 5 unique blocks → nothing dropped, text reassembles
+    # byte-identically
+    txt = " ".join(f"w{j}" for j in range(50))
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = text.drop_common_paragraphs(df, "text", "doc_id",
+                                    words_per_para=10).collect()[0]
+    assert r.kept_text == txt and r.n_dropped == 0 and r.n_paras == 5
+
+
+def test_budget_per_group_semantics(spark):
+    from nosql_join_stream_spark.operators import sampling
+    rows = [(i, "g", 10) for i in range(100)] + [(200 + i, "small", 7)
+                                                 for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+    out = sampling.budget_per_group(df, "grp", "id", "w", budget=55)
+    got = out.groupBy("grp").agg(F.count("*").alias("n"),
+                                 F.sum("w").alias("tot")).collect()
+    by = {r.grp: r for r in got}
+    # under-budget group keeps everything
+    assert by["small"].n == 3
+    # over-budget group: exclusive prefix < 55 with weight 10 → kept
+    # rows are the first 6 in hash order (prefix 0..50); total 60
+    # overshoots by at most one document
+    assert by["g"].n == 6 and by["g"].tot == 60
+    # determinism + exactness vs the naive full-window form
+    h = sampling.order_hash(F.col("id"))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("grp").orderBy(h.asc(), F.col("id"))
+               .rowsBetween(Window.unboundedPreceding, -1))
+    naive = (df.withColumn("spent",
+                           F.coalesce(F.sum("w").over(w), F.lit(0)))
+               .filter(F.col("spent") < 55).select("id"))
+    assert ({r.id for r in out.select("id").collect()}
+            == {r.id for r in naive.collect()})
+
+
+def test_budget_per_group_validates(spark):
+    from nosql_join_stream_spark.operators import sampling
+    df = spark.createDataFrame([(1, "a", 1)], "id long, grp string, w long")
+    with pytest.raises(ValueError, match="budget"):
+        sampling.budget_per_group(df, "grp", "id", "w", budget=0)
+
+
+def test_semantic_dedup_verdict_invariants(spark, sf_dir, engine):
+    emb = engine.table("embeddings")
+    out = similarity.semantic_dedup(emb, k=8, threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == emb.count()               # every vector judged
+    assert all(r.canonical_id <= r.id for r in rows)
+    assert all(r.is_duplicate == (r.canonical_id != r.id) for r in rows)
+    # canonicals are their own canonical (closure)
+    canon = {r.id: r.canonical_id for r in rows}
+    assert all(canon[c] == c for c in set(canon.values()))
+    # duplicates share the cluster of their canonical: pairs only form
+    # within a cell, and components never span cells
+    cluster = {r.id: r.cluster_id for r in rows}
+    assert all(cluster[r.id] == cluster[r.canonical_id] for r in rows)
+
+
+def test_semantic_dedup_validates_threshold(spark, sf_dir, engine):
+    with pytest.raises(ValueError, match="threshold"):
+        similarity.semantic_dedup(engine.table("embeddings"), threshold=1.5)

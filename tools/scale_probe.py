@@ -12,7 +12,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
        ops default to: ngram minhash ann
        also available: incr incrb cluster decon novelty tfidf neardup
                        rrf textq pack mm coverage cap phrase dimstats
-                       shuffle
+                       shuffle paradedup budget semdedup
 """
 
 from __future__ import annotations
@@ -241,6 +241,30 @@ def main() -> None:
             results["dimstats_rows"] = similarity.embedding_dim_stats(
                 ee, "embedding").count()
             results["dimstats_s"] = round(time.perf_counter() - t0, 2)
+
+        if "paradedup" in OPS:
+            from nosql_join_stream_spark.operators import text as textops
+            t0 = time.perf_counter()
+            results["paradedup_rows"] = textops.drop_common_paragraphs(
+                dd, "text", "doc_id").count()
+            results["paradedup_s"] = round(time.perf_counter() - t0, 2)
+
+        if "budget" in OPS:
+            from nosql_join_stream_spark.operators import sampling
+            t0 = time.perf_counter()
+            toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            results["budget_rows"] = sampling.budget_per_group(
+                dd.withColumn("n_tokens", toks.cast("long")),
+                "source", "doc_id", "n_tokens", budget=600).count()
+            results["budget_s"] = round(time.perf_counter() - t0, 2)
+
+        if "semdedup" in OPS:
+            # k grows with the corpus (SemDeDup's own prescription) so
+            # cell sizes — and the pair space — stay bounded
+            t0 = time.perf_counter()
+            results["semdedup_rows"] = similarity.semantic_dedup(
+                ee, k=8 * factor, threshold=0.4).count()
+            results["semdedup_s"] = round(time.perf_counter() - t0, 2)
 
         print(f"factor={factor:3d} docs={n_docs * factor:7d} {results}",
               flush=True)
