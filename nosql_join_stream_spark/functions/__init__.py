@@ -54,11 +54,17 @@ def geometric_mean(v: "pd.Series") -> float:
     return float(np.exp(np.log(x).mean())) if len(x) else float("nan")
 
 
-@udtf(returnType="sentence string, n_words int")
+@udtf(returnType="sentence string, n_words int", useArrow=True)
 class SentenceSplit:
     """Python UDTF (table function): one row per '.'-terminated
     sentence with its word count — the generator/lateral-view form the
-    reference expresses only as flatMap closures."""
+    reference expresses only as flatMap closures.
+
+    ``useArrow`` is pinned True rather than left to the session conf:
+    the conf is read at DECORATION time, so importing this module
+    before a SparkSession exists (as a driver harness typically does)
+    silently downgrades the UDTF to row-at-a-time BatchEvalPython —
+    caught by tools/explain_audit.py."""
 
     def eval(self, text: str):
         for raw in (text or "").split("."):
