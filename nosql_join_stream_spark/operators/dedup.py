@@ -568,3 +568,34 @@ def ngram_jaccard_pairs_between_bucketed(
     sh_l = spark.table(f"{db}.corpus_sets")
     sh_r, ex_r = _shingle_prefix(batch, content_col, id_col, n, tau)
     return _ppjoin_between(sh_l, ex_l, sh_r, ex_r, tau)
+
+
+def resolve_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
+                      score_col: str) -> DataFrame:
+    """Near-dup resolution keeping the BEST-scoring member of each
+    group as canonical (ties to the smallest id) — what production
+    curation actually wants: among near-duplicates, keep the highest-
+    quality copy, not the accidental smallest id.
+
+    Components come from the same hash-min label propagation as
+    ``dedup_resolve``; the winner is then a per-component aggregate —
+    ``min(struct(-score, id))`` picks max score with min-id tiebreak
+    in ONE map-side-combinable shuffle (no per-component rank window),
+    and the tiny (component → winner) table joins back.
+
+    Returns (id, score, canonical_id, is_duplicate).
+    """
+    comp = connected_components(pairs)
+    ids = df.select(F.col(id_col).alias("id"),
+                    F.col(score_col).alias("score"))
+    labeled = (ids.join(comp, "id", "left")
+                  .withColumn("comp", F.coalesce("comp", F.col("id"))))
+    best = (labeled.groupBy("comp")
+                   .agg(F.min(F.struct((-F.col("score")).alias("ns"),
+                                       F.col("id").alias("id")))
+                         .alias("w"))
+                   .select("comp", F.col("w.id").alias("canonical_id")))
+    return (labeled.join(best, "comp")
+                   .select("id", "score", "canonical_id",
+                           (F.col("id") != F.col("canonical_id"))
+                            .alias("is_duplicate")))

@@ -2154,3 +2154,183 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       threshold=0.4)
             .select(F.col("id").alias("vec_id"), "cluster_id",
                     "canonical_id", "is_duplicate"))
+
+
+@register(
+    "dedup_resolve_keep_best",
+    f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (
+      SELECT id1, id2 FROM p
+      WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6),
+    ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION SELECT id2, id1 FROM pairs),
+    reach(id, comp) AS (
+      SELECT src AS id, src AS comp FROM ed
+      UNION
+      SELECT ed.src, r.comp FROM ed JOIN reach r ON ed.dst = r.id),
+    comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]'))
+               * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS atl,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x IN ({_STOP_EN})))
+               * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS swr
+      FROM documents),
+    scored AS (
+      SELECT doc_id AS id,
+             CAST(ROUND(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 1000
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN ROUND(atl, 4) BETWEEN 2.0 AND 12.0
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN ROUND(swr, 6) >= 0.01
+                               THEN 1.0 ELSE 0.0 END), 4) AS DOUBLE) AS score
+      FROM q),
+    labeled AS (
+      SELECT sc.id, sc.score, COALESCE(c.comp, sc.id) AS comp
+      FROM scored sc LEFT JOIN comp c ON sc.id = c.id),
+    best AS (
+      SELECT comp, id AS canonical_id FROM (
+        SELECT comp, id,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                                  ORDER BY score DESC, id) AS rn
+        FROM labeled) WHERE rn = 1)
+    SELECT l.id, l.score, b.canonical_id,
+           (l.id <> b.canonical_id) AS is_duplicate
+    FROM labeled l JOIN best b USING (comp)
+    """,
+    doc="Quality-aware dedup resolution: near-dup groups keep their "
+        "HIGHEST-quality member (ties to smallest id) instead of the "
+        "smallest id — the curation policy production pipelines want. "
+        "Winner per component is one min(struct(-score, id)) "
+        "map-side-combinable aggregate, no per-component rank window.",
+)
+def dedup_resolve_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    scored = docs.withColumn("quality", text.quality_score(F.col("text")))
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                      n=3, threshold=0.6)
+    return (dedup.resolve_keep_best(scored, pairs, "doc_id", "quality")
+            .select("id", F.col("score"), "canonical_id", "is_duplicate"))
+
+
+@register(
+    "text_token_count_bpe",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_words,
+           len(regexp_extract_all(lower(text),
+                                  '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\s]'))
+             AS n_pieces,
+           ROUND(len(regexp_extract_all(lower(text),
+                                        '[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\\s]'))
+                 * 1.0 / len(string_split_regex(trim(text), '\\s+')), 4)
+             AS pieces_per_word
+    FROM documents
+    """,
+    doc="BPE-ish token counting: greedy fixed-vocab-free subword "
+        "pieces (<=4-letter runs, <=3-digit runs, single punctuation) "
+        "vs whitespace words — the cheap token-budget estimator that "
+        "tracks real BPE counts closely enough for capacity planning. "
+        "Pure regexp Column chain at scan speed, identical regex "
+        "semantics in both engines.",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    pieces = F.size(F.regexp_extract_all(
+        F.lower(F.col("text")),
+        F.lit(r"[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]"), 0))
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (e.table("documents")
+            .select("doc_id",
+                    words.alias("n_words"),
+                    pieces.alias("n_pieces"),
+                    F.round(pieces / words, 4).alias("pieces_per_word")))
+
+
+@register(
+    "mine_contrastive_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      FROM documents),
+    ch AS (
+      SELECT doc_id,
+             CAST(chunk_id AS INTEGER) AS chunk_id,
+             array_to_string(list_slice(toks, chunk_id * 16 + 1,
+                                        chunk_id * 16 + 16), ' ')
+               AS chunk_text
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) * 1.0 / 16)
+                                        AS BIGINT))) AS chunk_id
+            FROM t)),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pos AS (
+      SELECT a.doc_id, a.chunk_id,
+             a.chunk_text AS anchor_text,
+             b.chunk_text AS positive_text
+      FROM ch a JOIN ch b
+        ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1),
+    withneg AS (
+      SELECT p.*, 
+             CASE WHEN (p.doc_id + 1 + p.chunk_id) % n.n_docs = p.doc_id
+                  THEN (p.doc_id + 2 + p.chunk_id) % n.n_docs
+                  ELSE (p.doc_id + 1 + p.chunk_id) % n.n_docs END
+               AS neg_doc_id
+      FROM pos p CROSS JOIN n)
+    SELECT w.doc_id, w.chunk_id, w.anchor_text, w.positive_text,
+           w.neg_doc_id, c.chunk_text AS negative_text
+    FROM withneg w JOIN ch c
+      ON c.doc_id = w.neg_doc_id AND c.chunk_id = 0
+    """,
+    doc="Contrastive-pair mining for embedding training: positives are "
+        "ADJACENT 16-token chunks of one document (DPR-style doc-"
+        "internal positives), the negative a deterministic other "
+        "document's head chunk ((doc_id+1+chunk_id) mod n — dense-id "
+        "corpus; production would use global_shuffle's dense index). "
+        "Chunking is map-only; one self-equi-join on doc, one 1-row "
+        "scalar broadcast, one head-chunk equi-join.",
+)
+def mine_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.retrieval import _join_scalar
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    ch = (text.chunk_text_sliding(docs, "text", "doc_id",
+                                  chunk_tokens=16, stride=16)
+          .select("doc_id", "chunk_id", "chunk_text"))
+    a, b = ch.alias("a"), ch.alias("b")
+    pos = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                  & (F.col("b.chunk_id") == F.col("a.chunk_id") + 1))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("a.chunk_id").alias("chunk_id"),
+                    F.col("a.chunk_text").alias("anchor_text"),
+                    F.col("b.chunk_text").alias("positive_text")))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    raw = (F.col("doc_id") + 1 + F.col("chunk_id")) % F.col("n_docs")
+    neg_id = F.when(raw == F.col("doc_id"),
+                    (F.col("doc_id") + 2 + F.col("chunk_id"))
+                    % F.col("n_docs")).otherwise(raw)
+    withneg = _join_scalar(pos, n).withColumn("neg_doc_id", neg_id)
+    heads = ch.filter(F.col("chunk_id") == 0).select(
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("chunk_text").alias("negative_text"))
+    return (withneg.join(heads, "neg_doc_id")
+            .select("doc_id", "chunk_id", "anchor_text", "positive_text",
+                    "neg_doc_id", "negative_text"))

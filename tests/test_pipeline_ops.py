@@ -511,3 +511,42 @@ def test_semantic_dedup_verdict_invariants(spark, sf_dir, engine):
 def test_semantic_dedup_validates_threshold(spark, sf_dir, engine):
     with pytest.raises(ValueError, match="threshold"):
         similarity.semantic_dedup(engine.table("embeddings"), threshold=1.5)
+
+
+def test_resolve_keep_best_picks_highest_score(spark):
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (10, 0.1)],
+        "id long, s double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    out = {r.id: r for r in dedup.resolve_keep_best(
+        df, pairs, "id", "s").collect()}
+    # component {1,2,3}: max score 0.9 tied between 2 and 3 → min id 2
+    assert out[1].canonical_id == 2 and out[1].is_duplicate
+    assert out[2].canonical_id == 2 and not out[2].is_duplicate
+    assert out[3].canonical_id == 2 and out[3].is_duplicate
+    # singletons canonicalize to themselves whatever their score
+    assert out[4].canonical_id == 4 and not out[4].is_duplicate
+    assert out[10].canonical_id == 10 and not out[10].is_duplicate
+
+
+def test_token_count_bpe_hand_value(spark, sf_dir):
+    from nosql_join_stream_spark.queries import REGISTRY
+    import re
+    rows = REGISTRY["text_token_count_bpe"].fn(spark, sf_dir).collect()
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    pat = re.compile(r"[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9\s]")
+    for r in rows[:25]:
+        expect = len(pat.findall(docs[r.doc_id].lower()))
+        assert r.n_pieces == expect
+        assert r.n_pieces >= r.n_words
+
+
+def test_mine_contrastive_pairs_invariants(spark, sf_dir):
+    from nosql_join_stream_spark.queries import REGISTRY
+    rows = REGISTRY["mine_contrastive_pairs"].fn(spark, sf_dir).collect()
+    assert rows, "chunked corpus must yield adjacent-chunk positives"
+    for r in rows:
+        assert r.neg_doc_id != r.doc_id           # negative is another doc
+        assert r.anchor_text and r.positive_text and r.negative_text
+        assert r.anchor_text != r.positive_text   # adjacent disjoint chunks
