@@ -629,3 +629,113 @@ def semantic_dedup(df: DataFrame, k: int = 8, threshold: float = 0.4,
                                         "cluster_id"), "id")
                     .select("id", "cluster_id", "canonical_id",
                             "is_duplicate"))
+
+
+def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
+                        k: int = 5, n_cells: int = 16, nprobe: int = 4,
+                        query_id: str = "q_id", corpus_id: str = "c_id",
+                        vec: str = "embedding",
+                        location: str | None = None,
+                        rebuild: bool = True) -> DataFrame:
+    """IVF ANN over a STANDING cell-partitioned index — the production
+    form of ``ann_ivf_topk``: the cell assignment is a one-time write,
+    and each probe READS only its cells.
+
+    Build (``rebuild=True``): deterministic centroids (same bounded-
+    sample Lloyd as ``ann_ivf_topk``) persist as a tiny parquet next to
+    the corpus assignment, which is written hive-partitioned by
+    ``__cell`` (sinks.write_table) — ``__cell=N/`` directories.
+
+    Probe: queries assign to their ``nprobe`` nearest cells; the union
+    of probed cell ids (≤ |queries|·nprobe ints — a bounded driver
+    list, NOT a corpus collect) becomes an ``IN`` literal filter that
+    Catalyst turns into PartitionFilters, so the scan touches
+    ~nprobe/n_cells of the index files (asserted in tests).  Then the
+    same broadcast cell equi-join + exact cosine rerank.  Results are
+    identical to the inline form given the same centroids.
+
+    At 100 TB: the index write is one linear pass; every query batch
+    afterwards is a pruned scan of the probed cells only — scan cost
+    tracks query selectivity, not corpus size.
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from nosql_join_stream_spark.sinks import write_table
+
+    spark = corpus.sparkSession
+    if location is None:
+        location = os.path.join(tempfile.gettempdir(),
+                                f"nsjs_ivf_{os.getpid()}")
+    cent_path = os.path.join(location, "centroids.parquet")
+    index_path = os.path.join(location, "corpus_cells")
+    vec_t = dict(corpus.dtypes)[vec]
+
+    if rebuild:
+        cents = _ivf_centroids(corpus, vec, corpus_id, n_cells)
+        cent_rows = [(i, [float(x) for x in cents[i]])
+                     for i in range(len(cents))]
+        spark.createDataFrame(cent_rows, "cell int, cv array<double>") \
+             .coalesce(1).write.mode("overwrite").parquet(cent_path)
+        bc = spark.sparkContext.broadcast(cents)
+
+        def assign_corpus(batches):
+            import numpy as _np
+            import pandas as _pd
+            c = bc.value
+            for part in batches:
+                if len(part) == 0:
+                    continue
+                v = _np.stack(part.iloc[:, 1].to_list()).astype("float64")
+                vn = v / _np.linalg.norm(v, axis=1, keepdims=True)
+                cell = (vn @ c.T).argmax(axis=1).astype("int32")
+                yield _pd.DataFrame({"__cid": part.iloc[:, 0],
+                                     "__cell": cell,
+                                     "__cv": part.iloc[:, 1]})
+
+        assigned = corpus.select(F.col(corpus_id), F.col(vec)).mapInPandas(
+            assign_corpus, schema=f"__cid long, __cell int, __cv {vec_t}")
+        write_table(assigned, index_path, partition_by=["__cell"])
+
+    cent_pdf = spark.read.parquet(cent_path).orderBy("cell").toPandas()
+    cents = np.stack(cent_pdf["cv"].to_list()).astype("float64")
+    bc_q = spark.sparkContext.broadcast(cents)
+    np_probe = min(nprobe, len(cents))
+
+    def assign_queries(batches):
+        import numpy as _np
+        import pandas as _pd
+        c = bc_q.value
+        for part in batches:
+            if len(part) == 0:
+                continue
+            v = _np.stack(part.iloc[:, 1].to_list()).astype("float64")
+            vn = v / _np.linalg.norm(v, axis=1, keepdims=True)
+            order = _np.argsort(-(vn @ c.T), axis=1)[:, :np_probe]
+            out = part.loc[part.index.repeat(np_probe)]
+            yield _pd.DataFrame({"__qid": out.iloc[:, 0],
+                                 "__cell": order.reshape(-1).astype("int32"),
+                                 "__qv": out.iloc[:, 1]})
+
+    q_assigned = (queries.select(F.col(query_id), F.col(vec))
+                  .mapInPandas(assign_queries,
+                               schema=f"__qid long, __cell int, __qv {vec_t}")
+                  .localCheckpoint())
+    probed_cells = [r["__cell"] for r in
+                    q_assigned.select("__cell").distinct().collect()]
+    index = (spark.read.parquet(index_path)
+             .filter(F.col("__cell").isin(probed_cells)))
+    sim = F.round(cosine(
+        F.transform("__qv", lambda x: x.cast("double")),
+        F.transform("__cv", lambda x: x.cast("double"))), 6)
+    scored = (F.broadcast(q_assigned).join(index, "__cell")
+              .filter(F.col("__qid") != F.col("__cid"))
+              .withColumn("sim", sim))
+    w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(),
+                                            F.col("__cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(F.col("__qid").alias(query_id),
+                          F.col("__cid").alias(corpus_id), "sim", "rank"))

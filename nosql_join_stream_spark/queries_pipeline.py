@@ -2334,3 +2334,23 @@ def mine_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (withneg.join(heads, "neg_doc_id")
             .select("doc_id", "chunk_id", "anchor_text", "positive_text",
                     "neg_doc_id", "negative_text"))
+
+
+@register(
+    "ann_ivf_partitioned",
+    None,  # standing-index variant of ann_ivf_topk — rows-only, same reason
+    doc="IVF ANN over a STANDING cell-partitioned index: corpus cell "
+        "assignment written once as __cell=N/ hive partitions with its "
+        "centroid table; probes turn their nprobe cells into an IN "
+        "literal that Catalyst prunes at the scan (PartitionFilters) — "
+        "probe cost tracks query selectivity, not corpus size. "
+        "Identical results to ann_ivf_topk (asserted in tests).",
+)
+def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return similarity.ann_ivf_partitioned(queries, corpus, k=5,
+                                          n_cells=16, nprobe=4)

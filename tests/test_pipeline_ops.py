@@ -550,3 +550,35 @@ def test_mine_contrastive_pairs_invariants(spark, sf_dir):
         assert r.neg_doc_id != r.doc_id           # negative is another doc
         assert r.anchor_text and r.positive_text and r.negative_text
         assert r.anchor_text != r.positive_text   # adjacent disjoint chunks
+
+
+def test_ann_ivf_partitioned_matches_inline_and_prunes(spark, sf_dir, engine):
+    import tempfile, os, glob
+    emb = engine.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    inline = similarity.ann_ivf_topk(queries, corpus, k=5,
+                                     n_cells=16, nprobe=4)
+    loc = tempfile.mkdtemp(prefix="ivf_idx_")
+    part = similarity.ann_ivf_partitioned(queries, corpus, k=5,
+                                          n_cells=16, nprobe=4,
+                                          location=loc)
+    a = {(r.q_id, r.c_id, r.rank) for r in inline.collect()}
+    b = {(r.q_id, r.c_id, r.rank) for r in part.collect()}
+    assert a == b                        # standing index changes nothing
+    # the index is hive-partitioned and the probe scan is PRUNED:
+    # PartitionFilters carries the IN list, and cells beyond the probed
+    # set are not read
+    n_cells_on_disk = len(glob.glob(os.path.join(loc, "corpus_cells",
+                                                 "__cell=*")))
+    assert n_cells_on_disk > 1
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__cell" in m.group(1), plan[:500]
+    # probe reuses the standing index without rebuilding
+    again = similarity.ann_ivf_partitioned(queries, corpus, k=5,
+                                           n_cells=16, nprobe=4,
+                                           location=loc, rebuild=False)
+    assert {(r.q_id, r.c_id, r.rank) for r in again.collect()} == a
