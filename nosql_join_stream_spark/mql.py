@@ -10,6 +10,8 @@ Grammar surface reproduced here (SURVEY.md §2.9):
 - range ops ``$gte|$gt|$lte|$lt|$ne`` and implicit ``:`` equality
   (mqlparser :79-89), with ``$eq`` unwrapping (:72,184-191);
 - set ops ``$in|$all|$nin`` (:91-96);
+- operator negation ``$not`` (listed among the range tokens, :79) with
+  Mongo's missing-field semantics (NULL rows match the negation);
 - boolean ``$and|$or`` over arrays of sub-queries (:98-99,221-223);
 - typed literals: int, double, bool, string, ISO date
   ``"dd MMM yyyy hh:mm:ss:SSS a z"`` (mongo/package.scala:133), and
@@ -91,6 +93,18 @@ def _field_predicate(field: str, spec) -> Column:
             elif op == "$all":
                 lits = F.array(*[F.lit(_literal(x)) for x in _as_array(op, val)])
                 c = F.size(F.array_except(lits, col)) == F.lit(0)
+            elif op == "$not":
+                # operator negation (mqlparser :79 lists $not among the
+                # range tokens): value is an operator sub-selector,
+                # e.g. {"age": {"$not": {"$gt": 5}}}.  Mongo's $not also
+                # matches documents MISSING the field — under SQL
+                # three-valued logic a bare ~(col > 5) drops NULL rows,
+                # so null-ness is OR-ed in explicitly.
+                if not isinstance(val, dict):
+                    raise MQLParseError(
+                        f"$not expects an operator object for field "
+                        f"{field!r}, got {val!r}")
+                c = ~_field_predicate(field, val) | col.isNull()
             else:
                 raise MQLParseError(f"unknown operator {op!r} for field {field!r}")
             pred = c if pred is None else (pred & c)

@@ -286,6 +286,26 @@ def mql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mql_not_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE (NOT (l_quantity > 30) OR l_quantity IS NULL)
+      AND l_returnflag = 'R'
+    """,
+    doc="MQL $not operator negation (mqlparser/package.scala:79 lists "
+        "$not among the range tokens) with Mongo's missing-field "
+        "semantics: NULL rows match the negation, which SQL's "
+        "three-valued NOT alone would drop.",
+)
+def mql_not_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    mql = '{"l_quantity": {"$not": {"$gt": 30}}, "l_returnflag": "R"}'
+    return e.read("lineitem", where=mql).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
     "typed_as_projection",
     """
     SELECT event_id,

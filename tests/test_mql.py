@@ -84,3 +84,27 @@ def test_dotted_field_path(spark):
     got = {r.id for r in
            df.filter(mql_to_column('{"user.age": {"$gte": 18}}')).collect()}
     assert got == {1}
+
+
+def test_not_negates_operator_expression(engine):
+    # {"f": {"$not": {"$gt": v}}} ≡ complement of {"f": {"$gt": v}} on
+    # a non-null column: the two counts partition the table
+    a = _count(engine, "orders", '{"o_totalprice": {"$gt": 100000.0}}')
+    b = _count(engine, "orders", '{"o_totalprice": {"$not": {"$gt": 100000.0}}}')
+    total = _count(engine, "orders", '{"o_totalprice": {"$gte": 0.0}}')
+    assert a > 0 and b > 0 and a + b == total
+
+
+def test_not_matches_null_rows(spark):
+    from nosql_join_stream_spark.mql import mql_to_column
+    df = spark.createDataFrame([(1, 10), (2, 3), (3, None)],
+                               "id int, age int")
+    got = {r.id for r in
+           df.filter(mql_to_column('{"age": {"$not": {"$gt": 5}}}')).collect()}
+    # Mongo $not semantics: rows missing the field match the negation
+    assert got == {2, 3}
+
+
+def test_not_requires_operator_object():
+    with pytest.raises(MQLParseError):
+        mql_to_column('{"age": {"$not": 5}}')
