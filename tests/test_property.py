@@ -242,3 +242,63 @@ def test_cap_per_group_property(spark, ids, cap):
         members = [i for i in ids if "g%d" % (i % 3) == g]
         want = set(sorted(members, key=lambda i: (h(i), i))[:cap])
         assert got.get(g, set()) == want, g
+
+
+@SLOW
+@given(weights=st.lists(st.integers(1, 40), min_size=5, max_size=25),
+       budget=st.integers(5, 120))
+def test_budget_per_group_equals_naive_window(spark, weights, budget):
+    """budget_per_group (prefiltered, skew-proof) must return EXACTLY
+    the rows the naive full-group prefix-sum window would."""
+    from pyspark.sql import Window
+    from nosql_join_stream_spark.operators import sampling
+
+    rows = [(i, "g", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+    out = {r.id for r in sampling.budget_per_group(
+        df, "grp", "id", "w", budget=budget).collect()}
+    h = sampling.order_hash(F.col("id"))
+    win = (Window.partitionBy("grp").orderBy(h.asc(), F.col("id"))
+                 .rowsBetween(Window.unboundedPreceding, -1))
+    naive = {r.id for r in
+             df.withColumn("spent",
+                           F.coalesce(F.sum("w").over(win), F.lit(0)))
+               .filter(F.col("spent") < budget).select("id").collect()}
+    assert out == naive
+
+
+@SLOW
+@given(texts=st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=30)
+      .map(lambda ws: " ".join(ws)),
+    min_size=2, max_size=12),
+    w=st.integers(1, 5), max_docs=st.integers(1, 3))
+def test_drop_common_paragraphs_equals_python_reference(
+        spark, texts, w, max_docs):
+    """Random corpora: the Spark rebuild must equal a plain-Python
+    reimplementation of block splitting, doc-frequency, and in-order
+    reassembly."""
+    from collections import defaultdict
+    from nosql_join_stream_spark.operators import text as textops
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in textops.drop_common_paragraphs(
+        df, "text", "doc_id", words_per_para=w,
+        max_docs=max_docs).collect()}
+
+    def blocks(t):
+        toks = t.strip().split()
+        return [" ".join(toks[i * w:(i + 1) * w])
+                for i in range(max(-(-len(toks) // w), 1))]
+
+    freq = defaultdict(set)
+    for i, t in rows:
+        for b in blocks(t):
+            freq[b].add(i)
+    for i, t in rows:
+        bs = blocks(t)
+        kept = [b for b in bs if len(freq[b]) <= max_docs]
+        assert got[i].n_paras == len(bs)
+        assert got[i].n_dropped == len(bs) - len(kept)
+        assert got[i].kept_text == " ".join(kept)
