@@ -2365,3 +2365,50 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_partitioned(queries, corpus, k=5,
                                           n_cells=16, nprobe=4,
                                           location=loc, rebuild=rebuild)
+
+
+@register(
+    "stream_token_budget",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(concat('0x', substr(sha256(doc_id::VARCHAR), 1, 15))
+                  AS BIGINT) AS hh
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY hh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS spent
+      FROM d)
+    SELECT doc_id, source, n_tokens FROM c WHERE spent < 600
+    """,
+    doc="Online token-budget admission (applyInPandasWithState): one "
+        "long of state per source tracks spent tokens across "
+        "micro-batches; rows admit in deterministic hash order while "
+        "the budget lasts. Drained over a single-batch source this "
+        "equals the batch budget draw (the oracle); over a live "
+        "stream it is the online first-come admission policy.",
+)
+def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.operators.sampling import order_hash
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    from nosql_join_stream_spark.streaming.log_stream import (
+        DOCUMENTS_SCHEMA, read_table_stream, run_available_now,
+        stateful_budget_admission)
+    _STREAM_SEQ[0] += 1
+    name = f"stream_budget_{_STREAM_SEQ[0]}"
+    docs = read_table_stream(spark, table_path(sf_dir, "documents"),
+                             DOCUMENTS_SCHEMA)
+    enriched = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+         .cast("long").alias("n_tokens"),
+        order_hash(F.col("doc_id")).alias("hh"))
+    out = stateful_budget_admission(enriched, "source", "doc_id",
+                                    "n_tokens", "hh", budget=600)
+    run_available_now(out, name, output_mode="append")
+    return spark.table(name)

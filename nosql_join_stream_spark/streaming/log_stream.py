@@ -283,3 +283,46 @@ def read_table_stream(spark: SparkSession, path: str,
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     return reader.load(path)
+
+
+def stateful_budget_admission(stream: DataFrame, group_col: str,
+                              id_col: str, weight_col: str,
+                              hash_col: str, budget: int) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    online token-budget admission — the streaming twin of
+    ``sampling.budget_per_group``.
+
+    State is ONE long per group: the total weight seen so far.  Each
+    micro-batch sorts its group's rows in the deterministic
+    ``hash_col`` order and admits a row iff the running spent total is
+    still under ``budget``; the total advances over every row seen
+    (admitted or not), exactly like the batch draw's exclusive prefix
+    sum, so once the budget line is crossed nothing more admits.  With
+    an AvailableNow drain of a single-file source (one micro-batch per
+    group) the admitted set is bit-identical to the batch operator —
+    the oracle; over a multi-batch stream the policy is the online
+    first-arrived-first-considered form with hash order within a
+    batch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{id_col} long, {group_col} string, {weight_col} long"
+    state_schema = "spent long"
+
+    def fn(key, pdfs, state):
+        import pandas as _pd
+        spent = state.get[0] if state.exists else 0
+        pdf = _pd.concat(list(pdfs)).sort_values([hash_col, id_col])
+        w = pdf[weight_col].astype("int64")
+        cum_before = spent + w.cumsum() - w
+        admitted = pdf[cum_before < budget]
+        state.update((int(spent + w.sum()),))
+        yield _pd.DataFrame({
+            id_col: admitted[id_col].astype("int64"),
+            group_col: key[0],
+            weight_col: admitted[weight_col].astype("int64"),
+        })
+
+    return (stream.groupBy(group_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -161,3 +161,13 @@ def test_checkpoint_resume_exactly_once(spark, engine, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == raw.count()                      # no loss
     assert got.select("event_id").distinct().count() == raw.count()  # no dups
+
+
+def test_stream_token_budget_equals_batch_draw(spark, sf_dir):
+    from nosql_join_stream_spark.queries import REGISTRY
+    got = {(r.doc_id, r.source, r.n_tokens) for r in
+           REGISTRY["stream_token_budget"].fn(spark, sf_dir).collect()}
+    want = {(r.doc_id, r.source, r.n_tokens) for r in
+            REGISTRY["sample_token_budget"].fn(spark, sf_dir).collect()}
+    # single-batch drain ≡ the batch budget draw, bit for bit
+    assert got == want and got
