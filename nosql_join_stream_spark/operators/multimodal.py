@@ -219,3 +219,37 @@ def patch_grid(media: DataFrame, patch: int = 32) -> DataFrame:
         x0.alias("x0"), y0.alias("y0"),
         F.least(F.lit(p).cast("long"), F.col("width") - x0).alias("pw"),
         F.least(F.lit(p).cast("long"), F.col("height") - y0).alias("ph"))
+
+
+def embed_media_stub(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Media → embedding plumbing with the neural encoder STUBBED by a
+    deterministic hash projection (no torch/CLIP in this container;
+    the Spark-side shape — Arrow batches in, fixed-width float vector
+    out — is exactly what a real encoder UDF needs).
+
+    Each payload's sha256 splits into ``dim`` 8-hex-char windows;
+    window ``d`` becomes ``(int(hex) % 1000) / 1000`` — a unit-scaled
+    float any engine reproduces, so the whole pipeline (decode →
+    encode → index) stays oracle-checkable end to end.  Partition-
+    preserving mapInPandas: no shuffle, one Python worker pass,
+    vectors land ready for operators/similarity.py.
+    """
+    if not (1 <= dim <= 8):
+        raise ValueError(f"dim must be in [1, 8] (64 hex chars / 8), got {dim}")
+
+    def op(batches):
+        import hashlib
+        import pandas as _pd
+        for part in batches:
+            embs = []
+            for payload in part["payload"]:
+                h = hashlib.sha256(bytes(payload)).hexdigest()
+                embs.append([
+                    (int(h[d * 8:(d + 1) * 8], 16) % 1000) / 1000.0
+                    for d in range(dim)])
+            yield _pd.DataFrame({"doc_id": part["doc_id"],
+                                 "media_type": part["media_type"],
+                                 "embedding": embs})
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        op, schema="doc_id long, media_type string, embedding array<double>")

@@ -941,3 +941,68 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "metric", "value")
             .withColumn("metric",
                         F.regexp_replace("metric", "^l_", "")))
+
+
+@register(
+    "asof_join_nearest",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT p.event_id, max(c.ts) AS bts
+      FROM p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+      GROUP BY p.event_id),
+    f AS (
+      SELECT p.event_id, min(c.ts) AS fts
+      FROM p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts >= p.ts
+      GROUP BY p.event_id)
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           CASE WHEN b.bts IS NULL THEN f.fts
+                WHEN f.fts IS NULL THEN b.bts
+                WHEN (epoch_us(p.ts) - epoch_us(b.bts))
+                     <= (epoch_us(f.fts) - epoch_us(p.ts)) THEN b.bts
+                ELSE f.fts END AS nearest_click_ts
+    FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+    """,
+    doc="Nearest-direction as-of join: for each purchase, the closest "
+        "click in EITHER direction (ties to the earlier click) — "
+        "merge_asof(direction='nearest') semantics. One tagged union "
+        "and ONE shuffle on user_id: a running MAX window finds the "
+        "last click at-or-before and a reverse running MIN the first "
+        "click after; a row-local CASE picks the nearer. No range "
+        "join, no per-key loops.",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.functions import epoch_us
+    e = _engine(spark, sf_dir)
+    ev = e.table("events")
+    ts_type = ev.schema["ts"].dataType
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_p"), F.lit(None).cast("long").alias("event_id"))
+    purch = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", F.lit(None).cast(ts_type).alias("click_ts"),
+        F.lit(1).alias("is_p"), "event_id")
+    u = clicks.unionByName(purch)
+    # clicks sort before purchases at equal ts: the backward window
+    # then includes the equal-ts click (asof <=), and the tie resolves
+    # backward anyway since |dt| = 0 wins the CASE
+    order = [F.col("ts"), F.col("is_p")]
+    w_back = (Window.partitionBy("user_id").orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy("user_id").orderBy(*order)
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    out = (u.withColumn("bts", F.max("click_ts").over(w_back))
+            .withColumn("fts", F.min("click_ts").over(w_fwd))
+            .filter(F.col("is_p") == 1))
+    dt_b = epoch_us(F.col("ts")) - epoch_us(F.col("bts"))
+    dt_f = epoch_us(F.col("fts")) - epoch_us(F.col("ts"))
+    nearest = (F.when(F.col("bts").isNull(), F.col("fts"))
+                .when(F.col("fts").isNull(), F.col("bts"))
+                .when(dt_b <= dt_f, F.col("bts"))
+                .otherwise(F.col("fts")))
+    return out.select(F.col("event_id").alias("purchase_id"), "user_id",
+                      F.col("ts").alias("purchase_ts"),
+                      nearest.alias("nearest_click_ts"))

@@ -2412,3 +2412,30 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "n_tokens", "hh", budget=600)
     run_available_now(out, name, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "multimodal_embed_stub",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) % 3 = 0 THEN 'image/png'
+                WHEN length(text) % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           to_json(list_transform(range(0, 8),
+             d -> (CAST(concat('0x', substr(sha256(text), d*8+1, 8))
+                        AS BIGINT) % 1000) / 1000.0)) AS embedding_json
+    FROM documents
+    """,
+    doc="Media -> embedding plumbing with the neural encoder stubbed "
+        "by a deterministic sha256 projection (container has no "
+        "torch/CLIP; the mapInPandas batch shape is the real "
+        "contract). Vectors feed operators/similarity.py unchanged; "
+        "array output JSON-serialized at the registry boundary for "
+        "the driver's canonicalizer.",
+)
+def multimodal_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    media = multimodal.synthesize_media(e.table("documents"))
+    return (multimodal.embed_media_stub(media, dim=8)
+            .select("doc_id", "media_type",
+                    F.to_json("embedding").alias("embedding_json")))

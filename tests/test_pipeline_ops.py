@@ -582,3 +582,25 @@ def test_ann_ivf_partitioned_matches_inline_and_prunes(spark, sf_dir, engine):
                                            n_cells=16, nprobe=4,
                                            location=loc, rebuild=False)
     assert {(r.q_id, r.c_id, r.rank) for r in again.collect()} == a
+
+
+def test_embed_media_stub_deterministic_and_composable(spark, sf_dir, engine):
+    media = multimodal.synthesize_media(engine.table("documents"))
+    emb = multimodal.embed_media_stub(media, dim=8)
+    rows = emb.limit(20).collect()
+    assert all(len(r.embedding) == 8 for r in rows)
+    assert all(0.0 <= v < 1.0 for r in rows for v in r.embedding)
+    # deterministic across runs
+    again = {r.doc_id: r.embedding for r in emb.limit(20).collect()}
+    assert all(again[r.doc_id] == r.embedding for r in rows)
+    # vectors compose with the similarity family unchanged
+    q = emb.limit(3).select(F.col("doc_id").alias("q_id"), "embedding")
+    c = emb.select(F.col("doc_id").alias("c_id"), "embedding")
+    top = similarity.cosine_topk(q, c, k=3)
+    assert top.count() == 9
+
+
+def test_embed_media_stub_validates_dim(spark, sf_dir, engine):
+    media = multimodal.synthesize_media(engine.table("documents"))
+    with pytest.raises(ValueError, match="dim"):
+        multimodal.embed_media_stub(media, dim=9)
