@@ -171,3 +171,50 @@ def test_stream_token_budget_equals_batch_draw(spark, sf_dir):
             REGISTRY["sample_token_budget"].fn(spark, sf_dir).collect()}
     # single-batch drain ≡ the batch budget draw, bit for bit
     assert got == want and got
+
+
+def test_stream_token_budget_state_survives_restart(spark, tmp_path):
+    # T1/T6 composed: the admission counter is STATE in the checkpoint —
+    # a restarted drain over a grown source keeps spending the same
+    # budget, never re-admits, and never exceeds it.
+    from nosql_join_stream_spark.operators.sampling import order_hash
+    from nosql_join_stream_spark.streaming.log_stream import (
+        stateful_budget_admission, write_stream_files)
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    budget = 120
+    rows1 = [(i, "s", " ".join(["w"] * 30)) for i in range(3)]       # 90 tok
+    rows2 = [(i, "s", " ".join(["w"] * 30)) for i in range(3, 8)]    # 150 tok
+    schema = "doc_id long, source string, text string"
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+         .write.mode("overwrite").parquet(str(src))
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("doc_id long, source string, text string")
+                  .format("parquet").load(str(src)))
+        enriched = stream.select(
+            "doc_id", "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+             .cast("long").alias("n_tokens"),
+            order_hash(F.col("doc_id")).alias("hh"))
+        admitted = stateful_budget_admission(
+            enriched, "source", "doc_id", "n_tokens", "hh", budget=budget)
+        write_stream_files(admitted, str(out), str(ckpt))
+
+    drain()
+    first = spark.read.parquet(str(out))
+    n1, tok1 = first.count(), first.agg(F.sum("n_tokens")).collect()[0][0]
+    assert n1 == 3 and tok1 == 90            # all of batch 1 fits
+
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+         .write.mode("append").parquet(str(src))
+    drain()
+    both = spark.read.parquet(str(out))
+    # state remembered 90 spent → exactly ONE more doc admits (90 < 120),
+    # and its 30 tokens close the budget for good
+    assert both.count() == 4
+    assert both.select("doc_id").distinct().count() == 4   # exactly-once
+    assert both.agg(F.sum("n_tokens")).collect()[0][0] == 120
