@@ -88,24 +88,29 @@ def budget_per_group(df: DataFrame, group_col: str, id_col: str,
     (so the draw overshoots by at most one document — the standard
     convention; taking ``<= budget`` instead would undershoot).
 
-    Scale shape (same design as cap_per_group): per-group weight
-    totals (one tiny row per group) broadcast back; groups within
-    budget keep everything and SKIP the window entirely; over-budget
-    groups prefilter to hashes under an ``oversample``-proportional
-    cutoff — hashes are uniform and weights hash-independent, so the
-    surviving prefix holds ~oversample x the budget's worth of weight
-    — and only those O(budget) survivors flow into the exclusive
-    prefix-sum window.  The cumsum is exact on the survivors; like
-    cap_per_group, the cutoff drops a true winner only if the kept
-    prefix holds under 1/oversample of its expected weight
-    (Chernoff-vanishing), and deterministically so — an oracle
+    Scale shape (same design as cap_per_group): per-group totals (one
+    tiny row per group) broadcast back; groups within budget keep
+    everything and SKIP the cutoff entirely; over-budget groups
+    prefilter to hashes under an ``oversample``-proportional COUNT
+    cutoff before the exclusive prefix-sum window.  The cutoff is on
+    row count, not weight: weights are >= 1 (the precondition), so a
+    winner's exclusive prefix weight < budget implies fewer than
+    ``budget`` rows hash before it — winner rank <= budget — and the
+    Chernoff argument of cap_per_group applies verbatim (a true winner
+    is dropped only if under budget of n uniform hashes land below an
+    oversample-proportional cutoff).  A weight-based cutoff is NOT
+    sound: a heavy row sitting late in hash order after a light
+    prefix is a winner at any hash value (caught by the property
+    test).  The cumsum is exact on the survivors, and an oracle
     replaying the same cutoff gets the same rows.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     h = order_hash(F.col(id_col))
-    totals = df.groupBy(group_col).agg(F.sum(weight_col).alias("__tot"))
-    frac = F.lit(float(oversample) * budget) / F.col("__tot")
+    totals = df.groupBy(group_col).agg(F.sum(weight_col).alias("__tot"),
+                                       F.count("*").alias("__n"))
+    frac = F.least(F.lit(1.0),
+                   F.lit(float(oversample) * budget) / F.col("__n"))
     thresh = (frac * F.lit(float(1 << 60))).cast("long")
     surv = (df.withColumn("__h", h)
               .join(F.broadcast(totals), group_col)
@@ -117,7 +122,7 @@ def budget_per_group(df: DataFrame, group_col: str, id_col: str,
     return (surv.withColumn("__spent", spent)
                 .filter((F.col("__tot") <= F.lit(budget))
                         | (F.col("__spent") < F.lit(budget)))
-                .drop("__h", "__tot", "__spent"))
+                .drop("__h", "__tot", "__n", "__spent"))
 
 
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,

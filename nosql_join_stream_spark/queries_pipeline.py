@@ -2038,13 +2038,14 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(concat('0x', substr(sha256(doc_id::VARCHAR), 1, 15))
                   AS BIGINT) AS hh
       FROM documents),
-    t AS (SELECT source, SUM(n_tokens) AS tot FROM d GROUP BY source),
+    t AS (SELECT source, SUM(n_tokens) AS tot, COUNT(*) AS n
+          FROM d GROUP BY source),
     surv AS (
       SELECT d.doc_id, d.source, d.n_tokens, d.hh, t.tot
       FROM d JOIN t USING (source)
       WHERE t.tot <= 600
-         OR d.hh < CAST((4.0 * 600 / t.tot) * 1152921504606846976.0
-                        AS BIGINT)),
+         OR d.hh < CAST(LEAST(1.0, 4.0 * 600 / t.n)
+                        * 1152921504606846976.0 AS BIGINT)),
     c AS (
       SELECT doc_id, source, n_tokens, tot,
              COALESCE(SUM(n_tokens) OVER (
