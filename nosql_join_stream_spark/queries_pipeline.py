@@ -2440,3 +2440,41 @@ def multimodal_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (multimodal.embed_media_stub(media, dim=8)
             .select("doc_id", "media_type",
                     F.to_json("embedding").alias("embedding_json")))
+
+
+@register(
+    "embedding_norm_outliers",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])), 6) AS norm
+      FROM embeddings),
+    b AS (SELECT quantile_cont(norm, [0.01, 0.99]) AS bs FROM n)
+    SELECT n.vec_id, n.norm,
+           (n.norm < b.bs[1] OR n.norm > b.bs[2]) AS is_outlier
+    FROM n CROSS JOIN b
+    """,
+    doc="Embedding-norm outlier flags: vectors outside the [p1, p99] "
+        "norm band — the standard encoder-failure / dead-input monitor "
+        "before indexing. Exact percentile boundaries computed once "
+        "(1-row broadcast), flagging is a map-side comparison; norms "
+        "rounded to 6 dp BEFORE the quantile so both engines "
+        "interpolate identical inputs.",
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.retrieval import _join_scalar
+    from nosql_join_stream_spark.operators.similarity import _norm
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    norms = emb.select(
+        "vec_id",
+        F.round(_norm(F.transform("embedding",
+                                  lambda x: x.cast("double"))), 6)
+         .alias("norm"))
+    b = norms.agg(F.percentile("norm", F.lit([0.01, 0.99])).alias("bs"))
+    return (_join_scalar(norms, b)
+            .select("vec_id", "norm",
+                    ((F.col("norm") < F.col("bs")[0])
+                     | (F.col("norm") > F.col("bs")[1]))
+                    .alias("is_outlier")))
