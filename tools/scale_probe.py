@@ -12,7 +12,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
        ops default to: ngram minhash ann
        also available: incr incrb cluster decon novelty tfidf neardup
                        rrf textq pack mm coverage cap phrase dimstats
-                       shuffle paradedup budget semdedup
+                       shuffle paradedup budget semdedup keepbest
 """
 
 from __future__ import annotations
@@ -257,6 +257,15 @@ def main() -> None:
                 dd.withColumn("n_tokens", toks.cast("long")),
                 "source", "doc_id", "n_tokens", budget=600).count()
             results["budget_s"] = round(time.perf_counter() - t0, 2)
+
+        if "keepbest" in OPS:
+            from nosql_join_stream_spark.operators import text as textops
+            t0 = time.perf_counter()
+            scored = dd.withColumn("q", textops.quality_score(F.col("text")))
+            kb_pairs = dedup.ngram_jaccard_pairs(dd, "text", "doc_id")
+            results["keepbest_rows"] = dedup.resolve_keep_best(
+                scored, kb_pairs, "doc_id", "q").count()
+            results["keepbest_s"] = round(time.perf_counter() - t0, 2)
 
         if "semdedup" in OPS:
             # k grows with the corpus (SemDeDup's own prescription) so
