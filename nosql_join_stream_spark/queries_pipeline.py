@@ -2478,3 +2478,102 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("norm") < F.col("bs")[0])
                      | (F.col("norm") > F.col("bs")[1]))
                     .alias("is_outlier")))
+
+
+@register(
+    "pipeline_materialize_training",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS w_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]'))
+               * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS atl,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> x IN ({_STOP_EN})))
+               * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS swr
+      FROM documents),
+    keep AS (
+      SELECT doc_id, source, text,
+             len(list_filter(string_split(trim(text), ' '),
+                             x -> x <> '')) AS n_tokens
+      FROM f
+      WHERE 0.4 * (CASE WHEN w_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (CASE WHEN ROUND(atl, 4) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+          + 0.3 * (CASE WHEN ROUND(swr, 6) >= 0.01 THEN 1.0 ELSE 0.0 END)
+          >= 0.7),
+    hd AS (
+      SELECT doc_id, source, n_tokens,
+             array_to_string((string_split_regex(trim(lower(text)),
+                                                 '\\s+'))[1:20], ' ') AS head
+      FROM keep),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM hd GROUP BY head),
+    d AS (
+      SELECT hd.doc_id, hd.source, hd.n_tokens,
+             CAST(concat('0x', substr(sha256(hd.doc_id::VARCHAR), 1, 15))
+                  AS BIGINT) AS hh
+      FROM hd JOIN canon USING (doc_id)),
+    t AS (SELECT source, SUM(n_tokens) AS tot, COUNT(*) AS n
+          FROM d GROUP BY source),
+    surv AS (
+      SELECT d.* FROM d JOIN t USING (source)
+      WHERE t.tot <= 600
+         OR d.hh < CAST(LEAST(1.0, 4.0 * 600 / t.n)
+                        * 1152921504606846976.0 AS BIGINT)),
+    c AS (
+      SELECT surv.*, t.tot,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY hh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS spent
+      FROM surv JOIN t USING (source)),
+    drawn AS (
+      SELECT doc_id, source, n_tokens, hh FROM c
+      WHERE tot <= 600 OR spent < 600),
+    pos AS (
+      SELECT doc_id, source, n_tokens,
+             (ROW_NUMBER() OVER (ORDER BY hh, doc_id) - 1) % 16 AS shard
+      FROM drawn),
+    packed AS (
+      SELECT doc_id, source, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+      FROM pos)
+    SELECT doc_id, source, n_tokens, CAST(shard AS BIGINT) AS shard,
+           CAST(floor(off / 512) AS BIGINT) AS seq_id,
+           off % 512 AS offset_in_seq
+    FROM packed
+    """,
+    doc="End-to-end training-set materialization — the second flagship "
+        "composition: quality gate (>= 0.7) -> exact head-gram dedup "
+        "(min-id canonical) -> 600-token budget draw per source -> "
+        "deterministic global shuffle into 16 shards -> 512-token "
+        "sequence packing. Every stage is a verified operator; the "
+        "whole chain stays one declarative plan (windows partition by "
+        "source/shard; the only global structure is the shuffle's "
+        "dense index).",
+)
+def pipeline_materialize_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import sampling
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    kept = (docs.withColumn("quality", text.quality_score(F.col("text")))
+                .filter(F.col("quality") >= 0.7)
+                .drop("quality"))
+    head = F.array_join(
+        F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 20), " ")
+    winners = (kept.withColumn("__head", head)
+                   .groupBy(F.xxhash64("__head"))
+                   .agg(F.min("doc_id").alias("doc_id"))
+                   .select("doc_id"))
+    uniq = (kept.join(winners, "doc_id")
+                .withColumn("n_tokens",
+                            text.token_count(F.col("text")).cast("long")))
+    drawn = sampling.budget_per_group(uniq, "source", "doc_id",
+                                      "n_tokens", budget=600)
+    pos = sampling.global_shuffle(drawn, "doc_id")
+    sharded = pos.withColumn("shard", (F.col("shuffle_pos") - 1) % 16)
+    packed = text.pack_sequences(sharded, "doc_id", "shard", budget=512)
+    return (packed.join(sharded.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "n_tokens",
+                    F.col("shard").cast("long").alias("shard"),
+                    "seq_id", "offset_in_seq"))

@@ -604,3 +604,35 @@ def test_embed_media_stub_validates_dim(spark, sf_dir, engine):
     media = multimodal.synthesize_media(engine.table("documents"))
     with pytest.raises(ValueError, match="dim"):
         multimodal.embed_media_stub(media, dim=9)
+
+
+def test_materialize_training_invariants(spark, sf_dir):
+    rows = REGISTRY["pipeline_materialize_training"].fn(
+        spark, sf_dir).collect()
+    assert rows
+    # per-source token spend respects the budget convention: spent
+    # before the last admitted doc < 600 (overshoot at most one doc)
+    from collections import defaultdict
+    per_src = defaultdict(int)
+    for r in rows:
+        per_src[r.source] += r.n_tokens
+    # a source's draw exceeding the budget can only be the one-doc
+    # overshoot: remove its largest doc and the rest must fit
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r.n_tokens)
+    for src, toks in by_src.items():
+        assert sum(toks) - max(toks) < 600
+    # packing is gapless per shard: offsets advance by exactly n_tokens
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.seq_id == off // 512 and r.offset_in_seq == off % 512
+            off += r.n_tokens
+    # shards are balanced within one row (round-robin on shuffle_pos)
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert sizes[-1] - sizes[0] <= 1
