@@ -147,3 +147,35 @@ def write_zordered(df: DataFrame, path: str, cols: Sequence[str],
              .drop("__z", *[f"__{m}_{c}" for c in cols
                             for m in ("min", "max")]))
     out.write.mode("overwrite").parquet(path)
+
+
+def write_log_rolled(df: DataFrame, path: str, order_col: str,
+                     max_partition_rows: int = 5_000_000,
+                     fmt: str = "parquet") -> None:
+    """Partition-rolling event-log writer — the reference's
+    ``maxPartitionSize = 5000000L`` log layout (log/package.scala:59:
+    the Akka-persistence journal rolls to a new partition every N
+    sequence numbers) done as a batch layout decision.
+
+    Rows are enumerated in ``order_col`` order with the two-pass dense
+    index (no single-task global window) and land in hive partition
+    ``log_part = seq_no // max_partition_rows``; within a file they
+    stay sorted by ``order_col``, so a reader doing
+    ``log_from(key, offset)`` prunes to ``offset // N ..`` partitions
+    at the directory level and row-group min/max finish the job —
+    the same O(1)-seek contract the reference's partitioned log gives
+    its resumable readers.
+    """
+    from nosql_join_stream_spark.operators.combinators import _with_pos
+
+    if max_partition_rows < 1:
+        raise ValueError(
+            f"max_partition_rows must be >= 1, got {max_partition_rows}")
+    indexed = _with_pos(df, [order_col], "__seq")
+    rolled = (indexed.withColumn(
+        "log_part", ((F.col("__seq") - 1) / max_partition_rows)
+        .cast("long")).drop("__seq"))
+    (rolled.repartition("log_part")
+           .sortWithinPartitions(order_col)
+           .write.mode("overwrite")
+           .partitionBy("log_part").format(fmt).save(path))

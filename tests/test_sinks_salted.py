@@ -203,3 +203,32 @@ def test_write_zordered_tightens_file_bounding_boxes(engine, spark, tmp_path):
                        & (F.col("o_totalprice") <= lo[2] + 0.25 * tp_span))
                .agg(F.min("o_custkey")).first())]
     assert len(hit) <= 4  # the box touches a minority of z-files
+
+
+def test_write_log_rolled_partitions_and_prunes(spark, engine, tmp_path):
+    import glob
+    import os
+    import re
+
+    from nosql_join_stream_spark import sinks
+
+    ev = engine.table("events").select("event_id", "user_id", "ts")
+    n = ev.count()
+    out = str(tmp_path / "log")
+    sinks.write_log_rolled(ev, out, "event_id", max_partition_rows=1000)
+    parts = sorted(glob.glob(os.path.join(out, "log_part=*")))
+    # ceil(n/1000) rolled partitions, reference maxPartitionSize analog
+    assert len(parts) == -(-n // 1000)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # resuming from an offset prunes to the right directories
+    scan = back.filter(F.col("log_part") >= 3)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "log_part" in m.group(1)
+    assert scan.count() == max(0, n - 3000)
+    # partition k holds exactly the k-th thousand of event_ids in order
+    first = spark.read.parquet(os.path.join(out, "log_part=0"))
+    ids = sorted(r.event_id for r in first.select("event_id").collect())
+    all_ids = sorted(r.event_id for r in ev.select("event_id").collect())
+    assert ids == all_ids[:1000]
