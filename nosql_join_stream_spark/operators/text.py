@@ -333,3 +333,48 @@ def drop_common_paragraphs(df, content_col: str, id_col: str,
                           F.array_sort(F.collect_list(kept_struct)),
                           lambda s: s["para"]),
                       " ").alias("kept_text")))
+
+
+def pack_sequences_text(df, id_col: str, shard_col: str, budget: int,
+                        text_col: str = "text"):
+    """Materialize the PACKED SEQUENCES themselves — one row per
+    ``budget``-token training sequence per shard, docs concatenated in
+    id order and chunked across boundaries (the text companion to
+    ``pack_sequences``' offset table).
+
+    This is the honest grouped-map (``applyInPandas``) case in the UDF
+    surface: a sequence's text spans multiple input rows, so no
+    row-local Column expression can emit it — each shard group arrives
+    as one Arrow batch, pandas concatenates and rechunks, and the
+    output cardinality differs from the input's.  Shards are
+    independent, so at 100 TB the groups parallelize and no state
+    outlives a group.  The last sequence of a shard may be short;
+    every other one carries exactly ``budget`` tokens (asserted in
+    tests, mirrored by the oracle).
+    """
+    from pyspark.sql import functions as F  # noqa: F401  (parity w/ sibling)
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+
+    def op(pdf):
+        import pandas as _pd
+        pdf = pdf.sort_values(id_col)
+        shard = pdf[shard_col].iloc[0]
+        toks = []
+        for t in pdf[text_col]:
+            toks.extend(x for x in t.strip().split(" ") if x)
+        out = []
+        for i in range(0, max(len(toks), 1), budget):
+            chunk = toks[i:i + budget]
+            out.append({shard_col: shard, "seq_id": i // budget,
+                        "n_tokens": len(chunk),
+                        "seq_text": " ".join(chunk)})
+        return _pd.DataFrame(out)
+
+    shard_t = dict(df.dtypes)[shard_col]
+    return (df.select(id_col, shard_col, text_col)
+              .groupBy(shard_col)
+              .applyInPandas(op, schema=f"{shard_col} {shard_t}, "
+                                        "seq_id long, n_tokens long, "
+                                        "seq_text string"))

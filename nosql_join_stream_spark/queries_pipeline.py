@@ -2577,3 +2577,41 @@ def pipeline_materialize_training(spark: SparkSession, sf_dir: str) -> DataFrame
             .select("doc_id", "source", "n_tokens",
                     F.col("shard").cast("long").alias("shard"),
                     "seq_id", "offset_in_seq"))
+
+
+@register(
+    "doc_pack_sequences_text",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split(trim(text), ' '), x -> x <> '')
+               AS toks
+      FROM documents),
+    s AS (
+      SELECT source, flatten(list(toks ORDER BY doc_id)) AS all_toks
+      FROM d GROUP BY source),
+    seqs AS (
+      SELECT source,
+             unnest(list_transform(
+               range(0, GREATEST(CAST(ceil(len(all_toks) / 512.0)
+                                      AS BIGINT), 1)),
+               i -> {'seq_id': i,
+                     'n_tokens': len(all_toks[(i*512+1):(i*512+512)]),
+                     'seq_text': array_to_string(
+                       all_toks[(i*512+1):(i*512+512)], ' ')})) AS s
+      FROM s)
+    SELECT source, s.seq_id AS seq_id, s.n_tokens AS n_tokens,
+           s.seq_text AS seq_text
+    FROM seqs
+    """,
+    doc="Packed-sequence MATERIALIZATION (the text companion to "
+        "doc_pack_sequences): one row per 512-token training sequence "
+        "per source shard, docs concatenated in id order and chunked "
+        "across boundaries. The honest grouped-map applyInPandas case "
+        "— output cardinality differs from input and each sequence "
+        "spans many input rows; shards parallelize independently.",
+)
+def doc_pack_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return text.pack_sequences_text(e.table("documents"), "doc_id",
+                                    "source", budget=512)

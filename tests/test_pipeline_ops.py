@@ -636,3 +636,28 @@ def test_materialize_training_invariants(spark, sf_dir):
     # shards are balanced within one row (round-robin on shuffle_pos)
     sizes = sorted(len(v) for v in by_shard.values())
     assert sizes[-1] - sizes[0] <= 1
+
+
+def test_pack_sequences_text_geometry_and_reassembly(spark, sf_dir, engine):
+    docs = engine.table("documents")
+    out = text.pack_sequences_text(docs, "doc_id", "source", budget=512)
+    rows = out.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.source, []).append(r)
+    src = {r.doc_id: (r.source, r.text) for r in
+           docs.select("doc_id", "source", "text").collect()}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.seq_id)
+        # every sequence except the last carries exactly 512 tokens
+        assert all(r.n_tokens == 512 for r in rs[:-1])
+        assert 1 <= rs[-1].n_tokens <= 512
+        # reassembling the sequences reproduces the shard's token
+        # stream in doc order, losslessly
+        want = []
+        for doc_id in sorted(i for i, (s, _) in src.items() if s == shard):
+            want.extend(src[doc_id][1].strip().split())
+        got = []
+        for r in rs:
+            got.extend(r.seq_text.split())
+        assert got == want
