@@ -615,7 +615,7 @@ _DRIVER_WINDOW = [
     # second-string flagships + sketch asserts + end-to-end
     "dedup_exact", "dedup_incremental_bucketed", "ann_cosine_topk",
     "text_tfidf_topk", "cluster_assign_kmeans", "embedding_quantize",
-    "embedding_label_centroids", "pipeline_clean_corpus",
+    "pipeline_materialize_training", "pipeline_clean_corpus",
     "agg_approx_distinct", "agg_approx_percentiles",
 ]
 
