@@ -615,14 +615,35 @@ def semantic_dedup(df: DataFrame, k: int = 8, threshold: float = 0.4,
                       .alias("v"))
     cells = (assign.select(F.col(id_col).alias("id"), "cluster_id")
                    .join(vecs, "id"))
-    a, b = cells.alias("a"), cells.alias("b")
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
-    pairs = (a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
-                    & (F.col("a.id") < F.col("b.id")))
-              .withColumn("sim", sim)
-              .filter(F.col("sim") >= threshold)
-              .select(F.col("a.id").alias("id1"),
-                      F.col("b.id").alias("id2")))
+
+    # within-cell verification as ONE numpy GEMM per cell (grouped
+    # map): a cell's pair count is bounded by its size squared, and
+    # k ∝ n keeps cells small, so each Arrow group is a small dense
+    # matrix — measured ~2x the whole operator vs the per-pair
+    # interpreted Column aggregate this replaces.  np.round(·, 6)
+    # matches the engines' 6-dp rounding (same precedent as
+    # cluster_assign / pq_encode).
+    thr = float(threshold)
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+        if len(pdf) < 2:
+            return pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                                 "id2": pd.Series(dtype="int64")})
+        pdf = pdf.sort_values("id")
+        x = np.stack(pdf["v"].to_list()).astype("float64")
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        s = np.round((x / n) @ (x / n).T, 6)
+        iu = np.triu_indices(len(pdf), 1)
+        mask = s[iu] >= thr
+        ids = pdf["id"].to_numpy()
+        return pd.DataFrame({"id1": ids[iu[0][mask]],
+                             "id2": ids[iu[1][mask]]})
+
+    pairs = (cells.groupBy("cluster_id")
+                  .applyInPandas(cell_pairs, "id1 long, id2 long"))
     verdicts = dedup_resolve(df.select(F.col(id_col).alias("id")),
                              pairs, "id")
     return (verdicts.join(assign.select(F.col(id_col).alias("id"),
