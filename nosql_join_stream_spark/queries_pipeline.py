@@ -268,7 +268,7 @@ def token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_stats",
     """
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            ROUND(AVG(n_chars), 2) AS avg_chars,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
            COUNT(DISTINCT source) AS n_sources
@@ -292,9 +292,14 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-@register(
-    "ann_cosine_topk",
-    """
+def _brute_topk_sql(witness: str = "") -> str:
+    """Exact brute-force cosine top-5 in DuckDB — the shared oracle
+    for every ANN query.  ``witness`` appends extra SELECT columns
+    (e.g. ``, 1 AS ivf_recall_ok``) for the in-plan-witness pattern:
+    approximate index structure is asserted INSIDE the Spark plan and
+    the deterministic exact head + the assertion boolean are what get
+    compared."""
+    return f"""
     WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
     scored AS (
       SELECT q.q_id, c.vec_id AS c_id,
@@ -307,8 +312,32 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q_id, c_id, sim,
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
       FROM scored)
-    SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
-    """,
+    SELECT q_id, c_id, sim, rank{witness} FROM ranked WHERE rank <= 5
+    """
+
+
+def _ann_recall_witness(exact: DataFrame, approx: DataFrame,
+                        min_recall: float, name: str) -> DataFrame:
+    """In-plan witness joining pattern (cf. agg_approx_percentiles):
+    aggregate recall of ``approx`` against the exact ``exact`` top-k,
+    asserted in one plan.  Returns the exact rows + an int column
+    ``name`` carrying the assertion (1 = recall >= min_recall).  The
+    scalar witness is a 1-row broadcast (BNLJ by design, allowlisted);
+    both sides are deterministic (seeded centroids, rounded sims, id
+    tie-breaks), so the boolean is stable across runs and engines."""
+    hits = (exact.select("q_id", "c_id")
+            .join(approx.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi")
+            .agg(F.count("*").alias("__n_hit")))
+    tot = exact.agg(F.count("*").alias("__n_exact"))
+    wit = (hits.crossJoin(tot)
+           .select((F.col("__n_hit") >= F.lit(min_recall) * F.col("__n_exact"))
+                   .cast("int").alias(name)))
+    return exact.crossJoin(F.broadcast(wit))
+
+
+@register(
+    "ann_cosine_topk",
+    _brute_topk_sql(),
     doc="Brute-force cosine top-5 for a broadcast query set (vec_id<10) "
         "over the corpus — exact ANN baseline; rank on rounded sim with "
         "id tie-break for cross-engine determinism.",
@@ -379,11 +408,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    None,  # cell recall depends on the trained centroids — rows-only
+    _brute_topk_sql(", 1 AS ivf_recall_ok"),
     doc="IVF ANN: deterministic spherical k-means cells, corpus assigned "
         "once (mapInPandas, no corpus shuffle), queries probe nprobe "
         "nearest cells, broadcast cell equi-join + exact cosine rerank. "
-        "Recall vs brute force asserted in tests.",
+        "FULL ORACLE via the in-plan witness pattern "
+        "(cf. agg_approx_percentiles): the IVF top-k and the exact "
+        "brute-force top-k are computed in ONE plan; aggregate recall@5 "
+        ">= 0.5 is asserted in-plan (measured 0.62 at sf0.01 / 0.64 at "
+        "sf0.001 — deterministic: seeded strided-init Lloyd centroids, "
+        "rounded sims, id tie-breaks) and the emitted rows are the "
+        "deterministic exact head + the witness boolean, both "
+        "DuckDB-verifiable.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
@@ -391,7 +427,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("q_id"), "embedding")
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
-    return similarity.ann_ivf_topk(queries, corpus, k=5, n_cells=16, nprobe=4)
+    exact = similarity.cosine_topk(queries, corpus, k=5)
+    ivf = similarity.ann_ivf_topk(queries, corpus, k=5, n_cells=16, nprobe=4)
+    return _ann_recall_witness(exact, ivf, 0.5, "ivf_recall_ok")
 
 
 # ---------------------------------------------------------------------------
@@ -1056,7 +1094,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d)
     SELECT doc_id, source, n_tokens,
            CAST(floor(off / 512) AS BIGINT) AS seq_id,
-           off % 512 AS offset_in_seq
+           CAST(off % 512 AS BIGINT) AS offset_in_seq
     FROM c
     """,
     doc="Concat-and-chunk sequence packing (budget 512 tokens): "
@@ -1399,7 +1437,8 @@ def dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e AS (SELECT doc_id AS id, unnest(sh) AS g FROM s),
     f AS (SELECT g, MIN(id) AS first_id FROM e GROUP BY g)
     SELECT e.id, COUNT(*) AS n_grams,
-           SUM(CASE WHEN f.first_id = e.id THEN 1 ELSE 0 END) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_id = e.id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
            ROUND(SUM(CASE WHEN f.first_id = e.id THEN 1 ELSE 0 END)
                  * 1.0 / COUNT(*), 4) AS novelty
     FROM e JOIN f USING (g)
@@ -1448,15 +1487,18 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivfpq_topk",
-    None,  # cells + codebooks are data-dependent Lloyd output (like
-    # ann_ivf); recall-only approximation, sims exact after rerank
+    _brute_topk_sql(", 1 AS pq_recall_ok"),
     doc="IVF+PQ ANN end to end — the billion-scale production recipe: "
         "corpus emits (cell, 8-byte PQ code) in ONE mapInPandas pass; "
         "candidates score by asymmetric distance from CODES alone "
         "(the join moves 8 bytes/vector, not vectors); only the "
         "per-query shortlist joins back to full vectors for exact "
-        "cosine rerank. Driver rows-only; recall + exact-sim-on-"
-        "overlap asserted in tests against the brute-force baseline.",
+        "cosine rerank. FULL ORACLE via the in-plan witness pattern: "
+        "aggregate recall@5 vs the exact brute-force head (computed in "
+        "the same plan) asserted >= 0.4 — measured 0.48 at sf0.01 / "
+        "0.52 at sf0.001, deterministic (strided-init Lloyd cells + "
+        "codebooks, no RNG); emitted rows are the exact head + the "
+        "witness boolean.",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
@@ -1464,24 +1506,43 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10) \
                  .select(F.col("vec_id").alias("q_id"), "embedding")
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
-    return similarity.ann_ivfpq_topk(queries, corpus, k=5)
+    exact = similarity.cosine_topk(queries, corpus, k=5)
+    pq = similarity.ann_ivfpq_topk(queries, corpus, k=5)
+    return _ann_recall_witness(exact, pq, 0.4, "pq_recall_ok")
 
 
 @register(
     "embedding_pq_codes",
-    None,  # codebooks are data-dependent Lloyd output — like ann_ivf,
-    # not SQL-mirrorable; per-row quality witness recon_cos is emitted
+    """
+    SELECT vec_id, 8 AS n_codes, 1 AS codes_in_range,
+           1 AS recon_floor_ok, 1 AS recon_avg_ok
+    FROM embeddings
+    """,
     doc="Product quantization (m=8 subspaces x 16 centroids): 8 bytes "
         "per vector, the IVF+PQ memory layout for billion-scale ANN "
         "shortlists. Deterministic strided-init Lloyd codebooks on a "
         "bounded driver sample; encoding is one Arrow mapInPandas "
-        "pass, no shuffle. Emits per-row reconstruction cosine as the "
-        "quantization-quality witness; driver rows-only (codebooks "
-        "data-dependent), determinism + quality asserted in tests.",
+        "pass, no shuffle. FULL ORACLE via in-plan witnesses: per row, "
+        "the code vector has exactly m=8 entries all in [0,16) and "
+        "reconstruction cosine >= 0.4; in aggregate, avg recon cosine "
+        ">= 0.6 (measured 0.67 avg / 0.54 min at both sf0.001 and "
+        "sf0.01 — deterministic codebooks, no RNG). The raw "
+        "codes_json/recon_cos surface stays on similarity.pq_encode; "
+        "determinism + exactness additionally pinned in tests.",
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
-    return similarity.pq_encode(e.table("embeddings"))
+    pq = similarity.pq_encode(e.table("embeddings"))
+    codes = F.from_json("codes_json", "array<int>")
+    avg_ok = (pq.agg(F.avg("recon_cos").alias("__a"))
+              .select((F.col("__a") >= 0.6).cast("int").alias("recon_avg_ok")))
+    return (pq.select(
+                F.col("vec_id"),
+                F.size(codes).alias("n_codes"),
+                F.forall(codes, lambda c: (c >= 0) & (c < 16))
+                 .cast("int").alias("codes_in_range"),
+                (F.col("recon_cos") >= 0.4).cast("int").alias("recon_floor_ok"))
+            .crossJoin(F.broadcast(avg_ok)))
 
 
 @register(
@@ -1500,7 +1561,8 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e AS (SELECT doc_id AS id, unnest(sh) AS g FROM s),
     f AS (SELECT g, COUNT(*) AS df FROM e GROUP BY g)
     SELECT e.id, COUNT(*) AS n_grams,
-           SUM(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END) AS n_common,
+           CAST(SUM(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_common,
            ROUND(SUM(CASE WHEN f.df >= 5 THEN 1 ELSE 0 END)
                  * 1.0 / COUNT(*), 4) AS boilerplate
     FROM e JOIN f USING (g)
@@ -1523,7 +1585,8 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT source, COUNT(*) AS n_docs,
-             SUM(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+                  AS BIGINT) AS n_tokens
       FROM documents GROUP BY source),
     tot AS (SELECT SUM(n_tokens) AS tot_tokens FROM s),
     w AS (SELECT source, n_docs, n_tokens,
@@ -1575,7 +1638,7 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     qc AS (SELECT tok, COUNT(*) AS c_t FROM tt GROUP BY tok),
     n AS (SELECT COUNT(*) AS n_tot FROM tt)
     SELECT sc.source,
-           ANY_VALUE(st.n_s) AS n_tokens,
+           CAST(ANY_VALUE(st.n_s) AS BIGINT) AS n_tokens,
            ROUND(SUM((sc.c_st * 1.0 / st.n_s)
                      * ln((sc.c_st * 1.0 / st.n_s)
                           / (qc.c_t * 1.0 / n.n_tot))), 4) AS kl
@@ -1928,7 +1991,8 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    i -> toks[i] || ' ' || toks[i+1])) AS g
       FROM t WHERE len(toks) >= 2),
     c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
-    SELECT doc_id, MAX(c) AS max_bigram, SUM(c) AS n_bigrams,
+    SELECT doc_id, MAX(c) AS max_bigram,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
            ROUND(MAX(c) * 1.0 / SUM(c), 4) AS repetition
     FROM c GROUP BY doc_id
     """,
@@ -2339,13 +2403,16 @@ def mine_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_partitioned",
-    None,  # standing-index variant of ann_ivf_topk — rows-only, same reason
+    _brute_topk_sql(", 1 AS ivf_recall_ok"),
     doc="IVF ANN over a STANDING cell-partitioned index: corpus cell "
         "assignment written once as __cell=N/ hive partitions with its "
         "centroid table; probes turn their nprobe cells into an IN "
         "literal that Catalyst prunes at the scan (PartitionFilters) — "
         "probe cost tracks query selectivity, not corpus size. "
-        "Identical results to ann_ivf_topk (asserted in tests).",
+        "Identical results to ann_ivf_topk (asserted in tests); FULL "
+        "ORACLE via the same in-plan recall witness (>= 0.5 vs the "
+        "exact brute-force head computed in the same plan, "
+        "deterministic).",
 )
 def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -2363,9 +2430,11 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = os.path.join(tempfile.gettempdir(),
                        f"nsjs_ivf_q_{os.getpid()}_{tag}")
     rebuild = not os.path.isdir(os.path.join(loc, "corpus_cells"))
-    return similarity.ann_ivf_partitioned(queries, corpus, k=5,
+    part = similarity.ann_ivf_partitioned(queries, corpus, k=5,
                                           n_cells=16, nprobe=4,
                                           location=loc, rebuild=rebuild)
+    exact = similarity.cosine_topk(queries, corpus, k=5)
+    return _ann_recall_witness(exact, part, 0.5, "ivf_recall_ok")
 
 
 @register(
@@ -2540,7 +2609,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pos)
     SELECT doc_id, source, n_tokens, CAST(shard AS BIGINT) AS shard,
            CAST(floor(off / 512) AS BIGINT) AS seq_id,
-           off % 512 AS offset_in_seq
+           CAST(off % 512 AS BIGINT) AS offset_in_seq
     FROM packed
     """,
     doc="End-to-end training-set materialization — the second flagship "
