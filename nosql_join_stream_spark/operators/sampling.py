@@ -107,6 +107,18 @@ def budget_per_group(df: DataFrame, group_col: str, id_col: str,
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     h = order_hash(F.col(id_col))
+    # The count-based prefilter is sound ONLY under the documented
+    # precondition weights >= 1 (winner rank <= budget needs it);
+    # enforce it in-plan rather than trusting the caller: a violating
+    # row poisons its group's draw silently otherwise.  raise_error is
+    # evaluated per-row inside the plan — no extra pass over the data.
+    wcheck = F.when(
+        F.col(weight_col) < 1,
+        F.raise_error(F.concat(
+            F.lit(f"budget_per_group: {weight_col} must be >= 1, got "),
+            F.col(weight_col).cast("string")))
+    ).otherwise(F.col(weight_col))
+    df = df.withColumn(weight_col, wcheck)
     totals = df.groupBy(group_col).agg(F.sum(weight_col).alias("__tot"),
                                        F.count("*").alias("__n"))
     frac = F.least(F.lit(1.0),

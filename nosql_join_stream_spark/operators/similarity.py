@@ -168,7 +168,9 @@ def _ivf_centroids(corpus: DataFrame, vec: str, id_col: str,
 
     pdf = corpus.select(id_col, vec).orderBy(id_col).limit(sample).toPandas()
     m = np.stack(pdf[vec].to_list()).astype("float64")
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    nm = np.linalg.norm(m, axis=1, keepdims=True)
+    nm[nm == 0] = 1.0
+    m = m / nm
     step = max(1, len(m) // n_cells)
     c = m[::step][:n_cells].copy()
     for _ in range(iters):
@@ -210,7 +212,9 @@ def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             if len(part) == 0:
                 continue
             v = _np.stack(part.iloc[:, 1].to_list()).astype("float64")
-            vn = v / _np.linalg.norm(v, axis=1, keepdims=True)
+            nv = _np.linalg.norm(v, axis=1, keepdims=True)
+            nv[nv == 0] = 1.0  # zero vector -> cell 0, not NaN-argmax
+            vn = v / nv
             cell = (vn @ c.T).argmax(axis=1).astype("int32")
             yield _pd.DataFrame({"__cid": part.iloc[:, 0], "__cell": cell,
                                  "__cv": part.iloc[:, 1]})
@@ -224,7 +228,9 @@ def ann_ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             if len(part) == 0:
                 continue
             v = _np.stack(part.iloc[:, 1].to_list()).astype("float64")
-            vn = v / _np.linalg.norm(v, axis=1, keepdims=True)
+            nv = _np.linalg.norm(v, axis=1, keepdims=True)
+            nv[nv == 0] = 1.0  # zero vector -> cell 0, not NaN-argmax
+            vn = v / nv
             order = _np.argsort(-(vn @ c.T), axis=1)[:, :np_]
             out = part.loc[part.index.repeat(np_)]
             yield _pd.DataFrame({"__qid": out.iloc[:, 0],
@@ -284,7 +290,9 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     def pairs_against(block_pdf) -> DataFrame:
         ids = block_pdf[id_name].to_numpy().astype("int64")
         m = np.stack(block_pdf[vec_name].to_list()).astype("float64")
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        nm = np.linalg.norm(m, axis=1, keepdims=True)
+        nm[nm == 0] = 1.0
+        m = m / nm
         b = spark.sparkContext.broadcast((ids, m))
 
         def op(batches):
@@ -296,7 +304,9 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                     continue
                 vids = part[id_name].to_numpy().astype("int64")
                 v = _np.stack(part[vec_name].to_list()).astype("float64")
-                v = v / _np.linalg.norm(v, axis=1, keepdims=True)
+                nv = _np.linalg.norm(v, axis=1, keepdims=True)
+                nv[nv == 0] = 1.0
+                v = v / nv
                 sims = _np.round(v @ bm.T, 6)
                 rows, cols = _np.where(sims >= thr)
                 i1, i2 = vids[rows], bids[cols]
@@ -350,7 +360,9 @@ def cluster_assign(df: DataFrame, k: int = 8, id_col: str = "vec_id",
     cents = (df.select(F.col(id_col).alias("cid"), F.col(vec).alias("cv"))
                .orderBy("cid").limit(k).toPandas())
     cm = np.stack(cents["cv"].to_list()).astype("float64")
-    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    ncm = np.linalg.norm(cm, axis=1, keepdims=True)
+    ncm[ncm == 0] = 1.0
+    cm = cm / ncm
     cids = cents["cid"].to_numpy()
     bc = spark.sparkContext.broadcast((cids, cm))
 
@@ -504,7 +516,9 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             if len(part) == 0:
                 continue
             V = np.stack(part.iloc[:, 1].to_list()).astype("float64")
-            vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            nv = np.linalg.norm(V, axis=1, keepdims=True)
+            nv[nv == 0] = 1.0
+            vn = V / nv
             cell = (vn @ C.T).argmax(axis=1).astype("int32")
             codes = np.empty((len(V), len(B)), dtype="int32")
             for j in range(len(B)):
@@ -522,7 +536,9 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             if len(part) == 0:
                 continue
             V = np.stack(part.iloc[:, 1].to_list()).astype("float64")
-            vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            nv = np.linalg.norm(V, axis=1, keepdims=True)
+            nv[nv == 0] = 1.0
+            vn = V / nv
             order = np.argsort(-(vn @ C.T), axis=1)[:, :np_]
             out = part.loc[part.index.repeat(np_)]
             yield _pd.DataFrame({"__qid": out.iloc[:, 0],
@@ -710,7 +726,9 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
                 if len(part) == 0:
                     continue
                 v = _np.stack(part.iloc[:, 1].to_list()).astype("float64")
-                vn = v / _np.linalg.norm(v, axis=1, keepdims=True)
+                nv = _np.linalg.norm(v, axis=1, keepdims=True)
+                nv[nv == 0] = 1.0  # zero vector -> cell 0, not NaN-argmax
+                vn = v / nv
                 cell = (vn @ c.T).argmax(axis=1).astype("int32")
                 yield _pd.DataFrame({"__cid": part.iloc[:, 0],
                                      "__cell": cell,
@@ -733,7 +751,9 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
             if len(part) == 0:
                 continue
             v = _np.stack(part.iloc[:, 1].to_list()).astype("float64")
-            vn = v / _np.linalg.norm(v, axis=1, keepdims=True)
+            nv = _np.linalg.norm(v, axis=1, keepdims=True)
+            nv[nv == 0] = 1.0  # zero vector -> cell 0, not NaN-argmax
+            vn = v / nv
             order = _np.argsort(-(vn @ c.T), axis=1)[:, :np_probe]
             out = part.loc[part.index.repeat(np_probe)]
             yield _pd.DataFrame({"__qid": out.iloc[:, 0],

@@ -302,6 +302,17 @@ def drop_common_paragraphs(df, content_col: str, id_col: str,
     rebuild is collect_list of (position, block) structs + array_sort
     — per-doc state, never a global window.
 
+    Collision trade, explicit: doc-frequency keys on xxhash64(para),
+    not the paragraph string, so two DISTINCT blocks colliding in 64
+    bits would pool their counts (and the SQL oracle, which groups on
+    the raw string, would diverge).  P[any collision] ~ n^2/2^65 —
+    ~3e-12 at 1e9 distinct blocks — and a collision inflates a count
+    by at most the partner's doc-frequency; accepted deliberately
+    because shipping 8-byte keys instead of full paragraph strings is
+    what keeps the frequency shuffle linear at 100 TB.  (The same
+    trade, same odds, applies to the xxhash64(__head) head-gram key in
+    pipeline_materialize_training.)
+
     Returns (id, n_paras, n_dropped, kept_text); kept_text is '' when
     every block was boilerplate.
     """

@@ -2619,7 +2619,11 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sequence packing. Every stage is a verified operator; the "
         "whole chain stays one declarative plan (windows partition by "
         "source/shard; the only global structure is the shuffle's "
-        "dense index).",
+        "dense index). The head-gram key is xxhash64(__head) while the "
+        "oracle groups the raw head string: a 64-bit collision would "
+        "merge distinct heads (P ~ n^2/2^65, ~3e-12 at 1e9 heads) — "
+        "accepted so the dedup shuffle ships 8-byte keys, not text "
+        "(see text.drop_common_paragraphs for the same trade).",
 )
 def pipeline_materialize_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nosql_join_stream_spark.operators import sampling

@@ -306,7 +306,11 @@ def stateful_budget_admission(stream: DataFrame, group_col: str,
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = f"{id_col} long, {group_col} string, {weight_col} long"
+    # Derive the group column's type from the input schema — a long
+    # user_id group key must not be emitted as string (Arrow schema
+    # mismatch at runtime otherwise).
+    group_t = dict(stream.dtypes)[group_col]
+    out_schema = f"{id_col} long, {group_col} {group_t}, {weight_col} long"
     state_schema = "spent long"
 
     def fn(key, pdfs, state):
