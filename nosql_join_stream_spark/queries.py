@@ -612,11 +612,22 @@ _DRIVER_WINDOW = [
     "multimodal_features", "multimodal_patch_grid", "agg_geomean_udaf",
     "text_sentences_udtf", "stream_quality_filter", "stream_decontaminate",
     "dedup_incremental_batch",
-    # second-string flagships + sketch asserts + end-to-end
-    "dedup_exact", "dedup_incremental_bucketed", "ann_cosine_topk",
+    # second-string flagships + sketch asserts + end-to-end.
+    # Round-4 rotation (slots are scarce; every family member should be
+    # driver-verified at least once across rounds):
+    #   dedup_exact, dedup_incremental_bucketed, ann_cosine_topk,
+    #   agg_approx_distinct rotated OUT (all driver-green in r3; the
+    #   brute-force head ann_cosine_topk emits is now also emitted
+    #   verbatim by ann_ivf_topk's witness rows, and the sketch-assert
+    #   pattern stays represented by agg_approx_percentiles) — replaced
+    #   by the never-driver-verified dedup_simhash, text_paragraph_dedup,
+    #   sample_token_budget and the new scale flagship
+    #   dedup_resolve_keep_best_minhash.
+    "dedup_simhash", "dedup_resolve_keep_best_minhash",
+    "text_paragraph_dedup", "sample_token_budget",
     "text_tfidf_topk", "cluster_assign_kmeans", "embedding_quantize",
     "pipeline_materialize_training", "pipeline_clean_corpus",
-    "agg_approx_distinct", "agg_approx_percentiles",
+    "agg_approx_percentiles",
 ]
 
 

@@ -2221,9 +2221,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "canonical_id", "is_duplicate"))
 
 
-@register(
-    "dedup_resolve_keep_best",
-    f"""
+# Shared by dedup_resolve_keep_best (exact-PPJoin pair source — the
+# oracle twin) and dedup_resolve_keep_best_minhash (banded MinHash pair
+# source — the 100 TB path).  One SQL serves both because on this
+# corpus's planted-dup regime the banded pair set EQUALS the exact pair
+# set (same argument as dedup_minhash_lsh's oracle, verified at sf0.01
+# and sf0.1), so the resolution over either source is identical.
+_KEEP_BEST_ORACLE = f"""
     WITH RECURSIVE s AS (
       SELECT doc_id,
              CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
@@ -2279,12 +2283,20 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.id, l.score, b.canonical_id,
            (l.id <> b.canonical_id) AS is_duplicate
     FROM labeled l JOIN best b USING (comp)
-    """,
+    """
+
+
+@register(
+    "dedup_resolve_keep_best",
+    _KEEP_BEST_ORACLE,
     doc="Quality-aware dedup resolution: near-dup groups keep their "
         "HIGHEST-quality member (ties to smallest id) instead of the "
         "smallest id — the curation policy production pipelines want. "
         "Winner per component is one min(struct(-score, id)) "
-        "map-side-combinable aggregate, no per-component rank window.",
+        "map-side-combinable aggregate, no per-component rank window. "
+        "Pair source here is the exact PPJoin (the oracle-shaped twin); "
+        "dedup_resolve_keep_best_minhash is the same resolution on the "
+        "banded MinHash source — the scale path.",
 )
 def dedup_resolve_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
@@ -2292,6 +2304,31 @@ def dedup_resolve_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.withColumn("quality", text.quality_score(F.col("text")))
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                       n=3, threshold=0.6)
+    return (dedup.resolve_keep_best(scored, pairs, "doc_id", "quality")
+            .select("id", F.col("score"), "canonical_id", "is_duplicate"))
+
+
+@register(
+    "dedup_resolve_keep_best_minhash",
+    _KEEP_BEST_ORACLE,
+    doc="Quality-aware dedup resolution over BANDED MinHash pairs — "
+        "the form that runs at 100 TB: pair generation is "
+        "minhash_lsh_pairs (signature + band-bucket shuffles, linear; "
+        "the exact-PPJoin twin's pair step is the one super-linear "
+        "curve left in SCALING.md), resolution is unchanged "
+        "(components + one min(struct(-score, id)) aggregate). Oracle "
+        "is the same exact-pair SQL as the twin: on this corpus the "
+        "banded pair set equals the exact set (dedup_minhash_lsh's "
+        "argument, verified at sf0.01 and sf0.1), so both forms "
+        "resolve identically.",
+)
+def dedup_resolve_keep_best_minhash(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    scored = docs.withColumn("quality", text.quality_score(F.col("text")))
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id",
+                                    n=3, threshold=0.6)
     return (dedup.resolve_keep_best(scored, pairs, "doc_id", "quality")
             .select("id", F.col("score"), "canonical_id", "is_duplicate"))
 

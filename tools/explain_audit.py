@@ -34,7 +34,12 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             "bm25_search", "text_unigram_logprob",
             "quality_decile_buckets", "hybrid_search_rrf",
             "sample_temperature_weights", "corpus_source_kl",
-            "mine_contrastive_pairs", "embedding_norm_outliers"}
+            "mine_contrastive_pairs", "embedding_norm_outliers",
+            # in-plan witness queries: the recall/quality assertion is a
+            # 1-row aggregate attached by a broadcast BNLJ by design,
+            # and the exact-head side is the intentional brute force
+            "ann_ivf_topk", "ann_ivfpq_topk", "embedding_pq_codes",
+            "ann_ivf_partitioned"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",

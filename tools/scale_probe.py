@@ -13,6 +13,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
        also available: incr incrb cluster decon novelty tfidf neardup
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
+                       keepbestmh
 """
 
 from __future__ import annotations
@@ -266,6 +267,19 @@ def main() -> None:
             results["keepbest_rows"] = dedup.resolve_keep_best(
                 scored, kb_pairs, "doc_id", "q").count()
             results["keepbest_s"] = round(time.perf_counter() - t0, 2)
+
+        if "keepbestmh" in OPS:
+            # same resolution as keepbest, pairs from banded MinHash —
+            # the registered scale flagship; wall should track the
+            # minhash curve + a near-constant resolution term, not the
+            # exact-PPJoin curve
+            from nosql_join_stream_spark.operators import text as textops
+            t0 = time.perf_counter()
+            scored = dd.withColumn("q", textops.quality_score(F.col("text")))
+            mh_pairs = dedup.minhash_lsh_pairs(dd, "text", "doc_id")
+            results["keepbestmh_rows"] = dedup.resolve_keep_best(
+                scored, mh_pairs, "doc_id", "q").count()
+            results["keepbestmh_s"] = round(time.perf_counter() - t0, 2)
 
         if "semdedup" in OPS:
             # k grows with the corpus (SemDeDup's own prescription) so
