@@ -90,6 +90,17 @@ class Engine:
             r = r.option(k, v)
         return r.load(path) if path is not None else r.load()
 
+    def load_stream(self, path: str | None = None, fmt: str = "parquet",
+                    schema=None, **options) -> DataFrame:
+        """Streaming twin of :meth:`load` — unbounded sources with the
+        same fail-fast validation: file formats (path + explicit
+        schema) and the live ``kafka`` source (pathless, options
+        forwarded; see streaming.log_stream.read_stream_source)."""
+        from nosql_join_stream_spark.streaming.log_stream import (
+            read_stream_source)
+        return read_stream_source(self.spark, fmt=fmt, path=path,
+                                  schema=schema, **options)
+
     def read(
         self,
         table: str,

@@ -83,6 +83,81 @@ def read_log_stream(spark: SparkSession, path: str, key=None, offset: int = 0,
     return df
 
 
+#: pathless live streaming sources (the jar ships outside this repo,
+#: like Engine.CONNECTOR_REQUIRED's mongo/cassandra) -> options each
+#: REQUIRES before any I/O.  Kafka additionally needs exactly one
+#: subscription mode — validated separately below.
+STREAM_CONNECTOR_REQUIRED = {"kafka": ("kafka.bootstrap.servers",)}
+_KAFKA_SUBSCRIPTION = ("subscribe", "subscribePattern", "assign")
+
+
+def read_stream_source(spark: SparkSession, fmt: str = "parquet",
+                       path: str | None = None, schema=None,
+                       **options) -> DataFrame:
+    """Generic streaming-source scan — the unbounded twin of
+    ``Engine.load``: file formats (parquet/orc/json/csv — path +
+    explicit schema, Structured Streaming requires one) and the live
+    ``kafka`` source (pathless; bootstrap servers + exactly one of
+    subscribe/subscribePattern/assign forwarded as options, with the
+    reference's fail-fast builder validation BEFORE any I/O —
+    mongo/channel/package.scala:252-259 applied to the bus the 100 TB
+    ingest actually arrives on).  The kafka jar ships outside this
+    repo; validation and option assembly are unit-tested without a
+    broker, and payload decoding (`decode_kafka_json`) is pure Column
+    logic testable on batch data.
+    """
+    from nosql_join_stream_spark.engine import QueryValidationError
+
+    required = STREAM_CONNECTOR_REQUIRED.get(fmt, ())
+    if required:
+        if path is not None:
+            raise QueryValidationError(
+                f"{fmt} stream source takes no path; pass location via "
+                f"options {required}")
+        if schema is not None:
+            raise QueryValidationError(
+                f"{fmt} stream source has a fixed wire schema "
+                "(key/value binary + metadata); decode the payload "
+                "downstream (decode_kafka_json) instead of passing one")
+        missing = [k for k in required if k not in options]
+        if missing:
+            raise QueryValidationError(
+                f"{fmt} stream source requires options {missing}")
+        if fmt == "kafka":
+            subs = [k for k in _KAFKA_SUBSCRIPTION if k in options]
+            if len(subs) != 1:
+                raise QueryValidationError(
+                    "kafka stream source requires exactly one of "
+                    f"{_KAFKA_SUBSCRIPTION}, got {subs or 'none'}")
+    else:
+        if path is None:
+            raise QueryValidationError(f"{fmt} stream source requires a path")
+        if schema is None:
+            raise QueryValidationError(
+                f"{fmt} stream source requires an explicit schema "
+                "(Structured Streaming does not infer)")
+    r = spark.readStream.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path) if path is not None else r.load()
+
+
+def decode_kafka_json(stream: DataFrame, payload_schema,
+                      ts_col: str = "ts") -> DataFrame:
+    """Decode a kafka wire frame into typed columns: value bytes ->
+    string -> from_json(payload_schema), keeping the broker timestamp
+    as ``ts_col`` for watermarking.  Pure Column logic (JVM-side, no
+    UDF), so it composes with every downstream operator and is
+    testable on a batch DataFrame of the same wire shape."""
+    return (stream
+            .select(F.col("timestamp").alias(ts_col),
+                    F.from_json(F.col("value").cast("string"),
+                                payload_schema).alias("j"))
+            .select(ts_col, "j.*"))
+
+
 def windowed_counts(stream: DataFrame, window: str = "1 hour",
                     watermark: str = "2 hours") -> DataFrame:
     """Event-time tumbling-window aggregate with bounded state.

@@ -492,6 +492,17 @@ def test_budget_per_group_validates(spark):
         sampling.budget_per_group(df, "grp", "id", "w", budget=0)
 
 
+def test_budget_per_group_rejects_sub_one_weights(spark):
+    """The count-based prefilter's soundness bound needs weights >= 1;
+    a violating row must fail the JOB loudly (in-plan raise_error), not
+    silently mis-prefilter true winners."""
+    from nosql_join_stream_spark.operators import sampling
+    rows = [(1, "a", 5), (2, "a", 0), (3, "a", 5)]
+    df = spark.createDataFrame(rows, "id long, grp string, w long")
+    with pytest.raises(Exception, match="must be >= 1"):
+        sampling.budget_per_group(df, "grp", "id", "w", budget=5).collect()
+
+
 def test_semantic_dedup_verdict_invariants(spark, sf_dir, engine):
     emb = engine.table("embeddings")
     out = similarity.semantic_dedup(emb, k=8, threshold=0.4)

@@ -218,3 +218,94 @@ def test_stream_token_budget_state_survives_restart(spark, tmp_path):
     assert both.count() == 4
     assert both.select("doc_id").distinct().count() == 4   # exactly-once
     assert both.agg(F.sum("n_tokens")).collect()[0][0] == 120
+
+
+def test_stream_source_validation_fails_fast(spark):
+    """read_stream_source applies the reference's builder validation
+    (Left(err) before any I/O) to streaming sources: every bad config
+    raises BEFORE .load() touches a broker or filesystem."""
+    import pytest
+    from nosql_join_stream_spark.engine import QueryValidationError
+    from nosql_join_stream_spark.streaming.log_stream import (
+        read_stream_source)
+
+    with pytest.raises(QueryValidationError, match="requires a path"):
+        read_stream_source(spark, fmt="parquet")
+    with pytest.raises(QueryValidationError, match="explicit schema"):
+        read_stream_source(spark, fmt="parquet", path="/tmp/x")
+    with pytest.raises(QueryValidationError, match="takes no path"):
+        read_stream_source(spark, fmt="kafka", path="/tmp/x",
+                           **{"kafka.bootstrap.servers": "h:9092",
+                              "subscribe": "t"})
+    with pytest.raises(QueryValidationError, match="bootstrap"):
+        read_stream_source(spark, fmt="kafka", subscribe="t")
+    with pytest.raises(QueryValidationError, match="exactly one"):
+        read_stream_source(spark, fmt="kafka",
+                           **{"kafka.bootstrap.servers": "h:9092"})
+    with pytest.raises(QueryValidationError, match="exactly one"):
+        read_stream_source(spark, fmt="kafka",
+                           **{"kafka.bootstrap.servers": "h:9092",
+                              "subscribe": "t", "assign": "u"})
+    with pytest.raises(QueryValidationError, match="fixed wire schema"):
+        read_stream_source(spark, fmt="kafka", schema="a long",
+                           **{"kafka.bootstrap.servers": "h:9092",
+                              "subscribe": "t"})
+
+
+def test_stream_source_file_format_roundtrip(spark, tmp_path):
+    """The file-format path of read_stream_source drains a real stream."""
+    from nosql_join_stream_spark.streaming.log_stream import (
+        read_stream_source, run_available_now)
+
+    src = tmp_path / "src"
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+         .coalesce(1).write.parquet(str(src))
+    stream = read_stream_source(spark, fmt="parquet", path=str(src),
+                                schema="id long, v string")
+    assert stream.isStreaming
+    run_available_now(stream, "stream_source_rt", output_mode="append")
+    rows = spark.sql("SELECT * FROM stream_source_rt").collect()
+    assert sorted((r.id, r.v) for r in rows) == [(1, "a"), (2, "b")]
+
+
+def test_decode_kafka_json_on_wire_shaped_batch(spark):
+    """Payload decode is pure Column logic — verified on a batch frame
+    with the kafka wire shape (value binary + broker timestamp), no
+    broker needed."""
+    import datetime
+
+    from nosql_join_stream_spark.streaming.log_stream import (
+        decode_kafka_json)
+
+    wire = spark.createDataFrame(
+        [(bytearray(b'{"user_id": 7, "event_type": "view"}'),
+          datetime.datetime(2024, 1, 1, 0, 0, 0)),
+         (bytearray(b'{"user_id": 9, "event_type": "click"}'),
+          datetime.datetime(2024, 1, 1, 0, 0, 1))],
+        "value binary, timestamp timestamp")
+    out = decode_kafka_json(wire, "user_id long, event_type string")
+    assert out.columns == ["ts", "user_id", "event_type"]
+    got = sorted((r.user_id, r.event_type) for r in out.collect())
+    assert got == [(7, "view"), (9, "click")]
+
+
+def test_kafka_source_resolution_or_skip(spark):
+    """Jar-detected smoke (same pattern as test_connector_smoke): with
+    no kafka-sql jar the DataSource cannot resolve and the test SKIPS;
+    with one, validated options must reach the connector."""
+    import pytest
+    from nosql_join_stream_spark.streaming.log_stream import (
+        read_stream_source)
+
+    try:
+        read_stream_source(
+            spark, fmt="kafka",
+            **{"kafka.bootstrap.servers": "127.0.0.1:1",
+               "subscribe": "smoke"})
+    except Exception as ex:  # noqa: BLE001 — classify, don't mask
+        msg = str(ex).lower()
+        if ("failed to find data source" in msg
+                or "classnotfound" in msg):
+            pytest.skip("kafka-sql jar not on the classpath "
+                        "(hermetic container)")
+        raise
