@@ -492,6 +492,27 @@ def test_budget_per_group_validates(spark):
         sampling.budget_per_group(df, "grp", "id", "w", budget=0)
 
 
+def test_ann_recall_witness_not_vacuous(spark, sf_dir, engine):
+    """The in-plan witness must be a real assertion: against a garbage
+    approximate result (ids shifted out of the corpus, zero overlap)
+    the emitted boolean is 0 on every row — so a driver-green witness
+    row genuinely certifies recall, not just plan health."""
+    from nosql_join_stream_spark.queries_pipeline import _ann_recall_witness
+
+    emb = engine.table("embeddings")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"),
+                                         "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = similarity.cosine_topk(q, c, k=5)
+    garbage = exact.select("q_id", (F.col("c_id") + 10_000_000).alias("c_id"))
+    out = _ann_recall_witness(exact, garbage, 0.5, "ok").collect()
+    assert len(out) == 50 and all(r.ok == 0 for r in out)
+    # and against the true IVF result it asserts 1 (the registered path)
+    ivf = similarity.ann_ivf_topk(q, c, k=5, n_cells=16, nprobe=4)
+    ok = _ann_recall_witness(exact, ivf, 0.5, "ok").collect()
+    assert len(ok) == 50 and all(r.ok == 1 for r in ok)
+
+
 def test_budget_per_group_rejects_sub_one_weights(spark):
     """The count-based prefilter's soundness bound needs weights >= 1;
     a violating row must fail the JOB loudly (in-plan raise_error), not
