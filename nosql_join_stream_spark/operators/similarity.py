@@ -668,6 +668,67 @@ def semantic_dedup(df: DataFrame, k: int = 8, threshold: float = 0.4,
                             "is_duplicate"))
 
 
+def ann_ivf_append(new_corpus: DataFrame, location: str,
+                   corpus_id: str = "c_id",
+                   vec: str = "embedding") -> int:
+    """Append a batch of NEW vectors to a standing cell-partitioned IVF
+    index (``ann_ivf_partitioned``'s build output) — the
+    index-maintenance twin of the incremental-dedup standing index:
+    daily embedding ingest must not rebuild a 100 TB index.
+
+    Contract (standard IVF maintenance): the PERSISTED centroids are
+    read back and do NOT retrain — cell geometry is fixed at build
+    time, so existing cell files are untouched and a probe's
+    PartitionFilters pruning (and cost) is unchanged; the batch gets
+    one mapInPandas assignment pass (same kernel as the build, same
+    zero-norm guard) and its rows APPEND into the ``__cell=N/`` hive
+    partitions.  Retraining is a rebuild, deliberately a different
+    call.  At 100 TB: append cost tracks the BATCH size only — the
+    standing corpus is never read, never shuffled.
+
+    Returns the number of appended rows (the one job this runs).
+    """
+    import os
+
+    import numpy as np
+
+    from nosql_join_stream_spark.sinks import write_table
+
+    spark = new_corpus.sparkSession
+    cent_path = os.path.join(location, "centroids.parquet")
+    index_path = os.path.join(location, "corpus_cells")
+    if not os.path.isdir(index_path):
+        raise ValueError(
+            f"no standing IVF index at {location}; build one first "
+            "(ann_ivf_partitioned rebuild=True)")
+    cent_pdf = spark.read.parquet(cent_path).orderBy("cell").toPandas()
+    cents = np.stack(cent_pdf["cv"].to_list()).astype("float64")
+    bc = spark.sparkContext.broadcast(cents)
+    vec_t = dict(new_corpus.dtypes)[vec]
+
+    def assign_batch(batches):
+        import numpy as _np
+        import pandas as _pd
+        c = bc.value
+        for part in batches:
+            if len(part) == 0:
+                continue
+            v = _np.stack(part.iloc[:, 1].to_list()).astype("float64")
+            nv = _np.linalg.norm(v, axis=1, keepdims=True)
+            nv[nv == 0] = 1.0
+            vn = v / nv
+            cell = (vn @ c.T).argmax(axis=1).astype("int32")
+            yield _pd.DataFrame({"__cid": part.iloc[:, 0],
+                                 "__cell": cell,
+                                 "__cv": part.iloc[:, 1]})
+
+    assigned = new_corpus.select(F.col(corpus_id), F.col(vec)).mapInPandas(
+        assign_batch, schema=f"__cid long, __cell int, __cv {vec_t}")
+    write_table(assigned, index_path, mode="append",
+                partition_by=["__cell"])
+    return new_corpus.count()
+
+
 def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
                         k: int = 5, n_cells: int = 16, nprobe: int = 4,
                         query_id: str = "q_id", corpus_id: str = "c_id",

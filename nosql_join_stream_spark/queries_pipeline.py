@@ -2475,6 +2475,49 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_append_probe",
+    _brute_topk_sql(", 1 AS ivf_recall_ok"),
+    doc="Standing-IVF-index MAINTENANCE: the index is built from the "
+        "corpus minus a 20% batch (vec_id % 5 == 4), the batch is then "
+        "APPENDED with similarity.ann_ivf_append — persisted centroids "
+        "reused, no retrain, base cell files untouched, append cost "
+        "tracks batch size only (the daily-embedding-ingest shape, "
+        "twin of the incremental-dedup standing index) — and the probe "
+        "runs over the maintained index. FULL ORACLE via the same "
+        "in-plan recall witness vs the exact brute-force head "
+        "(measured 0.64 at sf0.01 / 0.60 at sf0.001 with base-trained "
+        "centroids, deterministic; asserted >= 0.5). Planted-copy "
+        "exactness + file-level isolation pinned in tests.",
+)
+def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    loc = os.path.join(tempfile.gettempdir(),
+                       f"nsjs_ivf_app_{os.getpid()}_{tag}")
+    if not os.path.isdir(os.path.join(loc, "corpus_cells")):
+        # build-then-append happens ONCE per process (standing-index
+        # semantics); every later invocation probes the maintained index
+        base = corpus.filter(F.col("c_id") % 5 != 4)
+        batch = corpus.filter(F.col("c_id") % 5 == 4)
+        similarity.ann_ivf_partitioned(queries, base, k=5, n_cells=16,
+                                       nprobe=4, location=loc,
+                                       rebuild=True).collect()
+        similarity.ann_ivf_append(batch, loc)
+    probe = similarity.ann_ivf_partitioned(queries, corpus, k=5,
+                                           n_cells=16, nprobe=4,
+                                           location=loc, rebuild=False)
+    exact = similarity.cosine_topk(queries, corpus, k=5)
+    return _ann_recall_witness(exact, probe, 0.5, "ivf_recall_ok")
+
+
+@register(
     "stream_token_budget",
     """
     WITH d AS (

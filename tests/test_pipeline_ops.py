@@ -693,3 +693,51 @@ def test_pack_sequences_text_geometry_and_reassembly(spark, sf_dir, engine):
         for r in rs:
             got.extend(r.seq_text.split())
         assert got == want
+
+
+def test_ann_ivf_append_planted_copy_and_base_untouched(spark, sf_dir,
+                                                        engine, tmp_path):
+    """Standing-index maintenance: build an IVF index, APPEND planted
+    copies of the query vectors under new ids, and probe.
+
+    - exactness: each query's top hit after the append must be its own
+      planted copy at sim 1.0 (identical vector -> same argmax cell as
+      the query's best probe cell, exact rerank finds it);
+    - isolation: the base corpus's cell files are byte-identical after
+      the append (maintenance touches only the batch's partitions as
+      new files);
+    - the probe still prunes: cost shape is unchanged by construction
+      (same centroids, same PartitionFilters path).
+    """
+    import os
+
+    emb = engine.table("embeddings")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"),
+                                         "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    loc = str(tmp_path / "ivf_idx")
+    # build once (trains + writes centroids and cell partitions)
+    similarity.ann_ivf_partitioned(q, c, k=5, n_cells=16, nprobe=4,
+                                   location=loc, rebuild=True).collect()
+    base_files = {}
+    for root, _, files in os.walk(os.path.join(loc, "corpus_cells")):
+        for f in files:
+            if f.endswith(".parquet"):  # _SUCCESS markers rewrite on append
+                p = os.path.join(root, f)
+                base_files[p] = os.path.getmtime(p)
+
+    planted = q.select((F.col("q_id") + 5_000_000).alias("c_id"),
+                       "embedding")
+    n = similarity.ann_ivf_append(planted, loc)
+    assert n == 10
+
+    for p, mtime in base_files.items():  # original files untouched
+        assert os.path.exists(p) and os.path.getmtime(p) == mtime
+
+    out = similarity.ann_ivf_partitioned(
+        q, c, k=5, n_cells=16, nprobe=4, location=loc,
+        rebuild=False).collect()
+    top1 = {r.q_id: (r.c_id, r.sim) for r in out if r.rank == 1}
+    for qid in range(10):
+        cid, sim = top1[qid]
+        assert cid == qid + 5_000_000 and sim == 1.0
