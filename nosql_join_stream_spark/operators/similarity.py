@@ -729,6 +729,42 @@ def ann_ivf_append(new_corpus: DataFrame, location: str,
     return new_corpus.count()
 
 
+def ann_ivf_delete(ids: DataFrame, location: str,
+                   corpus_id: str = "c_id") -> int:
+    """Delete vectors from the standing IVF index WITHOUT rewriting it:
+    the ids append to a tombstone table next to the index, and probes
+    anti-join tombstones (broadcast — deletions are tiny relative to a
+    100 TB index) before reranking.  Parquet files are immutable and a
+    delete must not rewrite petabytes, so tombstoning is the honest
+    Spark-first shape (it is what table formats do under the hood);
+    ``compact='...'`` semantics belong to a rebuild, which folds
+    tombstones in by construction.  Returns the number of ids appended.
+    """
+    import os
+
+    if not os.path.isdir(os.path.join(location, "corpus_cells")):
+        raise ValueError(
+            f"no standing IVF index at {location}; build one first "
+            "(ann_ivf_partitioned rebuild=True)")
+    tomb_path = os.path.join(location, "tombstones.parquet")
+    out = ids.select(F.col(corpus_id).cast("long").alias("__cid"))
+    out.write.mode("append").parquet(tomb_path)
+    return out.count()
+
+
+def _apply_tombstones(index: DataFrame, location: str) -> DataFrame:
+    """Anti-join the index scan against the tombstone table, if one
+    exists — broadcast, so the probe plan gains one map-side filter."""
+    import os
+
+    tomb_path = os.path.join(location, "tombstones.parquet")
+    if not os.path.isdir(tomb_path):
+        return index
+    spark = index.sparkSession
+    tombs = spark.read.parquet(tomb_path).distinct()
+    return index.join(F.broadcast(tombs), "__cid", "left_anti")
+
+
 def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
                         k: int = 5, n_cells: int = 16, nprobe: int = 4,
                         query_id: str = "q_id", corpus_id: str = "c_id",
@@ -772,6 +808,11 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
     vec_t = dict(corpus.dtypes)[vec]
 
     if rebuild:
+        # a rebuild folds deletions in by construction — stale
+        # tombstones must not shadow legitimately re-ingested ids
+        import shutil
+        shutil.rmtree(os.path.join(location, "tombstones.parquet"),
+                      ignore_errors=True)
         cents = _ivf_centroids(corpus, vec, corpus_id, n_cells)
         cent_rows = [(i, [float(x) for x in cents[i]])
                      for i in range(len(cents))]
@@ -827,8 +868,10 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
                   .localCheckpoint())
     probed_cells = [r["__cell"] for r in
                     q_assigned.select("__cell").distinct().collect()]
-    index = (spark.read.parquet(index_path)
-             .filter(F.col("__cell").isin(probed_cells)))
+    index = _apply_tombstones(
+        spark.read.parquet(index_path)
+             .filter(F.col("__cell").isin(probed_cells)),
+        location)
     sim = F.round(cosine(
         F.transform("__qv", lambda x: x.cast("double")),
         F.transform("__cv", lambda x: x.cast("double"))), 6)

@@ -741,3 +741,47 @@ def test_ann_ivf_append_planted_copy_and_base_untouched(spark, sf_dir,
     for qid in range(10):
         cid, sim = top1[qid]
         assert cid == qid + 5_000_000 and sim == 1.0
+
+
+def test_ann_ivf_delete_tombstones_shadow_probe(spark, sf_dir, engine,
+                                                tmp_path):
+    """Delete-without-rewrite: tombstoned ids vanish from probe results
+    (broadcast anti-join), no index file is rewritten, and a REBUILD
+    clears the tombstones so re-ingested ids resurface."""
+    import os
+
+    emb = engine.table("embeddings")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"),
+                                         "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    loc = str(tmp_path / "ivf_idx")
+    before = similarity.ann_ivf_partitioned(
+        q, c, k=5, n_cells=16, nprobe=4, location=loc,
+        rebuild=True).collect()
+    victims = {r.c_id for r in before if r.rank == 1}
+    idx_files = sorted(
+        p for root, _, fs in os.walk(os.path.join(loc, "corpus_cells"))
+        for p in (os.path.join(root, f) for f in fs)
+        if p.endswith(".parquet"))
+
+    n = similarity.ann_ivf_delete(
+        spark.createDataFrame([(v,) for v in victims], "c_id long"), loc)
+    assert n == len(victims)
+
+    after = similarity.ann_ivf_partitioned(
+        q, c, k=5, n_cells=16, nprobe=4, location=loc,
+        rebuild=False).collect()
+    assert {r.c_id for r in after}.isdisjoint(victims)  # shadowed
+    assert all(len([r for r in after if r.q_id == qid]) == 5
+               for qid in range(10))  # still full top-5 per query
+    assert idx_files == sorted(  # no index file rewritten
+        p for root, _, fs in os.walk(os.path.join(loc, "corpus_cells"))
+        for p in (os.path.join(root, f) for f in fs)
+        if p.endswith(".parquet"))
+
+    # rebuild folds deletions in: tombstones cleared, ids resurface
+    again = similarity.ann_ivf_partitioned(
+        q, c, k=5, n_cells=16, nprobe=4, location=loc,
+        rebuild=True).collect()
+    assert {r.c_id for r in again if r.rank == 1} == victims
+    assert not os.path.isdir(os.path.join(loc, "tombstones.parquet"))
