@@ -13,7 +13,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
        also available: incr incrb cluster decon novelty tfidf neardup
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
-                       keepbestmh
+                       keepbestmh ivfappend
 """
 
 from __future__ import annotations
@@ -280,6 +280,32 @@ def main() -> None:
             results["keepbestmh_rows"] = dedup.resolve_keep_best(
                 scored, mh_pairs, "doc_id", "q").count()
             results["keepbestmh_s"] = round(time.perf_counter() - t0, 2)
+
+        if "ivfappend" in OPS:
+            # standing-index maintenance: corpus (and index) grow with
+            # factor, the appended BATCH stays fixed (copy-0 slice) —
+            # append wall must track batch size, i.e. stay flat
+            import shutil
+            q = ee.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("q_id"), "embedding")
+            c = ee.select(F.col("vec_id").alias("c_id"), "embedding")
+            batch = (c.filter((F.col("c_id") % 10 == 9)
+                              & (F.col("c_id") < 10_000_000))
+                     .withColumn("c_id", F.col("c_id") + 100_000_000))
+            loc = f"/tmp/scale_ivf_idx_{factor}x"
+            shutil.rmtree(loc, ignore_errors=True)
+            similarity.ann_ivf_partitioned(
+                q, c, k=5, n_cells=16, nprobe=4, location=loc,
+                rebuild=True).count()
+            t0 = time.perf_counter()
+            results["ivfappend_rows"] = similarity.ann_ivf_append(
+                batch, loc)
+            results["ivfappend_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            results["ivfprobe_rows"] = similarity.ann_ivf_partitioned(
+                q, c, k=5, n_cells=16, nprobe=4, location=loc,
+                rebuild=False).count()
+            results["ivfprobe_s"] = round(time.perf_counter() - t0, 2)
 
         if "semdedup" in OPS:
             # k grows with the corpus (SemDeDup's own prescription) so
