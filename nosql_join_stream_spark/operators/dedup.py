@@ -570,6 +570,43 @@ def ngram_jaccard_pairs_between_bucketed(
     return _ppjoin_between(sh_l, ex_l, sh_r, ex_r, tau)
 
 
+def dedup_index_append(batch: DataFrame, content_col: str, id_col: str,
+                       n: int = 3, threshold: float = 0.6,
+                       db: str = "nsjs_index",
+                       num_buckets: int = 16) -> int:
+    """Fold an ingested batch into the STANDING bucketed dedup index —
+    the maintenance op that closes the incremental loop: after today's
+    batch is deduped against the index
+    (``ngram_jaccard_pairs_between_bucketed``), its surviving docs
+    APPEND into the same bucketed tables, so tomorrow's batch dedups
+    against today's ingest too.
+
+    The append writes the batch's prefix rows and shingle sets with
+    the index's exact bucket spec (bucketBy hash layout is append-
+    stable: new files land in their buckets, co-location is preserved,
+    and the probe join still reads corpus buckets with ZERO Exchange).
+    The standing corpus is never read — append cost tracks the batch,
+    the same contract as ``similarity.ann_ivf_append``.  Returns the
+    number of appended docs.
+    """
+    from nosql_join_stream_spark.sinks import write_bucketed
+
+    spark = batch.sparkSession
+    for t in ("corpus_prefix", "corpus_sets"):
+        if not spark.catalog.tableExists(f"{db}.{t}"):
+            raise ValueError(
+                f"no standing dedup index table {db}.{t}; build one "
+                "first (ngram_jaccard_pairs_between_bucketed "
+                "rebuild=True)")
+    sh_b, ex_b = _shingle_prefix(batch, content_col, id_col, n,
+                                 float(threshold))
+    write_bucketed(ex_b, f"{db}.corpus_prefix", ["g"],
+                   num_buckets=num_buckets, sort_by=["g"], mode="append")
+    write_bucketed(sh_b, f"{db}.corpus_sets", ["id"],
+                   num_buckets=num_buckets, sort_by=["id"], mode="append")
+    return batch.count()
+
+
 def resolve_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
                       score_col: str) -> DataFrame:
     """Near-dup resolution keeping the BEST-scoring member of each

@@ -785,3 +785,37 @@ def test_ann_ivf_delete_tombstones_shadow_probe(spark, sf_dir, engine,
         rebuild=True).collect()
     assert {r.c_id for r in again if r.rank == 1} == victims
     assert not os.path.isdir(os.path.join(loc, "tombstones.parquet"))
+
+
+def test_dedup_index_append_extends_standing_index(spark, tmp_path):
+    """Incremental-dedup lifecycle: build the bucketed index from a
+    corpus, dedup batch1 against it, APPEND batch1, then batch2 (a
+    near-dup of a batch1 doc) must collide with batch1's appended rows
+    — proving appended docs participate in tomorrow's probe with the
+    same zero-corpus-Exchange join."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet")
+    tweak = base.rsplit(" ", 1)[0] + " kilo"   # jaccard 7/9 ≈ 0.78
+    corpus = spark.createDataFrame([(1, base), (2, "unrelated words "
+                                                   "entirely distinct "
+                                                   "content here")],
+                                   "doc_id long, text string")
+    batch1 = spark.createDataFrame([(101, tweak)], "doc_id long, text string")
+    batch2 = spark.createDataFrame([(201, tweak)], "doc_id long, text string")
+    db = "nsjs_index_apptest"
+    loc = str(tmp_path / "dedup_idx")
+
+    p1 = dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, batch1, "text", "doc_id", db=db, location=loc,
+        rebuild=True)
+    assert {(r.left_id, r.right_id) for r in p1.collect()} == {(1, 101)}
+
+    assert dedup.dedup_index_append(batch1, "text", "doc_id", db=db) == 1
+
+    p2 = dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, batch2, "text", "doc_id", db=db, location=loc,
+        rebuild=False)
+    got = {(r.left_id, r.right_id) for r in p2.collect()}
+    # batch2 hits BOTH the original corpus doc and batch1's appended
+    # copy (exact duplicate of it -> jaccard 1.0)
+    assert got == {(1, 201), (101, 201)}
