@@ -586,8 +586,11 @@ def dedup_index_append(batch: DataFrame, content_col: str, id_col: str,
     stable: new files land in their buckets, co-location is preserved,
     and the probe join still reads corpus buckets with ZERO Exchange).
     The standing corpus is never read — append cost tracks the batch,
-    the same contract as ``similarity.ann_ivf_append``.  Returns the
-    number of appended docs.
+    the same contract as ``similarity.ann_ivf_append``.  The batch's
+    shingle pass is cached, so the batch SOURCE is scanned once even
+    though two tables and a count derive from it — safe against
+    read-once ingest sources, and the returned count is the docs
+    actually written (one shingle-set row per doc).
     """
     from nosql_join_stream_spark.sinks import write_bucketed
 
@@ -600,11 +603,16 @@ def dedup_index_append(batch: DataFrame, content_col: str, id_col: str,
                 "rebuild=True)")
     sh_b, ex_b = _shingle_prefix(batch, content_col, id_col, n,
                                  float(threshold))
-    write_bucketed(ex_b, f"{db}.corpus_prefix", ["g"],
-                   num_buckets=num_buckets, sort_by=["g"], mode="append")
-    write_bucketed(sh_b, f"{db}.corpus_sets", ["id"],
-                   num_buckets=num_buckets, sort_by=["id"], mode="append")
-    return batch.count()
+    sh_b = sh_b.persist()  # ex_b derives from sh_b: both writes + the
+    try:                   # count resolve from this one materialization
+        write_bucketed(ex_b, f"{db}.corpus_prefix", ["g"],
+                       num_buckets=num_buckets, sort_by=["g"], mode="append")
+        write_bucketed(sh_b, f"{db}.corpus_sets", ["id"],
+                       num_buckets=num_buckets, sort_by=["id"], mode="append")
+        n = sh_b.count()
+    finally:
+        sh_b.unpersist()
+    return n
 
 
 def resolve_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,

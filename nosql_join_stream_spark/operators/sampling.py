@@ -112,11 +112,14 @@ def budget_per_group(df: DataFrame, group_col: str, id_col: str,
     # enforce it in-plan rather than trusting the caller: a violating
     # row poisons its group's draw silently otherwise.  raise_error is
     # evaluated per-row inside the plan — no extra pass over the data.
+    # NULL must raise too: NULL < 1 is NULL (row would pass the check),
+    # then SUM skips it in the prefix sum — consuming zero budget while
+    # still emittable, the exact silent violation this guard exists for.
     wcheck = F.when(
-        F.col(weight_col) < 1,
+        F.col(weight_col).isNull() | (F.col(weight_col) < 1),
         F.raise_error(F.concat(
             F.lit(f"budget_per_group: {weight_col} must be >= 1, got "),
-            F.col(weight_col).cast("string")))
+            F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL"))))
     ).otherwise(F.col(weight_col))
     df = df.withColumn(weight_col, wcheck)
     totals = df.groupBy(group_col).agg(F.sum(weight_col).alias("__tot"),

@@ -686,7 +686,16 @@ def ann_ivf_append(new_corpus: DataFrame, location: str,
     call.  At 100 TB: append cost tracks the BATCH size only — the
     standing corpus is never read, never shuffled.
 
-    Returns the number of appended rows (the one job this runs).
+    A re-ingested id that was previously tombstoned by
+    ``ann_ivf_delete`` becomes visible again: the (tiny) tombstone
+    table is rewritten minus the appended ids, so append+delete
+    compose in either order without a rebuild.
+
+    The batch is cached through the assignment pass, so its SOURCE is
+    scanned exactly once even though the op both writes and counts it
+    — safe against read-once ingest sources (e.g. a drained queue) and
+    non-deterministic upstreams (sample/limit): the count returned is
+    the rows actually written.
     """
     import os
 
@@ -722,11 +731,18 @@ def ann_ivf_append(new_corpus: DataFrame, location: str,
                                  "__cell": cell,
                                  "__cv": part.iloc[:, 1]})
 
-    assigned = new_corpus.select(F.col(corpus_id), F.col(vec)).mapInPandas(
-        assign_batch, schema=f"__cid long, __cell int, __cv {vec_t}")
-    write_table(assigned, index_path, mode="append",
-                partition_by=["__cell"])
-    return new_corpus.count()
+    assigned = (new_corpus.select(F.col(corpus_id), F.col(vec))
+                .mapInPandas(assign_batch,
+                             schema=f"__cid long, __cell int, __cv {vec_t}")
+                .persist())
+    try:
+        write_table(assigned, index_path, mode="append",
+                    partition_by=["__cell"])
+        n = assigned.count()  # served from the cache the write populated
+        _clear_tombstones_for(assigned.select("__cid"), location)
+    finally:
+        assigned.unpersist()
+    return n
 
 
 def ann_ivf_delete(ids: DataFrame, location: str,
@@ -754,7 +770,10 @@ def ann_ivf_delete(ids: DataFrame, location: str,
 
 def _apply_tombstones(index: DataFrame, location: str) -> DataFrame:
     """Anti-join the index scan against the tombstone table, if one
-    exists — broadcast, so the probe plan gains one map-side filter."""
+    exists — broadcast, so the probe plan gains one map-side filter.
+    The dir's absence is the steady-state fast path: append/rebuild
+    delete it when the last tombstone is cleared, so a probe on an
+    index with no outstanding deletes pays nothing here."""
     import os
 
     tomb_path = os.path.join(location, "tombstones.parquet")
@@ -763,6 +782,33 @@ def _apply_tombstones(index: DataFrame, location: str) -> DataFrame:
     spark = index.sparkSession
     tombs = spark.read.parquet(tomb_path).distinct()
     return index.join(F.broadcast(tombs), "__cid", "left_anti")
+
+
+def _clear_tombstones_for(ids: DataFrame, location: str) -> None:
+    """Rewrite the (tiny by contract) tombstone table minus ``ids`` —
+    a deleted id that is later legitimately re-ingested via append
+    must become probe-visible again without a full rebuild.  The
+    surviving tombstones are collected to the driver FIRST (bounded:
+    tombstones are deletions, tiny relative to the index), so the
+    overwrite never reads the files it is replacing; an emptied table
+    is removed entirely, restoring the probe's no-tombstone fast
+    path."""
+    import os
+    import shutil
+
+    tomb_path = os.path.join(location, "tombstones.parquet")
+    if not os.path.isdir(tomb_path):
+        return
+    spark = ids.sparkSession
+    tombs = spark.read.parquet(tomb_path).distinct()
+    remaining = [r["__cid"] for r in
+                 tombs.join(ids, "__cid", "left_anti").collect()]
+    if len(remaining) == tombs.count():
+        return  # nothing cleared; leave the table untouched
+    shutil.rmtree(tomb_path, ignore_errors=True)
+    if remaining:
+        spark.createDataFrame([(i,) for i in remaining], "__cid long") \
+             .coalesce(1).write.mode("overwrite").parquet(tomb_path)
 
 
 def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,

@@ -89,22 +89,32 @@ def read_log_stream(spark: SparkSession, path: str, key=None, offset: int = 0,
 #: subscription mode — validated separately below.
 STREAM_CONNECTOR_REQUIRED = {"kafka": ("kafka.bootstrap.servers",)}
 _KAFKA_SUBSCRIPTION = ("subscribe", "subscribePattern", "assign")
+# Formats where Structured Streaming monitors a directory and cannot
+# infer a schema — the only ones where path + explicit schema are a
+# hard requirement.  Anything else (rate, socket, external connectors)
+# passes through with options forwarded: those sources are pathless
+# and/or carry a fixed wire schema of their own.
+FILE_STREAM_FORMATS = frozenset({"parquet", "orc", "json", "csv", "text"})
 
 
 def read_stream_source(spark: SparkSession, fmt: str = "parquet",
                        path: str | None = None, schema=None,
                        **options) -> DataFrame:
     """Generic streaming-source scan — the unbounded twin of
-    ``Engine.load``: file formats (parquet/orc/json/csv — path +
-    explicit schema, Structured Streaming requires one) and the live
+    ``Engine.load``: file formats (FILE_STREAM_FORMATS — path +
+    explicit schema, Structured Streaming requires one), the live
     ``kafka`` source (pathless; bootstrap servers + exactly one of
     subscribe/subscribePattern/assign forwarded as options, with the
     reference's fail-fast builder validation BEFORE any I/O —
     mongo/channel/package.scala:252-259 applied to the bus the 100 TB
-    ingest actually arrives on).  The kafka jar ships outside this
-    repo; validation and option assembly are unit-tested without a
-    broker, and payload decoding (`decode_kafka_json`) is pure Column
-    logic testable on batch data.
+    ingest actually arrives on), and any OTHER registered streaming
+    source (rate, socket, external connectors) passed straight
+    through with options forwarded — those are pathless and/or
+    schema-fixed by the source itself, so imposing the file-source
+    requirements on them would reject legitimate sources.  The kafka
+    jar ships outside this repo; validation and option assembly are
+    unit-tested without a broker, and payload decoding
+    (`decode_kafka_json`) is pure Column logic testable on batch data.
     """
     from nosql_join_stream_spark.engine import QueryValidationError
 
@@ -129,7 +139,7 @@ def read_stream_source(spark: SparkSession, fmt: str = "parquet",
                 raise QueryValidationError(
                     "kafka stream source requires exactly one of "
                     f"{_KAFKA_SUBSCRIPTION}, got {subs or 'none'}")
-    else:
+    elif fmt in FILE_STREAM_FORMATS:
         if path is None:
             raise QueryValidationError(f"{fmt} stream source requires a path")
         if schema is None:

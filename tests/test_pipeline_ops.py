@@ -522,6 +522,13 @@ def test_budget_per_group_rejects_sub_one_weights(spark):
     df = spark.createDataFrame(rows, "id long, grp string, w long")
     with pytest.raises(Exception, match="must be >= 1"):
         sampling.budget_per_group(df, "grp", "id", "w", budget=5).collect()
+    # NULL must raise too: NULL < 1 is NULL so a plain comparison guard
+    # passes it, then SUM skips it — a zero-budget-consuming emittable
+    # row, exactly the silent violation the guard exists to prevent
+    nrows = [(1, "a", 5), (2, "a", None), (3, "a", 5)]
+    ndf = spark.createDataFrame(nrows, "id long, grp string, w long")
+    with pytest.raises(Exception, match="must be >= 1"):
+        sampling.budget_per_group(ndf, "grp", "id", "w", budget=5).collect()
 
 
 def test_semantic_dedup_verdict_invariants(spark, sf_dir, engine):
@@ -785,6 +792,50 @@ def test_ann_ivf_delete_tombstones_shadow_probe(spark, sf_dir, engine,
         rebuild=True).collect()
     assert {r.c_id for r in again if r.rank == 1} == victims
     assert not os.path.isdir(os.path.join(loc, "tombstones.parquet"))
+
+
+def test_ann_ivf_append_clears_matching_tombstones(spark, sf_dir, engine,
+                                                   tmp_path):
+    """delete → re-ingest via append must make the id probe-visible
+    again WITHOUT a rebuild: append rewrites the tombstone table minus
+    the appended ids.  Non-appended tombstones stay shadowed, and a
+    fully-cleared table is removed (restoring the probe's
+    no-tombstone fast path)."""
+    import os
+
+    emb = engine.table("embeddings")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"),
+                                         "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    loc = str(tmp_path / "ivf_idx")
+    before = similarity.ann_ivf_partitioned(
+        q, c, k=5, n_cells=16, nprobe=4, location=loc,
+        rebuild=True).collect()
+    victims = sorted({r.c_id for r in before if r.rank == 1})
+    assert len(victims) >= 2
+    keep_dead, revive = victims[0], victims[1]
+    similarity.ann_ivf_delete(
+        spark.createDataFrame([(v,) for v in victims], "c_id long"), loc)
+
+    # re-ingest ONE victim (same id + vector); its tombstone clears,
+    # the other victim's stays
+    batch = c.filter(F.col("c_id") == revive)
+    assert similarity.ann_ivf_append(batch, loc) == 1
+    tomb_path = os.path.join(loc, "tombstones.parquet")
+    assert os.path.isdir(tomb_path)  # partially cleared, not deleted
+    left = {r["__cid"] for r in spark.read.parquet(tomb_path).collect()}
+    assert revive not in left and keep_dead in left
+
+    after = {r.c_id
+             for r in similarity.ann_ivf_partitioned(
+                 q, c, k=5, n_cells=16, nprobe=4, location=loc,
+                 rebuild=False).collect()}
+    assert revive in after and keep_dead not in after
+
+    # re-ingest the rest → table fully cleared → dir removed
+    rest = c.filter(F.col("c_id").isin([v for v in victims if v != revive]))
+    similarity.ann_ivf_append(rest, loc)
+    assert not os.path.isdir(tomb_path)
 
 
 def test_dedup_index_append_extends_standing_index(spark, tmp_path):

@@ -252,6 +252,25 @@ def test_stream_source_validation_fails_fast(spark):
                               "subscribe": "t"})
 
 
+def test_stream_source_pathless_passthrough(spark):
+    """Formats outside the file set and the connector registry pass
+    straight through with options forwarded — the built-in pathless
+    `rate` source must load (and actually run) without the path/schema
+    requirements that only file sources carry."""
+    from nosql_join_stream_spark.streaming.log_stream import (
+        read_stream_source, run_available_now)
+
+    stream = read_stream_source(spark, fmt="rate", rowsPerSecond="16",
+                                numPartitions="2")
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == ["timestamp", "value"]
+    run_available_now(stream.selectExpr("value"), "rate_passthrough",
+                      output_mode="append")
+    vals = [r.value for r in spark.sql(
+        "SELECT value FROM rate_passthrough").collect()]
+    assert vals == sorted(vals)  # drained at least zero rows, ordered ids
+
+
 def test_stream_source_file_format_roundtrip(spark, tmp_path):
     """The file-format path of read_stream_source drains a real stream."""
     from nosql_join_stream_spark.streaming.log_stream import (
