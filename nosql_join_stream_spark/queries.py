@@ -595,39 +595,44 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 # remaining queries keep their registration order and stay covered by
 # tools/check_correctness.py.
 _DRIVER_WINDOW = [
-    # reference parity: joins / predicates / typed / combinators /
-    # streaming / log scan
+    # reference parity: joins / predicates / streaming / log scan
     "join_fk_inner", "join_outer_filtered", "join_salted_skew",
-    "pred_surface", "pred_all_array", "join_left_anti",
-    "sql_exists_decorrelated", "pred_date_mql", "sort_skip_limit",
-    "mql_filter", "typed_as_projection", "zip_streams", "either_merge",
-    "concat_logs", "stream_windowed_counts", "stream_dedup_keys",
+    "pred_surface", "stream_windowed_counts", "stream_dedup_keys",
     "stream_static_enrich", "stream_interval_join",
     "stream_sessionize_stateful", "log_scan_offset",
     # LLM-pipeline family flagships
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_resolve_canonical",
     "dedup_embedding_cosine", "decontaminate_overlap", "ann_lsh_topk",
     "ann_ivf_topk", "bm25_search", "hybrid_search_rrf", "text_quality",
-    "text_novelty_ratio", "doc_pack_sequences", "sample_stratified",
+    "doc_pack_sequences", "sample_stratified",
     "multimodal_features", "multimodal_patch_grid", "agg_geomean_udaf",
     "text_sentences_udtf", "stream_quality_filter", "stream_decontaminate",
     "dedup_incremental_batch",
-    # second-string flagships + sketch asserts + end-to-end.
-    # Round-4 rotation (slots are scarce; every family member should be
-    # driver-verified at least once across rounds):
-    #   dedup_exact, dedup_incremental_bucketed, ann_cosine_topk,
-    #   agg_approx_distinct rotated OUT (all driver-green in r3; the
-    #   brute-force head ann_cosine_topk emits is now also emitted
-    #   verbatim by ann_ivf_topk's witness rows, and the sketch-assert
-    #   pattern stays represented by agg_approx_percentiles) — replaced
-    #   by the never-driver-verified dedup_simhash, text_paragraph_dedup,
-    #   sample_token_budget and the new scale flagship
-    #   dedup_resolve_keep_best_minhash.
+    # r4 rotation survivors (first driver-verified in r4)
     "dedup_simhash", "dedup_resolve_keep_best_minhash",
     "text_paragraph_dedup", "sample_token_budget",
     "text_tfidf_topk", "cluster_assign_kmeans", "embedding_quantize",
-    "pipeline_materialize_training", "pipeline_clean_corpus",
-    "agg_approx_percentiles",
+    "pipeline_materialize_training", "agg_approx_percentiles",
+    # Round-5 rotation (slots are scarce; every family member should be
+    # driver-verified at least once across rounds).  Rotated OUT, all
+    # multi-round driver-green and still covered by the local gate:
+    #   pred_all_array, concat_logs, zip_streams, either_merge,
+    #   sort_skip_limit, mql_filter, typed_as_projection, pred_date_mql,
+    #   sql_exists_decorrelated, join_left_anti (reference-parity
+    #   predicate/combinator surface — green r1-r4),
+    #   pipeline_clean_corpus (green r3/r4; replaced by its MinHash-
+    #   sourced scale twin — the exact form stays as the oracle twin),
+    #   text_novelty_ratio (green r4).
+    # Rotated IN: the never-driver-verified family representatives —
+    # the whole standing-IVF/PQ family, both stateful streaming ops,
+    # and one rep per text/sampling/analytics family.
+    "pipeline_clean_corpus_minhash",
+    "ann_ivf_partitioned", "ann_ivf_append_probe",
+    "ann_ivfpq_topk", "embedding_pq_codes",
+    "stream_incremental_dedup", "stream_token_budget",
+    "text_redact_pii", "sample_cap_per_group",
+    "dedup_resolve_keep_best", "events_time_rollup",
+    "dedup_semantic_clusters",
 ]
 
 

@@ -667,9 +667,14 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", "sentence", "n_words"))
 
 
-@register(
-    "pipeline_clean_corpus",
-    f"""
+# Shared by pipeline_clean_corpus (exact-PPJoin pair source — the
+# oracle twin) and pipeline_clean_corpus_minhash (banded MinHash pair
+# source — the 100 TB path).  One SQL serves both for the same reason
+# as _KEEP_BEST_ORACLE: on this corpus's planted-dup regime the banded
+# pair set EQUALS the exact pair set (dedup_minhash_lsh's argument,
+# verified at sf0.01 and sf0.1), so the downstream resolution — and
+# therefore the kept/split output — is identical.
+_CLEAN_CORPUS_ORACLE = f"""
     WITH RECURSIVE f AS (
       SELECT doc_id, text,
              len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
@@ -716,20 +721,20 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'test' END AS split
     FROM base b LEFT JOIN comp c ON b.doc_id = c.id
     WHERE COALESCE(c.comp, b.doc_id) = b.doc_id
-    """,
-    doc="End-to-end training-corpus pipeline: quality filter (>=0.7) -> "
-        "exact near-dup resolution (keep canonical) -> deterministic "
-        "split assignment. One composed oracle proves the operators "
-        "compose; each stage is the registry operator, unchanged.",
-)
-def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _clean_corpus(spark: SparkSession, sf_dir: str, pair_fn) -> DataFrame:
+    """quality gate (>= 0.7) → near-dup pairs (``pair_fn``) → CC
+    resolution keeping canonicals → deterministic split assignment.
+    The pair stage is the only pluggable step; resolution and split
+    are the registry operators, unchanged."""
     e = _engine(spark, sf_dir)
     docs = e.table("documents")
     base = (docs.withColumn("quality", text.quality_score(F.col("text")))
                 .filter(F.col("quality") >= 0.7)
                 .select("doc_id", "text"))
-    pairs = dedup.ngram_jaccard_pairs(base, "text", "doc_id",
-                                      n=3, threshold=0.6)
+    pairs = pair_fn(base, "text", "doc_id", n=3, threshold=0.6)
     resolved = dedup.dedup_resolve(base, pairs, "doc_id")
     keep = resolved.filter(~F.col("is_duplicate")).select(
         F.col("id").alias("doc_id"))
@@ -739,6 +744,40 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(bucket < 8, "train")
                      .when(bucket < 9, "val")
                      .otherwise("test").alias("split")))
+
+
+@register(
+    "pipeline_clean_corpus",
+    _CLEAN_CORPUS_ORACLE,
+    doc="End-to-end training-corpus pipeline: quality filter (>=0.7) -> "
+        "exact near-dup resolution (keep canonical) -> deterministic "
+        "split assignment. One composed oracle proves the operators "
+        "compose; each stage is the registry operator, unchanged. "
+        "Pair source here is the exact PPJoin (the oracle-shaped twin); "
+        "pipeline_clean_corpus_minhash is the same composition on the "
+        "banded MinHash source — the scale path.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clean_corpus(spark, sf_dir, dedup.ngram_jaccard_pairs)
+
+
+@register(
+    "pipeline_clean_corpus_minhash",
+    _CLEAN_CORPUS_ORACLE,
+    doc="End-to-end training-corpus pipeline over BANDED MinHash pairs "
+        "— the form that runs at 100 TB: the quality gate and the "
+        "resolution/split stages are identical to pipeline_clean_corpus "
+        "but the pair stage is minhash_lsh_pairs (signature + "
+        "band-bucket shuffles, linear in corpus size; the exact "
+        "PPJoin's candidate join is the one super-linear curve in "
+        "SCALING.md r8). Oracle is the same exact-pair SQL as the "
+        "twin: on this corpus the banded pair set equals the exact "
+        "set (dedup_minhash_lsh's argument, verified at sf0.01 and "
+        "sf0.1), so both forms keep the same docs.",
+)
+def pipeline_clean_corpus_minhash(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    return _clean_corpus(spark, sf_dir, dedup.minhash_lsh_pairs)
 
 
 @register(

@@ -13,7 +13,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
        also available: incr incrb cluster decon novelty tfidf neardup
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
-                       keepbestmh ivfappend
+                       keepbestmh ivfappend cleanmh streamij
 """
 
 from __future__ import annotations
@@ -306,6 +306,51 @@ def main() -> None:
                 q, c, k=5, n_cells=16, nprobe=4, location=loc,
                 rebuild=False).count()
             results["ivfprobe_s"] = round(time.perf_counter() - t0, 2)
+
+        if "cleanmh" in OPS:
+            # the composed pipeline_clean_corpus_minhash stages over
+            # the grown corpus: quality gate → banded MinHash pairs →
+            # CC resolution → split. Wall should track the minhash
+            # curve (~linear) + a near-constant resolution term — NOT
+            # the exact-PPJoin twin's super-linear curve (probe r8)
+            from nosql_join_stream_spark.operators import text as textops
+            t0 = time.perf_counter()
+            base = (dd.withColumn("q", textops.quality_score(F.col("text")))
+                      .filter(F.col("q") >= 0.7).select("doc_id", "text"))
+            cm_pairs = dedup.minhash_lsh_pairs(base, "text", "doc_id",
+                                               n=3, threshold=0.6)
+            cm_res = dedup.dedup_resolve(base, cm_pairs, "doc_id")
+            keep = cm_res.filter(~F.col("is_duplicate")).select(
+                F.col("id").alias("doc_id"))
+            results["cleanmh_rows"] = base.join(keep, "doc_id").count()
+            results["cleanmh_s"] = round(time.perf_counter() - t0, 2)
+
+        if "streamij" in OPS:
+            # stream-stream interval join over a grown event log: the
+            # sf0.01 wall is dominated by micro-batch machinery, so the
+            # probe separates fixed overhead from data-volume cost
+            from nosql_join_stream_spark.streaming.log_stream import (
+                interval_join_streams, read_log_stream, run_available_now)
+            ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+            copies = spark.range(factor).select(F.col("id").alias("__c"))
+            gev = (ev.crossJoin(copies)
+                     .withColumn("event_id",
+                                 F.col("event_id") + F.col("__c") * 10_000_000)
+                     .drop("__c"))
+            pev = f"/tmp/scale_events_{factor}x.parquet"
+            gev.write.mode("overwrite").parquet(pev)
+            t0 = time.perf_counter()
+            purchases = (read_log_stream(spark, pev)
+                         .filter("event_type = 'purchase'"))
+            clicks = (read_log_stream(spark, pev)
+                      .filter("event_type = 'click'"))
+            joined = interval_join_streams(purchases, clicks,
+                                           key="user_id", within="1 hour")
+            run_available_now(joined.select("l.event_id"),
+                              f"probe_ij_{factor}", output_mode="append")
+            results["streamij_rows"] = spark.table(
+                f"probe_ij_{factor}").count()
+            results["streamij_s"] = round(time.perf_counter() - t0, 2)
 
         if "semdedup" in OPS:
             # k grows with the corpus (SemDeDup's own prescription) so
