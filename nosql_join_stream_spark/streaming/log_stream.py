@@ -299,6 +299,49 @@ def write_stream_files(df: DataFrame, path: str, checkpoint: str,
     return q.start()
 
 
+def write_stream_idempotent(df: DataFrame, path: str, checkpoint: str,
+                            extra_partition_cols: list[str] | None = None,
+                            available_now: bool = True):
+    """Exactly-once streaming file sink via idempotent batch REPLAY —
+    the ``foreachBatch`` form production pipelines use when the target
+    isn't Spark's own transactional file sink (plain parquet layouts,
+    external tables, downstream-compacted dirs).
+
+    Mechanism: every micro-batch stamps its rows with ``__batch_id``
+    and OVERWRITES exactly the hive partition ``__batch_id=N/``
+    (dynamic partition overwrite — untouched partitions are left in
+    place).  The batch id is stable across restarts (it comes from the
+    checkpointed offset log), so the crash window between "files
+    written" and "commit recorded" is closed by construction: a replay
+    of batch N rewrites ``__batch_id=N/`` with the same rows instead
+    of appending a duplicate copy.  Restart-no-duplicates is pinned in
+    tests by deleting the checkpoint's commit record and re-draining.
+
+    At 100 TB this is the streaming analog of the batch
+    ``partitioned_sink``: each micro-batch is one atomic partition
+    swap, readers see per-batch directories they can compact or
+    retention-expire independently, and ``extra_partition_cols``
+    (e.g. a time bucket) adds pruning for readers without weakening
+    the idempotency key.
+    """
+    part_cols = ["__batch_id", *(extra_partition_cols or [])]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("__batch_id", F.lit(batch_id))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy(*part_cols)
+                 .parquet(path))
+
+    q = (df.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        sq = q.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return None
+    return q.start()
+
+
 def run_available_now(agg: DataFrame, query_name: str,
                       output_mode: str = "complete",
                       shuffle_partitions: int | None = 8) -> None:

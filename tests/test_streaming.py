@@ -140,8 +140,8 @@ def test_checkpoint_resume_exactly_once(spark, engine, tmp_path):
     ckpt = tmp_path / "ckpt"
     ev = engine.table("events")
     raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    raw.filter("user_id < 75").coalesce(1).write.mode("overwrite") \
-       .parquet(str(src))
+    raw.filter("user_id < 8").coalesce(1).write.mode("overwrite") \
+       .parquet(str(src))  # sf0.001 user_id range is 0-14: both halves real
 
     def drain():
         from nosql_join_stream_spark.streaming.log_stream import (
@@ -152,15 +152,67 @@ def test_checkpoint_resume_exactly_once(spark, engine, tmp_path):
 
     drain()
     n_first = spark.read.parquet(str(out)).count()
-    assert n_first == raw.filter("user_id < 75").count()
+    assert 0 < n_first == raw.filter("user_id < 8").count() < raw.count()
 
     # grow the source; same checkpoint → only new files processed
-    raw.filter("user_id >= 75").coalesce(1).write.mode("append") \
+    raw.filter("user_id >= 8").coalesce(1).write.mode("append") \
        .parquet(str(src))
     drain()
     got = spark.read.parquet(str(out))
     assert got.count() == raw.count()                      # no loss
     assert got.select("event_id").distinct().count() == raw.count()  # no dups
+
+
+def test_idempotent_sink_replay_no_duplicates(spark, tmp_path):
+    """The foreachBatch idempotent sink closes the crash window between
+    'files written' and 'commit recorded': we simulate exactly that
+    crash by deleting the checkpoint's commit record after a successful
+    drain, forcing Spark to REPLAY batch 0 on restart.  A plain append
+    sink would duplicate every batch-0 row; the dynamic-partition
+    overwrite of __batch_id=0/ must leave the output row-identical.
+    Then the source grows and a further drain must add only the new
+    rows (batch 1 → its own partition, batch 0 untouched)."""
+    import os
+
+    from nosql_join_stream_spark.streaming.log_stream import (
+        write_stream_idempotent)
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    first = raw.filter("user_id < 8")  # sf0.001 user_id range is 0-14
+    first.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    def drain():
+        stream = (spark.readStream.schema(raw.schema)
+                  .format("parquet").load(str(src)))
+        write_stream_idempotent(stream, str(out), str(ckpt))
+
+    drain()
+    got1 = spark.read.parquet(str(out))
+    assert got1.count() == first.count()
+    assert set(os.listdir(str(out))) >= {"__batch_id=0"}
+
+    # crash simulation: offsets/0 recorded, commits/0 lost → restart
+    # replays batch 0 over the already-written files.  (The .crc
+    # checksum sidecar must go too: a stale one fails the replay's
+    # atomic re-create, which Spark misreports as a concurrent query.)
+    os.remove(str(ckpt / "commits" / "0"))
+    os.remove(str(ckpt / "commits" / ".0.crc"))
+    drain()
+    got2 = spark.read.parquet(str(out))
+    assert got2.count() == first.count()                       # no dups
+    assert got2.select("event_id").distinct().count() == first.count()
+
+    # source grows; batch 1 lands in its own partition, batch 0 intact
+    raw.filter("user_id >= 8").coalesce(1).write.mode("append") \
+       .parquet(str(src))
+    drain()
+    got3 = spark.read.parquet(str(out))
+    assert got3.count() == raw.count()
+    assert got3.select("event_id").distinct().count() == raw.count()
+    assert set(os.listdir(str(out))) >= {"__batch_id=0", "__batch_id=1"}
 
 
 def test_stream_token_budget_equals_batch_draw(spark, sf_dir):
