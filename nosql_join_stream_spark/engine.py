@@ -49,7 +49,9 @@ class Engine:
     CONNECTOR_REQUIRED = {
         "mongodb": ("connection.uri", "database", "collection"),
         "org.apache.spark.sql.cassandra": ("keyspace", "table"),
+        "jdbc": ("url",),
     }
+    _JDBC_TARGET = ("dbtable", "query")
 
     def load(self, path: str | None = None, fmt: str = "parquet",
              schema=None, **options) -> DataFrame:
@@ -59,11 +61,15 @@ class Engine:
         pruning), csv/json (row formats — pass an explicit ``schema``;
         schema inference scans the data twice and types drift at
         scale), and the live connectors themselves (``fmt="mongodb"``
-        / ``"org.apache.spark.sql.cassandra"`` — pathless; location
-        and credentials forward as options, with the reference's
-        fail-fast builder validation applied BEFORE any I/O).  The
-        connector jars ship outside this repo; option assembly and
-        validation are unit-tested without a live database.
+        / ``"org.apache.spark.sql.cassandra"`` / ``"jdbc"`` —
+        pathless; location and credentials forward as options, with
+        the reference's fail-fast builder validation applied BEFORE
+        any I/O).  The mongo/cassandra jars ship outside this repo
+        (option assembly and validation unit-tested without a live
+        database); the jdbc path executes end-to-end in tests against
+        embedded Derby, which ships with Spark — so the whole
+        Engine.load → DataFrameReader → connector seam has executed
+        coverage.
         """
         required = self.CONNECTOR_REQUIRED.get(fmt, ())
         if required:
@@ -77,6 +83,12 @@ class Engine:
                     f"{fmt} source requires options {missing} "
                     "(reference builder db/collection validation, "
                     "mongo/channel/package.scala:252-259)")
+            if fmt == "jdbc":
+                targets = [k for k in self._JDBC_TARGET if k in options]
+                if len(targets) != 1:
+                    raise QueryValidationError(
+                        "jdbc source requires exactly one of "
+                        f"{self._JDBC_TARGET}, got {targets or 'none'}")
         elif path is None:
             raise QueryValidationError(f"{fmt} source requires a path")
         r = self.spark.read.format(fmt)

@@ -48,6 +48,48 @@ def _mongo_source_available(spark) -> bool:
         return not any(tok in msg for tok in _UNRESOLVED)
 
 
+def test_jdbc_derby_end_to_end(spark):
+    """The one non-file DataSource that EXECUTES in this container:
+    embedded Derby ships in Spark's jars dir, so the full
+    Engine.load → DataFrameReader → connector seam — the exact
+    option-forwarding path the mongo/cassandra smokes can only probe
+    — runs end-to-end: write through the jdbc DataSource, read back
+    through Engine.load, and verify the predicate PUSHES DOWN into the
+    JDBCRelation scan (the reference's query-to-server contract,
+    storage.scala:593-616, expressed Spark-side)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from nosql_join_stream_spark.engine import QueryValidationError
+
+    url = f"jdbc:derby:memory:smoke{os.getpid()};create=true"
+    df = spark.range(5).select(F.col("id").alias("k"),
+                               (F.col("id") * 2).alias("v"))
+    (df.write.format("jdbc").option("url", url)
+       .option("dbtable", "t_smoke").mode("overwrite").save())
+
+    eng = Engine(spark)
+    back = eng.load(fmt="jdbc", url=url, dbtable="t_smoke")
+    assert sorted((r.k, r.v) for r in back.collect()) == \
+        [(i, 2 * i) for i in range(5)]
+
+    # predicate reaches the scan: JDBC → WHERE on the server side
+    flt = back.filter("k >= 3")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k,3)" in plan
+    assert sorted(r.k for r in flt.collect()) == [3, 4]
+
+    # fail-fast builder validation BEFORE any I/O
+    with pytest.raises(QueryValidationError, match="requires options"):
+        eng.load(fmt="jdbc", dbtable="t_smoke")
+    with pytest.raises(QueryValidationError, match="exactly one"):
+        eng.load(fmt="jdbc", url=url)
+    with pytest.raises(QueryValidationError, match="exactly one"):
+        eng.load(fmt="jdbc", url=url, dbtable="t", query="SELECT 1")
+    with pytest.raises(QueryValidationError, match="takes no path"):
+        eng.load(path="/tmp/x", fmt="jdbc", url=url, dbtable="t_smoke")
+
+
 def test_mongodb_read_end_to_end_or_skip(spark):
     if not _mongo_source_available(spark):
         pytest.skip("mongo-spark-connector jar not on the classpath "
