@@ -615,6 +615,123 @@ def dedup_index_append(batch: DataFrame, content_col: str, id_col: str,
     return n
 
 
+def edit_distance_pairs(df: DataFrame, content_col: str, id_col: str,
+                        d: int = 2, key_len: int = 32) -> DataFrame:
+    """EXACT edit-distance near-dup pairs (id1 < id2, levenshtein <= d)
+    over a normalized head key — the short-text twin of the Jaccard
+    PPJoin: titles, queries, product names, and truncated doc heads
+    where token-set measures are too coarse and typo-level differences
+    matter.
+
+    Key: ``substring(whitespace-collapsed lower(trim(text)), 1,
+    key_len)`` — normalization is part of the operator's semantics so
+    the oracle can replicate it verbatim.
+
+    Candidate generation is the PassJoin segment filter (Li, Deng,
+    Feng, Wang: "PASS-JOIN: A Partition-based Method for Similarity
+    Joins", VLDB 2011 — public literature), lossless by pigeonhole:
+
+    1. each key of length L splits into ``d+1`` contiguous segments
+       (first ``L mod (d+1)`` segments one char longer).  At most d
+       edit operations touch at most d segments, so any pair within
+       distance d shares at least ONE untouched segment, appearing in
+       the other string shifted by at most d positions;
+    2. seg side: each key emits its d+1 (segment-hash, index, L) rows;
+       sub side: each key enumerates, for every compatible source
+       length ``Ls ∈ [L-d, L+d]``, the substrings of the matching
+       segment length within the ±d shift window — O(d²·(d+1)) short
+       rows per doc, hashed to 8-byte longs before any shuffle;
+    3. one equi-join on (hash, segment-index, Ls) yields candidates —
+       linear in corpus size, never the n² pair space (the same
+       inverted-index shape as the PPJoin prefix filter);
+    4. keys short enough that segments degenerate (L ≤ 3d) pair in one
+       tiny length-banded broadcast self-join instead;
+    5. every candidate is verified with the exact JVM-side
+       ``levenshtein`` — the filter affects cost only, never results.
+
+    At 100 TB: two linear passes + one hash equi-join; segment hashes
+    shuffle as longs; the ±d windows bound sub-side fanout to a small
+    constant; verification touches only candidates.  This exact form
+    IS the oracle (DuckDB ``levenshtein`` over the length band).
+    """
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    d1 = d + 1
+    key = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col(content_col))), r"\s+", " "),
+        1, key_len)
+    base = (_spread(df)
+            .select(F.col(id_col).alias("id"), key.alias("key"))
+            .withColumn("l", F.length("key"))
+            .filter(F.col("l") >= 1))
+
+    long_side = base.filter(F.col("l") > 3 * d)
+    short_side = base.filter(F.col("l") <= 3 * d)
+
+    # seg side: the d+1 segments of each key (its own length L)
+    seg_expr = f"""
+      transform(sequence(0, {d}), i ->
+        struct(i AS i, l AS ls,
+               xxhash64(substring(key,
+                 1 + i * (l div {d1}) + least(i, l % {d1}),
+                 (l div {d1}) + if(i < l % {d1}, 1, 0))) AS h))
+    """
+    segs = (base.filter(F.col("l") >= d1)
+                .select("id", "l", F.explode(F.expr(seg_expr)).alias("s"))
+                .select("id", F.col("s.i").alias("i"),
+                        F.col("s.ls").alias("ls"), F.col("s.h").alias("h")))
+
+    # sub side: for each compatible source length Ls and segment i,
+    # the substrings in the ±d shift window (empty window -> array())
+    start = f"(1 + i * (ls div {d1}) + least(i, ls % {d1}))"
+    slen = f"((ls div {d1}) + if(i < ls % {d1}, 1, 0))"
+    sub_expr = f"""
+      flatten(transform(sequence(greatest({d1}, l - {d}), l + {d}), ls ->
+        flatten(transform(sequence(0, {d}), i ->
+          if(greatest(1, {start} - {d}) <= least({start} + {d}, l - {slen} + 1),
+             transform(sequence(greatest(1, {start} - {d}),
+                                least({start} + {d}, l - {slen} + 1)),
+                       p -> struct(i AS i, ls AS ls,
+                                   xxhash64(substring(key, p, {slen})) AS h)),
+             array())))))
+    """
+    subs = (base.select("id", "l", "key",
+                        F.explode(F.expr(sub_expr)).alias("s"))
+                .select(F.col("id").alias("sub_id"),
+                        F.col("s.i").alias("i"), F.col("s.ls").alias("ls"),
+                        F.col("s.h").alias("h")))
+
+    cand_seg = (segs.join(subs, ["i", "ls", "h"])
+                    .filter(F.col("id") != F.col("sub_id"))
+                    .select(F.least("id", "sub_id").alias("id1"),
+                            F.greatest("id", "sub_id").alias("id2")))
+    # short keys (L <= 3d) + the boundary long side (L <= 4d): pair by
+    # an exploded length-band key so the length tolerance is an EQUI
+    # join (hash, not BNLJ) — each right row emits one row per length
+    # in [l-d, l+d] and joins the left's exact length
+    near = (short_side.unionByName(long_side.filter(F.col("l") <= 4 * d))
+            .select("id", "l"))
+    near_x = near.select(
+        F.col("id").alias("xid"),
+        F.explode(F.sequence(F.col("l") - d, F.col("l") + d)).alias("lb"))
+    cand_short = (short_side.join(F.broadcast(near_x),
+                                  (F.col("l") == F.col("lb"))
+                                  & (F.col("id") != F.col("xid")))
+                  .select(F.least("id", "xid").alias("id1"),
+                          F.greatest("id", "xid").alias("id2")))
+    cand = cand_seg.unionByName(cand_short).distinct()
+
+    keys = base.select("id", "key")
+    verified = (cand
+                .join(keys.select(F.col("id").alias("id1"),
+                                  F.col("key").alias("k1")), "id1")
+                .join(keys.select(F.col("id").alias("id2"),
+                                  F.col("key").alias("k2")), "id2")
+                .withColumn("distance", F.levenshtein("k1", "k2")))
+    return (verified.filter(F.col("distance") <= d)
+                    .select("id1", "id2", "distance"))
+
+
 def resolve_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
                       score_col: str) -> DataFrame:
     """Near-dup resolution keeping the BEST-scoring member of each

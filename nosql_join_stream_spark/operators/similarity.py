@@ -668,9 +668,40 @@ def semantic_dedup(df: DataFrame, k: int = 8, threshold: float = 0.4,
                             "is_duplicate"))
 
 
+def _cell_assign_kernel(bc, n_meta: int):
+    """mapInPandas kernel assigning each vector to its argmax-cosine
+    cell (zero-norm guard included), passing ``n_meta`` trailing
+    metadata columns through untouched — shared by the index build and
+    the append maintenance op so their layouts can never drift."""
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+        c = bc.value
+        for part in batches:
+            if len(part) == 0:
+                continue
+            v = _np.stack(part.iloc[:, 1].to_list()).astype("float64")
+            nv = _np.linalg.norm(v, axis=1, keepdims=True)
+            nv[nv == 0] = 1.0  # zero vector -> cell 0, not NaN-argmax
+            cell = ((v / nv) @ c.T).argmax(axis=1).astype("int32")
+            out = {"__cid": part.iloc[:, 0], "__cell": cell,
+                   "__cv": part.iloc[:, 1]}
+            for j in range(n_meta):
+                out[part.columns[2 + j]] = part.iloc[:, 2 + j]
+            yield _pd.DataFrame(out)
+    return assign
+
+
+def _cell_schema(df: DataFrame, vec: str, meta_cols) -> str:
+    types = dict(df.dtypes)
+    extra = "".join(f", {c} {types[c]}" for c in meta_cols)
+    return f"__cid long, __cell int, __cv {types[vec]}{extra}"
+
+
 def ann_ivf_append(new_corpus: DataFrame, location: str,
                    corpus_id: str = "c_id",
-                   vec: str = "embedding") -> int:
+                   vec: str = "embedding",
+                   meta_cols=()) -> int:
     """Append a batch of NEW vectors to a standing cell-partitioned IVF
     index (``ann_ivf_partitioned``'s build output) — the
     index-maintenance twin of the incremental-dedup standing index:
@@ -690,6 +721,10 @@ def ann_ivf_append(new_corpus: DataFrame, location: str,
     ``ann_ivf_delete`` becomes visible again: the (tiny) tombstone
     table is rewritten minus the appended ids, so append+delete
     compose in either order without a rebuild.
+
+    ``meta_cols`` must name the same metadata columns the index was
+    built with (``ann_ivf_partitioned(meta_cols=...)``) so appended
+    rows carry the filterable columns a filtered probe reads.
 
     The batch is cached through the assignment pass, so its SOURCE is
     scanned exactly once even though the op both writes and counts it
@@ -713,27 +748,12 @@ def ann_ivf_append(new_corpus: DataFrame, location: str,
     cent_pdf = spark.read.parquet(cent_path).orderBy("cell").toPandas()
     cents = np.stack(cent_pdf["cv"].to_list()).astype("float64")
     bc = spark.sparkContext.broadcast(cents)
-    vec_t = dict(new_corpus.dtypes)[vec]
 
-    def assign_batch(batches):
-        import numpy as _np
-        import pandas as _pd
-        c = bc.value
-        for part in batches:
-            if len(part) == 0:
-                continue
-            v = _np.stack(part.iloc[:, 1].to_list()).astype("float64")
-            nv = _np.linalg.norm(v, axis=1, keepdims=True)
-            nv[nv == 0] = 1.0
-            vn = v / nv
-            cell = (vn @ c.T).argmax(axis=1).astype("int32")
-            yield _pd.DataFrame({"__cid": part.iloc[:, 0],
-                                 "__cell": cell,
-                                 "__cv": part.iloc[:, 1]})
-
-    assigned = (new_corpus.select(F.col(corpus_id), F.col(vec))
-                .mapInPandas(assign_batch,
-                             schema=f"__cid long, __cell int, __cv {vec_t}")
+    assigned = (new_corpus
+                .select(F.col(corpus_id), F.col(vec),
+                        *[F.col(c) for c in meta_cols])
+                .mapInPandas(_cell_assign_kernel(bc, len(meta_cols)),
+                             schema=_cell_schema(new_corpus, vec, meta_cols))
                 .persist())
     try:
         write_table(assigned, index_path, mode="append",
@@ -816,7 +836,9 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
                         query_id: str = "q_id", corpus_id: str = "c_id",
                         vec: str = "embedding",
                         location: str | None = None,
-                        rebuild: bool = True) -> DataFrame:
+                        rebuild: bool = True,
+                        meta_cols=(),
+                        corpus_filter=None) -> DataFrame:
     """IVF ANN over a STANDING cell-partitioned index — the production
     form of ``ann_ivf_topk``: the cell assignment is a one-time write,
     and each probe READS only its cells.
@@ -837,6 +859,18 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
     At 100 TB: the index write is one linear pass; every query batch
     afterwards is a pruned scan of the probed cells only — scan cost
     tracks query selectivity, not corpus size.
+
+    FILTERED search: ``meta_cols`` carries metadata columns (labels,
+    source, license, date) into the cell partitions at build time, and
+    ``corpus_filter`` (a Column or SQL string) restricts a probe to
+    matching vectors — the predicate lands on the index scan as
+    PushedFilters NEXT TO the cell PartitionFilters, so a filtered
+    probe reads only matching row groups of the probed cells and the
+    exact rerank sees only eligible vectors (classic pre-filtered IVF:
+    recall against the filtered exact top-k degrades gracefully as the
+    filter sharpens, since probed cells may hold fewer than k eligible
+    vectors — raise nprobe to compensate).  ``ann_ivf_append`` takes
+    the same ``meta_cols`` so maintenance preserves the layout.
     """
     import os
     import tempfile
@@ -865,25 +899,11 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
         spark.createDataFrame(cent_rows, "cell int, cv array<double>") \
              .coalesce(1).write.mode("overwrite").parquet(cent_path)
         bc = spark.sparkContext.broadcast(cents)
-
-        def assign_corpus(batches):
-            import numpy as _np
-            import pandas as _pd
-            c = bc.value
-            for part in batches:
-                if len(part) == 0:
-                    continue
-                v = _np.stack(part.iloc[:, 1].to_list()).astype("float64")
-                nv = _np.linalg.norm(v, axis=1, keepdims=True)
-                nv[nv == 0] = 1.0  # zero vector -> cell 0, not NaN-argmax
-                vn = v / nv
-                cell = (vn @ c.T).argmax(axis=1).astype("int32")
-                yield _pd.DataFrame({"__cid": part.iloc[:, 0],
-                                     "__cell": cell,
-                                     "__cv": part.iloc[:, 1]})
-
-        assigned = corpus.select(F.col(corpus_id), F.col(vec)).mapInPandas(
-            assign_corpus, schema=f"__cid long, __cell int, __cv {vec_t}")
+        assigned = (corpus
+                    .select(F.col(corpus_id), F.col(vec),
+                            *[F.col(c) for c in meta_cols])
+                    .mapInPandas(_cell_assign_kernel(bc, len(meta_cols)),
+                                 schema=_cell_schema(corpus, vec, meta_cols)))
         write_table(assigned, index_path, partition_by=["__cell"])
 
     cent_pdf = spark.read.parquet(cent_path).orderBy("cell").toPandas()
@@ -918,6 +938,10 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
         spark.read.parquet(index_path)
              .filter(F.col("__cell").isin(probed_cells)),
         location)
+    if corpus_filter is not None:
+        # plain column predicate -> PushedFilters on the cell scan,
+        # evaluated alongside the PartitionFilters pruning
+        index = index.filter(corpus_filter)
     sim = F.round(cosine(
         F.transform("__qv", lambda x: x.cast("double")),
         F.transform("__cv", lambda x: x.cast("double"))), 6)

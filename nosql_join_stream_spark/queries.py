@@ -600,9 +600,16 @@ _DRIVER_WINDOW = [
     "pred_surface", "stream_windowed_counts", "stream_dedup_keys",
     "stream_static_enrich", "stream_interval_join",
     "stream_sessionize_stateful", "log_scan_offset",
-    # LLM-pipeline family flagships
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_resolve_canonical",
-    "dedup_embedding_cosine", "decontaminate_overlap", "ann_lsh_topk",
+    # LLM-pipeline family flagships.  (dedup_ngram_jaccard rotated out
+    # late in r5 — multi-round green, exact-PPJoin path still exercised
+    # in-window via dedup_resolve_canonical — for the NEW
+    # dedup_edit_distance, so new capability lands driver-verified in
+    # the round it ships.)
+    "dedup_minhash_lsh", "dedup_edit_distance", "dedup_resolve_canonical",
+    # (ann_lsh_topk rotated out late in r5 — multi-round green, LSH
+    # family still covered by the local gate — for the NEW filtered-
+    # search flagship ann_ivf_filtered.)
+    "dedup_embedding_cosine", "decontaminate_overlap", "ann_ivf_filtered",
     "ann_ivf_topk", "bm25_search", "hybrid_search_rrf", "text_quality",
     "doc_pack_sequences", "sample_stratified",
     "multimodal_features", "multimodal_patch_grid", "agg_geomean_udaf",

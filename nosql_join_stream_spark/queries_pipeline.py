@@ -193,6 +193,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_edit_distance",
+    r"""
+    WITH k AS (
+      SELECT doc_id,
+             substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                    1, 32) AS key
+      FROM documents)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS distance
+    FROM k a JOIN k b
+      ON a.doc_id < b.doc_id
+     AND abs(len(a.key) - len(b.key)) <= 2
+     AND levenshtein(a.key, b.key) <= 2
+    """,
+    doc="Edit-distance near-dup pairs (levenshtein <= 2 on the "
+        "normalized 32-char head) — the short-text dedup family "
+        "member: typo-level duplication that token-set Jaccard is too "
+        "coarse for. Candidates via the lossless PassJoin segment "
+        "filter (one hash equi-join on d+1 segment hashes per doc, "
+        "±d shift windows — linear, never n²), verified with the "
+        "exact JVM levenshtein. Oracle = brute-force levenshtein over "
+        "the length band.",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return dedup.edit_distance_pairs(e.table("documents"), "text",
+                                     "doc_id", d=2, key_len=32)
+
+
+@register(
     "dedup_embedding_cosine",
     """
     SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -292,13 +322,15 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-def _brute_topk_sql(witness: str = "") -> str:
+def _brute_topk_sql(witness: str = "", corpus_where: str = "") -> str:
     """Exact brute-force cosine top-5 in DuckDB — the shared oracle
     for every ANN query.  ``witness`` appends extra SELECT columns
     (e.g. ``, 1 AS ivf_recall_ok``) for the in-plan-witness pattern:
     approximate index structure is asserted INSIDE the Spark plan and
     the deterministic exact head + the assertion boolean are what get
-    compared."""
+    compared.  ``corpus_where`` restricts the corpus side (filtered
+    search: the exact head ranks only eligible vectors)."""
+    cw = f" AND {corpus_where}" if corpus_where else ""
     return f"""
     WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
     scored AS (
@@ -307,7 +339,7 @@ def _brute_topk_sql(witness: str = "") -> str:
                    (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
                     sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
                AS sim
-      FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+      FROM q JOIN embeddings c ON c.vec_id <> q.q_id{cw}),
     ranked AS (
       SELECT q_id, c_id, sim,
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
@@ -2553,6 +2585,46 @@ def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            n_cells=16, nprobe=4,
                                            location=loc, rebuild=False)
     exact = similarity.cosine_topk(queries, corpus, k=5)
+    return _ann_recall_witness(exact, probe, 0.5, "ivf_recall_ok")
+
+
+@register(
+    "ann_ivf_filtered",
+    _brute_topk_sql(", 1 AS ivf_recall_ok", corpus_where="c.label = 3"),
+    doc="FILTERED vector search over the standing IVF index: the "
+        "index is built with meta_cols=['label'] (metadata rides in "
+        "the cell partitions) and the probe passes corpus_filter="
+        "label=3 — the predicate lands on the index scan as "
+        "PushedFilters alongside the cell PartitionFilters, so the "
+        "scan reads only matching row groups of the probed cells and "
+        "the exact rerank sees only eligible vectors (pre-filtered "
+        "IVF, the retrieval+policy shape: 'nearest docs with a "
+        "compatible license/language/label'). nprobe=8 compensates "
+        "the thinner per-cell eligible set (recall 0.70 at sf0.01 / "
+        "0.78 at sf0.001 vs the filtered exact head; witness asserts "
+        ">= 0.5). FULL ORACLE: filtered brute-force head + in-plan "
+        "recall witness.",
+)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding", "label")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    loc = os.path.join(tempfile.gettempdir(),
+                       f"nsjs_ivf_flt_{os.getpid()}_{tag}")
+    rebuild = not os.path.isdir(os.path.join(loc, "corpus_cells"))
+    probe = similarity.ann_ivf_partitioned(
+        queries, corpus, k=5, n_cells=16, nprobe=8, location=loc,
+        rebuild=rebuild, meta_cols=["label"],
+        corpus_filter=F.col("label") == 3)
+    exact = similarity.cosine_topk(
+        queries, corpus.filter(F.col("label") == 3)
+                       .select("c_id", "embedding"), k=5)
     return _ann_recall_witness(exact, probe, 0.5, "ivf_recall_ok")
 
 

@@ -531,7 +531,47 @@ def test_budget_per_group_rejects_sub_one_weights(spark):
         sampling.budget_per_group(ndf, "grp", "id", "w", budget=5).collect()
 
 
-def test_semantic_dedup_verdict_invariants(spark, sf_dir, engine):
+def test_edit_distance_pairs_hand_case(spark):
+    """PassJoin output must EQUAL naive all-pairs levenshtein on a
+    hand-built set covering: d=0 normalization-equal pairs, d=1/d=2
+    pairs, the short bucket (L <= 3d), and short x long boundaries."""
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumped"),    # d=2 from 1
+        (3, "the quick brown fox jumps"),     # d=0 from 1
+        (4, "completely different text here"),
+        (5, "THE  quick   Brown fox JUMPS"),  # normalizes == 1
+        (6, "abc"),                           # short bucket
+        (7, "abd"),                           # d=1 from 6
+        (8, "abcdefgh"),                      # long vs short boundary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.edit_distance_pairs(df, "text", "doc_id", d=2)
+    got = sorted((r.id1, r.id2, r.distance) for r in out.collect())
+    assert got == [(1, 2, 2), (1, 3, 0), (1, 5, 0), (2, 3, 2),
+                   (2, 5, 2), (3, 5, 0), (6, 7, 1)]
+
+
+def test_edit_distance_pairs_lossless_vs_brute(spark, sf_dir, engine):
+    """The segment filter is a candidate OPTIMIZATION only: on real
+    corpus data the verified pair set must equal brute-force all-pairs
+    levenshtein (computed via a bounded cross join on the same keys)."""
+    docs = engine.table("documents")
+    key = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        1, 32)
+    keys = docs.select(F.col("doc_id").alias("id"), key.alias("k"))
+    a, b = keys.alias("a"), keys.alias("b")
+    brute = (a.join(b, F.col("a.id") < F.col("b.id"))
+             .withColumn("dist", F.levenshtein("a.k", "b.k"))
+             .filter(F.col("dist") <= 2))
+    want = {(r["a.id"] if "a.id" in r else r[0], r[1], r.dist)
+            for r in brute.select(F.col("a.id"), F.col("b.id"),
+                                  "dist").collect()}
+    got = {(r.id1, r.id2, r.distance)
+           for r in dedup.edit_distance_pairs(
+               docs, "text", "doc_id", d=2).collect()}
+    assert got == want and got
     emb = engine.table("embeddings")
     out = similarity.semantic_dedup(emb, k=8, threshold=0.4)
     rows = out.collect()
@@ -792,6 +832,50 @@ def test_ann_ivf_delete_tombstones_shadow_probe(spark, sf_dir, engine,
         rebuild=True).collect()
     assert {r.c_id for r in again if r.rank == 1} == victims
     assert not os.path.isdir(os.path.join(loc, "tombstones.parquet"))
+
+
+def test_ann_ivf_filtered_probe_and_meta_append(spark, sf_dir, engine,
+                                                tmp_path):
+    """Filtered vector search over the standing index: metadata built
+    into the cell partitions, the probe's predicate pushed into the
+    index scan (PushedFilters next to the cell PartitionFilters),
+    results restricted to eligible vectors only — and an APPEND with
+    the same meta_cols keeps appended rows filterable."""
+    emb = engine.table("embeddings")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"),
+                                         "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding", "label")
+    loc = str(tmp_path / "ivf_flt")
+    out = similarity.ann_ivf_partitioned(
+        q, c, k=5, n_cells=16, nprobe=8, location=loc, rebuild=True,
+        meta_cols=["label"], corpus_filter=F.col("label") == 3)
+    rows = out.collect()
+    assert rows
+    eligible = {r.c_id for r in c.filter("label = 3").collect()}
+    assert {r.c_id for r in rows} <= eligible  # only matching vectors
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines()
+                  if "FileScan" in l and "__cell" in l]
+    assert any("label" in l and ("PushedFilters" in l or "DataFilters" in l)
+               for l in scan_lines)  # predicate reached the index scan
+
+    # append a planted label-3 copy of query 0 under a new id: it must
+    # become the filtered probe's top hit (meta rides the append)
+    planted = (q.filter("q_id = 0")
+               .select((F.col("q_id") + 7_000_000).alias("c_id"),
+                       "embedding", F.lit(3).alias("label")))
+    similarity.ann_ivf_append(planted, loc, meta_cols=["label"])
+    again = similarity.ann_ivf_partitioned(
+        q, c, k=5, n_cells=16, nprobe=8, location=loc, rebuild=False,
+        meta_cols=["label"], corpus_filter=F.col("label") == 3).collect()
+    top0 = [r for r in again if r.q_id == 0 and r.rank == 1][0]
+    assert top0.c_id == 7_000_000 and top0.sim == 1.0
+    # and a filter the planted row fails keeps it invisible
+    other = similarity.ann_ivf_partitioned(
+        q, c, k=5, n_cells=16, nprobe=8, location=loc, rebuild=False,
+        meta_cols=["label"], corpus_filter=F.col("label") == 4).collect()
+    assert 7_000_000 not in {r.c_id for r in other}
 
 
 def test_ann_ivf_append_clears_matching_tombstones(spark, sf_dir, engine,

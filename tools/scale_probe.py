@@ -13,7 +13,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
        also available: incr incrb cluster decon novelty tfidf neardup
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
-                       keepbestmh ivfappend cleanmh streamij
+                       keepbestmh ivfappend cleanmh streamij editdist
 """
 
 from __future__ import annotations
@@ -306,6 +306,12 @@ def main() -> None:
                 q, c, k=5, n_cells=16, nprobe=4, location=loc,
                 rebuild=False).count()
             results["ivfprobe_s"] = round(time.perf_counter() - t0, 2)
+
+        if "editdist" in OPS:
+            t0 = time.perf_counter()
+            results["editdist_pairs"] = dedup.edit_distance_pairs(
+                dd, "text", "doc_id", d=2).count()
+            results["editdist_s"] = round(time.perf_counter() - t0, 2)
 
         if "cleanmh" in OPS:
             # the composed pipeline_clean_corpus_minhash stages over
