@@ -885,7 +885,6 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
                                 f"nsjs_ivf_{os.getpid()}")
     cent_path = os.path.join(location, "centroids.parquet")
     index_path = os.path.join(location, "corpus_cells")
-    vec_t = dict(corpus.dtypes)[vec]
 
     if rebuild:
         # a rebuild folds deletions in by construction — stale
@@ -906,6 +905,39 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
                                  schema=_cell_schema(corpus, vec, meta_cols)))
         write_table(assigned, index_path, partition_by=["__cell"])
 
+    return ann_ivf_probe(queries, location, k=k, nprobe=nprobe,
+                         query_id=query_id, corpus_id=corpus_id,
+                         vec=vec, corpus_filter=corpus_filter)
+
+
+def ann_ivf_probe(queries: DataFrame, location: str,
+                  k: int = 5, nprobe: int = 4,
+                  query_id: str = "q_id", corpus_id: str = "c_id",
+                  vec: str = "embedding",
+                  corpus_filter=None) -> DataFrame:
+    """Probe a STANDING IVF index without a corpus handle — the true
+    client call of the standing-index story (``ann_ivf_partitioned``
+    delegates here after its optional build): read the persisted
+    centroids, assign each query to its nprobe nearest cells, turn the
+    probed cell set into an ``IN`` literal Catalyst prunes to
+    PartitionFilters, broadcast the (tiny) query assignment against
+    the pruned cells, exact-cosine rerank.  Tombstones anti-join
+    broadcast; ``corpus_filter`` restricts to eligible vectors
+    (PushedFilters — see ann_ivf_partitioned's filtered-search notes).
+    Batch-shaped, so it drops straight into ``foreachBatch`` for the
+    streaming query-service form (streaming.stream_ann_probe)."""
+    import os
+
+    import numpy as np
+
+    spark = queries.sparkSession
+    cent_path = os.path.join(location, "centroids.parquet")
+    index_path = os.path.join(location, "corpus_cells")
+    if not os.path.isdir(index_path):
+        raise ValueError(
+            f"no standing IVF index at {location}; build one first "
+            "(ann_ivf_partitioned rebuild=True)")
+    vec_t = dict(queries.dtypes)[vec]
     cent_pdf = spark.read.parquet(cent_path).orderBy("cell").toPandas()
     cents = np.stack(cent_pdf["cv"].to_list()).astype("float64")
     bc_q = spark.sparkContext.broadcast(cents)

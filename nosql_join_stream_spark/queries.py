@@ -613,7 +613,9 @@ _DRIVER_WINDOW = [
     "ann_ivf_topk", "bm25_search", "hybrid_search_rrf", "text_quality",
     "doc_pack_sequences", "sample_stratified",
     "multimodal_features", "multimodal_patch_grid", "agg_geomean_udaf",
-    "text_sentences_udtf", "stream_quality_filter", "stream_decontaminate",
+    # (stream_quality_filter rotated out late in r5 — multi-round
+    # green — for the NEW online-retrieval flagship stream_ann_probe.)
+    "text_sentences_udtf", "stream_ann_probe", "stream_decontaminate",
     "dedup_incremental_batch",
     # r4 rotation survivors (first driver-verified in r4)
     "dedup_simhash", "dedup_resolve_keep_best_minhash",

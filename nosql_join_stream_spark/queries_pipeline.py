@@ -2629,6 +2629,55 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_ann_probe",
+    _brute_topk_sql(", 1 AS ivf_recall_ok"),
+    doc="ONLINE vector retrieval: a stream of query vectors probed "
+        "against the standing IVF index per micro-batch (foreachBatch "
+        "-> the full batch probe: mapInPandas cell assignment, "
+        "PartitionFilters pruning, broadcast exact rerank), answers "
+        "written through the idempotent per-batch partition overwrite "
+        "so replays can't duplicate. An AvailableNow drain of the "
+        "finite query set is one micro-batch, so the drained answers "
+        "EQUAL the batch probe's — FULL ORACLE via the same exact "
+        "brute-force head + in-plan recall witness (>= 0.5).",
+)
+def stream_ann_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    from nosql_join_stream_spark.streaming.log_stream import (
+        EMBEDDINGS_SCHEMA, read_table_stream, stream_ann_probe)
+
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    loc = os.path.join(tempfile.gettempdir(),
+                       f"nsjs_ivf_strm_{os.getpid()}_{tag}")
+    if not os.path.isdir(os.path.join(loc, "corpus_cells")):
+        similarity.ann_ivf_partitioned(queries, corpus, k=5, n_cells=16,
+                                       nprobe=4, location=loc,
+                                       rebuild=True).collect()
+    _STREAM_SEQ[0] += 1
+    run_dir = os.path.join(tempfile.gettempdir(),
+                           f"nsjs_annprobe_{os.getpid()}_{_STREAM_SEQ[0]}")
+    qstream = (read_table_stream(spark, table_path(sf_dir, "embeddings"),
+                                 EMBEDDINGS_SCHEMA)
+               .filter(F.col("vec_id") < 10)
+               .select(F.col("vec_id").alias("q_id"), "embedding"))
+    stream_ann_probe(qstream, loc, os.path.join(run_dir, "out"),
+                     os.path.join(run_dir, "ckpt"), k=5, nprobe=4)
+    probe = (spark.read.parquet(os.path.join(run_dir, "out"))
+             .select("q_id", "c_id", "sim", "rank"))
+    exact = similarity.cosine_topk(queries, corpus, k=5)
+    return _ann_recall_witness(exact, probe, 0.5, "ivf_recall_ok")
+
+
+@register(
     "stream_token_budget",
     """
     WITH d AS (

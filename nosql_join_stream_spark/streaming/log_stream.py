@@ -342,6 +342,52 @@ def write_stream_idempotent(df: DataFrame, path: str, checkpoint: str,
     return q.start()
 
 
+def stream_ann_probe(query_stream: DataFrame, index_location: str,
+                     out_path: str, checkpoint: str,
+                     k: int = 5, nprobe: int = 4,
+                     query_id: str = "q_id", vec: str = "embedding",
+                     corpus_filter=None,
+                     available_now: bool = True):
+    """Online vector retrieval: a STREAM of query vectors probed
+    against the standing IVF index, each micro-batch a pruned
+    cell-scan probe — the query-service shape a deployed retrieval
+    stack runs (index maintained by ann_ivf_append/delete on the
+    ingest side; queries arrive on a bus and are answered
+    continuously).
+
+    Per micro-batch (``foreachBatch`` turns it into a batch frame, so
+    the full batch probe — mapInPandas cell assignment, PartitionFilters
+    pruning, broadcast rerank — applies unchanged via
+    ``similarity.ann_ivf_probe``): the top-k per query is computed and
+    written through the idempotent per-batch partition overwrite of
+    ``write_stream_idempotent``, so replays cannot duplicate answers.
+    State: none beyond the source offsets — each query is answered
+    once, and the probe cost tracks the BATCH's cell selectivity, not
+    corpus size.
+    """
+    from nosql_join_stream_spark.operators.similarity import ann_ivf_probe
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = ann_ivf_probe(batch_df, index_location, k=k, nprobe=nprobe,
+                            query_id=query_id, vec=vec,
+                            corpus_filter=corpus_filter)
+        (res.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_path))
+
+    q = (query_stream.writeStream.foreachBatch(probe_batch)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        sq = q.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return None
+    return q.start()
+
+
 def run_available_now(agg: DataFrame, query_name: str,
                       output_mode: str = "complete",
                       shuffle_partitions: int | None = 8) -> None:

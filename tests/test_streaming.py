@@ -215,6 +215,49 @@ def test_idempotent_sink_replay_no_duplicates(spark, tmp_path):
     assert set(os.listdir(str(out))) >= {"__batch_id=0", "__batch_id=1"}
 
 
+def test_stream_ann_probe_equals_batch_probe(spark, sf_dir, tmp_path):
+    """The streamed query-service probe must answer exactly like the
+    batch probe over the same standing index (one AvailableNow drain =
+    one micro-batch), and a second drain over the same checkpoint must
+    not re-answer (source offsets consumed)."""
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.operators import similarity
+    from nosql_join_stream_spark.streaming.log_stream import (
+        EMBEDDINGS_SCHEMA, read_table_stream, stream_ann_probe)
+
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"),
+                                         "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    loc = str(tmp_path / "idx")
+    similarity.ann_ivf_partitioned(q, c, k=5, n_cells=16, nprobe=4,
+                                   location=loc, rebuild=True).collect()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        qs = (read_table_stream(spark, table_path(sf_dir, "embeddings"),
+                                EMBEDDINGS_SCHEMA)
+              .filter("vec_id < 10")
+              .select(F.col("vec_id").alias("q_id"), "embedding"))
+        stream_ann_probe(qs, loc, out, ckpt, k=5, nprobe=4)
+
+    drain()
+    got = {(r.q_id, r.c_id, r.sim, r.rank)
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.q_id, r.c_id, r.sim, r.rank)
+            for r in similarity.ann_ivf_probe(q, loc, k=5,
+                                              nprobe=4).collect()}
+    assert got == want and len(got) == 50
+
+    drain()  # no new source files -> no new answers, none duplicated
+    assert {(r.q_id, r.c_id, r.sim, r.rank)
+            for r in spark.read.parquet(out).collect()} == want
+
+    # probing a location with no index fails loudly
+    with pytest.raises(ValueError, match="no standing IVF index"):
+        similarity.ann_ivf_probe(q, str(tmp_path / "nope"))
+
+
 def test_stream_token_budget_equals_batch_draw(spark, sf_dir):
     from nosql_join_stream_spark.queries import REGISTRY
     got = {(r.doc_id, r.source, r.n_tokens) for r in
