@@ -236,6 +236,9 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, id_col: str,
                          ",", *[F.element_at("sig", bi * rows_per_band + r + 1)
                                 for r in range(rows_per_band)])).alias("bh"))
             for bi in range(bands)])).alias("b"))
+    # (the standing-index form folds the band id INTO the hash — see
+    # _minhash_band_rows — so its bucket layout has one join column;
+    # this inline form predates it and keeps (band, bh) separate)
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (a.join(b, (F.col("a.b.band") == F.col("b.b.band"))
                    & (F.col("a.b.bh") == F.col("b.b.bh"))
@@ -263,6 +266,146 @@ def minhash_lsh_pairs(df: DataFrame, content_col: str, id_col: str,
     return (verified.withColumn("jaccard", F.round(inter / union, 4))
                     .filter(F.col("jaccard") >= threshold)
                     .select("id1", "id2", "jaccard"))
+
+
+def _minhash_band_rows(df: DataFrame, content_col: str, id_col: str,
+                       n: int, bands: int) -> DataFrame:
+    """(id, bh) band rows with the band id FOLDED INTO the hash
+    (band i of doc A can only ever match band i of doc B), so the
+    standing band index buckets and joins on ONE column."""
+    rows_per_band = _N_HASHES // bands
+    sigs = minhash_signatures(df, content_col, id_col, n)
+    return sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.xxhash64(F.concat_ws(
+                ",", F.lit(bi),
+                *[F.element_at("sig", bi * rows_per_band + r + 1)
+                  for r in range(rows_per_band)]))
+            for bi in range(bands)])).alias("bh"))
+
+
+def _shingle_sets(df: DataFrame, content_col: str, id_col: str,
+                  n: int) -> DataFrame:
+    """(id, sorted shingle-hash array) — the exact-verify side shared
+    by the inline and standing MinHash forms."""
+    return (_spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.array_sort(F.transform(
+                        word_shingles(F.col(content_col), n),
+                        lambda g: F.xxhash64(g))).alias("hv")))
+
+
+def minhash_pairs_between_bucketed(
+        corpus: DataFrame, batch: DataFrame, content_col: str, id_col: str,
+        n: int = 3, threshold: float = 0.6, bands: int = _BANDS,
+        min_band_matches: int = 2,
+        db: str = "nsjs_mh_index", location: str | None = None,
+        num_buckets: int = 16, rebuild: bool = True) -> DataFrame:
+    """Incremental MinHash dedup against a STANDING bucketed band
+    index — the composition of the repo's two scale stories: banding
+    keeps pair generation linear (the 100 TB pair path), and the
+    standing bucketed artifact keeps the per-batch join free of any
+    corpus-side shuffle (the daily-ingest path).  At the tier where
+    even the exact-PPJoin standing index is too big, this is the
+    form that runs.
+
+    One-time (``rebuild=True``): corpus band rows — band id folded
+    into the hash, so ONE join column — written bucketed+sorted by
+    ``bh``; corpus shingle-set table bucketed by ``id`` (both via
+    sinks.write_bucketed, append-stable).  Per batch: the batch's band
+    rows sort-merge-join the band table on ``bh`` (corpus buckets read
+    IN PLACE, only the batch shuffles), pairs sharing >=
+    ``min_band_matches`` bands become candidates, and the exact
+    Jaccard verify joins the corpus set table bucketed-by-id the same
+    way.  Precision is exact (every emitted pair is verified); recall
+    is the banding s-curve of ``minhash_lsh_pairs``.
+
+    Returns (left_id [corpus], right_id [batch], jaccard).  Caller
+    guarantees disjoint id sets, as in the PPJoin form.
+    """
+    import os
+    import shutil
+
+    from nosql_join_stream_spark.sinks import write_bucketed
+
+    spark = corpus.sparkSession
+    tau = float(threshold)
+    if location is None:
+        import tempfile
+        location = os.path.join(tempfile.gettempdir(),
+                                f"nsjs_mh_index_{os.getpid()}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{location}'")
+    if rebuild:
+        for t in ("corpus_bands", "corpus_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+            p = location.removeprefix("file:")
+            if os.path.isdir(os.path.join(p, t)):
+                shutil.rmtree(os.path.join(p, t), ignore_errors=True)
+        write_bucketed(_minhash_band_rows(corpus, content_col, id_col,
+                                          n, bands),
+                       f"{db}.corpus_bands", ["bh"],
+                       num_buckets=num_buckets, sort_by=["bh"])
+        write_bucketed(_shingle_sets(corpus, content_col, id_col, n),
+                       f"{db}.corpus_sets", ["id"],
+                       num_buckets=num_buckets, sort_by=["id"])
+    bands_l = spark.table(f"{db}.corpus_bands")
+    sets_l = spark.table(f"{db}.corpus_sets")
+    bands_r = _minhash_band_rows(batch, content_col, id_col, n, bands)
+    cand = (bands_l.join(bands_r.withColumnRenamed("id", "rid"), "bh")
+            .groupBy(F.col("id").alias("left_id"),
+                     F.col("rid").alias("right_id"))
+            .agg(F.count("*").alias("__nb"))
+            .filter(F.col("__nb") >= min_band_matches)
+            .select("left_id", "right_id"))
+    sets_r = _shingle_sets(batch, content_col, id_col, n)
+    verified = (cand
+                .join(sets_l.select(F.col("id").alias("left_id"),
+                                    F.col("hv").alias("h1")), "left_id")
+                .join(sets_r.select(F.col("id").alias("right_id"),
+                                    F.col("hv").alias("h2")), "right_id"))
+    inter = F.size(F.array_intersect("h1", "h2"))
+    union = F.size("h1") + F.size("h2") - inter
+    return (verified.withColumn("jaccard", F.round(inter / union, 4))
+                    .filter(F.col("jaccard") >= tau)
+                    .select("left_id", "right_id", "jaccard"))
+
+
+def minhash_index_append(batch: DataFrame, content_col: str, id_col: str,
+                         n: int = 3, bands: int = _BANDS,
+                         db: str = "nsjs_mh_index",
+                         num_buckets: int = 16) -> int:
+    """Fold an ingested batch into the STANDING MinHash band index —
+    the maintenance twin of ``dedup_index_append`` at the banded tier:
+    after the batch dedups against the index
+    (``minhash_pairs_between_bucketed``), its surviving docs append
+    their band rows and shingle sets with the index's exact bucket
+    spec (append-stable layout, corpus never read).  The batch is
+    cached through both derivations, so its SOURCE is scanned once —
+    safe for read-once ingest; count = docs written."""
+    from nosql_join_stream_spark.sinks import write_bucketed
+
+    spark = batch.sparkSession
+    for t in ("corpus_bands", "corpus_sets"):
+        if not spark.catalog.tableExists(f"{db}.{t}"):
+            raise ValueError(
+                f"no standing MinHash index table {db}.{t}; build one "
+                "first (minhash_pairs_between_bucketed rebuild=True)")
+    batch = batch.select(F.col(id_col), F.col(content_col)).persist()
+    try:
+        sets_b = _shingle_sets(batch, content_col, id_col, n)
+        write_bucketed(_minhash_band_rows(batch, content_col, id_col,
+                                          n, bands),
+                       f"{db}.corpus_bands", ["bh"],
+                       num_buckets=num_buckets, sort_by=["bh"],
+                       mode="append")
+        write_bucketed(sets_b, f"{db}.corpus_sets", ["id"],
+                       num_buckets=num_buckets, sort_by=["id"],
+                       mode="append")
+        n_docs = sets_b.count()
+    finally:
+        batch.unpersist()
+    return n_docs
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -605,7 +605,11 @@ _DRIVER_WINDOW = [
     # in-window via dedup_resolve_canonical — for the NEW
     # dedup_edit_distance, so new capability lands driver-verified in
     # the round it ships.)
-    "dedup_minhash_lsh", "dedup_edit_distance", "dedup_resolve_canonical",
+    # (dedup_resolve_canonical rotated out late in r5 — multi-round
+    # green, its CC-resolution path stays in-window via both keep_best
+    # entries — for the NEW standing-MinHash-index flagship
+    # dedup_incremental_minhash.)
+    "dedup_minhash_lsh", "dedup_edit_distance", "dedup_incremental_minhash",
     # (ann_lsh_topk rotated out late in r5 — multi-round green, LSH
     # family still covered by the local gate — for the NEW filtered-
     # search flagship ann_ivf_filtered.)

@@ -1493,6 +1493,53 @@ def dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_minhash",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    corp AS (SELECT * FROM e WHERE doc_id % 10 <> 9),
+    batch AS (SELECT * FROM e WHERE doc_id % 10 = 9),
+    p AS (SELECT c.doc_id AS left_id, b.doc_id AS right_id,
+                 count(*) AS common,
+                 any_value(c.n) AS n1, any_value(b.n) AS n2
+          FROM corp c JOIN batch b ON c.g = b.g
+          GROUP BY 1, 2)
+    SELECT left_id, right_id,
+           ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+    FROM p
+    WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6
+    """,
+    doc="Incremental dedup against a STANDING bucketed MinHash BAND "
+        "index — the composition of the two scale stories: banded "
+        "pair generation (linear at the tier where even the exact "
+        "PPJoin index is too big) against a standing bucketed "
+        "artifact (batch sort-merge-joins the band table with ZERO "
+        "corpus-side Exchange; band id folded into the hash so the "
+        "layout has one join column). Every candidate is verified "
+        "with exact Jaccard, so the oracle is the exact cross-set "
+        "SQL: on this corpus the banded cross-set EQUALS the exact "
+        "set (verified at sf0.01 and sf0.1 — dedup_minhash_lsh's "
+        "argument applied to the corpus x batch slice).",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    return dedup.minhash_pairs_between_bucketed(
+        corpus, batch, "text", "doc_id", n=3, threshold=0.6)
+
+
+@register(
     "text_novelty_ratio",
     """
     WITH s AS (

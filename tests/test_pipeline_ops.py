@@ -922,6 +922,75 @@ def test_ann_ivf_append_clears_matching_tombstones(spark, sf_dir, engine,
     assert not os.path.isdir(tomb_path)
 
 
+def test_minhash_index_append_extends_standing_index(spark, tmp_path):
+    """Banded-tier incremental lifecycle, mirroring the exact-PPJoin
+    one: build the MinHash band index from a corpus, dedup batch1
+    against it, APPEND batch1, then batch2 (an exact copy of batch1's
+    doc) must collide with batch1's appended rows.
+    min_band_matches=1 here: the tweak doc's jaccard (~0.78) sits on
+    the banding s-curve's shoulder where a single 4-row band matching
+    is the expected signal."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet")
+    tweak = base.rsplit(" ", 1)[0] + " kilo"   # jaccard 7/9 ≈ 0.78
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated words entirely distinct content here")],
+        "doc_id long, text string")
+    batch1 = spark.createDataFrame([(101, tweak)], "doc_id long, text string")
+    batch2 = spark.createDataFrame([(201, tweak)], "doc_id long, text string")
+    db = "nsjs_mh_apptest"
+    loc = str(tmp_path / "mh_idx")
+
+    p1 = dedup.minhash_pairs_between_bucketed(
+        corpus, batch1, "text", "doc_id", threshold=0.6,
+        min_band_matches=1, db=db, location=loc, rebuild=True)
+    assert {(r.left_id, r.right_id) for r in p1.collect()} == {(1, 101)}
+
+    assert dedup.minhash_index_append(batch1, "text", "doc_id", db=db) == 1
+
+    p2 = dedup.minhash_pairs_between_bucketed(
+        corpus, batch2, "text", "doc_id", threshold=0.6,
+        min_band_matches=1, db=db, location=loc, rebuild=False)
+    got = {(r.left_id, r.right_id) for r in p2.collect()}
+    # batch2 hits BOTH the original corpus doc and batch1's appended
+    # copy (identical text -> identical signature, every band matches)
+    assert got == {(1, 201), (101, 201)}
+
+
+def test_minhash_bucketed_band_join_no_corpus_shuffle(engine, spark,
+                                                     tmp_path):
+    """The standing band index joins the batch's band rows with an
+    Exchange ONLY on the batch side — corpus buckets read in place."""
+    import shutil
+
+    spark.sql("DROP DATABASE IF EXISTS nsjs_mh_plan CASCADE")
+    loc = str(tmp_path / "mh_plan")
+    docs = engine.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    out = dedup.minhash_pairs_between_bucketed(
+        corpus, batch, "text", "doc_id", db="nsjs_mh_plan", location=loc)
+    out.collect()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bands_l = spark.table("nsjs_mh_plan.corpus_bands")
+        bands_r = dedup._minhash_band_rows(batch, "text", "doc_id", 3, 16)
+        j = bands_l.join(bands_r.withColumnRenamed("id", "rid"), "bh")
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # one join-key shuffle (batch side); a shuffled corpus side
+        # would make it two
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP DATABASE IF EXISTS nsjs_mh_plan CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_dedup_index_append_extends_standing_index(spark, tmp_path):
     """Incremental-dedup lifecycle: build the bucketed index from a
     corpus, dedup batch1 against it, APPEND batch1, then batch2 (a

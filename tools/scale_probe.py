@@ -14,6 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
+                       incrmh
 """
 
 from __future__ import annotations
@@ -306,6 +307,22 @@ def main() -> None:
                 q, c, k=5, n_cells=16, nprobe=4, location=loc,
                 rebuild=False).count()
             results["ivfprobe_s"] = round(time.perf_counter() - t0, 2)
+
+        if "incrmh" in OPS:
+            # standing MinHash band index: build per factor, then the
+            # steady-state per-batch join (rebuild=False) — the banded
+            # twin of incrb; per-batch wall should stay near-flat
+            batch = dd.filter((F.col("doc_id") % 10 == 9)
+                              & (F.col("doc_id") < 10_000_000))
+            corpus = dd.join(batch.select("doc_id"), "doc_id", "left_anti")
+            t0 = time.perf_counter()
+            results["incrmh_pairs"] = dedup.minhash_pairs_between_bucketed(
+                corpus, batch, "text", "doc_id").count()
+            results["incrmh_build_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            dedup.minhash_pairs_between_bucketed(
+                corpus, batch, "text", "doc_id", rebuild=False).count()
+            results["incrmh_join_s"] = round(time.perf_counter() - t0, 2)
 
         if "editdist" in OPS:
             t0 = time.perf_counter()
