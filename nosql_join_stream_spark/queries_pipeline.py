@@ -813,6 +813,72 @@ def pipeline_clean_corpus_minhash(spark: SparkSession,
 
 
 @register(
+    "pipeline_split_leakage",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (
+      SELECT id1, id2 FROM p
+      WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6),
+    sp AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 < 8 THEN 'train'
+                       WHEN doc_id % 10 < 9 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents)
+    SELECT LEAST(s1.split, s2.split) AS split_a,
+           GREATEST(s1.split, s2.split) AS split_b,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN s1.split <> s2.split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked
+    FROM pairs j
+    JOIN sp s1 ON j.id1 = s1.doc_id
+    JOIN sp s2 ON j.id2 = s2.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Split-leakage report: near-dup pairs tabulated by the split "
+        "pair they straddle — cross-split rows (train x test, "
+        "train x val) are evaluation contamination a hash split alone "
+        "cannot prevent (near-dups hash independently). The check "
+        "every training pipeline should run AFTER splitting; the fix "
+        "is dedup-before-split (pipeline_clean_corpus) or moving "
+        "whole components. Pairs from banded MinHash (the scale "
+        "path); oracle replays the exact pair SQL + the split CASE "
+        "(banded == exact on this corpus, the standing argument).",
+)
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id",
+                                    n=3, threshold=0.6)
+    split = F.when(F.col("doc_id") % 10 < 8, "train") \
+             .when(F.col("doc_id") % 10 < 9, "val").otherwise("test")
+    sp = docs.select("doc_id", split.alias("split"))
+    j = (pairs
+         .join(sp.select(F.col("doc_id").alias("id1"),
+                         F.col("split").alias("s1")), "id1")
+         .join(sp.select(F.col("doc_id").alias("id2"),
+                         F.col("split").alias("s2")), "id2"))
+    return (j.groupBy(F.least("s1", "s2").alias("split_a"),
+                      F.greatest("s1", "s2").alias("split_b"))
+             .agg(F.count("*").alias("n_pairs"),
+                  F.sum((F.col("s1") != F.col("s2")).cast("bigint"))
+                   .alias("n_leaked")))
+
+
+@register(
     "embedding_dim_stats",
     """
     SELECT d.dim,

@@ -302,3 +302,49 @@ def test_drop_common_paragraphs_equals_python_reference(
         assert got[i].n_paras == len(bs)
         assert got[i].n_dropped == len(bs) - len(kept)
         assert got[i].kept_text == " ".join(kept)
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain-Python Levenshtein reference."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(
+    st.text(alphabet="abcdx ", min_size=0, max_size=18),
+    min_size=2, max_size=10, unique=True))
+def test_edit_distance_pairs_equals_python_brute(spark, words):
+    """The PassJoin segment filter must be LOSSLESS on random strings —
+    output equals all-pairs Python levenshtein over the same normalized
+    keys (tiny alphabet + whitespace makes near-pairs, empty strings,
+    and short-bucket keys all common)."""
+    import re
+
+    from nosql_join_stream_spark.operators import dedup
+
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id1, r.id2, r.distance)
+           for r in dedup.edit_distance_pairs(
+               df, "text", "doc_id", d=2).collect()}
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.strip().lower())[:32]
+
+    keys = {i: norm(w) for i, w in rows}
+    want = set()
+    for i in sorted(keys):
+        for j in sorted(keys):
+            if i < j and len(keys[i]) >= 1 and len(keys[j]) >= 1:
+                d = _lev(keys[i], keys[j])
+                if d <= 2:
+                    want.add((i, j, d))
+    assert got == want
