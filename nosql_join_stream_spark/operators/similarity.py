@@ -788,6 +788,59 @@ def ann_ivf_delete(ids: DataFrame, location: str,
     return out.count()
 
 
+def ann_ivf_compact(location: str) -> int:
+    """PARTIAL compaction of the standing IVF index: fold outstanding
+    tombstones into the index by rewriting ONLY the cell partitions
+    that actually contain tombstoned rows — the maintenance step that
+    keeps long-lived indexes healthy without the full-rebuild cost.
+
+    Deletes accumulate as tombstones (``ann_ivf_delete``), which cost
+    every probe one broadcast anti-join; a rebuild folds them in but
+    rewrites the whole index.  This op is the middle path a 100 TB
+    deployment runs on a schedule: one broadcast semi-join finds the
+    affected cells (a bounded driver list — cells, not rows), a
+    dynamic partition overwrite rewrites exactly those ``__cell=N/``
+    directories minus the dead rows, untouched cells keep their files
+    byte-identical, and the tombstone table is removed — restoring
+    the probe's no-tombstone fast path.  Centroids are untouched
+    (geometry never changes), so probe pruning and recall are
+    unaffected.  Returns the number of cells rewritten.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    index_path = os.path.join(location, "corpus_cells")
+    tomb_path = os.path.join(location, "tombstones.parquet")
+    if not os.path.isdir(index_path):
+        raise ValueError(
+            f"no standing IVF index at {location}; build one first "
+            "(ann_ivf_partitioned rebuild=True)")
+    if not os.path.isdir(tomb_path):
+        return 0  # nothing outstanding — compaction is a no-op
+    tombs = spark.read.parquet(tomb_path).distinct()
+    index = spark.read.parquet(index_path)
+    affected = [r["__cell"] for r in
+                (index.join(F.broadcast(tombs), "__cid", "left_semi")
+                      .select("__cell").distinct().collect())]
+    if affected:
+        # localCheckpoint materializes the survivors BEFORE the write:
+        # Spark (rightly) refuses to overwrite a path its own plan is
+        # reading, and checkpointing bounds what's held to the affected
+        # cells only — the partitions being rewritten anyway
+        survivors = (index.filter(F.col("__cell").isin(affected))
+                     .join(F.broadcast(tombs), "__cid", "left_anti")
+                     .localCheckpoint())
+        (survivors.write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("__cell")
+                  .parquet(index_path))
+    shutil.rmtree(tomb_path, ignore_errors=True)
+    return len(affected)
+
+
 def _apply_tombstones(index: DataFrame, location: str) -> DataFrame:
     """Anti-join the index scan against the tombstone table, if one
     exists — broadcast, so the probe plan gains one map-side filter.

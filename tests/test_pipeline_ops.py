@@ -878,6 +878,56 @@ def test_ann_ivf_filtered_probe_and_meta_append(spark, sf_dir, engine,
     assert 7_000_000 not in {r.c_id for r in other}
 
 
+def test_ann_ivf_compact_rewrites_only_affected_cells(spark, sf_dir,
+                                                      engine, tmp_path):
+    """Partial compaction: tombstoned rows fold into the index by
+    rewriting ONLY the cells that contain them — untouched cells keep
+    their files byte-identical, probe results are unchanged, and the
+    tombstone table disappears (probe fast path restored)."""
+    import os
+
+    emb = engine.table("embeddings")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"),
+                                         "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    loc = str(tmp_path / "ivf_idx")
+    before = similarity.ann_ivf_partitioned(
+        q, c, k=5, n_cells=16, nprobe=4, location=loc,
+        rebuild=True).collect()
+    victims = sorted({r.c_id for r in before if r.rank == 1})
+    similarity.ann_ivf_delete(
+        spark.createDataFrame([(v,) for v in victims], "c_id long"), loc)
+    shadowed = similarity.ann_ivf_probe(q, loc, k=5, nprobe=4).collect()
+
+    idx = os.path.join(loc, "corpus_cells")
+    victim_cells = {r["__cell"] for r in
+                    spark.read.parquet(idx)
+                         .filter(F.col("__cid").isin(victims))
+                         .select("__cell").distinct().collect()}
+    untouched = {}
+    for root, _, fs in os.walk(idx):
+        for f in fs:
+            p = os.path.join(root, f)
+            if f.endswith(".parquet") and not any(
+                    f"__cell={cl}{os.sep}" in p for cl in victim_cells):
+                untouched[p] = os.path.getmtime(p)
+    assert untouched  # some cells hold no victims
+
+    n = similarity.ann_ivf_compact(loc)
+    assert n == len(victim_cells) > 0
+    assert not os.path.isdir(os.path.join(loc, "tombstones.parquet"))
+    for p, mtime in untouched.items():  # untouched cells byte-stable
+        assert os.path.exists(p) and os.path.getmtime(p) == mtime
+    # dead rows are physically gone, probe answers unchanged
+    left = {r["__cid"] for r in spark.read.parquet(idx).collect()}
+    assert left.isdisjoint(victims)
+    after = similarity.ann_ivf_probe(q, loc, k=5, nprobe=4).collect()
+    assert {(r.q_id, r.c_id, r.sim, r.rank) for r in after} == \
+        {(r.q_id, r.c_id, r.sim, r.rank) for r in shadowed}
+    # idempotent: nothing outstanding -> no-op
+    assert similarity.ann_ivf_compact(loc) == 0
+
+
 def test_ann_ivf_append_clears_matching_tombstones(spark, sf_dir, engine,
                                                    tmp_path):
     """delete → re-ingest via append must make the id probe-visible
