@@ -71,6 +71,78 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                           "sim", "rank"))
 
 
+def mmr_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             pool: int = 20, lam: float = 0.7,
+             query_id: str = "q_id", corpus_id: str = "c_id",
+             vec: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98 —
+    public literature) diversified top-k: greedily select k results
+    maximizing ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`` — the
+    re-ranking that keeps a result page (or a RAG context window) from
+    being k near-copies of the same passage.
+
+    Two-stage shape, which is what makes it scale: stage 1 is the
+    EXACT brute top-``pool`` candidate fetch per query (swap in the
+    IVF probe at 100 TB — any (q_id, c_id, sim) candidate source
+    works); stage 2 is the greedy selection, which only ever sees
+    ``pool`` rows per query — an Arrow-batched applyInPandas kernel
+    computing the pool×pool cosine matrix in one numpy GEMM.  The
+    quadratic term is pool², never corpus², and each query group is
+    independent (embarrassingly parallel across the cluster).
+
+    Determinism (the full-value-oracle contract): relevance and
+    candidate-candidate sims round to 6 dp, the greedy score rounds
+    to 6 dp, ties break to the smallest ``c_id`` — so the selection
+    unrolls to plain SQL (the registered oracle replays it stage by
+    stage).  Rank 1 carries score λ·rel (no diversity term yet).
+    Returns (q_id, c_id, rel, mmr_score, rank).
+    """
+    lam = float(lam)
+    mu = 1.0 - lam  # bind ONCE in python so both engines use the
+    #                 identical double (1-0.7 is 0.30000000000000004)
+    cand = cosine_topk(queries, corpus, k=pool,
+                       query_id=query_id, corpus_id=corpus_id, vec=vec)
+    withv = cand.join(corpus.select(F.col(corpus_id), F.col(vec)),
+                      corpus_id)
+
+    def kernel(pdf):
+        import numpy as _np
+        import pandas as _pd
+        pdf = pdf.sort_values(corpus_id).reset_index(drop=True)
+        V = _np.stack(pdf[vec].to_list()).astype("float64")
+        nv = _np.linalg.norm(V, axis=1, keepdims=True)
+        nv[nv == 0] = 1.0
+        vn = V / nv
+        S = _np.round(vn @ vn.T, 6)
+        rel = pdf["sim"].to_numpy(dtype="float64")
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))  # ascending c_id: first strict max
+        rows = []                   # wins ties -> smallest id
+        for step in range(min(k, n)):
+            best_sc, best_i = None, None
+            for i in remaining:
+                if step == 0:
+                    sc = float(_np.round(lam * rel[i], 6))
+                else:
+                    div = max(S[i, j] for j in selected)
+                    sc = float(_np.round(lam * rel[i] - mu * div, 6))
+                if best_sc is None or sc > best_sc:
+                    best_sc, best_i = sc, i
+            selected.append(best_i)
+            remaining.remove(best_i)
+            rows.append((int(pdf[query_id].iloc[0]),
+                         int(pdf[corpus_id].iloc[best_i]),
+                         float(rel[best_i]), best_sc, step + 1))
+        return _pd.DataFrame(rows, columns=[query_id, corpus_id,
+                                            "rel", "mmr_score", "rank"])
+
+    return (withv.groupBy(query_id)
+            .applyInPandas(kernel,
+                           schema=f"{query_id} long, {corpus_id} long, "
+                                  "rel double, mmr_score double, rank int"))
+
+
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes from SHA-256
     counter mode — reproducible everywhere, no RNG library."""

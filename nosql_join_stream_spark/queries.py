@@ -613,8 +613,12 @@ _DRIVER_WINDOW = [
     # (ann_lsh_topk rotated out late in r5 — multi-round green, LSH
     # family still covered by the local gate — for the NEW filtered-
     # search flagship ann_ivf_filtered.)
-    "dedup_embedding_cosine", "decontaminate_overlap", "ann_ivf_filtered",
-    "ann_ivf_topk", "bm25_search", "hybrid_search_rrf", "text_quality",
+    # (decontaminate_overlap / hybrid_search_rrf rotated out late in
+    # r5 — multi-round green, families still represented by
+    # stream_decontaminate / bm25_search+tfidf — for the NEW
+    # pipeline_split_leakage and retrieval_mmr_diversified.)
+    "dedup_embedding_cosine", "pipeline_split_leakage", "ann_ivf_filtered",
+    "ann_ivf_topk", "bm25_search", "retrieval_mmr_diversified", "text_quality",
     "doc_pack_sequences", "sample_stratified",
     "multimodal_features", "multimodal_patch_grid", "agg_geomean_udaf",
     # (stream_quality_filter rotated out late in r5 — multi-round

@@ -2701,6 +2701,88 @@ def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_witness(exact, probe, 0.5, "ivf_recall_ok")
 
 
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Greedy MMR unrolled to plain SQL — one CTE stage per selection
+    step (k is small and fixed, so the 'iterative' algorithm is just
+    k window-argmax stages).  The weights are bound in PYTHON so both
+    engines use identical doubles (1-0.7 = 0.30000000000000004)."""
+    lam = float(lam)
+    mu = 1.0 - lam
+    cos = ("ROUND(list_dot_product({a}.embedding::DOUBLE[], "
+           "{b}.embedding::DOUBLE[]) / "
+           "(sqrt(list_dot_product({a}.embedding::DOUBLE[], "
+           "{a}.embedding::DOUBLE[])) * "
+           "sqrt(list_dot_product({b}.embedding::DOUBLE[], "
+           "{b}.embedding::DOUBLE[]))), 6)")
+    sql = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+               WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             {cos.format(a='q', b='c')} AS rel
+      FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+    cand AS (
+      SELECT q_id, c_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY rel DESC, c_id) AS rn
+        FROM scored) WHERE rn <= {pool}),
+    cv AS (SELECT cand.q_id, cand.c_id, cand.rel, e.embedding
+           FROM cand JOIN embeddings e ON cand.c_id = e.vec_id),
+    cc AS (SELECT a.q_id, a.c_id AS c1, b.c_id AS c2,
+                  {cos.format(a='a', b='b')} AS s
+           FROM cv a JOIN cv b
+             ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+    p1 AS (SELECT q_id, c_id, rel,
+                  ROUND({lam!r} * rel, 6) AS mmr_score, 1 AS rank
+           FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                          ORDER BY rel DESC, c_id) AS rn
+                 FROM cand) WHERE rn = 1),
+    sel1 AS (SELECT q_id, c_id FROM p1)"""
+    for i in range(2, k + 1):
+        sql += f""",
+    sc{i} AS (
+      SELECT c.q_id, c.c_id, c.rel,
+             ROUND({lam!r} * c.rel - {mu!r} * MAX(cc.s), 6) AS mmr_score
+      FROM cand c
+      JOIN cc ON cc.q_id = c.q_id AND cc.c1 = c.c_id
+      JOIN sel{i - 1} s ON s.q_id = cc.q_id AND s.c_id = cc.c2
+      WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} x
+                        WHERE x.q_id = c.q_id AND x.c_id = c.c_id)
+      GROUP BY c.q_id, c.c_id, c.rel),
+    p{i} AS (SELECT q_id, c_id, rel, mmr_score, {i} AS rank
+             FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                            ORDER BY mmr_score DESC, c_id) AS rn
+                   FROM sc{i}) WHERE rn = 1),
+    sel{i} AS (SELECT q_id, c_id FROM sel{i - 1}
+               UNION ALL SELECT q_id, c_id FROM p{i})"""
+    union = "\n    UNION ALL ".join(
+        f"SELECT q_id, c_id, rel, mmr_score, rank FROM p{i}"
+        for i in range(1, k + 1))
+    return sql + f"\n    {union}\n    "
+
+
+@register(
+    "retrieval_mmr_diversified",
+    _mmr_oracle(k=5, pool=20, lam=0.7),
+    doc="MMR-diversified top-5 (Carbonell & Goldstein SIGIR'98): "
+        "greedy re-rank of the exact top-20 candidate pool by "
+        "0.7*rel - 0.3*max-sim-to-selected — keeps a result page / "
+        "RAG context from being k near-copies. Quadratic term is "
+        "pool^2 per query inside one numpy GEMM (applyInPandas), "
+        "never corpus^2; candidate fetch swaps to the IVF probe at "
+        "scale. FULL VALUE ORACLE: the greedy loop unrolled to k SQL "
+        "argmax stages (rounded scores + id tie-breaks make the "
+        "selection engine-invariant).",
+)
+def retrieval_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10) \
+                 .select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return similarity.mmr_topk(queries, corpus, k=5, pool=20, lam=0.7)
+
+
 @register(
     "ann_ivf_filtered",
     _brute_topk_sql(", 1 AS ivf_recall_ok", corpus_where="c.label = 3"),

@@ -531,6 +531,63 @@ def test_budget_per_group_rejects_sub_one_weights(spark):
         sampling.budget_per_group(ndf, "grp", "id", "w", budget=5).collect()
 
 
+def test_mmr_topk_matches_python_greedy(spark, sf_dir, engine):
+    """The distributed MMR kernel must EQUAL a plain-Python greedy
+    reference (same rounding, same id tie-break) — rank order, ids,
+    and scores — and rank 1 must be the plain top-1 (no diversity
+    term on the first pick).  Also checks the re-rank actually
+    deviates from the plain top-5 somewhere (λ=0.7 bites on this
+    corpus, else the operator would be dead weight)."""
+    import numpy as np
+
+    emb = engine.table("embeddings")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"),
+                                         "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    lam, mu = 0.7, 1.0 - 0.7
+    mmr = similarity.mmr_topk(q, c, k=5, pool=20, lam=lam).collect()
+    pool = similarity.cosine_topk(q, c, k=20).collect()
+    plain = similarity.cosine_topk(q, c, k=5).collect()
+    vecs = {r.c_id: np.asarray(r.embedding, dtype="float64")
+            for r in c.collect()}
+
+    def cosine(a, b):
+        return float(np.round(
+            a @ b / (np.linalg.norm(a) * np.linalg.norm(b)), 6))
+
+    deviated = 0
+    for qid in range(10):
+        cands = sorted([(r.c_id, r.sim) for r in pool if r.q_id == qid])
+        ids = [cid for cid, _ in cands]
+        rel = {cid: s for cid, s in cands}
+        selected, want = [], []
+        for step in range(5):
+            best_sc, best_i = None, None
+            for cid in ids:
+                if cid in selected:
+                    continue
+                if step == 0:
+                    sc = float(np.round(lam * rel[cid], 6))
+                else:
+                    div = max(cosine(vecs[cid], vecs[s])
+                              for s in selected)
+                    sc = float(np.round(lam * rel[cid] - mu * div, 6))
+                if best_sc is None or sc > best_sc:
+                    best_sc, best_i = sc, cid
+            selected.append(best_i)
+            want.append((qid, best_i, rel[best_i], best_sc, step + 1))
+        got = sorted(((r.q_id, r.c_id, r.rel, r.mmr_score, r.rank)
+                      for r in mmr if r.q_id == qid),
+                     key=lambda t: t[4])
+        assert got == want, qid
+        assert got[0][1] == [r.c_id for r in plain
+                             if r.q_id == qid and r.rank == 1][0]
+        if [t[1] for t in got] != [r.c_id for r in plain
+                                   if r.q_id == qid]:
+            deviated += 1
+    assert deviated > 0  # the diversity term actually re-ranks
+
+
 def test_edit_distance_pairs_hand_case(spark):
     """PassJoin output must EQUAL naive all-pairs levenshtein on a
     hand-built set covering: d=0 normalization-equal pairs, d=1/d=2

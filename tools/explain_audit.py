@@ -40,7 +40,9 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             # and the exact-head side is the intentional brute force
             "ann_ivf_topk", "ann_ivfpq_topk", "embedding_pq_codes",
             "ann_ivf_partitioned", "ann_ivf_append_probe",
-            "ann_ivf_filtered", "stream_ann_probe"}
+            "ann_ivf_filtered", "stream_ann_probe",
+            # MMR's candidate fetch is the intentional brute top-pool
+            "retrieval_mmr_diversified"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
