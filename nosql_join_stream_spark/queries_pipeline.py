@@ -879,6 +879,66 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_split_safe",
+    """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (
+      SELECT id1, id2 FROM p
+      WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6),
+    ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION SELECT id2, id1 FROM pairs),
+    reach(id, comp) AS (
+      SELECT src AS id, src AS comp FROM ed
+      UNION
+      SELECT ed.src, r.comp FROM ed JOIN reach r ON ed.dst = r.id),
+    comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+    lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+    SELECT doc_id, comp AS split_key,
+           CASE WHEN comp % 10 < 8 THEN 'train'
+                WHEN comp % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab
+    """,
+    doc="Component-safe split assignment — the FIX for what "
+        "pipeline_split_leakage detects: the split hash is computed "
+        "on the near-dup component's canonical id, not the doc id, so "
+        "whole components land in ONE split and cross-split near-dup "
+        "leakage is zero BY CONSTRUCTION (asserted in tests by "
+        "re-running the leakage report on this assignment). Pairs "
+        "from banded MinHash; oracle replays the exact pairs + "
+        "recursive-CTE components + the split CASE on the canonical.",
+)
+def pipeline_split_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id",
+                                    n=3, threshold=0.6)
+    resolved = dedup.dedup_resolve(docs, pairs, "doc_id")
+    lab = resolved.select(F.col("id").alias("doc_id"),
+                          F.col("canonical_id").alias("split_key"))
+    bucket = F.col("split_key") % 10
+    return lab.select(
+        "doc_id", "split_key",
+        F.when(bucket < 8, "train").when(bucket < 9, "val")
+         .otherwise("test").alias("split"))
+
+
+@register(
     "embedding_dim_stats",
     """
     SELECT d.dim,

@@ -531,6 +531,35 @@ def test_budget_per_group_rejects_sub_one_weights(spark):
         sampling.budget_per_group(ndf, "grp", "id", "w", budget=5).collect()
 
 
+def test_split_safe_has_zero_cross_split_leakage(spark, sf_dir):
+    """The detect/fix pair must compose: the doc-id hash split leaks
+    near-dup pairs across splits (what pipeline_split_leakage reports,
+    nonzero on this corpus), while the component-keyed assignment of
+    pipeline_split_safe has ZERO cross-split pairs by construction."""
+    from nosql_join_stream_spark.queries import REGISTRY
+
+    leak = {(r.split_a, r.split_b): r.n_leaked for r in
+            REGISTRY["pipeline_split_leakage"].fn(spark, sf_dir).collect()}
+    assert sum(leak.values()) > 0  # naive split: leakage is real
+
+    safe = REGISTRY["pipeline_split_safe"].fn(spark, sf_dir)
+    sp = safe.select("doc_id", "split")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id",
+                                    n=3, threshold=0.6)
+    crossed = (pairs
+               .join(sp.select(F.col("doc_id").alias("id1"),
+                               F.col("split").alias("s1")), "id1")
+               .join(sp.select(F.col("doc_id").alias("id2"),
+                               F.col("split").alias("s2")), "id2")
+               .filter(F.col("s1") != F.col("s2")))
+    assert crossed.count() == 0
+    # every doc assigned exactly once, all three splits populated
+    assert safe.count() == docs.count()
+    assert {r.split for r in safe.select("split").distinct().collect()} \
+        == {"train", "val", "test"}
+
+
 def test_mmr_topk_matches_python_greedy(spark, sf_dir, engine):
     """The distributed MMR kernel must EQUAL a plain-Python greedy
     reference (same rounding, same id tie-break) — rank order, ids,
