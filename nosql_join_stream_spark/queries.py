@@ -597,7 +597,9 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 _DRIVER_WINDOW = [
     # reference parity: joins / predicates / streaming / log scan
     "join_fk_inner", "join_outer_filtered", "join_salted_skew",
-    "pred_surface", "stream_windowed_counts", "stream_dedup_keys",
+    # (stream_dedup_keys rotated out late in r5 — multi-round green —
+    # for the NEW stateful-EWMA drift monitor stream_quality_ewma.)
+    "pred_surface", "stream_windowed_counts", "stream_quality_ewma",
     "stream_static_enrich", "stream_interval_join",
     "stream_sessionize_stateful", "log_scan_offset",
     # LLM-pipeline family flagships.  (dedup_ngram_jaccard rotated out

@@ -2933,6 +2933,69 @@ def stream_ann_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_quality_ewma",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             ROUND(len(regexp_extract_all(text, '[A-Za-z]'))
+                   * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+               AS atl,
+             ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                   x -> x IN ({_STOP_EN})))
+                   * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+               AS swr
+      FROM documents),
+    d AS (
+      SELECT doc_id, source,
+             CAST(ROUND(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN swr >= 0.01 THEN 1.0 ELSE 0.0 END), 4)
+               AS DOUBLE) AS quality,
+             CAST(concat('0x', substr(sha256(doc_id::VARCHAR), 1, 15))
+                  AS BIGINT) AS hh
+      FROM f)
+    SELECT source, COUNT(*) AS n_seen,
+           ROUND(list_reduce(list(quality ORDER BY hh, doc_id),
+                             (acc, x) -> {0.2!r} * x + {0.8!r} * acc), 6)
+             AS ewma
+    FROM d GROUP BY source
+    """,
+    doc="Per-source quality-drift monitor (applyInPandasWithState): "
+        "an EWMA of the row-local quality score folds in as ingest "
+        "streams, two numbers of state per source — a sagging EWMA "
+        "flags a crawler regression or spam flood WHILE it happens. "
+        "Rows fold in deterministic hash order seeded by the first "
+        "value, so the single-batch drain replays bit-for-bit as a "
+        "DuckDB list_reduce over the same ordered list: a FULL value "
+        "oracle for a custom stateful streaming operator.",
+)
+def stream_quality_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.operators.sampling import order_hash
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    from nosql_join_stream_spark.streaming.log_stream import (
+        DOCUMENTS_SCHEMA, read_table_stream, run_available_now,
+        stateful_quality_ewma)
+
+    _STREAM_SEQ[0] += 1
+    name = f"stream_ewma_{_STREAM_SEQ[0]}"
+    docs = read_table_stream(spark, table_path(sf_dir, "documents"),
+                             DOCUMENTS_SCHEMA)
+    enriched = docs.select(
+        "doc_id", "source",
+        text.quality_score(F.col("text")).alias("quality"),
+        order_hash(F.col("doc_id")).alias("hh"))
+    out = stateful_quality_ewma(enriched, "source", "doc_id",
+                                "quality", "hh", alpha=0.2)
+    run_available_now(out, name, output_mode="update")
+    final = F.max(F.struct("n_seen", "ewma")).alias("s")
+    return (spark.table(name).groupBy("source").agg(final)
+            .select("source", F.col("s.n_seen").alias("n_seen"),
+                    F.col("s.ewma").alias("ewma")))
+
+
+@register(
     "stream_token_budget",
     """
     WITH d AS (

@@ -301,7 +301,8 @@ def write_stream_files(df: DataFrame, path: str, checkpoint: str,
 
 def write_stream_idempotent(df: DataFrame, path: str, checkpoint: str,
                             extra_partition_cols: list[str] | None = None,
-                            available_now: bool = True):
+                            available_now: bool = True,
+                            output_mode: str = "append"):
     """Exactly-once streaming file sink via idempotent batch REPLAY —
     the ``foreachBatch`` form production pipelines use when the target
     isn't Spark's own transactional file sink (plain parquet layouts,
@@ -334,12 +335,60 @@ def write_stream_idempotent(df: DataFrame, path: str, checkpoint: str,
                  .parquet(path))
 
     q = (df.writeStream.foreachBatch(write_batch)
+         .outputMode(output_mode)  # "update" for stateful upstreams:
+         #  each batch's partition then holds that batch's emissions
          .option("checkpointLocation", checkpoint))
     if available_now:
         sq = q.trigger(availableNow=True).start()
         sq.awaitTermination()
         return None
     return q.start()
+
+
+def stateful_quality_ewma(stream: DataFrame, group_col: str,
+                          id_col: str, value_col: str, hash_col: str,
+                          alpha: float = 0.2) -> DataFrame:
+    """Per-group exponentially-weighted moving average over an
+    unbounded stream — the drift monitor a continuously-crawled corpus
+    needs: one (ewma, count) state row per source tracks quality (or
+    any per-doc metric) as ingest flows, so a source whose EWMA sags
+    below its long-run level flags a crawler regression or a spam
+    flood WHILE it is happening, not at the next batch audit.
+
+    State is two numbers per group (applyInPandasWithState, update
+    mode).  Within each micro-batch rows fold in the deterministic
+    ``hash_col`` order (ties to ``id_col``), seeded by the first value
+    — so a single-batch AvailableNow drain reproduces the batch fold
+    exactly, which a DuckDB ``list_reduce`` over the same ordered list
+    replays bit-for-bit: a FULL value oracle for a stateful streaming
+    operator.  Emissions are cumulative; the final row per group is
+    the answer.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    alpha = float(alpha)
+    beta = 1.0 - alpha  # bind once: both engines use the same double
+    group_t = dict(stream.dtypes)[group_col]
+    out_schema = f"{group_col} {group_t}, n_seen long, ewma double"
+    state_schema = "ewma double, n long"
+
+    def fn(key, pdfs, state):
+        import pandas as _pd
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = None, 0
+        pdf = _pd.concat(list(pdfs)).sort_values([hash_col, id_col])
+        for x in pdf[value_col].astype("float64"):
+            ewma = float(x) if ewma is None else alpha * float(x) + beta * ewma
+        n += len(pdf)
+        state.update((float(ewma), int(n)))
+        yield _pd.DataFrame([{group_col: key[0], "n_seen": n,
+                              "ewma": round(ewma, 6)}])
+
+    return (stream.groupBy(group_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
 
 
 def stream_ann_probe(query_stream: DataFrame, index_location: str,

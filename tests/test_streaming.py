@@ -258,6 +258,63 @@ def test_stream_ann_probe_equals_batch_probe(spark, sf_dir, tmp_path):
         similarity.ann_ivf_probe(q, str(tmp_path / "nope"))
 
 
+def test_stream_quality_ewma_state_survives_restart(spark, tmp_path):
+    """The per-source EWMA state must CONTINUE across a checkpointed
+    restart over a grown source: after draining file A then file B,
+    n_seen covers both and the ewma equals a Python replay of the
+    two-stage fold (batch A in hash order, then batch B in hash order,
+    seeded by A's final state)."""
+    from nosql_join_stream_spark.operators import text as textops
+    from nosql_join_stream_spark.operators.sampling import order_hash
+    from nosql_join_stream_spark.streaming.log_stream import (
+        stateful_quality_ewma, write_stream_idempotent)
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    out = tmp_path / "out"
+    half_a = raw.filter("doc_id % 2 = 0")
+    half_b = raw.filter("doc_id % 2 = 1")
+    half_a.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    scored = raw.select(
+        "doc_id", "source",
+        textops.quality_score(F.col("text")).alias("q"),
+        order_hash(F.col("doc_id")).alias("hh")).collect()
+    by_src: dict = {}
+    for half in (0, 1):
+        rows = sorted((r for r in scored if r.doc_id % 2 == half),
+                      key=lambda r: (r.hh, r.doc_id))
+        for r in rows:
+            e, n = by_src.get(r.source, (None, 0))
+            e = r.q if e is None else 0.2 * r.q + 0.8 * e
+            by_src[r.source] = (e, n + 1)
+
+    def drain():
+        stream = (spark.readStream.schema(raw.schema)
+                  .format("parquet").load(str(src))
+                  .select("doc_id", "source",
+                          textops.quality_score(F.col("text")).alias("q"),
+                          order_hash(F.col("doc_id")).alias("hh")))
+        ewma = stateful_quality_ewma(stream, "source", "doc_id", "q", "hh")
+        # memory sinks can't recover a checkpoint; the idempotent
+        # foreachBatch sink can — and its per-batch partitions make
+        # the cumulative update emissions easy to fold
+        write_stream_idempotent(ewma, str(out), str(ckpt),
+                                output_mode="update")
+
+    drain()
+    half_b.coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    final = F.max(F.struct("n_seen", "ewma")).alias("s")
+    got = {r.source: (r["s"].n_seen, r["s"].ewma) for r in
+           spark.read.parquet(str(out))
+                .groupBy("source").agg(final).collect()}
+    for srcname, (e, n) in by_src.items():
+        gn, ge = got[srcname]
+        assert gn == n, srcname
+        assert abs(ge - round(e, 6)) < 1e-9, srcname
+
+
 def test_stream_token_budget_equals_batch_draw(spark, sf_dir):
     from nosql_join_stream_spark.queries import REGISTRY
     got = {(r.doc_id, r.source, r.n_tokens) for r in
