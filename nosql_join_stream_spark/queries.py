@@ -628,8 +628,10 @@ _DRIVER_WINDOW = [
     "text_sentences_udtf", "stream_ann_probe", "stream_decontaminate",
     "dedup_incremental_batch",
     # r4 rotation survivors (first driver-verified in r4)
+    # (text_paragraph_dedup rotated out late in r5 — green r4 — so the
+    # split-leakage detect/fix pair is driver-verified together.)
     "dedup_simhash", "dedup_resolve_keep_best_minhash",
-    "text_paragraph_dedup", "sample_token_budget",
+    "pipeline_split_safe", "sample_token_budget",
     "text_tfidf_topk", "cluster_assign_kmeans", "embedding_quantize",
     "pipeline_materialize_training", "agg_approx_percentiles",
     # Round-5 rotation (slots are scarce; every family member should be
