@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh
+                       incrmh mmr ivfcompact
 """
 
 from __future__ import annotations
@@ -307,6 +307,37 @@ def main() -> None:
                 q, c, k=5, n_cells=16, nprobe=4, location=loc,
                 rebuild=False).count()
             results["ivfprobe_s"] = round(time.perf_counter() - t0, 2)
+
+        if "mmr" in OPS:
+            # MMR over a growing corpus: wall should track the linear
+            # brute candidate fetch; the greedy stage is pool^2 per
+            # query — constant — and swaps to the IVF probe at scale
+            q = ee.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("q_id"), "embedding")
+            c = ee.select(F.col("vec_id").alias("c_id"), "embedding")
+            t0 = time.perf_counter()
+            results["mmr_rows"] = similarity.mmr_topk(
+                q, c, k=5, pool=20).count()
+            results["mmr_s"] = round(time.perf_counter() - t0, 2)
+
+        if "ivfcompact" in OPS:
+            # compaction cost should track the AFFECTED cells, not the
+            # corpus: delete a fixed 50 ids, compact, probe
+            import shutil
+            q = ee.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("q_id"), "embedding")
+            c = ee.select(F.col("vec_id").alias("c_id"), "embedding")
+            loc = f"/tmp/scale_ivfc_{factor}x"
+            shutil.rmtree(loc, ignore_errors=True)
+            similarity.ann_ivf_partitioned(
+                q, c, k=5, n_cells=16, nprobe=4, location=loc,
+                rebuild=True).count()
+            victims = spark.range(50).select(
+                (F.col("id") * 7).alias("c_id"))
+            similarity.ann_ivf_delete(victims, loc)
+            t0 = time.perf_counter()
+            results["ivfcompact_cells"] = similarity.ann_ivf_compact(loc)
+            results["ivfcompact_s"] = round(time.perf_counter() - t0, 2)
 
         if "incrmh" in OPS:
             # standing MinHash band index: build per factor, then the
