@@ -43,6 +43,55 @@ def order_hash(id_col: Column) -> Column:
                   16, 10).cast("long")
 
 
+#: 2^60 — order_hash's range, the denominator of the hash-uniform
+HASH_SPACE = 1 << 60
+
+
+def weighted_sample_no_replacement(df: DataFrame, id_col: str,
+                                   weight_col: str, k: int,
+                                   group_col: str | None = None
+                                   ) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic — the
+    Efraimidis–Spirakis A-ES scheme (IPL 2006, public literature) with
+    hash-uniforms instead of RNG: each row gets
+    ``u = (order_hash(id)+1) / 2^60 ∈ (0, 1]`` and selection key
+    ``ln(u) / w`` (the log form of u^(1/w) — monotone-equivalent,
+    numerically tame); the k LARGEST keys win, per group when
+    ``group_col`` is given.  Inclusion probability is proportional to
+    weight, successive draws are without replacement, and — because u
+    is a hash, not a random — the draw is reproducible across engines,
+    runs, and retries, and replays as plain SQL (the oracle).
+
+    Keys round to 9 dp before ranking with an id tie-break, so the
+    order is engine-invariant (libm ulp differences sit ~1e-15, far
+    under the grain).  Weights must be > 0: NULL/zero/negative rows
+    raise in-plan rather than silently skewing the draw.
+
+    Scale shape: one window per group over hash-keyed rows; for a
+    known global k the same count-prefilter as ``cap_per_group``
+    applies (not needed here — k is small).  Returns the selected
+    rows + ``es_key`` and per-group ``draw_rank``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    wcheck = F.when(
+        F.col(weight_col).isNull() | (F.col(weight_col) <= 0),
+        F.raise_error(F.concat(
+            F.lit(f"weighted_sample_no_replacement: {weight_col} must "
+                  "be > 0, got "),
+            F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL"))))
+    ).otherwise(F.col(weight_col).cast("double"))
+    u = (order_hash(F.col(id_col)) + F.lit(1)).cast("double") \
+        / F.lit(float(HASH_SPACE))
+    key = F.round(F.log(u) / wcheck, 9)
+    parts = [group_col] if group_col else []
+    w = Window.partitionBy(*parts).orderBy(F.col("es_key").desc(),
+                                           F.col(id_col))
+    return (df.withColumn("es_key", key)
+              .withColumn("draw_rank", F.row_number().over(w))
+              .filter(F.col("draw_rank") <= k))
+
+
 def cap_per_group(df: DataFrame, group_col: str, id_col: str,
                   cap: int) -> DataFrame:
     """Keep at most ``cap`` rows per group — the mixture-control

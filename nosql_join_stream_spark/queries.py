@@ -621,7 +621,9 @@ _DRIVER_WINDOW = [
     # pipeline_split_leakage and retrieval_mmr_diversified.)
     "dedup_embedding_cosine", "pipeline_split_leakage", "ann_ivf_filtered",
     "ann_ivf_topk", "bm25_search", "retrieval_mmr_diversified", "text_quality",
-    "doc_pack_sequences", "sample_stratified",
+    "doc_pack_sequences", "sample_weighted_reservoir",
+    # (sample_stratified rotated out late in r5 — multi-round green —
+    # for the NEW A-ES weighted draw.)
     "multimodal_features", "multimodal_patch_grid", "agg_geomean_udaf",
     # (stream_quality_filter rotated out late in r5 — multi-round
     # green — for the NEW online-retrieval flagship stream_ann_probe.)

@@ -879,6 +879,47 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_reservoir",
+    r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             CAST(concat('0x', substr(sha256(doc_id::VARCHAR), 1, 15))
+                  AS BIGINT) AS hh
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, source, n_tokens,
+             ROUND(ln((hh + 1) / 1152921504606846976.0)
+                   / CAST(n_tokens AS DOUBLE), 9) AS es_key
+      FROM d),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY es_key DESC, doc_id)
+                  AS draw_rank
+      FROM keyed)
+    SELECT doc_id, source, n_tokens, es_key, draw_rank
+    FROM ranked WHERE draw_rank <= 5
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+        "A-ES, IPL 2006) with hash-uniforms: per-source top-5 by "
+        "ln(u)/w with w = token count — longer docs proportionally "
+        "likelier, successive draws without replacement, and fully "
+        "deterministic (reproducible across engines/runs/retries, "
+        "which RNG sampling is not). Keys round to 9 dp with id "
+        "tie-breaks, so the oracle replays the draw bit-for-bit.",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import sampling
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+         .cast("long").alias("n_tokens"))
+    return sampling.weighted_sample_no_replacement(
+        docs, "doc_id", "n_tokens", k=5, group_col="source")
+
+
+@register(
     "pipeline_split_safe",
     """
     WITH RECURSIVE s AS (

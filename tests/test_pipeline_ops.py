@@ -531,6 +531,54 @@ def test_budget_per_group_rejects_sub_one_weights(spark):
         sampling.budget_per_group(ndf, "grp", "id", "w", budget=5).collect()
 
 
+def test_weighted_sample_no_replacement(spark, sf_dir):
+    """The A-ES draw must equal a plain-Python replay (same hash
+    uniforms, same ln(u)/w keys, same rounding/tie-breaks), contain no
+    repeats per group (without replacement), and reject non-positive
+    or NULL weights in-plan."""
+    import hashlib
+    import math
+
+    from nosql_join_stream_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+         .cast("long").alias("w"))
+    out = sampling.weighted_sample_no_replacement(
+        docs, "doc_id", "w", k=5, group_col="source").collect()
+
+    def es_key(doc_id, w):
+        hh = int(hashlib.sha256(str(doc_id).encode())
+                 .hexdigest()[:15], 16)
+        return round(math.log((hh + 1) / float(1 << 60)) / w, 9)
+
+    by_src: dict = {}
+    for r in docs.collect():
+        by_src.setdefault(r.source, []).append(
+            (es_key(r.doc_id, r.w), r.doc_id))
+    want = set()
+    for srcname, rows in by_src.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (key, did) in enumerate(rows[:5], 1):
+            want.add((srcname, did, rank))
+    got = {(r.source, r.doc_id, r.draw_rank) for r in out}
+    assert got == want
+    for srcname in by_src:
+        sel = [r.doc_id for r in out if r.source == srcname]
+        assert len(sel) == len(set(sel)) == min(5, len(by_src[srcname]))
+
+    bad = spark.createDataFrame([(1, "a", 0)], "doc_id long, g string, w long")
+    with pytest.raises(Exception, match="must be > 0"):
+        sampling.weighted_sample_no_replacement(
+            bad, "doc_id", "w", k=1, group_col="g").collect()
+    nul = spark.createDataFrame([(1, "a", None)],
+                                "doc_id long, g string, w long")
+    with pytest.raises(Exception, match="must be > 0"):
+        sampling.weighted_sample_no_replacement(
+            nul, "doc_id", "w", k=1, group_col="g").collect()
+
+
 def test_split_safe_has_zero_cross_split_leakage(spark, sf_dir):
     """The detect/fix pair must compose: the doc-id hash split leaks
     near-dup pairs across splits (what pipeline_split_leakage reports,
