@@ -329,6 +329,34 @@ def typed_as_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variant_schemaless_decode",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS INTEGER) AS k_int,
+           CAST(props->>'$.missing' AS VARCHAR) AS missing_field
+    FROM events
+    WHERE CAST(props->>'$.k' AS INTEGER) >= 50
+    """,
+    doc="Schemaless-document decode via the VARIANT type — the "
+        "faithful Mongo-DBObject contract (SURVEY §1.3: schemaless "
+        "nested maps; mongotypes/package.scala:77-105 Option decode): "
+        "the JSON payload parses ONCE to binary variant, fields "
+        "extract with try_variant_get (missing/mistyped => typed "
+        "NULL, never an error), and the extracted value filters "
+        "downstream. No per-field string re-parse.",
+)
+def variant_schemaless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.typed import variant_decode
+    e = _engine(spark, sf_dir)
+    out = variant_decode(
+        e.table("events"), "props",
+        {"k_int": ("$.k", "int"),
+         "missing_field": ("$.missing", "string")},
+        keep=["event_id"])
+    return out.filter(F.col("k_int") >= 50)
+
+
 # ---------------------------------------------------------------------------
 # Reference parity: partitioned event-log scan (SURVEY §2.1 S7-S8, §3.3)
 # ---------------------------------------------------------------------------
@@ -624,7 +652,12 @@ _DRIVER_WINDOW = [
     "doc_pack_sequences", "sample_weighted_reservoir",
     # (sample_stratified rotated out late in r5 — multi-round green —
     # for the NEW A-ES weighted draw.)
-    "multimodal_features", "multimodal_patch_grid", "agg_geomean_udaf",
+    "multimodal_features", "multimodal_patch_grid",
+    # (agg_geomean_udaf rotated out late in r5 — green r2-r4, custom-fn
+    # family still in-window via text_sentences_udtf — for the NEW
+    # VARIANT schemaless decode, restoring decode-family representation
+    # after typed_as_projection rotated out.)
+    "variant_schemaless_decode",
     # (stream_quality_filter rotated out late in r5 — multi-round
     # green — for the NEW online-retrieval flagship stream_ann_probe.)
     "text_sentences_udtf", "stream_ann_probe", "stream_decontaminate",

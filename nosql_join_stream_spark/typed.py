@@ -22,6 +22,35 @@ def column(df: DataFrame, name: str, dtype: str | T.DataType) -> DataFrame:
     return df.select(F.col(name).try_cast(dtype).alias(name))
 
 
+def variant_decode(df: DataFrame, json_col: str,
+                   fields: dict[str, tuple[str, str]],
+                   keep: list[str] | None = None) -> DataFrame:
+    """Schemaless-document decode via Spark's VARIANT type — the
+    faithful form of the reference's Mongo contract (SURVEY §1.3,
+    §7.3.4: `DBObject` is a schemaless nested map; our fixed
+    StructType stand-in loses that).  The JSON payload parses ONCE to
+    a binary variant (``parse_json``), then each requested field
+    extracts with ``try_variant_get`` — missing path or mistyped
+    value ⇒ typed NULL, never an error: exactly the reference's
+    ``Option[T]`` decode (`mongotypes/package.scala:77-105`) applied
+    to truly dynamic payloads instead of fixed columns.
+
+    ``fields``: {out_name: (variant_path, sql_type)}, e.g.
+    ``{"k_int": ("$.k", "int")}``.  ``keep``: passthrough columns.
+
+    At 100 TB: variant is a binary columnar encoding — parse once,
+    extract many, no per-field JSON re-parse, and extraction is
+    JVM-side expression work (shredding/pushdown improves further as
+    Spark's variant support evolves) — versus regexp/json_tuple
+    re-parsing the string per field.
+    """
+    v = F.parse_json(F.col(json_col))
+    cols = [F.col(c) for c in (keep or [])]
+    cols += [F.try_variant_get(v, path, dtype).alias(name)
+             for name, (path, dtype) in fields.items()]
+    return df.select(*cols)
+
+
 def as_schema(df: DataFrame, schema: T.StructType | dict) -> DataFrame:
     """Multi-field name-matched projection with null-safe casts
     (reference P12).  ``schema``: StructType or {name: dtype} dict.

@@ -203,3 +203,28 @@ def test_midscan_corruption_fails_loudly(engine, spark, tmp_path):
     df = spark.read.parquet(out)  # planning OK — footers readable
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_variant_decode_option_semantics(spark, engine):
+    """VARIANT schemaless decode: present fields extract typed,
+    missing paths and mistyped extractions yield NULL (the reference's
+    Option[T] decode), never an error."""
+    from pyspark.sql import functions as F
+
+    from nosql_join_stream_spark.typed import variant_decode
+
+    rows = [(1, '{"k": 7, "s": "x", "nested": {"a": 1}}'),
+            (2, '{"s": "only-string"}'),
+            (3, '{"k": "not-an-int"}')]
+    df = spark.createDataFrame(rows, "id long, props string")
+    out = {r.id: (r.k_int, r.s_str, r.nested_a, r.absent)
+           for r in variant_decode(
+               df, "props",
+               {"k_int": ("$.k", "int"),
+                "s_str": ("$.s", "string"),
+                "nested_a": ("$.nested.a", "int"),
+                "absent": ("$.nope", "double")},
+               keep=["id"]).collect()}
+    assert out[1] == (7, "x", 1, None)
+    assert out[2] == (None, "only-string", None, None)
+    assert out[3][0] is None  # mistyped -> NULL, not an error
