@@ -52,6 +52,24 @@ def synthesize_media(df: DataFrame, text_col: str = "text",
     )
 
 
+def payload_dedup(media: DataFrame, payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Content-addressed EXACT dedup of binary media payloads — the
+    first dedup pass every multimodal pipeline runs (identical images
+    and clips are re-crawled constantly; byte-identical payloads are
+    cheap to kill before any decode).  One hash-aggregate shuffle on
+    the SHA-256 digest of the bytes: the digest (32 B) travels, the
+    payload (MBs at real scale) never does.  Returns one row per
+    distinct payload: (payload_sha, keep_id = smallest id, n_copies,
+    media_type).  At 100 TB the same digest column doubles as the
+    content-addressed storage key."""
+    return (media.groupBy(F.sha2(F.col(payload_col), 256)
+                           .alias("payload_sha"))
+                 .agg(F.min(id_col).alias("keep_id"),
+                      F.count("*").alias("n_copies"),
+                      F.min("media_type").alias("media_type")))
+
+
 def decode_image(payload: bytes) -> "object":
     """STUB — real decode needs PIL/libvips, absent from this
     container.  The Spark-side contract (bytes in, ndarray-like out)

@@ -652,7 +652,10 @@ _DRIVER_WINDOW = [
     "doc_pack_sequences", "sample_weighted_reservoir",
     # (sample_stratified rotated out late in r5 — multi-round green —
     # for the NEW A-ES weighted draw.)
-    "multimodal_features", "multimodal_patch_grid",
+    # (multimodal_features rotated out late in r5 — green r1-r4 — for
+    # the NEW content-addressed payload dedup; the mapInPandas media
+    # path stays in-window via multimodal_patch_grid.)
+    "multimodal_payload_dedup", "multimodal_patch_grid",
     # (agg_geomean_udaf rotated out late in r5 — green r2-r4, custom-fn
     # family still in-window via text_sentences_udtf — for the NEW
     # VARIANT schemaless decode, restoring decode-family representation

@@ -879,6 +879,31 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_payload_dedup",
+    """
+    SELECT sha256(text) AS payload_sha,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies,
+           MIN(CASE WHEN len(text) % 3 = 0 THEN 'image/png'
+                    WHEN len(text) % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END) AS media_type
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Content-addressed exact dedup of binary media payloads: one "
+        "hash-aggregate on the SHA-256 digest — 32 bytes travel, the "
+        "payload never does; the digest doubles as the "
+        "content-addressed storage key. Oracle recomputes the digest "
+        "over the synthesized payload's source text (payload = utf-8 "
+        "bytes, so sha256(text) == sha2(payload) byte-for-byte).",
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    media = multimodal.synthesize_media(e.table("documents"))
+    return multimodal.payload_dedup(media)
+
+
+@register(
     "sample_weighted_reservoir",
     r"""
     WITH d AS (
