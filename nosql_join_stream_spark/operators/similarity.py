@@ -108,12 +108,21 @@ def mmr_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     def kernel(pdf):
         import numpy as _np
         import pandas as _pd
+
+        def r6(x):
+            # round-half-AWAY-from-zero, matching Spark F.round and
+            # DuckDB ROUND.  numpy's half-EVEN diverges here for real:
+            # scores are arithmetic on 6-dp decimals (lam*rel - mu*div),
+            # which lands on exact x.xxxxxx5 boundaries routinely —
+            # caught as a 1-ulp oracle mismatch at sf0.001.
+            return _np.floor(_np.abs(x) * 1e6 + 0.5) / 1e6 * _np.sign(x)
+
         pdf = pdf.sort_values(corpus_id).reset_index(drop=True)
         V = _np.stack(pdf[vec].to_list()).astype("float64")
         nv = _np.linalg.norm(V, axis=1, keepdims=True)
         nv[nv == 0] = 1.0
         vn = V / nv
-        S = _np.round(vn @ vn.T, 6)
+        S = r6(vn @ vn.T)
         rel = pdf["sim"].to_numpy(dtype="float64")
         n = len(pdf)
         selected: list[int] = []
@@ -123,10 +132,10 @@ def mmr_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             best_sc, best_i = None, None
             for i in remaining:
                 if step == 0:
-                    sc = float(_np.round(lam * rel[i], 6))
+                    sc = float(r6(lam * rel[i]))
                 else:
                     div = max(S[i, j] for j in selected)
-                    sc = float(_np.round(lam * rel[i] - mu * div, 6))
+                    sc = float(r6(lam * rel[i] - mu * div))
                 if best_sc is None or sc > best_sc:
                     best_sc, best_i = sc, i
             selected.append(best_i)

@@ -9,7 +9,12 @@ driver contract in __spark_entry__.py).
 
 Float policy: any aggregate/derived float column is rounded (usually
 2-6 dp) IN BOTH the Spark query and the oracle, so summation-order
-differences between engines can't flip the hash.
+differences between engines can't flip the hash.  Rounding in PYTHON
+KERNELS must be half-AWAY-from-zero (Spark F.round / DuckDB ROUND),
+never numpy/python's half-even: values that are arithmetic on already-
+rounded decimals land on exact .5 boundaries routinely, and the two
+rules then diverge by 1 ulp of the rounding grain (caught at sf0.001
+in round 5 on MMR scores).
 """
 
 from __future__ import annotations

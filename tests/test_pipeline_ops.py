@@ -628,9 +628,12 @@ def test_mmr_topk_matches_python_greedy(spark, sf_dir, engine):
     vecs = {r.c_id: np.asarray(r.embedding, dtype="float64")
             for r in c.collect()}
 
+    def r6(x):  # half-away-from-zero, like Spark F.round / DuckDB ROUND
+        return float(np.floor(abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x)) \
+            if x != 0 else 0.0
+
     def cosine(a, b):
-        return float(np.round(
-            a @ b / (np.linalg.norm(a) * np.linalg.norm(b)), 6))
+        return r6(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
 
     deviated = 0
     for qid in range(10):
@@ -644,11 +647,11 @@ def test_mmr_topk_matches_python_greedy(spark, sf_dir, engine):
                 if cid in selected:
                     continue
                 if step == 0:
-                    sc = float(np.round(lam * rel[cid], 6))
+                    sc = r6(lam * rel[cid])
                 else:
                     div = max(cosine(vecs[cid], vecs[s])
                               for s in selected)
-                    sc = float(np.round(lam * rel[cid] - mu * div, 6))
+                    sc = r6(lam * rel[cid] - mu * div)
                 if best_sc is None or sc > best_sc:
                     best_sc, best_i = sc, cid
             selected.append(best_i)
