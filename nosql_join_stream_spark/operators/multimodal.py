@@ -100,6 +100,7 @@ def extract_features(media: DataFrame, batch_decode: bool = False) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
+        import numpy as _np
         import pandas as _pd
 
         def _decode_stub(payload: bytes):
@@ -123,7 +124,12 @@ def extract_features(media: DataFrame, batch_decode: bool = False) -> DataFrame:
                 "sha256": payloads.map(lambda b: _hl.sha256(b).hexdigest()),
                 "width": pdf["width"],
                 "height": pdf["height"],
-                "mean_luma": luma.round(6),
+                # half-away-from-zero (F.round/ROUND semantics): byte
+                # means are rationals that can land on .5 boundaries,
+                # where pandas' half-even .round diverges (registry
+                # float policy)
+                "mean_luma": _np.floor(luma.abs() * 1e6 + 0.5) / 1e6
+                             * _np.sign(luma),
             })
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)

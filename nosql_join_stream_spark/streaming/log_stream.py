@@ -257,6 +257,8 @@ def stateful_session_stats(stream: DataFrame,
                     "sum_value double")
 
     def fn(key, pdfs, state):
+        import math as _math
+
         import pandas as _pd
         if state.exists:
             last_ts, n_sessions, n_events, sum_value = state.get
@@ -271,9 +273,14 @@ def stateful_session_stats(stream: DataFrame,
         n_events += len(pdf)
         sum_value += float(pdf["value"].sum())
         state.update((last_ts, n_sessions, n_events, sum_value))
+        # half-away-from-zero (Spark F.round / DuckDB ROUND semantics):
+        # sums of 2-dp decimals hit exact .5 boundaries, where python's
+        # half-even round() diverges (registry float policy)
+        rsv = _math.floor(abs(sum_value) * 100 + 0.5) / 100 \
+            * (1 if sum_value >= 0 else -1)
         yield _pd.DataFrame([{"user_id": key[0], "n_sessions": n_sessions,
                               "n_events": n_events,
-                              "sum_value": round(sum_value, 2)}])
+                              "sum_value": rsv}])
 
     return (stream.groupBy("user_id")
             .applyInPandasWithState(fn, out_schema, state_schema,
@@ -373,6 +380,8 @@ def stateful_quality_ewma(stream: DataFrame, group_col: str,
     state_schema = "ewma double, n long"
 
     def fn(key, pdfs, state):
+        import math as _math
+
         import pandas as _pd
         if state.exists:
             ewma, n = state.get
@@ -383,8 +392,12 @@ def stateful_quality_ewma(stream: DataFrame, group_col: str,
             ewma = float(x) if ewma is None else alpha * float(x) + beta * ewma
         n += len(pdf)
         state.update((float(ewma), int(n)))
+        # half-away rounding: the fold is arithmetic on a small decimal
+        # grid, so .5 boundaries occur (registry float policy)
+        rew = _math.floor(abs(ewma) * 1e6 + 0.5) / 1e6 \
+            * (1 if ewma >= 0 else -1)
         yield _pd.DataFrame([{group_col: key[0], "n_seen": n,
-                              "ewma": round(ewma, 6)}])
+                              "ewma": rew}])
 
     return (stream.groupBy(group_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
