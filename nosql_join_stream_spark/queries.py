@@ -668,7 +668,10 @@ _DRIVER_WINDOW = [
     "variant_schemaless_decode",
     # (stream_quality_filter rotated out late in r5 — multi-round
     # green — for the NEW online-retrieval flagship stream_ann_probe.)
-    "text_sentences_udtf", "stream_ann_probe", "stream_decontaminate",
+    # (stream_decontaminate rotated out late in r5 — green r2-r4,
+    # contamination family stays via contamination_rate_by_source in
+    # the local gate — for the NEW streaming banded-dedup probe.)
+    "text_sentences_udtf", "stream_ann_probe", "stream_minhash_dedup_ingest",
     "dedup_incremental_batch",
     # r4 rotation survivors (first driver-verified in r4)
     # (text_paragraph_dedup rotated out late in r5 — green r4 — so the

@@ -1732,6 +1732,80 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_minhash_dedup_ingest",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    corp AS (SELECT * FROM e WHERE doc_id % 10 <> 9),
+    batch AS (SELECT * FROM e WHERE doc_id % 10 = 9),
+    p AS (SELECT c.doc_id AS left_id, b.doc_id AS right_id,
+                 count(*) AS common,
+                 any_value(c.n) AS n1, any_value(b.n) AS n2
+          FROM corp c JOIN batch b ON c.g = b.g
+          GROUP BY 1, 2)
+    SELECT left_id, right_id,
+           ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+    FROM p
+    WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6
+    """,
+    doc="Continuous BANDED dedup at ingest: arriving docs stream in, "
+        "each micro-batch probes the standing MinHash band index "
+        "(foreachBatch -> the zero-corpus-Exchange bucketed join) and "
+        "verified pairs land through the idempotent per-batch "
+        "partition overwrite — near-dups flagged on arrival at the "
+        "tier where even the exact gram index is too big. Index "
+        "growth stays the scheduled minhash_index_append (bucketBy "
+        "appends aren't replay-idempotent; probe/append split = the "
+        "vector index's serve/maintain separation). Single-batch "
+        "drain == batch cross-set dedup; oracle = the exact cross-set "
+        "SQL (banded == exact on this corpus).",
+)
+def stream_minhash_dedup_ingest(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    from nosql_join_stream_spark.streaming.log_stream import (
+        DOCUMENTS_SCHEMA, read_table_stream, stream_minhash_dedup)
+
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    db = f"nsjs_mh_strm_{tag}"
+    loc = os.path.join(tempfile.gettempdir(),
+                       f"nsjs_mh_strm_{os.getpid()}_{tag}")
+    if not spark.catalog.tableExists(f"{db}.corpus_bands"):
+        # standing-index semantics: build once per process, then every
+        # invocation is a pure streaming probe
+        corpus = docs.filter(F.col("doc_id") % 10 != 9)
+        seed = docs.filter(F.col("doc_id") % 10 == 9).limit(0)
+        dedup.minhash_pairs_between_bucketed(
+            corpus, seed, "text", "doc_id", db=db, location=loc,
+            rebuild=True).collect()
+    _STREAM_SEQ[0] += 1
+    run_dir = os.path.join(tempfile.gettempdir(),
+                           f"nsjs_mhsd_{os.getpid()}_{_STREAM_SEQ[0]}")
+    batch_stream = (read_table_stream(spark, table_path(sf_dir, "documents"),
+                                      DOCUMENTS_SCHEMA)
+                    .filter(F.col("doc_id") % 10 == 9))
+    stream_minhash_dedup(batch_stream, os.path.join(run_dir, "out"),
+                         os.path.join(run_dir, "ckpt"), db=db)
+    return (spark.read.parquet(os.path.join(run_dir, "out"))
+            .select("left_id", "right_id", "jaccard"))
+
+
+@register(
     "text_novelty_ratio",
     """
     WITH s AS (

@@ -450,6 +450,56 @@ def stream_ann_probe(query_stream: DataFrame, index_location: str,
     return q.start()
 
 
+def stream_minhash_dedup(doc_stream: DataFrame, out_path: str,
+                         checkpoint: str,
+                         content_col: str = "text",
+                         id_col: str = "doc_id",
+                         db: str = "nsjs_mh_index",
+                         threshold: float = 0.6,
+                         min_band_matches: int = 2,
+                         available_now: bool = True):
+    """Continuous banded dedup at ingest: each micro-batch of arriving
+    docs probes the STANDING MinHash band index
+    (``dedup.minhash_pairs_between_bucketed`` — batch band rows
+    sort-merge-join the bucketed corpus table, zero corpus-side
+    Exchange) and the verified (corpus_doc, new_doc, jaccard) pairs
+    land through the idempotent per-batch partition overwrite — a
+    near-dup is flagged the moment the doc arrives, at the banded
+    tier where even the exact gram index is too big.
+
+    The index itself stays read-only here: growth is the scheduled
+    ``minhash_index_append`` of accepted docs (a bucketBy table append
+    is not replay-idempotent, so folding it into the stream would
+    break the sink's exactly-once story — the probe/append split is
+    the same serve/maintain separation as the vector index).  With a
+    single-batch AvailableNow drain the output EQUALS the batch
+    cross-set dedup — the oracle.
+    """
+    from nosql_join_stream_spark.operators.dedup import (
+        minhash_pairs_between_bucketed)
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = minhash_pairs_between_bucketed(
+            batch_df, batch_df, content_col, id_col,
+            threshold=threshold, min_band_matches=min_band_matches,
+            db=db, rebuild=False)  # corpus arg unused on probe path
+        (pairs.withColumn("__batch_id", F.lit(batch_id))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__batch_id")
+              .parquet(out_path))
+
+    q = (doc_stream.writeStream.foreachBatch(probe_batch)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        sq = q.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return None
+    return q.start()
+
+
 def run_available_now(agg: DataFrame, query_name: str,
                       output_mode: str = "complete",
                       shuffle_partitions: int | None = 8) -> None:

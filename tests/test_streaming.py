@@ -315,6 +315,21 @@ def test_stream_quality_ewma_state_survives_restart(spark, tmp_path):
         assert abs(ge - round(e, 6)) < 1e-9, srcname
 
 
+def test_stream_minhash_dedup_equals_batch(spark, sf_dir):
+    """A single-batch drain of the streaming banded-dedup probe must
+    emit exactly the batch cross-set pairs (same standing index
+    semantics, same verify)."""
+    from nosql_join_stream_spark.queries import REGISTRY
+
+    got = {(r.left_id, r.right_id, r.jaccard) for r in
+           REGISTRY["stream_minhash_dedup_ingest"].fn(spark, sf_dir)
+           .collect()}
+    want = {(r.left_id, r.right_id, r.jaccard) for r in
+            REGISTRY["dedup_incremental_minhash"].fn(spark, sf_dir)
+            .collect()}
+    assert got == want and got
+
+
 def test_stream_token_budget_equals_batch_draw(spark, sf_dir):
     from nosql_join_stream_spark.queries import REGISTRY
     got = {(r.doc_id, r.source, r.n_tokens) for r in
