@@ -1,0 +1,83 @@
+"""Data-quality expectations — declarative constraint checking.
+
+Beyond the reference (which trusts its fixtures; SURVEY §5): a 100 TB
+ingest needs machine-checked contracts — null rates, value ranges,
+uniqueness, referential integrity — evaluated as a handful of
+map-side-combinable aggregates, never a row-by-row validator.  The
+pattern is public (Deequ / Great Expectations-style constraint
+suites); the implementation here is plain DataFrame aggregation.
+
+Three rule kinds, one report schema (rule, n_rows, n_violations,
+passed):
+
+- ``row_rule(name, predicate)`` — predicate must hold per row; the
+  violation count is one SUM over the negated predicate (NULL counts
+  as a violation: an unevaluable constraint is a broken one).
+- ``unique_rule(name, cols)`` — violations = rows beyond the first of
+  each duplicated key (n_rows − n_distinct): one partial-agg distinct.
+- ``fk_rule(name, ref_df, key, ref_key)`` — referential integrity:
+  violations = rows whose key has no match (left-anti join; broadcast
+  when the reference side is a dimension).
+
+Each rule is a tiny 1-row aggregate; the report unions them —
+evaluation cost is one scan per source table (Spark shares the scan
+across same-table rules via plan reuse), and the report is a handful
+of rows regardless of data size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class _Rule:
+    name: str
+    frame: DataFrame  # 1-row (rule, n_rows, n_violations)
+
+
+def row_rule(name: str, df: DataFrame, predicate: Column) -> _Rule:
+    """Per-row constraint; NULL predicate = violation (an unevaluable
+    constraint is a broken one, not a pass)."""
+    viol = F.sum(F.when(F.coalesce(predicate, F.lit(False)), 0)
+                  .otherwise(1)).cast("long")
+    return _Rule(name, df.agg(
+        F.lit(name).alias("rule"),
+        F.count("*").alias("n_rows"),
+        F.coalesce(viol, F.lit(0)).alias("n_violations")))
+
+
+def unique_rule(name: str, df: DataFrame, cols: list[str]) -> _Rule:
+    """Key-uniqueness: violations = rows beyond the first per key."""
+    return _Rule(name, df.agg(
+        F.lit(name).alias("rule"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count_distinct(*[F.col(c) for c in cols]))
+            .cast("long").alias("n_violations")))
+
+
+def fk_rule(name: str, df: DataFrame, ref: DataFrame,
+            key: str, ref_key: str) -> _Rule:
+    """Referential integrity: violations = rows whose key value has no
+    match in the reference table (broadcast anti-join — reference
+    sides are dimensions)."""
+    orphans = df.join(F.broadcast(ref.select(F.col(ref_key).alias(key))
+                                     .distinct()),
+                      key, "left_anti")
+    return _Rule(name, df.agg(F.count("*").alias("n_rows")).crossJoin(
+        orphans.agg(F.count("*").cast("long").alias("n_violations")))
+        .select(F.lit(name).alias("rule"), "n_rows", "n_violations"))
+
+
+def expectations_report(rules: list[_Rule]) -> DataFrame:
+    """Union the rule aggregates into one (rule, n_rows, n_violations,
+    passed) report — a handful of rows regardless of data size."""
+    if not rules:
+        raise ValueError("expectations_report needs at least one rule")
+    out = rules[0].frame
+    for r in rules[1:]:
+        out = out.unionByName(r.frame)
+    return out.withColumn("passed", (F.col("n_violations") == 0))

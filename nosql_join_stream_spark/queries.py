@@ -678,7 +678,10 @@ _DRIVER_WINDOW = [
     # split-leakage detect/fix pair is driver-verified together.)
     "dedup_simhash", "dedup_resolve_keep_best_minhash",
     "pipeline_split_safe", "sample_token_budget",
-    "text_tfidf_topk", "cluster_assign_kmeans", "embedding_quantize",
+    # (text_tfidf_topk rotated out late in r5 — green r4, retrieval
+    # family stays via bm25_search + retrieval_mmr_diversified — for
+    # the NEW expectations suite.)
+    "data_quality_report", "cluster_assign_kmeans", "embedding_quantize",
     "pipeline_materialize_training", "agg_approx_percentiles",
     # Round-5 rotation (slots are scarce; every family member should be
     # driver-verified at least once across rounds).  Rotated OUT, all

@@ -879,6 +879,84 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_quality_report",
+    """
+    SELECT 'orders_price_positive' AS rule,
+           (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT COALESCE(o_totalprice > 0, FALSE)) AS n_violations,
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT COALESCE(o_totalprice > 0, FALSE)) = 0 AS passed
+    UNION ALL
+    SELECT 'orders_date_not_null',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT COALESCE(o_orderdate IS NOT NULL, FALSE)),
+           (SELECT COUNT(*) FROM orders
+            WHERE NOT COALESCE(o_orderdate IS NOT NULL, FALSE)) = 0
+    UNION ALL
+    SELECT 'orders_key_unique',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) = 0
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)) = 0
+    UNION ALL
+    SELECT 'documents_text_nonempty',
+           (SELECT COUNT(*) FROM documents),
+           (SELECT COUNT(*) FROM documents
+            WHERE NOT COALESCE(len(trim(text)) > 0, FALSE)),
+           (SELECT COUNT(*) FROM documents
+            WHERE NOT COALESCE(len(trim(text)) > 0, FALSE)) = 0
+    """,
+    doc="Declarative data-quality expectations (Deequ-style constraint "
+        "suite, public pattern): range / not-null / uniqueness / "
+        "referential-integrity rules each evaluate as one map-side "
+        "combinable aggregate (unique = count-distinct, FK = broadcast "
+        "anti-join), unioned into a handful-of-rows report — the "
+        "ingest contract a 100 TB pipeline machine-checks before any "
+        "downstream operator trusts the data. NULL constraint "
+        "evaluations count as violations (an unevaluable constraint "
+        "is a broken one).",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.expectations import (
+        expectations_report, fk_rule, row_rule, unique_rule)
+    e = _engine(spark, sf_dir)
+    orders = e.table("orders")
+    lineitem = e.table("lineitem")
+    customer = e.table("customer")
+    docs = e.table("documents")
+    return expectations_report([
+        row_rule("orders_price_positive", orders,
+                 F.col("o_totalprice") > 0),
+        row_rule("orders_date_not_null", orders,
+                 F.col("o_orderdate").isNotNull()),
+        unique_rule("orders_key_unique", orders, ["o_orderkey"]),
+        fk_rule("orders_custkey_fk", orders, customer,
+                "o_custkey", "c_custkey"),
+        row_rule("lineitem_qty_range", lineitem,
+                 F.col("l_quantity").between(1, 50)),
+        row_rule("documents_text_nonempty", docs,
+                 F.length(F.trim(F.col("text"))) > 0),
+    ])
+
+
+@register(
     "multimodal_payload_dedup",
     """
     SELECT sha256(text) AS payload_sha,

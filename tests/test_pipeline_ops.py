@@ -531,6 +531,34 @@ def test_budget_per_group_rejects_sub_one_weights(spark):
         sampling.budget_per_group(ndf, "grp", "id", "w", budget=5).collect()
 
 
+def test_expectations_report_counts_planted_violations(spark):
+    """Each rule kind must count EXACTLY its planted violations: range
+    breaks + NULL constraint evaluations (row_rule), duplicate keys
+    (unique_rule), and orphan foreign keys (fk_rule)."""
+    from nosql_join_stream_spark.operators.expectations import (
+        expectations_report, fk_rule, row_rule, unique_rule)
+
+    rows = [(1, 10.0, 100), (2, -5.0, 100), (3, None, 200),
+            (3, 7.0, 999), (4, 1.0, None)]
+    df = spark.createDataFrame(rows, "id long, amount double, ref long")
+    ref = spark.createDataFrame([(100,), (200,)], "k long")
+    rep = {r.rule: (r.n_rows, r.n_violations, r.passed)
+           for r in expectations_report([
+               row_rule("amount_positive", df, F.col("amount") > 0),
+               unique_rule("id_unique", df, ["id"]),
+               fk_rule("ref_fk", df, ref, "ref", "k"),
+           ]).collect()}
+    # -5.0 fails, NULL amount is an unevaluable constraint -> violation
+    assert rep["amount_positive"] == (5, 2, False)
+    assert rep["id_unique"] == (5, 1, False)          # id 3 twice
+    assert rep["ref_fk"] == (5, 2, False)             # 999 and NULL ref
+    ok = expectations_report(
+        [row_rule("ids_positive", df, F.col("id") > 0)]).collect()[0]
+    assert ok.passed and ok.n_violations == 0
+    with pytest.raises(ValueError, match="at least one rule"):
+        expectations_report([])
+
+
 def test_weighted_sample_no_replacement(spark, sf_dir):
     """The A-ES draw must equal a plain-Python replay (same hash
     uniforms, same ln(u)/w keys, same rounding/tie-breaks), contain no

@@ -42,7 +42,10 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             "ann_ivf_partitioned", "ann_ivf_append_probe",
             "ann_ivf_filtered", "stream_ann_probe",
             # MMR's candidate fetch is the intentional brute top-pool
-            "retrieval_mmr_diversified"}
+            "retrieval_mmr_diversified",
+            # fk_rule stitches two 1-row aggregates (n_rows x
+            # n_violations) — the standard 1-row-scalar BNLJ
+            "data_quality_report"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
