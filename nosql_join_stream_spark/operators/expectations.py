@@ -72,6 +72,40 @@ def fk_rule(name: str, df: DataFrame, ref: DataFrame,
         .select(F.lit(name).alias("rule"), "n_rows", "n_violations"))
 
 
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column profile in ONE aggregate pass: per column
+    — null count, exact distinct count (NULLs excluded, both engines'
+    COUNT DISTINCT convention), numeric min/max via try_cast to
+    double (non-numeric values profile as NULL bounds, never error).
+    The single .agg computes every statistic map-side-combinable in
+    one scan; ``stack`` unpivots the 1-row result into one row per
+    column — at 100 TB this is one pass over the table regardless of
+    how many columns are profiled, the profile that drives
+    partition-size planning, skew checks, and expectations-rule
+    thresholds."""
+    if not cols:
+        raise ValueError("table_profile needs at least one column")
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.round(F.min(F.col(c).try_cast("double")), 4)
+             .alias(f"__mn_{c}"),
+            F.round(F.max(F.col(c).try_cast("double")), 4)
+             .alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {parts}) AS "
+        "(col_name, n_nulls, n_distinct, min_num, max_num)",
+        "__n AS n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct",
+             "min_num", "max_num")
+
+
 def expectations_report(rules: list[_Rule]) -> DataFrame:
     """Union the rule aggregates into one (rule, n_rows, n_violations,
     passed) report — a handful of rows regardless of data size."""

@@ -957,6 +957,52 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_profile_orders",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+    SELECT 'o_custkey' AS col_name, n.n_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_nulls,
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_distinct,
+           (SELECT ROUND(MIN(TRY_CAST(o_custkey AS DOUBLE)), 4)
+            FROM orders) AS min_num,
+           (SELECT ROUND(MAX(TRY_CAST(o_custkey AS DOUBLE)), 4)
+            FROM orders) AS max_num
+    FROM n
+    UNION ALL
+    SELECT 'o_totalprice', n.n_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL),
+           (SELECT COUNT(DISTINCT o_totalprice) FROM orders),
+           (SELECT ROUND(MIN(TRY_CAST(o_totalprice AS DOUBLE)), 4)
+            FROM orders),
+           (SELECT ROUND(MAX(TRY_CAST(o_totalprice AS DOUBLE)), 4)
+            FROM orders)
+    FROM n
+    UNION ALL
+    SELECT 'o_orderstatus', n.n_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL),
+           (SELECT COUNT(DISTINCT o_orderstatus) FROM orders),
+           (SELECT ROUND(MIN(TRY_CAST(o_orderstatus AS DOUBLE)), 4)
+            FROM orders),
+           (SELECT ROUND(MAX(TRY_CAST(o_orderstatus AS DOUBLE)), 4)
+            FROM orders)
+    FROM n
+    """,
+    doc="ANALYZE-style column profile in ONE aggregate pass (null "
+        "count, exact distinct, numeric min/max via try_cast — "
+        "non-numeric bounds profile as NULL, never error): one scan "
+        "regardless of how many columns are profiled; stack unpivots "
+        "the 1-row aggregate into a per-column report. Drives "
+        "partition-size planning, skew checks, and expectations "
+        "thresholds.",
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.expectations import table_profile
+    e = _engine(spark, sf_dir)
+    return table_profile(e.table("orders"),
+                         ["o_custkey", "o_totalprice", "o_orderstatus"])
+
+
+@register(
     "multimodal_payload_dedup",
     """
     SELECT sha256(text) AS payload_sha,

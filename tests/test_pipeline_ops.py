@@ -1238,3 +1238,22 @@ def test_dedup_index_append_extends_standing_index(spark, tmp_path):
     # batch2 hits BOTH the original corpus doc and batch1's appended
     # copy (exact duplicate of it -> jaccard 1.0)
     assert got == {(1, 201), (101, 201)}
+
+
+def test_table_profile_one_pass_stats(spark):
+    """Per-column stats from one aggregate: nulls counted, distinct
+    excludes NULLs (both engines' convention), numeric bounds via
+    try_cast (strings without numeric form -> NULL bounds)."""
+    from nosql_join_stream_spark.operators.expectations import table_profile
+    rows = [(1, 5.0, "a"), (2, None, "b"), (3, 5.0, None), (4, 9.5, "42")]
+    df = spark.createDataFrame(rows, "id long, x double, s string")
+    prof = {r.col_name: r for r in
+            table_profile(df, ["x", "s"]).collect()}
+    assert prof["x"].n_rows == 4 and prof["x"].n_nulls == 1
+    assert prof["x"].n_distinct == 2          # {5.0, 9.5}
+    assert (prof["x"].min_num, prof["x"].max_num) == (5.0, 9.5)
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 3
+    assert (prof["s"].min_num, prof["s"].max_num) == (42.0, 42.0)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one column"):
+        table_profile(df, [])
