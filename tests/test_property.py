@@ -348,3 +348,45 @@ def test_edit_distance_pairs_equals_python_brute(spark, words):
                 if d <= 2:
                     want.add((i, j, d))
     assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_minhash_standing_index_equals_inline_cross(spark, tmp_path_factory,
+                                                    data):
+    """The standing bucketed band index must answer EXACTLY like the
+    inline cross-set PPJoin on random corpora with planted cross-set
+    near-dups — same pairs, same jaccard values (the bucketed layout
+    is a physical optimization, never a semantic one)."""
+    from nosql_join_stream_spark.operators.dedup import (
+        minhash_pairs_between_bucketed, ngram_jaccard_pairs_between)
+    rng = data.draw(st.randoms(use_true_random=False))
+    vocab = [f"w{i}" for i in range(150)]
+    corpus, batch = [], []
+    for i in range(12):
+        toks = [rng.choice(vocab) for _ in range(40)]
+        corpus.append((i, " ".join(toks)))
+        if i % 2 == 0:  # planted near-dup of a corpus doc in the batch
+            dup = list(toks)
+            dup[rng.randrange(40)] = rng.choice(vocab)
+            batch.append((1000 + i, " ".join(dup)))
+        else:           # unrelated batch doc
+            batch.append((1000 + i,
+                          " ".join(rng.choice(vocab) for _ in range(40))))
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    loc = str(tmp_path_factory.mktemp("mh_prop"))
+    spark.sql("DROP DATABASE IF EXISTS nsjs_mh_prop CASCADE")
+    got = {(r.left_id, r.right_id, r.jaccard) for r in
+           minhash_pairs_between_bucketed(
+               cdf, bdf, "text", "doc_id", threshold=0.6,
+               min_band_matches=1, db="nsjs_mh_prop",
+               location=loc, rebuild=True).collect()}
+    want = {(r.left_id, r.right_id, r.jaccard) for r in
+            ngram_jaccard_pairs_between(
+                cdf, bdf, "text", "doc_id", threshold=0.6).collect()}
+    # every emitted pair is exact-verified (precision); at the planted
+    # j≈0.9 regime single-band recall is ~1, so the sets coincide
+    assert got == want and got
+    spark.sql("DROP DATABASE IF EXISTS nsjs_mh_prop CASCADE")
