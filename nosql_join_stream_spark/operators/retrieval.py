@@ -39,6 +39,60 @@ def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
               .filter(F.col("tok") != ""))
 
 
+def collocations_pmi(df: DataFrame, text_col: str, id_col: str,
+                     k: int = 20, min_count: int = 5) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information —
+    corpus phrase mining (Church & Hanks 1990, public literature):
+    ``PMI(a,b) = ln( (c_ab/Nb) / ((c_a/N)·(c_b/N)) )`` over adjacent
+    word pairs, restricted to pairs seen ≥ ``min_count`` times (raw
+    PMI over-rewards hapax pairs).  The phrases an LLM corpus pipeline
+    wants as tokenizer-merge seeds, stop-phrase lists, or boilerplate
+    fingerprints.
+
+    Scale shape: adjacency comes from two length-aligned slices zipped
+    JVM-side (no self-join on positions); unigram and bigram counts
+    are map-side-combined hash aggregates; the two corpus totals ride
+    a 1-row broadcast; the unigram table joins back by token (shuffle
+    on the token key — linear).  Final top-k is a
+    TakeOrderedAndProject on (pmi desc, w1, w2) with 4-dp rounding —
+    a total order, so the ranking replays as SQL (the oracle).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_tok = F.size(toks)
+    pairs = (df.select(F.explode(F.when(
+                 n_tok >= 2,
+                 F.zip_with(F.slice(toks, 1, n_tok - 1),
+                            F.slice(toks, 2, n_tok - 1),
+                            lambda a, b: F.struct(a.alias("w1"),
+                                                  b.alias("w2"))))
+                 .otherwise(F.array())).alias("p"))
+               .select("p.w1", "p.w2"))
+    # same \s+ tokenization as the bigram side (NOT _tokens' single-
+    # space split) so unigram and bigram counts describe one stream
+    uni = (df.select(F.explode(toks).alias("tok"))
+             .filter(F.col("tok") != "")
+             .groupBy("tok").agg(F.count("*").alias("c")))
+    big = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+                .filter(F.col("c_ab") >= min_count))
+    totals = (uni.agg(F.sum("c").cast("double").alias("n_uni"))
+                 .crossJoin(pairs.agg(F.count("*").cast("double")
+                                      .alias("n_bi"))))
+    scored = (_join_scalar(big, totals)
+              .join(uni.select(F.col("tok").alias("w1"),
+                               F.col("c").alias("c_a")), "w1")
+              .join(uni.select(F.col("tok").alias("w2"),
+                               F.col("c").alias("c_b")), "w2")
+              .withColumn("pmi", F.round(F.log(
+                  (F.col("c_ab") / F.col("n_bi"))
+                  / ((F.col("c_a") / F.col("n_uni"))
+                     * (F.col("c_b") / F.col("n_uni")))), 4)))
+    # orderBy+limit -> TakeOrderedAndProject (distributed top-k; a
+    # global rank window would be a single-task cliff, bm25 precedent)
+    return (scored.select("w1", "w2", "c_ab", "pmi")
+                  .orderBy(F.col("pmi").desc(), "w1", "w2")
+                  .limit(k))
+
+
 def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
                k: int = 3) -> DataFrame:
     """Top-``k`` TF-IDF terms per document.

@@ -957,6 +957,47 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_collocations_pmi",
+    r"""
+    WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+               FROM documents),
+    uc AS (SELECT w, COUNT(*) AS c
+           FROM (SELECT unnest(tk) AS w FROM t) WHERE w <> '' GROUP BY w),
+    nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uc),
+    bg AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+             SELECT unnest(list_transform(range(1, len(tk)),
+                    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS p
+             FROM t)),
+    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bi FROM bg),
+    bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    s AS (SELECT bc.w1, bc.w2, bc.c_ab,
+                 ROUND(ln((bc.c_ab / nb.n_bi)
+                          / ((a.c / nu.n_uni) * (b2.c / nu.n_uni))), 4)
+                   AS pmi
+          FROM bc CROSS JOIN nb CROSS JOIN nu
+          JOIN uc a ON a.w = bc.w1
+          JOIN uc b2 ON b2.w = bc.w2)
+    SELECT w1, w2, c_ab, pmi FROM s
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    doc="Top-20 collocations by pointwise mutual information (Church "
+        "& Hanks 1990) over adjacent word pairs seen >= 5 times — the "
+        "phrase-mining pass that seeds tokenizer merges, stop-phrase "
+        "lists, and boilerplate fingerprints. Adjacency via two "
+        "length-aligned slices zipped JVM-side (no position "
+        "self-join); counts map-side combined; corpus totals ride a "
+        "1-row broadcast; distributed TakeOrderedAndProject top-k on "
+        "the (pmi, w1, w2) total order.",
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.retrieval import collocations_pmi
+    e = _engine(spark, sf_dir)
+    return collocations_pmi(e.table("documents"), "text", "doc_id",
+                            k=20, min_count=5)
+
+
+@register(
     "table_profile_orders",
     """
     WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)

@@ -232,3 +232,25 @@ def test_stratified_sample_rejects_bad_rates(spark):
     with _pytest.raises(ValueError, match="per-mille"):
         sampling.stratified_sample(df, "doc_id", "lang", {},
                                    default_per_mille=-1)
+
+
+def test_collocations_pmi_hand_computed(spark):
+    """PMI on a corpus with one planted collocation: 'neural network'
+    co-occurs far above chance, filler pairs sit at/below it; the
+    hand-computed PMI value must match to 4 dp."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nosql_join_stream_spark.operators.retrieval import collocations_pmi
+
+    # 6 docs x "neural network" + independent filler tokens
+    rows = [(i, "neural network " + " ".join(
+                f"f{j}_{i}" for j in range(4))) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations_pmi(df, "text", "doc_id", k=5, min_count=5).collect()
+    assert [(r.w1, r.w2, r.c_ab) for r in out] == [("neural", "network", 6)]
+    n_uni = 6 * 6          # 36 tokens
+    n_bi = 6 * 5           # 30 adjacent pairs
+    want = round(math.log((6 / n_bi) / ((6 / n_uni) * (6 / n_uni))), 4)
+    assert out[0].pmi == want

@@ -45,7 +45,9 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             "retrieval_mmr_diversified",
             # fk_rule stitches two 1-row aggregates (n_rows x
             # n_violations) — the standard 1-row-scalar BNLJ
-            "data_quality_report"}
+            "data_quality_report",
+            # PMI attaches the two corpus totals via 1-row broadcasts
+            "text_collocations_pmi"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
