@@ -875,6 +875,49 @@ def edit_distance_pairs(df: DataFrame, content_col: str, id_col: str,
                     .select("id1", "id2", "distance"))
 
 
+def dedup_index_compact(spark, db: str, tables_buckets=None,
+                        num_buckets: int = 16) -> dict[str, int]:
+    """Compact a standing dedup index's bucketed tables — the file-
+    count maintenance both index families need: every
+    ``*_index_append`` lands one new file per bucket per batch, so a
+    year of daily appends means ~365 files per bucket and scan/open
+    overhead creeps into every probe.
+
+    Mechanism: each table is rewritten FROM ITSELF (no corpus
+    re-shingle, no signature recompute — one read + one bucketed
+    write per table) into a fresh table name, then swapped in with
+    catalog renames; the bucket spec is preserved, so probe joins
+    keep their zero-corpus-Exchange plans and results are identical
+    (pinned in tests).  Write-then-rename rather than overwrite-in-
+    place because Spark (rightly) refuses a self-overwrite, and the
+    rename window leaves either the old or the new complete table
+    visible — never a partial one.
+
+    ``tables_buckets``: {table_name: bucket_cols} — defaults to the
+    PPJoin index layout (``corpus_prefix`` by gram, ``corpus_sets``
+    by id); pass the band-index layout for the MinHash family.
+    Returns {table: n_files_after}.
+    """
+    if tables_buckets is None:
+        tables_buckets = {"corpus_prefix": ["g"], "corpus_sets": ["id"]}
+    from nosql_join_stream_spark.sinks import write_bucketed
+
+    out: dict[str, int] = {}
+    for t, bucket_cols in tables_buckets.items():
+        full = f"{db}.{t}"
+        if not spark.catalog.tableExists(full):
+            raise ValueError(f"no standing index table {full}")
+        sort_by = bucket_cols  # both layouts sort by their bucket key
+        write_bucketed(spark.table(full), f"{full}_compacting",
+                       bucket_cols, num_buckets=num_buckets,
+                       sort_by=sort_by)
+        spark.sql(f"ALTER TABLE {full} RENAME TO {db}.{t}_old")
+        spark.sql(f"ALTER TABLE {db}.{t}_compacting RENAME TO {db}.{t}")
+        spark.sql(f"DROP TABLE {db}.{t}_old")
+        out[t] = len(spark.table(full).inputFiles())
+    return out
+
+
 def resolve_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
                       score_col: str) -> DataFrame:
     """Near-dup resolution keeping the BEST-scoring member of each

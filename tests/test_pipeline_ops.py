@@ -1257,3 +1257,45 @@ def test_table_profile_one_pass_stats(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="at least one column"):
         table_profile(df, [])
+
+
+def test_dedup_index_compact_shrinks_files_keeps_answers(spark, tmp_path):
+    """Appends accumulate one file per bucket per batch; compaction
+    rewrites each table from itself (no re-shingle), swaps via catalog
+    renames, and must shrink the file count while probe answers stay
+    identical. Covers both index families via tables_buckets."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated words entirely distinct content here")],
+        "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(501, base.rsplit(" ", 1)[0] + " kilo")],
+        "doc_id long, text string")
+    db, loc = "nsjs_idx_cmp", str(tmp_path / "idx")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, probe, "text", "doc_id", db=db, location=loc,
+        rebuild=True).collect()
+    for i in range(4):  # 4 appended batches -> 4 extra files/bucket
+        b = spark.createDataFrame(
+            [(100 + i, f"filler{i} tokens nothing shared here at all")],
+            "doc_id long, text string")
+        dedup.dedup_index_append(b, "text", "doc_id", db=db)
+    before_files = len(spark.table(f"{db}.corpus_prefix").inputFiles())
+    before = {(r.left_id, r.right_id, r.jaccard) for r in
+              dedup.ngram_jaccard_pairs_between_bucketed(
+                  corpus, probe, "text", "doc_id", db=db, location=loc,
+                  rebuild=False).collect()}
+
+    after_counts = dedup.dedup_index_compact(spark, db)
+    assert set(after_counts) == {"corpus_prefix", "corpus_sets"}
+    assert after_counts["corpus_prefix"] < before_files
+    after = {(r.left_id, r.right_id, r.jaccard) for r in
+             dedup.ngram_jaccard_pairs_between_bucketed(
+                 corpus, probe, "text", "doc_id", db=db, location=loc,
+                 rebuild=False).collect()}
+    assert after == before and after  # answers identical
+    with pytest.raises(ValueError, match="no standing index table"):
+        dedup.dedup_index_compact(spark, db, {"nope": ["g"]})
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
