@@ -706,6 +706,33 @@ _DRIVER_WINDOW = [
 ]
 
 
+# Round-6 rotation shortlist — the 36 queries that have never held a
+# driver CORRECTNESS row after r5's window runs (all full local
+# oracles; verification debt, not suspected wrongness).  Prefer family
+# representatives with zero driver history over re-verifying stable
+# parity slots: asof_join_nearest, events_coactivity_range_join,
+# events_cohort_retention, events_rate_spikes (events analytics);
+# text_collocations_pmi, text_langid, text_normalize,
+# text_boilerplate_ratio, text_chunk_sliding (text);
+# multimodal_resize, multimodal_frame_sample, multimodal_embed_stub
+# (multimodal); embedding_dim_stats, embedding_label_centroids,
+# mine_contrastive_pairs (embedding); sample_global_shuffle,
+# sample_temperature_weights (sampling); table_profile_orders,
+# corpus_stats, stream_dim_stats, mql_not_filter (misc).
+_ROTATION_SHORTLIST_R6 = [
+    "asof_join_nearest", "events_coactivity_range_join",
+    "events_cohort_retention", "events_rate_spikes",
+    "text_collocations_pmi", "text_langid", "text_normalize",
+    "text_boilerplate_ratio", "text_chunk_sliding",
+    "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_embed_stub", "embedding_dim_stats",
+    "embedding_label_centroids", "mine_contrastive_pairs",
+    "sample_global_shuffle", "sample_temperature_weights",
+    "table_profile_orders", "corpus_stats", "stream_dim_stats",
+    "mql_not_filter",
+]
+
+
 def _apply_driver_window() -> None:
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
     if missing:  # renames must break loudly, not silently shrink coverage
