@@ -374,6 +374,45 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_assign",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS ns
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_idx
+    FROM g
+    """,
+    doc="Per-EVENT session assignment (30-min gap): lag flag + running "
+        "sum gives each event its (user_id, session_idx) key - the "
+        "grouping key sessionized training examples are built on "
+        "(sessionize aggregates the same cut; this emits the "
+        "assignment). Per-user windows parallelize across the "
+        "cluster; no global window.",
+)
+def events_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    ns = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id")                 .rowsBetween(Window.unboundedPreceding, 0)
+    return (e.table("events")
+            .withColumn("session_idx",
+                        F.sum(ns).over(run).cast("bigint"))
+            .select("event_id", "user_id", "session_idx"))
+
+
+@register(
     "sessionize",
     """
     WITH gaps AS (
