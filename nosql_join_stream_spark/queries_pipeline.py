@@ -957,6 +957,48 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_entropy",
+    r"""
+    WITH t AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS w
+        FROM documents) WHERE w <> '' GROUP BY doc_id, w),
+    n AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n_tok FROM t
+          GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(n.n_tok AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_types,
+           ROUND(-SUM((t.c / n.n_tok) * ln(t.c / n.n_tok)), 4) AS entropy
+    FROM t JOIN n ON t.doc_id = n.doc_id
+    GROUP BY t.doc_id, n.n_tok
+    """,
+    doc="Per-document token (Shannon) entropy + type count — the "
+        "repetitiveness/gibberish curation signal: low entropy flags "
+        "templated or repeated text below any pairwise-dedup "
+        "threshold, abnormally high entropy flags tokenizer-hostile "
+        "noise. Two map-side-combinable hash aggregates (doc×token, "
+        "then doc), nothing quadratic, entropy math JVM-side.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = (e.table("documents")
+           .select("doc_id", F.explode(toks).alias("w"))
+           .filter(F.col("w") != "")
+           .groupBy("doc_id", "w").agg(F.count("*").alias("c")))
+    n = tok.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n_tok"))
+    p = F.col("c") / F.col("n_tok")
+    return (tok.join(n, "doc_id")
+            .groupBy("doc_id", "n_tok")
+            .agg(F.count("*").alias("n_types"),
+                 F.round(-F.sum(p * F.log(p)), 4).alias("entropy"))
+            .select("doc_id", F.col("n_tok").cast("bigint").alias("n_tokens"),
+                    "n_types", "entropy"))
+
+
+@register(
     "text_collocations_pmi",
     r"""
     WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS tk
