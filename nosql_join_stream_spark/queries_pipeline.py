@@ -957,6 +957,61 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_zipf_fit",
+    r"""
+    WITH uc AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents) WHERE w <> '' GROUP BY w),
+    top AS (SELECT w, c FROM uc ORDER BY c DESC, w LIMIT 1000),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM top),
+    xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+           FROM ranked)
+    SELECT COUNT(*) AS n_fit,
+           ROUND(covar_pop(x, y) / var_pop(x), 4) AS slope,
+           ROUND(AVG(y) - (covar_pop(x, y) / var_pop(x)) * AVG(x), 4)
+             AS intercept,
+           ROUND(covar_pop(x, y) * covar_pop(x, y)
+                 / (var_pop(x) * var_pop(y)), 4) AS r2
+    FROM xy
+    """,
+    doc="Zipf-law fit over the top-1000 token frequencies: least-"
+        "squares slope/intercept/R² on the log-log rank-frequency "
+        "curve — the corpus-health diagnostic (natural language sits "
+        "near slope -1; templated or synthetic corpora drift, and a "
+        "drifting slope across ingest days flags a source mix "
+        "change). Frequencies: one combinable hash aggregate; "
+        "top-1000 via distributed TakeOrderedAndProject; the rank "
+        "window runs over the 1000-row head only (bounded by "
+        "construction, not a corpus-size window); regression is one "
+        "covar/var aggregate.",
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    uc = (e.table("documents")
+          .select(F.explode(toks).alias("w"))
+          .filter(F.col("w") != "")
+          .groupBy("w").agg(F.count("*").alias("c")))
+    from pyspark.sql import Window
+    top = uc.orderBy(F.col("c").desc(), "w").limit(1000)
+    # rank window over <= 1000 rows (post-limit) — bounded by
+    # construction, not a corpus-size single-task window
+    w = Window.orderBy(F.col("c").desc(), "w")
+    xy = (top.withColumn("r", F.row_number().over(w))
+             .select(F.log(F.col("r").cast("double")).alias("x"),
+                     F.log(F.col("c").cast("double")).alias("y")))
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return xy.agg(
+        F.count("*").alias("n_fit"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("intercept"),
+        F.round(F.covar_pop("x", "y") * F.covar_pop("x", "y")
+                / (F.var_pop("x") * F.var_pop("y")), 4).alias("r2"))
+
+
+@register(
     "text_token_entropy",
     r"""
     WITH t AS (
