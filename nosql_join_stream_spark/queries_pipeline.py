@@ -957,6 +957,61 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_vocab_overlap",
+    r"""
+    WITH sv AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source, unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS w
+        FROM documents) WHERE w <> ''),
+    sz AS (SELECT source, COUNT(*) AS n FROM sv GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS common
+      FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b,
+           ROUND(i.common * 1.0 / (za.n + zb.n - i.common), 4) AS vocab_jaccard
+    FROM inter i
+    JOIN sz za ON za.source = i.src_a
+    JOIN sz zb ON zb.source = i.src_b
+    WHERE ROUND(i.common * 1.0 / (za.n + zb.n - i.common), 4) >= 0.2
+    """,
+    doc="Cross-source vocabulary Jaccard (corpus cartography): which "
+        "sources speak the same language/domain — near-identical "
+        "vocabularies flag mirror/scraper sources worth merging "
+        "before mixture weighting, disjoint ones confirm diversity. "
+        "Distinct (source, token) pairs shuffle once on the token key "
+        "(the self-join carries |sources-per-token|² rows per token — "
+        "bounded by the source count, never the corpus), sizes join "
+        "back broadcast-small.",
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    sv = (e.table("documents")
+          .select("source", F.explode(toks).alias("w"))
+          .filter(F.col("w") != "")
+          .distinct())
+    sz = sv.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sv.alias("a"), sv.alias("b")
+    inter = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                    & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("src_a"),
+                      F.col("b.source").alias("src_b"))
+             .agg(F.count("*").alias("common")))
+    j = F.round(F.col("common")
+                / (F.col("na") + F.col("nb") - F.col("common")), 4)
+    return (inter
+            .join(F.broadcast(sz.select(F.col("source").alias("src_a"),
+                                        F.col("n").alias("na"))), "src_a")
+            .join(F.broadcast(sz.select(F.col("source").alias("src_b"),
+                                        F.col("n").alias("nb"))), "src_b")
+            .withColumn("vocab_jaccard", j)
+            .filter(F.col("vocab_jaccard") >= 0.2)
+            .select("src_a", "src_b", "vocab_jaccard"))
+
+
+@register(
     "token_zipf_fit",
     r"""
     WITH uc AS (
