@@ -957,6 +957,50 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_centroid_drift",
+    """
+    WITH d AS (
+      SELECT label, vec_id % 2 AS half, dm.dim,
+             embedding[dm.dim]::DOUBLE AS v
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) dm),
+    c AS (SELECT label, half, dim, AVG(v) AS m
+          FROM d GROUP BY label, half, dim),
+    j AS (SELECT a.label, a.dim, a.m AS m0, b.m AS m1
+          FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+          WHERE a.half = 0 AND b.half = 1)
+    SELECT label,
+           ROUND(SUM(m0 * m1) / (sqrt(SUM(m0 * m0)) * sqrt(SUM(m1 * m1))),
+                 6) AS centroid_cos
+    FROM j GROUP BY label
+    """,
+    doc="Per-label embedding centroid drift between two ingest halves "
+        "(vec_id parity as the old/new split): cosine between the "
+        "halves' label centroids — a sagging value flags encoder "
+        "drift or a label-population shift for THAT class, the "
+        "per-class refinement of embedding_dim_stats. posexplode + "
+        "map-side partial avg per (label, half, dim) — the shuffle "
+        "carries O(labels x dims) rows at any corpus size — then one "
+        "64-row dot product per label.",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    d = (emb.select("label", (F.col("vec_id") % 2).alias("half"),
+                    F.posexplode(F.col("embedding")).alias("p", "v"))
+            .select("label", "half", (F.col("p") + 1).alias("dim"),
+                    F.col("v").cast("double").alias("v")))
+    c = d.groupBy("label", "half", "dim").agg(F.avg("v").alias("m"))
+    a = c.filter("half = 0").select("label", "dim", F.col("m").alias("m0"))
+    b = c.filter("half = 1").select("label", "dim", F.col("m").alias("m1"))
+    return (a.join(b, ["label", "dim"])
+            .groupBy("label")
+            .agg(F.round(F.sum(F.col("m0") * F.col("m1"))
+                         / (F.sqrt(F.sum(F.col("m0") * F.col("m0")))
+                            * F.sqrt(F.sum(F.col("m1") * F.col("m1")))), 6)
+                 .alias("centroid_cos")))
+
+
+@register(
     "source_vocab_overlap",
     r"""
     WITH sv AS (
