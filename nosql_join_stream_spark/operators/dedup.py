@@ -947,3 +947,60 @@ def resolve_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
                    .select("id", "score", "canonical_id",
                            (F.col("id") != F.col("canonical_id"))
                             .alias("is_duplicate")))
+
+
+def repeated_substring_spans(df: DataFrame, content_col: str, id_col: str,
+                             w: int = 15) -> DataFrame:
+    """Span-level repeated-substring detection — the ExactSubstr dedup
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") re-expressed relationally instead of via a suffix
+    array: every ``w``-token window whose token content occurs >= 2
+    times anywhere in the corpus (in another document OR repeated
+    within the same one) marks its token span; overlapping/adjacent
+    marked spans merge per document.
+
+    Returns (id, span_start, span_end, span_tokens) with 0-based token
+    offsets, end exclusive — the exact spans a span-level cleaner
+    would cut, catching the partial/templated duplication that
+    whole-doc, paragraph, and set-similarity dedup all miss (a doc is
+    flagged even if only 5%% of it is copied).
+
+    Scale shape: one row per token position — the same linear blowup
+    the suffix array pays, WITHOUT its global sort.  Shuffled rows
+    carry (id, pos, 8-byte gram hash); gram strings never leave the
+    map side (xxhash64 — a collision can only over-mark one window,
+    it cannot drop a true span).  Exactly two shuffles: one analytic
+    count partitioned on the gram hash, one per-doc ordered window for
+    interval merging (doc-sized partitions, no global window).  Pair
+    space is never materialized, so corpus-wide boilerplate (a gram
+    repeated k times) costs k rows here versus k^2 pairs in any
+    pairwise scheme — the skew that breaks pair-based span detection
+    is exactly what the count formulation absorbs.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(content_col)), r"\s+")
+    base = (df.select(F.col(id_col).alias("id"), toks.alias("t"))
+              .filter(F.size("t") >= w))
+    win = base.select(
+        "id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.size("t") - w),
+            lambda i: F.xxhash64(F.array_join(F.slice("t", i + 1, w), " "))
+        )).alias("pos", "gh"))
+    dup = (win.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
+              .filter(F.col("c") >= 2))
+    wd = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1))
+    spans = (dup.withColumn(
+                 "new_span",
+                 F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+                  .otherwise(0))
+                .withColumn("span_id", F.sum("new_span").over(wd)))
+    return (spans.groupBy("id", "span_id")
+                 .agg(F.min("pos").alias("span_start"),
+                      (F.max("pos") + w).alias("span_end"))
+                 .withColumn("span_tokens",
+                             F.col("span_end") - F.col("span_start"))
+                 .select("id", "span_start", "span_end", "span_tokens"))

@@ -1299,3 +1299,40 @@ def test_dedup_index_compact_shrinks_files_keeps_answers(spark, tmp_path):
     with pytest.raises(ValueError, match="no standing index table"):
         dedup.dedup_index_compact(spark, db, {"nope": ["g"]})
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_repeated_substring_spans_hand_case(spark):
+    # shared 4-token run "a b c d" straddles positions 1..4 in doc 1
+    # and 0..3 in doc 2; w=3 marks windows at doc1 pos {1,2}, doc2
+    # pos {0,1} -> merged spans [1,5) and [0,4).  doc 3 shares nothing.
+    df = spark.createDataFrame(
+        [(1, "x a b c d y z"),
+         (2, "a b c d q r s"),
+         (3, "t u v w p m n")],
+        ["doc_id", "text"])
+    out = dedup.repeated_substring_spans(df, "text", "doc_id", w=3)
+    got = {(r.id, r.span_start, r.span_end, r.span_tokens)
+           for r in out.collect()}
+    assert got == {(1, 1, 5, 4), (2, 0, 4, 4)}
+
+
+def test_repeated_substring_spans_within_doc_repeat(spark):
+    # the SAME doc repeating a 3-token run twice must flag both
+    # occurrences (within-doc repeats count toward the >=2 threshold)
+    df = spark.createDataFrame(
+        [(7, "p q r z z p q r k m")], ["doc_id", "text"])
+    out = dedup.repeated_substring_spans(df, "text", "doc_id", w=3)
+    got = {(r.id, r.span_start, r.span_end) for r in out.collect()}
+    assert got == {(7, 0, 3), (7, 5, 8)}
+
+
+def test_repeated_substring_spans_merges_overlaps(spark):
+    # a 5-token shared run with w=3 yields 3 overlapping windows that
+    # must merge into ONE span covering the whole run, not 3 spans
+    df = spark.createDataFrame(
+        [(1, "a b c d e x1 y1"),
+         (2, "z9 a b c d e w9")],
+        ["doc_id", "text"])
+    out = dedup.repeated_substring_spans(df, "text", "doc_id", w=3)
+    got = {(r.id, r.span_start, r.span_end) for r in out.collect()}
+    assert got == {(1, 0, 5), (2, 1, 6)}
