@@ -3747,3 +3747,107 @@ def doc_pack_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     return text.pack_sequences_text(e.table("documents"), "doc_id",
                                     "source", budget=512)
+
+
+@register(
+    "dedup_substring_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 15),
+    win AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             array_to_string(list_slice(t, i + 1, i + 15), ' ') AS g
+      FROM base, UNNEST(range(0, len(t) - 15 + 1)) AS u(i)),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS c
+        FROM win) z
+      WHERE c >= 2),
+    flagged AS (
+      SELECT doc_id, pos,
+             COALESCE(pos > MAX(pos + 15) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               TRUE) AS ns
+      FROM dup),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN ns THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM flagged)
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 15 AS span_end,
+           MAX(pos) + 15 - MIN(pos) AS span_tokens
+    FROM isl GROUP BY doc_id, span_id
+    """,
+    doc="Span-level repeated-substring dedup (ExactSubstr, Lee et al. "
+        "2022) without the suffix array: every 15-token window "
+        "occurring >= 2 times corpus-wide marks its span; overlapping "
+        "spans merge per doc (gaps-and-islands). Two shuffles total — "
+        "an analytic count on the 8-byte gram hash and a per-doc "
+        "ordered window; gram strings never shuffle and no pair space "
+        "exists, so corpus-wide boilerplate costs k rows, not k^2 "
+        "pairs. Catches the partial/templated copying that whole-doc, "
+        "paragraph, and set-similarity dedup all miss.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    spans = dedup.repeated_substring_spans(
+        e.table("documents"), "text", "doc_id", w=15)
+    return spans.select(F.col("id").alias("doc_id"),
+                        "span_start", "span_end", "span_tokens")
+
+
+@register(
+    "cdc_upsert_latest",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+    doc="Physical CDC MERGE (sinks.upsert_keyed): the standing keyed "
+        "table is built from 2/3 of the event log, the remaining "
+        "third upserts in as a batch, and the materialized table must "
+        "equal the logical latest_event_per_user VIEW over the full "
+        "log — physical merge == logical compaction is the check. "
+        "Batch localCheckpointed once (read-once-source safe); "
+        "touched-bucket list (bounded by num_buckets) prunes the "
+        "standing scan via PartitionFilters; dynamic partition "
+        "overwrite rewrites only touched __kb=N/ dirs, untouched "
+        "buckets byte-identical. Cost tracks batch locality, never "
+        "table size — the MERGE a 100 TB lake runs nightly without "
+        "a table format.",
+)
+def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark import sinks
+
+    e = _engine(spark, sf_dir)
+    ev = e.table("events").select("user_id", "ts", "event_id",
+                                  "event_type", "value")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"nsjs_cdc_{os.getpid()}_{tag}")
+    initial = ev.filter(F.col("event_id") % 3 != 0)
+    batch = ev.filter(F.col("event_id") % 3 == 0)
+    if not os.path.isdir(path):
+        sinks.write_keyed(
+            sinks.latest_per_key(initial, "user_id", ["ts", "event_id"]),
+            path, "user_id", num_buckets=16)
+    # re-running in-process re-upserts the same batch: keep-latest
+    # MERGE is idempotent, so the standing table converges
+    sinks.upsert_keyed(spark, path, batch, "user_id",
+                       ["ts", "event_id"], num_buckets=16)
+    return (sinks.read_keyed(spark, path)
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_type"),
+                    F.col("value").alias("last_value")))

@@ -232,3 +232,63 @@ def test_write_log_rolled_partitions_and_prunes(spark, engine, tmp_path):
     ids = sorted(r.event_id for r in first.select("event_id").collect())
     all_ids = sorted(r.event_id for r in ev.select("event_id").collect())
     assert ids == all_ids[:1000]
+
+
+def test_upsert_keyed_merges_and_leaves_untouched_buckets_alone(
+        spark, tmp_path):
+    import glob
+    import hashlib
+    import os
+
+    from nosql_join_stream_spark.sinks import (
+        latest_per_key, read_keyed, upsert_keyed, write_keyed)
+
+    def file_state(path):
+        out = {}
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                           recursive=True):
+            out[os.path.relpath(f, path)] = hashlib.sha256(
+                open(f, "rb").read()).hexdigest()
+        return out
+
+    # standing table: 40 keys, seq=1 each, bucketed into 8 dirs
+    initial = spark.createDataFrame(
+        [(k, 1, f"v{k}.1") for k in range(40)], ["k", "seq", "payload"])
+    path = str(tmp_path / "keyed")
+    write_keyed(latest_per_key(initial, "k", ["seq"]), path, "k",
+                num_buckets=8)
+    before = file_state(path)
+    assert len({p.split(os.sep)[0] for p in before}) == 8
+
+    # batch: update key 3 (newer seq wins), STALE row for key 5 (must
+    # lose), brand-new key 1000, and a within-batch dup for key 7
+    batch = spark.createDataFrame(
+        [(3, 2, "v3.2"), (5, 0, "stale"), (1000, 1, "new"),
+         (7, 2, "v7.2"), (7, 3, "v7.3")],
+        ["k", "seq", "payload"])
+    stats = upsert_keyed(spark, path, batch, "k", ["seq"], num_buckets=8)
+    assert 1 <= stats["buckets_touched"] <= 4  # 4 distinct keys max
+
+    got = {(r.k, r.seq, r.payload) for r in read_keyed(spark, path).collect()}
+    assert (3, 2, "v3.2") in got          # update applied
+    assert (5, 1, "v5.1") in got          # stale row lost
+    assert (1000, 1, "new") in got        # insert
+    assert (7, 3, "v7.3") in got          # within-batch dup collapsed
+    assert len(got) == 41                 # 40 keys + 1 insert
+
+    # untouched bucket dirs are byte-identical after the merge
+    after = file_state(path)
+    touched_dirs = set()
+    for kb in range(8):
+        b_files = {p: h for p, h in before.items()
+                   if p.startswith(f"__kb={kb}{os.sep}")}
+        a_files = {p: h for p, h in after.items()
+                   if p.startswith(f"__kb={kb}{os.sep}")}
+        if b_files != a_files:
+            touched_dirs.add(kb)
+    assert len(touched_dirs) == stats["buckets_touched"]
+
+    # idempotent: replaying the same batch changes nothing
+    upsert_keyed(spark, path, batch, "k", ["seq"], num_buckets=8)
+    again = {(r.k, r.seq, r.payload) for r in read_keyed(spark, path).collect()}
+    assert again == got
