@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact
+                       incrmh mmr ivfcompact substr upsert
 """
 
 from __future__ import annotations
@@ -360,6 +360,44 @@ def main() -> None:
             results["editdist_pairs"] = dedup.edit_distance_pairs(
                 dd, "text", "doc_id", d=2).count()
             results["editdist_s"] = round(time.perf_counter() - t0, 2)
+
+        if "substr" in OPS:
+            # linear token blowup + two hash-partitioned shuffles; the
+            # copy token makes cross-copy windows distinct, so true
+            # span count — and work — grows linearly with factor
+            t0 = time.perf_counter()
+            results["substr_spans"] = dedup.repeated_substring_spans(
+                dd, "text", "doc_id", w=15).count()
+            results["substr_s"] = round(time.perf_counter() - t0, 2)
+
+        if "upsert" in OPS:
+            # fixed batch (a bounded key set) vs a table GROWN with
+            # factor, buckets scaled with table size so bucket size —
+            # the rewrite quantum — stays constant (the deployment
+            # contract): per-batch MERGE cost must stay flat because
+            # it rewrites only the <= |batch keys| touched buckets,
+            # each of constant size, never the table
+            from nosql_join_stream_spark.sinks import (
+                latest_per_key, upsert_keyed, write_keyed)
+            ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+            copies = spark.range(factor).select(F.col("id").alias("__c"))
+            gev = (ev.crossJoin(copies)
+                     .withColumn("user_id",
+                                 F.col("user_id") + F.col("__c") * 10_000_000)
+                     .withColumn("event_id",
+                                 F.col("event_id") + F.col("__c") * 10_000_000)
+                     .drop("__c"))
+            upath = f"/tmp/scale_keyed_{factor}x"
+            nb = 64 * factor
+            write_keyed(latest_per_key(gev, "user_id", ["ts", "event_id"]),
+                        upath, "user_id", num_buckets=nb)
+            # ~1/31 of the original users: same keys at every factor
+            batch = ev.filter(F.col("user_id") % 31 == 0)
+            t0 = time.perf_counter()
+            stats = upsert_keyed(spark, upath, batch, "user_id",
+                                 ["ts", "event_id"], num_buckets=nb)
+            results["upsert_buckets"] = stats["buckets_touched"]
+            results["upsert_s"] = round(time.perf_counter() - t0, 2)
 
         if "cleanmh" in OPS:
             # the composed pipeline_clean_corpus_minhash stages over
