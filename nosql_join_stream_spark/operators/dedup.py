@@ -1004,3 +1004,45 @@ def repeated_substring_spans(df: DataFrame, content_col: str, id_col: str,
                  .withColumn("span_tokens",
                              F.col("span_end") - F.col("span_start"))
                  .select("id", "span_start", "span_end", "span_tokens"))
+
+
+def cut_spans(df: DataFrame, spans: DataFrame, content_col: str,
+              id_col: str) -> DataFrame:
+    """The FIX for :func:`repeated_substring_spans`: rewrite each
+    document with the marked token ranges removed (Lee et al. 2022 cut
+    duplicated spans rather than whole docs — most of a partially-
+    copied page is worth keeping).
+
+    ``spans`` is (id, span_start, span_end) as produced by
+    ``repeated_substring_spans``.  Returns
+    (id, n_tokens, n_tokens_cut, clean_text); docs without spans pass
+    through with ``n_tokens_cut = 0``.
+
+    Scale shape: spans collapse to one array per doc (span counts are
+    small — they were merged), join back on the id (one shuffle), and
+    the cut itself is a pure JVM higher-order-function chain
+    (transform + exists + filter) — no explode of the token stream, no
+    Python.  Cost is a token-array pass per doc, the same as any
+    full-text metric.
+    """
+    toks = F.split(F.trim(F.col(content_col)), r"\s+")
+    sp = (spans.groupBy("id")
+               .agg(F.array_sort(F.collect_list(
+                    F.struct("span_start", "span_end"))).alias("sp")))
+    joined = (df.select(F.col(id_col).alias("id"), toks.alias("t"))
+                .join(sp, "id", "left"))
+    spcol = F.coalesce(
+        F.col("sp"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"))
+    kept = F.filter(
+        F.transform(
+            "t", lambda tok, i: F.struct(tok.alias("tok"), i.alias("i"))),
+        lambda s: ~F.exists(
+            spcol, lambda r: (s["i"] >= r["span_start"])
+                             & (s["i"] < r["span_end"])))
+    return joined.select(
+        "id",
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).alias("n_tokens_cut"),
+        F.array_join(F.transform(kept, lambda s: s["tok"]), " ")
+         .alias("clean_text"))

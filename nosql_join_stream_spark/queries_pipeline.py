@@ -3851,3 +3851,69 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_id").alias("last_event_id"),
                     F.col("event_type").alias("last_type"),
                     F.col("value").alias("last_value")))
+
+
+@register(
+    "dedup_substring_clean",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 15),
+    win AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             array_to_string(list_slice(t, i + 1, i + 15), ' ') AS g
+      FROM base, UNNEST(range(0, len(t) - 15 + 1)) AS u(i)),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS c
+        FROM win) z
+      WHERE c >= 2),
+    flagged AS (
+      SELECT doc_id, pos,
+             COALESCE(pos > MAX(pos + 15) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               TRUE) AS ns
+      FROM dup),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN ns THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 15 AS e
+      FROM isl GROUP BY doc_id, span_id),
+    tokpos AS (
+      SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos, t[CAST(i AS INTEGER)] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = tp.doc_id
+                          AND tp.pos >= s.s AND tp.pos < s.e))
+    SELECT x.doc_id,
+           CAST(len(x.t) AS INTEGER) AS n_tokens,
+           CAST(len(x.t) AS INTEGER)
+             - CAST(COUNT(k.pos) AS INTEGER) AS n_tokens_cut,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text
+    FROM toks x LEFT JOIN kept k ON x.doc_id = k.doc_id
+    GROUP BY x.doc_id, len(x.t)
+    """,
+    doc="The FIX companion to dedup_substring_spans (detect/fix pair, "
+        "like split_leakage/split_safe): rewrite each doc with its "
+        "repeated-substring spans CUT — Lee et al. 2022 remove the "
+        "duplicated spans, not the docs. Spans collapse to one small "
+        "array per doc and join back on the id; the cut is a pure-JVM "
+        "higher-order-function pass over the token array (transform + "
+        "exists + filter) — no token explode, no Python, cost of any "
+        "full-text metric.",
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    spans = dedup.repeated_substring_spans(docs, "text", "doc_id", w=15)
+    return (dedup.cut_spans(docs, spans, "text", "doc_id")
+            .select(F.col("id").alias("doc_id"),
+                    "n_tokens", "n_tokens_cut", "clean_text"))

@@ -1336,3 +1336,18 @@ def test_repeated_substring_spans_merges_overlaps(spark):
     out = dedup.repeated_substring_spans(df, "text", "doc_id", w=3)
     got = {(r.id, r.span_start, r.span_end) for r in out.collect()}
     assert got == {(1, 0, 5), (2, 1, 6)}
+
+
+def test_cut_spans_removes_exactly_marked_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, "x a b c d y z"),
+         (2, "a b c d q r s"),
+         (3, "t u v w p m n")],
+        ["doc_id", "text"])
+    spans = dedup.repeated_substring_spans(df, "text", "doc_id", w=3)
+    out = dedup.cut_spans(df, spans, "text", "doc_id")
+    got = {r.id: (r.n_tokens, r.n_tokens_cut, r.clean_text)
+           for r in out.collect()}
+    assert got[1] == (7, 4, "x y z")          # span [1,5) cut
+    assert got[2] == (7, 4, "q r s")          # span [0,4) cut
+    assert got[3] == (7, 0, "t u v w p m n")  # untouched passthrough
