@@ -3917,3 +3917,59 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dedup.cut_spans(docs, spans, "text", "doc_id")
             .select(F.col("id").alias("doc_id"),
                     "n_tokens", "n_tokens_cut", "clean_text"))
+
+
+@register(
+    "stream_cdc_upsert",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+    doc="STREAMING CDC materialization (streaming/log_stream.py "
+        "stream_cdc_upsert): the keyed standing table bootstraps from "
+        "2/3 of the log in batch mode, the remaining third drains in "
+        "as a change STREAM whose every micro-batch MERGEs via "
+        "foreachBatch -> sinks.upsert_keyed — and the final table "
+        "must equal the logical latest-per-key view over the whole "
+        "log. Exactly-once without __batch_id partitions: keep-latest "
+        "MERGE is replay-idempotent (commit-record-deletion restart "
+        "test). Per-batch cost = touched buckets, never table size.",
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark import sinks
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    from nosql_join_stream_spark.streaming.log_stream import (
+        EVENTS_SCHEMA, read_table_stream, stream_cdc_upsert as cdc_stream)
+
+    e = _engine(spark, sf_dir)
+    ev = e.table("events").select("user_id", "ts", "event_id",
+                                  "event_type", "value")
+    _STREAM_SEQ[0] += 1
+    run_dir = os.path.join(tempfile.gettempdir(),
+                           f"nsjs_scdc_{os.getpid()}_{_STREAM_SEQ[0]}")
+    tbl = os.path.join(run_dir, "tbl")
+    sinks.write_keyed(
+        sinks.latest_per_key(ev.filter(F.col("event_id") % 3 != 0),
+                             "user_id", ["ts", "event_id"]),
+        tbl, "user_id", num_buckets=16)
+    stream = (read_table_stream(spark, table_path(sf_dir, "events"),
+                                EVENTS_SCHEMA)
+              .filter(F.col("event_id") % 3 == 0)
+              .select("user_id", "ts", "event_id", "event_type", "value"))
+    cdc_stream(stream, tbl, os.path.join(run_dir, "ckpt"),
+               "user_id", ["ts", "event_id"], num_buckets=16)
+    return (sinks.read_keyed(spark, tbl)
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_type"),
+                    F.col("value").alias("last_value")))

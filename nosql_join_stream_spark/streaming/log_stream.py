@@ -616,3 +616,50 @@ def stateful_budget_admission(stream: DataFrame, group_col: str,
     return (stream.groupBy(group_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_cdc_upsert(stream: DataFrame, path: str, checkpoint: str,
+                      key_col: str, order_by: list[str],
+                      num_buckets: int = 32,
+                      available_now: bool = True):
+    """Streaming CDC materialization: every micro-batch MERGEs into
+    the keyed standing table (``sinks.upsert_keyed``) instead of
+    appending — the streaming half of the physical-merge story, and
+    the pattern that keeps a serving table continuously current from
+    a change stream.
+
+    Exactly-once needs no ``__batch_id`` partitions here because the
+    keep-latest MERGE is naturally idempotent: a crash between "files
+    written" and "commit recorded" replays the batch into the same
+    buckets and keep-latest converges to the identical table (pinned
+    by the commit-record-deletion test).  The first batch bootstraps
+    the table (``write_keyed`` of its own compaction) so the stream
+    needs no out-of-band initialization.
+
+    Per batch the cost is the upsert contract: touched buckets only,
+    never table size — an unbounded stream maintains a 100 TB serving
+    table by rewriting the few buckets each micro-batch lands in.
+    """
+    import os
+
+    from nosql_join_stream_spark.sinks import (latest_per_key, upsert_keyed,
+                                               write_keyed)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not os.path.isdir(path):
+            # bootstrap; a crash after this write replays the batch as
+            # an upsert of the same rows — same table, still exactly-once
+            write_keyed(latest_per_key(batch_df, key_col, order_by),
+                        path, key_col, num_buckets=num_buckets)
+            return
+        upsert_keyed(batch_df.sparkSession, path, batch_df, key_col,
+                     order_by, num_buckets=num_buckets)
+
+    q = (stream.writeStream.foreachBatch(write_batch)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        sq = q.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return None
+    return q.start()

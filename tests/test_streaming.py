@@ -495,3 +495,54 @@ def test_kafka_source_resolution_or_skip(spark):
             pytest.skip("kafka-sql jar not on the classpath "
                         "(hermetic container)")
         raise
+
+
+def test_stream_cdc_upsert_replay_converges(spark, tmp_path):
+    """Streaming MERGE exactly-once WITHOUT __batch_id partitions: the
+    keep-latest upsert is naturally idempotent, so a crash between
+    files-written and commit-recorded (simulated by deleting the
+    commit record) replays the batch into the SAME table state.  Then
+    the source grows and the next drain must fold in only the newer
+    rows — per key the greatest (ts, event_id) wins across batches."""
+    import os
+
+    from nosql_join_stream_spark.sinks import latest_per_key, read_keyed
+    from nosql_join_stream_spark.streaming.log_stream import stream_cdc_upsert
+
+    src = tmp_path / "src"
+    tbl = tmp_path / "tbl"
+    ckpt = tmp_path / "ckpt"
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+               .select("user_id", "ts", "event_id", "event_type", "value")
+    first = raw.filter("event_id % 2 = 0")
+    first.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    def drain():
+        stream = (spark.readStream.schema(raw.schema)
+                  .format("parquet").load(str(src)))
+        stream_cdc_upsert(stream, str(tbl), str(ckpt), "user_id",
+                          ["ts", "event_id"], num_buckets=8)
+
+    def snapshot():
+        return {tuple(r) for r in read_keyed(spark, str(tbl)).collect()}
+
+    drain()
+    want_first = {tuple(r) for r in
+                  latest_per_key(first, "user_id", ["ts", "event_id"])
+                  .collect()}
+    assert snapshot() == want_first
+
+    # crash simulation: replay batch 0 → table must be unchanged
+    os.remove(str(ckpt / "commits" / "0"))
+    os.remove(str(ckpt / "commits" / ".0.crc"))
+    drain()
+    assert snapshot() == want_first
+
+    # source grows: the merge must now equal keep-latest over ALL rows
+    raw.filter("event_id % 2 = 1").coalesce(1).write.mode("append") \
+       .parquet(str(src))
+    drain()
+    want_all = {tuple(r) for r in
+                latest_per_key(raw, "user_id", ["ts", "event_id"])
+                .collect()}
+    assert snapshot() == want_all
