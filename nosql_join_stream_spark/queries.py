@@ -730,6 +730,9 @@ _ROTATION_SHORTLIST_R6 = [
     "sample_global_shuffle", "sample_temperature_weights",
     "table_profile_orders", "corpus_stats", "stream_dim_stats",
     "mql_not_filter",
+    # new in late r5 (never driver-verified yet; full local oracles):
+    "dedup_substring_spans", "dedup_substring_clean",
+    "cdc_upsert_latest", "stream_cdc_upsert",
 ]
 
 
