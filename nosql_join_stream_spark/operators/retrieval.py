@@ -277,3 +277,54 @@ def _all_adjacent(words: list[str], p):
         c = F.array_contains(F.col("pm").getItem(words[i]), p + i)
         cond = c if cond is None else cond & c
     return cond
+
+
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str,
+                   alpha: float = 0.5) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own add-α-smoothed bigram LM — the next perplexity-proxy
+    tier above :func:`unigram_logprob`: word-ORDER pathology (shuffled
+    text, keyword-stuffed spam, template soup) scores low here even
+    when its unigram mix looks normal.
+
+    ``ln P(w2|w1) = ln((c(w1,w2) + α) / (c(w1·) + α·V))`` with
+    ``c(w1·)`` the bigram-context total and ``V`` the unigram
+    vocabulary size; smoothing keeps the scorer total (usable on docs
+    outside the training corpus), though here every doc bigram is
+    observed so the inner joins are lossless.
+
+    Scale shape: adjacency from two length-aligned slices zipped
+    JVM-side (the collocations_pmi pattern — no position self-join);
+    bigram counts are one map-side-combined hash agg; the doc bigram
+    stream re-joins the count table on the (w1, w2) key — a linear
+    shuffle, NOT a broadcast, because a 100 TB bigram vocabulary is
+    GBs; the context table (unigram-sized) broadcasts and V rides a
+    1-row broadcast scalar.  Returns (id, n_bigrams, mean_logprob).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_tok = F.size(toks)
+    doc_pairs = (df.select(
+                    F.col(id_col).alias("id"),
+                    F.explode(F.when(
+                        n_tok >= 2,
+                        F.zip_with(F.slice(toks, 1, n_tok - 1),
+                                   F.slice(toks, 2, n_tok - 1),
+                                   lambda a, b: F.struct(a.alias("w1"),
+                                                         b.alias("w2"))))
+                     .otherwise(F.array())).alias("p"))
+                   .select("id", "p.w1", "p.w2"))
+    big = doc_pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    ctx = big.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    vocab_n = (df.select(F.explode(toks).alias("tok"))
+                 .filter(F.col("tok") != "")
+                 .agg(F.countDistinct("tok").alias("v")))
+    lp = F.log((F.col("c_ab") + F.lit(alpha))
+               / (F.col("c_a") + F.lit(alpha) * F.col("v")))
+    scored = (_join_scalar(
+                 doc_pairs.join(big, ["w1", "w2"])
+                          .join(F.broadcast(ctx), "w1"),
+                 vocab_n)
+              .withColumn("lp", lp))
+    return (scored.groupBy("id")
+                  .agg(F.count("*").alias("n_bigrams"),
+                       F.round(F.avg("lp"), 4).alias("mean_logprob")))

@@ -3973,3 +3973,49 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_id").alias("last_event_id"),
                     F.col("event_type").alias("last_type"),
                     F.col("value").alias("last_value")))
+
+
+@register(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, t[CAST(i AS INTEGER)] AS w1,
+             t[CAST(i AS INTEGER) + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2),
+    big AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a
+            FROM big GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest(t) AS tok FROM toks) z WHERE tok <> ''),
+    s AS (SELECT p.doc_id,
+                 ln((b.c_ab + 0.5) / (c.c_a + 0.5 * v.v)) AS lp
+          FROM pairs p
+          JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+          JOIN ctx c ON p.w1 = c.w1, v)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(lp), 4) AS mean_logprob
+    FROM s GROUP BY doc_id
+    """,
+    doc="Bigram-LM perplexity proxy (retrieval.bigram_logprob): mean "
+        "ln P(w2|w1) per doc under the corpus's own add-0.5-smoothed "
+        "bigram LM — word-ORDER pathology (shuffled text, keyword "
+        "stuffing, template soup) scores low even when the unigram "
+        "mix looks normal, the next quality tier above "
+        "text_unigram_logprob. Adjacency zipped JVM-side (no position "
+        "self-join); doc bigrams re-join the count table on the "
+        "(w1,w2) key — a LINEAR shuffle, not a broadcast, because a "
+        "100 TB bigram vocabulary is GBs; context table broadcasts, "
+        "V rides a 1-row broadcast scalar.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import retrieval
+
+    e = _engine(spark, sf_dir)
+    return (retrieval.bigram_logprob(e.table("documents"), "text", "doc_id")
+            .select(F.col("id").alias("doc_id"), "n_bigrams",
+                    "mean_logprob"))

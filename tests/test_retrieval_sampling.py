@@ -254,3 +254,36 @@ def test_collocations_pmi_hand_computed(spark):
     n_bi = 6 * 5           # 30 adjacent pairs
     want = round(math.log((6 / n_bi) / ((6 / n_uni) * (6 / n_uni))), 4)
     assert out[0].pmi == want
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # corpus: "a b a b" and "a b x" → bigrams: (a,b)x2+(a,b),(b,a),(b,x)
+    from math import log
+
+    from nosql_join_stream_spark.operators.retrieval import bigram_logprob
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b x")],
+                               ["doc_id", "text"])
+    out = {r.id: (r.n_bigrams, r.mean_logprob)
+           for r in bigram_logprob(df, "text", "doc_id").collect()}
+    # counts: c(a,b)=3, c(b,a)=1, c(b,x)=1; ctx: c(a.)=3, c(b.)=2; V=3
+    lp_ab = log((3 + 0.5) / (3 + 0.5 * 3))
+    lp_ba = log((1 + 0.5) / (2 + 0.5 * 3))
+    lp_bx = log((1 + 0.5) / (2 + 0.5 * 3))
+    want1 = round((lp_ab + lp_ba + lp_ab) / 3, 4)
+    want2 = round((lp_ab + lp_bx) / 2, 4)
+    assert out[1] == (3, want1)
+    assert out[2] == (2, want2)
+
+
+def test_bigram_logprob_orders_sensitivity(spark):
+    # same unigram bag, different order: the common-order doc must
+    # outscore the shuffled one (the signal unigram_logprob can't see)
+    from nosql_join_stream_spark.operators.retrieval import bigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(5)]
+    rows.append((99, "mat the on sat cat the"))  # same bag, rare order
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r.mean_logprob
+           for r in bigram_logprob(df, "text", "doc_id").collect()}
+    assert out[0] > out[99]
