@@ -389,3 +389,49 @@ def pack_sequences_text(df, id_col: str, shard_col: str, budget: int,
               .applyInPandas(op, schema=f"{shard_col} {shard_t}, "
                                         "seq_id long, n_tokens long, "
                                         "seq_text string"))
+
+
+def nb_llr_score(df, content_col: str, id_col: str, label_col: str):
+    """Naive-Bayes token log-likelihood-ratio scorer — the classifier
+    tier of quality filtering (public LLM-data practice: bootstrap a
+    cheap linear/NB classifier from a small labeled or heuristic-
+    labeled set, then score the whole corpus with it; the heuristic
+    rules catch structure, the classifier generalizes to vocabulary).
+
+    Trains add-1-smoothed class-conditional token models from the
+    boolean ``label_col`` and scores every document by its mean token
+    log-likelihood ratio:
+    ``llr(t) = ln((c_pos(t)+1)/(N_pos+V)) - ln((c_neg(t)+1)/(N_neg+V))``.
+    Returns (id, n_tokens, mean_llr); mean > 0 leans positive-class
+    vocabulary.  Training and scoring are ONE declarative plan over
+    the same corpus — no model artifact round-trips the driver.
+
+    Scale shape: one token shuffle for the class counts; the
+    (token, llr) model is vocabulary-sized (MBs even at 100 TB) and
+    broadcasts back onto the token stream; class totals and V ride a
+    1-row broadcast scalar; final per-doc mean is one map-side-
+    combinable agg.
+    """
+    toks = (df.select(
+                F.col(id_col).alias("id"),
+                F.col(label_col).cast("boolean").alias("y"),
+                F.explode(F.split(F.trim(F.lower(F.col(content_col))),
+                                  r"\s+")).alias("tok"))
+              .filter(F.col("tok") != ""))
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("c_neg"))
+    totals = counts.agg(F.sum("c_pos").alias("n_pos"),
+                        F.sum("c_neg").alias("n_neg"),
+                        F.count("*").alias("v"))
+    model = (counts.crossJoin(F.broadcast(totals))
+             .select("tok",
+                     (F.log((F.col("c_pos") + 1.0)
+                            / (F.col("n_pos") + F.col("v")))
+                      - F.log((F.col("c_neg") + 1.0)
+                              / (F.col("n_neg") + F.col("v"))))
+                     .alias("llr")))
+    return (toks.join(F.broadcast(model), "tok")
+                .groupBy("id")
+                .agg(F.count("*").alias("n_tokens"),
+                     F.round(F.avg("llr"), 4).alias("mean_llr")))

@@ -4019,3 +4019,72 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (retrieval.bigram_logprob(e.table("documents"), "text", "doc_id")
             .select(F.col("id").alias("doc_id"), "n_bigrams",
                     "mean_logprob"))
+
+
+@register(
+    "text_nb_quality_llr",
+    f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             ROUND(len(regexp_extract_all(text, '[A-Za-z]'))
+                   * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+               AS atl,
+             ROUND(len(list_filter(
+                     regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x IN ({_STOP_EN})))
+                   * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+               AS sr
+      FROM documents),
+    lab AS (
+      SELECT doc_id, text,
+             (0.4 * (CASE WHEN n_tok BETWEEN 10 AND 1000
+                          THEN 1.0 ELSE 0.0 END)
+              + 0.3 * (CASE WHEN atl BETWEEN 2.0 AND 12.0
+                            THEN 1.0 ELSE 0.0 END)
+              + 0.3 * (CASE WHEN sr >= 0.01 THEN 1.0 ELSE 0.0 END))
+               >= 0.7 AS y
+      FROM f),
+    toks AS (
+      SELECT doc_id, y, tok FROM (
+        SELECT doc_id, y,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS tok
+        FROM lab) z
+      WHERE tok <> ''),
+    counts AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+      FROM toks GROUP BY tok),
+    tot AS (
+      SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+             COUNT(*) AS v
+      FROM counts),
+    model AS (
+      SELECT tok, ln((c_pos + 1.0) / (n_pos + v))
+                  - ln((c_neg + 1.0) / (n_neg + v)) AS llr
+      FROM counts CROSS JOIN tot)
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(m.llr), 4) AS mean_llr
+    FROM toks t JOIN model m ON t.tok = m.tok
+    GROUP BY t.doc_id
+    """,
+    doc="Classifier-tier quality filtering (text.nb_llr_score): an "
+        "add-1 Naive-Bayes token model is bootstrapped from the "
+        "heuristic quality gate's own labels (quality_score >= 0.7) "
+        "and every doc scored by mean token log-likelihood ratio — "
+        "the rules catch structure, the classifier generalizes to "
+        "vocabulary (the public bootstrap-a-cheap-classifier "
+        "pattern). Train + score is ONE plan: token shuffle for "
+        "counts, vocabulary-sized (token,llr) model broadcast back, "
+        "class totals as a 1-row scalar, per-doc mean map-side "
+        "combined. No model artifact round-trips the driver.",
+)
+def text_nb_quality_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = (e.table("documents")
+            .withColumn("__y", text.quality_score(F.col("text")) >= 0.7))
+    return (text.nb_llr_score(docs, "text", "doc_id", "__y")
+            .select(F.col("id").alias("doc_id"), "n_tokens", "mean_llr"))

@@ -1351,3 +1351,29 @@ def test_cut_spans_removes_exactly_marked_ranges(spark):
     assert got[1] == (7, 4, "x y z")          # span [1,5) cut
     assert got[2] == (7, 4, "q r s")          # span [0,4) cut
     assert got[3] == (7, 0, "t u v w p m n")  # untouched passthrough
+
+
+def test_nb_llr_score_separates_planted_vocab(spark):
+    # vocabulary disjoint between classes: positive docs must get
+    # positive mean llr, negative docs negative; 12 tokens each so
+    # add-1 smoothing can't flip the sign
+    rows = [(i, "good fine clean solid prose here", True)
+            for i in range(4)]
+    rows += [(10 + i, "spam junk noise garbage filler blob", False)
+             for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    out = {r.id: r.mean_llr
+           for r in text.nb_llr_score(df, "text", "doc_id", "y").collect()}
+    assert all(out[i] > 0 for i in range(4))
+    assert all(out[10 + i] < 0 for i in range(4))
+
+
+def test_nb_llr_shared_vocab_scores_zero(spark):
+    # a token appearing equally in both classes is uninformative:
+    # identical docs in each class -> llr exactly 0 for every token
+    rows = [(1, "same words both sides", True),
+            (2, "same words both sides", False)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    out = {r.id: r.mean_llr
+           for r in text.nb_llr_score(df, "text", "doc_id", "y").collect()}
+    assert out[1] == 0.0 and out[2] == 0.0

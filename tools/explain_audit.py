@@ -49,7 +49,9 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             # PMI attaches the two corpus totals via 1-row broadcasts
             "text_collocations_pmi",
             # bigram LM attaches V (vocab size) via a 1-row broadcast
-            "text_bigram_logprob"}
+            "text_bigram_logprob",
+            # NB classifier attaches class totals via a 1-row broadcast
+            "text_nb_quality_llr"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
