@@ -115,3 +115,42 @@ def expectations_report(rules: list[_Rule]) -> DataFrame:
     for r in rules[1:]:
         out = out.unionByName(r.frame)
     return out.withColumn("passed", (F.col("n_violations") == 0))
+
+
+def sketch_cardinality_by_group(df, group_col: str, value_col: str,
+                                rel_err: float = 0.05):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark's ``hll_sketch_agg``) with an IN-PLAN accuracy witness —
+    the cardinality machinery a 100 TB deployment actually runs:
+    exact ``COUNT(DISTINCT)`` re-shuffles the full value stream every
+    time, while per-partition/per-day sketches are KBs that MERGE
+    without re-scanning history.
+
+    Returns one row per group plus an ``__ALL__`` row:
+    (group, n_distinct, hll_ok) where ``n_distinct`` is the exact
+    count (the oracle-checkable truth) and ``hll_ok`` asserts the
+    sketch estimate is within ``rel_err`` of it.  The ``__ALL__``
+    row's estimate comes from UNION-MERGING the per-group sketches
+    (``hll_union_agg``) — the mergeability property itself under
+    test, not just the per-group accuracy.  DataSketches HLL is
+    hash-deterministic and order-independent, so the witness is
+    stable across runs and engines.
+    """
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(group_col).agg(
+        F.count_distinct(value_col).alias("n_distinct"),
+        F.hll_sketch_agg(value_col).alias("sk"))
+    per_rows = per.select(
+        F.col(group_col).cast("string").alias("grp"),
+        "n_distinct",
+        F.hll_sketch_estimate("sk").alias("est"))
+    total_exact = df.agg(F.count_distinct(value_col).alias("n_distinct"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    all_row = (total_exact.crossJoin(F.broadcast(merged))
+               .select(F.lit("__ALL__").alias("grp"), "n_distinct", "est"))
+    ok = (F.abs(F.col("est") - F.col("n_distinct"))
+          <= F.lit(rel_err) * F.col("n_distinct"))
+    return (per_rows.unionByName(all_row)
+            .select("grp", "n_distinct", ok.alias("hll_ok")))

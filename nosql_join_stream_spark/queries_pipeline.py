@@ -4088,3 +4088,43 @@ def text_nb_quality_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("__y", text.quality_score(F.col("text")) >= 0.7))
     return (text.nb_llr_score(docs, "text", "doc_id", "__y")
             .select(F.col("id").alias("doc_id"), "n_tokens", "mean_llr"))
+
+
+@register(
+    "sketch_vocab_cardinality",
+    """
+    WITH toks AS (
+      SELECT source, tok FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS tok
+        FROM documents) z
+      WHERE tok <> '')
+    SELECT source, COUNT(DISTINCT tok) AS n_distinct, TRUE AS hll_ok
+    FROM toks GROUP BY source
+    UNION ALL
+    SELECT '__ALL__', COUNT(DISTINCT tok), TRUE FROM toks
+    """,
+    doc="Mergeable-sketch vocabulary cardinality "
+        "(expectations.sketch_cardinality_by_group): per-source "
+        "distinct-token counts via DataSketches HLL with an in-plan "
+        "<=5%-error witness against the exact count, plus an __ALL__ "
+        "row whose estimate comes from UNION-MERGING the per-source "
+        "sketches (hll_union_agg) — the property that matters at "
+        "100 TB: daily KB-sized sketches merge into corpus "
+        "cardinality without re-scanning history, where exact "
+        "COUNT(DISTINCT) re-shuffles the token stream every time. "
+        "A >5% sketch error flips hll_ok and fails the oracle.",
+)
+def sketch_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.expectations import (
+        sketch_cardinality_by_group)
+
+    e = _engine(spark, sf_dir)
+    toks = (e.table("documents")
+            .select("source",
+                    F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                      r"\s+")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    return (sketch_cardinality_by_group(toks, "source", "tok")
+            .select(F.col("grp").alias("source"), "n_distinct", "hll_ok"))

@@ -1377,3 +1377,19 @@ def test_nb_llr_shared_vocab_scores_zero(spark):
     out = {r.id: r.mean_llr
            for r in text.nb_llr_score(df, "text", "doc_id", "y").collect()}
     assert out[1] == 0.0 and out[2] == 0.0
+
+
+def test_sketch_cardinality_exact_and_witness(spark):
+    from nosql_join_stream_spark.operators.expectations import (
+        sketch_cardinality_by_group)
+
+    rows = [("a", f"v{i}") for i in range(100)]          # 100 distinct
+    rows += [("b", f"v{i}") for i in range(50, 80)]      # 30, overlaps a
+    df = spark.createDataFrame(rows, ["g", "val"])
+    out = {r.grp: (r.n_distinct, r.hll_ok)
+           for r in sketch_cardinality_by_group(df, "g", "val").collect()}
+    assert out["a"] == (100, True)
+    assert out["b"] == (30, True)
+    # __ALL__ is the union-merged sketch vs the exact global distinct:
+    # 100, NOT 130 — merging must dedup across groups
+    assert out["__ALL__"] == (100, True)

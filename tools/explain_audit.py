@@ -51,7 +51,10 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             # bigram LM attaches V (vocab size) via a 1-row broadcast
             "text_bigram_logprob",
             # NB classifier attaches class totals via a 1-row broadcast
-            "text_nb_quality_llr"}
+            "text_nb_quality_llr",
+            # __ALL__ row stitches two 1-row aggregates (exact total x
+            # merged-sketch estimate)
+            "sketch_vocab_cardinality"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
