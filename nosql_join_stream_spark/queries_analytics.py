@@ -1045,3 +1045,58 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("event_id").alias("purchase_id"), "user_id",
                       F.col("ts").alias("purchase_ts"),
                       nearest.alias("nearest_click_ts"))
+
+
+@register(
+    "events_session_sequences",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS ns
+      FROM events),
+    s AS (
+      SELECT event_id, user_id, ts, event_type,
+             CAST(SUM(ns) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM g)
+    SELECT user_id, session_idx,
+           COUNT(*) AS n_events,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+    FROM s GROUP BY user_id, session_idx
+    """,
+    doc="Behavioral-sequence training examples: each (user, session) "
+        "becomes one ordered event-type sequence — the logs-to-"
+        "sequence-model layout (next-action prediction, session "
+        "embeddings). Session cut = the events_session_assign lag "
+        "flag + running sum; the sequence itself is "
+        "sort_array(collect_list(struct(ts,event_id,type))) so "
+        "ordering is deterministic under ANY shuffle placement — "
+        "never an order-dependent collect_list. Per-user windows and "
+        "one (user,session) agg; no global window, sessions bound "
+        "the array size.",
+)
+def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    ns = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1).otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"]), " ")
+    return (e.table("events")
+            .withColumn("session_idx", F.sum(ns).over(run).cast("bigint"))
+            .groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"), seq.alias("seq")))

@@ -104,3 +104,47 @@ def test_range_join_binned_equals_theta_and_avoids_bnlj(engine, spark):
     import pytest
     with pytest.raises(ValueError):
         range_join_binned(left, right, "l_ts", "r_ts", m, -m)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, engine):
+    """100 TB join-pruning evidence: with a selective dim-side filter,
+    Catalyst injects a runtime bloom filter (bloom_filter_agg on the
+    dim key -> might_contain on the fact scan) so the big side drops
+    non-joining rows BEFORE the shuffle — the declarative form of a
+    hand-built semi-join reduction.  Thresholds are tuned down to
+    test scale; at production scale the defaults trigger on their
+    own.  Results must equal the un-filtered plan's."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = engine.table("orders").filter("o_totalprice > 450000")
+        li = engine.table("lineitem")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+               .select("l_orderkey", "o_totalprice"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        with_bloom = sorted((r.l_orderkey, r.o_totalprice)
+                            for r in j.collect())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = sorted((r.l_orderkey, r.o_totalprice) for r in
+                   engine.table("lineitem")
+                   .join(engine.table("orders")
+                         .filter("o_totalprice > 450000"),
+                         F.col("l_orderkey") == F.col("o_orderkey"))
+                   .select("l_orderkey", "o_totalprice").collect())
+    assert with_bloom == plain and len(plain) > 0

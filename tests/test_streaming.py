@@ -546,3 +546,69 @@ def test_stream_cdc_upsert_replay_converges(spark, tmp_path):
                 latest_per_key(raw, "user_id", ["ts", "event_id"])
                 .collect()}
     assert snapshot() == want_all
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Bounded-state contract made observable: with a 30-min watermark
+    a row arriving 2 hours late (in a later micro-batch, after the
+    watermark advanced past its window) must be DROPPED from the
+    append-mode windowed aggregate and counted by the state operator.
+    This is what keeps a 100 TB stream's state finite — late data is
+    cut, not accumulated.  Checkpointed sequential drains pin the
+    batch order (file-source listing order is not deterministic)."""
+    from datetime import timedelta
+
+    from pyspark.sql import Row
+
+    from nosql_join_stream_spark.streaming.log_stream import windowed_counts
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    schema = base.schema
+    t0 = base.agg(F.max("ts")).first()[0]
+
+    def ev(eid, ts):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": "click", "value": 1.0, "props": "{}"}
+
+    def mk(rows, mode):
+        spark.createDataFrame([Row(**r) for r in rows], schema) \
+             .coalesce(1).write.mode(mode).parquet(str(src))
+
+    out = tmp_path / "out"
+
+    def drain():
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .load(str(src))
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        agg = windowed_counts(stream, window="1 hour",
+                              watermark="30 minutes")
+        q = (agg.writeStream.outputMode("append")
+             .format("parquet").option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                   for p in q.recentProgress if p["stateOperators"])
+
+    # drain 1: on-time rows advance the watermark to t0+5min-30min
+    mk([ev(1, t0), ev(2, t0 + timedelta(minutes=5))], "overwrite")
+    assert drain() == 0
+
+    # drain 2: one row 2h late (window long closed) + one current row
+    mk([ev(3, t0 - timedelta(hours=2)),
+        ev(4, t0 + timedelta(minutes=10))], "append")
+    assert drain() == 1                   # the late row, dropped
+
+    # drain 3: a far-future row pushes the watermark past t0's window
+    # so append mode finalizes it — WITHOUT the dropped late row
+    mk([ev(5, t0 + timedelta(hours=3))], "append")
+    drain()
+    wins = {r.w_start: r.n_events
+            for r in spark.read.parquet(str(out)).collect()}
+    t0_win = t0.replace(minute=0, second=0, microsecond=0)
+    late_win = (t0 - timedelta(hours=2)).replace(minute=0, second=0,
+                                                 microsecond=0)
+    assert wins[t0_win] == 3              # ids 1, 2, 4
+    assert late_win not in wins           # id 3 never surfaces
