@@ -390,3 +390,45 @@ def test_minhash_standing_index_equals_inline_cross(spark, tmp_path_factory,
     # j≈0.9 regime single-band recall is ~1, so the sets coincide
     assert got == want and got
     spark.sql("DROP DATABASE IF EXISTS nsjs_mh_prop CASCADE")
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_upsert_keyed_equals_keep_latest_fold(spark, tmp_path_factory, data):
+    """MERGE invariant: applying any sequence of batches through
+    upsert_keyed must equal latest_per_key over their concatenation —
+    regardless of key overlap, within-batch duplicates, stale rows,
+    or bucket layout."""
+    from nosql_join_stream_spark.sinks import (latest_per_key, read_keyed,
+                                               upsert_keyed, write_keyed)
+
+    n_batches = data.draw(st.integers(1, 3))
+    batches = [
+        data.draw(st.lists(
+            st.tuples(st.integers(0, 9),          # key (forced overlap)
+                      st.integers(0, 20),         # seq
+                      st.integers(0, 999)),       # payload
+            min_size=1, max_size=12))
+        for _ in range(n_batches)]
+    # row_number ties are engine-arbitrary, so make (k, seq) globally
+    # unique: fold batch index and within-batch position into seq's
+    # low digits (later batches still carry larger low bits than an
+    # equal-seq earlier batch, preserving ingest order)
+    batches = [[(k, s * 1000 + i * 10 + bi, p)
+                for i, (k, s, p) in enumerate(b)]
+               for bi, b in enumerate(batches)]
+    path = str(tmp_path_factory.mktemp("ups") / "t")
+    dfs = [spark.createDataFrame(b, "k int, seq int, p int")
+           for b in batches]
+    write_keyed(latest_per_key(dfs[0], "k", ["seq"]), path, "k",
+                num_buckets=4)
+    for b in dfs[1:]:
+        upsert_keyed(spark, path, b, "k", ["seq"], num_buckets=4)
+    got = {(r.k, r.seq, r.p) for r in read_keyed(spark, path).collect()}
+    allrows = dfs[0]
+    for b in dfs[1:]:
+        allrows = allrows.unionByName(b)
+    want = {(r.k, r.seq, r.p)
+            for r in latest_per_key(allrows, "k", ["seq"]).collect()}
+    assert got == want
