@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch
 """
 
 from __future__ import annotations
@@ -360,6 +360,36 @@ def main() -> None:
             results["editdist_pairs"] = dedup.edit_distance_pairs(
                 dd, "text", "doc_id", d=2).count()
             results["editdist_s"] = round(time.perf_counter() - t0, 2)
+
+        if "bigram" in OPS:
+            from nosql_join_stream_spark.operators import retrieval
+            t0 = time.perf_counter()
+            results["bigram_rows"] = retrieval.bigram_logprob(
+                dd, "text", "doc_id").count()
+            results["bigram_s"] = round(time.perf_counter() - t0, 2)
+
+        if "nbllr" in OPS:
+            from nosql_join_stream_spark.operators import text as textops
+            labeled = dd.withColumn(
+                "__y", textops.quality_score(F.col("text")) >= 0.7)
+            t0 = time.perf_counter()
+            results["nbllr_rows"] = textops.nb_llr_score(
+                labeled, "text", "doc_id", "__y").count()
+            results["nbllr_s"] = round(time.perf_counter() - t0, 2)
+
+        if "sketch" in OPS:
+            from nosql_join_stream_spark.operators.expectations import (
+                sketch_cardinality_by_group)
+            toks = (dd.select(
+                        "source",
+                        F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                          r"\s+")).alias("tok"))
+                      .filter(F.col("tok") != ""))
+            t0 = time.perf_counter()
+            res = sketch_cardinality_by_group(toks, "source", "tok")
+            results["sketch_all_ok"] = all(
+                r.hll_ok for r in res.collect())
+            results["sketch_s"] = round(time.perf_counter() - t0, 2)
 
         if "substr" in OPS:
             # linear token blowup + two hash-partitioned shuffles; the
