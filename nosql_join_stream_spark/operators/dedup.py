@@ -979,17 +979,32 @@ def repeated_substring_spans(df: DataFrame, content_col: str, id_col: str,
     """
     from pyspark.sql import Window
 
+    win = _token_windows(df, content_col, id_col, w)
+    dup = (win.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
+              .filter(F.col("c") >= 2))
+    return _merge_spans(dup, w)
+
+
+def _token_windows(df: DataFrame, content_col: str, id_col: str,
+                   w: int) -> DataFrame:
+    """(id, pos, gh): every w-token window's 0-based position and
+    8-byte content hash — gram strings never leave the map side."""
     toks = F.split(F.trim(F.col(content_col)), r"\s+")
     base = (df.select(F.col(id_col).alias("id"), toks.alias("t"))
               .filter(F.size("t") >= w))
-    win = base.select(
+    return base.select(
         "id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.size("t") - w),
             lambda i: F.xxhash64(F.array_join(F.slice("t", i + 1, w), " "))
         )).alias("pos", "gh"))
-    dup = (win.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
-              .filter(F.col("c") >= 2))
+
+
+def _merge_spans(dup: DataFrame, w: int) -> DataFrame:
+    """Gaps-and-islands interval merge of marked (id, pos) windows →
+    (id, span_start, span_end, span_tokens), end exclusive."""
+    from pyspark.sql import Window
+
     wd = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max(F.col("pos") + w).over(
         wd.rowsBetween(Window.unboundedPreceding, -1))
@@ -1004,6 +1019,60 @@ def repeated_substring_spans(df: DataFrame, content_col: str, id_col: str,
                  .withColumn("span_tokens",
                              F.col("span_end") - F.col("span_start"))
                  .select("id", "span_start", "span_end", "span_tokens"))
+
+
+def repeated_substring_spans_between(
+        corpus: DataFrame, batch: DataFrame, content_col: str, id_col: str,
+        w: int = 15, db: str = "nsjs_substr", location: str | None = None,
+        num_buckets: int = 16, rebuild: bool = True) -> DataFrame:
+    """Incremental ExactSubstr — span detection for a DAILY BATCH
+    against a STANDING corpus gram index (the operational form: at
+    100 TB you cannot re-window the whole corpus per ingest, and this
+    is the same standing-artifact move the PPJoin/MinHash tiers make).
+
+    One-time (``rebuild=True`` for a self-contained demo): the
+    corpus's DISTINCT window hashes are written as a managed table
+    bucketed+sorted on ``gh`` — 8 bytes per distinct window, the
+    smallest index any tier carries.  Per batch: the batch's windows
+    left-semi-join the bucketed index on ``gh`` (corpus side reads
+    its co-located buckets IN PLACE — zero corpus Exchange, only the
+    batch shuffles) and a batch-internal count catches same-day
+    repeats; the union marks exactly the windows the FULL operator
+    would mark over corpus ∪ batch, restricted to batch docs
+    (count_total >= 2  ⇔  in-corpus >= 1 OR in-batch >= 2).
+    Spans then merge per batch doc as usual.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    if location is None:
+        import tempfile
+        location = os.path.join(tempfile.gettempdir(),
+                                f"nsjs_substr_{os.getpid()}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{location}'")
+    if rebuild:
+        from nosql_join_stream_spark.sinks import write_bucketed
+        spark.sql(f"DROP TABLE IF EXISTS {db}.corpus_grams")
+        p = location.removeprefix("file:")
+        if os.path.isdir(os.path.join(p, "corpus_grams")):
+            shutil.rmtree(os.path.join(p, "corpus_grams"),
+                          ignore_errors=True)
+        grams = (_token_windows(corpus, content_col, id_col, w)
+                 .select("gh").distinct())
+        write_bucketed(grams, f"{db}.corpus_grams", ["gh"],
+                       num_buckets=num_buckets, sort_by=["gh"])
+    idx = spark.table(f"{db}.corpus_grams")
+    win = _token_windows(batch, content_col, id_col, w)
+    hit_corpus = win.join(idx, "gh", "left_semi")
+    hit_batch = (win.withColumn(
+                     "c", F.count("*").over(Window.partitionBy("gh")))
+                    .filter(F.col("c") >= 2).drop("c"))
+    dup = (hit_corpus.select("id", "pos")
+           .unionByName(hit_batch.select("id", "pos")).distinct())
+    return _merge_spans(dup, w)
 
 
 def cut_spans(df: DataFrame, spans: DataFrame, content_col: str,

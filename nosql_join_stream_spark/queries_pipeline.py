@@ -4128,3 +4128,58 @@ def sketch_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("tok") != ""))
     return (sketch_cardinality_by_group(toks, "source", "tok")
             .select(F.col("grp").alias("source"), "n_distinct", "hll_ok"))
+
+
+@register(
+    "dedup_substring_spans_incremental",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 15),
+    win AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             array_to_string(list_slice(t, i + 1, i + 15), ' ') AS g
+      FROM base, UNNEST(range(0, len(t) - 15 + 1)) AS u(i)),
+    dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS c
+        FROM win) z
+      WHERE c >= 2 AND doc_id % 10 = 9),
+    flagged AS (
+      SELECT doc_id, pos,
+             COALESCE(pos > MAX(pos + 15) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               TRUE) AS ns
+      FROM dup),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN ns THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM flagged)
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 15 AS span_end,
+           MAX(pos) + 15 - MIN(pos) AS span_tokens
+    FROM isl GROUP BY doc_id, span_id
+    """,
+    doc="Incremental ExactSubstr: the daily batch (doc_id%10==9) "
+        "marks its repeated-substring spans against a STANDING "
+        "bucketed index of the corpus's distinct window hashes "
+        "(8 B/window — the smallest standing artifact of any dedup "
+        "tier). Batch windows left-semi-join the bucketed index on "
+        "gh with ZERO corpus-side Exchange (co-located buckets read "
+        "in place), a batch-internal count catches same-day repeats, "
+        "and the union equals the full operator over corpus ∪ batch "
+        "restricted to batch docs (count>=2 ⇔ corpus>=1 OR "
+        "batch>=2) — which is exactly what the oracle replays.",
+)
+def dedup_substring_spans_incremental(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    spans = dedup.repeated_substring_spans_between(
+        corpus, batch, "text", "doc_id", w=15)
+    return spans.select(F.col("id").alias("doc_id"),
+                        "span_start", "span_end", "span_tokens")

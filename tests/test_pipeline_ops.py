@@ -1393,3 +1393,18 @@ def test_sketch_cardinality_exact_and_witness(spark):
     # __ALL__ is the union-merged sketch vs the exact global distinct:
     # 100, NOT 130 — merging must dedup across groups
     assert out["__ALL__"] == (100, True)
+
+
+def test_substring_spans_between_equals_full_on_union(spark, sf_dir, engine):
+    """The incremental form must mark EXACTLY the spans the full
+    operator marks over corpus ∪ batch, restricted to batch docs —
+    the same contract every incremental dedup tier here carries."""
+    docs = engine.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    inc = {tuple(r) for r in dedup.repeated_substring_spans_between(
+        corpus, batch, "text", "doc_id", w=15).collect()}
+    full = {tuple(r) for r in dedup.repeated_substring_spans(
+        docs, "text", "doc_id", w=15)
+        .filter(F.col("id") % 10 == 9).collect()}
+    assert inc == full and len(inc) > 0
