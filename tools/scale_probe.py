@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc
 """
 
 from __future__ import annotations
@@ -360,6 +360,23 @@ def main() -> None:
             results["editdist_pairs"] = dedup.edit_distance_pairs(
                 dd, "text", "doc_id", d=2).count()
             results["editdist_s"] = round(time.perf_counter() - t0, 2)
+
+        if "substrinc" in OPS:
+            # standing gram index: first timing includes the one-time
+            # BUILD; second is the per-batch probe alone — the daily
+            # cost, which must stay flat as the corpus grows
+            batch = dd.filter((F.col("doc_id") % 10 == 9)
+                              & (F.col("doc_id") < 10_000_000))
+            corpus = dd.join(batch.select("doc_id"), "doc_id", "left_anti")
+            t0 = time.perf_counter()
+            results["substrinc_spans"] = dedup.repeated_substring_spans_between(
+                corpus, batch, "text", "doc_id", w=15).count()
+            results["substrinc_build_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            dedup.repeated_substring_spans_between(
+                corpus, batch, "text", "doc_id", w=15,
+                rebuild=False).count()
+            results["substrinc_join_s"] = round(time.perf_counter() - t0, 2)
 
         if "bigram" in OPS:
             from nosql_join_stream_spark.operators import retrieval
