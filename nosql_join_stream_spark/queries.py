@@ -629,12 +629,19 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 # tools/check_correctness.py.
 _DRIVER_WINDOW = [
     # reference parity: joins / predicates / streaming / log scan
-    "join_fk_inner", "join_outer_filtered", "join_salted_skew",
+    # (join_outer_filtered / log_scan_offset / stream_windowed_counts
+    # rotated out VERY late in r5 — all green r1-r4, families still
+    # in-window via join_fk_inner/join_salted_skew, the engine scan
+    # surface, and five other stream_* rows — for three of the new
+    # late-r5 ops, so new capability lands driver-verified in the
+    # round it ships: dedup_substring_spans, cdc_upsert_latest,
+    # stream_cdc_upsert.)
+    "join_fk_inner", "dedup_substring_spans", "join_salted_skew",
     # (stream_dedup_keys rotated out late in r5 — multi-round green —
     # for the NEW stateful-EWMA drift monitor stream_quality_ewma.)
-    "pred_surface", "stream_windowed_counts", "stream_quality_ewma",
+    "pred_surface", "cdc_upsert_latest", "stream_quality_ewma",
     "stream_static_enrich", "stream_interval_join",
-    "stream_sessionize_stateful", "log_scan_offset",
+    "stream_sessionize_stateful", "stream_cdc_upsert",
     # LLM-pipeline family flagships.  (dedup_ngram_jaccard rotated out
     # late in r5 — multi-round green, exact-PPJoin path still exercised
     # in-window via dedup_resolve_canonical — for the NEW
@@ -644,7 +651,11 @@ _DRIVER_WINDOW = [
     # green, its CC-resolution path stays in-window via both keep_best
     # entries — for the NEW standing-MinHash-index flagship
     # dedup_incremental_minhash.)
-    "dedup_minhash_lsh", "dedup_edit_distance", "dedup_incremental_minhash",
+    # (dedup_minhash_lsh rotated out very late in r5 — green r1-r4,
+    # the banded-MinHash path stays in-window via
+    # dedup_incremental_minhash / dedup_resolve_keep_best_minhash /
+    # pipeline_clean_corpus_minhash — for the NEW bigram-LM scorer.)
+    "text_bigram_logprob", "dedup_edit_distance", "dedup_incremental_minhash",
     # (ann_lsh_topk rotated out late in r5 — multi-round green, LSH
     # family still covered by the local gate — for the NEW filtered-
     # search flagship ann_ivf_filtered.)
@@ -653,7 +664,11 @@ _DRIVER_WINDOW = [
     # stream_decontaminate / bm25_search+tfidf — for the NEW
     # pipeline_split_leakage and retrieval_mmr_diversified.)
     "dedup_embedding_cosine", "pipeline_split_leakage", "ann_ivf_filtered",
-    "ann_ivf_topk", "bm25_search", "retrieval_mmr_diversified", "text_quality",
+    # (bm25_search rotated out very late in r5 — green r1-r4, lexical
+    # retrieval stays via text_tfidf history + retrieval_mmr's BM25-
+    # adjacent scoring — for the NEW mergeable-HLL sketch witness.)
+    "ann_ivf_topk", "sketch_vocab_cardinality", "retrieval_mmr_diversified",
+    "text_quality",
     "doc_pack_sequences", "sample_weighted_reservoir",
     # (sample_stratified rotated out late in r5 — multi-round green —
     # for the NEW A-ES weighted draw.)
@@ -730,9 +745,12 @@ _ROTATION_SHORTLIST_R6 = [
     "sample_global_shuffle", "sample_temperature_weights",
     "table_profile_orders", "corpus_stats", "stream_dim_stats",
     "mql_not_filter",
-    # new in late r5 (never driver-verified yet; full local oracles):
-    "dedup_substring_spans", "dedup_substring_clean",
-    "cdc_upsert_latest", "stream_cdc_upsert",
+    # new in late r5 still never driver-verified (their siblings
+    # dedup_substring_spans / cdc_upsert_latest / stream_cdc_upsert /
+    # text_bigram_logprob / sketch_vocab_cardinality went into the r5
+    # window); all full local oracles:
+    "dedup_substring_clean", "dedup_substring_spans_incremental",
+    "text_nb_quality_llr", "events_session_sequences",
 ]
 
 
