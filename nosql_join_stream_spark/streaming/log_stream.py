@@ -646,9 +646,12 @@ def stream_cdc_upsert(stream: DataFrame, path: str, checkpoint: str,
                                                write_keyed)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not os.path.isdir(path):
-            # bootstrap; a crash after this write replays the batch as
-            # an upsert of the same rows — same table, still exactly-once
+        # bootstrap gate checks _SUCCESS, not the bare dir: a crash
+        # MID-bootstrap leaves a committed-marker-less partial dir,
+        # and the replay must re-bootstrap over it, not merge into it.
+        # (A crash AFTER the write replays the batch as an upsert of
+        # the same rows — same table either way: still exactly-once.)
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
             write_keyed(latest_per_key(batch_df, key_col, order_by),
                         path, key_col, num_buckets=num_buckets)
             return
