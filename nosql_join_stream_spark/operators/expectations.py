@@ -145,6 +145,15 @@ def sketch_cardinality_by_group(df, group_col: str, value_col: str,
         F.col(group_col).cast("string").alias("grp"),
         "n_distinct",
         F.hll_sketch_estimate("sk").alias("est"))
+    # the merged-total row uses the in-band sentinel '__ALL__': a real
+    # group with that name would alias it, so fail IN-PLAN (per-row
+    # assert, no extra job) rather than return two conflicting rows
+    per_rows = (per_rows.withColumn(
+                    "__chk",
+                    F.assert_true(F.col("grp") != "__ALL__",
+                                  F.lit("group value '__ALL__' collides "
+                                        "with the merged-total sentinel")))
+                .drop("__chk"))
     total_exact = df.agg(F.count_distinct(value_col).alias("n_distinct"))
     merged = per.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))

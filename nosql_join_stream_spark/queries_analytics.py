@@ -373,6 +373,21 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.avg("value").over(w), 4).alias("mavg4")))
 
 
+def _with_session_idx(events: DataFrame) -> DataFrame:
+    """events + a ``session_idx`` column: the 30-min-gap session cut
+    (lag flag + running sum per user) — ONE definition shared by every
+    sessionized query so the rule can't silently fork."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    ns = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+        1).otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    return events.withColumn("session_idx",
+                             F.sum(ns).over(run).cast("bigint"))
+
+
 @register(
     "events_session_assign",
     """
@@ -400,15 +415,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    ns = F.when(
-        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
-        1).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id")                 .rowsBetween(Window.unboundedPreceding, 0)
-    return (e.table("events")
-            .withColumn("session_idx",
-                        F.sum(ns).over(run).cast("bigint"))
+    return (_with_session_idx(e.table("events"))
             .select("event_id", "user_id", "session_idx"))
 
 
@@ -1084,19 +1091,11 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    ns = F.when(
-        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
-        1).otherwise(0)
-    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-                 .rowsBetween(Window.unboundedPreceding, 0))
     seq = F.array_join(
         F.transform(
             F.sort_array(F.collect_list(
                 F.struct("ts", "event_id", "event_type"))),
             lambda s: s["event_type"]), " ")
-    return (e.table("events")
-            .withColumn("session_idx", F.sum(ns).over(run).cast("bigint"))
+    return (_with_session_idx(e.table("events"))
             .groupBy("user_id", "session_idx")
             .agg(F.count("*").alias("n_events"), seq.alias("seq")))

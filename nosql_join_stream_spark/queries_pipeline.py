@@ -3838,7 +3838,9 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"nsjs_cdc_{os.getpid()}_{tag}")
     initial = ev.filter(F.col("event_id") % 3 != 0)
     batch = ev.filter(F.col("event_id") % 3 == 0)
-    if not os.path.isdir(path):
+    # meta-sidecar gate, not the bare dir: a crashed mid-bootstrap
+    # write must re-bootstrap, never upsert into a partial table
+    if not sinks.keyed_table_exists(spark, path):
         sinks.write_keyed(
             sinks.latest_per_key(initial, "user_id", ["ts", "event_id"]),
             path, "user_id", num_buckets=16)

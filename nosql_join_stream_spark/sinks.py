@@ -212,10 +212,39 @@ def write_keyed(df: DataFrame, path: str, key_col: str,
     MERGE unit — ``upsert_keyed`` rewrites only the buckets a batch
     touches, so ``num_buckets`` should scale with table size until one
     bucket is a comfortable rewrite quantum (e.g. a few GB).  ``df``
-    must already be one-row-per-key (use :func:`latest_per_key`)."""
+    must already be one-row-per-key (use :func:`latest_per_key`).
+
+    The bucket layout is recorded in a ``_nsjs_meta`` sidecar INSIDE
+    the table dir (leading underscore → invisible to parquet scans),
+    written LAST so it doubles as the bootstrap-commit marker: a
+    crash mid-write leaves no meta, and both ``upsert_keyed`` and
+    ``keyed_table_exists`` treat the table as absent.  Reading it
+    through Spark (not ``os.path``) keeps every check valid on
+    HDFS/S3 paths, not just the local filesystem."""
     (df.withColumn(_KB, _key_bucket(key_col, num_buckets))
        .repartition(_KB)
        .write.mode("overwrite").partitionBy(_KB).parquet(path))
+    meta = df.sparkSession.createDataFrame(
+        [(key_col, num_buckets)], "key_col string, num_buckets int")
+    meta.coalesce(1).write.mode("overwrite").json(path + "/_nsjs_meta")
+
+
+def _read_meta(spark: SparkSession, path: str):
+    """The table's layout row, or None if the table was never
+    completely written (no meta == no table)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.json(path + "/_nsjs_meta").first()
+    except AnalysisException:
+        return None
+
+
+def keyed_table_exists(spark: SparkSession, path: str) -> bool:
+    """True iff a COMPLETELY-written keyed table lives at ``path``
+    (the meta sidecar is written last — partial bootstrap leaves
+    none).  Filesystem-agnostic: goes through Spark's readers."""
+    return _read_meta(spark, path) is not None
 
 
 def read_keyed(spark: SparkSession, path: str) -> DataFrame:
@@ -225,7 +254,7 @@ def read_keyed(spark: SparkSession, path: str) -> DataFrame:
 
 def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
                  key_col: str, order_by: Sequence[str],
-                 num_buckets: int = 32) -> dict:
+                 num_buckets: int | None = None) -> dict:
     """Partition-level CDC MERGE without a table format: upsert
     ``batch`` into the standing table at ``path``, keeping per key the
     row with the greatest ``order_by`` (sequence/event-time ordering;
@@ -250,6 +279,23 @@ def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
 
     if not order_by:
         raise ValueError("upsert_keyed needs >= 1 order_by column")
+    meta = _read_meta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"no completely-written keyed table at {path} "
+            "(write_keyed it first — its meta sidecar is the marker)")
+    if meta.key_col != key_col:
+        raise ValueError(
+            f"keyed table at {path} is keyed on {meta.key_col!r}, "
+            f"not {key_col!r}")
+    # the STORED layout wins: hashing a batch with a different bucket
+    # count than the table was built with would strand a key's old row
+    # in a bucket the merge never reads — silent duplicate keys
+    if num_buckets is not None and num_buckets != meta.num_buckets:
+        raise ValueError(
+            f"keyed table at {path} has {meta.num_buckets} buckets; "
+            f"upsert requested {num_buckets}")
+    num_buckets = int(meta.num_buckets)
     b = (batch.withColumn(_KB, _key_bucket(key_col, num_buckets))
               .withColumn("__src", F.lit(1))
               .localCheckpoint())

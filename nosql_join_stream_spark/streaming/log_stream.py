@@ -640,23 +640,23 @@ def stream_cdc_upsert(stream: DataFrame, path: str, checkpoint: str,
     never table size — an unbounded stream maintains a 100 TB serving
     table by rewriting the few buckets each micro-batch lands in.
     """
-    import os
-
-    from nosql_join_stream_spark.sinks import (latest_per_key, upsert_keyed,
+    from nosql_join_stream_spark.sinks import (keyed_table_exists,
+                                               latest_per_key, upsert_keyed,
                                                write_keyed)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # bootstrap gate checks _SUCCESS, not the bare dir: a crash
-        # MID-bootstrap leaves a committed-marker-less partial dir,
-        # and the replay must re-bootstrap over it, not merge into it.
-        # (A crash AFTER the write replays the batch as an upsert of
-        # the same rows — same table either way: still exactly-once.)
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        # bootstrap gate = the table's meta sidecar (written LAST by
+        # write_keyed), checked through Spark so it works on any
+        # filesystem: a crash MID-bootstrap leaves no marker and the
+        # replay re-bootstraps over the partial dir instead of merging
+        # into it.  (A crash AFTER the write replays the batch as an
+        # upsert of the same rows — same table either way.)
+        if not keyed_table_exists(batch_df.sparkSession, path):
             write_keyed(latest_per_key(batch_df, key_col, order_by),
                         path, key_col, num_buckets=num_buckets)
             return
         upsert_keyed(batch_df.sparkSession, path, batch_df, key_col,
-                     order_by, num_buckets=num_buckets)
+                     order_by)
 
     q = (stream.writeStream.foreachBatch(write_batch)
          .outputMode("append")

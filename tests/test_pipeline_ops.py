@@ -1407,4 +1407,11 @@ def test_substring_spans_between_equals_full_on_union(spark, sf_dir, engine):
     full = {tuple(r) for r in dedup.repeated_substring_spans(
         docs, "text", "doc_id", w=15)
         .filter(F.col("id") % 10 == 9).collect()}
+    # drop the standing-index db so reruns/in-process siblings never
+    # inherit a stale catalog entry (sibling index tests do the same)
+    import shutil
+    import tempfile
+    spark.sql("DROP DATABASE IF EXISTS nsjs_substr CASCADE")
+    shutil.rmtree(f"{tempfile.gettempdir()}/nsjs_substr_{__import__('os').getpid()}",
+                  ignore_errors=True)
     assert inc == full and len(inc) > 0

@@ -566,7 +566,11 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     ckpt = tmp_path / "ckpt"
     base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     schema = base.schema
-    t0 = base.agg(F.max("ts")).first()[0]
+    # floor to the hour + 5 min: every constructed on-time row sits
+    # mid-window regardless of where the dataset's max ts happens to
+    # fall (minute >= 50 would otherwise straddle two windows)
+    t0 = base.agg(F.max("ts")).first()[0].replace(
+        minute=5, second=0, microsecond=0)
 
     def ev(eid, ts):
         return {"event_id": eid, "ts": ts, "user_id": 1,
