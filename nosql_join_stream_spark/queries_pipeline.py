@@ -4185,3 +4185,60 @@ def dedup_substring_spans_incremental(spark: SparkSession,
         corpus, batch, "text", "doc_id", w=15)
     return spans.select(F.col("id").alias("doc_id"),
                         "span_start", "span_end", "span_tokens")
+
+
+@register(
+    "dedup_component_sizes",
+    """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (
+      SELECT id1, id2 FROM p
+      WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6),
+    ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION SELECT id2, id1 FROM pairs),
+    reach(id, comp) AS (
+      SELECT src AS id, src AS comp FROM ed
+      UNION
+      SELECT ed.src, r.comp FROM ed JOIN reach r ON ed.dst = r.id),
+    comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+    sizes AS (SELECT comp, COUNT(*) AS component_size
+              FROM comp GROUP BY comp)
+    SELECT component_size, COUNT(*) AS n_components,
+           CAST(component_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY component_size
+    """,
+    doc="Dup-cluster size histogram — the audit behind every dedup "
+        "threshold decision: a power-law tail (one 500-doc component) "
+        "means boilerplate or a mirror farm, not legitimate near-dups, "
+        "and argues for tightening tau or span-cutting instead of "
+        "keep-one. Exact-pair CC (the oracle-shaped path) -> one "
+        "size agg -> one histogram agg; singleton docs are excluded "
+        "(size >= 2 by construction). Costs two tiny aggregates past "
+        "the component labels the resolve path already computes.",
+)
+def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                      n=3, threshold=0.6)
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("component_size"))
+    return (sizes.groupBy("component_size")
+            .agg(F.count("*").alias("n_components"))
+            .withColumn("n_docs",
+                        (F.col("component_size")
+                         * F.col("n_components")).cast("bigint")))
