@@ -277,3 +277,54 @@ def embed_media_stub(media: DataFrame, dim: int = 8) -> DataFrame:
 
     return media.select("doc_id", "media_type", "payload").mapInPandas(
         op, schema="doc_id long, media_type string, embedding array<double>")
+
+
+def payload_chunk_jaccard(media: DataFrame, threshold: float = 0.5,
+                          chunk_bytes: int = 64,
+                          payload_col: str = "payload",
+                          id_col: str = "doc_id") -> DataFrame:
+    """NEAR-dup media pairs by fixed-window chunk-set Jaccard — the
+    segment-level tier between exact ``payload_dedup`` (byte-identical
+    only) and embedding similarity (needs a decoder): two payloads
+    sharing >= ``threshold`` of their ``chunk_bytes``-byte windows are
+    re-encodes/truncations/concatenations of the same material
+    (shot-level video dedup, re-muxed audio, watermarked image
+    variants with shared regions).
+
+    Scale shape: chunks hash to 32 B digests map-side (payload bytes
+    never shuffle); one inverted-index equi-join on the digest counts
+    common chunks per candidate pair — |pairs sharing a chunk|, never
+    |n²| — and the exact Jaccard filter needs only the two set sizes
+    already aggregated.  Chunk-level boilerplate (a digest in very
+    many payloads, e.g. padding) is the skew to watch at 100 TB: cap
+    it with a doc-frequency filter upstream if observed, exactly like
+    stop-grams in the text tier.  Returns (id1, id2, jaccard).
+    """
+    ch = (media.select(
+              F.col(id_col).alias("id"),
+              F.explode(F.transform(
+                  F.sequence(
+                      F.lit(0),
+                      F.ceil(F.octet_length(payload_col) / chunk_bytes)
+                       .cast("int") - 1),
+                  lambda i: F.sha2(
+                      F.substring(F.col(payload_col),
+                                  i * chunk_bytes + 1, chunk_bytes), 256)))
+               .alias("csha"))
+            .distinct())
+    n = ch.groupBy("id").agg(F.count("*").alias("n_ch"))
+    a = ch.join(n, "id").select(F.col("id").alias("id1"),
+                                F.col("n_ch").alias("n1"), "csha")
+    b = ch.join(n, "id").select(F.col("id").alias("id2"),
+                                F.col("n_ch").alias("n2"), "csha")
+    common = (a.join(b, (a["csha"] == b["csha"])
+                     & (F.col("id1") < F.col("id2")))
+               .groupBy("id1", "id2")
+               .agg(F.count("*").alias("common"),
+                    F.any_value("n1").alias("n1"),
+                    F.any_value("n2").alias("n2")))
+    j = F.round(F.col("common")
+                / (F.col("n1") + F.col("n2") - F.col("common")), 4)
+    return (common.withColumn("jaccard", j)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("id1", "id2", "jaccard"))

@@ -4242,3 +4242,39 @@ def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_docs",
                         (F.col("component_size")
                          * F.col("n_components")).cast("bigint")))
+
+
+@register(
+    "multimodal_chunk_jaccard",
+    """
+    WITH m AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h
+               FROM documents),
+    ch AS (SELECT DISTINCT doc_id,
+                  substring(h, CAST(i AS BIGINT) * 128 + 1, 128) AS c
+           FROM m, UNNEST(range(0, CAST(ceil(length(h) / 128.0)
+                                        AS BIGINT))) u(i)),
+    n AS (SELECT doc_id, COUNT(*) AS n_ch FROM ch GROUP BY doc_id),
+    co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+           FROM ch a JOIN ch b ON a.c = b.c AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT id1, id2,
+           ROUND(common * 1.0 / (n1.n_ch + n2.n_ch - common), 4)
+             AS jaccard
+    FROM co JOIN n n1 ON co.id1 = n1.doc_id
+            JOIN n n2 ON co.id2 = n2.doc_id
+    WHERE ROUND(common * 1.0 / (n1.n_ch + n2.n_ch - common), 4) >= 0.5
+    """,
+    doc="Segment-level MEDIA near-dup (multimodal.payload_chunk_"
+        "jaccard): payloads sharing >= 50% of their 64-byte windows "
+        "are re-encodes/truncations/concatenations of the same "
+        "material — the tier between exact payload_dedup and "
+        "decoder-needing embeddings (shot-level video dedup, re-muxed "
+        "audio). Chunks hash to 32 B digests map-side (payload bytes "
+        "never shuffle); one inverted-index join on the digest — "
+        "|pairs sharing a chunk|, never n². Oracle chunks the hex "
+        "encoding (same byte windows, engine-portable).",
+)
+def multimodal_chunk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    media = multimodal.synthesize_media(e.table("documents"))
+    return multimodal.payload_chunk_jaccard(media, threshold=0.5)

@@ -1415,3 +1415,28 @@ def test_substring_spans_between_equals_full_on_union(spark, sf_dir, engine):
     shutil.rmtree(f"{tempfile.gettempdir()}/nsjs_substr_{__import__('os').getpid()}",
                   ignore_errors=True)
     assert inc == full and len(inc) > 0
+
+
+def test_payload_chunk_jaccard_hand_case(spark):
+    # payloads built from 64-byte blocks A/B/C/D: doc1=ABC, doc2=ABD
+    # (j=2/4=0.5), doc3=DDD -> one distinct chunk D, shares 1 of
+    # doc2's 4 distinct -> j=1/4 (filtered at 0.5)
+    A, B, C, D = (bytes([c]) * 64 for c in (65, 66, 67, 68))
+    df = spark.createDataFrame(
+        [(1, A + B + C), (2, A + B + D), (3, D + D + D)],
+        "doc_id long, payload binary")
+    out = {(r.id1, r.id2): r.jaccard
+           for r in multimodal.payload_chunk_jaccard(
+               df, threshold=0.5).collect()}
+    assert out == {(1, 2): 0.5}
+
+
+def test_payload_chunk_jaccard_tail_chunk(spark):
+    # a short tail (< chunk_bytes) is its own chunk, not dropped:
+    # doc1=A+tail, doc2=A+tail -> identical chunk sets, j=1.0
+    A = bytes([65]) * 64
+    tail = b"xyz"
+    df = spark.createDataFrame(
+        [(1, A + tail), (2, A + tail)], "doc_id long, payload binary")
+    out = multimodal.payload_chunk_jaccard(df, threshold=0.9).collect()
+    assert [(r.id1, r.id2, r.jaccard) for r in out] == [(1, 2, 1.0)]
