@@ -319,3 +319,34 @@ def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
            .option("partitionOverwriteMode", "dynamic")
            .partitionBy(_KB).parquet(path))
     return {"buckets_touched": len(touched), "rows_written": latest.count()}
+
+
+def retention_expire(spark: SparkSession, path: str, partition_col: str,
+                     keep_from) -> int:
+    """Partition-level retention: DROP hive partitions of ``path``
+    whose ``partition_col`` value sorts below ``keep_from`` — the
+    other half of the lifecycle story next to :func:`compact` (a log
+    that only ever grows isn't a deployment, it's a liability).
+
+    Deleting a directory is the entire operation — no rewrite, no
+    scan of surviving data, cost proportional to expired partitions
+    only.  This is exactly why the log/stream sinks here partition by
+    time bucket / batch id: retention becomes an O(dirs) metadata
+    action.  Values compare as strings (zero-pad numeric partition
+    values at write time — ``write_log_rolled`` does).  Returns the
+    number of partitions dropped.
+    """
+    import glob
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    dropped = 0
+    for d in sorted(glob.glob(os.path.join(path, prefix + "*"))):
+        if not os.path.isdir(d):
+            continue
+        val = os.path.basename(d)[len(prefix):]
+        if val < str(keep_from):
+            shutil.rmtree(d)
+            dropped += 1
+    return dropped

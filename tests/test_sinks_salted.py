@@ -292,3 +292,20 @@ def test_upsert_keyed_merges_and_leaves_untouched_buckets_alone(
     upsert_keyed(spark, path, batch, "k", ["seq"], num_buckets=8)
     again = {(r.k, r.seq, r.payload) for r in read_keyed(spark, path).collect()}
     assert again == got
+
+
+def test_retention_expire_drops_only_old_partitions(spark, tmp_path):
+    from nosql_join_stream_spark.sinks import retention_expire, write_table
+
+    df = spark.createDataFrame(
+        [(d, i) for d in ("2024-01-01", "2024-01-02", "2024-01-03")
+         for i in range(5)], "day string, v int")
+    out = str(tmp_path / "log")
+    write_table(df, out, partition_by=["day"])
+    n = retention_expire(spark, out, "day", "2024-01-03")
+    assert n == 2
+    left = spark.read.parquet(out)  # partition col inferred as DATE
+    assert {str(r.day) for r in left.select("day").distinct().collect()} \
+        == {"2024-01-03"}
+    # idempotent: nothing left to expire
+    assert retention_expire(spark, out, "day", "2024-01-03") == 0
