@@ -1099,3 +1099,56 @@ def events_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_with_session_idx(e.table("events"))
             .groupBy("user_id", "session_idx")
             .agg(F.count("*").alias("n_events"), seq.alias("seq")))
+
+
+@register(
+    "events_resample_ffill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             ROUND(SUM(value), 2) AS hr_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi
+      FROM hourly GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS hr
+      FROM bounds),
+    joined AS (
+      SELECT g.user_id, g.hr, h.hr_value
+      FROM grid g LEFT JOIN hourly h
+        ON g.user_id = h.user_id AND g.hr = h.hr)
+    SELECT user_id, hr,
+           last_value(hr_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           hr_value IS NULL AS filled
+    FROM joined
+    """,
+    doc="Time-series regularization: hourly resample of each user's "
+        "event values onto a gap-free grid with forward fill — the "
+        "shape feature pipelines need before windowed models (ragged "
+        "event times -> regular tensor rows). Grid = per-user "
+        "sequence() explode (bounded by the user's own span, never a "
+        "global calendar join); fill = last_value(ignoreNulls) over "
+        "the per-user hour order. One agg + one explode + one window, "
+        "all user-partitioned — no global structure at any size.",
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    hourly = (e.table("events")
+              .groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.round(F.sum("value"), 2).alias("hr_value")))
+    grid = (hourly.groupBy("user_id")
+            .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+            .select("user_id",
+                    F.explode(F.sequence(
+                        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")))
+    joined = grid.join(hourly, ["user_id", "hr"], "left")
+    w = (Window.partitionBy("user_id").orderBy("hr")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return joined.select(
+        "user_id", "hr",
+        F.last("hr_value", ignorenulls=True).over(w).alias("value"),
+        F.col("hr_value").isNull().alias("filled"))
