@@ -435,3 +435,66 @@ def nb_llr_score(df, content_col: str, id_col: str, label_col: str):
                 .groupBy("id")
                 .agg(F.count("*").alias("n_tokens"),
                      F.round(F.avg("llr"), 4).alias("mean_llr")))
+
+
+def _lang_rank(col: Column) -> Column:
+    """Position of a language code in LANG_ORDER (tiebreak key)."""
+    expr = F.lit(len(LANG_ORDER))
+    for i, lg in reversed(list(enumerate(LANG_ORDER))):
+        expr = F.when(col == lg, i).otherwise(expr)
+    return expr
+
+
+def mixed_language_report(df, content_col: str, id_col: str,
+                          block_tokens: int = 20):
+    """Mixed-language detection — the cleaning signal language-ID at
+    DOC level cannot give: a page that is half English and half German
+    still gets one confident doc-level label, but its per-block labels
+    disagree.  Splits each doc into non-overlapping ``block_tokens``-
+    word blocks, language-IDs each block with the same stopword vote
+    as :func:`lang_id`, and reports the per-doc spread.  Blocks with
+    ZERO stopword hits in every language abstain (too short/technical
+    to vote).
+
+    Returns (id, n_blocks, n_voting, n_langs, majority_lang,
+    is_mixed); ``majority_lang`` is the most-voted language (ties to
+    LANG_ORDER), ``'und'`` when every block abstains.
+
+    Scale shape: block explode is map-side (bounded fan-out:
+    tokens/block_tokens rows per doc); per-block votes are pure JVM
+    Column chains; one (id) agg with a min(struct) majority pick —
+    no rank window, one shuffle total.
+    """
+    toks = F.split(F.trim(F.lower(F.col(content_col))), r"\s+")
+    n_blocks = F.ceil(F.size(toks) / block_tokens).cast("int")
+    block = F.explode(F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * block_tokens + 1, block_tokens), " ")))
+    blocks = df.select(F.col(id_col).alias("id"), block.alias("blk"))
+    counts = {lg: stopword_hits(F.col("blk"), STOPWORDS[lg])
+              for lg in LANG_ORDER}
+    best = F.greatest(*counts.values())
+    lang = None
+    for lg in LANG_ORDER:
+        cond = counts[lg] == best
+        lang = F.when(cond, F.lit(lg)) if lang is None else lang.when(
+            cond, F.lit(lg))
+    labeled = blocks.select(
+        "id", F.when(best >= 1, lang).alias("blk_lang"))
+    votes = (labeled.groupBy("id", "blk_lang")
+             .agg(F.count("*").alias("cnt")))
+    per_doc = (votes.groupBy("id").agg(
+        F.sum("cnt").alias("n_blocks"),
+        F.sum(F.when(F.col("blk_lang").isNotNull(), F.col("cnt"))
+               .otherwise(0)).alias("n_voting"),
+        F.count_distinct("blk_lang").alias("n_langs"),
+        F.min(F.when(F.col("blk_lang").isNotNull(),
+                     F.struct((-F.col("cnt")).alias("nc"),
+                              _lang_rank(F.col("blk_lang")).alias("rk"),
+                              F.col("blk_lang").alias("lg"))))
+         .alias("w")))
+    return per_doc.select(
+        "id", "n_blocks", "n_voting", "n_langs",
+        F.coalesce(F.col("w.lg"), F.lit("und")).alias("majority_lang"),
+        (F.col("n_langs") >= 2).alias("is_mixed"))

@@ -4278,3 +4278,77 @@ def multimodal_chunk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     media = multimodal.synthesize_media(e.table("documents"))
     return multimodal.payload_chunk_jaccard(media, threshold=0.5)
+
+
+@register(
+    "text_mixed_language",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             array_to_string(list_slice(
+               toks, CAST(i AS INTEGER) * 20 + 1,
+               CAST(i AS INTEGER) * 20 + 20), ' ') AS blk
+      FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT)))
+             u(i)),
+    c AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(blk), '\\s+'),
+                             x -> x IN ({_lang_in('en')}))) AS c_en,
+             len(list_filter(string_split_regex(trim(blk), '\\s+'),
+                             x -> x IN ({_lang_in('de')}))) AS c_de,
+             len(list_filter(string_split_regex(trim(blk), '\\s+'),
+                             x -> x IN ({_lang_in('fr')}))) AS c_fr,
+             len(list_filter(string_split_regex(trim(blk), '\\s+'),
+                             x -> x IN ({_lang_in('es')}))) AS c_es
+      FROM b),
+    l AS (
+      SELECT doc_id,
+             CASE WHEN greatest(c_en, c_de, c_fr, c_es) >= 1 THEN
+               CASE WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                    WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                    WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                    ELSE 'es' END
+             END AS blk_lang
+      FROM c),
+    v AS (SELECT doc_id, blk_lang, COUNT(*) AS cnt FROM l GROUP BY 1, 2),
+    m AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN blk_lang IS NOT NULL THEN cnt ELSE 0 END)
+                  AS BIGINT) AS n_voting,
+             COUNT(DISTINCT blk_lang) AS n_langs
+      FROM v GROUP BY doc_id),
+    mj AS (
+      SELECT doc_id, blk_lang FROM (
+        SELECT doc_id, blk_lang,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY cnt DESC,
+                          CASE blk_lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+                               WHEN 'fr' THEN 2 ELSE 3 END) AS rn
+        FROM v WHERE blk_lang IS NOT NULL) z
+      WHERE rn = 1)
+    SELECT m.doc_id, n_blocks, n_voting, n_langs,
+           COALESCE(mj.blk_lang, 'und') AS majority_lang,
+           n_langs >= 2 AS is_mixed
+    FROM m LEFT JOIN mj ON m.doc_id = mj.doc_id
+    """,
+    doc="Mixed-language detection (text.mixed_language_report): "
+        "20-word blocks each cast the stopword-vote language ID; "
+        "per-doc label spread flags half-translated/concatenated "
+        "pages that a confident DOC-level language ID hides — the "
+        "block-level audit behind per-language mixture weights. "
+        "Zero-hit blocks abstain ('und' when all do). Block explode "
+        "is bounded map-side fan-out; votes are JVM Column chains; "
+        "majority via one min(struct) agg — no rank window.",
+)
+def text_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (text.mixed_language_report(e.table("documents"),
+                                       "text", "doc_id")
+            .select(F.col("id").alias("doc_id"), "n_blocks", "n_voting",
+                    "n_langs", "majority_lang", "is_mixed"))

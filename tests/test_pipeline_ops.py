@@ -1440,3 +1440,19 @@ def test_payload_chunk_jaccard_tail_chunk(spark):
         [(1, A + tail), (2, A + tail)], "doc_id long, payload binary")
     out = multimodal.payload_chunk_jaccard(df, threshold=0.9).collect()
     assert [(r.id1, r.id2, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_mixed_language_report_flags_planted_mix(spark):
+    en = "the cat is on the mat and the dog is in the house with all of them here now"
+    de = "der hund ist nicht in das haus und der wagen ist auch nicht da aber sie sind hier"
+    df = spark.createDataFrame(
+        [(1, en + " " + de),     # half en, half de -> mixed
+         (2, en + " " + en),     # uniform en
+         (3, "zzz qqq www")],    # no stopwords -> abstains
+        ["doc_id", "text"])
+    out = {r.id: (r.n_langs, r.majority_lang, r.is_mixed)
+           for r in text.mixed_language_report(df, "text", "doc_id")
+           .collect()}
+    assert out[1][2] is True and out[1][0] == 2
+    assert out[2] == (1, "en", False)
+    assert out[3] == (0, "und", False)
