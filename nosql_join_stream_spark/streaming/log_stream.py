@@ -219,6 +219,27 @@ def interval_join_streams(left: DataFrame, right: DataFrame,
     return l.join(r, cond, "inner")
 
 
+def interval_join_streams_outer(left: DataFrame, right: DataFrame,
+                                key: str, within: str = "1 hour",
+                                watermark: str = "2 hours") -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every left event is
+    emitted — paired rows as they match, and the unmatched left rows
+    with NULL right columns once the watermark proves no match can
+    still arrive (outer results are inherently watermark-delayed:
+    Spark must wait out the interval before declaring 'no match').
+    The streaming form of 'purchases and the clicks that preceded
+    them, INCLUDING purchases with no preceding click' — the
+    attribution query whose unmatched side is the interesting one.
+    Same bounded-state contract as the inner form; the drained result
+    equals the batch left join (the oracle)."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {within}"))
+            & (F.col("r.ts") <= F.col("l.ts")))
+    return l.join(r, cond, "leftOuter")
+
+
 def dedup_stream(stream: DataFrame, keys: list[str],
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming dedup with bounded state (beyond-reference; the 100 TB

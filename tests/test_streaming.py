@@ -616,3 +616,53 @@ def test_watermark_drops_late_rows(spark, tmp_path):
                                                  microsecond=0)
     assert wins[t0_win] == 3              # ids 1, 2, 4
     assert late_win not in wins           # id 3 never surfaces
+
+
+def test_stream_interval_join_outer_contract(spark, engine, sf_dir):
+    """LEFT OUTER stream-stream interval join: the drained result must
+    (a) contain every inner pair, (b) never fabricate an unmatched row
+    (NULL right for a purchase that HAS a preceding click), and
+    (c) emit the clearly-old unmatched purchases (watermark long past).
+    The exact boundary rows near stream end are watermark-delayed by
+    construction (outer results wait out the interval), so the tail is
+    NOT asserted — that is the documented semantic, not a bug."""
+    from nosql_join_stream_spark.streaming.log_stream import (
+        interval_join_streams_outer, read_log_stream, run_available_now)
+    import datetime
+
+    p = (read_log_stream(spark, table_path(sf_dir, "events"))
+         .filter("event_type = 'purchase'"))
+    c = (read_log_stream(spark, table_path(sf_dir, "events"))
+         .filter("event_type = 'click'"))
+    j = interval_join_streams_outer(p, c, key="user_id", within="1 hour")
+    run_available_now(
+        j.select(F.col("l.event_id").alias("pid"),
+                 F.col("r.event_id").alias("cid"),
+                 F.col("l.ts").alias("pts")),
+        "t_oj_contract", output_mode="append")
+    got = {(r.pid, r.cid) for r in spark.table("t_oj_contract").collect()}
+
+    ev = engine.table("events")
+    pb = ev.filter("event_type = 'purchase'").alias("p")
+    cb = ev.filter("event_type = 'click'").alias("c")
+    cond = ((F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c.ts") <= F.col("p.ts")))
+    inner = {(r.pid, r.cid) for r in
+             pb.join(cb, cond).select(F.col("p.event_id").alias("pid"),
+                                      F.col("c.event_id").alias("cid"))
+             .collect()}
+    matched_pids = {pid for pid, _ in inner}
+    assert inner <= got                                       # (a)
+    for pid, cid in got:
+        if cid is None:
+            assert pid not in matched_pids                    # (b)
+    maxts = ev.agg(F.max("ts")).first()[0]
+    old_cut = maxts - datetime.timedelta(hours=6)
+    old_unmatched = {r.pid for r in
+                     pb.join(cb, cond, "left_anti")
+                     .filter(F.col("p.ts") < F.lit(old_cut))
+                     .select(F.col("p.event_id").alias("pid")).collect()}
+    got_unmatched = {pid for pid, cid in got if cid is None}
+    assert old_unmatched <= got_unmatched                     # (c)
+    assert len(got_unmatched) > 0
