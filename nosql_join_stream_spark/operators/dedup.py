@@ -1115,3 +1115,37 @@ def cut_spans(df: DataFrame, spans: DataFrame, content_col: str,
         (F.size("t") - F.size(kept)).alias("n_tokens_cut"),
         F.array_join(F.transform(kept, lambda s: s["tok"]), " ")
          .alias("clean_text"))
+
+
+def resolve_incremental(labels: DataFrame, new_pairs: DataFrame,
+                        max_iter: int = 20) -> DataFrame:
+    """Incremental component resolution: fold a batch of NEW near-dup
+    pairs into EXISTING (id, comp) labels without re-deriving the
+    historical pair list — the resolution-side companion of the
+    standing pair indexes (the index answers "which pairs", this
+    answers "which canonical" — both must be incremental or the daily
+    job isn't).
+
+    Key identity: old components are equivalent to star edges
+    (id — comp), so CC over {star edges} ∪ {new pairs} equals CC over
+    {all historical pairs} ∪ {new pairs} — the stars are exactly the
+    transitive closure the old pairs had already established, and
+    hash-min labels are closed under this rewrite (comp is a member
+    of its own component).  Cost: the propagation runs over
+    |labels| + |batch pairs| edges, independent of how many
+    historical pairs produced those labels.
+
+    Returns the updated full (id, comp) label table (old ids keep or
+    lower their label when a batch pair bridges two components; new
+    ids appear labeled).
+    """
+    star = (labels.filter(F.col("id") != F.col("comp"))
+                  .select(F.col("id").alias("id1"),
+                          F.col("comp").alias("id2")))
+    merged = star.unionByName(new_pairs.select("id1", "id2"))
+    updated = connected_components(merged, max_iter=max_iter)
+    # singleton components (id == comp, no edges) never enter the edge
+    # list — re-attach any such previously-known ids unchanged
+    singletons = (labels.join(updated, "id", "left_anti")
+                        .select("id", "comp"))
+    return updated.unionByName(singletons)

@@ -4352,3 +4352,63 @@ def text_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        "text", "doc_id")
             .select(F.col("id").alias("doc_id"), "n_blocks", "n_voting",
                     "n_langs", "majority_lang", "is_mixed"))
+
+
+@register(
+    "dedup_resolve_incremental",
+    """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (
+      SELECT id1, id2 FROM p
+      WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6),
+    ed AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION SELECT id2, id1 FROM pairs),
+    reach(id, comp) AS (
+      SELECT src AS id, src AS comp FROM ed
+      UNION
+      SELECT ed.src, r.comp FROM ed JOIN reach r ON ed.dst = r.id),
+    comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+    SELECT d.doc_id AS id,
+           COALESCE(c.comp, d.doc_id) AS canonical_id,
+           d.doc_id <> COALESCE(c.comp, d.doc_id) AS is_duplicate
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+    doc="INCREMENTAL component resolution (dedup.resolve_incremental): "
+        "yesterday's (id, comp) labels + today's batch pairs — old "
+        "components re-enter as star edges (id—comp), whose closure "
+        "equals the full historical pair list's, so propagation runs "
+        "over |labels| + |batch| edges regardless of history size. "
+        "Batch pairs can BRIDGE old components (both relabel to the "
+        "joint minimum). The Spark path computes labels on 2/3 of the "
+        "pair list, folds the remaining third in incrementally; the "
+        "oracle is the full-history recursive CTE — equality IS the "
+        "incremental-correctness claim.",
+)
+def dedup_resolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    all_pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.6)
+    hist = all_pairs.filter((F.col("id1") + F.col("id2")) % 3 != 0)
+    batch = all_pairs.filter((F.col("id1") + F.col("id2")) % 3 == 0)
+    labels = dedup.connected_components(hist)
+    updated = dedup.resolve_incremental(labels, batch)
+    return (docs.select(F.col("doc_id").alias("id"))
+            .join(updated, "id", "left")
+            .select("id",
+                    F.coalesce("comp", F.col("id")).alias("canonical_id"))
+            .withColumn("is_duplicate",
+                        F.col("id") != F.col("canonical_id")))

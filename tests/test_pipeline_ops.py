@@ -1456,3 +1456,28 @@ def test_mixed_language_report_flags_planted_mix(spark):
     assert out[1][2] is True and out[1][0] == 2
     assert out[2] == (1, "en", False)
     assert out[3] == (0, "und", False)
+
+
+def test_resolve_incremental_equals_full_cc(spark, sf_dir, engine):
+    """Folding batch pairs into existing labels must equal full CC
+    over all pairs — including when a batch pair BRIDGES two old
+    components and when it introduces brand-new ids."""
+    docs = engine.table("documents")
+    all_pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.6)
+    # split the pair list arbitrarily: "history" vs "today's batch"
+    hist = all_pairs.filter((F.col("id1") + F.col("id2")) % 3 != 0)
+    batch = all_pairs.filter((F.col("id1") + F.col("id2")) % 3 == 0)
+    labels = dedup.connected_components(hist)
+    inc = {(r.id, r.comp) for r in
+           dedup.resolve_incremental(labels, batch).collect()}
+    full = {(r.id, r.comp) for r in
+            dedup.connected_components(all_pairs).collect()}
+    assert inc == full and len(inc) > 0
+
+    # synthetic bridge case: two known components joined by one pair
+    lab = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (99, 99)], ["id", "comp"])
+    bridge = spark.createDataFrame([(2, 11)], ["id1", "id2"])
+    got = {(r.id, r.comp) for r in
+           dedup.resolve_incremental(lab, bridge).collect()}
+    assert got == {(1, 1), (2, 1), (10, 1), (11, 1), (99, 99)}
