@@ -224,18 +224,35 @@ def write_keyed(df: DataFrame, path: str, key_col: str,
     (df.withColumn(_KB, _key_bucket(key_col, num_buckets))
        .repartition(_KB)
        .write.mode("overwrite").partitionBy(_KB).parquet(path))
-    meta = df.sparkSession.createDataFrame(
-        [(key_col, num_buckets)], "key_col string, num_buckets int")
-    meta.coalesce(1).write.mode("overwrite").json(path + "/_nsjs_meta")
+    _write_meta(df.sparkSession, path, key_col, num_buckets)
+
+
+def _write_meta(spark: SparkSession, path: str, key_col: str,
+                num_buckets: int) -> None:
+    """One JSON line via the Hadoop FileSystem API — filesystem-
+    agnostic like a Spark write, but with NO job (a 1-row
+    createDataFrame→write.json costs seconds of session round-trips
+    for 50 bytes of metadata)."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path + "/_nsjs_meta/meta.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    out.write(bytearray(json.dumps(
+        {"key_col": key_col, "num_buckets": num_buckets}).encode()))
+    out.close()
 
 
 def _read_meta(spark: SparkSession, path: str):
     """The table's layout row, or None if the table was never
-    completely written (no meta == no table)."""
+    completely written (no meta == no table).  Explicit schema — a
+    schema-inference pass would double the (per-micro-batch) cost."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.json(path + "/_nsjs_meta").first()
+        return (spark.read.schema("key_col string, num_buckets int")
+                .json(path + "/_nsjs_meta").first())
     except AnalysisException:
         return None
 
@@ -254,7 +271,8 @@ def read_keyed(spark: SparkSession, path: str) -> DataFrame:
 
 def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
                  key_col: str, order_by: Sequence[str],
-                 num_buckets: int | None = None) -> dict:
+                 num_buckets: int | None = None,
+                 count_rows: bool = True) -> dict:
     """Partition-level CDC MERGE without a table format: upsert
     ``batch`` into the standing table at ``path``, keeping per key the
     row with the greatest ``order_by`` (sequence/event-time ordering;
@@ -318,7 +336,10 @@ def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
            .write.mode("overwrite")
            .option("partitionOverwriteMode", "dynamic")
            .partitionBy(_KB).parquet(path))
-    return {"buckets_touched": len(touched), "rows_written": latest.count()}
+    # rows_written scans the checkpointed merge result (cheap, no
+    # recompute); per-micro-batch callers skip even that one job
+    return {"buckets_touched": len(touched),
+            "rows_written": latest.count() if count_rows else -1}
 
 
 def retention_expire(spark: SparkSession, path: str, partition_col: str,

@@ -661,23 +661,26 @@ def stream_cdc_upsert(stream: DataFrame, path: str, checkpoint: str,
     never table size — an unbounded stream maintains a 100 TB serving
     table by rewriting the few buckets each micro-batch lands in.
     """
-    from nosql_join_stream_spark.sinks import (keyed_table_exists,
-                                               latest_per_key, upsert_keyed,
+    from nosql_join_stream_spark.sinks import (latest_per_key, upsert_keyed,
                                                write_keyed)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # bootstrap gate = the table's meta sidecar (written LAST by
         # write_keyed), checked through Spark so it works on any
-        # filesystem: a crash MID-bootstrap leaves no marker and the
-        # replay re-bootstraps over the partial dir instead of merging
-        # into it.  (A crash AFTER the write replays the batch as an
-        # upsert of the same rows — same table either way.)
-        if not keyed_table_exists(batch_df.sparkSession, path):
+        # filesystem: a crash MID-bootstrap leaves no marker, the
+        # upsert refuses, and the replay re-bootstraps over the
+        # partial dir instead of merging into it.  (A crash AFTER the
+        # write replays the batch as an upsert of the same rows — same
+        # table either way.)  Upsert-first keeps it to ONE meta read
+        # per micro-batch on the steady-state path.
+        try:
+            upsert_keyed(batch_df.sparkSession, path, batch_df, key_col,
+                         order_by, count_rows=False)
+        except ValueError as e:
+            if "no completely-written keyed table" not in str(e):
+                raise
             write_keyed(latest_per_key(batch_df, key_col, order_by),
                         path, key_col, num_buckets=num_buckets)
-            return
-        upsert_keyed(batch_df.sparkSession, path, batch_df, key_col,
-                     order_by)
 
     q = (stream.writeStream.foreachBatch(write_batch)
          .outputMode("append")
