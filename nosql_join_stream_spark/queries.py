@@ -751,6 +751,9 @@ _ROTATION_SHORTLIST_R6 = [
     # window); all full local oracles:
     "dedup_substring_clean", "dedup_substring_spans_incremental",
     "text_nb_quality_llr", "events_session_sequences",
+    "dedup_component_sizes", "multimodal_chunk_jaccard",
+    "events_resample_ffill", "text_mixed_language",
+    "dedup_resolve_incremental",
 ]
 
 
