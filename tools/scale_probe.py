@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc
 """
 
 from __future__ import annotations
@@ -360,6 +360,30 @@ def main() -> None:
             results["editdist_pairs"] = dedup.edit_distance_pairs(
                 dd, "text", "doc_id", d=2).count()
             results["editdist_s"] = round(time.perf_counter() - t0, 2)
+
+        if "chunkjac" in OPS:
+            from nosql_join_stream_spark.operators import multimodal
+            media = multimodal.synthesize_media(dd)
+            t0 = time.perf_counter()
+            results["chunkjac_pairs"] = multimodal.payload_chunk_jaccard(
+                media, threshold=0.5).count()
+            results["chunkjac_s"] = round(time.perf_counter() - t0, 2)
+
+        if "resolveinc" in OPS:
+            # incremental resolution: labels from 2/3 of the pairs,
+            # fold the remaining third in; the claim under test is
+            # that the fold costs |labels| + |batch| edges, so its
+            # wall should track the (linear) pair volume, never the
+            # history-size-squared anything
+            all_pairs = dedup.minhash_lsh_pairs(dd, "text", "doc_id")
+            hist = all_pairs.filter((F.col("id1") + F.col("id2")) % 3 != 0)
+            batch = all_pairs.filter((F.col("id1") + F.col("id2")) % 3 == 0)
+            labels = dedup.connected_components(hist)
+            labels.count()  # materialize history outside the timer
+            t0 = time.perf_counter()
+            results["resolveinc_rows"] = dedup.resolve_incremental(
+                labels, batch).count()
+            results["resolveinc_s"] = round(time.perf_counter() - t0, 2)
 
         if "substrinc" in OPS:
             # standing gram index: first timing includes the one-time
