@@ -432,3 +432,47 @@ def test_upsert_keyed_equals_keep_latest_fold(spark, tmp_path_factory, data):
     want = {(r.k, r.seq, r.p)
             for r in latest_per_key(allrows, "k", ["seq"]).collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_repeated_substring_spans_match_python_reference(spark, data):
+    """ExactSubstr spans equal a brute-force Python reference on random
+    corpora over a tiny alphabet (which forces plenty of true repeated
+    windows, within and across docs) — window marking, >=2 counting,
+    and interval merging all pinned at once."""
+    from collections import Counter
+
+    from nosql_join_stream_spark.operators.dedup import (
+        repeated_substring_spans)
+
+    w = data.draw(st.integers(2, 4))
+    docs = data.draw(st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12),
+        min_size=1, max_size=6))
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+
+    counts = Counter()
+    for _, text in rows:
+        t = text.split()
+        for i in range(len(t) - w + 1):
+            counts[tuple(t[i:i + w])] += 1
+    want = set()
+    for did, text in rows:
+        t = text.split()
+        marked = [i for i in range(len(t) - w + 1)
+                  if counts[tuple(t[i:i + w])] >= 2]
+        spans, cur = [], None
+        for i in marked:
+            if cur and i <= cur[1]:
+                cur[1] = max(cur[1], i + w)
+            else:
+                cur = [i, i + w]
+                spans.append(cur)
+        want |= {(did, s, e, e - s) for s, e in spans}
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {tuple(r) for r in
+           repeated_substring_spans(df, "text", "doc_id", w=w).collect()}
+    assert got == want
