@@ -476,3 +476,34 @@ def test_repeated_substring_spans_match_python_reference(spark, data):
     got = {tuple(r) for r in
            repeated_substring_spans(df, "text", "doc_id", w=w).collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_cut_spans_removes_exactly_marked_positions(spark, data):
+    """cut_spans must keep exactly the tokens outside the detected
+    spans, in order — verified against a Python cut driven by the
+    operator's own span output on random repeat-dense corpora."""
+    from nosql_join_stream_spark.operators.dedup import (
+        cut_spans, repeated_substring_spans)
+
+    w = data.draw(st.integers(2, 3))
+    docs = data.draw(st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=10),
+        min_size=1, max_size=5))
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = repeated_substring_spans(df, "text", "doc_id", w=w)
+    by_doc = {}
+    for r in spans.collect():
+        by_doc.setdefault(r.id, []).append((r.span_start, r.span_end))
+    got = {r.id: (r.n_tokens, r.n_tokens_cut, r.clean_text)
+           for r in cut_spans(df, spans, "text", "doc_id").collect()}
+    for did, text in rows:
+        t = text.split()
+        cut = set()
+        for s, e in by_doc.get(did, []):
+            cut |= set(range(s, e))
+        keep = [tok for i, tok in enumerate(t) if i not in cut]
+        assert got[did] == (len(t), len(cut), " ".join(keep)), did
