@@ -4412,3 +4412,85 @@ def dedup_resolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("comp", F.col("id")).alias("canonical_id"))
             .withColumn("is_duplicate",
                         F.col("id") != F.col("canonical_id")))
+
+
+@register(
+    "corpus_data_card",
+    f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             ROUND(len(regexp_extract_all(text, '[A-Za-z]'))
+                   * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+               AS atl,
+             ROUND(len(list_filter(
+                     regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x IN ({_STOP_EN})))
+                   * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')), 6)
+               AS sr
+      FROM documents),
+    q AS (
+      SELECT doc_id, n_tok,
+             ROUND(0.4 * (CASE WHEN n_tok BETWEEN 10 AND 1000
+                          THEN 1.0 ELSE 0.0 END)
+              + 0.3 * (CASE WHEN atl BETWEEN 2.0 AND 12.0
+                            THEN 1.0 ELSE 0.0 END)
+              + 0.3 * (CASE WHEN sr >= 0.01 THEN 1.0 ELSE 0.0 END), 4)
+               AS quality
+      FROM f),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+              AS tok FROM documents) z WHERE tok <> ''),
+    t AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(q.n_tok) AS BIGINT) AS n_tokens,
+             COUNT(DISTINCT sha256(d.text)) AS n_distinct_texts,
+             ROUND(AVG(q.quality), 6) AS mean_quality,
+             ROUND(AVG(CASE WHEN q.quality >= 0.7 THEN 1.0 ELSE 0.0 END),
+                   6) AS share_quality_ok
+      FROM documents d JOIN q ON d.doc_id = q.doc_id)
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM t
+    UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM t
+    UNION ALL SELECT 'vocab_size', CAST(vocab AS DOUBLE) FROM v
+    UNION ALL SELECT 'mean_tokens_per_doc',
+                     ROUND(n_tokens * 1.0 / n_docs, 6) FROM t
+    UNION ALL SELECT 'exact_dup_rate',
+                     ROUND(1.0 - n_distinct_texts * 1.0 / n_docs, 6) FROM t
+    UNION ALL SELECT 'mean_quality', mean_quality FROM t
+    UNION ALL SELECT 'share_quality_ok', share_quality_ok FROM t
+    """,
+    doc="The DATA CARD: the one-page corpus summary every released "
+        "training set ships — size, vocabulary, exact-dup rate "
+        "(256-bit digest distinct — texts never shuffle whole), "
+        "quality distribution — as (metric, value) rows from TWO "
+        "scans (one doc-level aggregate, one token explode for the "
+        "vocabulary) regardless of corpus size. Long format so "
+        "downstream tooling diffs cards across ingest days.",
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    q = text.quality_score(F.col("text"))
+    agg = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.size(toks)).cast("double").alias("n_tokens"),
+        F.count_distinct(F.sha2("text", 256)).cast("double")
+         .alias("n_distinct_texts"),
+        F.round(F.avg(q), 6).alias("mean_quality"),
+        F.round(F.avg(F.when(q >= 0.7, 1.0).otherwise(0.0)), 6)
+         .alias("share_quality_ok"))
+    vocab = (docs.select(F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"))
+             .filter(F.col("tok") != "")
+             .agg(F.count_distinct("tok").cast("double").alias("vocab")))
+    card = agg.crossJoin(F.broadcast(vocab)).select(
+        F.expr("""stack(7,
+            'n_docs', n_docs,
+            'n_tokens', n_tokens,
+            'vocab_size', vocab,
+            'mean_tokens_per_doc', round(n_tokens / n_docs, 6),
+            'exact_dup_rate', round(1.0 - n_distinct_texts / n_docs, 6),
+            'mean_quality', mean_quality,
+            'share_quality_ok', share_quality_ok) AS (metric, value)"""))
+    return card

@@ -54,7 +54,10 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             "text_nb_quality_llr",
             # __ALL__ row stitches two 1-row aggregates (exact total x
             # merged-sketch estimate)
-            "sketch_vocab_cardinality"}
+            "sketch_vocab_cardinality",
+            # the data card stitches two 1-row aggregates (doc-level x
+            # vocabulary)
+            "corpus_data_card"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
