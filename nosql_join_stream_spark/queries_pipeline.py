@@ -4494,3 +4494,56 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             'mean_quality', mean_quality,
             'share_quality_ok', share_quality_ok) AS (metric, value)"""))
     return card
+
+
+@register(
+    "cdc_upsert_snapshot",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+    doc="SNAPSHOT-ISOLATED CDC MERGE (sinks.upsert_keyed_snapshot — "
+        "the poor-man's table format): data files are immutable, each "
+        "merge writes its touched buckets under a fresh v<N>/ dir, "
+        "and a numbered manifest maps bucket -> version; the merge "
+        "becomes visible only at the atomic manifest publish, so "
+        "readers mid-flight keep their resolved snapshot, a crash "
+        "before publish leaves v<N-1> intact, and rollback deletes "
+        "one file. Same oracle as the in-place form: versioned "
+        "physical merge == the logical latest-per-key view.",
+)
+def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark import sinks
+
+    e = _engine(spark, sf_dir)
+    ev = e.table("events").select("user_id", "ts", "event_id",
+                                  "event_type", "value")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"nsjs_cdcv_{os.getpid()}_{tag}")
+    initial = ev.filter(F.col("event_id") % 3 != 0)
+    batch = ev.filter(F.col("event_id") % 3 == 0)
+    try:
+        sinks.read_keyed_snapshot(spark, path)
+    except ValueError:
+        sinks.write_keyed_snapshot(
+            sinks.latest_per_key(initial, "user_id", ["ts", "event_id"]),
+            path, "user_id", num_buckets=16)
+    # replays converge: keep-latest is idempotent, each rerun just
+    # publishes another (identical-content) version
+    sinks.upsert_keyed_snapshot(spark, path, batch, "user_id",
+                                ["ts", "event_id"])
+    return (sinks.read_keyed_snapshot(spark, path)
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_type"),
+                    F.col("value").alias("last_value")))

@@ -371,3 +371,224 @@ def retention_expire(spark: SparkSession, path: str, partition_col: str,
             shutil.rmtree(d)
             dropped += 1
     return dropped
+
+
+# ---------------------------------------------------------------------------
+# Versioned keyed table: snapshot-isolated MERGE via immutable manifests
+# ---------------------------------------------------------------------------
+#
+# upsert_keyed rewrites bucket dirs IN PLACE (dynamic partition
+# overwrite) — correct for a single writer, but a reader scanning
+# mid-merge can see a mix of old and new buckets.  The versioned form
+# is the poor-man's table format that fixes it the way Iceberg/Delta
+# do: data files are IMMUTABLE (each merge writes its buckets under a
+# fresh v<N>/ dir), and a tiny numbered manifest maps each bucket to
+# the version that last wrote it.  Readers resolve the highest
+# manifest ONCE and read only dirs it references — a merge landing
+# mid-query changes nothing they hold; publishing is one atomic
+# rename of a new manifest file; rollback is deleting it.  GC drops
+# version dirs no longer referenced.
+
+_MANIFEST_SCHEMA = ("key_col string, num_buckets int, version int, "
+                    "buckets array<struct<kb:int,v:string>>")
+
+
+def _manifest_dir(path: str) -> str:
+    return path + "/_nsjs_manifests"
+
+
+def _list_manifests(spark: SparkSession, path: str) -> list:
+    jvm = spark._jvm
+    d = jvm.org.apache.hadoop.fs.Path(_manifest_dir(path))
+    fs = d.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.startswith("manifest-v") and name.endswith(".json"):
+            out.append(int(name[len("manifest-v"):-len(".json")]))
+    return sorted(out)
+
+
+def _write_manifest(spark: SparkSession, path: str, version: int,
+                    key_col: str, num_buckets: int,
+                    buckets: dict) -> None:
+    """Publish manifest v<version>: write to a tmp name, fs.rename to
+    the final (previously-absent) name — the atomic commit point."""
+    import json
+
+    jvm = spark._jvm
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{_manifest_dir(path)}/manifest-v{version}.json")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{_manifest_dir(path)}/.manifest-v{version}.json.tmp")
+    fs = final.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(
+        {"key_col": key_col, "num_buckets": num_buckets,
+         "version": version,
+         "buckets": [{"kb": int(k), "v": v}
+                     for k, v in sorted(buckets.items())]}).encode()))
+    out.close()
+    if not fs.rename(tmp, final):
+        raise RuntimeError(f"manifest publish failed: v{version} "
+                           "already exists (concurrent writer?)")
+
+
+def _read_manifest(spark: SparkSession, path: str):
+    """Latest committed manifest as (version, key_col, num_buckets,
+    {kb: version_dir}); None if never written."""
+    import json
+
+    versions = _list_manifests(spark, path)
+    if not versions:
+        return None
+    v = versions[-1]
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{_manifest_dir(path)}/manifest-v{v}.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    # py4j cannot fill a Python buffer in place (byte[] args copy) —
+    # use a RETURNING read
+    data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    stream.close()
+    m = json.loads(bytes(data).decode())
+    return (m["version"], m["key_col"], m["num_buckets"],
+            {int(b["kb"]): b["v"] for b in m["buckets"]})
+
+
+def _written_buckets(df: DataFrame, key_col: str,
+                     num_buckets: int) -> list[int]:
+    return sorted(
+        r[_KB] for r in df.select(
+            _key_bucket(key_col, num_buckets).alias(_KB))
+        .distinct().collect())
+
+
+def write_keyed_snapshot(df: DataFrame, path: str, key_col: str,
+                         num_buckets: int = 32) -> int:
+    """Bootstrap a versioned keyed table (version 1).  ``df`` must be
+    one-row-per-key (:func:`latest_per_key`).  Returns the version."""
+    spark = df.sparkSession
+    stamped = df.withColumn(_KB, _key_bucket(key_col, num_buckets))
+    (stamped.repartition(_KB)
+     .write.mode("overwrite").partitionBy(_KB).parquet(path + "/v1"))
+    kbs = _written_buckets(df, key_col, num_buckets)
+    _write_manifest(spark, path, 1, key_col, num_buckets,
+                    {kb: "v1" for kb in kbs})
+    return 1
+
+
+def read_keyed_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Read the latest committed snapshot.  The manifest is resolved
+    EAGERLY here — the returned DataFrame keeps reading exactly these
+    (immutable) files even if merges land while the query runs."""
+    man = _read_manifest(spark, path)
+    if man is None:
+        raise ValueError(f"no committed snapshot at {path}")
+    _, _, _, buckets = man
+    by_ver: dict[str, list[int]] = {}
+    for kb, ver in buckets.items():
+        by_ver.setdefault(ver, []).append(kb)
+    parts = []
+    for ver, kbs in sorted(by_ver.items()):
+        base = f"{path}/{ver}"
+        dirs = [f"{base}/{_KB}={kb}" for kb in sorted(kbs)]
+        parts.append(spark.read.option("basePath", base).parquet(*dirs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop(_KB)
+
+
+def upsert_keyed_snapshot(spark: SparkSession, path: str, batch: DataFrame,
+                          key_col: str, order_by: Sequence[str]) -> dict:
+    """Snapshot-isolated MERGE: keep-latest semantics of
+    :func:`upsert_keyed`, but touched buckets are written under a NEW
+    immutable ``v<N>/`` dir and the merge becomes visible only at the
+    atomic manifest publish — readers mid-flight keep their resolved
+    snapshot, a crash before publish leaves the table exactly at
+    v<N-1> (the orphan dir is GC'd), and rollback is deleting one
+    manifest file.  Cost is identical to the in-place form: touched
+    buckets only."""
+    from pyspark.sql import Window
+
+    man = _read_manifest(spark, path)
+    if man is None:
+        raise ValueError(
+            f"no committed snapshot at {path}; write_keyed_snapshot first")
+    version, m_key, num_buckets, buckets = man
+    if m_key != key_col:
+        raise ValueError(f"table keyed on {m_key!r}, not {key_col!r}")
+    b = (batch.withColumn(_KB, _key_bucket(key_col, num_buckets))
+              .withColumn("__src", F.lit(1))
+              .localCheckpoint())
+    touched = [r[_KB] for r in b.select(_KB).distinct().collect()]
+    if not touched:
+        return {"version": version, "buckets_touched": 0}
+    by_ver: dict[str, list[int]] = {}
+    for kb in touched:
+        if kb in buckets:
+            by_ver.setdefault(buckets[kb], []).append(kb)
+    existing_parts = []
+    for ver, kbs in sorted(by_ver.items()):
+        base = f"{path}/{ver}"
+        dirs = [f"{base}/{_KB}={kb}" for kb in sorted(kbs)]
+        existing_parts.append(
+            spark.read.option("basePath", base).parquet(*dirs))
+    merged = b
+    for p in existing_parts:
+        merged = merged.unionByName(p.withColumn("__src", F.lit(0)))
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in order_by], F.col("__src").desc())
+    latest = (merged.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+    new_ver = version + 1
+    (latest.repartition(_KB)
+     .write.mode("overwrite").partitionBy(_KB)
+     .parquet(f"{path}/v{new_ver}"))
+    new_map = dict(buckets)
+    for kb in touched:
+        new_map[kb] = f"v{new_ver}"
+    _write_manifest(spark, path, new_ver, key_col, num_buckets, new_map)
+    return {"version": new_ver, "buckets_touched": len(touched)}
+
+
+def gc_keyed_snapshots(spark: SparkSession, path: str,
+                       keep_manifests: int = 1) -> int:
+    """Drop version dirs not referenced by the ``keep_manifests``
+    newest manifests (and the older manifest files themselves).
+    Returns the number of version dirs removed.  Run on a schedule,
+    with ``keep_manifests`` sized to the longest query/reader you
+    allow — the snapshot-isolation retention window."""
+    import json
+
+    versions = _list_manifests(spark, path)
+    if not versions:
+        return 0
+    keep, drop = versions[-keep_manifests:], versions[:-keep_manifests]
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    referenced = set()
+    for v in keep:
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{_manifest_dir(path)}/manifest-v{v}.json")
+        stream = fs.open(p)
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        stream.close()
+        referenced |= {b["v"]
+                       for b in json.loads(bytes(data).decode())["buckets"]}
+    removed = 0
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+        name = st.getPath().getName()
+        if (st.isDirectory() and name.startswith("v")
+                and name[1:].isdigit() and name not in referenced):
+            fs.delete(st.getPath(), True)
+            removed += 1
+    for v in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            f"{_manifest_dir(path)}/manifest-v{v}.json"), False)
+    return removed

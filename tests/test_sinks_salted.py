@@ -309,3 +309,62 @@ def test_retention_expire_drops_only_old_partitions(spark, tmp_path):
         == {"2024-01-03"}
     # idempotent: nothing left to expire
     assert retention_expire(spark, out, "day", "2024-01-03") == 0
+
+
+def test_snapshot_keyed_table_merge_isolation_and_gc(spark, tmp_path):
+    import glob
+    import os
+
+    from nosql_join_stream_spark.sinks import (
+        gc_keyed_snapshots, latest_per_key, read_keyed_snapshot,
+        upsert_keyed_snapshot, write_keyed_snapshot)
+
+    path = str(tmp_path / "vt")
+    initial = spark.createDataFrame(
+        [(k, 1, f"v{k}.1") for k in range(20)], ["k", "seq", "p"])
+    assert write_keyed_snapshot(
+        latest_per_key(initial, "k", ["seq"]), path, "k",
+        num_buckets=4) == 1
+
+    # a reader resolves the v1 snapshot BEFORE the merge lands...
+    old_reader = read_keyed_snapshot(spark, path)
+
+    batch = spark.createDataFrame(
+        [(3, 2, "v3.2"), (100, 1, "new"), (5, 0, "stale")],
+        ["k", "seq", "p"])
+    stats = upsert_keyed_snapshot(spark, path, batch, "k", ["seq"])
+    assert stats["version"] == 2 and 1 <= stats["buckets_touched"] <= 3
+
+    # ...new readers see the merge...
+    got = {(r.k, r.seq, r.p)
+           for r in read_keyed_snapshot(spark, path).collect()}
+    assert (3, 2, "v3.2") in got and (100, 1, "new") in got
+    assert (5, 1, "v5.1") in got and len(got) == 21
+
+    # ...and the OLD reader still collects the v1 snapshot, post-merge
+    old = {(r.k, r.seq, r.p) for r in old_reader.collect()}
+    assert (3, 1, "v3.1") in old and (100, 1, "new") not in old
+    assert len(old) == 20
+
+    # v1 files are untouched on disk (immutability, not luck)
+    assert glob.glob(os.path.join(path, "v1", "__kb=*", "*.parquet"))
+
+    # GC to the latest manifest only: v1 dirs referenced by the live
+    # manifest must SURVIVE (untouched buckets still live there)
+    removed = gc_keyed_snapshots(spark, path, keep_manifests=1)
+    assert removed == 0  # v1 still referenced for untouched buckets
+    still = {(r.k, r.seq, r.p)
+             for r in read_keyed_snapshot(spark, path).collect()}
+    assert still == got
+
+    # rewrite EVERY key so a fresh version owns all buckets, then GC
+    # drops the now-unreferenced older dirs
+    allkeys = spark.createDataFrame(
+        [(k, 9, "z") for k in list(range(20)) + [100]],
+        ["k", "seq", "p"])
+    upsert_keyed_snapshot(spark, path, allkeys, "k", ["seq"])
+    removed = gc_keyed_snapshots(spark, path, keep_manifests=1)
+    assert removed >= 1
+    final = {(r.k, r.seq, r.p)
+             for r in read_keyed_snapshot(spark, path).collect()}
+    assert final == {(k, 9, "z") for k in list(range(20)) + [100]}
