@@ -753,7 +753,8 @@ _ROTATION_SHORTLIST_R6 = [
     "text_nb_quality_llr", "events_session_sequences",
     "dedup_component_sizes", "multimodal_chunk_jaccard",
     "events_resample_ffill", "text_mixed_language",
-    "dedup_resolve_incremental",
+    "dedup_resolve_incremental", "corpus_data_card",
+    "cdc_upsert_snapshot",
 ]
 
 
