@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert
 """
 
 from __future__ import annotations
@@ -360,6 +360,35 @@ def main() -> None:
             results["editdist_pairs"] = dedup.edit_distance_pairs(
                 dd, "text", "doc_id", d=2).count()
             results["editdist_s"] = round(time.perf_counter() - t0, 2)
+
+        if "snapupsert" in OPS:
+            # versioned snapshot MERGE, same shape as the in-place
+            # probe: fixed key-local batch, table grown with factor,
+            # buckets ∝ table — per-merge cost must stay flat AND the
+            # manifest/version machinery must not add a scale term
+            from nosql_join_stream_spark.sinks import (
+                latest_per_key, upsert_keyed_snapshot,
+                write_keyed_snapshot)
+            ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+            copies = spark.range(factor).select(F.col("id").alias("__c"))
+            gev = (ev.crossJoin(copies)
+                     .withColumn("user_id",
+                                 F.col("user_id") + F.col("__c") * 10_000_000)
+                     .withColumn("event_id",
+                                 F.col("event_id") + F.col("__c") * 10_000_000)
+                     .drop("__c"))
+            spath = f"/tmp/scale_snap_{factor}x"
+            import shutil
+            shutil.rmtree(spath, ignore_errors=True)
+            write_keyed_snapshot(
+                latest_per_key(gev, "user_id", ["ts", "event_id"]),
+                spath, "user_id", num_buckets=64 * factor)
+            batch = ev.filter(F.col("user_id") % 31 == 0)
+            t0 = time.perf_counter()
+            stats = upsert_keyed_snapshot(spark, spath, batch, "user_id",
+                                          ["ts", "event_id"])
+            results["snapupsert_buckets"] = stats["buckets_touched"]
+            results["snapupsert_s"] = round(time.perf_counter() - t0, 2)
 
         if "chunkjac" in OPS:
             from nosql_join_stream_spark.operators import multimodal
