@@ -436,15 +436,25 @@ def _write_manifest(spark: SparkSession, path: str, version: int,
                            "already exists (concurrent writer?)")
 
 
-def _read_manifest(spark: SparkSession, path: str):
-    """Latest committed manifest as (version, key_col, num_buckets,
-    {kb: version_dir}); None if never written."""
+def _read_manifest(spark: SparkSession, path: str,
+                   version: int | None = None):
+    """A committed manifest as (version, key_col, num_buckets,
+    {kb: version_dir}) — the latest, or an explicit ``version`` (time
+    travel); None if never written, ValueError for a version that was
+    never committed or already GC'd."""
     import json
 
     versions = _list_manifests(spark, path)
     if not versions:
         return None
-    v = versions[-1]
+    if version is None:
+        v = versions[-1]
+    elif version in versions:
+        v = version
+    else:
+        raise ValueError(
+            f"no committed manifest v{version} at {path} "
+            f"(available: {versions} — GC'd or never written)")
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(
         f"{_manifest_dir(path)}/manifest-v{v}.json")
@@ -481,11 +491,15 @@ def write_keyed_snapshot(df: DataFrame, path: str, key_col: str,
     return 1
 
 
-def read_keyed_snapshot(spark: SparkSession, path: str) -> DataFrame:
-    """Read the latest committed snapshot.  The manifest is resolved
-    EAGERLY here — the returned DataFrame keeps reading exactly these
-    (immutable) files even if merges land while the query runs."""
-    man = _read_manifest(spark, path)
+def read_keyed_snapshot(spark: SparkSession, path: str,
+                        version: int | None = None) -> DataFrame:
+    """Read a committed snapshot — the latest, or ``version`` for
+    TIME TRAVEL (any manifest still inside the GC retention window):
+    reproduce the exact table a training run saw, diff two ingest
+    days, or audit a bad merge.  The manifest is resolved EAGERLY —
+    the returned DataFrame keeps reading exactly these (immutable)
+    files even if merges land while the query runs."""
+    man = _read_manifest(spark, path, version)
     if man is None:
         raise ValueError(f"no committed snapshot at {path}")
     _, _, _, buckets = man

@@ -368,3 +368,32 @@ def test_snapshot_keyed_table_merge_isolation_and_gc(spark, tmp_path):
     final = {(r.k, r.seq, r.p)
              for r in read_keyed_snapshot(spark, path).collect()}
     assert final == {(k, 9, "z") for k in list(range(20)) + [100]}
+
+
+def test_snapshot_time_travel_reads_past_versions(spark, tmp_path):
+    import pytest
+
+    from nosql_join_stream_spark.sinks import (
+        gc_keyed_snapshots, latest_per_key, read_keyed_snapshot,
+        upsert_keyed_snapshot, write_keyed_snapshot)
+
+    path = str(tmp_path / "tt")
+    v1 = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")],
+                               ["k", "seq", "p"])
+    write_keyed_snapshot(latest_per_key(v1, "k", ["seq"]), path, "k",
+                         num_buckets=2)
+    upsert_keyed_snapshot(
+        spark, path,
+        spark.createDataFrame([(1, 2, "a2")], ["k", "seq", "p"]),
+        "k", ["seq"])
+    # latest sees the merge; v1 time-travel sees the original
+    assert {(r.k, r.p) for r in
+            read_keyed_snapshot(spark, path).collect()} \
+        == {(1, "a2"), (2, "b")}
+    assert {(r.k, r.p) for r in
+            read_keyed_snapshot(spark, path, version=1).collect()} \
+        == {(1, "a"), (2, "b")}
+    # GC to the newest manifest retires v1 from the travel window
+    gc_keyed_snapshots(spark, path, keep_manifests=1)
+    with pytest.raises(ValueError, match="GC'd or never written"):
+        read_keyed_snapshot(spark, path, version=1)
