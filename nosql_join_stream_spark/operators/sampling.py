@@ -230,3 +230,39 @@ def global_shuffle(df: DataFrame, id_col: str,
     from nosql_join_stream_spark.operators.combinators import _with_pos
     d = df.withColumn("__sh", order_hash(F.col(id_col)))
     return _with_pos(d, ["__sh", id_col], pos_col).drop("__sh")
+
+
+def interleave_by_weight(df: DataFrame, group_col: str, id_col: str,
+                         pos_col: str = "train_pos") -> DataFrame:
+    """Proportional source INTERLEAVING — the ordering half of mixture
+    design: temperature weights decide how much of each source to
+    draw, this decides WHERE in the training order it lands, spreading
+    every source evenly instead of concatenating them (which front-
+    loads one distribution and starves the others until late
+    training).  Stride scheduling: the r-th doc of source s (hash
+    order) gets key ``r / w_s`` with ``w_s = sqrt(n_s)`` (the α = 0.5
+    temperature); sorting by key yields each source at a cadence
+    proportional to its weight, deterministically.
+
+    sqrt — not pow(·, α) — is deliberate: IEEE sqrt is correctly
+    rounded in every engine, so the keys (and therefore the ORDER)
+    replay bit-for-bit in SQL; a general pow can differ by 1 ulp
+    across libm implementations and silently permute near-ties.
+
+    Scale shape: per-source rank windows parallelize by group; group
+    sizes ride a broadcast; the global enumeration is the two-pass
+    dense index (no single-task window).  Returns df + ``pos_col``
+    (1..N).
+    """
+    from pyspark.sql import Window
+
+    from nosql_join_stream_spark.operators.combinators import _with_pos
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    w = Window.partitionBy(group_col).orderBy(
+        order_hash(F.col(id_col)), id_col)
+    ranked = (df.join(F.broadcast(counts), group_col)
+                .withColumn("__rk", F.row_number().over(w))
+                .withColumn("__key", F.col("__rk") / F.sqrt("__n")))
+    return (_with_pos(ranked, ["__key", group_col, id_col], pos_col)
+            .drop("__rk", "__n", "__key"))

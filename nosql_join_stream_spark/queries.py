@@ -754,7 +754,7 @@ _ROTATION_SHORTLIST_R6 = [
     "dedup_component_sizes", "multimodal_chunk_jaccard",
     "events_resample_ffill", "text_mixed_language",
     "dedup_resolve_incremental", "corpus_data_card",
-    "cdc_upsert_snapshot",
+    "cdc_upsert_snapshot", "sample_interleave_sources",
 ]
 
 

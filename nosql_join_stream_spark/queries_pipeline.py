@@ -4559,3 +4559,41 @@ def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_id").alias("last_event_id"),
                     F.col("event_type").alias("last_type"),
                     F.col("value").alias("last_value")))
+
+
+@register(
+    "sample_interleave_sources",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+               GROUP BY source),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY cast(concat('0x',
+                       substr(sha256(doc_id::VARCHAR), 1, 15)) AS BIGINT),
+                     doc_id) AS rk
+          FROM documents),
+    k AS (SELECT r.doc_id, r.source, r.rk / sqrt(c.n) AS key
+          FROM r JOIN c ON r.source = c.source)
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY key, source, doc_id)
+                AS INTEGER) AS train_pos
+    FROM k
+    """,
+    doc="Proportional source interleaving (sampling.interleave_by_"
+        "weight): stride scheduling key = rank/sqrt(n_source) spreads "
+        "every source evenly through the training order at a cadence "
+        "proportional to its alpha=0.5 temperature weight — the "
+        "ordering half of mixture design (concatenation front-loads "
+        "one distribution). sqrt, not pow: IEEE-correctly-rounded in "
+        "every engine, so the ORDER replays bit-for-bit in SQL. "
+        "Per-source rank windows + broadcast counts + the two-pass "
+        "dense index — no single-task window.",
+)
+def sample_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import sampling
+
+    e = _engine(spark, sf_dir)
+    return (sampling.interleave_by_weight(
+                e.table("documents"), "source", "doc_id")
+            .select("doc_id", "source", "train_pos"))

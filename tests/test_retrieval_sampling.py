@@ -287,3 +287,24 @@ def test_bigram_logprob_orders_sensitivity(spark):
     out = {r.id: r.mean_logprob
            for r in bigram_logprob(df, "text", "doc_id").collect()}
     assert out[0] > out[99]
+
+
+def test_interleave_by_weight_proportional_cadence(spark):
+    # two sources, 90 vs 10 docs: in any window of the interleaved
+    # order, big-source docs should appear ~3x as often as small
+    # (sqrt(90)/sqrt(10) = 3), never as one solid block
+    from nosql_join_stream_spark.operators.sampling import (
+        interleave_by_weight)
+
+    rows = [(i, "big") for i in range(90)] + \
+           [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = interleave_by_weight(df, "source", "doc_id").collect()
+    order = [r.source for r in sorted(out, key=lambda r: r.train_pos)]
+    assert sorted(r.train_pos for r in out) == list(range(1, 101))
+    # every small-source doc is separated by at most ~2x the expected
+    # stride of big-source docs (no concatenation block)
+    small_pos = [i for i, s in enumerate(order) if s == "small"]
+    gaps = [b - a for a, b in zip(small_pos, small_pos[1:])]
+    assert max(gaps) <= 8  # expected ~4 under 3:1 cadence; 8 = slack
+    assert min(small_pos) < 20  # small source starts early, not at the end
