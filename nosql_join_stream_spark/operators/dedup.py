@@ -337,6 +337,7 @@ def minhash_pairs_between_bucketed(
                                 f"nsjs_mh_index_{os.getpid()}")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{location}'")
     if rebuild:
+        _drop_tombstones(spark, db)  # rebuild folds retractions
         for t in ("corpus_bands", "corpus_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
             p = location.removeprefix("file:")
@@ -349,8 +350,9 @@ def minhash_pairs_between_bucketed(
         write_bucketed(_shingle_sets(corpus, content_col, id_col, n),
                        f"{db}.corpus_sets", ["id"],
                        num_buckets=num_buckets, sort_by=["id"])
-    bands_l = spark.table(f"{db}.corpus_bands")
-    sets_l = spark.table(f"{db}.corpus_sets")
+    tombs = _dedup_tombstones(spark, db)
+    bands_l = _retract(spark.table(f"{db}.corpus_bands"), tombs, db)
+    sets_l = _retract(spark.table(f"{db}.corpus_sets"), tombs, db)
     bands_r = _minhash_band_rows(batch, content_col, id_col, n, bands)
     cand = (bands_l.join(bands_r.withColumnRenamed("id", "rid"), "bh")
             .groupBy(F.col("id").alias("left_id"),
@@ -403,9 +405,94 @@ def minhash_index_append(batch: DataFrame, content_col: str, id_col: str,
                        num_buckets=num_buckets, sort_by=["id"],
                        mode="append")
         n_docs = sets_b.count()
+        # a previously-deleted id re-ingested here is live again
+        _clear_tombstones_for_ids(sets_b.select("id"), db)
     finally:
         batch.unpersist()
     return n_docs
+
+
+# ---------------------------------------------------------------------------
+# Standing dedup-index retraction (tombstones) — mirrors ann_ivf_delete
+# ---------------------------------------------------------------------------
+
+def dedup_index_delete(ids: DataFrame, db: str, id_col: str = "id") -> int:
+    """Delete documents from a STANDING dedup index (PPJoin prefix,
+    MinHash band, or substring-gram family) WITHOUT rewriting it — the
+    takedown/license-revocation/PII-purge path a long-lived curation
+    deployment hits monthly: the doc ids append to a tombstone table
+    inside the index db, and every probe anti-joins the corpus-side
+    index rows against it (broadcast — deletions are tiny relative to
+    a 100 TB index), so the deleted doc stops generating pairs/spans
+    immediately.  ``dedup_index_compact`` folds outstanding tombstones
+    into the physical tables and restores the no-tombstone fast path;
+    a full rebuild folds them by construction.  Mirrors
+    ``similarity.ann_ivf_delete`` (same tombstone + compact
+    lifecycle).  Returns the number of ids appended."""
+    spark = ids.sparkSession
+    known = ("corpus_prefix", "corpus_bands", "corpus_grams")
+    if not any(spark.catalog.tableExists(f"{db}.{t}") for t in known):
+        raise ValueError(
+            f"no standing dedup index tables in {db}; build one first "
+            "(*_between_bucketed rebuild=True)")
+    out = (ids.select(F.col(id_col).cast("long").alias("id"))
+              .localCheckpoint())
+    out.write.mode("append").format("parquet") \
+       .saveAsTable(f"{db}.tombstones")
+    return out.count()
+
+
+def _dedup_tombstones(spark, db: str) -> DataFrame | None:
+    """The index's outstanding tombstones (distinct), or None — the
+    absence of the table is the steady-state fast path: probes on an
+    index with no outstanding deletes pay nothing."""
+    if spark.catalog.tableExists(f"{db}.tombstones"):
+        return spark.table(f"{db}.tombstones").distinct()
+    return None
+
+
+def _retract(index_df: DataFrame, tombs: DataFrame | None,
+             db: str) -> DataFrame:
+    """Anti-join an index-side table against the tombstones — one
+    broadcast map-side filter added to the probe plan."""
+    if tombs is None:
+        return index_df
+    if "id" not in index_df.columns:
+        raise ValueError(
+            f"standing index in {db} predates doc-id attribution and "
+            "cannot serve deletes; rebuild it (rebuild=True)")
+    return index_df.join(F.broadcast(tombs), "id", "left_anti")
+
+
+def _drop_tombstones(spark, db: str) -> None:
+    """Full rebuild / compact folds retractions by construction —
+    clear the tombstone table (managed: DROP removes its files)."""
+    spark.sql(f"DROP TABLE IF EXISTS {db}.tombstones")
+
+
+def _clear_tombstones_for_ids(batch_ids: DataFrame, db: str) -> None:
+    """A deleted id legitimately RE-INGESTED via ``*_index_append``
+    must become probe-visible again: rewrite the (tiny by contract)
+    tombstone table minus the batch's ids.  Survivors are collected
+    to the driver FIRST (bounded — tombstones are deletions), so the
+    overwrite never reads files it is replacing; an emptied table is
+    dropped entirely, restoring the fast path.  Mirrors
+    ``similarity._clear_tombstones_for``."""
+    spark = batch_ids.sparkSession
+    if not spark.catalog.tableExists(f"{db}.tombstones"):
+        return
+    tombs = spark.table(f"{db}.tombstones").distinct()
+    remaining = [r["id"] for r in
+                 tombs.join(batch_ids.select(
+                     F.col("id").cast("long").alias("id")),
+                     "id", "left_anti").collect()]
+    if len(remaining) == tombs.count():
+        return  # nothing cleared; leave the table untouched
+    _drop_tombstones(spark, db)
+    if remaining:
+        spark.createDataFrame([(i,) for i in remaining], "id long") \
+             .coalesce(1).write.format("parquet") \
+             .saveAsTable(f"{db}.tombstones")
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -694,6 +781,7 @@ def ngram_jaccard_pairs_between_bucketed(
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{location}'")
     if rebuild:
         from nosql_join_stream_spark.sinks import write_bucketed
+        _drop_tombstones(spark, db)  # rebuild folds retractions
         # a fresh session's in-memory catalog doesn't know tables a
         # previous session left at this location — drop AND clear the
         # stale dirs or saveAsTable fails with LOCATION_ALREADY_EXISTS
@@ -707,8 +795,9 @@ def ngram_jaccard_pairs_between_bucketed(
                        num_buckets=num_buckets, sort_by=["g"])
         write_bucketed(sh_c, f"{db}.corpus_sets", ["id"],
                        num_buckets=num_buckets, sort_by=["id"])
-    ex_l = spark.table(f"{db}.corpus_prefix")
-    sh_l = spark.table(f"{db}.corpus_sets")
+    tombs = _dedup_tombstones(spark, db)
+    ex_l = _retract(spark.table(f"{db}.corpus_prefix"), tombs, db)
+    sh_l = _retract(spark.table(f"{db}.corpus_sets"), tombs, db)
     sh_r, ex_r = _shingle_prefix(batch, content_col, id_col, n, tau)
     return _ppjoin_between(sh_l, ex_l, sh_r, ex_r, tau)
 
@@ -753,6 +842,8 @@ def dedup_index_append(batch: DataFrame, content_col: str, id_col: str,
         write_bucketed(sh_b, f"{db}.corpus_sets", ["id"],
                        num_buckets=num_buckets, sort_by=["id"], mode="append")
         n = sh_b.count()
+        # a previously-deleted id re-ingested here is live again
+        _clear_tombstones_for_ids(sh_b.select("id"), db)
     finally:
         sh_b.unpersist()
     return n
@@ -896,25 +987,38 @@ def dedup_index_compact(spark, db: str, tables_buckets=None,
     ``tables_buckets``: {table_name: bucket_cols} — defaults to the
     PPJoin index layout (``corpus_prefix`` by gram, ``corpus_sets``
     by id); pass the band-index layout for the MinHash family.
+
+    Outstanding TOMBSTONES (``dedup_index_delete``) are folded in:
+    the rewrite anti-joins each table's rows against them, then drops
+    the tombstone table — restoring the probe's no-tombstone fast
+    path, exactly like ``similarity.ann_ivf_compact``.
     Returns {table: n_files_after}.
     """
     if tables_buckets is None:
         tables_buckets = {"corpus_prefix": ["g"], "corpus_sets": ["id"]}
     from nosql_join_stream_spark.sinks import write_bucketed
 
+    tombs = _dedup_tombstones(spark, db)
+    if tombs is not None:
+        # the rewrite below reads these rows while the table swap
+        # happens — pin the (tiny) tombstone list first
+        tombs = tombs.localCheckpoint()
     out: dict[str, int] = {}
     for t, bucket_cols in tables_buckets.items():
         full = f"{db}.{t}"
         if not spark.catalog.tableExists(full):
             raise ValueError(f"no standing index table {full}")
         sort_by = bucket_cols  # both layouts sort by their bucket key
-        write_bucketed(spark.table(full), f"{full}_compacting",
+        write_bucketed(_retract(spark.table(full), tombs, db),
+                       f"{full}_compacting",
                        bucket_cols, num_buckets=num_buckets,
                        sort_by=sort_by)
         spark.sql(f"ALTER TABLE {full} RENAME TO {db}.{t}_old")
         spark.sql(f"ALTER TABLE {db}.{t}_compacting RENAME TO {db}.{t}")
         spark.sql(f"DROP TABLE {db}.{t}_old")
         out[t] = len(spark.table(full).inputFiles())
+    if tombs is not None:
+        _drop_tombstones(spark, db)
     return out
 
 
@@ -1031,14 +1135,17 @@ def repeated_substring_spans_between(
     is the same standing-artifact move the PPJoin/MinHash tiers make).
 
     One-time (``rebuild=True`` for a self-contained demo): the
-    corpus's DISTINCT window hashes are written as a managed table
-    bucketed+sorted on ``gh`` — 8 bytes per distinct window, the
-    smallest index any tier carries.  Per batch: the batch's windows
-    left-semi-join the bucketed index on ``gh`` (corpus side reads
-    its co-located buckets IN PLACE — zero corpus Exchange, only the
-    batch shuffles) and a batch-internal count catches same-day
-    repeats; the union marks exactly the windows the FULL operator
-    would mark over corpus ∪ batch, restricted to batch docs
+    corpus's per-doc DISTINCT window hashes are written as a managed
+    table bucketed+sorted on ``gh`` — (id, 8-byte hash) per
+    doc-distinct window, still the smallest index any tier carries;
+    the id column is what makes DELETION possible (a gram shared
+    with a surviving doc survives the anti-join, a gram only the
+    deleted doc contributed stops matching).  Per batch: the batch's
+    windows left-semi-join the bucketed index on ``gh`` (corpus side
+    reads its co-located buckets IN PLACE — zero corpus Exchange,
+    only the batch shuffles) and a batch-internal count catches
+    same-day repeats; the union marks exactly the windows the FULL
+    operator would mark over corpus ∪ batch, restricted to batch docs
     (count_total >= 2  ⇔  in-corpus >= 1 OR in-batch >= 2).
     Spans then merge per batch doc as usual.
     """
@@ -1055,16 +1162,18 @@ def repeated_substring_spans_between(
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{location}'")
     if rebuild:
         from nosql_join_stream_spark.sinks import write_bucketed
+        _drop_tombstones(spark, db)  # rebuild folds retractions
         spark.sql(f"DROP TABLE IF EXISTS {db}.corpus_grams")
         p = location.removeprefix("file:")
         if os.path.isdir(os.path.join(p, "corpus_grams")):
             shutil.rmtree(os.path.join(p, "corpus_grams"),
                           ignore_errors=True)
         grams = (_token_windows(corpus, content_col, id_col, w)
-                 .select("gh").distinct())
+                 .select("id", "gh").distinct())
         write_bucketed(grams, f"{db}.corpus_grams", ["gh"],
                        num_buckets=num_buckets, sort_by=["gh"])
-    idx = spark.table(f"{db}.corpus_grams")
+    idx = _retract(spark.table(f"{db}.corpus_grams"),
+                   _dedup_tombstones(spark, db), db)
     win = _token_windows(batch, content_col, id_col, w)
     hit_corpus = win.join(idx, "gh", "left_semi")
     hit_batch = (win.withColumn(

@@ -141,8 +141,12 @@ def sketch_cardinality_by_group(df, group_col: str, value_col: str,
     per = df.groupBy(group_col).agg(
         F.count_distinct(value_col).alias("n_distinct"),
         F.hll_sketch_agg(value_col).alias("sk"))
+    # NULL groups report as the '<NULL>' group: without the coalesce
+    # the sentinel guard below evaluates to NULL and assert_true
+    # throws its (misleading) collision error for a legitimate group
     per_rows = per.select(
-        F.col(group_col).cast("string").alias("grp"),
+        F.coalesce(F.col(group_col).cast("string"),
+                   F.lit("<NULL>")).alias("grp"),
         "n_distinct",
         F.hll_sketch_estimate("sk").alias("est"))
     # the merged-total row uses the in-band sentinel '__ALL__': a real

@@ -300,7 +300,11 @@ def payload_chunk_jaccard(media: DataFrame, threshold: float = 0.5,
     it with a doc-frequency filter upstream if observed, exactly like
     stop-grams in the text tier.  Returns (id1, id2, jaccard).
     """
-    ch = (media.select(
+    # empty payloads produce zero chunks: without the filter,
+    # ceil(0/chunk)-1 = -1 and sequence(0,-1) is a DESCENDING [0,-1]
+    # array — two spurious chunk rows, one via a negative substring
+    ch = (media.filter(F.octet_length(payload_col) > 0)
+            .select(
               F.col(id_col).alias("id"),
               F.explode(F.transform(
                   F.sequence(

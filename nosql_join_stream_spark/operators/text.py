@@ -412,7 +412,11 @@ def nb_llr_score(df, content_col: str, id_col: str, label_col: str):
     1-row broadcast scalar; final per-doc mean is one map-side-
     combinable agg.
     """
-    toks = (df.select(
+    # a NULL label must not train (F.when(y,0).otherwise(1) would
+    # silently count its tokens into the NEGATIVE class); unlabeled
+    # rows are excluded from both training and scoring
+    toks = (df.filter(F.col(label_col).isNotNull())
+              .select(
                 F.col(id_col).alias("id"),
                 F.col(label_col).cast("boolean").alias("y"),
                 F.explode(F.split(F.trim(F.lower(F.col(content_col))),

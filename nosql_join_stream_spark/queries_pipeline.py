@@ -2093,6 +2093,70 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_index_delete_probe",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(trim(text), ' ')) >= 3 THEN
+               list_distinct(list_transform(
+                 range(1, len(string_split(trim(text), ' ')) - 1),
+                 i -> string_split(trim(text), ' ')[i] || ' ' ||
+                      string_split(trim(text), ' ')[i+1] || ' ' ||
+                      string_split(trim(text), ' ')[i+2]))
+             ELSE [trim(text)] END AS sh
+      FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS n FROM s),
+    corp AS (SELECT * FROM e WHERE doc_id % 10 <> 9
+                               AND doc_id % 2 <> 0),
+    batch AS (SELECT * FROM e WHERE doc_id % 10 = 9),
+    p AS (SELECT c.doc_id AS left_id, b.doc_id AS right_id,
+                 count(*) AS common,
+                 any_value(c.n) AS n1, any_value(b.n) AS n2
+          FROM corp c JOIN batch b ON c.g = b.g
+          GROUP BY 1, 2)
+    SELECT left_id, right_id,
+           ROUND(common * 1.0 / (n1 + n2 - common), 4) AS jaccard
+    FROM p
+    WHERE ROUND(common * 1.0 / (n1 + n2 - common), 4) >= 0.6
+    """,
+    doc="Standing-index RETRACTION (dedup.dedup_index_delete — the "
+        "takedown/PII-purge path): corpus docs with doc_id % 2 == 0 "
+        "are DELETED from the standing MinHash band index via "
+        "tombstones (no index rewrite; probes gain one broadcast "
+        "anti-join, exactly ann_ivf_delete's shape), then the batch "
+        "probes the index — deleted docs generate no pairs. Oracle = "
+        "the exact cross-set Jaccard over corpus MINUS the deleted "
+        "ids (banded == exact on this corpus, the "
+        "dedup_incremental_minhash argument). dedup_index_compact "
+        "folds tombstones physically; a rebuild folds them by "
+        "construction (both pinned in pytest).",
+)
+def dedup_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    batch = docs.filter(F.col("doc_id") % 10 == 9)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    db = f"nsjs_mh_del_{tag}"
+    loc = os.path.join(tempfile.gettempdir(),
+                       f"nsjs_mh_del_{os.getpid()}_{tag}")
+    # build the standing index (rebuild also clears stale tombstones,
+    # so the query is idempotent run-to-run), then retract
+    dedup.minhash_pairs_between_bucketed(
+        corpus, batch.limit(0), "text", "doc_id", n=3, threshold=0.6,
+        db=db, location=loc, rebuild=True)
+    dedup.dedup_index_delete(
+        corpus.filter(F.col("doc_id") % 2 == 0).select("doc_id"),
+        db, id_col="doc_id")
+    return dedup.minhash_pairs_between_bucketed(
+        corpus, batch, "text", "doc_id", n=3, threshold=0.6,
+        db=db, location=loc, rebuild=False)
+
+
+@register(
     "stream_minhash_dedup_ingest",
     """
     WITH s AS (

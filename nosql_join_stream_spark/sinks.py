@@ -20,6 +20,8 @@ layout decisions that matter at 100 TB:
 from __future__ import annotations
 
 import math
+import re
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -291,6 +293,15 @@ def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
     locality, not table size: a 100 TB table with 4096 buckets absorbs
     a skewed daily batch by rewriting only the buckets it lands in.
 
+    **SINGLE-WRITER by contract**: bucket dirs are rewritten in place
+    (dynamic partition overwrite), so two concurrent upserts can
+    interleave half-written buckets with no detection point.  Run it
+    from one scheduler slot, or use :func:`upsert_keyed_snapshot`,
+    whose atomic manifest commit detects the race and rebases.
+    Batches must also carry the table's exact column set — schema
+    evolution belongs to the snapshot form, where immutable version
+    dirs keep per-file schemas consistent.
+
     Returns ``{"buckets_touched": k, "rows_written": n}``.
     """
     from pyspark.sql import Window
@@ -354,21 +365,22 @@ def retention_expire(spark: SparkSession, path: str, partition_col: str,
     only.  This is exactly why the log/stream sinks here partition by
     time bucket / batch id: retention becomes an O(dirs) metadata
     action.  Values compare as strings (zero-pad numeric partition
-    values at write time — ``write_log_rolled`` does).  Returns the
-    number of partitions dropped.
+    values at write time — ``write_log_rolled`` does).  Lists and
+    deletes through the Hadoop FileSystem API like every other
+    lifecycle helper here, so it works on HDFS/S3 paths, not just
+    the local filesystem.  Returns the number of partitions dropped.
     """
-    import glob
-    import os
-    import shutil
-
     prefix = f"{partition_col}="
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     dropped = 0
-    for d in sorted(glob.glob(os.path.join(path, prefix + "*"))):
-        if not os.path.isdir(d):
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
             continue
-        val = os.path.basename(d)[len(prefix):]
-        if val < str(keep_from):
-            shutil.rmtree(d)
+        if name[len(prefix):] < str(keep_from):
+            fs.delete(st.getPath(), True)
             dropped += 1
     return dropped
 
@@ -393,6 +405,38 @@ _MANIFEST_SCHEMA = ("key_col string, num_buckets int, version int, "
                     "buckets array<struct<kb:int,v:string>>")
 
 
+def _schema_fields(df: DataFrame) -> list[dict]:
+    """The manifest's schema record: ordered (name, type) pairs using
+    Spark's simpleString type names — enough to detect incompatible
+    type changes and to give added columns a stable position."""
+    return [{"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields if f.name != _KB]
+
+
+def _check_schema_compat(recorded: list[dict] | None,
+                         batch: DataFrame, path: str) -> list[dict]:
+    """Schema-evolution contract for keyed tables: a batch may ADD
+    columns (appended as nullable — old rows read back NULL) and may
+    OMIT columns (filled with NULL for its rows), but a same-named
+    column with a different type is rejected loudly — silent cast
+    drift in a standing table is a day-2 data-loss bug.  Returns the
+    evolved schema record (old order, new columns appended)."""
+    new = _schema_fields(batch)
+    if recorded is None:  # pre-schema manifest (older table): adopt
+        return new
+    by_name = {f["name"]: f["type"] for f in new}
+    for f in recorded:
+        t = by_name.get(f["name"])
+        if t is not None and t != f["type"]:
+            raise ValueError(
+                f"incompatible schema change for keyed table at {path}: "
+                f"column {f['name']!r} is {f['type']} in the table but "
+                f"{t} in the batch — evolve by ADDING columns, not "
+                "retyping them")
+    known = {f["name"] for f in recorded}
+    return recorded + [f for f in new if f["name"] not in known]
+
+
 def _manifest_dir(path: str) -> str:
     return path + "/_nsjs_manifests"
 
@@ -411,11 +455,21 @@ def _list_manifests(spark: SparkSession, path: str) -> list:
     return sorted(out)
 
 
+class SnapshotConflict(RuntimeError):
+    """A concurrent writer committed the manifest version this merge
+    was about to publish — the optimistic-concurrency signal
+    :func:`upsert_keyed_snapshot` retries on (rebase + re-merge)."""
+
+
 def _write_manifest(spark: SparkSession, path: str, version: int,
                     key_col: str, num_buckets: int,
-                    buckets: dict) -> None:
+                    buckets: dict, schema: list[dict] | None = None) -> None:
     """Publish manifest v<version>: write to a tmp name, fs.rename to
-    the final (previously-absent) name — the atomic commit point."""
+    the final (previously-absent) name — the atomic commit point.
+    Hadoop rename does not overwrite an existing destination, so two
+    writers racing to the same version number produce exactly one
+    winner; the loser sees rename() == False and raises
+    :class:`SnapshotConflict`."""
     import json
 
     jvm = spark._jvm
@@ -425,23 +479,28 @@ def _write_manifest(spark: SparkSession, path: str, version: int,
         f"{_manifest_dir(path)}/.manifest-v{version}.json.tmp")
     fs = final.getFileSystem(spark._jsc.hadoopConfiguration())
     out = fs.create(tmp, True)
-    out.write(bytearray(json.dumps(
-        {"key_col": key_col, "num_buckets": num_buckets,
-         "version": version,
-         "buckets": [{"kb": int(k), "v": v}
-                     for k, v in sorted(buckets.items())]}).encode()))
+    doc = {"key_col": key_col, "num_buckets": num_buckets,
+           "version": version,
+           "buckets": [{"kb": int(k), "v": v}
+                       for k, v in sorted(buckets.items())]}
+    if schema is not None:
+        doc["schema"] = schema
+    out.write(bytearray(json.dumps(doc).encode()))
     out.close()
-    if not fs.rename(tmp, final):
-        raise RuntimeError(f"manifest publish failed: v{version} "
-                           "already exists (concurrent writer?)")
+    if fs.exists(final) or not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise SnapshotConflict(
+            f"manifest publish failed: v{version} already exists "
+            "(concurrent writer)")
 
 
 def _read_manifest(spark: SparkSession, path: str,
                    version: int | None = None):
     """A committed manifest as (version, key_col, num_buckets,
-    {kb: version_dir}) — the latest, or an explicit ``version`` (time
-    travel); None if never written, ValueError for a version that was
-    never committed or already GC'd."""
+    {kb: version_dir}, schema_fields|None) — the latest, or an
+    explicit ``version`` (time travel); None if never written,
+    ValueError for a version that was never committed or already
+    GC'd."""
     import json
 
     versions = _list_manifests(spark, path)
@@ -466,28 +525,29 @@ def _read_manifest(spark: SparkSession, path: str,
     stream.close()
     m = json.loads(bytes(data).decode())
     return (m["version"], m["key_col"], m["num_buckets"],
-            {int(b["kb"]): b["v"] for b in m["buckets"]})
-
-
-def _written_buckets(df: DataFrame, key_col: str,
-                     num_buckets: int) -> list[int]:
-    return sorted(
-        r[_KB] for r in df.select(
-            _key_bucket(key_col, num_buckets).alias(_KB))
-        .distinct().collect())
+            {int(b["kb"]): b["v"] for b in m["buckets"]},
+            m.get("schema"))
 
 
 def write_keyed_snapshot(df: DataFrame, path: str, key_col: str,
                          num_buckets: int = 32) -> int:
     """Bootstrap a versioned keyed table (version 1).  ``df`` must be
-    one-row-per-key (:func:`latest_per_key`).  Returns the version."""
+    one-row-per-key (:func:`latest_per_key`).  Returns the version.
+
+    The stamped frame is localCheckpointed ONCE: the write and the
+    manifest's bucket list both resolve from that materialization, so
+    the source is scanned exactly once — a read-once or
+    non-deterministic upstream (kafka batch, ``.sample()``) cannot
+    diverge between the data written and the buckets the manifest
+    claims (the same contract as :func:`upsert_keyed`)."""
     spark = df.sparkSession
-    stamped = df.withColumn(_KB, _key_bucket(key_col, num_buckets))
+    stamped = (df.withColumn(_KB, _key_bucket(key_col, num_buckets))
+                 .localCheckpoint())
     (stamped.repartition(_KB)
      .write.mode("overwrite").partitionBy(_KB).parquet(path + "/v1"))
-    kbs = _written_buckets(df, key_col, num_buckets)
+    kbs = sorted(r[_KB] for r in stamped.select(_KB).distinct().collect())
     _write_manifest(spark, path, 1, key_col, num_buckets,
-                    {kb: "v1" for kb in kbs})
+                    {kb: "v1" for kb in kbs}, schema=_schema_fields(df))
     return 1
 
 
@@ -502,7 +562,7 @@ def read_keyed_snapshot(spark: SparkSession, path: str,
     man = _read_manifest(spark, path, version)
     if man is None:
         raise ValueError(f"no committed snapshot at {path}")
-    _, _, _, buckets = man
+    _, _, _, buckets, schema = man
     by_ver: dict[str, list[int]] = {}
     for kb, ver in buckets.items():
         by_ver.setdefault(ver, []).append(kb)
@@ -511,14 +571,21 @@ def read_keyed_snapshot(spark: SparkSession, path: str,
         base = f"{path}/{ver}"
         dirs = [f"{base}/{_KB}={kb}" for kb in sorted(kbs)]
         parts.append(spark.read.option("basePath", base).parquet(*dirs))
+    # buckets written before a schema-evolving merge lack its added
+    # columns — allowMissingColumns fills them with typed NULLs, and
+    # the manifest's recorded column order keeps the result stable
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.drop(_KB)
+        out = out.unionByName(p, allowMissingColumns=True)
+    out = out.drop(_KB)
+    if schema is not None:
+        out = out.select(*[f["name"] for f in schema])
+    return out
 
 
 def upsert_keyed_snapshot(spark: SparkSession, path: str, batch: DataFrame,
-                          key_col: str, order_by: Sequence[str]) -> dict:
+                          key_col: str, order_by: Sequence[str],
+                          max_retries: int = 3) -> dict:
     """Snapshot-isolated MERGE: keep-latest semantics of
     :func:`upsert_keyed`, but touched buckets are written under a NEW
     immutable ``v<N>/`` dir and the merge becomes visible only at the
@@ -526,62 +593,114 @@ def upsert_keyed_snapshot(spark: SparkSession, path: str, batch: DataFrame,
     snapshot, a crash before publish leaves the table exactly at
     v<N-1> (the orphan dir is GC'd), and rollback is deleting one
     manifest file.  Cost is identical to the in-place form: touched
-    buckets only."""
+    buckets only.
+
+    **Concurrent writers** are handled with optimistic concurrency,
+    the public-table-format commit loop: the manifest rename is the
+    one atomic point, and a loser whose target version was taken by
+    a concurrent merge REBASES — re-reads the now-latest manifest,
+    re-merges its (checkpointed) batch against the winner's buckets,
+    and attempts the next version — up to ``max_retries`` times
+    before raising :class:`SnapshotConflict` with the table
+    uncorrupted (its orphan data dirs are invisible to readers and
+    swept by GC).  Contrast :func:`upsert_keyed`, which rewrites
+    bucket dirs in place and is SINGLE-WRITER by contract.
+
+    **Schema evolution**: a batch may add columns (old rows read back
+    as typed NULLs, old snapshots time-travel unchanged) or omit
+    columns (filled NULL); retyping a column raises.  The evolved
+    schema is recorded in the manifest.
+    """
     from pyspark.sql import Window
 
-    man = _read_manifest(spark, path)
-    if man is None:
+    if _read_manifest(spark, path) is None:
         raise ValueError(
             f"no committed snapshot at {path}; write_keyed_snapshot first")
-    version, m_key, num_buckets, buckets = man
-    if m_key != key_col:
-        raise ValueError(f"table keyed on {m_key!r}, not {key_col!r}")
-    b = (batch.withColumn(_KB, _key_bucket(key_col, num_buckets))
-              .withColumn("__src", F.lit(1))
-              .localCheckpoint())
-    touched = [r[_KB] for r in b.select(_KB).distinct().collect()]
-    if not touched:
-        return {"version": version, "buckets_touched": 0}
-    by_ver: dict[str, list[int]] = {}
-    for kb in touched:
-        if kb in buckets:
-            by_ver.setdefault(buckets[kb], []).append(kb)
-    existing_parts = []
-    for ver, kbs in sorted(by_ver.items()):
-        base = f"{path}/{ver}"
-        dirs = [f"{base}/{_KB}={kb}" for kb in sorted(kbs)]
-        existing_parts.append(
-            spark.read.option("basePath", base).parquet(*dirs))
-    merged = b
-    for p in existing_parts:
-        merged = merged.unionByName(p.withColumn("__src", F.lit(0)))
-    w = Window.partitionBy(key_col).orderBy(
-        *[F.col(c).desc() for c in order_by], F.col("__src").desc())
-    latest = (merged.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1).drop("__rn", "__src"))
-    new_ver = version + 1
-    (latest.repartition(_KB)
-     .write.mode("overwrite").partitionBy(_KB)
-     .parquet(f"{path}/v{new_ver}"))
-    new_map = dict(buckets)
-    for kb in touched:
-        new_map[kb] = f"v{new_ver}"
-    _write_manifest(spark, path, new_ver, key_col, num_buckets, new_map)
-    return {"version": new_ver, "buckets_touched": len(touched)}
+    b = None
+    last_err: SnapshotConflict | None = None
+    for _ in range(max_retries + 1):
+        version, m_key, num_buckets, buckets, m_schema = \
+            _read_manifest(spark, path)
+        if m_key != key_col:
+            raise ValueError(f"table keyed on {m_key!r}, not {key_col!r}")
+        schema = _check_schema_compat(m_schema, batch, path)
+        if b is None:  # checkpoint once; rebase reuses the materialization
+            b = (batch.withColumn(_KB, _key_bucket(key_col, num_buckets))
+                      .withColumn("__src", F.lit(1))
+                      .localCheckpoint())
+            touched = [r[_KB] for r in b.select(_KB).distinct().collect()]
+            if not touched:
+                return {"version": version, "buckets_touched": 0}
+        by_ver: dict[str, list[int]] = {}
+        for kb in touched:
+            if kb in buckets:
+                by_ver.setdefault(buckets[kb], []).append(kb)
+        existing_parts = []
+        for ver, kbs in sorted(by_ver.items()):
+            base = f"{path}/{ver}"
+            dirs = [f"{base}/{_KB}={kb}" for kb in sorted(kbs)]
+            existing_parts.append(
+                spark.read.option("basePath", base).parquet(*dirs))
+        merged = b
+        for p in existing_parts:
+            merged = merged.unionByName(p.withColumn("__src", F.lit(0)),
+                                        allowMissingColumns=True)
+        w = Window.partitionBy(key_col).orderBy(
+            *[F.col(c).desc() for c in order_by], F.col("__src").desc())
+        latest = (merged.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+        new_ver = version + 1
+        # the data dir gets a UNIQUE suffix (manifests reference dirs
+        # by name, so any name works): two writers racing to the same
+        # version must not write the same path — the loser's
+        # mode("overwrite") would destroy data the WINNER's committed
+        # manifest references.  The loser's dir stays an orphan and
+        # GC sweeps it.
+        ver_dir = f"v{new_ver}-{uuid.uuid4().hex[:8]}"
+        (latest.repartition(_KB)
+         .write.mode("overwrite").partitionBy(_KB)
+         .parquet(f"{path}/{ver_dir}"))
+        new_map = dict(buckets)
+        for kb in touched:
+            new_map[kb] = ver_dir
+        try:
+            _write_manifest(spark, path, new_ver, key_col, num_buckets,
+                            new_map, schema=schema)
+            return {"version": new_ver, "buckets_touched": len(touched)}
+        except SnapshotConflict as e:
+            # a concurrent merge won v<new_ver>; our data dir is an
+            # orphan (no manifest references it) — GC sweeps it.
+            # Rebase: loop re-reads the winner's manifest and
+            # re-merges against ITS buckets.
+            last_err = e
+    raise SnapshotConflict(
+        f"upsert_keyed_snapshot at {path} lost the commit race "
+        f"{max_retries + 1} times; table is uncorrupted (last: {last_err})")
 
 
 def gc_keyed_snapshots(spark: SparkSession, path: str,
-                       keep_manifests: int = 1) -> int:
+                       keep_manifests: int = 7) -> int:
     """Drop version dirs not referenced by the ``keep_manifests``
     newest manifests (and the older manifest files themselves).
     Returns the number of version dirs removed.  Run on a schedule,
     with ``keep_manifests`` sized to the longest query/reader you
-    allow — the snapshot-isolation retention window."""
+    allow — the snapshot-isolation retention window.  The default (7)
+    keeps a real time-travel window; ``keep_manifests=1`` collapses
+    the table to its latest snapshot immediately.
+
+    Safe to run concurrently with a merge: only version dirs whose
+    number is <= the newest COMMITTED manifest are candidates.  An
+    in-flight :func:`upsert_keyed_snapshot` writes its ``v<N+1>/``
+    data files BEFORE publishing manifest v<N+1>, so without that
+    guard a scheduled GC landing in the gap would delete the new
+    version's files and the subsequent publish would commit a
+    snapshot pointing at deleted data."""
     import json
 
     versions = _list_manifests(spark, path)
     if not versions:
         return 0
+    committed = versions[-1]
     keep, drop = versions[-keep_manifests:], versions[:-keep_manifests]
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
@@ -598,8 +717,13 @@ def gc_keyed_snapshots(spark: SparkSession, path: str,
     removed = 0
     for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
         name = st.getPath().getName()
-        if (st.isDirectory() and name.startswith("v")
-                and name[1:].isdigit() and name not in referenced):
+        m = re.fullmatch(r"v(\d+)(?:-[0-9a-f]+)?", name)
+        # the version-number guard protects an IN-FLIGHT merge: its
+        # v<N+1>-*/ data files exist before its manifest does, and a
+        # GC landing in that gap must not delete them (the subsequent
+        # publish would commit a snapshot over missing data)
+        if (st.isDirectory() and m is not None and name not in referenced
+                and int(m.group(1)) <= committed):
             fs.delete(st.getPath(), True)
             removed += 1
     for v in drop:

@@ -1301,6 +1301,139 @@ def test_dedup_index_compact_shrinks_files_keeps_answers(spark, tmp_path):
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
+def test_dedup_index_delete_retracts_and_compact_restores(spark, tmp_path):
+    """Retraction lifecycle on the PPJoin standing index (the gap r5
+    flagged): delete a corpus doc -> its pairs are gone from the next
+    probe (answers == a rebuilt index without the doc), compact folds
+    the tombstones into the physical tables and drops the tombstone
+    table, and re-APPENDING the doc makes it probe-visible again."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet")
+    tweak = base.rsplit(" ", 1)[0] + " kilo"   # jaccard 7/9 ≈ 0.78
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated words entirely distinct content here")],
+        "doc_id long, text string")
+    probe = spark.createDataFrame([(501, tweak)],
+                                  "doc_id long, text string")
+    db, loc = "nsjs_idx_del", str(tmp_path / "idx")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    p0 = dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, probe, "text", "doc_id", db=db, location=loc,
+        rebuild=True)
+    assert {(r.left_id, r.right_id) for r in p0.collect()} == {(1, 501)}
+
+    # takedown of doc 1: its pairs vanish without any index rewrite
+    gone = spark.createDataFrame([(1,)], "doc_id long")
+    assert dedup.dedup_index_delete(gone, db, id_col="doc_id") == 1
+    p1 = dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, probe, "text", "doc_id", db=db, location=loc,
+        rebuild=False)
+    assert p1.collect() == []
+    # ...and the answer equals an index REBUILT without the doc
+    rebuilt = dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus.filter(F.col("doc_id") != 1), probe, "text", "doc_id",
+        db="nsjs_idx_del_rb", location=str(tmp_path / "idx_rb"),
+        rebuild=True)
+    assert rebuilt.collect() == []
+
+    # compact folds the tombstones: physical rows gone, tombstone
+    # table dropped (fast path restored), answers unchanged
+    dedup.dedup_index_compact(spark, db)
+    assert not spark.catalog.tableExists(f"{db}.tombstones")
+    assert (spark.table(f"{db}.corpus_sets")
+            .filter(F.col("id") == 1).count()) == 0
+    p2 = dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, probe, "text", "doc_id", db=db, location=loc,
+        rebuild=False)
+    assert p2.collect() == []
+
+    # legitimate re-ingest of a PREVIOUSLY deleted doc: delete again,
+    # then append clears its tombstone and it pairs again
+    dedup.dedup_index_delete(
+        spark.createDataFrame([(501,)], "doc_id long"), db,
+        id_col="doc_id")
+    dedup.dedup_index_append(
+        spark.createDataFrame([(501, tweak)], "doc_id long, text string"),
+        "text", "doc_id", db=db)
+    assert not spark.catalog.tableExists(f"{db}.tombstones")
+    p3 = dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, spark.createDataFrame([(601, tweak)],
+                                      "doc_id long, text string"),
+        "text", "doc_id", db=db, location=loc, rebuild=False)
+    assert {(r.left_id, r.right_id)
+            for r in p3.collect()} == {(501, 601)}
+    for d in (db, "nsjs_idx_del_rb"):
+        spark.sql(f"DROP DATABASE IF EXISTS {d} CASCADE")
+
+
+def test_minhash_index_delete_retracts_pairs(spark, tmp_path):
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet")
+    tweak = base.rsplit(" ", 1)[0] + " kilo"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated words entirely distinct content here")],
+        "doc_id long, text string")
+    probe = spark.createDataFrame([(501, tweak)],
+                                  "doc_id long, text string")
+    db, loc = "nsjs_mh_del", str(tmp_path / "mh")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    p0 = dedup.minhash_pairs_between_bucketed(
+        corpus, probe, "text", "doc_id", threshold=0.6,
+        min_band_matches=1, db=db, location=loc, rebuild=True)
+    assert {(r.left_id, r.right_id) for r in p0.collect()} == {(1, 501)}
+    dedup.dedup_index_delete(
+        spark.createDataFrame([(1,)], "doc_id long"), db, id_col="doc_id")
+    p1 = dedup.minhash_pairs_between_bucketed(
+        corpus, probe, "text", "doc_id", threshold=0.6,
+        min_band_matches=1, db=db, location=loc, rebuild=False)
+    assert p1.collect() == []
+    # band-family compact folds the tombstones too
+    dedup.dedup_index_compact(
+        spark, db, {"corpus_bands": ["bh"], "corpus_sets": ["id"]})
+    assert not spark.catalog.tableExists(f"{db}.tombstones")
+    assert (spark.table(f"{db}.corpus_bands")
+            .filter(F.col("id") == 1).count()) == 0
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_substring_index_delete_retracts_spans(spark, tmp_path):
+    """Gram-index retraction: the standing table carries (id, gh) so
+    an anti-join removes exactly the deleted doc's contribution — a
+    gram SHARED with a surviving doc keeps matching."""
+    shared = "one two three four five six seven eight nine ten " * 2
+    corpus = spark.createDataFrame(
+        [(1, shared + "tail a b c d e f g h i j"),
+         (2, "totally different words with no overlap at all here "
+             "k l m n o p q r s t u v w x y z")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(501, shared + "other ending u v w x y z aa bb cc dd")],
+        "doc_id long, text string")
+    db, loc = "nsjs_sub_del", str(tmp_path / "sub")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    s0 = dedup.repeated_substring_spans_between(
+        corpus, batch, "text", "doc_id", w=5, db=db, location=loc,
+        rebuild=True)
+    assert s0.count() > 0
+    dedup.dedup_index_delete(
+        spark.createDataFrame([(1,)], "doc_id long"), db, id_col="doc_id")
+    s1 = dedup.repeated_substring_spans_between(
+        corpus, batch, "text", "doc_id", w=5, db=db, location=loc,
+        rebuild=False)
+    # doc 1 was the only source of the shared grams (batch doc does
+    # not self-repeat at w=5 beyond the shared run) -> equal to a
+    # rebuild without doc 1
+    rebuilt = dedup.repeated_substring_spans_between(
+        corpus.filter(F.col("doc_id") != 1), batch, "text", "doc_id",
+        w=5, db="nsjs_sub_del_rb", location=str(tmp_path / "sub_rb"),
+        rebuild=True)
+    assert ({tuple(r) for r in s1.collect()}
+            == {tuple(r) for r in rebuilt.collect()})
+    for d in (db, "nsjs_sub_del_rb"):
+        spark.sql(f"DROP DATABASE IF EXISTS {d} CASCADE")
+
+
 def test_repeated_substring_spans_hand_case(spark):
     # shared 4-token run "a b c d" straddles positions 1..4 in doc 1
     # and 0..3 in doc 2; w=3 marks windows at doc1 pos {1,2}, doc2
@@ -1440,6 +1573,48 @@ def test_payload_chunk_jaccard_tail_chunk(spark):
         [(1, A + tail), (2, A + tail)], "doc_id long, payload binary")
     out = multimodal.payload_chunk_jaccard(df, threshold=0.9).collect()
     assert [(r.id1, r.id2, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_payload_chunk_jaccard_empty_payload_yields_no_chunks(spark):
+    # a zero-length payload has zero chunks — NOT two spurious rows
+    # from sequence(0, -1) descending (ADVICE r5): it must pair with
+    # nothing and must not crash on the negative substring index
+    A = bytes([65]) * 64
+    df = spark.createDataFrame(
+        [(1, A), (2, A), (3, b"")], "doc_id long, payload binary")
+    out = multimodal.payload_chunk_jaccard(df, threshold=0.1).collect()
+    assert [(r.id1, r.id2, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
+def test_nb_llr_null_label_excluded_from_training(spark):
+    # a NULL label must not train (the otherwise() branch would count
+    # its tokens into the NEGATIVE class, biasing the model): with the
+    # unlabeled doc carrying negative-class vocabulary, 'spam' must
+    # still score as negative only from the labeled rows, and the
+    # unlabeled doc gets no score row
+    rows = [(1, "good fine clean solid prose here", True),
+            (2, "spam junk noise garbage filler blob", False),
+            (3, "good fine clean solid prose here", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    out = {r.id: r.mean_llr
+           for r in text.nb_llr_score(df, "text", "doc_id", "y").collect()}
+    assert set(out) == {1, 2}
+    assert out[1] > 0 and out[2] < 0
+
+
+def test_sketch_cardinality_null_group_reported_not_fatal(spark):
+    from nosql_join_stream_spark.operators.expectations import (
+        sketch_cardinality_by_group)
+
+    rows = [("a", "v1"), ("a", "v2"), (None, "v2"), (None, "v3")]
+    df = spark.createDataFrame(rows, "g string, val string")
+    out = {r.grp: (r.n_distinct, r.hll_ok)
+           for r in sketch_cardinality_by_group(df, "g", "val").collect()}
+    # NULL groups surface as a '<NULL>' row instead of tripping the
+    # __ALL__ sentinel assert with a misleading collision error
+    assert out["<NULL>"] == (2, True)
+    assert out["a"] == (2, True)
+    assert out["__ALL__"] == (3, True)
 
 
 def test_mixed_language_report_flags_planted_mix(spark):

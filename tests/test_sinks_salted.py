@@ -397,3 +397,160 @@ def test_snapshot_time_travel_reads_past_versions(spark, tmp_path):
     gc_keyed_snapshots(spark, path, keep_manifests=1)
     with pytest.raises(ValueError, match="GC'd or never written"):
         read_keyed_snapshot(spark, path, version=1)
+
+
+def test_snapshot_concurrent_writer_rebases_and_both_land(spark, tmp_path):
+    """Two interleaved snapshot merges: the loser detects the manifest
+    collision at its atomic publish, REBASES onto the winner's commit,
+    and re-merges — both batches land, keep-latest holds on the
+    contended key, and the loser's orphan data dir is GC-swept."""
+    import glob
+    import os
+
+    import nosql_join_stream_spark.sinks as S
+
+    path = str(tmp_path / "race")
+    initial = spark.createDataFrame(
+        [(k, 1, f"v{k}.1") for k in range(10)], ["k", "seq", "p"])
+    S.write_keyed_snapshot(S.latest_per_key(initial, "k", ["seq"]),
+                           path, "k", num_buckets=4)
+    winner = spark.createDataFrame([(1, 2, "winner"), (50, 1, "w-new")],
+                                   ["k", "seq", "p"])
+    loser = spark.createDataFrame([(1, 3, "loser"), (60, 1, "l-new")],
+                                  ["k", "seq", "p"])
+
+    orig = S._write_manifest
+    state = {"raced": False}
+
+    def racy(spark_, p, version, key_col, num_buckets, buckets,
+             schema=None):
+        # the winner lands BETWEEN the loser's manifest read and its
+        # publish — the exact interleaving the optimistic loop exists
+        # for; restore the real publish for the winner's nested merge
+        if not state["raced"]:
+            state["raced"] = True
+            S._write_manifest = orig
+            S.upsert_keyed_snapshot(spark_, p, winner, "k", ["seq"])
+            S._write_manifest = racy
+        return orig(spark_, p, version, key_col, num_buckets, buckets,
+                    schema=schema)
+
+    S._write_manifest = racy
+    try:
+        stats = S.upsert_keyed_snapshot(spark, path, loser, "k", ["seq"])
+    finally:
+        S._write_manifest = orig
+
+    # loser's first publish (v2) collided with the winner's commit and
+    # was retried as v3
+    assert stats["version"] == 3
+    got = {(r.k, r.seq, r.p)
+           for r in S.read_keyed_snapshot(spark, path).collect()}
+    assert (50, 1, "w-new") in got and (60, 1, "l-new") in got
+    assert (1, 3, "loser") in got          # keep-latest on contention
+    assert (1, 2, "winner") not in got
+    assert len(got) == 12
+
+    # the loser's first-attempt data dir is an unreferenced orphan at
+    # a committed version number — GC sweeps it, readers never saw it
+    v2_dirs = glob.glob(os.path.join(path, "v2-*"))
+    assert len(v2_dirs) == 2               # winner's (live) + orphan
+    removed = S.gc_keyed_snapshots(spark, path, keep_manifests=10)
+    assert removed == 1
+    assert {(r.k, r.seq, r.p)
+            for r in S.read_keyed_snapshot(spark, path).collect()} == got
+
+
+def test_snapshot_conflict_raises_clean_after_retries(spark, tmp_path):
+    """A writer that loses every retry raises SnapshotConflict and
+    leaves the table uncorrupted at the other writer's commit."""
+    import pytest
+
+    import nosql_join_stream_spark.sinks as S
+
+    path = str(tmp_path / "race2")
+    S.write_keyed_snapshot(
+        spark.createDataFrame([(1, 1, "a")], ["k", "seq", "p"]),
+        path, "k", num_buckets=2)
+    before = {(r.k, r.seq, r.p)
+              for r in S.read_keyed_snapshot(spark, path).collect()}
+
+    orig = S._write_manifest
+
+    def always_collide(*a, **kw):
+        raise S.SnapshotConflict("simulated standing collision")
+
+    S._write_manifest = always_collide
+    try:
+        with pytest.raises(S.SnapshotConflict, match="lost the commit"):
+            S.upsert_keyed_snapshot(
+                spark, path,
+                spark.createDataFrame([(1, 2, "b")], ["k", "seq", "p"]),
+                "k", ["seq"], max_retries=2)
+    finally:
+        S._write_manifest = orig
+    assert {(r.k, r.seq, r.p)
+            for r in S.read_keyed_snapshot(spark, path).collect()} == before
+
+
+def test_snapshot_schema_evolution_add_omit_retype(spark, tmp_path):
+    from nosql_join_stream_spark.sinks import (
+        read_keyed_snapshot, upsert_keyed_snapshot, write_keyed_snapshot)
+
+    import pytest
+
+    path = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")],
+                               ["k", "seq", "p"])
+    write_keyed_snapshot(v1, path, "k", num_buckets=2)
+
+    # ADD a column: old rows read back with typed NULLs
+    added = spark.createDataFrame([(1, 2, "a2", "en")],
+                                  ["k", "seq", "p", "lang"])
+    upsert_keyed_snapshot(spark, path, added, "k", ["seq"])
+    got = {r.k: (r.seq, r.p, r.lang)
+           for r in read_keyed_snapshot(spark, path).collect()}
+    assert got[1] == (2, "a2", "en")
+    assert got[2] == (1, "b", None)
+    # time travel still reads the PRE-evolution snapshot with its own
+    # schema (no phantom lang column)
+    old = read_keyed_snapshot(spark, path, version=1)
+    assert old.columns == ["k", "seq", "p"]
+    assert {(r.k, r.p) for r in old.collect()} == {(1, "a"), (2, "b")}
+
+    # OMIT a column: the batch's rows fill it with NULL
+    omitted = spark.createDataFrame([(2, 3, "de")], ["k", "seq", "lang"])
+    upsert_keyed_snapshot(spark, path, omitted, "k", ["seq"])
+    got = {r.k: (r.seq, r.p, r.lang)
+           for r in read_keyed_snapshot(spark, path).collect()}
+    assert got[2] == (3, None, "de")
+    assert got[1] == (2, "a2", "en")
+
+    # RETYPE is rejected loudly — silent cast drift is data loss
+    retyped = spark.createDataFrame([(1, 4, 7)], ["k", "seq", "p"])
+    with pytest.raises(ValueError, match="incompatible schema change"):
+        upsert_keyed_snapshot(spark, path, retyped, "k", ["seq"])
+
+
+def test_snapshot_gc_spares_inflight_version_dirs(spark, tmp_path):
+    """ADVICE r5 (medium): a merge writes its v<N+1>-*/ data files
+    BEFORE publishing the manifest; a GC landing in that gap must not
+    delete them — only dirs at or below the newest COMMITTED version
+    are GC candidates."""
+    import os
+
+    from nosql_join_stream_spark.sinks import (
+        gc_keyed_snapshots, write_keyed_snapshot)
+
+    path = str(tmp_path / "gcflight")
+    write_keyed_snapshot(
+        spark.createDataFrame([(1, 1, "a")], ["k", "seq", "p"]),
+        path, "k", num_buckets=2)
+    # simulate the in-flight merge's pre-publish data dir (committed
+    # manifest is still v1)
+    inflight = os.path.join(path, "v2-aabbccdd")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "wb") as f:
+        f.write(b"pending")
+    assert gc_keyed_snapshots(spark, path, keep_manifests=1) == 0
+    assert os.path.isdir(inflight)
