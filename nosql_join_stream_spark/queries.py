@@ -630,131 +630,69 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 _DRIVER_WINDOW = [
     # reference parity: joins / predicates / streaming / log scan
     # (join_outer_filtered / log_scan_offset / stream_windowed_counts
-    # rotated out VERY late in r5 — all green r1-r4, families still
-    # in-window via join_fk_inner/join_salted_skew, the engine scan
-    # surface, and five other stream_* rows — for three of the new
-    # late-r5 ops, so new capability lands driver-verified in the
-    # round it ships: dedup_substring_spans, cdc_upsert_latest,
-    # stream_cdc_upsert.)
+    # rotated out in r5 — all green r1-r4; rotation history of earlier
+    # rounds lives in git, this comment tracks the CURRENT window.)
     "join_fk_inner", "dedup_substring_spans", "join_salted_skew",
-    # (stream_dedup_keys rotated out late in r5 — multi-round green —
-    # for the NEW stateful-EWMA drift monitor stream_quality_ewma.)
     "pred_surface", "cdc_upsert_latest", "stream_quality_ewma",
-    "stream_static_enrich", "stream_interval_join",
-    "stream_sessionize_stateful", "stream_cdc_upsert",
-    # LLM-pipeline family flagships.  (dedup_ngram_jaccard rotated out
-    # late in r5 — multi-round green, exact-PPJoin path still exercised
-    # in-window via dedup_resolve_canonical — for the NEW
-    # dedup_edit_distance, so new capability lands driver-verified in
-    # the round it ships.)
-    # (dedup_resolve_canonical rotated out late in r5 — multi-round
-    # green, its CC-resolution path stays in-window via both keep_best
-    # entries — for the NEW standing-MinHash-index flagship
-    # dedup_incremental_minhash.)
-    # (dedup_minhash_lsh rotated out very late in r5 — green r1-r4,
-    # the banded-MinHash path stays in-window via
-    # dedup_incremental_minhash / dedup_resolve_keep_best_minhash /
-    # pipeline_clean_corpus_minhash — for the NEW bigram-LM scorer.)
+    # Round-6 rotation (r5 scoreboard was 50/50 green; every swapped-
+    # OUT slot below is multi-round driver-green AND re-verified by the
+    # local gate each round).  Rotated OUT in r6:
+    #   stream_static_enrich, stream_interval_join,
+    #   stream_sessionize_stateful (stream family keeps SIX in-window
+    #   reps: quality_ewma, cdc_upsert, ann_probe,
+    #   minhash_dedup_ingest, incremental_dedup, token_budget),
+    #   dedup_simhash, dedup_resolve_keep_best, pipeline_split_safe,
+    #   sample_token_budget, cluster_assign_kmeans, embedding_quantize,
+    #   agg_approx_percentiles, data_quality_report,
+    #   pipeline_materialize_training, text_quality,
+    #   doc_pack_sequences, multimodal_patch_grid.
+    # Rotated IN: the new retraction probe (new capability lands
+    # driver-verified in the round it ships) + never-driver-verified
+    # family reps from the r6 shortlist — the events analytics family
+    # (zero driver rows), as-of join, snapshot CDC, incremental
+    # resolve, and one rep each for text/multimodal/embedding/sampling
+    # subfamilies with no driver history.
+    "dedup_index_delete_probe", "cdc_upsert_snapshot",
+    "dedup_resolve_incremental", "asof_join_nearest",
+    "events_coactivity_range_join", "events_cohort_retention",
+    "events_rate_spikes",
     "text_bigram_logprob", "dedup_edit_distance", "dedup_incremental_minhash",
-    # (ann_lsh_topk rotated out late in r5 — multi-round green, LSH
-    # family still covered by the local gate — for the NEW filtered-
-    # search flagship ann_ivf_filtered.)
-    # (decontaminate_overlap / hybrid_search_rrf rotated out late in
-    # r5 — multi-round green, families still represented by
-    # stream_decontaminate / bm25_search+tfidf — for the NEW
-    # pipeline_split_leakage and retrieval_mmr_diversified.)
     "dedup_embedding_cosine", "pipeline_split_leakage", "ann_ivf_filtered",
-    # (bm25_search rotated out very late in r5 — green r1-r4, lexical
-    # retrieval stays via text_tfidf history + retrieval_mmr's BM25-
-    # adjacent scoring — for the NEW mergeable-HLL sketch witness.)
     "ann_ivf_topk", "sketch_vocab_cardinality", "retrieval_mmr_diversified",
-    "text_quality",
-    "doc_pack_sequences", "sample_weighted_reservoir",
-    # (sample_stratified rotated out late in r5 — multi-round green —
-    # for the NEW A-ES weighted draw.)
-    # (multimodal_features rotated out late in r5 — green r1-r4 — for
-    # the NEW content-addressed payload dedup; the mapInPandas media
-    # path stays in-window via multimodal_patch_grid.)
-    "multimodal_payload_dedup", "multimodal_patch_grid",
-    # (agg_geomean_udaf rotated out late in r5 — green r2-r4, custom-fn
-    # family still in-window via text_sentences_udtf — for the NEW
-    # VARIANT schemaless decode, restoring decode-family representation
-    # after typed_as_projection rotated out.)
+    "text_normalize", "text_langid",
+    "multimodal_resize", "multimodal_frame_sample",
+    "embedding_dim_stats", "embedding_label_centroids",
+    "sample_global_shuffle", "sample_temperature_weights",
+    "sample_weighted_reservoir",
+    "multimodal_payload_dedup",
     "variant_schemaless_decode",
-    # (stream_quality_filter rotated out late in r5 — multi-round
-    # green — for the NEW online-retrieval flagship stream_ann_probe.)
-    # (stream_decontaminate rotated out late in r5 — green r2-r4,
-    # contamination family stays via contamination_rate_by_source in
-    # the local gate — for the NEW streaming banded-dedup probe.)
     "text_sentences_udtf", "stream_ann_probe", "stream_minhash_dedup_ingest",
     "dedup_incremental_batch",
-    # r4 rotation survivors (first driver-verified in r4)
-    # (text_paragraph_dedup rotated out late in r5 — green r4 — so the
-    # split-leakage detect/fix pair is driver-verified together.)
-    "dedup_simhash", "dedup_resolve_keep_best_minhash",
-    "pipeline_split_safe", "sample_token_budget",
-    # (text_tfidf_topk rotated out late in r5 — green r4, retrieval
-    # family stays via bm25_search + retrieval_mmr_diversified — for
-    # the NEW expectations suite.)
-    "data_quality_report", "cluster_assign_kmeans", "embedding_quantize",
-    "pipeline_materialize_training", "agg_approx_percentiles",
-    # Round-5 rotation (slots are scarce; every family member should be
-    # driver-verified at least once across rounds).  Rotated OUT, all
-    # multi-round driver-green and still covered by the local gate:
-    #   pred_all_array, concat_logs, zip_streams, either_merge,
-    #   sort_skip_limit, mql_filter, typed_as_projection, pred_date_mql,
-    #   sql_exists_decorrelated, join_left_anti (reference-parity
-    #   predicate/combinator surface — green r1-r4),
-    #   pipeline_clean_corpus (green r3/r4; replaced by its MinHash-
-    #   sourced scale twin — the exact form stays as the oracle twin),
-    #   text_novelty_ratio (green r4).
-    # Rotated IN: the never-driver-verified family representatives —
-    # the whole standing-IVF/PQ family, both stateful streaming ops,
-    # and one rep per text/sampling/analytics family.
+    "dedup_resolve_keep_best_minhash",
+    "stream_cdc_upsert",
     "pipeline_clean_corpus_minhash",
     "ann_ivf_partitioned", "ann_ivf_append_probe",
     "ann_ivfpq_topk", "embedding_pq_codes",
     "stream_incremental_dedup", "stream_token_budget",
     "text_redact_pii", "sample_cap_per_group",
-    "dedup_resolve_keep_best", "events_time_rollup",
+    "events_time_rollup",
     "dedup_semantic_clusters",
 ]
 
 
-# Round-6 rotation shortlist — the 36 queries that have never held a
-# driver CORRECTNESS row after r5's window runs (all full local
-# oracles; verification debt, not suspected wrongness).  Prefer family
-# representatives with zero driver history over re-verifying stable
-# parity slots: asof_join_nearest, events_coactivity_range_join,
-# events_cohort_retention, events_rate_spikes (events analytics);
-# text_collocations_pmi, text_langid, text_normalize,
-# text_boilerplate_ratio, text_chunk_sliding (text);
-# multimodal_resize, multimodal_frame_sample, multimodal_embed_stub
-# (multimodal); embedding_dim_stats, embedding_label_centroids,
-# mine_contrastive_pairs (embedding); sample_global_shuffle,
-# sample_temperature_weights (sampling); table_profile_orders,
-# corpus_stats, stream_dim_stats, mql_not_filter (misc).
-_ROTATION_SHORTLIST_R6 = [
-    "asof_join_nearest", "events_coactivity_range_join",
-    "events_cohort_retention", "events_rate_spikes",
-    "text_collocations_pmi", "text_langid", "text_normalize",
-    "text_boilerplate_ratio", "text_chunk_sliding",
-    "multimodal_resize", "multimodal_frame_sample",
-    "multimodal_embed_stub", "embedding_dim_stats",
-    "embedding_label_centroids", "mine_contrastive_pairs",
-    "sample_global_shuffle", "sample_temperature_weights",
-    "table_profile_orders", "corpus_stats", "stream_dim_stats",
-    "mql_not_filter",
-    # new in late r5 still never driver-verified (their siblings
-    # dedup_substring_spans / cdc_upsert_latest / stream_cdc_upsert /
-    # text_bigram_logprob / sketch_vocab_cardinality went into the r5
-    # window); all full local oracles:
+# Round-7 rotation shortlist — the queries still without a driver
+# CORRECTNESS row after r6's window rotated 15 never-verified reps in
+# (all full local oracles; verification debt, not suspected
+# wrongness).
+_ROTATION_SHORTLIST_R7 = [
+    "text_collocations_pmi", "text_boilerplate_ratio",
+    "text_chunk_sliding", "text_nb_quality_llr", "text_mixed_language",
+    "multimodal_embed_stub", "multimodal_chunk_jaccard",
+    "mine_contrastive_pairs", "table_profile_orders", "corpus_stats",
+    "corpus_data_card", "stream_dim_stats", "mql_not_filter",
     "dedup_substring_clean", "dedup_substring_spans_incremental",
-    "text_nb_quality_llr", "events_session_sequences",
-    "dedup_component_sizes", "multimodal_chunk_jaccard",
-    "events_resample_ffill", "text_mixed_language",
-    "dedup_resolve_incremental", "corpus_data_card",
-    "cdc_upsert_snapshot", "sample_interleave_sources",
+    "dedup_component_sizes", "events_session_sequences",
+    "events_resample_ffill", "sample_interleave_sources",
 ]
 
 
