@@ -10,6 +10,8 @@ speed with full pushdown/pruning.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -502,3 +504,144 @@ def mixed_language_report(df, content_col: str, id_col: str,
         "id", "n_blocks", "n_voting", "n_langs",
         F.coalesce(F.col("w.lg"), F.lit("und")).alias("majority_lang"),
         (F.col("n_langs") >= 2).alias("is_mixed"))
+
+
+# ---------------------------------------------------------------------------
+# Real BPE tokenization (Sennrich, Haddow & Birch 2016, "Neural Machine
+# Translation of Rare Words with Subword Units" — the public BPE
+# algorithm).  The regex proxy above (regex_token_count) stays as the
+# zero-setup estimator; these ops make token-budget sampling/packing
+# tokenizer-FAITHFUL when a real merge table matters.
+# ---------------------------------------------------------------------------
+
+def bpe_learn(df, content_col: str, num_merges: int = 200,
+              max_vocab_words: int = 50_000) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from a corpus (Sennrich et al. 2016):
+    repeatedly merge the most frequent adjacent symbol pair in the
+    word-frequency vocabulary.
+
+    Scale shape: the word-frequency table aggregates DISTRIBUTED
+    (one token shuffle); only the top ``max_vocab_words`` (by count,
+    ties to the lexicographically smaller word — zipf coverage makes
+    the tail irrelevant to pair counts) collect to the driver, the
+    same bounded-model contract as the k-means centroid and PQ
+    codebook samples.  Merge learning itself is pure driver-side
+    Python over that bounded dict — the MODEL is KBs; the corpus
+    never leaves the cluster.
+
+    Deterministic: pair-count ties break to the lexicographically
+    smallest pair.  No end-of-word marker (documented simplification;
+    counts are what the budget ops consume).  Returns merges in rank
+    order.
+    """
+    rows = (df.select(F.explode(
+                F.split(F.trim(F.lower(F.col(content_col))),
+                        r"\s+")).alias("w"))
+              .filter(F.col("w") != "")
+              .groupBy("w").count()
+              .orderBy(F.col("count").desc(), F.col("w"))
+              .limit(max_vocab_words)
+              .collect())
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        k = tuple(r["w"])
+        vocab[k] = vocab.get(k, 0) + int(r["count"])
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {tuple(_merge_pair(list(syms), best)): cnt
+                 for syms, cnt in vocab.items()}
+    return merges
+
+
+def _merge_pair(syms: list[str], pair: tuple[str, str]) -> list[str]:
+    """Merge ALL non-overlapping occurrences of ``pair``, left to
+    right — the same single-pass semantics a literal string replace
+    has, so the DuckDB oracle (sentinel-joined replace()) and this
+    kernel agree symbol for symbol."""
+    a, b = pair
+    ab = a + b
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Greedy BPE application (subword-nmt loop): repeatedly find the
+    LOWEST-rank adjacent pair present and merge all its occurrences,
+    until no learned pair remains.  Returns the subword count."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        syms = _merge_pair(syms, best_pair)
+    return len(syms)
+
+
+def bpe_token_count(df, merges: list[tuple[str, str]],
+                    content_col: str, id_col: str):
+    """Tokenizer-faithful token counting with a learned/broadcast BPE
+    merge table.  Returns (id, n_words, n_bpe_tokens).
+
+    Scale shape — the reason this beats shipping a tokenizer over the
+    token stream: the Python kernel runs once per DISTINCT WORD
+    (vocabulary-sized, zipf-bounded — millions of rows at 100 TB, not
+    trillions), via an Arrow-batched pandas UDF with the merge-rank
+    table broadcast; the corpus-sized work (doc×word multiset, count
+    aggregation, the join back) stays JVM-side.  Feed ``n_bpe_tokens``
+    to sampling.sample_token_budget / text.pack_sequences for
+    budget-faithful curation.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    bc = df.sparkSession.sparkContext.broadcast(ranks)
+
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(
+                          F.trim(F.lower(F.col(content_col))),
+                          r"\s+")).alias("w"))
+              .filter(F.col("w") != ""))
+    doc_words = toks.groupBy("id", "w").agg(F.count("*").alias("cnt"))
+
+    @pandas_udf("int")
+    def n_sub(words: pd.Series) -> pd.Series:
+        rk = bc.value
+        cache: dict[str, int] = {}
+
+        def enc(wd: str) -> int:
+            n = cache.get(wd)
+            if n is None:
+                n = _bpe_encode_word(wd, rk)
+                cache[wd] = n
+            return n
+
+        return words.map(enc)
+
+    wsub = doc_words.select("w").distinct().withColumn("n_sub", n_sub("w"))
+    return (doc_words.join(wsub, "w")
+            .groupBy("id")
+            .agg(F.sum("cnt").alias("n_words"),
+                 F.sum(F.col("cnt") * F.col("n_sub"))
+                  .alias("n_bpe_tokens")))

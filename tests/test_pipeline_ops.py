@@ -1617,6 +1617,53 @@ def test_sketch_cardinality_null_group_reported_not_fatal(spark):
     assert out["__ALL__"] == (3, True)
 
 
+def test_bpe_learn_sennrich_worked_example(spark):
+    """The worked example of Sennrich et al. 2016 (without the
+    end-of-word marker): corpus low×5 lower×2 newest×6 widest×3.
+    Pair counts put (e,s) and (s,t) at 9 — the documented tiebreak
+    (lexicographically smallest) picks (e,s); then (es,t) at 9; then
+    (l,o)/(o,w) tie at 7 -> (l,o); then (lo,w)."""
+    rows = ([(i, "low") for i in range(5)]
+            + [(10 + i, "lower") for i in range(2)]
+            + [(20 + i, "newest") for i in range(6)]
+            + [(30 + i, "widest") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = text.bpe_learn(df, "text", num_merges=4)
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+
+
+def test_bpe_token_count_hand_cases(spark):
+    # chained merges: 'abc' -> ab,c -> abc (1); 'abab' merges BOTH
+    # (a,b) occurrences in one pass -> ab,ab (2, no (ab,ab) rule);
+    # 'xyz' untouched (3)
+    merges = [("a", "b"), ("ab", "c")]
+    df = spark.createDataFrame([(1, "abc abab xyz abc")],
+                               "doc_id long, text string")
+    r = text.bpe_token_count(df, merges, "text", "doc_id").collect()[0]
+    assert (r.n_words, r.n_bpe_tokens) == (4, 1 + 2 + 3 + 1)
+
+
+def test_bpe_token_count_overlapping_run_semantics(spark):
+    # merge (a,a) on 'aaa': non-overlapping left-to-right -> [aa, a]
+    # and (a,a) no longer applies to [aa, a] -> 2 tokens; 'aaaa' -> 2.
+    # Pins the exact semantics the DuckDB recursive-CTE oracle
+    # replays with literal replace()
+    df = spark.createDataFrame([(1, "aaa aaaa")], "doc_id long, text string")
+    r = text.bpe_token_count(df, [("a", "a")], "text", "doc_id").collect()[0]
+    assert (r.n_words, r.n_bpe_tokens) == (2, 2 + 2)
+
+
+def test_bpe_rank_priority_over_position(spark):
+    # word 'band': pairs (b,a) rank2, (a,n) rank0 -> (a,n) merges
+    # FIRST despite (b,a) appearing earlier in the word; then (an,d)
+    # rank1 -> [b, and] -> 2 tokens. A position-greedy (not
+    # rank-greedy) encoder would give [ba, n, d] = 3.
+    merges = [("a", "n"), ("an", "d"), ("b", "a")]
+    df = spark.createDataFrame([(1, "band")], "doc_id long, text string")
+    r = text.bpe_token_count(df, merges, "text", "doc_id").collect()[0]
+    assert r.n_bpe_tokens == 2
+
+
 def test_mixed_language_report_flags_planted_mix(spark):
     en = "the cat is on the mat and the dog is in the house with all of them here now"
     de = "der hund ist nicht in das haus und der wagen ist auch nicht da aber sie sind hier"
