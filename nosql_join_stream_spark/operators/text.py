@@ -514,6 +514,17 @@ def mixed_language_report(df, content_col: str, id_col: str,
 # tokenizer-FAITHFUL when a real merge table matters.
 # ---------------------------------------------------------------------------
 
+# fixed demonstration merge table (common English merges, ordered so
+# later merges BUILD ON earlier ones — (a,n) before (an,d); rank =
+# list position).  Used by the oracle-checked registry query and the
+# scale probe; real deployments learn a table with bpe_learn.
+BPE_MERGES_EN_DEMO = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"), ("e", "n"),
+    ("o", "r"), ("an", "d"), ("in", "g"), ("t", "o"),
+]
+
+
 def bpe_learn(df, content_col: str, num_merges: int = 200,
               max_vocab_words: int = 50_000) -> list[tuple[str, str]]:
     """Learn a BPE merge table from a corpus (Sennrich et al. 2016):

@@ -3176,16 +3176,6 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(pieces / words, 4).alias("pieces_per_word")))
 
 
-# fixed demonstration merge table for the oracle-checked BPE query —
-# common English merges, ordered so later merges BUILD ON earlier ones
-# ((a,n) must land before (an,d)); rank = list position
-_BPE_MERGES_FIXED = [
-    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
-    ("o", "n"), ("r", "e"), ("a", "t"), ("s", "t"), ("e", "n"),
-    ("o", "r"), ("an", "d"), ("in", "g"), ("t", "o"),
-]
-
-
 @register(
     "text_bpe_subword_count",
     """
@@ -3244,7 +3234,8 @@ _BPE_MERGES_FIXED = [
 def text_bpe_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     return (text.bpe_token_count(
-                e.table("documents"), _BPE_MERGES_FIXED, "text", "doc_id")
+                e.table("documents"), text.BPE_MERGES_EN_DEMO,
+                "text", "doc_id")
             .select(F.col("id").alias("doc_id"),
                     "n_words", "n_bpe_tokens"))
 

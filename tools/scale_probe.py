@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract
 """
 
 from __future__ import annotations
@@ -460,6 +460,51 @@ def main() -> None:
             results["sketch_all_ok"] = all(
                 r.hll_ok for r in res.collect())
             results["sketch_s"] = round(time.perf_counter() - t0, 2)
+
+        if "bpe" in OPS:
+            # real-BPE token counting: the Python kernel is bounded by
+            # |distinct words| (the copy tokens add only `factor` new
+            # words, so vocab stays ~constant as the corpus grows),
+            # while the JVM-side multiset/count/join tracks the token
+            # stream — wall should grow well below linear
+            from nosql_join_stream_spark.operators import text as textops
+            t0 = time.perf_counter()
+            results["bpe_rows"] = textops.bpe_token_count(
+                dd, textops.BPE_MERGES_EN_DEMO, "text", "doc_id").count()
+            results["bpe_s"] = round(time.perf_counter() - t0, 2)
+
+        if "retract" in OPS:
+            # standing-index retraction: a probe with outstanding
+            # tombstones pays one broadcast anti-join over the corpus-
+            # side index rows — compare the same probe with and
+            # without tombstones as the corpus grows (here HALF the
+            # corpus is tombstoned, a worst-case retraction volume)
+            import shutil as _sh
+            batch = dd.filter((F.col("doc_id") % 10 == 9)
+                              & (F.col("doc_id") < 10_000_000))
+            corpus = dd.join(batch.select("doc_id"), "doc_id", "left_anti")
+            db = f"nsjs_probe_del_{factor}x"
+            loc = f"/tmp/scale_delidx_{factor}x"
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+            _sh.rmtree(loc, ignore_errors=True)
+            dedup.minhash_pairs_between_bucketed(
+                corpus, batch.limit(0), "text", "doc_id",
+                db=db, location=loc, rebuild=True)
+            t0 = time.perf_counter()
+            results["retract_base_pairs"] = \
+                dedup.minhash_pairs_between_bucketed(
+                    corpus, batch, "text", "doc_id", db=db,
+                    location=loc, rebuild=False).count()
+            results["retract_probe_s"] = round(time.perf_counter() - t0, 2)
+            dedup.dedup_index_delete(
+                corpus.filter(F.col("doc_id") % 2 == 0).select("doc_id"),
+                db, id_col="doc_id")
+            t0 = time.perf_counter()
+            results["retract_pairs"] = \
+                dedup.minhash_pairs_between_bucketed(
+                    corpus, batch, "text", "doc_id", db=db,
+                    location=loc, rebuild=False).count()
+            results["retract_tomb_s"] = round(time.perf_counter() - t0, 2)
 
         if "substr" in OPS:
             # linear token blowup + two hash-partitioned shuffles; the
