@@ -1184,6 +1184,43 @@ def repeated_substring_spans_between(
     return _merge_spans(dup, w)
 
 
+def substring_index_append(batch: DataFrame, content_col: str, id_col: str,
+                           w: int = 15, db: str = "nsjs_substr",
+                           num_buckets: int = 16) -> int:
+    """Fold an ingested batch into the STANDING substring-gram index —
+    the append op that closes the gram family's lifecycle the way
+    ``dedup_index_append`` / ``minhash_index_append`` do for theirs:
+    after today's batch is span-checked against the index
+    (``repeated_substring_spans_between``), its per-doc distinct
+    window hashes APPEND with the index's exact bucket spec
+    (append-stable bucketBy layout — co-location preserved, probes
+    keep their zero-corpus-Exchange semi-join), so tomorrow's batch
+    detects spans repeated against today's ingest too.  The standing
+    corpus is never read; the batch's window pass is persisted so its
+    SOURCE is scanned once (read-once-ingest safe).  Re-ingested
+    previously-deleted ids become live again (tombstones cleared).
+    Returns the number of docs appended."""
+    from nosql_join_stream_spark.sinks import write_bucketed
+
+    spark = batch.sparkSession
+    if not spark.catalog.tableExists(f"{db}.corpus_grams"):
+        raise ValueError(
+            f"no standing substring-gram index table {db}.corpus_grams; "
+            "build one first (repeated_substring_spans_between "
+            "rebuild=True)")
+    grams = (_token_windows(batch, content_col, id_col, w)
+             .select("id", "gh").distinct().persist())
+    try:
+        write_bucketed(grams, f"{db}.corpus_grams", ["gh"],
+                       num_buckets=num_buckets, sort_by=["gh"],
+                       mode="append")
+        n_docs = grams.select("id").distinct().count()
+        _clear_tombstones_for_ids(grams.select("id"), db)
+    finally:
+        grams.unpersist()
+    return n_docs
+
+
 def cut_spans(df: DataFrame, spans: DataFrame, content_col: str,
               id_col: str) -> DataFrame:
     """The FIX for :func:`repeated_substring_spans`: rewrite each

@@ -632,11 +632,14 @@ _DRIVER_WINDOW = [
     # (join_outer_filtered / log_scan_offset / stream_windowed_counts
     # rotated out in r5 — all green r1-r4; rotation history of earlier
     # rounds lives in git, this comment tracks the CURRENT window.)
-    # (pred_surface rotated out in r6 — green r1-r5, the predicate
-    # surface stays locally gated and its DSL compile path is
-    # exercised by every e.read query — for the NEW real-BPE counter,
-    # so new capability lands driver-verified in the round it ships.)
-    "join_fk_inner", "dedup_substring_spans", "join_salted_skew",
+    # (pred_surface and join_salted_skew rotated out in r6 — both
+    # green r1-r5; the predicate surface stays locally gated and the
+    # DSL compile path runs in every e.read query, the salted join
+    # keeps its pytest + property coverage and the join family keeps
+    # join_fk_inner — for the NEW real-BPE counter and the NEW
+    # CDC-delete merge, so new capability lands driver-verified in
+    # the round it ships.)
+    "join_fk_inner", "dedup_substring_spans", "cdc_upsert_deletes",
     "text_bpe_subword_count", "cdc_upsert_latest", "stream_quality_ewma",
     # Round-6 rotation (r5 scoreboard was 50/50 green; every swapped-
     # OUT slot below is multi-round driver-green AND re-verified by the

@@ -4690,6 +4690,66 @@ def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_upsert_deletes",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM r
+    WHERE rn = 1 AND NOT (event_id % 3 = 0 AND event_type = 'click')
+    """,
+    doc="FULL CDC MERGE with DELETE markers "
+        "(sinks.upsert_keyed_snapshot delete_col=...): the change "
+        "batch carries op types, and a key whose LATEST op is a "
+        "delete is REMOVED from the table — takedowns and "
+        "account-deletion flows, not just upserts. Here batch rows "
+        "(event_id % 3 == 0) with event_type 'click' are the delete "
+        "ops; the oracle is latest-per-key over the full log MINUS "
+        "users whose global-latest row is a batch delete. Buckets "
+        "emptied by deletion leave the manifest (older snapshots "
+        "still time-travel to the pre-delete state — the audit trail "
+        "a physical delete destroys). Stale deletes (older than the "
+        "standing row) are correctly ignored by the same keep-latest "
+        "window that orders upserts.",
+)
+def cdc_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark import sinks
+
+    e = _engine(spark, sf_dir)
+    ev = e.table("events").select("user_id", "ts", "event_id",
+                                  "event_type", "value")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"nsjs_cdcdel_{os.getpid()}_{tag}")
+    initial = ev.filter(F.col("event_id") % 3 != 0)
+    batch = (ev.filter(F.col("event_id") % 3 == 0)
+               .withColumn("is_delete", F.col("event_type") == "click"))
+    try:
+        sinks.read_keyed_snapshot(spark, path)
+    except ValueError:
+        sinks.write_keyed_snapshot(
+            sinks.latest_per_key(initial, "user_id", ["ts", "event_id"]),
+            path, "user_id", num_buckets=16)
+    # replay-idempotent: keep-latest + delete-if-latest converge on
+    # the same table every rerun
+    sinks.upsert_keyed_snapshot(spark, path, batch, "user_id",
+                                ["ts", "event_id"],
+                                delete_col="is_delete")
+    return (sinks.read_keyed_snapshot(spark, path)
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_type"),
+                    F.col("value").alias("last_value")))
+
+
+@register(
     "sample_interleave_sources",
     """
     WITH c AS (SELECT source, COUNT(*) AS n FROM documents

@@ -274,7 +274,8 @@ def read_keyed(spark: SparkSession, path: str) -> DataFrame:
 def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
                  key_col: str, order_by: Sequence[str],
                  num_buckets: int | None = None,
-                 count_rows: bool = True) -> dict:
+                 count_rows: bool = True,
+                 delete_col: str | None = None) -> dict:
     """Partition-level CDC MERGE without a table format: upsert
     ``batch`` into the standing table at ``path``, keeping per key the
     row with the greatest ``order_by`` (sequence/event-time ordering;
@@ -302,6 +303,12 @@ def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
     evolution belongs to the snapshot form, where immutable version
     dirs keep per-file schemas consistent.
 
+    ``delete_col``: a boolean column marking CDC DELETE rows — a key
+    whose latest (by ``order_by``) op is a delete is REMOVED from the
+    table (full CDC, not just upserts); the marker column never lands
+    in the table, and buckets emptied by deletions have their dirs
+    dropped.
+
     Returns ``{"buckets_touched": k, "rows_written": n}``.
     """
     from pyspark.sql import Window
@@ -325,6 +332,7 @@ def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
             f"keyed table at {path} has {meta.num_buckets} buckets; "
             f"upsert requested {num_buckets}")
     num_buckets = int(meta.num_buckets)
+    batch = _mark_deletes(batch, delete_col)
     b = (batch.withColumn(_KB, _key_bucket(key_col, num_buckets))
               .withColumn("__src", F.lit(1))
               .localCheckpoint())
@@ -333,24 +341,52 @@ def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
         return {"buckets_touched": 0, "rows_written": 0}
     existing = (spark.read.parquet(path)
                 .filter(F.col(_KB).isin(touched))
-                .withColumn("__src", F.lit(0)))
+                .withColumn("__src", F.lit(0))
+                .withColumn("__del", F.lit(False)))
     w = Window.partitionBy(key_col).orderBy(
         *[F.col(c).desc() for c in order_by], F.col("__src").desc())
     # localCheckpoint: the plan reads `path` and the write overwrites
     # it — materialize survivors first (the compact()/ann_ivf_compact
-    # pattern), bounded by touched buckets only
+    # pattern), bounded by touched buckets only.  A key whose WINNING
+    # row is a delete marker drops out of the table entirely.
     latest = (existing.unionByName(b)
               .withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") == 1).drop("__rn", "__src")
+              .filter((F.col("__rn") == 1) & ~F.col("__del"))
+              .drop("__rn", "__src", "__del")
               .localCheckpoint())
     (latest.repartition(_KB)
            .write.mode("overwrite")
            .option("partitionOverwriteMode", "dynamic")
            .partitionBy(_KB).parquet(path))
+    if delete_col is not None:
+        # dynamic partition overwrite only rewrites partitions that
+        # appear in the OUTPUT — a touched bucket whose keys were all
+        # deleted produces no rows and would silently keep its old
+        # files; drop those dirs explicitly
+        survived = {r[_KB] for r in latest.select(_KB).distinct().collect()}
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        for kb in touched:
+            if kb not in survived:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/{_KB}={kb}"), True)
     # rows_written scans the checkpointed merge result (cheap, no
     # recompute); per-micro-batch callers skip even that one job
     return {"buckets_touched": len(touched),
             "rows_written": latest.count() if count_rows else -1}
+
+
+def _mark_deletes(batch: DataFrame, delete_col: str | None) -> DataFrame:
+    """Normalize the CDC op marker: ``__del`` true for rows that are
+    DELETIONS of their key (NULL marker = not a delete), the marker
+    column itself stripped so it never lands in the table."""
+    if delete_col is None:
+        return batch.withColumn("__del", F.lit(False))
+    return (batch.withColumn(
+                "__del", F.coalesce(F.col(delete_col).cast("boolean"),
+                                    F.lit(False)))
+                 .drop(delete_col))
 
 
 def retention_expire(spark: SparkSession, path: str, partition_col: str,
@@ -408,9 +444,11 @@ _MANIFEST_SCHEMA = ("key_col string, num_buckets int, version int, "
 def _schema_fields(df: DataFrame) -> list[dict]:
     """The manifest's schema record: ordered (name, type) pairs using
     Spark's simpleString type names — enough to detect incompatible
-    type changes and to give added columns a stable position."""
+    type changes and to give added columns a stable position.
+    ``__``-prefixed columns are merge-internal (__kb bucket, __src
+    tiebreak, __del marker) and never part of the table schema."""
     return [{"name": f.name, "type": f.dataType.simpleString()}
-            for f in df.schema.fields if f.name != _KB]
+            for f in df.schema.fields if not f.name.startswith("__")]
 
 
 def _check_schema_compat(recorded: list[dict] | None,
@@ -571,6 +609,15 @@ def read_keyed_snapshot(spark: SparkSession, path: str,
         base = f"{path}/{ver}"
         dirs = [f"{base}/{_KB}={kb}" for kb in sorted(kbs)]
         parts.append(spark.read.option("basePath", base).parquet(*dirs))
+    if not parts:
+        # every key deleted: an EMPTY snapshot is still a snapshot —
+        # reconstruct the frame from the manifest's recorded schema
+        if schema is None:
+            raise ValueError(
+                f"snapshot at {path} is empty and predates schema "
+                "recording; nothing to read")
+        ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in schema)
+        return spark.createDataFrame([], ddl)
     # buckets written before a schema-evolving merge lack its added
     # columns — allowMissingColumns fills them with typed NULLs, and
     # the manifest's recorded column order keeps the result stable
@@ -585,7 +632,8 @@ def read_keyed_snapshot(spark: SparkSession, path: str,
 
 def upsert_keyed_snapshot(spark: SparkSession, path: str, batch: DataFrame,
                           key_col: str, order_by: Sequence[str],
-                          max_retries: int = 3) -> dict:
+                          max_retries: int = 3,
+                          delete_col: str | None = None) -> dict:
     """Snapshot-isolated MERGE: keep-latest semantics of
     :func:`upsert_keyed`, but touched buckets are written under a NEW
     immutable ``v<N>/`` dir and the merge becomes visible only at the
@@ -610,12 +658,18 @@ def upsert_keyed_snapshot(spark: SparkSession, path: str, batch: DataFrame,
     as typed NULLs, old snapshots time-travel unchanged) or omit
     columns (filled NULL); retyping a column raises.  The evolved
     schema is recorded in the manifest.
+
+    **Deletes**: ``delete_col`` marks CDC DELETE rows — a key whose
+    latest (by ``order_by``) op is a delete is removed; a bucket
+    emptied by deletions simply leaves the new manifest (older
+    snapshots still time-travel to it).
     """
     from pyspark.sql import Window
 
     if _read_manifest(spark, path) is None:
         raise ValueError(
             f"no committed snapshot at {path}; write_keyed_snapshot first")
+    batch = _mark_deletes(batch, delete_col)
     b = None
     last_err: SnapshotConflict | None = None
     for _ in range(max_retries + 1):
@@ -643,12 +697,14 @@ def upsert_keyed_snapshot(spark: SparkSession, path: str, batch: DataFrame,
                 spark.read.option("basePath", base).parquet(*dirs))
         merged = b
         for p in existing_parts:
-            merged = merged.unionByName(p.withColumn("__src", F.lit(0)),
+            merged = merged.unionByName(p.withColumn("__src", F.lit(0))
+                                         .withColumn("__del", F.lit(False)),
                                         allowMissingColumns=True)
         w = Window.partitionBy(key_col).orderBy(
             *[F.col(c).desc() for c in order_by], F.col("__src").desc())
         latest = (merged.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") == 1).drop("__rn", "__src"))
+                  .filter((F.col("__rn") == 1) & ~F.col("__del"))
+                  .drop("__rn", "__src", "__del"))
         new_ver = version + 1
         # the data dir gets a UNIQUE suffix (manifests reference dirs
         # by name, so any name works): two writers racing to the same
@@ -660,9 +716,25 @@ def upsert_keyed_snapshot(spark: SparkSession, path: str, batch: DataFrame,
         (latest.repartition(_KB)
          .write.mode("overwrite").partitionBy(_KB)
          .parquet(f"{path}/{ver_dir}"))
+        # the bucket map reflects what the merge actually WROTE: a
+        # touched bucket whose keys were all deleted produces no
+        # partition dir and leaves the manifest (one FS listing —
+        # metadata-cost, correct for plain upserts too)
+        jvm = spark._jvm
+        vd = jvm.org.apache.hadoop.fs.Path(f"{path}/{ver_dir}")
+        fs = vd.getFileSystem(spark._jsc.hadoopConfiguration())
+        written = set()
+        if fs.exists(vd):
+            for st in fs.listStatus(vd):
+                nm = st.getPath().getName()
+                if nm.startswith(_KB + "="):
+                    written.add(int(nm[len(_KB) + 1:]))
         new_map = dict(buckets)
         for kb in touched:
-            new_map[kb] = ver_dir
+            if kb in written:
+                new_map[kb] = ver_dir
+            else:
+                new_map.pop(kb, None)
         try:
             _write_manifest(spark, path, new_ver, key_col, num_buckets,
                             new_map, schema=schema)

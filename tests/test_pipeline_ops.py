@@ -1434,6 +1434,38 @@ def test_substring_index_delete_retracts_spans(spark, tmp_path):
         spark.sql(f"DROP DATABASE IF EXISTS {d} CASCADE")
 
 
+def test_substring_index_append_extends_standing_index(spark, tmp_path):
+    """Gram-family lifecycle append (closing the loop the PPJoin and
+    MinHash families already have): append batch1's grams, then
+    batch2 repeating batch1's phrase must get its span detected even
+    though the ORIGINAL corpus never contained it."""
+    phrase = "one two three four five"
+    corpus = spark.createDataFrame(
+        [(1, "totally unrelated base corpus text right here ok fine")],
+        "doc_id long, text string")
+    batch1 = spark.createDataFrame(
+        [(101, phrase + " plus unique tail alpha beta gamma")],
+        "doc_id long, text string")
+    batch2 = spark.createDataFrame(
+        [(201, phrase + " with different ending delta epsilon zeta")],
+        "doc_id long, text string")
+    db, loc = "nsjs_sub_app", str(tmp_path / "subapp")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    s1 = dedup.repeated_substring_spans_between(
+        corpus, batch1, "text", "doc_id", w=5, db=db, location=loc,
+        rebuild=True)
+    assert s1.collect() == []           # nothing shared with corpus
+    assert dedup.substring_index_append(
+        batch1, "text", "doc_id", w=5, db=db) == 1
+    s2 = dedup.repeated_substring_spans_between(
+        corpus, batch2, "text", "doc_id", w=5, db=db, location=loc,
+        rebuild=False)
+    got = {(r.id, r.span_start, r.span_end) for r in s2.collect()}
+    assert got == {(201, 0, 5)}         # the shared 5-token phrase
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_repeated_substring_spans_hand_case(spark):
     # shared 4-token run "a b c d" straddles positions 1..4 in doc 1
     # and 0..3 in doc 2; w=3 marks windows at doc1 pos {1,2}, doc2

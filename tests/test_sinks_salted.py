@@ -532,6 +532,79 @@ def test_snapshot_schema_evolution_add_omit_retype(spark, tmp_path):
         upsert_keyed_snapshot(spark, path, retyped, "k", ["seq"])
 
 
+def test_upsert_keyed_delete_markers_remove_keys(spark, tmp_path):
+    """Full CDC (not just upserts): a key whose LATEST op is a delete
+    marker leaves the table; an older delete is superseded by a newer
+    upsert; a bucket emptied by deletions loses its dir (dynamic
+    partition overwrite alone would silently keep its old files)."""
+    import glob
+    import os
+
+    from nosql_join_stream_spark.sinks import (
+        read_keyed, upsert_keyed, write_keyed)
+
+    path = str(tmp_path / "cdcdel")
+    initial = spark.createDataFrame(
+        [(k, 1, f"v{k}") for k in range(8)], ["k", "seq", "p"])
+    write_keyed(initial, path, "k", num_buckets=2)
+    n_dirs_before = len(glob.glob(os.path.join(path, "__kb=*")))
+
+    batch = spark.createDataFrame(
+        [(1, 2, None, True),      # delete k=1 (latest op wins)
+         (2, 2, "v2.2", False),   # plain upsert
+         (3, 3, "v3.3", False),   # upsert AFTER an older delete
+         (3, 2, None, True),
+         (4, 0, None, True)],     # STALE delete: seq 0 < standing 1
+        "k long, seq long, p string, is_del boolean")
+    upsert_keyed(spark, path, batch, "k", ["seq"], delete_col="is_del")
+    got = {r.k: (r.seq, r.p) for r in read_keyed(spark, path).collect()}
+    assert 1 not in got                      # deleted
+    assert got[2] == (2, "v2.2")
+    assert got[3] == (3, "v3.3")             # newer upsert beats delete
+    assert got[4] == (1, "v4")               # stale delete ignored
+    assert set(got) == {0, 2, 3, 4, 5, 6, 7}
+
+    # delete EVERY key: all bucket dirs must be dropped, not left stale
+    wipe = spark.createDataFrame(
+        [(k, 9, None, True) for k in range(8)],
+        "k long, seq long, p string, is_del boolean")
+    upsert_keyed(spark, path, wipe, "k", ["seq"], delete_col="is_del")
+    assert glob.glob(os.path.join(path, "__kb=*")) == []
+    assert n_dirs_before > 0
+
+
+def test_snapshot_delete_markers_and_time_travel(spark, tmp_path):
+    from nosql_join_stream_spark.sinks import (
+        read_keyed_snapshot, upsert_keyed_snapshot, write_keyed_snapshot)
+
+    path = str(tmp_path / "snapdel")
+    write_keyed_snapshot(
+        spark.createDataFrame([(1, 1, "a"), (2, 1, "b"), (3, 1, "c")],
+                              ["k", "seq", "p"]),
+        path, "k", num_buckets=2)
+    batch = spark.createDataFrame(
+        [(1, 2, None, True), (4, 1, "d", False)],
+        "k long, seq long, p string, is_del boolean")
+    upsert_keyed_snapshot(spark, path, batch, "k", ["seq"],
+                          delete_col="is_del")
+    got = {(r.k, r.p) for r in read_keyed_snapshot(spark, path).collect()}
+    assert got == {(2, "b"), (3, "c"), (4, "d")}
+    # the PRE-delete snapshot still time-travels (audit the takedown)
+    v1 = {(r.k, r.p)
+          for r in read_keyed_snapshot(spark, path, version=1).collect()}
+    assert v1 == {(1, "a"), (2, "b"), (3, "c")}
+
+    # wipe everything: the latest snapshot is EMPTY but readable with
+    # the recorded schema
+    wipe = spark.createDataFrame(
+        [(k, 9, None, True) for k in (2, 3, 4)],
+        "k long, seq long, p string, is_del boolean")
+    upsert_keyed_snapshot(spark, path, wipe, "k", ["seq"],
+                          delete_col="is_del")
+    empty = read_keyed_snapshot(spark, path)
+    assert empty.columns == ["k", "seq", "p"] and empty.count() == 0
+
+
 def test_snapshot_gc_spares_inflight_version_dirs(spark, tmp_path):
     """ADVICE r5 (medium): a merge writes its v<N+1>-*/ data files
     BEFORE publishing the manifest; a GC landing in that gap must not
