@@ -226,11 +226,12 @@ def write_keyed(df: DataFrame, path: str, key_col: str,
     (df.withColumn(_KB, _key_bucket(key_col, num_buckets))
        .repartition(_KB)
        .write.mode("overwrite").partitionBy(_KB).parquet(path))
-    _write_meta(df.sparkSession, path, key_col, num_buckets)
+    _write_meta(df.sparkSession, path, key_col, num_buckets,
+                schema=_schema_fields(df))
 
 
 def _write_meta(spark: SparkSession, path: str, key_col: str,
-                num_buckets: int) -> None:
+                num_buckets: int, schema: list[dict] | None = None) -> None:
     """One JSON line via the Hadoop FileSystem API — filesystem-
     agnostic like a Spark write, but with NO job (a 1-row
     createDataFrame→write.json costs seconds of session round-trips
@@ -241,8 +242,10 @@ def _write_meta(spark: SparkSession, path: str, key_col: str,
     p = jvm.org.apache.hadoop.fs.Path(path + "/_nsjs_meta/meta.json")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     out = fs.create(p, True)
-    out.write(bytearray(json.dumps(
-        {"key_col": key_col, "num_buckets": num_buckets}).encode()))
+    doc = {"key_col": key_col, "num_buckets": num_buckets}
+    if schema is not None:
+        doc["schema"] = schema
+    out.write(bytearray(json.dumps(doc).encode()))
     out.close()
 
 
@@ -253,7 +256,9 @@ def _read_meta(spark: SparkSession, path: str):
     from pyspark.errors import AnalysisException
 
     try:
-        return (spark.read.schema("key_col string, num_buckets int")
+        return (spark.read.schema(
+                    "key_col string, num_buckets int, "
+                    "schema array<struct<name:string,type:string>>")
                 .json(path + "/_nsjs_meta").first())
     except AnalysisException:
         return None
@@ -267,8 +272,19 @@ def keyed_table_exists(spark: SparkSession, path: str) -> bool:
 
 
 def read_keyed(spark: SparkSession, path: str) -> DataFrame:
-    """Read a keyed standing table, hiding the bucket column."""
-    return spark.read.parquet(path).drop(_KB)
+    """Read a keyed standing table, hiding the bucket column.  A
+    table whose every key was CDC-deleted has no data files left —
+    it reads back EMPTY with the schema the meta sidecar recorded."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).drop(_KB)
+    except AnalysisException:
+        meta = _read_meta(spark, path)
+        if meta is None or meta["schema"] is None:
+            raise
+        ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in meta["schema"])
+        return spark.createDataFrame([], ddl)
 
 
 def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
@@ -307,7 +323,13 @@ def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
     whose latest (by ``order_by``) op is a delete is REMOVED from the
     table (full CDC, not just upserts); the marker column never lands
     in the table, and buckets emptied by deletions have their dirs
-    dropped.
+    dropped.  Delete ordering is STATEMENT-LEVEL, the contract of
+    public table formats' MERGE: within one merge, a delete competes
+    with upserts by ``order_by`` (stale deletes lose), but once
+    applied the table keeps no deleted-version memory — an upsert
+    arriving in a LATER batch with an OLDER version resurrects the
+    key.  Apply batches in change-log order (what every CDC source
+    emits); pinned by the sequential-fold property test.
 
     Returns ``{"buckets_touched": k, "rows_written": n}``.
     """
@@ -662,7 +684,10 @@ def upsert_keyed_snapshot(spark: SparkSession, path: str, batch: DataFrame,
     **Deletes**: ``delete_col`` marks CDC DELETE rows — a key whose
     latest (by ``order_by``) op is a delete is removed; a bucket
     emptied by deletions simply leaves the new manifest (older
-    snapshots still time-travel to it).
+    snapshots still time-travel to it).  Statement-level ordering,
+    as in :func:`upsert_keyed`: apply batches in change-log order —
+    an out-of-order older upsert in a LATER merge resurrects a
+    deleted key (no deleted-version memory is kept).
     """
     from pyspark.sql import Window
 

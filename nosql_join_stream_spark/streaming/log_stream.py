@@ -642,7 +642,8 @@ def stateful_budget_admission(stream: DataFrame, group_col: str,
 def stream_cdc_upsert(stream: DataFrame, path: str, checkpoint: str,
                       key_col: str, order_by: list[str],
                       num_buckets: int = 32,
-                      available_now: bool = True):
+                      available_now: bool = True,
+                      delete_col: str | None = None):
     """Streaming CDC materialization: every micro-batch MERGEs into
     the keyed standing table (``sinks.upsert_keyed``) instead of
     appending — the streaming half of the physical-merge story, and
@@ -660,9 +661,14 @@ def stream_cdc_upsert(stream: DataFrame, path: str, checkpoint: str,
     Per batch the cost is the upsert contract: touched buckets only,
     never table size — an unbounded stream maintains a 100 TB serving
     table by rewriting the few buckets each micro-batch lands in.
+    ``delete_col`` passes through to the MERGE: a change stream that
+    carries delete ops keeps the served table exact (delete-if-latest
+    is as replay-idempotent as keep-latest, so exactly-once still
+    needs no batch-id bookkeeping).
     """
-    from nosql_join_stream_spark.sinks import (latest_per_key, upsert_keyed,
-                                               write_keyed)
+    from nosql_join_stream_spark.sinks import (_mark_deletes,
+                                               latest_per_key,
+                                               upsert_keyed, write_keyed)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # bootstrap gate = the table's meta sidecar (written LAST by
@@ -675,12 +681,15 @@ def stream_cdc_upsert(stream: DataFrame, path: str, checkpoint: str,
         # per micro-batch on the steady-state path.
         try:
             upsert_keyed(batch_df.sparkSession, path, batch_df, key_col,
-                         order_by, count_rows=False)
+                         order_by, count_rows=False,
+                         delete_col=delete_col)
         except ValueError as e:
             if "no completely-written keyed table" not in str(e):
                 raise
-            write_keyed(latest_per_key(batch_df, key_col, order_by),
-                        path, key_col, num_buckets=num_buckets)
+            marked = _mark_deletes(batch_df, delete_col)
+            first = (latest_per_key(marked, key_col, order_by)
+                     .filter(~F.col("__del")).drop("__del"))
+            write_keyed(first, path, key_col, num_buckets=num_buckets)
 
     q = (stream.writeStream.foreachBatch(write_batch)
          .outputMode("append")

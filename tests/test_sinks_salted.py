@@ -571,6 +571,9 @@ def test_upsert_keyed_delete_markers_remove_keys(spark, tmp_path):
     upsert_keyed(spark, path, wipe, "k", ["seq"], delete_col="is_del")
     assert glob.glob(os.path.join(path, "__kb=*")) == []
     assert n_dirs_before > 0
+    # a fully-emptied table still READS (empty, meta-recorded schema)
+    emptied = read_keyed(spark, path)
+    assert emptied.columns == ["k", "seq", "p"] and emptied.count() == 0
 
 
 def test_snapshot_delete_markers_and_time_travel(spark, tmp_path):

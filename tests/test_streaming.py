@@ -548,6 +548,46 @@ def test_stream_cdc_upsert_replay_converges(spark, tmp_path):
     assert snapshot() == want_all
 
 
+def test_stream_cdc_upsert_with_deletes(spark, tmp_path):
+    """The change stream carries DELETE ops: the served table must
+    equal keep-latest over the whole log minus keys whose latest op
+    is a delete — including a delete arriving in a LATER micro-batch
+    than the upsert it retracts, and a bootstrap batch that already
+    contains deletes."""
+    from pyspark.sql import functions as F
+
+    from nosql_join_stream_spark.sinks import read_keyed
+    from nosql_join_stream_spark.streaming.log_stream import stream_cdc_upsert
+
+    src = tmp_path / "src"
+    tbl = tmp_path / "tbl"
+    ckpt = tmp_path / "ckpt"
+    schema = "k long, seq long, p string, is_del boolean"
+    # batch 0 bootstraps WITH a delete in it (k=3 born-deleted)
+    spark.createDataFrame(
+        [(1, 1, "a1", False), (2, 1, "b1", False), (3, 1, None, True)],
+        schema).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .format("parquet").load(str(src)))
+        stream_cdc_upsert(stream, str(tbl), str(ckpt), "k", ["seq"],
+                          num_buckets=4, delete_col="is_del")
+
+    drain()
+    got = {r.k: r.p for r in read_keyed(spark, str(tbl)).collect()}
+    assert got == {1: "a1", 2: "b1"}
+
+    # batch 1: delete k=1 (later than its upsert), re-create k=3,
+    # stale delete for k=2 (seq 0 loses to standing seq 1)
+    spark.createDataFrame(
+        [(1, 2, None, True), (3, 2, "c2", False), (2, 0, None, True)],
+        schema).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    got = {r.k: r.p for r in read_keyed(spark, str(tbl)).collect()}
+    assert got == {2: "b1", 3: "c2"}
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Bounded-state contract made observable: with a 30-min watermark
     a row arriving 2 hours late (in a later micro-batch, after the
