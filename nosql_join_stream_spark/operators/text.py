@@ -107,7 +107,7 @@ def fingerprint(col: Column) -> Column:
 
 
 def pack_sequences(df, id_col: str, shard_col: str, budget: int,
-                   text_col: str = "text"):
+                   text_col: str = "text", len_col: str | None = None):
     """Concat-and-chunk sequence packing: the layout step that turns a
     document corpus into fixed-size training sequences.
 
@@ -121,12 +121,18 @@ def pack_sequences(df, id_col: str, shard_col: str, budget: int,
     parallelizes across shards (a global, unpartitioned window would
     serialize on one task); shards are independent streams, matching
     how packing shards are actually written.
+
+    ``len_col``: use a PRE-COMPUTED per-doc length instead of the
+    whitespace count — pass ``bpe_token_count``'s ``n_bpe_tokens``
+    for tokenizer-FAITHFUL packing (sequence boundaries land where
+    the real tokenizer puts them, not where the proxy estimates).
     """
     from pyspark.sql import Window
 
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
-    n_tok = token_count(F.col(text_col))
+    n_tok = F.col(len_col) if len_col is not None \
+        else token_count(F.col(text_col))
     w = (Window.partitionBy(shard_col).orderBy(id_col)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(n_tok).over(w)

@@ -692,6 +692,8 @@ _DRIVER_WINDOW = [
 # (all full local oracles; verification debt, not suspected
 # wrongness).
 _ROTATION_SHORTLIST_R7 = [
+    "doc_pack_sequences_bpe",  # new in r6 (sibling text_bpe_subword_count
+                               # holds the family's r6 window slot)
     "text_collocations_pmi", "text_boilerplate_ratio",
     "text_chunk_sliding", "text_nb_quality_llr", "text_mixed_language",
     "multimodal_embed_stub", "multimodal_chunk_jaccard",

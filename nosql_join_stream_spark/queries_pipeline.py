@@ -1733,6 +1733,79 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_pack_sequences_bpe",
+    """
+    WITH RECURSIVE
+    m0(rank, a, b) AS (VALUES
+      (1,'t','h'), (2,'th','e'), (3,'i','n'), (4,'a','n'), (5,'e','r'),
+      (6,'o','n'), (7,'r','e'), (8,'a','t'), (9,'s','t'), (10,'e','n'),
+      (11,'o','r'), (12,'an','d'), (13,'in','g'), (14,'t','o')),
+    m AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+                 chr(31)||a||b||chr(31) AS rep
+          FROM m0),
+    dw AS (
+      SELECT doc_id, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents) z
+      WHERE w <> '' GROUP BY doc_id, w),
+    words AS (SELECT DISTINCT w FROM dw),
+    enc AS (
+      SELECT w, chr(31) || array_to_string(regexp_extract_all(w, '.'),
+                                           chr(31)) || chr(31) AS s
+      FROM words
+      UNION ALL
+      SELECT e.w, replace(e.s, m.pat, m.rep) AS s
+      FROM enc e JOIN m
+        ON m.rank = (SELECT min(m2.rank) FROM m m2
+                     WHERE contains(e.s, m2.pat))
+    ),
+    fin AS (
+      SELECT w, len(string_split(s, chr(31))) - 2 AS n_sub
+      FROM enc
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE contains(enc.s, m.pat))),
+    bpe AS (
+      SELECT d.doc_id, CAST(SUM(d.cnt * f.n_sub) AS BIGINT) AS n_tokens
+      FROM dw d JOIN fin f ON d.w = f.w
+      GROUP BY d.doc_id),
+    j AS (
+      SELECT b.doc_id, doc.source, b.n_tokens
+      FROM bpe b JOIN documents doc ON b.doc_id = doc.doc_id),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS off
+      FROM j)
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(off / 512) AS BIGINT) AS seq_id,
+           CAST(off % 512 AS BIGINT) AS offset_in_seq
+    FROM c
+    """,
+    doc="Tokenizer-FAITHFUL sequence packing — the composition the "
+        "real-BPE counter exists for: per-doc subword counts from "
+        "text.bpe_token_count feed pack_sequences(len_col=...), so "
+        "every 512-token training-sequence boundary lands where the "
+        "TOKENIZER puts it, not where the whitespace proxy estimates "
+        "(a doc the proxy undercounts would silently overflow its "
+        "sequence at training time). Same per-shard cumsum window as "
+        "doc_pack_sequences; the BPE kernel cost stays "
+        "vocabulary-bounded. Oracle replays both stages end-to-end: "
+        "the recursive-CTE greedy BPE into the same packing window.",
+)
+def doc_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents")
+    counts = text.bpe_token_count(docs, text.BPE_MERGES_EN_DEMO,
+                                  "text", "doc_id")
+    joined = (docs.select("doc_id", "source")
+              .join(counts.select(F.col("id").alias("doc_id"),
+                                  "n_bpe_tokens"), "doc_id"))
+    return text.pack_sequences(joined, "doc_id", "source", budget=512,
+                               len_col="n_bpe_tokens")
+
+
+@register(
     "cluster_assign_kmeans",
     """
     WITH cents AS (
