@@ -2216,11 +2216,13 @@ def dedup_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = f"nsjs_mh_del_{tag}"
     loc = os.path.join(tempfile.gettempdir(),
                        f"nsjs_mh_del_{os.getpid()}_{tag}")
-    # build the standing index (rebuild also clears stale tombstones,
-    # so the query is idempotent run-to-run), then retract
-    dedup.minhash_pairs_between_bucketed(
-        corpus, batch.limit(0), "text", "doc_id", n=3, threshold=0.6,
-        db=db, location=loc, rebuild=True)
+    # standing-index semantics: build once per process; reruns are a
+    # pure delete+probe (the delete append is idempotent — tombstones
+    # are distinct-ed at probe time, so the result is run-stable)
+    if not spark.catalog.tableExists(f"{db}.corpus_bands"):
+        dedup.minhash_pairs_between_bucketed(
+            corpus, batch.limit(0), "text", "doc_id", n=3, threshold=0.6,
+            db=db, location=loc, rebuild=True)
     dedup.dedup_index_delete(
         corpus.filter(F.col("doc_id") % 2 == 0).select("doc_id"),
         db, id_col="doc_id")

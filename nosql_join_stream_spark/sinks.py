@@ -225,6 +225,7 @@ def write_keyed(df: DataFrame, path: str, key_col: str,
     HDFS/S3 paths, not just the local filesystem."""
     (df.withColumn(_KB, _key_bucket(key_col, num_buckets))
        .repartition(_KB)
+       .sortWithinPartitions(key_col)
        .write.mode("overwrite").partitionBy(_KB).parquet(path))
     _write_meta(df.sparkSession, path, key_col, num_buckets,
                 schema=_schema_fields(df))
@@ -377,6 +378,7 @@ def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
               .drop("__rn", "__src", "__del")
               .localCheckpoint())
     (latest.repartition(_KB)
+           .sortWithinPartitions(key_col)
            .write.mode("overwrite")
            .option("partitionOverwriteMode", "dynamic")
            .partitionBy(_KB).parquet(path))
@@ -604,6 +606,7 @@ def write_keyed_snapshot(df: DataFrame, path: str, key_col: str,
     stamped = (df.withColumn(_KB, _key_bucket(key_col, num_buckets))
                  .localCheckpoint())
     (stamped.repartition(_KB)
+     .sortWithinPartitions(key_col)
      .write.mode("overwrite").partitionBy(_KB).parquet(path + "/v1"))
     kbs = sorted(r[_KB] for r in stamped.select(_KB).distinct().collect())
     _write_manifest(spark, path, 1, key_col, num_buckets,
@@ -739,6 +742,7 @@ def upsert_keyed_snapshot(spark: SparkSession, path: str, batch: DataFrame,
         # GC sweeps it.
         ver_dir = f"v{new_ver}-{uuid.uuid4().hex[:8]}"
         (latest.repartition(_KB)
+         .sortWithinPartitions(key_col)
          .write.mode("overwrite").partitionBy(_KB)
          .parquet(f"{path}/{ver_dir}"))
         # the bucket map reflects what the merge actually WROTE: a
