@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -146,3 +146,92 @@ def range_join_binned(left: DataFrame, right: DataFrame,
     if condition is not None:
         cond = cond & condition
     return l_b.join(r_b, "__bin").filter(cond).drop("__bin")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str] | str,
+              left_ts: str, right_ts: str,
+              payload: Sequence[str] = (),
+              direction: str = "backward",
+              tolerance_us: int | None = None) -> DataFrame:
+    """As-of join — pandas ``merge_asof`` semantics, distributed: for
+    each left row, attach the single right row whose ``right_ts`` is
+    the latest at-or-before (``backward``, the trade×quote default),
+    the earliest at-or-after (``forward``), or the closest in either
+    direction (``nearest``, ties backward) — per ``on`` key, both
+    bounds inclusive, optionally within ``tolerance_us`` microseconds.
+
+    Scale shape — why this is NOT a range join: both sides tag-union
+    and shuffle ONCE on the key; one ordered per-key window computes a
+    running ``max``/``min`` over the right-row struct (NULL on left
+    rows, so aggregates skip them), and a row-local projection reads
+    the match out.  No pair space, no per-key loops, no bin fan-out —
+    cost is a sort within each key partition, the same as any
+    windowed metric, at ANY key cardinality/skew mix (a hot key costs
+    its own sort, never a cross product).
+
+    ``payload``: right columns to carry onto the match (returned as
+    ``asof_<name>``; the matched timestamp returns as
+    ``asof_<right_ts>``).  Tie-break when several right rows share
+    the asof timestamp: the struct comparison decides — greatest
+    payload for ``backward``, least for ``forward`` — deterministic
+    across runs/engines (never first-seen order).
+
+    Left and right may share column names (only ``on`` + ``right_ts``
+    + ``payload`` are read from the right side).
+    """
+    from nosql_join_stream_spark.functions import epoch_us
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = list(left.columns)
+    rv = F.struct(F.col(right_ts).alias("t"),
+                  *[F.col(c).alias(c) for c in payload])
+    r2 = right.select(*keys, F.col(right_ts).alias("__t"),
+                      rv.alias("__rv"), F.lit(0).alias("__is_l"))
+    l2 = (left.withColumn("__t", F.col(left_ts))
+              .withColumn("__is_l", F.lit(1)))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
+    # equal-ts inclusion: backward (<=) needs right rows FIRST at a
+    # tied timestamp so the running window sees them; forward (>=)
+    # needs them AFTER.  nearest uses the backward layout — an
+    # equal-ts right row lands in the backward window with |dt| = 0,
+    # which wins the CASE regardless.
+    tie = F.col("__is_l").asc() if direction in ("backward", "nearest") \
+        else F.col("__is_l").desc()
+    w_back = (Window.partitionBy(*keys).orderBy(F.col("__t").asc(), tie)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy(*keys).orderBy(F.col("__t").asc(), tie)
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+
+    out = u
+    if direction in ("backward", "nearest"):
+        out = out.withColumn("__b", F.max("__rv").over(w_back))
+    if direction in ("forward", "nearest"):
+        out = out.withColumn("__f", F.min("__rv").over(w_fwd))
+    out = out.filter(F.col("__is_l") == 1)
+
+    def _gate(m):
+        if tolerance_us is None:
+            return m
+        dt = F.abs(epoch_us(F.col("__t")) - epoch_us(m["t"]))
+        return F.when(dt <= tolerance_us, m)
+
+    if direction == "backward":
+        m = _gate(F.col("__b"))
+    elif direction == "forward":
+        m = _gate(F.col("__f"))
+    else:
+        b, f = _gate(F.col("__b")), _gate(F.col("__f"))
+        dt_b = epoch_us(F.col("__t")) - epoch_us(b["t"])
+        dt_f = epoch_us(f["t"]) - epoch_us(F.col("__t"))
+        m = (F.when(b.isNull(), f)
+              .when(f.isNull(), b)
+              .when(dt_b <= dt_f, b)
+              .otherwise(f))
+    return out.select(
+        *lcols,
+        m["t"].alias(f"asof_{right_ts}"),
+        *[m[c].alias(f"asof_{c}") for c in payload])

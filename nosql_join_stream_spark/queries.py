@@ -694,6 +694,9 @@ _DRIVER_WINDOW = [
 _ROTATION_SHORTLIST_R7 = [
     "doc_pack_sequences_bpe",  # new in r6 (sibling text_bpe_subword_count
                                # holds the family's r6 window slot)
+    "asof_join_backward",      # new in r6 (sibling asof_join_nearest holds
+                               # the family's r6 slot and exercises the
+                               # same asof_join operator)
     "text_collocations_pmi", "text_boilerplate_ratio",
     "text_chunk_sliding", "text_nb_quality_llr", "text_mixed_language",
     "multimodal_embed_stub", "multimodal_chunk_jaccard",

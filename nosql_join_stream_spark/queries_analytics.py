@@ -1021,37 +1021,55 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "join, no per-key loops.",
 )
 def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nosql_join_stream_spark.functions import epoch_us
+    from nosql_join_stream_spark.operators.join import asof_join
     e = _engine(spark, sf_dir)
     ev = e.table("events")
-    ts_type = ev.schema["ts"].dataType
-    clicks = ev.filter("event_type = 'click'").select(
-        "user_id", "ts", F.col("ts").alias("click_ts"),
-        F.lit(0).alias("is_p"), F.lit(None).cast("long").alias("event_id"))
     purch = ev.filter("event_type = 'purchase'").select(
-        "user_id", "ts", F.lit(None).cast(ts_type).alias("click_ts"),
-        F.lit(1).alias("is_p"), "event_id")
-    u = clicks.unionByName(purch)
-    # clicks sort before purchases at equal ts: the backward window
-    # then includes the equal-ts click (asof <=), and the tie resolves
-    # backward anyway since |dt| = 0 wins the CASE
-    order = [F.col("ts"), F.col("is_p")]
-    w_back = (Window.partitionBy("user_id").orderBy(*order)
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    w_fwd = (Window.partitionBy("user_id").orderBy(*order)
-             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    out = (u.withColumn("bts", F.max("click_ts").over(w_back))
-            .withColumn("fts", F.min("click_ts").over(w_fwd))
-            .filter(F.col("is_p") == 1))
-    dt_b = epoch_us(F.col("ts")) - epoch_us(F.col("bts"))
-    dt_f = epoch_us(F.col("fts")) - epoch_us(F.col("ts"))
-    nearest = (F.when(F.col("bts").isNull(), F.col("fts"))
-                .when(F.col("fts").isNull(), F.col("bts"))
-                .when(dt_b <= dt_f, F.col("bts"))
-                .otherwise(F.col("fts")))
+        "event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    out = asof_join(purch, clicks, "user_id", "ts", "ts",
+                    direction="nearest")
     return out.select(F.col("event_id").alias("purchase_id"), "user_id",
                       F.col("ts").alias("purchase_ts"),
-                      nearest.alias("nearest_click_ts"))
+                      F.col("asof_ts").alias("nearest_click_ts"))
+
+
+@register(
+    "asof_join_backward",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT p.event_id, max(c.ts) AS m
+      FROM p JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND c.ts <= p.ts
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+      GROUP BY p.event_id)
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           b.m AS asof_click_ts
+    FROM p LEFT JOIN b USING (event_id)
+    """,
+    doc="Backward as-of join with tolerance (join.asof_join — pandas "
+        "merge_asof(direction='backward', tolerance=1h) semantics, "
+        "the trade-x-quote default): each purchase attaches the "
+        "latest click at-or-before it, or NULL if none lands inside "
+        "the hour.  One tagged union + one key shuffle + one ordered "
+        "window — no range join, no bin fan-out, no pair space; cost "
+        "is a per-key sort at any skew.",
+)
+def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.join import asof_join
+    e = _engine(spark, sf_dir)
+    ev = e.table("events")
+    purch = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts")
+    out = asof_join(purch, clicks, "user_id", "ts", "ts",
+                    direction="backward", tolerance_us=3_600_000_000)
+    return out.select(F.col("event_id").alias("purchase_id"), "user_id",
+                      F.col("ts").alias("purchase_ts"),
+                      F.col("asof_ts").alias("asof_click_ts"))
 
 
 @register(

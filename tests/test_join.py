@@ -148,3 +148,63 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, engine):
                          F.col("l_orderkey") == F.col("o_orderkey"))
                    .select("l_orderkey", "o_totalprice").collect())
     assert with_bloom == plain and len(plain) > 0
+
+
+def test_asof_join_backward_forward_nearest_hand_case(spark):
+    from nosql_join_stream_spark.operators.join import asof_join
+
+    trades = spark.createDataFrame(
+        [("a", 10, 1), ("a", 25, 2), ("b", 5, 3), ("c", 7, 4)],
+        "sym string, t_ts long, trade_id int")
+    quotes = spark.createDataFrame(
+        [("a", 8, 100.0), ("a", 10, 101.0), ("a", 30, 102.0),
+         ("b", 9, 200.0)],
+        "sym string, q_ts long, px double")
+
+    back = {r.trade_id: (r.asof_q_ts, r.asof_px)
+            for r in asof_join(trades, quotes, "sym", "t_ts", "q_ts",
+                               payload=["px"],
+                               direction="backward").collect()}
+    # equal-ts quote included (<=); no earlier quote for b's t=5; no
+    # quotes at all for sym c
+    assert back[1] == (10, 101.0)
+    assert back[2] == (10, 101.0)
+    assert back[3] == (None, None)
+    assert back[4] == (None, None)
+
+    fwd = {r.trade_id: (r.asof_q_ts, r.asof_px)
+           for r in asof_join(trades, quotes, "sym", "t_ts", "q_ts",
+                              payload=["px"],
+                              direction="forward").collect()}
+    assert fwd[1] == (10, 101.0)      # equal-ts inclusive (>=)
+    assert fwd[2] == (30, 102.0)
+    assert fwd[3] == (9, 200.0)
+    assert fwd[4] == (None, None)
+
+    near = {r.trade_id: r.asof_q_ts
+            for r in asof_join(trades, quotes, "sym", "t_ts", "q_ts",
+                               direction="nearest").collect()}
+    # t=25: back dt 15 vs fwd dt 5 -> 30; t=5: only forward exists
+    assert near[1] == 10 and near[2] == 30 and near[3] == 9
+    assert near[4] is None
+
+
+def test_asof_join_tolerance_and_tie_break(spark):
+    from nosql_join_stream_spark.operators.join import asof_join
+
+    trades = spark.createDataFrame([("a", 100, 1)],
+                                   "sym string, t_ts long, trade_id int")
+    quotes = spark.createDataFrame(
+        [("a", 10, 5.0), ("a", 95, 7.0), ("a", 95, 9.0)],
+        "sym string, q_ts long, px double")
+    # tolerance 3s: the t=95 quotes are 5s away -> NO match
+    r = asof_join(trades, quotes, "sym", "t_ts", "q_ts", payload=["px"],
+                  direction="backward",
+                  tolerance_us=3_000_000).collect()[0]
+    assert (r.asof_q_ts, r.asof_px) == (None, None)
+    # tolerance 10s: matches, and the SAME-timestamp tie resolves to
+    # the greatest payload (struct comparison — deterministic)
+    r = asof_join(trades, quotes, "sym", "t_ts", "q_ts", payload=["px"],
+                  direction="backward",
+                  tolerance_us=10_000_000).collect()[0]
+    assert (r.asof_q_ts, r.asof_px) == (95, 9.0)
