@@ -430,7 +430,8 @@ def dedup_index_delete(ids: DataFrame, db: str, id_col: str = "id") -> int:
     ``similarity.ann_ivf_delete`` (same tombstone + compact
     lifecycle).  Returns the number of ids appended."""
     spark = ids.sparkSession
-    known = ("corpus_prefix", "corpus_bands", "corpus_grams")
+    known = ("corpus_prefix", "corpus_bands", "corpus_grams",
+             "corpus_chunks")  # PPJoin / MinHash / substring / media
     if not any(spark.catalog.tableExists(f"{db}.{t}") for t in known):
         raise ValueError(
             f"no standing dedup index tables in {db}; build one first "

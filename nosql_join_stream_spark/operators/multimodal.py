@@ -279,6 +279,135 @@ def embed_media_stub(media: DataFrame, dim: int = 8) -> DataFrame:
         op, schema="doc_id long, media_type string, embedding array<double>")
 
 
+def _chunk_digests(media: DataFrame, chunk_bytes: int,
+                   payload_col: str, id_col: str) -> DataFrame:
+    """(id, csha): each payload's DISTINCT ``chunk_bytes``-window
+    SHA-256 digests — 32 B digests travel, payload bytes never do.
+    Empty payloads produce zero chunks: without the length filter,
+    ceil(0/chunk)-1 = -1 and sequence(0,-1) is a DESCENDING [0,-1]
+    array — two spurious chunk rows, one via a negative substring."""
+    return (media.filter(F.octet_length(payload_col) > 0)
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.octet_length(payload_col) / chunk_bytes)
+                         .cast("int") - 1),
+                    lambda i: F.sha2(
+                        F.substring(F.col(payload_col),
+                                    i * chunk_bytes + 1, chunk_bytes), 256)))
+                .alias("csha"))
+            .distinct())
+
+
+def payload_chunks_between_bucketed(
+        corpus: DataFrame, batch: DataFrame, threshold: float = 0.5,
+        chunk_bytes: int = 64, payload_col: str = "payload",
+        id_col: str = "doc_id", db: str = "nsjs_media_index",
+        location: str | None = None, num_buckets: int = 16,
+        rebuild: bool = True) -> DataFrame:
+    """Incremental MEDIA near-dup against a STANDING bucketed chunk
+    index — the media tier gets the same daily-ingest form every text
+    tier has: the corpus's (id, chunk-digest) rows and per-payload
+    chunk counts are standing bucketed tables, and each batch's
+    digests sort-merge-join them with ZERO corpus-side Exchange (only
+    the batch shuffles).  Payload bytes never leave the map side on
+    either path; supports ``dedup.dedup_index_delete`` retraction and
+    ``dedup.dedup_index_compact`` with the media layout
+    (``{"corpus_chunks": ["csha"], "corpus_counts": ["id"]}``).
+
+    Returns (id1 [corpus], id2 [batch], jaccard >= threshold).
+    Caller guarantees disjoint id sets, as in the text tiers.
+    """
+    import os
+    import shutil
+
+    from nosql_join_stream_spark.operators.dedup import (
+        _dedup_tombstones, _drop_tombstones, _retract)
+    from nosql_join_stream_spark.sinks import write_bucketed
+
+    spark = corpus.sparkSession
+    tau = float(threshold)
+    if location is None:
+        import tempfile
+        location = os.path.join(tempfile.gettempdir(),
+                                f"nsjs_media_index_{os.getpid()}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{location}'")
+    if rebuild:
+        _drop_tombstones(spark, db)  # rebuild folds retractions
+        for t in ("corpus_chunks", "corpus_counts"):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+            p = location.removeprefix("file:")
+            if os.path.isdir(os.path.join(p, t)):
+                shutil.rmtree(os.path.join(p, t), ignore_errors=True)
+        ch_c = _chunk_digests(corpus, chunk_bytes, payload_col, id_col)
+        write_bucketed(ch_c, f"{db}.corpus_chunks", ["csha"],
+                       num_buckets=num_buckets, sort_by=["csha"])
+        write_bucketed(ch_c.groupBy("id").agg(F.count("*").alias("n_ch")),
+                       f"{db}.corpus_counts", ["id"],
+                       num_buckets=num_buckets, sort_by=["id"])
+    tombs = _dedup_tombstones(spark, db)
+    ch_l = _retract(spark.table(f"{db}.corpus_chunks"), tombs, db)
+    n_l = _retract(spark.table(f"{db}.corpus_counts"), tombs, db)
+    ch_r = (_chunk_digests(batch, chunk_bytes, payload_col, id_col)
+            .withColumnRenamed("id", "rid"))
+    n_r = ch_r.groupBy("rid").agg(F.count("*").alias("n_ch_r"))
+    common = (ch_l.join(ch_r, "csha")
+              .groupBy(F.col("id").alias("id1"),
+                       F.col("rid").alias("id2"))
+              .agg(F.count("*").alias("common")))
+    j = (common
+         .join(n_l.select(F.col("id").alias("id1"),
+                          F.col("n_ch").alias("n1")), "id1")
+         .join(n_r.select(F.col("rid").alias("id2"),
+                          F.col("n_ch_r").alias("n2")), "id2")
+         .withColumn("jaccard",
+                     F.round(F.col("common")
+                             / (F.col("n1") + F.col("n2")
+                                - F.col("common")), 4)))
+    return (j.filter(F.col("jaccard") >= tau)
+             .select("id1", "id2", "jaccard"))
+
+
+def media_index_append(batch: DataFrame, chunk_bytes: int = 64,
+                       payload_col: str = "payload",
+                       id_col: str = "doc_id",
+                       db: str = "nsjs_media_index",
+                       num_buckets: int = 16) -> int:
+    """Fold an ingested media batch into the STANDING chunk index —
+    the maintenance op closing the media family's lifecycle like the
+    text tiers': the deduped batch's digest rows and counts append
+    with the index's bucket spec (append-stable; corpus never read);
+    re-ingested previously-deleted ids become live again.  The chunk
+    pass is persisted: the batch SOURCE is scanned once.  Returns the
+    number of payloads appended."""
+    from nosql_join_stream_spark.operators.dedup import (
+        _clear_tombstones_for_ids)
+    from nosql_join_stream_spark.sinks import write_bucketed
+
+    spark = batch.sparkSession
+    for t in ("corpus_chunks", "corpus_counts"):
+        if not spark.catalog.tableExists(f"{db}.{t}"):
+            raise ValueError(
+                f"no standing media index table {db}.{t}; build one "
+                "first (payload_chunks_between_bucketed rebuild=True)")
+    ch = _chunk_digests(batch, chunk_bytes, payload_col, id_col).persist()
+    try:
+        write_bucketed(ch, f"{db}.corpus_chunks", ["csha"],
+                       num_buckets=num_buckets, sort_by=["csha"],
+                       mode="append")
+        counts = ch.groupBy("id").agg(F.count("*").alias("n_ch"))
+        write_bucketed(counts, f"{db}.corpus_counts", ["id"],
+                       num_buckets=num_buckets, sort_by=["id"],
+                       mode="append")
+        n = counts.count()
+        _clear_tombstones_for_ids(ch.select("id"), db)
+    finally:
+        ch.unpersist()
+    return n
+
+
 def payload_chunk_jaccard(media: DataFrame, threshold: float = 0.5,
                           chunk_bytes: int = 64,
                           payload_col: str = "payload",
@@ -300,22 +429,7 @@ def payload_chunk_jaccard(media: DataFrame, threshold: float = 0.5,
     it with a doc-frequency filter upstream if observed, exactly like
     stop-grams in the text tier.  Returns (id1, id2, jaccard).
     """
-    # empty payloads produce zero chunks: without the filter,
-    # ceil(0/chunk)-1 = -1 and sequence(0,-1) is a DESCENDING [0,-1]
-    # array — two spurious chunk rows, one via a negative substring
-    ch = (media.filter(F.octet_length(payload_col) > 0)
-            .select(
-              F.col(id_col).alias("id"),
-              F.explode(F.transform(
-                  F.sequence(
-                      F.lit(0),
-                      F.ceil(F.octet_length(payload_col) / chunk_bytes)
-                       .cast("int") - 1),
-                  lambda i: F.sha2(
-                      F.substring(F.col(payload_col),
-                                  i * chunk_bytes + 1, chunk_bytes), 256)))
-               .alias("csha"))
-            .distinct())
+    ch = _chunk_digests(media, chunk_bytes, payload_col, id_col)
     n = ch.groupBy("id").agg(F.count("*").alias("n_ch"))
     a = ch.join(n, "id").select(F.col("id").alias("id1"),
                                 F.col("n_ch").alias("n1"), "csha")

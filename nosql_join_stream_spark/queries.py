@@ -697,6 +697,8 @@ _ROTATION_SHORTLIST_R7 = [
     "asof_join_backward",      # new in r6 (sibling asof_join_nearest holds
                                # the family's r6 slot and exercises the
                                # same asof_join operator)
+    "multimodal_incremental_chunks",  # new in r6 (media standing index;
+                               # lifecycle pytest + local oracle green)
     "text_collocations_pmi", "text_boilerplate_ratio",
     "text_chunk_sliding", "text_nb_quality_llr", "text_mixed_language",
     "multimodal_embed_stub", "multimodal_chunk_jaccard",

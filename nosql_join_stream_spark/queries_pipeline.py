@@ -4484,6 +4484,57 @@ def multimodal_chunk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_incremental_chunks",
+    """
+    WITH m AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS h
+               FROM documents),
+    ch AS (SELECT DISTINCT doc_id,
+                  substring(h, CAST(i AS BIGINT) * 128 + 1, 128) AS c
+           FROM m, UNNEST(range(0, CAST(ceil(length(h) / 128.0)
+                                        AS BIGINT))) u(i)),
+    n AS (SELECT doc_id, COUNT(*) AS n_ch FROM ch GROUP BY doc_id),
+    co AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+           FROM ch a JOIN ch b ON a.c = b.c
+           WHERE a.doc_id % 10 <> 9 AND b.doc_id % 10 = 9
+           GROUP BY 1, 2)
+    SELECT id1, id2,
+           ROUND(common * 1.0 / (n1.n_ch + n2.n_ch - common), 4)
+             AS jaccard
+    FROM co JOIN n n1 ON co.id1 = n1.doc_id
+            JOIN n n2 ON co.id2 = n2.doc_id
+    WHERE ROUND(common * 1.0 / (n1.n_ch + n2.n_ch - common), 4) >= 0.5
+    """,
+    doc="Incremental MEDIA dedup against a STANDING bucketed chunk "
+        "index (multimodal.payload_chunks_between_bucketed): the "
+        "media tier gets the daily-ingest form every text tier has — "
+        "corpus (id, 64-byte-window digest) rows and per-payload "
+        "counts as standing bucketed tables, each arriving batch's "
+        "digests sort-merge-join them with ZERO corpus-side Exchange; "
+        "payload bytes never leave the map side on either path. "
+        "Supports dedup_index_delete retraction + media_index_append "
+        "growth (lifecycle pytests). Oracle chunks the hex encoding "
+        "cross-set (same byte windows, engine-portable).",
+)
+def multimodal_incremental_chunks(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    e = _engine(spark, sf_dir)
+    media = multimodal.synthesize_media(e.table("documents"))
+    corpus = media.filter(F.col("doc_id") % 10 != 9)
+    batch = media.filter(F.col("doc_id") % 10 == 9)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    db = f"nsjs_media_{tag}"
+    loc = os.path.join(tempfile.gettempdir(),
+                       f"nsjs_media_{os.getpid()}_{tag}")
+    rebuild = not spark.catalog.tableExists(f"{db}.corpus_chunks")
+    return multimodal.payload_chunks_between_bucketed(
+        corpus, batch, threshold=0.5, db=db, location=loc,
+        rebuild=rebuild)
+
+
+@register(
     "text_mixed_language",
     f"""
     WITH t AS (

@@ -1607,6 +1607,55 @@ def test_payload_chunk_jaccard_tail_chunk(spark):
     assert [(r.id1, r.id2, r.jaccard) for r in out] == [(1, 2, 1.0)]
 
 
+def test_media_chunk_index_lifecycle(spark, tmp_path):
+    """The media tier's standing-index lifecycle: probe equals the
+    inline cross-set, append makes a new payload probe-visible,
+    delete retracts a corpus payload's pairs, media-layout compact
+    folds the tombstones."""
+    A, B, C, D = (bytes([c]) * 64 for c in (65, 66, 67, 68))
+    corpus = spark.createDataFrame(
+        [(1, A + B + C), (2, D + D + D)], "doc_id long, payload binary")
+    batch = spark.createDataFrame(
+        [(501, A + B + D)], "doc_id long, payload binary")
+    db, loc = "nsjs_media_t", str(tmp_path / "media")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+    p0 = multimodal.payload_chunks_between_bucketed(
+        corpus, batch, threshold=0.5, db=db, location=loc, rebuild=True)
+    # doc1 chunks {A,B,C}, batch {A,B,D} -> j = 2/4 = 0.5;
+    # doc2 {D} vs {A,B,D} -> 1/3 (filtered)
+    assert {(r.id1, r.id2, r.jaccard)
+            for r in p0.collect()} == {(1, 501, 0.5)}
+
+    # append the batch: an identical later payload hits it too
+    assert multimodal.media_index_append(batch, db=db) == 1
+    p1 = multimodal.payload_chunks_between_bucketed(
+        corpus, spark.createDataFrame([(601, A + B + D)],
+                                      "doc_id long, payload binary"),
+        threshold=0.5, db=db, location=loc, rebuild=False)
+    assert {(r.id1, r.id2, r.jaccard) for r in p1.collect()} \
+        == {(1, 601, 0.5), (501, 601, 1.0)}
+
+    # takedown of corpus payload 1: its pairs vanish; compact folds
+    from nosql_join_stream_spark.operators.dedup import (
+        dedup_index_compact, dedup_index_delete)
+    dedup_index_delete(spark.createDataFrame([(1,)], "doc_id long"),
+                       db, id_col="doc_id")
+    p2 = multimodal.payload_chunks_between_bucketed(
+        corpus, spark.createDataFrame([(602, A + B + D)],
+                                      "doc_id long, payload binary"),
+        threshold=0.5, db=db, location=loc, rebuild=False)
+    # doc1's pair is retracted; the appended 501 still matches
+    assert {(r.id1, r.id2, r.jaccard) for r in p2.collect()} \
+        == {(501, 602, 1.0)}
+    dedup_index_compact(spark, db,
+                        {"corpus_chunks": ["csha"], "corpus_counts": ["id"]})
+    assert not spark.catalog.tableExists(f"{db}.tombstones")
+    assert (spark.table(f"{db}.corpus_chunks")
+            .filter(F.col("id") == 1).count()) == 0
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
 def test_payload_chunk_jaccard_empty_payload_yields_no_chunks(spark):
     # a zero-length payload has zero chunks — NOT two spurious rows
     # from sequence(0, -1) descending (ADVICE r5): it must pair with
