@@ -504,6 +504,69 @@ def test_upsert_keyed_deletes_equal_python_cdc_model(
     assert got == want
 
 
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_snapshot_cdc_equals_python_model_and_time_travels(
+        spark, tmp_path_factory, data):
+    """The snapshot-isolated merge must satisfy the SAME sequential
+    CDC fold as the in-place form under random upsert/delete batches,
+    AND every intermediate version must time-travel back exactly —
+    the immutable-manifest claim under randomized workloads."""
+    from nosql_join_stream_spark.sinks import (
+        read_keyed_snapshot, upsert_keyed_snapshot, write_keyed_snapshot)
+
+    first = data.draw(st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9),
+                  st.integers(0, 99)),
+        min_size=1, max_size=5))
+    batches = [
+        data.draw(st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 9),
+                      st.integers(0, 99), st.booleans()),
+            min_size=1, max_size=6))
+        for _ in range(data.draw(st.integers(1, 2)))]
+    first = [(k, s * 1000 + i * 10, p, False)
+             for i, (k, s, p) in enumerate(first)]
+    batches = [[(k, s * 1000 + i * 10 + bi + 1, p, d)
+                for i, (k, s, p, d) in enumerate(b)]
+               for bi, b in enumerate(batches)]
+
+    path = str(tmp_path_factory.mktemp("snapcdc") / "t")
+    schema = "k int, seq int, p int, is_del boolean"
+    state: dict[int, tuple] = {}
+    for (k, s, p, _d) in first:
+        if k not in state or s > state[k][0]:
+            state[k] = (s, p)
+    write_keyed_snapshot(
+        spark.createDataFrame(
+            [(k, s, p) for k, (s, p) in state.items()],
+            "k int, seq int, p int"),
+        path, "k", num_buckets=4)
+    expected_versions = [dict(state)]
+    for b in batches:
+        upsert_keyed_snapshot(spark, path,
+                              spark.createDataFrame(b, schema),
+                              "k", ["seq"], delete_col="is_del")
+        win: dict[int, tuple] = {}
+        for (k, s, p, d) in b:
+            prev = win.get(k, state.get(k) and (*state[k], False))
+            if prev is None or s > prev[0]:
+                win[k] = (s, p, d)
+        for k, (s, p, d) in win.items():
+            if d:
+                state.pop(k, None)
+            else:
+                state[k] = (s, p)
+        expected_versions.append(dict(state))
+
+    # every version time-travels back to its model state
+    for v, model in enumerate(expected_versions, start=1):
+        got = {(r.k, r.seq, r.p)
+               for r in read_keyed_snapshot(spark, path, version=v).collect()}
+        assert got == {(k, s, p) for k, (s, p) in model.items()}, f"v{v}"
+
+
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=st.data())
