@@ -599,6 +599,52 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events),
+    s AS (
+      -- RANGE frame over ts alone: rows tied on ts share one sid
+      -- (at most one ns=1 per tie group — dt=0 rows never cut)
+      SELECT user_id, ts, value,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM g)
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="NATIVE session-window streaming aggregation "
+        "(F.session_window — the built-in dynamic-gap operator, "
+        "complementing the applyInPandasWithState sessionizer): one "
+        "row per (user, session), sessions merged while consecutive "
+        "events arrive within 30 minutes, end = last event + gap "
+        "(Spark's [start, last+gap) contract — the oracle replays it "
+        "as gaps-and-islands with the >= gap cut).  State store "
+        "merges windows; the watermark bounds it on an unbounded "
+        "stream; complete-mode drain equals the batch computation.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.streaming.log_stream import (
+        read_log_stream, run_available_now, session_window_agg)
+    from nosql_join_stream_spark.catalog import table_path
+    _STREAM_SEQ[0] += 1
+    name = f"stream_sesswin_{_STREAM_SEQ[0]}"
+    stream = read_log_stream(spark, table_path(sf_dir, "events"))
+    run_available_now(session_window_agg(stream), name)
+    return spark.table(name)
+
+
+@register(
     "log_scan_offset",
     """
     SELECT event_id, user_id, event_type, value
@@ -699,6 +745,8 @@ _ROTATION_SHORTLIST_R7 = [
                                # same asof_join operator)
     "multimodal_incremental_chunks",  # new in r6 (media standing index;
                                # lifecycle pytest + local oracle green)
+    "stream_session_window",   # new in r6 (native session_window op;
+                               # six stream_* slots already in-window)
     "text_collocations_pmi", "text_boilerplate_ratio",
     "text_chunk_sliding", "text_nb_quality_llr", "text_mixed_language",
     "multimodal_embed_stub", "multimodal_chunk_jaccard",

@@ -362,7 +362,20 @@ def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
     touched = [r[_KB] for r in b.select(_KB).distinct().collect()]
     if not touched:
         return {"buckets_touched": 0, "rows_written": 0}
-    existing = (spark.read.parquet(path)
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing_raw = spark.read.parquet(path)
+    except AnalysisException:
+        # a previous merge CDC-deleted every key: no data files left,
+        # only the meta sidecar — merge against the empty table with
+        # its recorded schema
+        if meta["schema"] is None:
+            raise
+        ddl = ", ".join(f"`{f['name']}` {f['type']}"
+                        for f in meta["schema"])
+        existing_raw = spark.createDataFrame([], f"{ddl}, `{_KB}` int")
+    existing = (existing_raw
                 .filter(F.col(_KB).isin(touched))
                 .withColumn("__src", F.lit(0))
                 .withColumn("__del", F.lit(False)))

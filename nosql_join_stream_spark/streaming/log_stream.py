@@ -183,6 +183,30 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour",
                     F.col("event_type"), F.col("n_events"), F.col("sum_value")))
 
 
+def session_window_agg(stream: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """NATIVE session-window aggregation (``F.session_window``) — the
+    built-in operator complement to the custom
+    ``stateful_session_stats``: Spark's state store merges adjacent
+    events into dynamic-width sessions separated by ``gap`` of
+    inactivity and emits one row per (user, session) once the
+    watermark closes it.  Prefer this form when per-SESSION rows are
+    the product (session datasets, funnel inputs); the
+    applyInPandasWithState form remains for cross-session running
+    state the built-in cannot express.  Append mode: every emitted
+    session is final (watermark-closed), so a single-drain result
+    equals the batch gaps-and-islands computation — the oracle."""
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), F.col("user_id"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("user_id",
+                    F.col("session_window.start").alias("s_start"),
+                    F.col("session_window.end").alias("s_end"),
+                    "n_events", "sum_value"))
+
+
 def enrich_stream(stream: DataFrame, dim: DataFrame, on,
                   select_cols=None) -> DataFrame:
     """Stream-static join — enrich an unbounded log with a batch
