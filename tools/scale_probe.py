@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc
 """
 
 from __future__ import annotations
@@ -505,6 +505,58 @@ def main() -> None:
                     corpus, batch, "text", "doc_id", db=db,
                     location=loc, rebuild=False).count()
             results["retract_tomb_s"] = round(time.perf_counter() - t0, 2)
+
+        if "asof" in OPS:
+            # as-of join: one tagged union + one key shuffle + one
+            # ordered per-key window — wall should track the event
+            # volume (the per-key sort), never a pair space; compare
+            # with the binned range join (streamij probe) which pays
+            # bin fan-out
+            from nosql_join_stream_spark.operators.join import asof_join
+            ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+            copies = spark.range(factor).select(F.col("id").alias("__c"))
+            gev = (ev.crossJoin(copies)
+                     .withColumn("user_id",
+                                 F.col("user_id") + F.col("__c") * 10_000_000)
+                     .withColumn("event_id",
+                                 F.col("event_id") + F.col("__c") * 10_000_000)
+                     .drop("__c"))
+            purch = gev.filter("event_type = 'purchase'").select(
+                "event_id", "user_id", "ts")
+            clicks = gev.filter("event_type = 'click'").select(
+                "user_id", "ts")
+            t0 = time.perf_counter()
+            results["asof_rows"] = asof_join(
+                purch, clicks, "user_id", "ts", "ts",
+                direction="nearest").count()
+            results["asof_s"] = round(time.perf_counter() - t0, 2)
+
+        if "mediainc" in OPS:
+            # media standing chunk index: per-batch probe against a
+            # grown corpus — the text standing tiers' flat curve,
+            # expected on the media unit too
+            from nosql_join_stream_spark.operators import multimodal
+            media = multimodal.synthesize_media(dd)
+            batch = media.filter((F.col("doc_id") % 10 == 9)
+                                 & (F.col("doc_id") < 10_000_000))
+            corpus = media.join(batch.select("doc_id"), "doc_id",
+                                "left_anti")
+            db = f"nsjs_probe_media_{factor}x"
+            loc = f"/tmp/scale_mediaidx_{factor}x"
+            import shutil as _sh2
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+            _sh2.rmtree(loc, ignore_errors=True)
+            t0 = time.perf_counter()
+            results["mediainc_pairs"] = \
+                multimodal.payload_chunks_between_bucketed(
+                    corpus, batch, threshold=0.5, db=db,
+                    location=loc, rebuild=True).count()
+            results["mediainc_build_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            multimodal.payload_chunks_between_bucketed(
+                corpus, batch, threshold=0.5, db=db, location=loc,
+                rebuild=False).count()
+            results["mediainc_join_s"] = round(time.perf_counter() - t0, 2)
 
         if "substr" in OPS:
             # linear token blowup + two hash-partitioned shuffles; the
