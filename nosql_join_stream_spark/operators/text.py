@@ -399,6 +399,63 @@ def pack_sequences_text(df, id_col: str, shard_col: str, budget: int,
                                         "seq_text string"))
 
 
+def pack_sequences_nosplit(df, id_col: str, shard_col: str, budget: int,
+                           text_col: str = "text",
+                           len_col: str | None = None):
+    """NO-SPLIT sequence packing — the other standard packing mode
+    next to :func:`pack_sequences`' concat-and-chunk: documents NEVER
+    straddle a sequence boundary.  Docs are taken in ``id`` order per
+    shard (deterministic, like every packing op here) and assigned
+    first-fit: a doc that would overflow the current sequence's
+    ``budget`` starts the next one; a doc longer than ``budget``
+    occupies its own sequence at offset 0 (downstream truncates or
+    drops — flagged by ``n_tokens > budget``).  Preserving document
+    boundaries trades some padding waste for attention masks that
+    never cross documents.
+
+    The assignment is a sequential fold (a doc's sequence depends on
+    every doc before it), so it runs as a grouped-map
+    (``applyInPandas``) per shard — shards parallelize, the fold is
+    O(docs-per-shard) Python over an Arrow batch of (id, len) pairs
+    only (never the text).  ``len_col`` takes pre-computed lengths
+    (e.g. ``bpe_token_count`` for tokenizer-faithful boundaries).
+
+    Returns (id, shard, n_tokens, seq_id, offset_in_seq).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if len_col is None:
+        df = df.select(F.col(id_col), F.col(shard_col),
+                       token_count(F.col(text_col)).alias("__n"))
+    else:
+        df = df.select(F.col(id_col), F.col(shard_col),
+                       F.col(len_col).alias("__n"))
+
+    def op(pdf):
+        pdf = pdf.sort_values(id_col)
+        seqs, offs = [], []
+        seq, fill = 0, 0
+        for n in pdf["__n"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                seq, fill = seq + 1, 0
+            seqs.append(seq)
+            offs.append(fill)
+            fill += n
+        out = pdf[[id_col, shard_col]].copy()
+        out["n_tokens"] = pdf["__n"].astype("int64")
+        out["seq_id"] = seqs
+        out["offset_in_seq"] = offs
+        return out
+
+    types = dict(df.dtypes)
+    return (df.groupBy(shard_col)
+              .applyInPandas(op, schema=f"{id_col} {types[id_col]}, "
+                                        f"{shard_col} {types[shard_col]}, "
+                                        "n_tokens long, seq_id long, "
+                                        "offset_in_seq long"))
+
+
 def nb_llr_score(df, content_col: str, id_col: str, label_col: str):
     """Naive-Bayes token log-likelihood-ratio scorer — the classifier
     tier of quality filtering (public LLM-data practice: bootstrap a

@@ -747,6 +747,8 @@ _ROTATION_SHORTLIST_R7 = [
                                # lifecycle pytest + local oracle green)
     "stream_session_window",   # new in r6 (native session_window op;
                                # six stream_* slots already in-window)
+    "doc_pack_nosplit",        # new in r6 (no-split packing mode;
+                               # pack family repped by the BPE form)
     "text_collocations_pmi", "text_boilerplate_ratio",
     "text_chunk_sliding", "text_nb_quality_llr", "text_mixed_language",
     "multimodal_embed_stub", "multimodal_chunk_jaccard",

@@ -1806,6 +1806,52 @@ def doc_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_pack_nosplit",
+    """
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(trim(text), ' '),
+                             x -> x <> '')) AS n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, n, rn,
+             0 AS seq_id, 0 AS offset_in_seq, n AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n, d.rn,
+             CASE WHEN r.fill > 0 AND r.fill + d.n > 512
+                  THEN r.seq_id + 1 ELSE r.seq_id END,
+             CASE WHEN r.fill > 0 AND r.fill + d.n > 512
+                  THEN 0 ELSE r.fill END,
+             CASE WHEN r.fill > 0 AND r.fill + d.n > 512
+                  THEN d.n ELSE r.fill + d.n END
+      FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+    SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(offset_in_seq AS BIGINT) AS offset_in_seq
+    FROM r
+    """,
+    doc="NO-SPLIT sequence packing (text.pack_sequences_nosplit) — "
+        "the other standard packing mode: documents NEVER straddle a "
+        "512-token boundary (first-fit in id order per shard; an "
+        "overflowing doc starts the next sequence, an over-budget doc "
+        "sits alone at offset 0) — padding waste traded for attention "
+        "masks that never cross documents. The assignment is a "
+        "sequential fold, so it runs as applyInPandas per shard over "
+        "(id, len) pairs ONLY — text never enters Python, shards "
+        "parallelize. Oracle replays the identical fold as a "
+        "recursive CTE over the per-shard row sequence.",
+)
+def doc_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return text.pack_sequences_nosplit(
+        e.table("documents"), "doc_id", "source", budget=512)
+
+
+@register(
     "cluster_assign_kmeans",
     """
     WITH cents AS (

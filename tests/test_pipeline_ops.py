@@ -1698,6 +1698,25 @@ def test_sketch_cardinality_null_group_reported_not_fatal(spark):
     assert out["__ALL__"] == (3, True)
 
 
+def test_pack_sequences_nosplit_first_fit_and_overbudget(spark):
+    # budget 7, lens [3, 3, 3]: doc3 would overflow (6+3>7) -> seq 1;
+    # then an over-budget doc (10) sits ALONE at offset 0 in seq 2,
+    # and the next doc starts seq 3 (10 > 0 and 10+2 > 7)
+    rows = [(1, "s", "a b c"), (2, "s", "d e f"), (3, "s", "g h i"),
+            (4, "s", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (5, "s", "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, text string")
+    got = {r.doc_id: (r.n_tokens, r.seq_id, r.offset_in_seq)
+           for r in text.pack_sequences_nosplit(
+               df, "doc_id", "shard", budget=7).collect()}
+    assert got[1] == (3, 0, 0)
+    assert got[2] == (3, 0, 3)
+    assert got[3] == (3, 1, 0)
+    assert got[4] == (10, 2, 0)      # over-budget: own sequence
+    assert got[5] == (2, 3, 0)
+    # no doc straddles: offset + n <= budget for every in-budget doc
+    assert all(off + n <= 7 for n, _s, off in got.values() if n <= 7)
+
+
 def test_bpe_learn_sennrich_worked_example(spark):
     """The worked example of Sennrich et al. 2016 (without the
     end-of-word marker): corpus low×5 lower×2 newest×6 widest×3.
