@@ -48,6 +48,34 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     w.save(path)
 
 
+def write_observed(df: DataFrame, path: str,
+                   metrics: dict[str, Column] | None = None,
+                   fmt: str = "parquet", mode: str = "overwrite",
+                   partition_by: Sequence[str] | None = None,
+                   sort_by: Sequence[str] | None = None) -> dict:
+    """Write with IN-FLIGHT metrics (Spark's ``Observation`` API):
+    the aggregates compute on the write's own scan — map-side, zero
+    extra jobs — and return as a dict when the write finishes.  This
+    is the audit half of write-audit-publish for free: at 100 TB a
+    separate post-write count/null-check re-reads everything the
+    write just produced, while an observation rides along.
+
+    ``metrics``: {name: aggregate Column} (e.g. ``F.count(F.lit(1))``,
+    ``F.sum(F.col('x').isNull().cast('int'))``); defaults to the row
+    count.  Only aggregates on the written columns are valid
+    (Observation restriction: no distinct/sort-based aggregates).
+    """
+    from pyspark.sql import Observation
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation()
+    observed = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
+    write_table(observed, path, fmt=fmt, mode=mode,
+                partition_by=partition_by, sort_by=sort_by)
+    return obs.get
+
+
 def compact(spark: SparkSession, path: str,
             target_file_bytes: int = 128 * 1024 * 1024,
             sort_by: Sequence[str] | None = None) -> int:

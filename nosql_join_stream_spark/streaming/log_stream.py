@@ -723,3 +723,50 @@ def stream_cdc_upsert(stream: DataFrame, path: str, checkpoint: str,
         sq.awaitTermination()
         return None
     return q.start()
+
+
+def stream_cdc_upsert_snapshot(stream: DataFrame, path: str,
+                               checkpoint: str, key_col: str,
+                               order_by: list[str],
+                               num_buckets: int = 32,
+                               available_now: bool = True,
+                               delete_col: str | None = None):
+    """Streaming CDC into the SNAPSHOT-ISOLATED table: every
+    micro-batch merges via ``upsert_keyed_snapshot``, so concurrent
+    readers of the continuously-updated serving table always resolve
+    a complete committed version — never a half-merged mix of buckets
+    (the in-place form's documented reader hazard).  Each batch
+    publishes one manifest version; replay after a crash re-merges
+    the batch into a CONTENT-identical new version (keep-latest +
+    delete-if-latest are idempotent), so exactly-once needs no
+    batch-id bookkeeping — the version number advances but the table
+    a reader sees does not change.  GC retires old versions on its
+    own schedule, and its committed-version guard makes it safe to
+    run while the stream merges.  First batch bootstraps."""
+    from nosql_join_stream_spark.sinks import (_mark_deletes,
+                                               latest_per_key,
+                                               upsert_keyed_snapshot,
+                                               write_keyed_snapshot)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            upsert_keyed_snapshot(batch_df.sparkSession, path, batch_df,
+                                  key_col, order_by,
+                                  delete_col=delete_col)
+        except ValueError as e:
+            if "no committed snapshot" not in str(e):
+                raise
+            marked = _mark_deletes(batch_df, delete_col)
+            first = (latest_per_key(marked, key_col, order_by)
+                     .filter(~F.col("__del")).drop("__del"))
+            write_keyed_snapshot(first, path, key_col,
+                                 num_buckets=num_buckets)
+
+    q = (stream.writeStream.foreachBatch(write_batch)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        sq = q.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return None
+    return q.start()

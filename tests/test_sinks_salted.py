@@ -294,6 +294,26 @@ def test_upsert_keyed_merges_and_leaves_untouched_buckets_alone(
     assert again == got
 
 
+def test_write_observed_collects_metrics_in_flight(spark, tmp_path):
+    """Observation metrics ride the write's own pass — the returned
+    audit equals what a (second-scan) post-write check would count."""
+    from pyspark.sql import functions as F
+
+    from nosql_join_stream_spark.sinks import write_observed
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "z"), (4, None)], "id long, v string")
+    out = str(tmp_path / "obs")
+    m = write_observed(df, out, metrics={
+        "n_rows": F.count(F.lit(1)),
+        "n_null_v": F.sum(F.col("v").isNull().cast("int")),
+        "max_id": F.max("id")})
+    assert m == {"n_rows": 4, "n_null_v": 2, "max_id": 4}
+    assert spark.read.parquet(out).count() == 4
+    # default metric: just the row count
+    assert write_observed(df, out)["n_rows"] == 4
+
+
 def test_retention_expire_drops_only_old_partitions(spark, tmp_path):
     from nosql_join_stream_spark.sinks import retention_expire, write_table
 

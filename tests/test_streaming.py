@@ -588,6 +588,56 @@ def test_stream_cdc_upsert_with_deletes(spark, tmp_path):
     assert got == {2: "b1", 3: "c2"}
 
 
+def test_stream_cdc_upsert_snapshot_versions_and_replay(spark, tmp_path):
+    """Streaming CDC into the snapshot-isolated table: each drain
+    publishes committed manifest versions, replay after a simulated
+    crash converges to a CONTENT-identical table (new version, same
+    rows), and time travel still reads the pre-merge state."""
+    import os
+
+    from nosql_join_stream_spark.sinks import read_keyed_snapshot
+    from nosql_join_stream_spark.streaming.log_stream import (
+        stream_cdc_upsert_snapshot)
+
+    src = tmp_path / "src"
+    tbl = tmp_path / "tbl"
+    ckpt = tmp_path / "ckpt"
+    schema = "k long, seq long, p string, is_del boolean"
+    spark.createDataFrame(
+        [(1, 1, "a1", False), (2, 1, "b1", False)],
+        schema).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .format("parquet").load(str(src)))
+        stream_cdc_upsert_snapshot(stream, str(tbl), str(ckpt), "k",
+                                   ["seq"], num_buckets=4,
+                                   delete_col="is_del")
+
+    def snapshot(version=None):
+        return {(r.k, r.seq, r.p) for r in
+                read_keyed_snapshot(spark, str(tbl), version).collect()}
+
+    drain()
+    assert snapshot() == {(1, 1, "a1"), (2, 1, "b1")}
+
+    spark.createDataFrame(
+        [(1, 2, None, True), (3, 1, "c1", False)],
+        schema).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    want = {(2, 1, "b1"), (3, 1, "c1")}
+    assert snapshot() == want
+    # the bootstrap version still time-travels (pre-merge audit)
+    assert snapshot(version=1) == {(1, 1, "a1"), (2, 1, "b1")}
+
+    # crash simulation: replay batch 1 -> content identical, version
+    # advances (keep-latest + delete-if-latest are idempotent)
+    os.remove(str(ckpt / "commits" / "1"))
+    os.remove(str(ckpt / "commits" / ".1.crc"))
+    drain()
+    assert snapshot() == want
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Bounded-state contract made observable: with a 30-min watermark
     a row arriving 2 hours late (in a later micro-batch, after the
