@@ -167,3 +167,53 @@ def sketch_cardinality_by_group(df, group_col: str, value_col: str,
           <= F.lit(rel_err) * F.col("n_distinct"))
     return (per_rows.unionByName(all_row)
             .select("grp", "n_distinct", ok.alias("hll_ok")))
+
+
+def profile_drift(old: DataFrame, new: DataFrame,
+                  null_rate_tol: float = 0.05,
+                  range_tol: float = 0.5) -> DataFrame:
+    """Day-2 drift detection between two :func:`table_profile`
+    outputs (e.g. yesterday's ingest vs today's): per column, the
+    null-rate delta, distinct-ratio change, and numeric-range
+    movement, each with a boolean flag — the automated "did the
+    upstream change under us" check that catches silently-broken
+    extractors before they poison a training run.
+
+    Flags: ``null_drift`` — |null rate delta| > ``null_rate_tol``;
+    ``range_drift`` — min/max moved by more than ``range_tol`` ×
+    the OLD range (a new out-of-domain tail); ``appeared`` /
+    ``vanished`` — column profiled on only one side (schema drift).
+    Inputs are profile outputs (rows = columns), so the comparison
+    is a join of two tiny frames — free at any data size; the cost
+    was the two profile passes, already paid.
+    """
+    o = old.select(
+        F.col("col_name"),
+        (F.col("n_nulls") / F.col("n_rows")).alias("o_null_rate"),
+        F.col("n_distinct").alias("o_distinct"),
+        F.col("min_num").alias("o_min"), F.col("max_num").alias("o_max"))
+    n = new.select(
+        F.col("col_name"),
+        (F.col("n_nulls") / F.col("n_rows")).alias("n_null_rate"),
+        F.col("n_distinct").alias("n_distinct_new"),
+        F.col("min_num").alias("n_min"), F.col("max_num").alias("n_max"))
+    j = o.join(n, "col_name", "full_outer")
+    null_delta = F.round(F.coalesce(F.col("n_null_rate"), F.lit(0.0))
+                         - F.coalesce(F.col("o_null_rate"), F.lit(0.0)), 4)
+    old_range = F.col("o_max") - F.col("o_min")
+    moved = F.greatest(F.abs(F.col("n_min") - F.col("o_min")),
+                       F.abs(F.col("n_max") - F.col("o_max")))
+    range_drift = F.when(
+        F.col("o_min").isNull() | F.col("n_min").isNull(), F.lit(False)
+    ).otherwise(
+        F.when(old_range > 0, moved > range_tol * old_range)
+         .otherwise(moved > 0))
+    return j.select(
+        "col_name",
+        null_delta.alias("null_rate_delta"),
+        (F.abs(null_delta) > null_rate_tol).alias("null_drift"),
+        F.round(F.col("n_distinct_new")
+                / F.col("o_distinct"), 4).alias("distinct_ratio"),
+        range_drift.alias("range_drift"),
+        F.col("o_null_rate").isNull().alias("appeared"),
+        F.col("n_null_rate").isNull().alias("vanished"))

@@ -749,6 +749,7 @@ _ROTATION_SHORTLIST_R7 = [
                                # six stream_* slots already in-window)
     "doc_pack_nosplit",        # new in r6 (no-split packing mode;
                                # pack family repped by the BPE form)
+    "table_profile_drift",     # new in r6 (profile drift detector)
     "text_collocations_pmi", "text_boilerplate_ratio",
     "text_chunk_sliding", "text_nb_quality_llr", "text_mixed_language",
     "multimodal_embed_stub", "multimodal_chunk_jaccard",

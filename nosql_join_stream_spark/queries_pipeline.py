@@ -4382,6 +4382,86 @@ def sketch_vocab_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_profile_drift",
+    """
+    WITH old_p AS (
+      SELECT 'o_totalprice' AS col_name, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nulls,
+             COUNT(DISTINCT o_totalprice) AS n_distinct,
+             ROUND(MIN(CAST(o_totalprice AS DOUBLE)), 4) AS mn,
+             ROUND(MAX(CAST(o_totalprice AS DOUBLE)), 4) AS mx
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*),
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             COUNT(DISTINCT o_custkey),
+             ROUND(MIN(CAST(o_custkey AS DOUBLE)), 4),
+             ROUND(MAX(CAST(o_custkey AS DOUBLE)), 4)
+      FROM orders),
+    new_src AS (SELECT * FROM orders WHERE o_totalprice <= 150000),
+    new_p AS (
+      SELECT 'o_totalprice' AS col_name, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nulls,
+             COUNT(DISTINCT o_totalprice) AS n_distinct,
+             ROUND(MIN(CAST(o_totalprice AS DOUBLE)), 4) AS mn,
+             ROUND(MAX(CAST(o_totalprice AS DOUBLE)), 4) AS mx
+      FROM new_src
+      UNION ALL
+      SELECT 'o_custkey', COUNT(*),
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             COUNT(DISTINCT o_custkey),
+             ROUND(MIN(CAST(o_custkey AS DOUBLE)), 4),
+             ROUND(MAX(CAST(o_custkey AS DOUBLE)), 4)
+      FROM new_src),
+    j AS (
+      SELECT o.col_name,
+             o.n_nulls * 1.0 / o.n_rows AS o_nr,
+             n.n_nulls * 1.0 / n.n_rows AS n_nr,
+             o.n_distinct AS o_nd, n.n_distinct AS n_nd,
+             o.mn AS o_mn, o.mx AS o_mx, n.mn AS n_mn, n.mx AS n_mx
+      FROM old_p o JOIN new_p n USING (col_name))
+    SELECT col_name,
+           ROUND(n_nr - o_nr, 4) AS null_rate_delta,
+           ABS(ROUND(n_nr - o_nr, 4)) > 0.05 AS null_drift,
+           ROUND(n_nd * 1.0 / o_nd, 4) AS distinct_ratio,
+           CASE WHEN o_mn IS NULL OR n_mn IS NULL THEN FALSE
+                WHEN (o_mx - o_mn) > 0 THEN
+                  greatest(abs(n_mn - o_mn), abs(n_mx - o_mx))
+                    > 0.5 * (o_mx - o_mn)
+                ELSE greatest(abs(n_mn - o_mn), abs(n_mx - o_mx)) > 0
+           END AS range_drift,
+           FALSE AS appeared, FALSE AS vanished
+    FROM j
+    """,
+    doc="Profile DRIFT detection (expectations.profile_drift over two "
+        "table_profile passes) — the automated did-the-upstream-"
+        "change-under-us check: per column, null-rate delta, "
+        "distinct-ratio change, numeric-range movement (> 50% of the "
+        "old range flags), and appeared/vanished for schema drift. "
+        "Here the 'new' ingest is orders truncated at "
+        "o_totalprice <= 150000 — the range collapse flags "
+        "o_totalprice while o_custkey stays calm. The comparison "
+        "joins two column-count-sized frames; the cost was the two "
+        "one-pass profiles.",
+)
+def table_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.expectations import (
+        profile_drift, table_profile)
+
+    e = _engine(spark, sf_dir)
+    orders = e.table("orders")
+    cols = ["o_totalprice", "o_custkey"]
+    old_p = table_profile(orders, cols)
+    new_p = table_profile(
+        orders.filter(F.col("o_totalprice") <= 150000), cols)
+    return profile_drift(old_p, new_p)
+
+
+@register(
     "dedup_substring_spans_incremental",
     """
     WITH toks AS (

@@ -1683,6 +1683,33 @@ def test_nb_llr_null_label_excluded_from_training(spark):
     assert out[1] > 0 and out[2] < 0
 
 
+def test_profile_drift_flags_planted_drift_and_schema_change(spark):
+    from nosql_join_stream_spark.operators.expectations import (
+        profile_drift, table_profile)
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, None), (4, 40.0, "d")],
+        "id long, x double, s string")
+    # new ingest: x range exploded 10x, s went 75% NULL, id healthy;
+    # column 'z' appeared (profiled only on the new side)
+    new = spark.createDataFrame(
+        [(1, 10.0, None, 1), (2, 300.0, None, 2),
+         (3, 30.0, None, 3), (4, 40.0, "d", 4)],
+        "id long, x double, s string, z long")
+    d = {r.col_name: r for r in profile_drift(
+        table_profile(old, ["x", "s", "id"]),
+        table_profile(new, ["x", "s", "id", "z"])).collect()}
+    assert d["x"].range_drift and not d["x"].null_drift
+    assert d["s"].null_drift and d["s"].null_rate_delta == 0.5
+    assert not d["id"].range_drift and not d["id"].null_drift
+    assert d["z"].appeared and not d["z"].vanished
+    # reverse direction: z vanished
+    rev = {r.col_name: r for r in profile_drift(
+        table_profile(new, ["x", "z"]),
+        table_profile(old, ["x"])).collect()}
+    assert rev["z"].vanished and not rev["z"].appeared
+
+
 def test_sketch_cardinality_null_group_reported_not_fatal(spark):
     from nosql_join_stream_spark.operators.expectations import (
         sketch_cardinality_by_group)
