@@ -228,3 +228,50 @@ def test_variant_decode_option_semantics(spark, engine):
     assert out[1] == (7, "x", 1, None)
     assert out[2] == (None, "only-string", None, None)
     assert out[3][0] is None  # mistyped -> NULL, not an error
+
+
+def test_python_datasource_json_docs_end_to_end(spark, tmp_path):
+    """The connector seam in pure Python (Spark 4 DataSource API):
+    partition-per-file planning, schemaless props, missing fields as
+    typed NULLs — executed end-to-end in-container through the same
+    Engine.load path the jar connectors use."""
+    import json
+
+    from nosql_join_stream_spark.engine import Engine
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join([
+        json.dumps({"doc_id": 1, "source": "web", "lang": "en",
+                    "text": "hello world", "score": 0.9, "tags": ["x"]}),
+        json.dumps({"doc_id": 2, "source": "web",
+                    "text": "no lang field"}),
+    ]))
+    (d / "b.jsonl").write_text(
+        json.dumps({"doc_id": 3, "lang": "de", "text": "hallo"}) + "\n")
+
+    register_json_docs(spark)
+    e = Engine(spark, "/root/testdata/sf0.001")
+    df = e.load(str(d), fmt="json_docs")
+    rows = {r.doc_id: r for r in df.collect()}
+    assert set(rows) == {1, 2, 3}
+    # one partition per file — the chunk/token-range analog
+    assert df.rdd.getNumPartitions() == 2
+    # missing declared fields decode as typed NULLs (Option contract)
+    assert rows[2].lang is None and rows[3].source is None
+    # undeclared fields land in the schemaless props JSON, typed
+    # extraction downstream (the variant_decode path)
+    props = json.loads(rows[1].props)
+    assert props == {"score": 0.9, "tags": ["x"]}
+    assert rows[3].props is None
+
+    # filters/projections compose like any source
+    assert df.filter("lang = 'en'").count() == 1
+
+    # fail-fast: a file-backed source still requires a location
+    import pytest
+
+    from nosql_join_stream_spark.engine import QueryValidationError
+    with pytest.raises(QueryValidationError, match="requires a path"):
+        e.load(fmt="json_docs")
