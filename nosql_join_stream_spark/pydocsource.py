@@ -36,7 +36,8 @@ import json
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition)
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 
 FORMAT_NAME = "json_docs"
 
@@ -86,6 +87,61 @@ class JsonDocsReader(DataSourceReader):
                        json.dumps(rest, sort_keys=True) if rest else None)
 
 
+def _read_jsonl(path: str):
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            doc = json.loads(line)
+            rest = {k: v for k, v in doc.items() if k not in _TOP}
+            did = doc.get("doc_id")
+            yield (int(did) if did is not None else None,
+                   doc.get("source"), doc.get("lang"), doc.get("text"),
+                   json.dumps(rest, sort_keys=True) if rest else None)
+
+
+class JsonDocsStreamReader(SimpleDataSourceStreamReader):
+    """Unbounded twin — the reference's async paged log scan (S8) as
+    a pure-Python streaming source: the offset is a FILENAME
+    HIGH-WATERMARK over the lexicographically-sorted directory
+    listing (the resumable-cursor analog of the reference's
+    sequence-number offsets); each micro-batch reads files above the
+    watermark, and ``readBetweenOffsets`` replays any committed span
+    exactly (crash recovery re-reads the same files — exactly-once
+    with a deterministic directory).  The Simple reader variant
+    prefetches on the driver — right for control-plane-sized feeds;
+    a partition-planned stream reader is the executor-side upgrade
+    when batches are data-plane-sized."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "json_docs requires .option('path', <dir>)")
+
+    def _files(self, above: str, upto: str | None = None):
+        return sorted(
+            f for f in os.listdir(self.path)
+            if f.endswith(".jsonl") and f > above
+            and (upto is None or f <= upto))
+
+    def initialOffset(self):
+        return {"last": ""}
+
+    def read(self, start):
+        files = self._files(start["last"])
+        rows = [r for f in files
+                for r in _read_jsonl(os.path.join(self.path, f))]
+        end = {"last": files[-1]} if files else dict(start)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start, end):
+        files = self._files(start["last"], end["last"])
+        return iter(r for f in files
+                    for r in _read_jsonl(os.path.join(self.path, f)))
+
+
 class JsonDocsDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -96,6 +152,9 @@ class JsonDocsDataSource(DataSource):
 
     def reader(self, schema):
         return JsonDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return JsonDocsStreamReader(self.options)
 
 
 def register_json_docs(spark) -> None:

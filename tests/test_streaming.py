@@ -756,3 +756,42 @@ def test_stream_interval_join_outer_contract(spark, engine, sf_dir):
     got_unmatched = {pid for pid, cid in got if cid is None}
     assert old_unmatched <= got_unmatched                     # (c)
     assert len(got_unmatched) > 0
+
+
+def test_python_datasource_streams_with_filename_watermark(spark, tmp_path):
+    """The pure-Python source's unbounded twin: filename-high-watermark
+    offsets — first drain reads the existing file, a file appended
+    later arrives in the next drain exactly once (checkpointed
+    resume), nothing re-reads."""
+    import json
+
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (d / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "first"}) + "\n")
+    register_json_docs(spark)
+
+    def drain():
+        q = (spark.readStream.format("json_docs")
+             .option("path", str(d)).load()
+             .writeStream.format("parquet")
+             .option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+
+    (d / "b.jsonl").write_text(
+        json.dumps({"doc_id": 2, "text": "second"}) + "\n"
+        + json.dumps({"doc_id": 3, "text": "third"}) + "\n")
+    drain()
+    # resumed from the committed watermark: docs arrive exactly once
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 3} and len(rows) == 3
