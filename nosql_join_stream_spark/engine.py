@@ -69,7 +69,10 @@ class Engine:
         database); the jdbc path executes end-to-end in tests against
         embedded Derby, which ships with Spark — so the whole
         Engine.load → DataFrameReader → connector seam has executed
-        coverage.
+        coverage.  ``fmt="json_docs"`` (after
+        ``pydocsource.register_json_docs(spark)``) is the pure-Python
+        document-store connector — the same seam, zero jars, batch
+        AND streaming, executed end-to-end in tests.
         """
         required = self.CONNECTOR_REQUIRED.get(fmt, ())
         if required:
