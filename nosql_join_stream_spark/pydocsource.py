@@ -36,8 +36,8 @@ import json
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    InputPartition,
-                                    SimpleDataSourceStreamReader)
+                                    DataSourceStreamReader,
+                                    InputPartition)
 
 FORMAT_NAME = "json_docs"
 
@@ -101,18 +101,20 @@ def _read_jsonl(path: str):
                    json.dumps(rest, sort_keys=True) if rest else None)
 
 
-class JsonDocsStreamReader(SimpleDataSourceStreamReader):
+class JsonDocsStreamReader(DataSourceStreamReader):
     """Unbounded twin — the reference's async paged log scan (S8) as
-    a pure-Python streaming source: the offset is a FILENAME
-    HIGH-WATERMARK over the lexicographically-sorted directory
-    listing (the resumable-cursor analog of the reference's
-    sequence-number offsets); each micro-batch reads files above the
-    watermark, and ``readBetweenOffsets`` replays any committed span
-    exactly (crash recovery re-reads the same files — exactly-once
-    with a deterministic directory).  The Simple reader variant
-    prefetches on the driver — right for control-plane-sized feeds;
-    a partition-planned stream reader is the executor-side upgrade
-    when batches are data-plane-sized."""
+    a pure-Python streaming source, EXECUTOR-SIDE: the offset is a
+    FILENAME HIGH-WATERMARK over the lexicographically-sorted
+    directory listing (the resumable-cursor analog of the reference's
+    sequence-number offsets).  The driver only LISTS filenames
+    (``latestOffset``) and plans one :class:`InputPartition` per new
+    file between committed offsets; document bytes are read on
+    executors by ``read``, so a micro-batch of N files scans N-wide
+    and the driver's memory never sees a row — the
+    partition-per-chunk shape a Mongo/Kafka connector has.  Replay
+    after a crash re-plans the same committed span over the same
+    (immutable) files — exactly-once with a deterministic
+    directory."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -120,26 +122,28 @@ class JsonDocsStreamReader(SimpleDataSourceStreamReader):
             raise ValueError(
                 "json_docs requires .option('path', <dir>)")
 
-    def _files(self, above: str, upto: str | None = None):
-        return sorted(
-            f for f in os.listdir(self.path)
-            if f.endswith(".jsonl") and f > above
-            and (upto is None or f <= upto))
-
     def initialOffset(self):
         return {"last": ""}
 
-    def read(self, start):
-        files = self._files(start["last"])
-        rows = [r for f in files
-                for r in _read_jsonl(os.path.join(self.path, f))]
-        end = {"last": files[-1]} if files else dict(start)
-        return iter(rows), end
+    def latestOffset(self):
+        files = sorted(f for f in os.listdir(self.path)
+                       if f.endswith(".jsonl"))
+        return {"last": files[-1]} if files else {"last": ""}
 
-    def readBetweenOffsets(self, start, end):
-        files = self._files(start["last"], end["last"])
-        return iter(r for f in files
-                    for r in _read_jsonl(os.path.join(self.path, f)))
+    def partitions(self, start, end):
+        files = sorted(
+            f for f in os.listdir(self.path)
+            if f.endswith(".jsonl")
+            and f > start["last"] and f <= end["last"])
+        # an empty batch still needs a plan: zero partitions is legal
+        return [_FilePartition(os.path.join(self.path, f))
+                for f in files]
+
+    def read(self, partition):
+        return _read_jsonl(partition.path)
+
+    def commit(self, end):
+        pass  # offsets are filenames; nothing to release
 
 
 class JsonDocsDataSource(DataSource):
@@ -153,7 +157,7 @@ class JsonDocsDataSource(DataSource):
     def reader(self, schema):
         return JsonDocsReader(self.options)
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return JsonDocsStreamReader(self.options)
 
 

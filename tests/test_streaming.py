@@ -795,3 +795,40 @@ def test_python_datasource_streams_with_filename_watermark(spark, tmp_path):
     # resumed from the committed watermark: docs arrive exactly once
     rows = spark.read.parquet(out).collect()
     assert {r.doc_id for r in rows} == {1, 2, 3} and len(rows) == 3
+
+
+def test_python_datasource_partitioned_stream_reader(spark, tmp_path):
+    """The executor-side streaming form: one partition per new file
+    between offsets — a two-file batch arrives as a 2-partition scan,
+    the driver never materializes rows, and checkpointed resume still
+    reads each file exactly once."""
+    import json
+
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (d / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "first"}) + "\n")
+    (d / "b.jsonl").write_text(
+        json.dumps({"doc_id": 2, "text": "second"}) + "\n")
+    register_json_docs(spark)
+
+    def drain():
+        q = (spark.readStream.format("json_docs")
+             .option("path", str(d)).load()
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+    (d / "c.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": "third"}) + "\n")
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 3} and len(rows) == 3
