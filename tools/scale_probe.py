@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew
 """
 
 from __future__ import annotations
@@ -557,6 +557,54 @@ def main() -> None:
                 corpus, batch, threshold=0.5, db=db, location=loc,
                 rebuild=False).count()
             results["mediainc_join_s"] = round(time.perf_counter() - t0, 2)
+
+        if "aqeskew" in OPS:
+            # AQE skew-join mitigation, measured: a fact table whose
+            # hot key holds HALF the rows sort-merge-joins a dim with
+            # adaptive skew handling on — the runtime splits the hot
+            # partition (skew=true in the final adaptive plan) and
+            # wall stays flat-ish; this is the no-code-change
+            # alternative the salted_join operator complements for
+            # engines/joins AQE cannot rewrite (e.g. under windows)
+            n = 500_000 * factor
+            fact = spark.range(n).select(
+                F.when(F.col("id") % 2 == 0, F.lit(0))
+                 .otherwise(F.col("id")).alias("k"),
+                F.col("id").alias("v"))
+            dim = spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("d"))
+            saved = {c: spark.conf.get(c) for c in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes")}
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                               "-1")
+                spark.conf.set(
+                    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                    "2")
+                spark.conf.set(
+                    "spark.sql.adaptive.skewJoin."
+                    "skewedPartitionThresholdInBytes", "256KB")
+                spark.conf.set(
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                    "256KB")
+                # aggregate INSIDE the inspected frame: .count() would
+                # execute a different QueryExecution and the inspected
+                # plan would never finalize
+                j = (fact.join(dim, "k")
+                     .agg(F.count("*").alias("n"),
+                          F.sum("v").alias("sv")))
+                t0 = time.perf_counter()
+                results["aqeskew_rows"] = int(j.collect()[0]["n"])
+                results["aqeskew_s"] = round(time.perf_counter() - t0, 2)
+                plan = j._jdf.queryExecution().executedPlan().toString()
+                results["aqeskew_split"] = "skew=true" in plan
+            finally:
+                for c, v in saved.items():
+                    spark.conf.set(c, v)
 
         if "substr" in OPS:
             # linear token blowup + two hash-partitioned shuffles; the
