@@ -719,8 +719,13 @@ _DRIVER_WINDOW = [
     "sample_weighted_reservoir",
     "multimodal_payload_dedup",
     "variant_schemaless_decode",
+    # (dedup_incremental_batch rotated out late in r6 — multi-round
+    # green, the incremental-dedup family keeps dedup_incremental_
+    # minhash + dedup_index_delete_probe in-window — for the NEW
+    # pure-Python-connector scan, so the zero-jar DataSource path
+    # lands driver-verified in the round it ships.)
     "text_sentences_udtf", "stream_ann_probe", "stream_minhash_dedup_ingest",
-    "dedup_incremental_batch",
+    "pyds_document_scan",
     "dedup_resolve_keep_best_minhash",
     "stream_cdc_upsert",
     "pipeline_clean_corpus_minhash",
@@ -750,6 +755,8 @@ _ROTATION_SHORTLIST_R7 = [
     "doc_pack_nosplit",        # new in r6 (no-split packing mode;
                                # pack family repped by the BPE form)
     "table_profile_drift",     # new in r6 (profile drift detector)
+    "dedup_incremental_batch", # rotated out of the window late in r6
+                               # (multi-round green; family covered)
     "text_collocations_pmi", "text_boilerplate_ratio",
     "text_chunk_sliding", "text_nb_quality_llr", "text_mixed_language",
     "multimodal_embed_stub", "multimodal_chunk_jaccard",

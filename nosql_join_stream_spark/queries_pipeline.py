@@ -4661,6 +4661,46 @@ def multimodal_incremental_chunks(spark: SparkSession,
 
 
 @register(
+    "pyds_document_scan",
+    """
+    SELECT doc_id, source, lang, text,
+           '{"n_chars": ' || CAST(n_chars AS VARCHAR) || '}' AS props
+    FROM documents
+    """,
+    doc="PURE-PYTHON connector scan (pydocsource.JsonDocsDataSource, "
+        "Spark 4 DataSource API — zero jars): the documents table "
+        "round-trips through a JSON-lines document collection and "
+        "back through the SAME Engine.load path the jar connectors "
+        "use — partition-per-file planning (4 files -> 4-wide scan), "
+        "executor-side cursor reads, typed top columns, undeclared "
+        "fields (n_chars) landing in the schemaless props JSON, "
+        "missing fields as typed NULLs. The oracle reconstructs the "
+        "props JSON byte-for-byte, so the whole connector path is "
+        "value-hash-verified, not just smoke-tested.",
+)
+def pyds_document_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+
+    e = _engine(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(),
+                     f"nsjs_pyds_{os.getpid()}_{tag}")
+    if not glob.glob(os.path.join(d, "*.jsonl")):  # once per process
+        (e.table("documents")
+         .select(F.to_json(F.struct("doc_id", "source", "lang",
+                                    "text", "n_chars")).alias("j"))
+         .repartition(4).write.mode("overwrite").text(d))
+        for i, f in enumerate(sorted(glob.glob(os.path.join(d, "part-*")))):
+            os.rename(f, os.path.join(d, f"{i:04d}.jsonl"))
+    register_json_docs(spark)
+    return e.load(d, fmt="json_docs")
+
+
+@register(
     "text_mixed_language",
     f"""
     WITH t AS (
