@@ -86,14 +86,19 @@ def compact(spark: SparkSession, path: str,
     files (optionally re-sorted for stats selectivity) and returns the
     new file count.  The rewrite stages into ``path + '.compact'``
     then swaps, so a failed job never leaves ``path`` half-written.
+    Sizing and the swap go through the Hadoop FileSystem API (like
+    the other lifecycle helpers here), so the op works on HDFS/S3
+    paths, not just the local filesystem.
     """
-    import glob
-    import os
-    import shutil
-
-    total = sum(os.path.getsize(f)
-                for f in glob.glob(os.path.join(path, "**", "*.parquet"),
-                                   recursive=True))
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     if sort_by:
@@ -101,10 +106,12 @@ def compact(spark: SparkSession, path: str,
                .sortWithinPartitions(*sort_by)
     else:
         df = df.coalesce(n_files)
-    tmp = path.rstrip("/") + ".compact"
-    df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    tmp_str = path.rstrip("/") + ".compact"
+    df.write.mode("overwrite").parquet(tmp_str)
+    fs.delete(root, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_str), root):
+        raise RuntimeError(
+            f"compact swap failed: could not rename {tmp_str} -> {path}")
     return n_files
 
 
