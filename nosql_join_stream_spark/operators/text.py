@@ -420,6 +420,12 @@ def pack_sequences_nosplit(df, id_col: str, shard_col: str, budget: int,
     only (never the text).  ``len_col`` takes pre-computed lengths
     (e.g. ``bpe_token_count`` for tokenizer-faithful boundaries).
 
+    ``shard_col`` granularity IS the parallelism: with a handful of
+    coarse shards the folds serialize.  At scale, pre-compose a finer
+    deterministic shard first — e.g. ``F.concat(F.col("source"),
+    F.lit("-"), F.pmod(F.xxhash64("doc_id"), F.lit(256)))`` — the
+    same move every packing shard layout makes.
+
     Returns (id, shard, n_tokens, seq_id, offset_in_seq).
     """
     if budget < 1:
