@@ -473,27 +473,43 @@ def _drop_tombstones(spark, db: str) -> None:
 
 def _clear_tombstones_for_ids(batch_ids: DataFrame, db: str) -> None:
     """A deleted id legitimately RE-INGESTED via ``*_index_append``
-    must become probe-visible again: rewrite the (tiny by contract)
-    tombstone table minus the batch's ids.  Survivors are collected
-    to the driver FIRST (bounded — tombstones are deletions), so the
-    overwrite never reads files it is replacing; an emptied table is
-    dropped entirely, restoring the fast path.  Mirrors
+    must become probe-visible again: rewrite the tombstone table minus
+    the batch's ids.  Survivors are STAGED to a side table first and
+    swapped in with catalog renames (the ``dedup_index_compact``
+    pattern), so (a) the rewrite never reads files it is replacing,
+    (b) the tombstone set is never transiently absent — a crash
+    between stages leaves either the old or the new complete table
+    visible, never none (a transient drop would silently resurrect
+    taken-down/PII-purged docs in every later probe of the standing
+    index), and (c) the survivors never pass through the driver: the
+    anti-join writes distributively, so a mass purge (a tombstone set
+    of millions) costs one anti-join + write instead of a driver-side
+    collect.  An emptied table is dropped
+    entirely, restoring the fast path.  Mirrors
     ``similarity._clear_tombstones_for``."""
     spark = batch_ids.sparkSession
     if not spark.catalog.tableExists(f"{db}.tombstones"):
         return
     tombs = spark.table(f"{db}.tombstones").distinct()
-    remaining = [r["id"] for r in
-                 tombs.join(batch_ids.select(
-                     F.col("id").cast("long").alias("id")),
-                     "id", "left_anti").collect()]
-    if len(remaining) == tombs.count():
+    # no forced broadcast: the batch side can be arbitrarily large in
+    # a mass re-ingest — AQE picks broadcast when it actually fits
+    survivors = tombs.join(batch_ids.select(
+        F.col("id").cast("long").alias("id")), "id", "left_anti")
+    n_surv = survivors.count()
+    if n_surv == tombs.count():
         return  # nothing cleared; leave the table untouched
-    _drop_tombstones(spark, db)
-    if remaining:
-        spark.createDataFrame([(i,) for i in remaining], "id long") \
-             .coalesce(1).write.format("parquet") \
-             .saveAsTable(f"{db}.tombstones")
+    if n_surv == 0:
+        _drop_tombstones(spark, db)
+        return
+    # one file for the takedown-sized common case; natural partitioning
+    # above that so a mass purge never funnels through a single task
+    staged = survivors if n_surv > 1_000_000 else survivors.coalesce(1)
+    spark.sql(f"DROP TABLE IF EXISTS {db}.tombstones_staging")
+    staged.write.format("parquet").saveAsTable(f"{db}.tombstones_staging")
+    spark.sql(f"ALTER TABLE {db}.tombstones RENAME TO {db}.tombstones_old")
+    spark.sql(
+        f"ALTER TABLE {db}.tombstones_staging RENAME TO {db}.tombstones")
+    spark.sql(f"DROP TABLE {db}.tombstones_old")
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -1010,8 +1026,14 @@ def dedup_index_compact(spark, db: str, tables_buckets=None,
         if not spark.catalog.tableExists(full):
             raise ValueError(f"no standing index table {full}")
         sort_by = bucket_cols  # both layouts sort by their bucket key
-        write_bucketed(_retract(spark.table(full), tombs, db),
-                       f"{full}_compacting",
+        # repartition onto the bucket spec first: bucketBy emits one
+        # file per (task × bucket-touched), so without this a rewrite
+        # read by many tasks can emit MORE files than it compacts —
+        # aligned murmur3 hash partitioning puts each bucket's rows in
+        # exactly one task, capping output at num_buckets files/table
+        compacted = (_retract(spark.table(full), tombs, db)
+                     .repartition(num_buckets, *bucket_cols))
+        write_bucketed(compacted, f"{full}_compacting",
                        bucket_cols, num_buckets=num_buckets,
                        sort_by=sort_by)
         spark.sql(f"ALTER TABLE {full} RENAME TO {db}.{t}_old")

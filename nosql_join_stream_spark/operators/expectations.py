@@ -143,12 +143,19 @@ def sketch_cardinality_by_group(df, group_col: str, value_col: str,
         F.hll_sketch_agg(value_col).alias("sk"))
     # NULL groups report as the '<NULL>' group: without the coalesce
     # the sentinel guard below evaluates to NULL and assert_true
-    # throws its (misleading) collision error for a legitimate group
+    # throws its (misleading) collision error for a legitimate group.
+    # A REAL string group named '<NULL>' would be indistinguishable
+    # from the null group, so it gets the same in-plan guard as
+    # '__ALL__' (null-safe: <=> FALSE when the group IS null).
+    grp_str = F.col(group_col).cast("string")
     per_rows = per.select(
-        F.coalesce(F.col(group_col).cast("string"),
-                   F.lit("<NULL>")).alias("grp"),
+        F.coalesce(grp_str, F.lit("<NULL>")).alias("grp"),
         "n_distinct",
-        F.hll_sketch_estimate("sk").alias("est"))
+        F.hll_sketch_estimate("sk").alias("est"),
+        F.assert_true(~grp_str.eqNullSafe("<NULL>"),
+                      F.lit("group value '<NULL>' collides with the "
+                            "null-group sentinel")).alias("__chk0")
+        ).drop("__chk0")
     # the merged-total row uses the in-band sentinel '__ALL__': a real
     # group with that name would alias it, so fail IN-PLAN (per-row
     # assert, no extra job) rather than return two conflicting rows
@@ -198,8 +205,13 @@ def profile_drift(old: DataFrame, new: DataFrame,
         F.col("n_distinct").alias("n_distinct_new"),
         F.col("min_num").alias("n_min"), F.col("max_num").alias("n_max"))
     j = o.join(n, "col_name", "full_outer")
-    null_delta = F.round(F.coalesce(F.col("n_null_rate"), F.lit(0.0))
-                         - F.coalesce(F.col("o_null_rate"), F.lit(0.0)), 4)
+    # in-schema drift signals are only meaningful when BOTH profiles
+    # carry the column; an appeared/vanished column already signals
+    # schema drift, and treating its missing side as rate 0 would
+    # raise a false null_drift for any column with NULLs
+    both = F.col("o_null_rate").isNotNull() & F.col("n_null_rate").isNotNull()
+    null_delta = F.when(
+        both, F.round(F.col("n_null_rate") - F.col("o_null_rate"), 4))
     old_range = F.col("o_max") - F.col("o_min")
     moved = F.greatest(F.abs(F.col("n_min") - F.col("o_min")),
                        F.abs(F.col("n_max") - F.col("o_max")))
@@ -211,7 +223,8 @@ def profile_drift(old: DataFrame, new: DataFrame,
     return j.select(
         "col_name",
         null_delta.alias("null_rate_delta"),
-        (F.abs(null_delta) > null_rate_tol).alias("null_drift"),
+        F.coalesce(F.abs(null_delta) > null_rate_tol,
+                   F.lit(False)).alias("null_drift"),
         F.round(F.col("n_distinct_new")
                 / F.col("o_distinct"), 4).alias("distinct_ratio"),
         range_drift.alias("range_drift"),

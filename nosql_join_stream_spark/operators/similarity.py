@@ -939,14 +939,18 @@ def _apply_tombstones(index: DataFrame, location: str) -> DataFrame:
 
 
 def _clear_tombstones_for(ids: DataFrame, location: str) -> None:
-    """Rewrite the (tiny by contract) tombstone table minus ``ids`` —
-    a deleted id that is later legitimately re-ingested via append
-    must become probe-visible again without a full rebuild.  The
-    surviving tombstones are collected to the driver FIRST (bounded:
-    tombstones are deletions, tiny relative to the index), so the
-    overwrite never reads the files it is replacing; an emptied table
-    is removed entirely, restoring the probe's no-tombstone fast
-    path."""
+    """Rewrite the tombstone table minus ``ids`` — a deleted id that
+    is later legitimately re-ingested via append must become
+    probe-visible again without a full rebuild.  Survivors are STAGED
+    to a sibling dir and swapped in with directory renames (atomic on
+    a posix filesystem; object stores get either the old or the new
+    complete dir), so the tombstone set is never transiently absent —
+    a crash mid-swap must not silently resurrect taken-down docs in
+    later probes — and the survivors never pass through the driver:
+    the anti-join writes distributively, so a mass purge costs one
+    broadcast anti-join + write, not a driver collect.  An emptied
+    table is removed entirely, restoring the probe's no-tombstone
+    fast path."""
     import os
     import shutil
 
@@ -955,14 +959,26 @@ def _clear_tombstones_for(ids: DataFrame, location: str) -> None:
         return
     spark = ids.sparkSession
     tombs = spark.read.parquet(tomb_path).distinct()
-    remaining = [r["__cid"] for r in
-                 tombs.join(ids, "__cid", "left_anti").collect()]
-    if len(remaining) == tombs.count():
+    # no forced broadcast: the re-ingest batch can be arbitrarily
+    # large — AQE picks broadcast when it actually fits
+    survivors = tombs.join(ids, "__cid", "left_anti")
+    n_surv = survivors.count()
+    if n_surv == tombs.count():
         return  # nothing cleared; leave the table untouched
-    shutil.rmtree(tomb_path, ignore_errors=True)
-    if remaining:
-        spark.createDataFrame([(i,) for i in remaining], "__cid long") \
-             .coalesce(1).write.mode("overwrite").parquet(tomb_path)
+    if n_surv == 0:
+        shutil.rmtree(tomb_path, ignore_errors=True)
+        return
+    staging = os.path.join(location, "tombstones_staging.parquet")
+    old = os.path.join(location, "tombstones_old.parquet")
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    # one file for the takedown-sized common case; natural partitioning
+    # above that so a mass purge never funnels through a single task
+    staged = survivors if n_surv > 1_000_000 else survivors.coalesce(1)
+    staged.write.mode("overwrite").parquet(staging)
+    os.rename(tomb_path, old)
+    os.rename(staging, tomb_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,

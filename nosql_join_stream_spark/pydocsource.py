@@ -23,7 +23,29 @@ document collection:
   ``typed.variant_decode``);
 - **missing fields → typed NULLs** (the Option-decode contract,
   mongotypes/package.scala:73-205): a document lacking a declared
-  field yields NULL, never an error.
+  field yields NULL, never an error;
+- **FILTER PUSHDOWN** (Spark 4.1 ``DataSourceReader.pushFilters``):
+  Catalyst hands the scan its conjunctive predicates; every
+  comparison/IN/NULL-test/LIKE-prefix on a declared top column is
+  absorbed into the source (the analog of the reference pushing
+  ``find(qs.query)`` into the server, storage.scala:597-602) and
+  evaluated with SQL three-valued-NULL semantics:
+  - **row skipping** executor-side: a non-matching document is
+    dropped before its props JSON is ever serialized;
+  - **file skipping** driver-side: when the collection carries a
+    ``_stats.json`` sidecar (:func:`write_docs_stats` — per-file
+    min/max + null flags, the analog of a store's chunk metadata),
+    ``partitions()`` plans ONLY files whose stats admit a match, so
+    a selective probe of a 10k-file collection schedules a handful
+    of tasks instead of 10k.  Pruning is conservative — stats prove
+    absence, never presence;
+- **projection pushdown by contract**: ``.option("columns",
+  "doc_id,lang")`` narrows the declared schema and the per-document
+  decode to those columns (the analog of a find() projection) — in
+  particular a scan that does not request ``props`` never pays the
+  rest-of-document JSON re-serialization.  Spark's Python DS API has
+  no automatic required-columns hook yet, so this is an explicit
+  reader option rather than a Catalyst-driven one.
 
 Registration is per-session (``register_json_docs(spark)``), then
 ``spark.read.format("json_docs").option("path", dir)`` or
@@ -36,19 +58,171 @@ import json
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader,
-                                    InputPartition)
+                                    DataSourceStreamReader, EqualNullSafe,
+                                    EqualTo, GreaterThan,
+                                    GreaterThanOrEqual, In, InputPartition,
+                                    IsNotNull, IsNull, LessThan,
+                                    LessThanOrEqual, Not, StringContains,
+                                    StringEndsWith, StringStartsWith)
 
 FORMAT_NAME = "json_docs"
 
-_SCHEMA = ("doc_id long, source string, lang string, text string, "
-           "props string")
+_ALL_COLS = ["doc_id", "source", "lang", "text", "props"]
+_TYPES = {"doc_id": "long", "source": "string", "lang": "string",
+          "text": "string", "props": "string"}
 _TOP = ["doc_id", "source", "lang", "text"]
+_STATS_FILE = "_stats.json"
+_STATS_COLS = ("doc_id", "source", "lang")  # text min/max would be huge
 
 
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
+
+
+def _doc_value(doc: dict, col: str):
+    v = doc.get(col)
+    if col == "doc_id" and v is not None:
+        v = int(v)
+    return v
+
+
+def _supported_filter(f) -> bool:
+    """Pushable: a comparison/IN/NULL-test/LIKE on ONE declared top
+    column (and NOT over such a child — Catalyst sends `a <> 1` as
+    Not(EqualTo)).  Anything else stays Spark-side."""
+    if isinstance(f, Not):
+        return _supported_filter(f.child)
+    if not isinstance(f, (EqualTo, EqualNullSafe, GreaterThan,
+                          GreaterThanOrEqual, LessThan, LessThanOrEqual,
+                          In, IsNull, IsNotNull, StringStartsWith,
+                          StringEndsWith, StringContains)):
+        return False
+    attr = f.attribute
+    return len(attr) == 1 and attr[0] in _TOP
+
+
+def _eval_filter(f, doc: dict):
+    """SQL three-valued logic: True / False / None (UNKNOWN).  A row
+    survives the scan only if every pushed filter is True — UNKNOWN
+    drops it, exactly as Catalyst's Filter would have."""
+    if isinstance(f, Not):
+        v = _eval_filter(f.child, doc)
+        return None if v is None else (not v)
+    col = f.attribute[0]
+    val = _doc_value(doc, col)
+    if isinstance(f, IsNull):
+        return val is None
+    if isinstance(f, IsNotNull):
+        return val is not None
+    if isinstance(f, EqualNullSafe):
+        return val == f.value  # never UNKNOWN: NULL <=> NULL is True
+    if val is None:
+        return None
+    if isinstance(f, EqualTo):
+        return val == f.value
+    if isinstance(f, GreaterThan):
+        return val > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return val >= f.value
+    if isinstance(f, LessThan):
+        return val < f.value
+    if isinstance(f, LessThanOrEqual):
+        return val <= f.value
+    if isinstance(f, In):
+        return val in f.value
+    if isinstance(f, StringStartsWith):
+        return str(val).startswith(f.value)
+    if isinstance(f, StringEndsWith):
+        return str(val).endswith(f.value)
+    if isinstance(f, StringContains):
+        return f.value in str(val)
+    raise AssertionError(f"unreachable: {f!r}")  # guarded by _supported
+
+
+def _file_may_match(f, stats: dict) -> bool:
+    """Conservative file-level pruning against sidecar stats
+    ({col: {"min":…, "max":…, "has_null":…, "n":…}}).  True unless
+    the stats PROVE no row in the file can satisfy ``f``."""
+    if isinstance(f, Not):
+        return True  # negations don't prune (min/max can't refute)
+    col = f.attribute[0]
+    s = stats.get(col)
+    if s is None:
+        return True
+    lo, hi = s.get("min"), s.get("max")
+    if isinstance(f, IsNull):
+        return bool(s.get("has_null", True))
+    if isinstance(f, IsNotNull):
+        return lo is not None  # min present iff any non-null value
+    if lo is None or hi is None:
+        # all-null file: no comparison/IN/LIKE can be True there
+        return False
+    if isinstance(f, (EqualTo, EqualNullSafe)):
+        return f.value is not None and lo <= f.value <= hi
+    if isinstance(f, GreaterThan):
+        return hi > f.value
+    if isinstance(f, GreaterThanOrEqual):
+        return hi >= f.value
+    if isinstance(f, LessThan):
+        return lo < f.value
+    if isinstance(f, LessThanOrEqual):
+        return lo <= f.value
+    if isinstance(f, In):
+        return any(v is not None and lo <= v <= hi for v in f.value)
+    if isinstance(f, StringStartsWith):
+        p = f.value
+        return str(lo)[:len(p)] <= p <= str(hi)[:len(p)]
+    return True  # EndsWith/Contains: min/max can't refute
+
+
+def write_docs_stats(path: str) -> dict:
+    """Build the collection's ``_stats.json`` sidecar — per ``.jsonl``
+    file, min/max/has_null/row-count for the prunable top columns —
+    the analog of the chunk metadata a document store keeps serverside
+    (and of parquet footer stats).  One sequential pass per file at
+    ingest time buys file skipping on every subsequent filtered scan.
+    Returns the stats dict."""
+    files = sorted(f for f in os.listdir(path) if f.endswith(".jsonl"))
+    out: dict[str, dict] = {}
+    for fname in files:
+        colstats = {c: {"min": None, "max": None, "has_null": False}
+                    for c in _STATS_COLS}
+        n = 0
+        with open(os.path.join(path, fname), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                n += 1
+                doc = json.loads(line)
+                for c in _STATS_COLS:
+                    v = _doc_value(doc, c)
+                    cs = colstats[c]
+                    if v is None:
+                        cs["has_null"] = True
+                    else:
+                        if cs["min"] is None or v < cs["min"]:
+                            cs["min"] = v
+                        if cs["max"] is None or v > cs["max"]:
+                            cs["max"] = v
+        out[fname] = {"n": n, **{c: colstats[c] for c in _STATS_COLS}}
+    with open(os.path.join(path, _STATS_FILE), "w",
+              encoding="utf-8") as fh:
+        json.dump({"files": out}, fh, sort_keys=True)
+    return out
+
+
+def _parse_columns_option(options) -> list[str]:
+    cols_opt = options.get("columns")
+    if not cols_opt:
+        return list(_ALL_COLS)
+    cols = [c.strip() for c in cols_opt.split(",") if c.strip()]
+    bad = [c for c in cols if c not in _ALL_COLS]
+    if bad:
+        raise ValueError(
+            f"json_docs: unknown columns {bad}; available: {_ALL_COLS}")
+    return cols
 
 
 class JsonDocsReader(DataSourceReader):
@@ -57,34 +231,67 @@ class JsonDocsReader(DataSourceReader):
         if not self.path:
             raise ValueError(
                 "json_docs requires .option('path', <dir or file>)")
+        self.columns = _parse_columns_option(options)
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        # absorb what the store can evaluate; yield back the rest for
+        # Spark to re-check (the contract: returned = still-needed)
+        for f in filters:
+            if _supported_filter(f):
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def _stats(self):
+        sidecar = os.path.join(self.path, _STATS_FILE)
+        if not os.path.isfile(sidecar):
+            return None
+        with open(sidecar, encoding="utf-8") as fh:
+            return json.load(fh).get("files", {})
 
     def partitions(self):
         # one partition per file — the chunk/token-range analog; a
-        # directory of N files scans N-wide
+        # directory of N files scans N-wide.  With a stats sidecar,
+        # files the pushed filters prove empty are never planned.
         if os.path.isfile(self.path):
             return [_FilePartition(self.path)]
-        files = sorted(
-            os.path.join(self.path, f) for f in os.listdir(self.path)
-            if f.endswith(".jsonl"))
+        files = sorted(f for f in os.listdir(self.path)
+                       if f.endswith(".jsonl"))
         if not files:
             raise ValueError(f"no .jsonl files under {self.path}")
-        return [_FilePartition(f) for f in files]
+        stats = self._stats()
+        if stats is not None and self.pushed:
+            files = [f for f in files
+                     if all(_file_may_match(p, stats.get(f, {}))
+                            for p in self.pushed)]
+        return [_FilePartition(os.path.join(self.path, f))
+                for f in files]
 
     def read(self, partition):
         # per-partition cursor scan, executed ON THE EXECUTOR — the
-        # driver never touches document bytes
+        # driver never touches document bytes; pushed filters drop
+        # non-matching docs BEFORE any output assembly (in particular
+        # before the props JSON re-serialization)
+        cols, pushed = self.columns, self.pushed
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
                     continue
                 doc = json.loads(line)
-                rest = {k: v for k, v in doc.items() if k not in _TOP}
-                did = doc.get("doc_id")
-                yield (int(did) if did is not None else None,
-                       doc.get("source"), doc.get("lang"),
-                       doc.get("text"),
-                       json.dumps(rest, sort_keys=True) if rest else None)
+                if any(_eval_filter(p, doc) is not True for p in pushed):
+                    continue
+                row = []
+                for c in cols:
+                    if c == "props":
+                        rest = {k: v for k, v in doc.items()
+                                if k not in _TOP}
+                        row.append(json.dumps(rest, sort_keys=True)
+                                   if rest else None)
+                    else:
+                        row.append(_doc_value(doc, c))
+                yield tuple(row)
 
 
 def _read_jsonl(path: str):
@@ -114,13 +321,25 @@ class JsonDocsStreamReader(DataSourceStreamReader):
     partition-per-chunk shape a Mongo/Kafka connector has.  Replay
     after a crash re-plans the same committed span over the same
     (immutable) files — exactly-once with a deterministic
-    directory."""
+    directory.
+
+    **Producer contract: filenames must arrive in lexicographically
+    INCREASING order** (zero-padded sequence numbers, as a rolled log
+    writes them).  A file landing at-or-below the current watermark
+    (multi-producer races, retried uploads, unpadded names) would
+    otherwise be silently unread forever — so ``latestOffset``
+    tracks the filenames it has already watermarked past and RAISES
+    on a late-arriving below-watermark name instead of losing data
+    silently.  (Driver-side detection state; a restart re-arms it
+    from the restored offset.)"""
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError(
                 "json_docs requires .option('path', <dir>)")
+        self._seen: set[str] = set()
+        self._watermark = ""
 
     def initialOffset(self):
         return {"last": ""}
@@ -128,6 +347,19 @@ class JsonDocsStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         files = sorted(f for f in os.listdir(self.path)
                        if f.endswith(".jsonl"))
+        late = [f for f in files
+                if f <= self._watermark and f not in self._seen]
+        if late:
+            raise RuntimeError(
+                f"json_docs stream at {self.path}: file(s) {late} "
+                f"arrived at or below the committed watermark "
+                f"'{self._watermark}' and would never be read — the "
+                "source requires lexicographically increasing "
+                "filenames (zero-padded sequence numbers); re-land "
+                "the data under a name above the watermark")
+        self._seen.update(files)
+        if files:
+            self._watermark = max(self._watermark, files[-1])
         return {"last": files[-1]} if files else {"last": ""}
 
     def partitions(self, start, end):
@@ -152,7 +384,8 @@ class JsonDocsDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self):
-        return _SCHEMA
+        cols = _parse_columns_option(self.options)
+        return ", ".join(f"{c} {_TYPES[c]}" for c in cols)
 
     def reader(self, schema):
         return JsonDocsReader(self.options)
@@ -162,5 +395,27 @@ class JsonDocsDataSource(DataSource):
 
 
 def register_json_docs(spark) -> None:
-    """Register the source with this session (idempotent)."""
+    """Register the source with this session (idempotent) and enable
+    Python-DataSource filter pushdown (a runtime SQL conf, default
+    false in Spark 4.1 — without it a reader implementing
+    ``pushFilters`` is rejected at planning time).
+
+    The reader object is cloudpickled to executor Python workers; by
+    default that pickles the class BY REFERENCE and requires this
+    package importable on every worker's PYTHONPATH.  Registering the
+    module for by-value pickling makes the source self-contained —
+    the driver ships the code with the plan, the deployment story a
+    connector needs on a 1000-executor cluster with no repo checkout
+    on the workers (this module only imports stdlib + pyspark, so the
+    by-value closure is tiny and dependency-free)."""
+    import sys
+
+    try:  # pyspark vendors cloudpickle; fall back quietly if moved
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(
+            sys.modules[register_json_docs.__module__])
+    except (ImportError, AttributeError):
+        pass
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(JsonDocsDataSource)

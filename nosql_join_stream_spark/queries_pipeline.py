@@ -4679,13 +4679,22 @@ def multimodal_incremental_chunks(spark: SparkSession,
         "value-hash-verified, not just smoke-tested.",
 )
 def pyds_document_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    d = _pyds_collection_dir(e, spark, sf_dir)
+    return e.load(d, fmt="json_docs")
+
+
+def _pyds_collection_dir(e, spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the documents table as a JSON-lines document
+    collection (once per process per sf) with a ``_stats.json``
+    pruning sidecar, and register the ``json_docs`` source."""
     import glob
     import os
     import tempfile
 
-    from nosql_join_stream_spark.pydocsource import register_json_docs
+    from nosql_join_stream_spark.pydocsource import (register_json_docs,
+                                                     write_docs_stats)
 
-    e = _engine(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     d = os.path.join(tempfile.gettempdir(),
                      f"nsjs_pyds_{os.getpid()}_{tag}")
@@ -4696,8 +4705,41 @@ def pyds_document_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
          .repartition(4).write.mode("overwrite").text(d))
         for i, f in enumerate(sorted(glob.glob(os.path.join(d, "part-*")))):
             os.rename(f, os.path.join(d, f"{i:04d}.jsonl"))
+        write_docs_stats(d)
     register_json_docs(spark)
-    return e.load(d, fmt="json_docs")
+    return d
+
+
+@register(
+    "pyds_document_filter",
+    """
+    SELECT doc_id, source, lang, text
+    FROM documents
+    WHERE lang = 'en' AND doc_id >= 50
+      AND source IN ('src3', 'src7', 'src11')
+    """,
+    doc="PUSHDOWN through the pure-Python connector "
+        "(pydocsource.JsonDocsReader.pushFilters, Spark 4.1): the "
+        "equality/range/IN predicates are absorbed INTO the source — "
+        "the analog of the reference pushing find(qs.query) into the "
+        "server (storage.scala:597-602) — evaluated executor-side "
+        "with SQL three-valued NULL semantics BEFORE any row assembly "
+        "(a non-matching document never pays its props JSON "
+        "re-serialization), with driver-side FILE skipping against "
+        "the collection's _stats.json min/max sidecar (the chunk-"
+        "metadata analog), and the projection narrowed by the "
+        "columns option (the find() projection analog) so the props "
+        "column is never decoded at all.  The optimized plan carries "
+        "NO Spark-side Filter node — the scan IS the query "
+        "(plan-asserted in tests/test_pydocsource_pushdown.py).",
+)
+def pyds_document_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    d = _pyds_collection_dir(e, spark, sf_dir)
+    df = e.load(d, fmt="json_docs", columns="doc_id,source,lang,text")
+    return df.filter(
+        (F.col("lang") == "en") & (F.col("doc_id") >= 50)
+        & F.col("source").isin("src3", "src7", "src11"))
 
 
 @register(

@@ -699,6 +699,15 @@ def read_keyed_snapshot(spark: SparkSession, path: str,
         out = out.unionByName(p, allowMissingColumns=True)
     out = out.drop(_KB)
     if schema is not None:
+        # a column added by a schema-evolving merge can live in NO
+        # surviving part file (its buckets since emptied by deletes)
+        # yet still belong to the manifest schema — materialize it as
+        # typed NULLs instead of letting the select raise
+        have = set(out.columns)
+        for f in schema:
+            if f["name"] not in have:
+                out = out.withColumn(
+                    f["name"], F.lit(None).cast(f["type"]))
         out = out.select(*[f["name"] for f in schema])
     return out
 

@@ -1277,12 +1277,21 @@ def test_dedup_index_compact_shrinks_files_keeps_answers(spark, tmp_path):
     dedup.ngram_jaccard_pairs_between_bucketed(
         corpus, probe, "text", "doc_id", db=db, location=loc,
         rebuild=True).collect()
-    for i in range(4):  # 4 appended batches -> 4 extra files/bucket
+    # append until there is provably something to shrink: compaction
+    # caps output at num_buckets (=16) files, so gate the precondition
+    # on before_files > 16 — under concurrent load a fixed 4 appends
+    # once landed exactly at the compacted count and `after < before`
+    # degenerated to `18 < 18`
+    for i in range(12):
         b = spark.createDataFrame(
             [(100 + i, f"filler{i} tokens nothing shared here at all")],
             "doc_id long, text string")
         dedup.dedup_index_append(b, "text", "doc_id", db=db)
-    before_files = len(spark.table(f"{db}.corpus_prefix").inputFiles())
+        before_files = len(
+            spark.table(f"{db}.corpus_prefix").inputFiles())
+        if i >= 3 and before_files > 16:
+            break
+    assert before_files > 16  # precondition: something to shrink
     before = {(r.left_id, r.right_id, r.jaccard) for r in
               dedup.ngram_jaccard_pairs_between_bucketed(
                   corpus, probe, "text", "doc_id", db=db, location=loc,
