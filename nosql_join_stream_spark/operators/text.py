@@ -593,9 +593,35 @@ BPE_MERGES_EN_DEMO = [
     ("o", "r"), ("an", "d"), ("in", "g"), ("t", "o"),
 ]
 
+#: end-of-word marker (Sennrich et al. 2016 §3.2 / subword-nmt):
+#: fused onto the word's LAST character, so the symbol inventory
+#: distinguishes word-final from word-internal occurrences and the
+#: original tokenization is recoverable from the subword stream.
+BPE_EOW = "</w>"
+
+# marked-variant demo table: word-FINAL merges carry the fused marker
+# (('e','r</w>') merges only a word-ending "er"; the unmarked
+# ('e','r') only a word-internal one) — the distinction the plain
+# table cannot express.
+BPE_MERGES_EN_DEMO_EOW = [
+    ("t", "h"), ("th", "e</w>"), ("i", "n"), ("a", "n"),
+    ("e", "r</w>"), ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"),
+    ("s", "t"), ("e", "n"), ("o", "r"), ("an", "d</w>"),
+    ("in", "g</w>"), ("t", "o</w>"),
+]
+
+
+def _word_syms(word: str, eow: bool) -> list[str]:
+    """Initial symbol sequence for a word: its characters, with the
+    end-of-word marker fused onto the last one when ``eow``."""
+    if not eow or not word:
+        return list(word)
+    return list(word[:-1]) + [word[-1] + BPE_EOW]
+
 
 def bpe_learn(df, content_col: str, num_merges: int = 200,
-              max_vocab_words: int = 50_000) -> list[tuple[str, str]]:
+              max_vocab_words: int = 50_000,
+              eow: bool = False) -> list[tuple[str, str]]:
     """Learn a BPE merge table from a corpus (Sennrich et al. 2016):
     repeatedly merge the most frequent adjacent symbol pair in the
     word-frequency vocabulary.
@@ -610,9 +636,12 @@ def bpe_learn(df, content_col: str, num_merges: int = 200,
     never leaves the cluster.
 
     Deterministic: pair-count ties break to the lexicographically
-    smallest pair.  No end-of-word marker (documented simplification;
-    counts are what the budget ops consume).  Returns merges in rank
-    order.
+    smallest pair.  ``eow=True`` fuses the :data:`BPE_EOW` marker
+    onto each word's last character (Sennrich et al. 2016 §3.2 /
+    subword-nmt), so learned merges distinguish word-final from
+    word-internal pairs — the form whose counts match a real subword
+    tokenizer's; the default stays markerless to preserve the
+    established oracle.  Returns merges in rank order.
     """
     rows = (df.select(F.explode(
                 F.split(F.trim(F.lower(F.col(content_col))),
@@ -624,7 +653,7 @@ def bpe_learn(df, content_col: str, num_merges: int = 200,
               .collect())
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
-        k = tuple(r["w"])
+        k = tuple(_word_syms(r["w"], eow))
         vocab[k] = vocab.get(k, 0) + int(r["count"])
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -661,11 +690,12 @@ def _merge_pair(syms: list[str], pair: tuple[str, str]) -> list[str]:
     return out
 
 
-def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
+def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int],
+                     eow: bool = False) -> int:
     """Greedy BPE application (subword-nmt loop): repeatedly find the
     LOWEST-rank adjacent pair present and merge all its occurrences,
     until no learned pair remains.  Returns the subword count."""
-    syms = list(word)
+    syms = _word_syms(word, eow)
     while len(syms) > 1:
         best_rank = None
         best_pair = None
@@ -680,7 +710,7 @@ def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> int:
 
 
 def bpe_token_count(df, merges: list[tuple[str, str]],
-                    content_col: str, id_col: str):
+                    content_col: str, id_col: str, eow: bool = False):
     """Tokenizer-faithful token counting with a learned/broadcast BPE
     merge table.  Returns (id, n_words, n_bpe_tokens).
 
@@ -691,7 +721,9 @@ def bpe_token_count(df, merges: list[tuple[str, str]],
     table broadcast; the corpus-sized work (doc×word multiset, count
     aggregation, the join back) stays JVM-side.  Feed ``n_bpe_tokens``
     to sampling.sample_token_budget / text.pack_sequences for
-    budget-faithful curation.
+    budget-faithful curation.  ``eow=True`` applies the end-of-word
+    marker convention — pass it iff the merge table was learned with
+    it (``bpe_learn(eow=True)`` / :data:`BPE_MERGES_EN_DEMO_EOW`).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -713,7 +745,7 @@ def bpe_token_count(df, merges: list[tuple[str, str]],
         def enc(wd: str) -> int:
             n = cache.get(wd)
             if n is None:
-                n = _bpe_encode_word(wd, rk)
+                n = _bpe_encode_word(wd, rk, eow)
                 cache[wd] = n
             return n
 

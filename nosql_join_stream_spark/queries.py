@@ -564,6 +564,51 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_outer",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id, p.value AS purchase_value
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="LEFT OUTER stream-stream interval join with a FULL oracle "
+        "(closing r6's contract-test-only caveat): unmatched "
+        "purchases — the interesting side of the attribution query — "
+        "are NULL-emitted only once the watermark proves no click "
+        "can still arrive, so a finite backfill withholds the tail "
+        "forever.  interval_join_outer_flush_drain stages the log "
+        "plus a far-future flush sentinel PER SIDE (the global "
+        "watermark is the min across both watermark nodes — one "
+        "side alone measurably leaves rows withheld) and drains "
+        "with AvailableNow; the parquet-sink contents then equal "
+        "the batch LEFT JOIN row for row, including every NULL "
+        "tail row.  Result filtering happens batch-side after the "
+        "sink: a post-join filter on the streaming result "
+        "suppresses NULL emission entirely (measured; pinned in "
+        "tests/test_streaming.py).",
+)
+def stream_interval_join_outer(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.streaming.log_stream import (
+        interval_join_outer_flush_drain)
+    from nosql_join_stream_spark.catalog import table_path
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    run_dir = os.path.join(tempfile.gettempdir(),
+                           f"nsjs_ijo_{os.getpid()}_{tag}")
+    df = interval_join_outer_flush_drain(
+        spark, table_path(sf_dir, "events"), run_dir)
+    return df.select(F.col("left_id").alias("purchase_id"),
+                     F.col("right_id").alias("click_id"),
+                     "user_id",
+                     F.col("left_value").alias("purchase_value"))
+
+
+@register(
     "stream_sessionize_stateful",
     """
     WITH gaps AS (

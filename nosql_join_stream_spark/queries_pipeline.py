@@ -3362,6 +3362,72 @@ def text_bpe_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_subword_count_eow",
+    """
+    WITH RECURSIVE
+    m0(rank, a, b) AS (VALUES
+      (1,'t','h'), (2,'th','e</w>'), (3,'i','n'), (4,'a','n'),
+      (5,'e','r</w>'), (6,'e','r'), (7,'o','n'), (8,'r','e'),
+      (9,'a','t'), (10,'s','t'), (11,'e','n'), (12,'o','r'),
+      (13,'an','d</w>'), (14,'in','g</w>'), (15,'t','o</w>')),
+    m AS (SELECT rank, chr(31)||a||chr(31)||b||chr(31) AS pat,
+                 chr(31)||a||b||chr(31) AS rep
+          FROM m0),
+    dw AS (
+      SELECT doc_id, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents) z
+      WHERE w <> '' GROUP BY doc_id, w),
+    words AS (SELECT DISTINCT w FROM dw),
+    enc AS (
+      -- end-of-word marker FUSED onto the last character: the
+      -- sentinel string gains '</w>' just before its final separator
+      SELECT w, chr(31) || array_to_string(regexp_extract_all(w, '.'),
+                                           chr(31)) || '</w>' || chr(31)
+                AS s
+      FROM words
+      UNION ALL
+      SELECT e.w, replace(e.s, m.pat, m.rep) AS s
+      FROM enc e JOIN m
+        ON m.rank = (SELECT min(m2.rank) FROM m m2
+                     WHERE contains(e.s, m2.pat))
+    ),
+    fin AS (
+      SELECT w, len(string_split(s, chr(31))) - 2 AS n_sub
+      FROM enc
+      WHERE NOT EXISTS (SELECT 1 FROM m WHERE contains(enc.s, m.pat)))
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(d.cnt * f.n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM dw d JOIN fin f ON d.w = f.w
+    GROUP BY d.doc_id
+    """,
+    doc="BPE counting with the END-OF-WORD marker (Sennrich et al. "
+        "2016 §3.2 / subword-nmt convention, closing r6's documented "
+        "simplification): the '</w>' symbol is fused onto each "
+        "word's last character before merging, so the merge table "
+        "distinguishes word-FINAL pairs (('e','r</w>') merges only "
+        "a word-ending 'er') from word-internal ones — making "
+        "token budgets and packing match what a real subword "
+        "tokenizer produces on the same corpus.  Same Arrow "
+        "per-distinct-word kernel and JVM-side corpus work as the "
+        "markerless form; the oracle replays the identical greedy "
+        "loop over sentinel-joined MARKED symbol strings.  "
+        "bpe_learn(eow=True) learns marked tables (pinned on the "
+        "word-final-vs-internal hand case in pytest).",
+)
+def text_bpe_subword_count_eow(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (text.bpe_token_count(
+                e.table("documents"), text.BPE_MERGES_EN_DEMO_EOW,
+                "text", "doc_id", eow=True)
+            .select(F.col("id").alias("doc_id"),
+                    "n_words", "n_bpe_tokens"))
+
+
+@register(
     "mine_contrastive_pairs",
     """
     WITH t AS (

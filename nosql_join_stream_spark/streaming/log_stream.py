@@ -255,7 +255,16 @@ def interval_join_streams_outer(left: DataFrame, right: DataFrame,
     them, INCLUDING purchases with no preceding click' — the
     attribution query whose unmatched side is the interesting one.
     Same bounded-state contract as the inner form; the drained result
-    equals the batch left join (the oracle)."""
+    equals the batch left join (the oracle) PROVIDED the watermark
+    passes every left timestamp + ``within`` —
+    :func:`interval_join_outer_flush_drain` arranges that
+    deterministically with a far-future flush sentinel.
+
+    HAZARD (measured, Spark 4.1): do NOT add a post-join ``filter``
+    on the streaming result — even a left-side-only predicate
+    suppresses the watermark-flush NULL emissions entirely (the
+    synthetic pin in tests/test_streaming.py).  Apply result filters
+    batch-side after the sink, as the flush drain does."""
     l = left.withWatermark("ts", watermark).alias("l")
     r = right.withWatermark("ts", watermark).alias("r")
     cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
@@ -584,6 +593,99 @@ def run_available_now(agg: DataFrame, query_name: str,
             if shuffle_partitions:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
+
+
+def interval_join_outer_flush_drain(
+        spark: SparkSession, events_path: str, run_dir: str,
+        left_type: str = "purchase", right_type: str = "click",
+        key: str = "user_id", within: str = "1 hour",
+        watermark: str = "2 hours") -> DataFrame:
+    """Deterministically drain the LEFT OUTER interval join to its
+    complete batch answer — closing the 'tail emission is batch-
+    schedule-dependent' caveat the outer form used to carry.
+
+    Outer NULL rows are watermark-delayed: Spark emits an unmatched
+    left row only once the watermark PROVES no right match can still
+    arrive, and on a finite backfill the watermark (max event time −
+    delay) never passes the newest rows, so the tail stays withheld
+    forever.  The fix is a WATERMARK FLUSH SENTINEL: the source is
+    staged into ``run_dir/in`` (symlinks — no data copied) plus one
+    extra parquet file carrying a far-future row PER SIDE (both event
+    types, at the same timestamp — the global watermark is the MIN
+    across both sides' nodes, so one side alone does not flush; the
+    first sf0.001 probe measured exactly that as 3 withheld rows).
+    ``Trigger.AvailableNow`` then runs the sentinel batch plus a
+    final flush batch, after which every real left row is either
+    matched or past-watermark → the parquet-sink contents EQUAL the
+    batch left join, row for row.
+
+    Sentinels are invisible by construction: they carry negative ids
+    and user ids (match nothing real, and the result is filtered to
+    ``user_id >= 0`` BATCH-side after the sink — never as a streaming
+    post-join filter, which measurably suppresses NULL emission; see
+    :func:`interval_join_streams_outer`), and their own NULL rows are
+    never flushed because nothing advances the watermark past the
+    maximum timestamp.
+
+    The checkpoint makes re-drains of the same ``run_dir`` no-ops
+    (zero new files → the reread sink), so repeated calls are cheap
+    and idempotent."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    inp = os.path.join(run_dir, "in")
+    out = os.path.join(run_dir, "out")
+    ckpt = os.path.join(run_dir, "ckpt")
+    if not os.path.isdir(inp):
+        os.makedirs(inp)
+        src_files = ([events_path] if os.path.isfile(events_path) else
+                     sorted(os.path.join(events_path, f)
+                            for f in os.listdir(events_path)
+                            if f.endswith(".parquet")))
+        for i, f in enumerate(src_files):
+            os.symlink(os.path.abspath(f),
+                       os.path.join(inp, f"{i:04d}_src.parquet"))
+        # sentinel ts: far past anything real (any fixed future date
+        # beyond the log works; derived from the source max would need
+        # a scan — the log's synthetic horizon is January 2024)
+        sch = pq.ParquetFile(src_files[0]).schema_arrow.remove_metadata()
+        ts_field = sch.field("ts").type
+        t1 = datetime.datetime(2100, 1, 1)
+        ts_val = (int(t1.timestamp() * 1e9) if pa.types.is_integer(ts_field)
+                  else t1)
+        pq.write_table(pa.table({
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array([ts_val, ts_val], ts_field),
+            "user_id": pa.array([-1, -2], pa.int64()),
+            "event_type": pa.array([left_type, right_type], pa.string()),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array([None, None], pa.string()),
+        }, schema=sch), os.path.join(inp, "zz_flush.parquet"))
+    left = read_log_stream(spark, inp).filter(
+        F.col("event_type") == left_type)
+    right = read_log_stream(spark, inp).filter(
+        F.col("event_type") == right_type)
+    j = interval_join_streams_outer(left, right, key=key, within=within,
+                                    watermark=watermark)
+    raw = j.select(F.col("l.event_id").alias("left_id"),
+                   F.col("r.event_id").alias("right_id"),
+                   F.col(f"l.{key}").alias(key),
+                   F.col("l.value").alias("left_value"))
+    # stateful-parallelism sizing, same rationale + lock discipline as
+    # run_available_now (8 state stores, not the batch shuffle width)
+    with _SHUFFLE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (raw.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt).outputMode("append")
+                 .trigger(availableNow=True).start())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.read.parquet(out).filter(F.col(key) >= 0)
 
 
 DOCUMENTS_SCHEMA = T.StructType([

@@ -1800,6 +1800,57 @@ def test_bpe_rank_priority_over_position(spark):
     assert r.n_bpe_tokens == 2
 
 
+def test_bpe_eow_distinguishes_word_final_merges(spark):
+    """The end-of-word marker (Sennrich §3.2): a word-FINAL merge
+    ('e','r</w>') applies only at word end, and a word-internal
+    ('e','r') no longer touches a word-final pair."""
+    df = spark.createDataFrame([(1, "er herder")],
+                               "doc_id long, text string")
+    # marked final merge: 'er' -> [er</w>] (1); 'herder' -> only the
+    # trailing pair merges: [h,e,r,d,er</w>] (5)
+    r = text.bpe_token_count(df, [("e", "r</w>")], "text", "doc_id",
+                             eow=True).collect()[0]
+    assert (r.n_words, r.n_bpe_tokens) == (2, 1 + 5)
+    # the same table WITHOUT eow never applies (no fused symbols):
+    # 'er' (2) + 'herder' (6)
+    r = text.bpe_token_count(df, [("e", "r</w>")], "text",
+                             "doc_id").collect()[0]
+    assert r.n_bpe_tokens == 2 + 6
+    # and an UNMARKED ('e','r') under eow merges only word-INTERNAL
+    # occurrences: 'er' -> [e, r</w>] (2); 'herder' -> [h,er,d,e,r</w>]
+    # (5) — the count a markerless table gets wrong (it would say 1+4)
+    r = text.bpe_token_count(df, [("e", "r")], "text", "doc_id",
+                             eow=True).collect()[0]
+    assert r.n_bpe_tokens == 2 + 5
+    r = text.bpe_token_count(df, [("e", "r")], "text",
+                             "doc_id").collect()[0]
+    assert r.n_bpe_tokens == 1 + 4
+
+
+def test_bpe_learn_eow_worked_example(spark):
+    """Sennrich worked example WITH the marker (subword-nmt fused
+    form): low×5 lower×2 newest×6 widest×3.  (e,s) and (s,t</w>) tie
+    at 9 -> lexicographic tiebreak picks (e,s); then (es,t</w>) 9;
+    then (l,o) 7; then the 6-tie (e,w)/(n,e)/(w,est</w>) -> (e,w).
+    Word-final merges now carry the fused marker — the distinction
+    the markerless table cannot learn."""
+    rows = ([(i, "low") for i in range(5)]
+            + [(10 + i, "lower") for i in range(2)]
+            + [(20 + i, "newest") for i in range(6)]
+            + [(30 + i, "widest") for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = text.bpe_learn(df, "text", num_merges=4, eow=True)
+    assert merges == [("e", "s"), ("es", "t</w>"), ("l", "o"),
+                      ("e", "w")]
+    # learned-table round trip: counting with the learned marked
+    # table under eow reproduces hand counts ('newest' -> n,e? after
+    # 4 merges: [n, ew, est</w>] = 3)
+    d2 = spark.createDataFrame([(1, "newest")], "doc_id long, text string")
+    r = text.bpe_token_count(d2, merges, "text", "doc_id",
+                             eow=True).collect()[0]
+    assert r.n_bpe_tokens == 3
+
+
 def test_mixed_language_report_flags_planted_mix(spark):
     en = "the cat is on the mat and the dog is in the house with all of them here now"
     de = "der hund ist nicht in das haus und der wagen ist auch nicht da aber sie sind hier"

@@ -758,6 +758,98 @@ def test_stream_interval_join_outer_contract(spark, engine, sf_dir):
     assert len(got_unmatched) > 0
 
 
+def test_interval_join_outer_flush_drain_equals_batch(spark, engine,
+                                                      sf_dir, tmp_path):
+    """The watermark-flush drain closes the tail caveat the contract
+    test above documents: with a far-future sentinel per side, the
+    drained parquet sink equals the batch LEFT JOIN row for row —
+    including every watermark-delayed NULL tail row — and a re-drain
+    of the same run_dir is an idempotent no-op."""
+    from nosql_join_stream_spark.streaming.log_stream import (
+        interval_join_outer_flush_drain)
+
+    run_dir = str(tmp_path / "ijo")
+    got_df = interval_join_outer_flush_drain(
+        spark, table_path(sf_dir, "events"), run_dir)
+    got = sorted((r.left_id, r.right_id) for r in got_df.collect())
+
+    ev = engine.table("events")
+    pb = ev.filter("event_type = 'purchase'").alias("p")
+    cb = ev.filter("event_type = 'click'").alias("c")
+    cond = ((F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c.ts") <= F.col("p.ts")))
+    exp = sorted((r.pid, r.cid) for r in
+                 pb.join(cb, cond, "left")
+                 .select(F.col("p.event_id").alias("pid"),
+                         F.col("c.event_id").alias("cid")).collect())
+    assert got == exp
+    assert any(cid is None for _, cid in got)  # the tail actually flushed
+    # idempotent re-drain: checkpoint sees zero new files
+    again = interval_join_outer_flush_drain(
+        spark, table_path(sf_dir, "events"), run_dir)
+    assert sorted((r.left_id, r.right_id) for r in again.collect()) == exp
+
+
+def test_interval_join_outer_postjoin_filter_suppresses_nulls(
+        spark, tmp_path):
+    """Pins the MEASURED Spark 4.1 hazard the flush drain designs
+    around: a post-join filter on a stream-stream LEFT OUTER join —
+    even one referencing only left-side columns that are never NULL —
+    suppresses the watermark-flush NULL emissions entirely.  If this
+    test ever fails with rows EMITTED, Spark fixed the behavior and
+    the drain's batch-side filtering can move back in-plan."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nosql_join_stream_spark.streaming.log_stream import (
+        interval_join_streams_outer, read_log_stream)
+
+    inp = str(tmp_path / "in")
+    import os
+    os.makedirs(inp)
+    sch = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string())])
+    base = datetime.datetime(2024, 1, 1)
+    pq.write_table(pa.table({
+        "event_id": [1, 2], "ts": [base, base],
+        "user_id": [1, 2], "event_type": ["purchase"] * 2,
+        "value": [1.0] * 2, "props": [None] * 2}, schema=sch),
+        os.path.join(inp, "0000.parquet"))
+    pq.write_table(pa.table({
+        "event_id": [-1, -2],
+        "ts": [base + datetime.timedelta(days=999)] * 2,
+        "user_id": [-1, -2], "event_type": ["purchase", "click"],
+        "value": [0.0] * 2, "props": [None] * 2}, schema=sch),
+        os.path.join(inp, "zz.parquet"))
+
+    def drain(postfilter: bool, name: str):
+        p = read_log_stream(spark, inp).filter("event_type = 'purchase'")
+        c = read_log_stream(spark, inp).filter("event_type = 'click'")
+        j = interval_join_streams_outer(p, c, key="user_id",
+                                        within="1 hour")
+        sel = j.select(F.col("l.event_id").alias("pid"),
+                       F.col("r.event_id").alias("cid"),
+                       F.col("l.user_id").alias("user_id"))
+        if postfilter:
+            sel = sel.filter(F.col("user_id") >= 0)
+        out = str(tmp_path / f"{name}_out")
+        q = (sel.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r.pid, r.cid)
+                for r in spark.read.parquet(out).collect()
+                if r.user_id >= 0}
+
+    assert drain(False, "clean") == {(1, None), (2, None)}
+    assert drain(True, "filtered") == set()  # the hazard, pinned
+
+
 def test_python_datasource_streams_with_filename_watermark(spark, tmp_path):
     """The pure-Python source's unbounded twin: filename-high-watermark
     offsets — first drain reads the existing file, a file appended
