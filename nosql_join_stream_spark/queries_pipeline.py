@@ -4171,6 +4171,54 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_keyed_lookup",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM r WHERE rn = 1 AND user_id IN (1, 5, 7, 11, 13)
+    """,
+    doc="POINT LOOKUPS on the keyed standing table "
+        "(sinks.keyed_lookup) — the distributed answer to the "
+        "reference's per-key N+1 find() (storage.scala:390-391): "
+        "each requested key hashes to exactly one __kb=N/ bucket "
+        "dir, the scan's PartitionFilters prune to the touched "
+        "buckets at planning time (plan-asserted in "
+        "tests/test_sinks_salted.py), the key equality pushes into "
+        "the parquet scan, and write-time sortWithinPartitions "
+        "means row-group stats skip within the bucket — a GET "
+        "costs O(|keys| x bucket size), never a table scan.  "
+        "Values equal the logical latest-per-key view restricted "
+        "to the requested keys.",
+)
+def cdc_keyed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark import sinks
+
+    e = _engine(spark, sf_dir)
+    ev = e.table("events").select("user_id", "ts", "event_id",
+                                  "event_type", "value")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"nsjs_cdclk_{os.getpid()}_{tag}")
+    if not sinks.keyed_table_exists(spark, path):
+        sinks.write_keyed(
+            sinks.latest_per_key(ev, "user_id", ["ts", "event_id"]),
+            path, "user_id", num_buckets=16)
+    return (sinks.keyed_lookup(spark, path, [1, 5, 7, 11, 13])
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_type"),
+                    F.col("value").alias("last_value")))
+
+
+@register(
     "dedup_substring_clean",
     """
     WITH toks AS (

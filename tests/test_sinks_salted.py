@@ -650,3 +650,92 @@ def test_snapshot_gc_spares_inflight_version_dirs(spark, tmp_path):
         f.write(b"pending")
     assert gc_keyed_snapshots(spark, path, keep_manifests=1) == 0
     assert os.path.isdir(inflight)
+
+
+def test_keyed_lookup_point_reads_prune_buckets(spark, tmp_path):
+    """keyed_lookup serves per-key GETs from the bucket layout: values
+    equal the full-table filter, the plan PRUNES to the keys' buckets
+    (PartitionFilters on __kb — planning-time, not per-row), empty key
+    list is an empty typed frame, missing table raises."""
+    import pytest
+
+    from nosql_join_stream_spark.sinks import (keyed_lookup, read_keyed,
+                                               write_keyed)
+
+    path = str(tmp_path / "kt")
+    df = spark.createDataFrame([(k, f"p{k}", k * 10.0)
+                                for k in range(200)],
+                               "k long, p string, v double")
+    write_keyed(df, path, "k", num_buckets=16)
+
+    got = {(r.k, r.p, r.v) for r in
+           keyed_lookup(spark, path, [3, 77, 150]).collect()}
+    assert got == {(3, "p3", 30.0), (77, "p77", 770.0),
+                   (150, "p150", 1500.0)}
+    # pruning: the executed scan carries a PartitionFilters entry on
+    # the bucket column, and the planned input is a strict subset of
+    # the table's files
+    q = keyed_lookup(spark, path, [3])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__kb" in plan
+    # ...and the filter names exactly key 3's bucket (inputFiles()
+    # reports the pre-pruning relation, so the literal in the plan is
+    # the observable pruning witness)
+    from nosql_join_stream_spark.sinks import _key_bucket
+    b3 = (spark.createDataFrame([(3,)], "k long")
+          .select(_key_bucket("k", 16).alias("b")).first().b)
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert f"({b3})" in pf or f" {b3}" in pf
+    # lookup of an absent key: no rows, not an error
+    assert keyed_lookup(spark, path, [10_000]).count() == 0
+    assert keyed_lookup(spark, path, []).columns == ["k", "p", "v"]
+    assert keyed_lookup(spark, path, []).count() == 0
+    with pytest.raises(ValueError, match="no keyed table"):
+        keyed_lookup(spark, path + "_nope", [1])
+    # values equal the unpruned read, restricted
+    full = {(r.k, r.p, r.v) for r in
+            read_keyed(spark, path)
+            .filter(F.col("k").isin([3, 77, 150])).collect()}
+    assert full == got
+
+
+def test_keyed_snapshot_lookup_time_travel_and_deletes(spark, tmp_path):
+    """Snapshot point lookups: a GET against the table as of any
+    committed version, at touched-bucket cost — including a key
+    whose bucket left the manifest entirely after deletes."""
+    from nosql_join_stream_spark.sinks import (keyed_snapshot_lookup,
+                                               upsert_keyed_snapshot,
+                                               write_keyed_snapshot)
+
+    path = str(tmp_path / "snap")
+    base = spark.createDataFrame([(k, 1, f"a{k}") for k in range(40)],
+                                 "k long, seq long, p string")
+    write_keyed_snapshot(base, path, "k", num_buckets=8)  # v1
+    upd = spark.createDataFrame([(7, 2, "UPDATED")],
+                                "k long, seq long, p string")
+    upsert_keyed_snapshot(spark, path, upd, "k", ["seq"])  # v2
+
+    assert [(r.k, r.p) for r in
+            keyed_snapshot_lookup(spark, path, [7]).collect()] \
+        == [(7, "UPDATED")]
+    assert [(r.k, r.p) for r in
+            keyed_snapshot_lookup(spark, path, [7],
+                                  version=1).collect()] \
+        == [(7, "a7")]
+    # delete k=7: latest lookup finds nothing, v2 still time-travels
+    rm = spark.createDataFrame([(7, 3, None, True)],
+                               "k long, seq long, p string, "
+                               "is_del boolean")
+    upsert_keyed_snapshot(spark, path, rm, "k", ["seq"],
+                          delete_col="is_del")  # v3
+    assert keyed_snapshot_lookup(spark, path, [7]).count() == 0
+    assert [(r.k, r.p) for r in
+            keyed_snapshot_lookup(spark, path, [7],
+                                  version=2).collect()] \
+        == [(7, "UPDATED")]
+    # untouched key reads identically at every version
+    for v in (1, 2, 3):
+        assert [(r.k, r.p) for r in
+                keyed_snapshot_lookup(spark, path, [11],
+                                      version=v).collect()] \
+            == [(11, "a11")]
