@@ -71,11 +71,21 @@ def payload_dedup(media: DataFrame, payload_col: str = "payload",
 
 
 def decode_image(payload: bytes) -> "object":
-    """STUB — real decode needs PIL/libvips, absent from this
-    container.  The Spark-side contract (bytes in, ndarray-like out)
-    is what matters; swap the body in a real deployment."""
-    raise NotImplementedError(
-        "image decode requires PIL/libvips; not available in this environment")
+    """Decode image bytes to a grayscale ndarray — REAL when PIL is
+    importable (lib-gated, the same conditional pattern as the
+    mongo/cassandra connector smokes), a clearly-marked stub
+    otherwise.  The Spark-side contract (bytes in, ndarray-like out)
+    is identical either way."""
+    try:
+        from PIL import Image
+    except ImportError:
+        raise NotImplementedError(
+            "image decode requires PIL/libvips; not available in this "
+            "environment") from None
+    import io
+
+    import numpy as np
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
 
 
 def _fake_luma(payload: bytes) -> float:
@@ -89,9 +99,11 @@ def extract_features(media: DataFrame, batch_decode: bool = False) -> DataFrame:
 
     ``mapInPandas``: one Python round-trip per Arrow batch (not per
     row), partition-preserving, schema-explicit.  With
-    ``batch_decode=True`` it calls the real decoder (stubbed here →
-    NotImplementedError), otherwise the deterministic fake, so the
-    plumbing is testable without codec libs.
+    ``batch_decode=True`` it decodes REAL pixels when PIL is
+    importable on the executors (lib-gated, exercised by a
+    conditional pytest that plants a genuine PNG) and raises the
+    clearly-marked stub otherwise; the default fake path keeps the
+    plumbing testable without codec libs.
     """
     # NOTE: the closure must be fully self-contained (no references to
     # module-level helpers): cloudpickle ships nested definitions by
@@ -103,9 +115,16 @@ def extract_features(media: DataFrame, batch_decode: bool = False) -> DataFrame:
         import numpy as _np
         import pandas as _pd
 
-        def _decode_stub(payload: bytes):
-            raise NotImplementedError(
-                "image decode requires PIL/libvips; not available here")
+        def _decode(payload: bytes):
+            try:
+                from PIL import Image
+            except ImportError:
+                raise NotImplementedError(
+                    "image decode requires PIL/libvips; not available "
+                    "here") from None
+            import io as _io
+            return _np.asarray(
+                Image.open(_io.BytesIO(payload)).convert("L"))
 
         def _luma(b: bytes) -> float:
             return float(sum(b)) / len(b) if b else 0.0
@@ -113,7 +132,7 @@ def extract_features(media: DataFrame, batch_decode: bool = False) -> DataFrame:
         for pdf in batches:
             payloads = pdf["payload"]
             if batch_decode:
-                decoded = payloads.map(_decode_stub)  # raises: stub
+                decoded = payloads.map(_decode)
                 luma = decoded.map(lambda a: float(a.mean()))
             else:
                 luma = payloads.map(_luma)
@@ -139,12 +158,15 @@ def resize_images(media: DataFrame, target_w: int = 128,
                   batch_decode: bool = False) -> DataFrame:
     """Resize plumbing: integer-stride downsample to ``target_w``.
 
-    Real deployments decode → interpolate → re-encode inside this same
-    mapInPandas stage (PIL absent here → ``batch_decode=True`` raises
-    the marked stub).  The fake path is still a REAL byte
-    transformation with deterministic, oracle-computable geometry:
-    stride = ceil(width / target_w); new dims = ceil(dim / stride);
-    payload' = payload[::stride] (so byte_len' = ceil(len / stride)).
+    With ``batch_decode=True`` and PIL importable on the executors,
+    this decodes → resizes → re-encodes REAL pixels inside the same
+    mapInPandas stage (lib-gated, same conditional pattern as the
+    connector smokes; a conditional pytest plants a genuine PNG);
+    PIL absent raises the marked stub.  Both branches share the SAME
+    geometry contract — stride = ceil(width / target_w); new dims =
+    ceil(dim / stride) — so the fake path's oracle holds for the real
+    one.  The fake path remains a REAL byte transformation
+    (payload' = payload[::stride], byte_len' = ceil(len / stride)).
     Partition-preserving, no shuffle.
     """
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,23 +174,36 @@ def resize_images(media: DataFrame, target_w: int = 128,
 
         import pandas as _pd
 
-        def _decode_stub(payload: bytes):
-            raise NotImplementedError(
-                "image resize requires PIL/libvips; not available here")
+        def _resize_real(payload: bytes, w: int, h: int) -> bytes:
+            try:
+                from PIL import Image
+            except ImportError:
+                raise NotImplementedError(
+                    "image resize requires PIL/libvips; not available "
+                    "here") from None
+            import io as _io
+            buf = _io.BytesIO()
+            (Image.open(_io.BytesIO(payload)).resize((w, h))
+             .save(buf, format="PNG"))
+            return buf.getvalue()
 
         for pdf in batches:
-            if batch_decode:
-                pdf["payload"].map(_decode_stub)
             stride = pdf["width"].map(
                 lambda w: max(1, _math.ceil(w / target_w)))
-            payload = [b[::s] for b, s in zip(pdf["payload"], stride)]
+            new_w = [_math.ceil(w / s)
+                     for w, s in zip(pdf["width"], stride)]
+            new_h = [_math.ceil(h / s)
+                     for h, s in zip(pdf["height"], stride)]
+            if batch_decode:
+                payload = [_resize_real(b, w, h) for b, w, h
+                           in zip(pdf["payload"], new_w, new_h)]
+            else:
+                payload = [b[::s] for b, s in zip(pdf["payload"], stride)]
             yield _pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
-                "width": [_math.ceil(w / s) for w, s
-                          in zip(pdf["width"], stride)],
-                "height": [_math.ceil(h / s) for h, s
-                           in zip(pdf["height"], stride)],
+                "width": new_w,
+                "height": new_h,
                 "payload": payload,
                 "byte_len": [len(b) for b in payload],
             })

@@ -116,11 +116,14 @@ def test_multimodal_sha256_and_stub(spark, sf_dir, engine):
     for r in feats:
         assert r.sha256 == hashlib.sha256(src[r.doc_id].encode()).hexdigest()
         assert r.byte_len == len(src[r.doc_id].encode())
-    # the real decoder is a marked stub in this container
-    with pytest.raises(Exception) as ei:
-        multimodal.extract_features(media, batch_decode=True).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError)
+    # without PIL the real decoder is a marked stub (with PIL the
+    # real branch is exercised by test_multimodal_real_codec_*)
+    import importlib.util
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(Exception) as ei:
+            multimodal.extract_features(media, batch_decode=True).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError)
 
 
 def test_fingerprint_known_value(spark):
@@ -195,11 +198,44 @@ def test_resize_stride_geometry_and_stub(spark, engine):
         assert (nw, nh) == (math.ceil(w / stride), math.ceil(h / stride))
         assert nlen == math.ceil(blen / stride) == len(payload)
         assert nw <= 128
+    import importlib.util
+
     import pytest
-    with pytest.raises(Exception) as ei:
-        multimodal.resize_images(media, batch_decode=True).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError)
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(Exception) as ei:
+            multimodal.resize_images(media, batch_decode=True).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError)
+
+
+def test_multimodal_real_codec_when_pil_available(spark):
+    """Executes the NON-stub branch of the codec seam when the
+    container ships PIL (hermetic skip otherwise — the same
+    conditional pattern as the jar-gated connector smokes): a
+    genuine planted PNG decodes to its real pixel mean, and the real
+    resize honors the stride geometry contract the fake path pins."""
+    import io
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    img = Image.new("L", (8, 6), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "image/png", 8, 6, 1)],
+        "doc_id long, payload binary, media_type string, "
+        "width int, height int, n_frames int")
+    feats = multimodal.extract_features(media, batch_decode=True).collect()
+    assert feats[0].mean_luma == 128.0  # real decoded pixels
+    out = multimodal.resize_images(media, target_w=4,
+                                   batch_decode=True).collect()[0]
+    assert (out.width, out.height) == (4, 3)  # stride 2: ceil(8/2),ceil(6/2)
+    roundtrip = Image.open(io.BytesIO(bytes(out.payload)))
+    assert roundtrip.size == (4, 3)  # re-encoded payload is a real PNG
+    # module-level decode contract
+    arr = multimodal.decode_image(bytes(buf.getvalue()))
+    assert arr.shape == (6, 8) and float(arr.mean()) == 128.0
 
 
 def test_chunk_payload_geometry_and_reassembly(spark):
