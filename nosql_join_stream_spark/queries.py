@@ -719,89 +719,51 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 # remaining queries keep their registration order and stay covered by
 # tools/check_correctness.py.
 _DRIVER_WINDOW = [
-    # reference parity: joins / predicates / streaming / log scan
-    # (join_outer_filtered / log_scan_offset / stream_windowed_counts
-    # rotated out in r5 — all green r1-r4; rotation history of earlier
-    # rounds lives in git, this comment tracks the CURRENT window.)
-    # (pred_surface and join_salted_skew rotated out in r6 — both
-    # green r1-r5; the predicate surface stays locally gated and the
-    # DSL compile path runs in every e.read query, the salted join
-    # keeps its pytest + property coverage and the join family keeps
-    # join_fk_inner — for the NEW real-BPE counter and the NEW
-    # CDC-delete merge, so new capability lands driver-verified in
-    # the round it ships.)
-    "join_fk_inner", "dedup_substring_spans", "cdc_upsert_deletes",
-    "text_bpe_subword_count", "cdc_upsert_latest", "stream_quality_ewma",
-    # Round-6 rotation (r5 scoreboard was 50/50 green; every swapped-
-    # OUT slot below is multi-round driver-green AND re-verified by the
-    # local gate each round).  Rotated OUT in r6:
-    #   stream_static_enrich, stream_interval_join,
-    #   stream_sessionize_stateful (stream family keeps SIX in-window
-    #   reps: quality_ewma, cdc_upsert, ann_probe,
-    #   minhash_dedup_ingest, incremental_dedup, token_budget),
-    #   dedup_simhash, dedup_resolve_keep_best, pipeline_split_safe,
-    #   sample_token_budget, cluster_assign_kmeans, embedding_quantize,
-    #   agg_approx_percentiles, data_quality_report,
-    #   pipeline_materialize_training, text_quality,
-    #   doc_pack_sequences, multimodal_patch_grid.
-    # Rotated IN: the new retraction probe (new capability lands
-    # driver-verified in the round it ships) + never-driver-verified
-    # family reps from the r6 shortlist — the events analytics family
-    # (zero driver rows), as-of join, snapshot CDC, incremental
-    # resolve, and one rep each for text/multimodal/embedding/sampling
-    # subfamilies with no driver history.
-    "dedup_index_delete_probe", "cdc_upsert_snapshot",
-    "dedup_resolve_incremental", "asof_join_nearest",
-    "events_coactivity_range_join", "events_cohort_retention",
-    "events_rate_spikes",
-    "text_bigram_logprob", "dedup_edit_distance", "dedup_incremental_minhash",
-    "dedup_embedding_cosine", "pipeline_split_leakage", "ann_ivf_filtered",
-    "ann_ivf_topk", "sketch_vocab_cardinality", "retrieval_mmr_diversified",
-    "text_normalize", "text_langid",
-    "multimodal_resize", "multimodal_frame_sample",
-    "embedding_dim_stats", "embedding_label_centroids",
-    "sample_global_shuffle", "sample_temperature_weights",
-    "sample_weighted_reservoir",
-    "multimodal_payload_dedup",
-    "variant_schemaless_decode",
-    # (dedup_incremental_batch rotated out late in r6 — multi-round
-    # green, the incremental-dedup family keeps dedup_incremental_
-    # minhash + dedup_index_delete_probe in-window — for the NEW
-    # pure-Python-connector scan, so the zero-jar DataSource path
-    # lands driver-verified in the round it ships.)
-    "text_sentences_udtf", "stream_ann_probe", "stream_minhash_dedup_ingest",
-    "pyds_document_scan",
-    "dedup_resolve_keep_best_minhash",
-    "stream_cdc_upsert",
-    "pipeline_clean_corpus_minhash",
-    "ann_ivf_partitioned", "ann_ivf_append_probe",
-    "ann_ivfpq_topk", "embedding_pq_codes",
-    "stream_incremental_dedup", "stream_token_budget",
-    "text_redact_pii", "sample_cap_per_group",
-    "events_time_rollup",
-    "dedup_semantic_clusters",
-]
-
-
-# Round-7 rotation shortlist — the queries still without a driver
-# CORRECTNESS row after r6's window rotated 15 never-verified reps in
-# (all full local oracles; verification debt, not suspected
-# wrongness).
-_ROTATION_SHORTLIST_R7 = [
-    "doc_pack_sequences_bpe",  # new in r6 (sibling text_bpe_subword_count
-                               # holds the family's r6 window slot)
-    "asof_join_backward",      # new in r6 (sibling asof_join_nearest holds
-                               # the family's r6 slot and exercises the
-                               # same asof_join operator)
-    "multimodal_incremental_chunks",  # new in r6 (media standing index;
-                               # lifecycle pytest + local oracle green)
-    "stream_session_window",   # new in r6 (native session_window op;
-                               # six stream_* slots already in-window)
-    "doc_pack_nosplit",        # new in r6 (no-split packing mode;
-                               # pack family repped by the BPE form)
-    "table_profile_drift",     # new in r6 (profile drift detector)
-    "dedup_incremental_batch", # rotated out of the window late in r6
-                               # (multi-round green; family covered)
+    # Round-7 rotation — the DEBT-CLEARING round.  r6 left exactly 45
+    # registry queries without a driver CORRECTNESS row (pure window-
+    # rotation debt: all 45 passed the full local gate in r6 and were
+    # re-verified this round); this window swaps ALL 45 in at once,
+    # so after a green r7 every pre-r7 query in the registry holds at
+    # least one driver row.  Every slot rotated OUT is driver-green in
+    # r6 (most also r1-r5) AND re-verified by the local gate each
+    # round; rotation history of earlier rounds lives in git and in
+    # the CORRECTNESS_r{N}.json files.
+    # Rotated OUT in r7: dedup_substring_spans, cdc_upsert_deletes,
+    #   text_bpe_subword_count, cdc_upsert_latest, stream_quality_ewma,
+    #   dedup_index_delete_probe, cdc_upsert_snapshot,
+    #   dedup_resolve_incremental, asof_join_nearest,
+    #   events_coactivity_range_join, events_cohort_retention,
+    #   events_rate_spikes, text_bigram_logprob, dedup_edit_distance,
+    #   dedup_incremental_minhash, dedup_embedding_cosine,
+    #   pipeline_split_leakage, ann_ivf_filtered, ann_ivf_topk,
+    #   sketch_vocab_cardinality, retrieval_mmr_diversified,
+    #   text_normalize, text_langid, multimodal_resize,
+    #   multimodal_frame_sample, embedding_dim_stats,
+    #   embedding_label_centroids, sample_global_shuffle,
+    #   sample_temperature_weights, sample_weighted_reservoir,
+    #   multimodal_payload_dedup, variant_schemaless_decode,
+    #   text_sentences_udtf, stream_ann_probe,
+    #   stream_minhash_dedup_ingest, dedup_resolve_keep_best_minhash,
+    #   stream_cdc_upsert, pipeline_clean_corpus_minhash,
+    #   ann_ivf_partitioned, ann_ivf_append_probe, ann_ivfpq_topk,
+    #   embedding_pq_codes, stream_incremental_dedup,
+    #   stream_token_budget, text_redact_pii, sample_cap_per_group,
+    #   events_time_rollup, dedup_semantic_clusters.
+    # KEPT: join_fk_inner (reference flagship, the entry() query).
+    # (pyds_document_scan rotated out — r6-green; the connector
+    # family's in-window rep is the new pushdown query, which runs
+    # the same scan path plus filter/file-skip/projection.)
+    "join_fk_inner",
+    # NEW in r7 (new capability lands driver-verified in the round it
+    # ships): connector pushdown, marked BPE, the outer interval-join
+    # full oracle, keyed point lookups.
+    "pyds_document_filter", "text_bpe_subword_count_eow",
+    "stream_interval_join_outer", "cdc_keyed_lookup",
+    # The 45 never-driver-verified, all rotated in (r6 shortlist
+    # priority reps first).
+    "doc_pack_sequences_bpe", "asof_join_backward",
+    "multimodal_incremental_chunks", "stream_session_window",
+    "doc_pack_nosplit", "table_profile_drift",
     "text_collocations_pmi", "text_boilerplate_ratio",
     "text_chunk_sliding", "text_nb_quality_llr", "text_mixed_language",
     "multimodal_embed_stub", "multimodal_chunk_jaccard",
@@ -810,7 +772,22 @@ _ROTATION_SHORTLIST_R7 = [
     "dedup_substring_clean", "dedup_substring_spans_incremental",
     "dedup_component_sizes", "events_session_sequences",
     "events_resample_ffill", "sample_interleave_sources",
+    "events_session_assign", "train_test_split", "token_freq_topk",
+    "text_metrics", "embedding_centroid_drift", "source_vocab_overlap",
+    "token_zipf_fit", "text_token_entropy", "dedup_ngram_coverage",
+    "retrieval_phrase_search", "text_unigram_logprob",
+    "quality_decile_buckets", "contamination_rate_by_source",
+    "multimodal_audio_chunks", "corpus_source_kl",
+    "text_repetition_ratio", "dedup_head_grams", "text_token_count_bpe",
+    "embedding_norm_outliers", "doc_pack_sequences_text",
 ]
+
+
+# Post-r7 rotation state: if r7's window comes back green, every
+# pre-r7 registry query holds at least one driver CORRECTNESS row and
+# the r8 window is free to re-verify high-value families plus
+# whatever r8 ships.  (dedup_incremental_batch, rotated out late in
+# r6, is multi-round green r1-r6-window and stays locally gated.)
 
 
 def _apply_driver_window() -> None:
