@@ -45,6 +45,18 @@ def main():
         qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(min(cold, time.perf_counter() - t0), 4)
 
+    # LOADED pass (scale-probe r22 protocol): one more run of every
+    # query AFTER the whole registry has executed, when JIT/codegen
+    # warm-up is at its deepest (~17% faster than the interleaved warm
+    # runs, measured).  Cross-round deltas in `queries` mix plan
+    # changes with warm-up depth; `queries_loaded` separates them by
+    # construction — compare THESE numbers round over round.
+    loaded: dict[str, float] = {}
+    for name, qd in REGISTRY.items():
+        t0 = time.perf_counter()
+        qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        loaded[name] = round(time.perf_counter() - t0, 4)
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     groups: dict[str, float] = {}
@@ -65,8 +77,10 @@ def main():
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "queries_loaded": loaded,
         "sf": sf,
         "cold_total": round(cold_total, 4),
+        "loaded_total": round(sum(loaded.values()), 4),
         "groups": groups,
         "n_queries": len(timings),
     }
@@ -84,8 +98,10 @@ def main():
         "unit": "sec",
         "queries": slowest,
         "queries_truncated_to_slowest": 10,
+        "queries_loaded": {n: loaded[n] for n in slowest},
         "sf": sf,
         "cold_total": out["cold_total"],
+        "loaded_total": out["loaded_total"],
         "groups": groups,
         "n_queries": len(timings),
     }

@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds
 """
 
 from __future__ import annotations
@@ -696,6 +696,57 @@ def main() -> None:
             results["semdedup_rows"] = similarity.semantic_dedup(
                 ee, k=8 * factor, threshold=0.4).count()
             results["semdedup_s"] = round(time.perf_counter() - t0, 2)
+
+        if "pyds" in OPS:
+            # the pure-Python json_docs connector at scale: the file
+            # count grows with the corpus (8 per factor-copy,
+            # range-partitioned on doc_id so sidecar min/max are
+            # disjoint), measuring (a) the full batch scan, (b) a
+            # selective pushdown scan (row skip + sidecar file skip +
+            # column pruning), (c) an unbounded drain of the whole
+            # collection through the streaming twin
+            import glob as _glob
+
+            from nosql_join_stream_spark.pydocsource import (
+                register_json_docs, write_docs_stats)
+            register_json_docs(spark)
+            pdir = f"/tmp/scale_pyds_{factor}x"
+            if not _glob.glob(os.path.join(pdir, "*.jsonl")):
+                (dd.repartitionByRange(8 * factor, "doc_id")
+                 .select(F.to_json(F.struct("doc_id", "source", "lang",
+                                            "text", "n_chars")).alias("j"))
+                 .write.mode("overwrite").text(pdir))
+                parts = sorted(_glob.glob(os.path.join(pdir, "part-*")))
+                for i, f in enumerate(parts):
+                    os.rename(f, os.path.join(pdir, f"{i:05d}.jsonl"))
+                write_docs_stats(pdir)
+            n_files = len(_glob.glob(os.path.join(pdir, "*.jsonl")))
+            t0 = time.perf_counter()
+            full = (spark.read.format("json_docs")
+                    .option("path", pdir).load())
+            results["pyds_scan_rows"] = full.count()
+            results["pyds_scan_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            sel = (spark.read.format("json_docs").option("path", pdir)
+                   .option("columns", "doc_id,lang").load()
+                   .filter("doc_id >= 100 AND doc_id < 2000 "
+                           "AND lang = 'en'"))
+            results["pyds_sel_rows"] = sel.count()
+            results["pyds_sel_files"] = (
+                f"{sel.rdd.getNumPartitions()}/{n_files}")
+            results["pyds_sel_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            stream = (spark.readStream.format("json_docs")
+                      .option("path", pdir).load())
+            qn = f"probe_pyds_{factor}"
+            q = (stream.groupBy("lang").count()
+                 .writeStream.format("memory").queryName(qn)
+                 .outputMode("complete")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            results["pyds_stream_rows"] = int(
+                spark.table(qn).agg(F.sum("count")).first()[0])
+            results["pyds_stream_s"] = round(time.perf_counter() - t0, 2)
 
         print(f"factor={factor:3d} docs={n_docs * factor:7d} {results}",
               flush=True)
