@@ -45,7 +45,25 @@ document collection:
   particular a scan that does not request ``props`` never pays the
   rest-of-document JSON re-serialization.  Spark's Python DS API has
   no automatic required-columns hook yet, so this is an explicit
-  reader option rather than a Catalyst-driven one.
+  reader option rather than a Catalyst-driven one;
+- **sort/skip/limit pushdown by contract** (``sort``/``skip``/
+  ``limit`` options — the rest of the reference's server-side query
+  shape, ``find(q).sort(s).skip(n).limit(m)``,
+  storage.scala:597-602): with a sort column and a limit, each file's
+  cursor emits only its LOCAL top ``skip+limit`` rows under the
+  deterministic order (sort column, then ``doc_id`` as tiebreak;
+  NULLS FIRST ascending / NULLS LAST descending, Spark's defaults),
+  so a top-40 over a million-document file ships 40 rows, not a
+  million; with the stats sidecar, files that provably cannot reach
+  the global top — at least ``skip+limit`` rows live in files whose
+  sort-column range lies STRICTLY before theirs — are never planned
+  at all (limit-based file pruning; applied only when no row-dropping
+  filter is pushed, since filters make preceding-row counts
+  unprovable).  The source emits a superset of the answer (per-file
+  tops); :func:`read_docs_topk` composes the reader options with the
+  Spark-side global merge (orderBy + offset + limit over at most
+  ``files × (skip+limit)`` rows) — the same split a Mongo driver
+  performs when it merge-sorts per-shard cursors.
 
 Registration is per-session (``register_json_docs(spark)``), then
 ``spark.read.format("json_docs").option("path", dir)`` or
@@ -213,6 +231,60 @@ def write_docs_stats(path: str) -> dict:
     return out
 
 
+def _parse_sort_options(options):
+    """Parse ``sort`` ("col" / "col asc" / "col desc"), ``skip`` and
+    ``limit`` reader options.  Returns (col, ascending, skip, limit)
+    with col=None when no sort was requested."""
+    sort_opt = options.get("sort")
+    skip = int(options.get("skip", 0))
+    limit = options.get("limit")
+    limit = int(limit) if limit is not None else None
+    if skip < 0:
+        raise ValueError("json_docs: skip must be >= 0")
+    if limit is not None and limit < 0:
+        raise ValueError("json_docs: limit must be >= 0")
+    if not sort_opt:
+        if skip:
+            raise ValueError("json_docs: skip requires a sort option "
+                             "(a skip without an order is undefined)")
+        return None, True, skip, limit
+    parts = sort_opt.strip().split()
+    if len(parts) not in (1, 2) or (
+            len(parts) == 2 and parts[1].lower() not in ("asc", "desc")):
+        raise ValueError(
+            f"json_docs: bad sort option {sort_opt!r}; expected "
+            "'<col>', '<col> asc' or '<col> desc'")
+    col = parts[0]
+    if col not in _TOP:
+        raise ValueError(
+            f"json_docs: sort column {col!r} not in {_TOP}")
+    ascending = len(parts) == 1 or parts[1].lower() == "asc"
+    return col, ascending, skip, limit
+
+
+def _sort_doc_key(doc: dict, col: str):
+    """Deterministic per-document order key matching the Spark-side
+    finish (sort col with Spark default null placement, doc_id asc
+    tiebreak).  Two-level tuples keep None comparable: the flag
+    decides the null group, the value only compares within it."""
+    v = _doc_value(doc, col)
+    did = _doc_value(doc, "doc_id")
+    return ((v is not None, v if v is not None else 0),
+            (did is not None, did if did is not None else 0))
+
+
+def _local_topk_pairs(rows_with_keys, ascending: bool, k: int):
+    """Top-``k`` (row, key) pairs of one file under the deterministic
+    order.  Two stable sorts: tiebreak (doc_id asc) first, then the
+    sort column — ``reverse`` for descending flips ONLY the main key
+    (stable sort keeps equal-key rows in doc_id-asc order) and, with
+    the not-null flag leading the key, lands nulls FIRST ascending /
+    LAST descending, Spark's defaults."""
+    rows_with_keys.sort(key=lambda rk: rk[1][1])
+    rows_with_keys.sort(key=lambda rk: rk[1][0], reverse=not ascending)
+    return rows_with_keys[:k]
+
+
 def _parse_columns_option(options) -> list[str]:
     cols_opt = options.get("columns")
     if not cols_opt:
@@ -232,6 +304,8 @@ class JsonDocsReader(DataSourceReader):
             raise ValueError(
                 "json_docs requires .option('path', <dir or file>)")
         self.columns = _parse_columns_option(options)
+        (self.sort_col, self.ascending,
+         self.skip, self.limit) = _parse_sort_options(options)
         self.pushed: list = []
 
     def pushFilters(self, filters):
@@ -265,8 +339,46 @@ class JsonDocsReader(DataSourceReader):
             files = [f for f in files
                      if all(_file_may_match(p, stats.get(f, {}))
                             for p in self.pushed)]
+        files = self._prune_by_limit(files, stats)
         return [_FilePartition(os.path.join(self.path, f))
                 for f in files]
+
+    def _prune_by_limit(self, files, stats):
+        """Limit-based file pruning: drop file F when at least
+        ``skip+limit`` rows live in files whose sort-column range
+        lies STRICTLY before F's — those rows beat every row of F
+        under any tiebreak, so F cannot reach the global top.  Only
+        sound when no pushed filter drops rows (a filter makes the
+        preceding-row counts unprovable) and every preceding file is
+        null-free on the sort column (ascending: an unknown null
+        count can't prove precedence under NULLS LAST... conversely a
+        candidate file that may HOLD nulls sorts some rows first
+        ascending, so it is never pruned)."""
+        if (stats is None or self.pushed or self.limit is None
+                or self.sort_col not in _STATS_COLS):
+            return files
+        k = self.skip + self.limit
+        kept = []
+        for f in files:
+            s = (stats.get(f) or {}).get(self.sort_col) or {}
+            lo, hi = s.get("min"), s.get("max")
+            if lo is None or hi is None or s.get("has_null", True):
+                kept.append(f)  # unknown range / may hold nulls:
+                continue        # nulls sort first asc, keep the file
+            preceding = 0
+            for g in files:
+                if g == f:
+                    continue
+                gs = (stats.get(g) or {}).get(self.sort_col) or {}
+                glo, ghi = gs.get("min"), gs.get("max")
+                if glo is None or ghi is None or gs.get(
+                        "has_null", True):
+                    continue  # can't prove this file precedes
+                if (ghi < lo) if self.ascending else (glo > hi):
+                    preceding += int((stats.get(g) or {}).get("n", 0))
+            if preceding < k:
+                kept.append(f)
+        return kept
 
     def read(self, partition):
         # per-partition cursor scan, executed ON THE EXECUTOR — the
@@ -274,6 +386,9 @@ class JsonDocsReader(DataSourceReader):
         # non-matching docs BEFORE any output assembly (in particular
         # before the props JSON re-serialization)
         cols, pushed = self.columns, self.pushed
+        sort_col, limit = self.sort_col, self.limit
+        k = (self.skip + limit) if limit is not None else None
+        kept: list = []  # (row, key) when truncating to a local top-k
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -285,13 +400,32 @@ class JsonDocsReader(DataSourceReader):
                 row = []
                 for c in cols:
                     if c == "props":
-                        rest = {k: v for k, v in doc.items()
-                                if k not in _TOP}
+                        rest = {k2: v for k2, v in doc.items()
+                                if k2 not in _TOP}
                         row.append(json.dumps(rest, sort_keys=True)
                                    if rest else None)
                     else:
                         row.append(_doc_value(doc, c))
-                yield tuple(row)
+                if k is None:
+                    yield tuple(row)
+                elif sort_col is None:
+                    # limit without sort: ANY k rows satisfy the
+                    # contract — stop the cursor at k (early exit)
+                    yield tuple(row)
+                    k -= 1
+                    if k <= 0:
+                        return
+                else:
+                    kept.append((tuple(row),
+                                 _sort_doc_key(doc, sort_col)))
+                    if len(kept) >= 2 * k:
+                        # bound the cursor's memory at O(k): compact
+                        # to the running top-k (amortized O(n log k))
+                        kept = _local_topk_pairs(
+                            kept, self.ascending, k)
+        if k is not None and sort_col is not None:
+            yield from (r for r, _ in
+                        _local_topk_pairs(kept, self.ascending, k))
 
 
 def _read_jsonl(path: str):
@@ -392,6 +526,44 @@ class JsonDocsDataSource(DataSource):
 
     def streamReader(self, schema):
         return JsonDocsStreamReader(self.options)
+
+
+def read_docs_topk(spark, path: str, order_by: str, limit: int,
+                   skip: int = 0, ascending: bool = True,
+                   columns: str | None = None):
+    """The complete reference query shape against the Python
+    document source — ``find(q).sort(s).skip(n).limit(m)``
+    (storage.scala:597-602) — as pushdown + global merge: the reader
+    options push the order/limit into the source (per-file top
+    ``skip+limit`` cursors, limit-based file pruning against the
+    stats sidecar), and the Spark-side ``orderBy + offset + limit``
+    merges at most ``files × (skip+limit)`` survivors — the same
+    split a document-store driver performs when it merge-sorts
+    per-shard cursors.  Determinism: ``doc_id`` ascending breaks
+    ties both source-side and here, so the returned SET is stable
+    under any partitioning (the contract an oracle can value-check).
+
+    ``columns`` (optional projection) must retain ``order_by`` and
+    ``doc_id`` — the merge needs both."""
+    from pyspark.sql import functions as F
+
+    register_json_docs(spark)
+    if columns is not None:
+        have = [c.strip() for c in columns.split(",")]
+        need = {order_by, "doc_id"} - set(have)
+        if need:
+            raise ValueError(
+                f"read_docs_topk: columns must include {sorted(need)} "
+                "(sort key + tiebreak)")
+    r = (spark.read.format(FORMAT_NAME).option("path", path)
+         .option("sort", f"{order_by} {'asc' if ascending else 'desc'}")
+         .option("skip", str(skip)).option("limit", str(limit)))
+    if columns is not None:
+        r = r.option("columns", columns)
+    key = (F.col(order_by).asc_nulls_first() if ascending
+           else F.col(order_by).desc_nulls_last())
+    return (r.load().orderBy(key, F.col("doc_id").asc())
+            .offset(skip).limit(limit))
 
 
 def register_json_docs(spark) -> None:

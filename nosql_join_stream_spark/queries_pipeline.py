@@ -4813,10 +4813,14 @@ def _pyds_collection_dir(e, spark: SparkSession, sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(),
                      f"nsjs_pyds_{os.getpid()}_{tag}")
     if not glob.glob(os.path.join(d, "*.jsonl")):  # once per process
+        # range layout on doc_id (a store's natural chunk split): the
+        # sidecar's per-file min/max become disjoint, so doc_id range
+        # predicates AND limit-pruned top-k scans skip whole files
         (e.table("documents")
          .select(F.to_json(F.struct("doc_id", "source", "lang",
                                     "text", "n_chars")).alias("j"))
-         .repartition(4).write.mode("overwrite").text(d))
+         .repartitionByRange(4, F.col("j"))
+         .write.mode("overwrite").text(d))
         for i, f in enumerate(sorted(glob.glob(os.path.join(d, "part-*")))):
             os.rename(f, os.path.join(d, f"{i:04d}.jsonl"))
         write_docs_stats(d)
