@@ -443,10 +443,39 @@ def dedup_index_delete(ids: DataFrame, db: str, id_col: str = "id") -> int:
     return out.count()
 
 
+def _recover_tombstone_swap(spark, db: str) -> None:
+    """Repair an interrupted ``_clear_tombstones_for_ids`` swap before
+    reading or rewriting the tombstone set.  The swap is a two-step
+    rename (tombstones→tombstones_old, staging→tombstones), so a crash
+    can leave two observable states, both repaired here:
+
+    * ``tombstones`` ABSENT + ``tombstones_old`` present (crash between
+      the renames): rename the old set back.  That set is a SUPERSET of
+      the staged survivors, so recovery errs toward keeping tombstones —
+      a purged/PII-deleted doc can never be resurrected by the crash;
+      the ids the interrupted clear meant to re-admit are simply cleared
+      again when their append is retried.
+    * both present (crash after the second rename, before the cleanup
+      DROP): the swap committed; drop the stale ``tombstones_old`` so
+      the next swap's rename doesn't fail with 'table already exists'.
+    """
+    old_exists = spark.catalog.tableExists(f"{db}.tombstones_old")
+    if not old_exists:
+        return
+    if spark.catalog.tableExists(f"{db}.tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.tombstones_old")
+    else:
+        spark.sql(
+            f"ALTER TABLE {db}.tombstones_old RENAME TO {db}.tombstones")
+
+
 def _dedup_tombstones(spark, db: str) -> DataFrame | None:
     """The index's outstanding tombstones (distinct), or None — the
     absence of the table is the steady-state fast path: probes on an
-    index with no outstanding deletes pay nothing."""
+    index with no outstanding deletes pay nothing.  Runs crash
+    recovery first so a swap interrupted mid-rename is never misread
+    as 'no tombstones' (which would resurrect purged docs)."""
+    _recover_tombstone_swap(spark, db)
     if spark.catalog.tableExists(f"{db}.tombstones"):
         return spark.table(f"{db}.tombstones").distinct()
     return None
@@ -477,17 +506,21 @@ def _clear_tombstones_for_ids(batch_ids: DataFrame, db: str) -> None:
     the batch's ids.  Survivors are STAGED to a side table first and
     swapped in with catalog renames (the ``dedup_index_compact``
     pattern), so (a) the rewrite never reads files it is replacing,
-    (b) the tombstone set is never transiently absent — a crash
-    between stages leaves either the old or the new complete table
-    visible, never none (a transient drop would silently resurrect
-    taken-down/PII-purged docs in every later probe of the standing
-    index), and (c) the survivors never pass through the driver: the
-    anti-join writes distributively, so a mass purge (a tombstone set
-    of millions) costs one anti-join + write instead of a driver-side
-    collect.  An emptied table is dropped
+    and (b) the survivors never pass through the driver: the anti-join
+    writes distributively, so a mass purge (a tombstone set of
+    millions) costs one anti-join + write instead of a driver-side
+    collect.  The two-step rename does leave a crash window where
+    ``tombstones`` is transiently absent; that window is closed on the
+    READ side — ``_dedup_tombstones`` and this function both run
+    ``_recover_tombstone_swap`` first, which restores the old
+    (superset) table when only ``tombstones_old`` survives and drops a
+    stale ``tombstones_old`` when the swap committed, so probes never
+    misread the mid-swap state as 'no tombstones' and later swaps
+    never trip over the leftover.  An emptied table is dropped
     entirely, restoring the fast path.  Mirrors
     ``similarity._clear_tombstones_for``."""
     spark = batch_ids.sparkSession
+    _recover_tombstone_swap(spark, db)
     if not spark.catalog.tableExists(f"{db}.tombstones"):
         return
     tombs = spark.table(f"{db}.tombstones").distinct()

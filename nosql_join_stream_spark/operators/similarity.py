@@ -927,9 +927,12 @@ def _apply_tombstones(index: DataFrame, location: str) -> DataFrame:
     exists — broadcast, so the probe plan gains one map-side filter.
     The dir's absence is the steady-state fast path: append/rebuild
     delete it when the last tombstone is cleared, so a probe on an
-    index with no outstanding deletes pays nothing here."""
+    index with no outstanding deletes pays nothing here.  Runs swap
+    crash recovery first so a ``_clear_tombstones_for`` interrupted
+    mid-rename is never misread as 'no tombstones'."""
     import os
 
+    _recover_tombstone_swap_dir(location)
     tomb_path = os.path.join(location, "tombstones.parquet")
     if not os.path.isdir(tomb_path):
         return index
@@ -938,22 +941,48 @@ def _apply_tombstones(index: DataFrame, location: str) -> DataFrame:
     return index.join(F.broadcast(tombs), "__cid", "left_anti")
 
 
+def _recover_tombstone_swap_dir(location: str) -> None:
+    """Repair an interrupted ``_clear_tombstones_for`` swap.  A crash
+    between the two renames leaves ``tombstones.parquet`` absent with
+    ``tombstones_old.parquet`` present: rename the old (SUPERSET) dir
+    back, so recovery errs toward keeping tombstones and a purged doc
+    can never be resurrected by the crash.  A crash after the second
+    rename leaves a stale ``tombstones_old.parquet`` beside the
+    committed set: remove it so the next swap starts clean.  Directory
+    mirror of ``dedup._recover_tombstone_swap``."""
+    import os
+    import shutil
+
+    old = os.path.join(location, "tombstones_old.parquet")
+    if not os.path.isdir(old):
+        return
+    tomb_path = os.path.join(location, "tombstones.parquet")
+    if os.path.isdir(tomb_path):
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(old, tomb_path)
+
+
 def _clear_tombstones_for(ids: DataFrame, location: str) -> None:
     """Rewrite the tombstone table minus ``ids`` — a deleted id that
     is later legitimately re-ingested via append must become
     probe-visible again without a full rebuild.  Survivors are STAGED
     to a sibling dir and swapped in with directory renames (atomic on
     a posix filesystem; object stores get either the old or the new
-    complete dir), so the tombstone set is never transiently absent —
-    a crash mid-swap must not silently resurrect taken-down docs in
-    later probes — and the survivors never pass through the driver:
+    complete dir), and the survivors never pass through the driver:
     the anti-join writes distributively, so a mass purge costs one
-    broadcast anti-join + write, not a driver collect.  An emptied
-    table is removed entirely, restoring the probe's no-tombstone
-    fast path."""
+    broadcast anti-join + write, not a driver collect.  The two-step
+    rename leaves a crash window where the tombstone dir is transiently
+    absent; it is closed on the READ side — this function and
+    ``_apply_tombstones`` both run ``_recover_tombstone_swap_dir``
+    first, restoring the old (superset) dir when only it survives, so
+    the mid-swap state is never misread as 'no tombstones'.  An
+    emptied table is removed entirely, restoring the probe's
+    no-tombstone fast path."""
     import os
     import shutil
 
+    _recover_tombstone_swap_dir(location)
     tomb_path = os.path.join(location, "tombstones.parquet")
     if not os.path.isdir(tomb_path):
         return

@@ -173,8 +173,14 @@ def _file_may_match(f, stats: dict) -> bool:
         return bool(s.get("has_null", True))
     if isinstance(f, IsNotNull):
         return lo is not None  # min present iff any non-null value
+    if isinstance(f, EqualNullSafe) and f.value is None:
+        # col <=> NULL MATCHES null rows (unlike every other
+        # comparison), so file-level pruning must agree with
+        # _eval_filter: the file may match iff it contains nulls
+        return bool(s.get("has_null", True))
     if lo is None or hi is None:
         # all-null file: no comparison/IN/LIKE can be True there
+        # (the <=> NULL case already returned above)
         return False
     if isinstance(f, (EqualTo, EqualNullSafe)):
         return f.value is not None and lo <= f.value <= hi
@@ -428,18 +434,27 @@ class JsonDocsReader(DataSourceReader):
                         _local_topk_pairs(kept, self.ascending, k))
 
 
-def _read_jsonl(path: str):
+def _read_jsonl(path: str, cols=None):
+    """Per-file cursor yielding tuples in ``cols`` order (default: the
+    full declared schema) — the stream reader shares it, so a
+    ``columns``-narrowed schema and the emitted row arity always agree
+    (r7-ADVICE: the stream used to emit full 5-tuples regardless)."""
+    cols = list(_ALL_COLS) if cols is None else cols
     with open(path, encoding="utf-8") as fh:
         for line in fh:
             line = line.strip()
             if not line:
                 continue
             doc = json.loads(line)
-            rest = {k: v for k, v in doc.items() if k not in _TOP}
-            did = doc.get("doc_id")
-            yield (int(did) if did is not None else None,
-                   doc.get("source"), doc.get("lang"), doc.get("text"),
-                   json.dumps(rest, sort_keys=True) if rest else None)
+            row = []
+            for c in cols:
+                if c == "props":
+                    rest = {k: v for k, v in doc.items() if k not in _TOP}
+                    row.append(json.dumps(rest, sort_keys=True)
+                               if rest else None)
+                else:
+                    row.append(_doc_value(doc, c))
+            yield tuple(row)
 
 
 class JsonDocsStreamReader(DataSourceStreamReader):
@@ -464,16 +479,48 @@ class JsonDocsStreamReader(DataSourceStreamReader):
     otherwise be silently unread forever — so ``latestOffset``
     tracks the filenames it has already watermarked past and RAISES
     on a late-arriving below-watermark name instead of losing data
-    silently.  (Driver-side detection state; a restart re-arms it
-    from the restored offset.)"""
+    silently.
+
+    The detection state is driver-memory by default, which bounds the
+    guarantee (r7-ADVICE): after a query RESTART the in-memory state
+    is empty, so a file that landed at-or-below the committed offset
+    while the query was DOWN is indistinguishable from one that was
+    already read, and restarts re-arm the guard only against late
+    arrivals that happen afterwards.  ``.option('stateDir', <dir>)``
+    closes that hole: each ``commit`` persists the watermark + seen
+    set there (atomic tmp-file + rename), ``__init__`` restores it,
+    and a below-watermark file present at restart raises exactly like
+    a live late arrival.  Without ``stateDir`` the weaker in-memory
+    behavior is documented, not promised away.
+
+    Supports ``.option('columns', ...)`` with the same projection
+    contract as the batch reader (the declared schema and the emitted
+    row arity always agree).  ``sort``/``skip``/``limit`` are
+    cursor-shape options with no streaming meaning and raise."""
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError(
                 "json_docs requires .option('path', <dir>)")
+        for opt in ("sort", "skip", "limit"):
+            if options.get(opt):
+                raise ValueError(
+                    f"json_docs: .option('{opt}', ...) applies to batch "
+                    "reads only — a stream has no bounded cursor to "
+                    "sort/skip/limit; apply the operation on the "
+                    "streaming DataFrame instead")
+        self.columns = _parse_columns_option(options)
         self._seen: set[str] = set()
         self._watermark = ""
+        self._state_dir = options.get("statedir") or options.get("stateDir")
+        if self._state_dir:
+            st = os.path.join(self._state_dir, "json_docs_stream_state.json")
+            if os.path.exists(st):
+                with open(st, encoding="utf-8") as fh:
+                    state = json.load(fh)
+                self._seen = set(state["seen"])
+                self._watermark = state["watermark"]
 
     def initialOffset(self):
         return {"last": ""}
@@ -497,6 +544,10 @@ class JsonDocsStreamReader(DataSourceStreamReader):
         return {"last": files[-1]} if files else {"last": ""}
 
     def partitions(self, start, end):
+        # the restored committed offset is the floor of the guard:
+        # never let the watermark sit below what is already committed
+        if start["last"] > self._watermark:
+            self._watermark = start["last"]
         files = sorted(
             f for f in os.listdir(self.path)
             if f.endswith(".jsonl")
@@ -506,10 +557,18 @@ class JsonDocsStreamReader(DataSourceStreamReader):
                 for f in files]
 
     def read(self, partition):
-        return _read_jsonl(partition.path)
+        return _read_jsonl(partition.path, self.columns)
 
     def commit(self, end):
-        pass  # offsets are filenames; nothing to release
+        if not self._state_dir:
+            return  # offsets are filenames; nothing to release
+        os.makedirs(self._state_dir, exist_ok=True)
+        st = os.path.join(self._state_dir, "json_docs_stream_state.json")
+        tmp = st + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"watermark": self._watermark,
+                       "seen": sorted(self._seen)}, fh)
+        os.replace(tmp, st)  # atomic: a crash leaves old or new, never half
 
 
 class JsonDocsDataSource(DataSource):

@@ -4816,10 +4816,13 @@ def _pyds_collection_dir(e, spark: SparkSession, sf_dir: str) -> str:
         # range layout on doc_id (a store's natural chunk split): the
         # sidecar's per-file min/max become disjoint, so doc_id range
         # predicates AND limit-pruned top-k scans skip whole files
+        # range-split on doc_id ITSELF (r7-ADVICE: splitting on the
+        # JSON string orders '100' before '50', leaving per-file
+        # min/max overlapping and the sidecar unable to skip files)
         (e.table("documents")
+         .repartitionByRange(4, F.col("doc_id"))
          .select(F.to_json(F.struct("doc_id", "source", "lang",
                                     "text", "n_chars")).alias("j"))
-         .repartitionByRange(4, F.col("j"))
          .write.mode("overwrite").text(d))
         for i, f in enumerate(sorted(glob.glob(os.path.join(d, "part-*")))):
             os.rename(f, os.path.join(d, f"{i:04d}.jsonl"))

@@ -1926,3 +1926,88 @@ def test_resolve_incremental_equals_full_cc(spark, sf_dir, engine):
     got = {(r.id, r.comp) for r in
            dedup.resolve_incremental(lab, bridge).collect()}
     assert got == {(1, 1), (2, 1), (10, 1), (11, 1), (99, 99)}
+
+
+def test_tombstone_swap_crash_recovery_catalog(spark, tmp_path):
+    """r7-ADVICE: the two-step catalog-rename tombstone swap has a
+    crash window where `tombstones` is transiently absent.  Both
+    observable crash states must be repaired before any read/rewrite:
+    (a) crash BETWEEN the renames (only tombstones_old survives) must
+    not be misread as 'no tombstones' — the deleted doc would be
+    resurrected; (b) crash AFTER the second rename (stale
+    tombstones_old beside the committed set) must not make the next
+    swap fail with 'table already exists'."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+         (2, "unrelated words entirely distinct content here now")],
+        "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(501, "alpha bravo charlie delta echo foxtrot golf india")],
+        "doc_id long, text string")
+    db, loc = "nsjs_tomb_crash", str(tmp_path / "idx")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    p0 = dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, probe, "text", "doc_id", db=db, location=loc, rebuild=True)
+    assert {(r.left_id, r.right_id) for r in p0.collect()} == {(1, 501)}
+    dedup.dedup_index_delete(
+        spark.createDataFrame([(1,)], "doc_id long"), db, id_col="doc_id")
+
+    # (a) simulate crash between the renames
+    spark.sql(f"ALTER TABLE {db}.tombstones RENAME TO {db}.tombstones_old")
+    tombs = dedup._dedup_tombstones(spark, db)  # read path recovers
+    assert tombs is not None and {r.id for r in tombs.collect()} == {1}
+    assert spark.catalog.tableExists(f"{db}.tombstones")
+    assert not spark.catalog.tableExists(f"{db}.tombstones_old")
+    p1 = dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, probe, "text", "doc_id", db=db, location=loc, rebuild=False)
+    assert p1.collect() == []  # doc 1 stays retracted through the crash
+
+    # (b) simulate crash after the second rename: stale leftover copy
+    spark.table(f"{db}.tombstones").write.saveAsTable(
+        f"{db}.tombstones_old")
+    # next clear (via append of the deleted id) must succeed, not
+    # collide with the stale tombstones_old
+    dedup.dedup_index_append(
+        spark.createDataFrame(
+            [(1, "alpha bravo charlie delta echo foxtrot golf hotel")],
+            "doc_id long, text string"), "text", "doc_id", db=db)
+    assert not spark.catalog.tableExists(f"{db}.tombstones")
+    assert not spark.catalog.tableExists(f"{db}.tombstones_old")
+    p2 = dedup.ngram_jaccard_pairs_between_bucketed(
+        corpus, probe, "text", "doc_id", db=db, location=loc, rebuild=False)
+    assert {(r.left_id, r.right_id) for r in p2.collect()} == {(1, 501)}
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_tombstone_swap_crash_recovery_dir(spark, engine, tmp_path):
+    """Directory-flavored mirror of the catalog recovery test, for the
+    IVF index's rename-based tombstone swap (similarity.py)."""
+    import os
+    import shutil
+
+    emb = engine.table("embeddings")
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("q_id"),
+                                        "embedding")
+    c = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    loc = str(tmp_path / "ivf_idx")
+    before = similarity.ann_ivf_partitioned(
+        q, c, k=3, n_cells=8, nprobe=3, location=loc, rebuild=True).collect()
+    victim = sorted({r.c_id for r in before if r.rank == 1})[0]
+    similarity.ann_ivf_delete(
+        spark.createDataFrame([(victim,)], "c_id long"), loc)
+    tomb = os.path.join(loc, "tombstones.parquet")
+    old = os.path.join(loc, "tombstones_old.parquet")
+
+    # (a) crash between renames: only the old dir survives
+    os.rename(tomb, old)
+    after = {r.c_id for r in similarity.ann_ivf_partitioned(
+        q, c, k=3, n_cells=8, nprobe=3, location=loc,
+        rebuild=False).collect()}
+    assert victim not in after          # retraction survives the crash
+    assert os.path.isdir(tomb) and not os.path.isdir(old)
+
+    # (b) crash after the commit rename: stale old dir beside the set
+    shutil.copytree(tomb, old)
+    assert similarity.ann_ivf_append(
+        c.filter(F.col("c_id") == victim), loc) == 1
+    assert not os.path.isdir(tomb) and not os.path.isdir(old)

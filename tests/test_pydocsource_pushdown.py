@@ -182,3 +182,69 @@ def test_stream_late_file_below_watermark_raises(tmp_path):
     with pytest.raises(RuntimeError, match="below the committed "
                                            "watermark"):
         rdr.latestOffset()
+
+
+def test_stream_columns_projection_matches_schema(spark, tmp_path):
+    """r7-ADVICE: .option('columns', ...) narrowed the declared schema
+    for streaming reads while the stream still emitted full 5-field
+    tuples — arity mismatch.  The stream must project like the batch
+    reader: schema and rows agree end-to-end."""
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+
+    d = str(tmp_path / "stream")
+    _write_files(d, {"0001.jsonl": [dict(doc_id=1, lang="en", text="a"),
+                                    dict(doc_id=2, lang="de", text="b")]})
+    register_json_docs(spark)
+    stream = (spark.readStream.format("json_docs")
+              .option("path", d).option("columns", "doc_id,lang").load())
+    assert stream.columns == ["doc_id", "lang"]
+    q = (stream.writeStream.format("memory")
+         .queryName("pyds_cols_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {(r.doc_id, r.lang)
+           for r in spark.table("pyds_cols_stream").collect()}
+    assert got == {(1, "en"), (2, "de")}
+
+
+def test_stream_rejects_batch_cursor_options(tmp_path):
+    """sort/skip/limit are bounded-cursor options; a stream must
+    refuse them loudly instead of silently ignoring them."""
+    from nosql_join_stream_spark.pydocsource import JsonDocsStreamReader
+
+    d = str(tmp_path / "stream")
+    _write_files(d, {"0001.jsonl": [dict(doc_id=1, text="x")]})
+    for opt in ("sort", "skip", "limit"):
+        with pytest.raises(ValueError, match="batch reads only"):
+            JsonDocsStreamReader({"path": d, opt: "doc_id"})
+
+
+def test_stream_state_dir_rearms_watermark_across_restart(tmp_path):
+    """r7-ADVICE: the late-file guard lived only in driver memory, so
+    a file landing at-or-below the committed offset while the query
+    was DOWN was silently never read.  With .option('stateDir', ...)
+    the committed watermark + seen set persist across restarts and the
+    landed-while-down file raises exactly like a live late arrival."""
+    from nosql_join_stream_spark.pydocsource import JsonDocsStreamReader
+
+    d = str(tmp_path / "stream")
+    state = str(tmp_path / "state")
+    _write_files(d, {"0005.jsonl": [dict(doc_id=5, text="x")],
+                     "0007.jsonl": [dict(doc_id=7, text="y")]})
+    rdr = JsonDocsStreamReader({"path": d, "statedir": state})
+    end = rdr.latestOffset()
+    assert end == {"last": "0007.jsonl"}
+    rdr.partitions({"last": ""}, end)
+    rdr.commit(end)
+
+    # while the query is down, a below-watermark file lands
+    _write_files(d, {"0006.jsonl": [dict(doc_id=6, text="z")]})
+
+    # restart WITHOUT state: indistinguishable -> silently absorbed
+    fresh = JsonDocsStreamReader({"path": d})
+    fresh.latestOffset()  # no raise: the documented weaker behavior
+
+    # restart WITH state: the landed-while-down file fails loudly
+    rdr2 = JsonDocsStreamReader({"path": d, "statedir": state})
+    with pytest.raises(RuntimeError, match="below the committed"):
+        rdr2.latestOffset()
