@@ -465,16 +465,32 @@ def _recover_tombstone_swap(spark, db: str) -> None:
     if spark.catalog.tableExists(f"{db}.tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {db}.tombstones_old")
     else:
-        spark.sql(
-            f"ALTER TABLE {db}.tombstones_old RENAME TO {db}.tombstones")
+        # concurrent probes can race on the repair: the loser's rename
+        # fails because the winner already moved the table — reaching
+        # the same end state is success, not an error (r8-ADVICE)
+        try:
+            spark.sql(
+                f"ALTER TABLE {db}.tombstones_old "
+                f"RENAME TO {db}.tombstones")
+        except Exception:
+            if not spark.catalog.tableExists(f"{db}.tombstones"):
+                raise
 
 
 def _dedup_tombstones(spark, db: str) -> DataFrame | None:
     """The index's outstanding tombstones (distinct), or None — the
     absence of the table is the steady-state fast path: probes on an
-    index with no outstanding deletes pay nothing.  Runs crash
-    recovery first so a swap interrupted mid-rename is never misread
-    as 'no tombstones' (which would resurrect purged docs)."""
+    index with no outstanding deletes pay nothing.  When the table is
+    PRESENT no recovery check is needed (r8-ADVICE: the extra
+    ``tombstones_old`` tableExists round-trip per probe) — the
+    dangerous crash state is ``tombstones`` ABSENT mid-swap, and a
+    stale ``tombstones_old`` left after a committed swap only matters
+    to the NEXT swap, which runs its own recovery first.  Only when
+    the table is missing do we run recovery so an interrupted rename
+    is never misread as 'no tombstones' (which would resurrect purged
+    docs)."""
+    if spark.catalog.tableExists(f"{db}.tombstones"):
+        return spark.table(f"{db}.tombstones").distinct()
     _recover_tombstone_swap(spark, db)
     if spark.catalog.tableExists(f"{db}.tombstones"):
         return spark.table(f"{db}.tombstones").distinct()

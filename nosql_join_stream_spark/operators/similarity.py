@@ -927,13 +927,17 @@ def _apply_tombstones(index: DataFrame, location: str) -> DataFrame:
     exists — broadcast, so the probe plan gains one map-side filter.
     The dir's absence is the steady-state fast path: append/rebuild
     delete it when the last tombstone is cleared, so a probe on an
-    index with no outstanding deletes pays nothing here.  Runs swap
-    crash recovery first so a ``_clear_tombstones_for`` interrupted
-    mid-rename is never misread as 'no tombstones'."""
+    index with no outstanding deletes pays nothing here.  When the
+    dir is PRESENT no recovery is needed (the dangerous crash state
+    is its mid-swap absence; a stale ``tombstones_old`` only matters
+    to the next swap, which repairs first) — recovery runs only when
+    the dir is missing, so an interrupted ``_clear_tombstones_for``
+    rename is never misread as 'no tombstones'."""
     import os
 
-    _recover_tombstone_swap_dir(location)
     tomb_path = os.path.join(location, "tombstones.parquet")
+    if not os.path.isdir(tomb_path):
+        _recover_tombstone_swap_dir(location)
     if not os.path.isdir(tomb_path):
         return index
     spark = index.sparkSession
@@ -960,7 +964,14 @@ def _recover_tombstone_swap_dir(location: str) -> None:
     if os.path.isdir(tomb_path):
         shutil.rmtree(old, ignore_errors=True)
     else:
-        os.rename(old, tomb_path)
+        # concurrent probes can race on the repair: the loser's rename
+        # finds the source already gone — the other repairer reaching
+        # the same end state is success, not an error (r8-ADVICE)
+        try:
+            os.rename(old, tomb_path)
+        except (FileNotFoundError, OSError):
+            if not os.path.isdir(tomb_path):
+                raise
 
 
 def _clear_tombstones_for(ids: DataFrame, location: str) -> None:

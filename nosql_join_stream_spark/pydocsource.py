@@ -76,12 +76,14 @@ import json
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                    DataSourceStreamReader, EqualNullSafe,
-                                    EqualTo, GreaterThan,
+                                    DataSourceStreamReader,
+                                    DataSourceStreamWriter, DataSourceWriter,
+                                    EqualNullSafe, EqualTo, GreaterThan,
                                     GreaterThanOrEqual, In, InputPartition,
                                     IsNotNull, IsNull, LessThan,
                                     LessThanOrEqual, Not, StringContains,
-                                    StringEndsWith, StringStartsWith)
+                                    StringEndsWith, StringStartsWith,
+                                    WriterCommitMessage)
 
 FORMAT_NAME = "json_docs"
 
@@ -545,9 +547,16 @@ class JsonDocsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         # the restored committed offset is the floor of the guard:
-        # never let the watermark sit below what is already committed
+        # never let the watermark sit below what is already committed —
+        # and files at-or-below a COMMITTED offset are by definition
+        # already read, so they must count as seen, or the next
+        # latestOffset() after a checkpointed restart would misread
+        # every committed file as a late arrival and raise
         if start["last"] > self._watermark:
             self._watermark = start["last"]
+            self._seen.update(
+                f for f in os.listdir(self.path)
+                if f.endswith(".jsonl") and f <= start["last"])
         files = sorted(
             f for f in os.listdir(self.path)
             if f.endswith(".jsonl")
@@ -562,6 +571,16 @@ class JsonDocsStreamReader(DataSourceStreamReader):
     def commit(self, end):
         if not self._state_dir:
             return  # offsets are filenames; nothing to release
+        # Bound the persisted seen-set to files still in the directory
+        # (r8-ADVICE: unbounded growth for a long-lived rolled log).
+        # State is O(current files), not O(files ever): a seen file
+        # that rotation deleted is dropped, and if the same name ever
+        # RE-LANDS below the watermark it raises as a late arrival —
+        # the loud behavior, since a deleted-then-recreated name means
+        # a retried upload whose first copy was already consumed.
+        current = {f for f in os.listdir(self.path)
+                   if f.endswith(".jsonl")}
+        self._seen &= current
         os.makedirs(self._state_dir, exist_ok=True)
         st = os.path.join(self._state_dir, "json_docs_stream_state.json")
         tmp = st + ".tmp"
@@ -569,6 +588,213 @@ class JsonDocsStreamReader(DataSourceStreamReader):
             json.dump({"watermark": self._watermark,
                        "seen": sorted(self._seen)}, fh)
         os.replace(tmp, st)  # atomic: a crash leaves old or new, never half
+
+
+class _JsonDocsCommit(WriterCommitMessage):
+    """Per-task commit message: the staged tmp filename plus the
+    per-file column stats computed while writing (so the driver can
+    maintain the ``_stats.json`` sidecar without re-reading files).
+    Must be picklable — plain attributes only."""
+
+    def __init__(self, tmp_name: str | None, n: int, stats: dict):
+        self.tmp_name = tmp_name
+        self.n = n
+        self.stats = stats
+
+
+def _row_to_doc(row, fields: list[str]) -> dict:
+    """One output document from one Row: typed top columns become
+    fields (NULL → field ABSENT, the reader's missing-field contract
+    in reverse), and a ``props`` JSON string splats its keys back as
+    schemaless fields (the reader packs non-top keys into props; the
+    writer reverses it, so read → write → read is the identity).  Top
+    columns win over a conflicting props key."""
+    doc: dict = {}
+    props_raw = None
+    for name, val in zip(fields, row):
+        if name == "props":
+            props_raw = val
+        elif val is not None:
+            doc[name] = int(val) if name == "doc_id" else val
+    if props_raw:
+        rest = json.loads(props_raw)
+        if not isinstance(rest, dict):
+            raise ValueError(
+                "json_docs writer: props must be a JSON object string, "
+                f"got {props_raw!r}")
+        for k, v in rest.items():
+            if k not in _TOP and v is not None:
+                doc[k] = v
+    return doc
+
+
+def _file_stats_accumulate(doc: dict, colstats: dict) -> None:
+    for c in _STATS_COLS:
+        v = _doc_value(doc, c)
+        cs = colstats[c]
+        if v is None:
+            cs["has_null"] = True
+        else:
+            if cs["min"] is None or v < cs["min"]:
+                cs["min"] = v
+            if cs["max"] is None or v > cs["max"]:
+                cs["max"] = v
+
+
+def _validate_write_schema(schema) -> list[str]:
+    fields = [f.name for f in schema.fields]
+    bad = [c for c in fields if c not in _ALL_COLS]
+    if bad:
+        raise ValueError(
+            f"json_docs writer: unknown columns {bad}; a document "
+            f"collection has {_ALL_COLS} (put schemaless fields in a "
+            "props JSON-object string)")
+    return fields
+
+
+def _write_task_file(path: str, fields: list[str],
+                     iterator) -> _JsonDocsCommit:
+    """Executor-side write of one task's rows to a uniquely-named tmp
+    file under ``path`` (never visible to readers: no ``.jsonl``
+    suffix until the driver's commit renames it).  Computes sidecar
+    stats in the same pass."""
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    colstats = {c: {"min": None, "max": None, "has_null": False}
+                for c in _STATS_COLS}
+    n = 0
+    tmp_name = f"_tmp-{uuid.uuid4().hex}.jsonl.inprogress"
+    tmp = os.path.join(path, tmp_name)
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            doc = _row_to_doc(row, fields)
+            _file_stats_accumulate(doc, colstats)
+            fh.write(json.dumps(doc, sort_keys=True) + "\n")
+            n += 1
+    if n == 0:  # empty task → no file (a reader partition costs a task)
+        os.remove(tmp)
+        return _JsonDocsCommit(None, 0, {})
+    return _JsonDocsCommit(tmp_name, n,
+                           {"n": n, **{c: colstats[c]
+                                       for c in _STATS_COLS}})
+
+
+def _publish_files(path: str, messages, name_for) -> None:
+    """Driver-side commit: rename each staged tmp file to its final
+    ``.jsonl`` name (task-index order → deterministic names) and fold
+    the tasks' stats into the ``_stats.json`` sidecar atomically.  A
+    partial sidecar stays CORRECT: the reader scans any file it has
+    no entry for (pruning is conservative), so a crash between the
+    renames and the sidecar write only costs pruning, never rows."""
+    os.makedirs(path, exist_ok=True)  # zero-task batch still commits
+    sidecar = os.path.join(path, _STATS_FILE)
+    stats: dict = {}
+    if os.path.isfile(sidecar):
+        with open(sidecar, encoding="utf-8") as fh:
+            stats = json.load(fh).get("files", {})
+    i = 0
+    for m in messages:
+        if m is None or m.tmp_name is None:
+            continue
+        final = name_for(i)
+        os.replace(os.path.join(path, m.tmp_name),
+                   os.path.join(path, final))
+        stats[final] = m.stats
+        i += 1
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"files": stats}, fh, sort_keys=True)
+    os.replace(tmp, sidecar)
+
+
+def _abort_files(path: str, messages) -> None:
+    for m in messages:
+        if m is not None and m.tmp_name is not None:
+            try:
+                os.remove(os.path.join(path, m.tmp_name))
+            except FileNotFoundError:
+                pass  # never written, or another cleaner got it
+
+
+class JsonDocsWriter(DataSourceWriter):
+    """Batch write path for the document collection — the connector
+    seam's SINK half (the reference's sinks are live-store inserts,
+    storage.scala:661-699; same staged-commit shape here, minus the
+    wire protocol).  Executor tasks stage uniquely-named tmp files in
+    parallel; the driver's ``commit`` renames them to their final
+    names and updates the stats sidecar, so readers see either the
+    old collection or the complete new data, never a torn write.
+
+    ``mode('overwrite')`` removes the previous ``.jsonl`` files at
+    commit time (after the new data is fully staged).  ``append``
+    names new files strictly ABOVE every existing name (the stem of
+    the current maximum + ``_<seq>``), preserving the streaming
+    source's lexicographically-increasing-filenames contract, so a
+    live ``json_docs`` stream on the same directory picks appended
+    batches up as ordinary new arrivals."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "json_docs writer requires .option('path', <dir>)")
+        self.fields = _validate_write_schema(schema)
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        return _write_task_file(self.path, self.fields, iterator)
+
+    def commit(self, messages):
+        os.makedirs(self.path, exist_ok=True)  # empty-input write
+        existing = sorted(f for f in os.listdir(self.path)
+                          if f.endswith(".jsonl"))
+        if self.overwrite:
+            for f in existing:
+                os.remove(os.path.join(self.path, f))
+            sidecar = os.path.join(self.path, _STATS_FILE)
+            if os.path.isfile(sidecar):
+                os.remove(sidecar)
+            prefix = ""
+        elif existing:
+            prefix = existing[-1][:-len(".jsonl")] + "_"
+        else:
+            prefix = ""
+        _publish_files(self.path, messages,
+                       lambda i: f"{prefix}{i:08d}.jsonl")
+
+    def abort(self, messages):
+        _abort_files(self.path, messages)
+
+
+class JsonDocsStreamWriter(DataSourceStreamWriter):
+    """Streaming sink twin: each micro-batch's tasks stage tmp files;
+    ``commit(messages, batchId)`` publishes them under
+    ``b<batchId>-<task>.jsonl`` — batch ids are monotonically
+    increasing, so filenames stay lexicographically increasing across
+    batches and the directory remains a valid ``json_docs`` STREAM
+    SOURCE (a materialized changelog another query can tail).  A
+    failed/retried batch's leftovers are aborted (tmp files removed);
+    Spark's sink commit log guarantees ``commit`` runs once per
+    batch id, which is what makes the rename-publish exactly-once."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "json_docs writer requires .option('path', <dir>)")
+        self.fields = _validate_write_schema(schema)
+
+    def write(self, iterator):
+        return _write_task_file(self.path, self.fields, iterator)
+
+    def commit(self, messages, batchId):
+        _publish_files(
+            self.path, messages,
+            lambda i: f"b{batchId:012d}-{i:05d}.jsonl")
+
+    def abort(self, messages, batchId):
+        _abort_files(self.path, messages)
 
 
 class JsonDocsDataSource(DataSource):
@@ -585,6 +811,12 @@ class JsonDocsDataSource(DataSource):
 
     def streamReader(self, schema):
         return JsonDocsStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return JsonDocsWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        return JsonDocsStreamWriter(self.options, schema, overwrite)
 
 
 def read_docs_topk(spark, path: str, order_by: str, limit: int,

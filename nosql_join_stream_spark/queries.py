@@ -609,6 +609,52 @@ def stream_interval_join_outer(spark: SparkSession,
 
 
 @register(
+    "stream_interval_join_full",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id,
+           p.value AS purchase_value, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+    doc="FULL OUTER stream-stream interval join with a full oracle "
+        "(r8-VERDICT lead #8 — the last unbuilt outer-join form): "
+        "both abandonment tails of the attribution query in one "
+        "pass — click-less purchases AND purchase-less clicks, each "
+        "NULL-emitted only once the watermark proves no partner can "
+        "still arrive (left rows at their own timestamp, right rows "
+        "at ts + interval).  interval_join_full_flush_drain stages "
+        "the log plus the per-side far-future flush sentinel and "
+        "drains with AvailableNow, after which the parquet sink "
+        "equals the batch FULL JOIN row for row, including BOTH "
+        "NULL tails; the result filter (sentinel removal on the "
+        "coalesced key) happens batch-side after the sink — the "
+        "streaming-post-join-filter hazard of the LEFT form applies "
+        "unchanged.",
+)
+def stream_interval_join_full(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.streaming.log_stream import (
+        interval_join_full_flush_drain)
+    from nosql_join_stream_spark.catalog import table_path
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    run_dir = os.path.join(tempfile.gettempdir(),
+                           f"nsjs_ijf_{os.getpid()}_{tag}")
+    df = interval_join_full_flush_drain(
+        spark, table_path(sf_dir, "events"), run_dir)
+    return df.select(F.col("left_id").alias("purchase_id"),
+                     F.col("right_id").alias("click_id"),
+                     "user_id",
+                     F.col("left_value").alias("purchase_value"),
+                     F.col("right_value").alias("click_value"))
+
+
+@register(
     "stream_sessionize_stateful",
     """
     WITH gaps AS (
@@ -719,75 +765,51 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 # remaining queries keep their registration order and stay covered by
 # tools/check_correctness.py.
 _DRIVER_WINDOW = [
-    # Round-7 rotation — the DEBT-CLEARING round.  r6 left exactly 45
-    # registry queries without a driver CORRECTNESS row (pure window-
-    # rotation debt: all 45 passed the full local gate in r6 and were
-    # re-verified this round); this window swaps ALL 45 in at once,
-    # so after a green r7 every pre-r7 query in the registry holds at
-    # least one driver row.  Every slot rotated OUT is driver-green in
-    # r6 (most also r1-r5) AND re-verified by the local gate each
-    # round; rotation history of earlier rounds lives in git and in
-    # the CORRECTNESS_r{N}.json files.
-    # Rotated OUT in r7: dedup_substring_spans, cdc_upsert_deletes,
-    #   text_bpe_subword_count, cdc_upsert_latest, stream_quality_ewma,
-    #   dedup_index_delete_probe, cdc_upsert_snapshot,
-    #   dedup_resolve_incremental, asof_join_nearest,
-    #   events_coactivity_range_join, events_cohort_retention,
-    #   events_rate_spikes, text_bigram_logprob, dedup_edit_distance,
-    #   dedup_incremental_minhash, dedup_embedding_cosine,
-    #   pipeline_split_leakage, ann_ivf_filtered, ann_ivf_topk,
-    #   sketch_vocab_cardinality, retrieval_mmr_diversified,
-    #   text_normalize, text_langid, multimodal_resize,
-    #   multimodal_frame_sample, embedding_dim_stats,
-    #   embedding_label_centroids, sample_global_shuffle,
-    #   sample_temperature_weights, sample_weighted_reservoir,
-    #   multimodal_payload_dedup, variant_schemaless_decode,
-    #   text_sentences_udtf, stream_ann_probe,
-    #   stream_minhash_dedup_ingest, dedup_resolve_keep_best_minhash,
-    #   stream_cdc_upsert, pipeline_clean_corpus_minhash,
-    #   ann_ivf_partitioned, ann_ivf_append_probe, ann_ivfpq_topk,
-    #   embedding_pq_codes, stream_incremental_dedup,
-    #   stream_token_budget, text_redact_pii, sample_cap_per_group,
-    #   events_time_rollup, dedup_semantic_clusters.
-    # KEPT: join_fk_inner (reference flagship, the entry() query).
-    # (pyds_document_scan rotated out — r6-green; the connector
-    # family's in-window rep is the new pushdown query, which runs
-    # the same scan path plus filter/file-skip/projection.)
+    # Round-9 rotation — oldest-driver-stamp-first (r8 VERDICT lead #3:
+    # r8 burned all 50 slots re-verifying r7's exact list).  Stamps
+    # computed from CORRECTNESS_r0{1..8}.json: after r8, 25 queries'
+    # newest driver row is r2, 4 are r3, 30 are r4.  This window takes
+    # ALL of r2 and r3 plus the first 16 of r4 (45 total, oldest
+    # first), keeps join_fk_inner (reference flagship / entry() query),
+    # and reserves the remaining slots for capability that lands in r9
+    # (new queries are appended as they register).  Every rotated-out
+    # query stays covered by tools/check_correctness.py each round;
+    # the r4 remainder + r5/r6 stamps are the r10 rotation shortlist.
     "join_fk_inner",
-    # NEW in r7 (new capability lands driver-verified in the round it
-    # ships): connector pushdown, marked BPE, the outer interval-join
-    # full oracle, keyed point lookups.
-    "pyds_document_filter", "text_bpe_subword_count_eow",
-    "stream_interval_join_outer", "cdc_keyed_lookup",
-    # The 45 never-driver-verified, all rotated in (r6 shortlist
-    # priority reps first).
-    "doc_pack_sequences_bpe", "asof_join_backward",
-    "multimodal_incremental_chunks", "stream_session_window",
-    "doc_pack_nosplit", "table_profile_drift",
-    "text_collocations_pmi", "text_boilerplate_ratio",
-    "text_chunk_sliding", "text_nb_quality_llr", "text_mixed_language",
-    "multimodal_embed_stub", "multimodal_chunk_jaccard",
-    "mine_contrastive_pairs", "table_profile_orders", "corpus_stats",
-    "corpus_data_card", "stream_dim_stats", "mql_not_filter",
-    "dedup_substring_clean", "dedup_substring_spans_incremental",
-    "dedup_component_sizes", "events_session_sequences",
-    "events_resample_ffill", "sample_interleave_sources",
-    "events_session_assign", "train_test_split", "token_freq_topk",
-    "text_metrics", "embedding_centroid_drift", "source_vocab_overlap",
-    "token_zipf_fit", "text_token_entropy", "dedup_ngram_coverage",
-    "retrieval_phrase_search", "text_unigram_logprob",
-    "quality_decile_buckets", "contamination_rate_by_source",
-    "multimodal_audio_chunks", "corpus_source_kl",
-    "text_repetition_ratio", "dedup_head_grams", "text_token_count_bpe",
-    "embedding_norm_outliers", "doc_pack_sequences_text",
+    # last driver row r2 (25)
+    "agg_count_distinct", "agg_grouping_sets", "agg_percentiles",
+    "agg_pricing_summary", "agg_stats_funcs", "asof_join", "cube_flags",
+    "events_interarrival_stats", "funnel_view_click_purchase",
+    "integrity_orphan_check", "latest_event_per_user",
+    "local_supplier_volume", "pivot_priority_status",
+    "rollup_region_nation", "schemaless_json_extract",
+    "session_window_agg", "sessionize", "set_ops", "skew_key_profile",
+    "unpivot_order_metrics", "window_lead_lag", "window_moving_avg",
+    "window_rank_distributions", "window_running_sum",
+    "window_topk_per_group",
+    # last driver row r3 (4)
+    "agg_approx_distinct", "ann_cosine_topk", "dedup_exact",
+    "dedup_incremental_bucketed",
+    # last driver row r4 (first 16 of 30; the rest lead the r10 window)
+    "agg_geomean_udaf", "ann_lsh_topk", "bm25_search", "concat_logs",
+    "decontaminate_overlap", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_resolve_canonical", "either_merge", "hybrid_search_rrf",
+    "join_left_anti", "join_outer_filtered", "log_scan_offset",
+    "mql_filter", "multimodal_features", "pipeline_clean_corpus",
+    # NEW in r9 (capability lands driver-verified in the round it
+    # ships): the json_docs WRITE path round-trip + the FULL-outer
+    # stream-stream interval join.
+    "pyds_roundtrip_write", "stream_interval_join_full",
 ]
 
 
-# Post-r7 rotation state: if r7's window comes back green, every
-# pre-r7 registry query holds at least one driver CORRECTNESS row and
-# the r8 window is free to re-verify high-value families plus
-# whatever r8 ships.  (dedup_incremental_batch, rotated out late in
-# r6, is multi-round green r1-r6-window and stays locally gated.)
+# Post-r9 rotation state: if r9's window comes back green, no query's
+# newest driver row predates r4.  r10 shortlist, oldest first: the 14
+# r4 leftovers (pred_all_array, pred_date_mql, sample_stratified,
+# sort_skip_limit, sql_exists_decorrelated, stream_decontaminate,
+# stream_dedup_keys, stream_quality_filter, stream_windowed_counts,
+# text_novelty_ratio, text_paragraph_dedup, text_tfidf_topk,
+# typed_as_projection, zip_streams), then the 18 r5 stamps, then r6.
 
 
 def _apply_driver_window() -> None:

@@ -4864,6 +4864,49 @@ def pyds_document_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pyds_roundtrip_write",
+    """
+    SELECT doc_id, source, lang, text,
+           '{"n_chars": ' || CAST(n_chars AS VARCHAR) || '}' AS props
+    FROM documents
+    """,
+    doc="WRITE path of the pure-Python connector (r8-VERDICT lead #7: "
+        "the seam was read-only): the documents table is written "
+        "THROUGH df.write.format('json_docs') — executor tasks stage "
+        "tmp files in parallel, the driver's commit renames them to "
+        "final names and folds the tasks' min/max stats into the "
+        "_stats.json pruning sidecar transactionally "
+        "(pydocsource.JsonDocsWriter; the reference's sink half is "
+        "storage.scala:661-699) — then read back through the same "
+        "source, so the oracle value-hash-verifies the FULL "
+        "write→commit→scan cycle including the typed-top/schemaless-"
+        "props round-trip (n_chars lands in props on write and is "
+        "re-packed identically on read).  repartitionByRange on "
+        "doc_id gives the written collection disjoint per-file id "
+        "ranges, so the sidecar written at commit immediately prunes "
+        "range probes with no extra stats pass.",
+)
+def pyds_roundtrip_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+
+    e = _engine(spark, sf_dir)
+    register_json_docs(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(),
+                     f"nsjs_pydsw_{os.getpid()}_{tag}")
+    (e.table("documents")
+     .repartitionByRange(4, F.col("doc_id"))
+     .select("doc_id", "source", "lang", "text",
+             F.to_json(F.struct("n_chars")).alias("props"))
+     .write.format("json_docs").option("path", d)
+     .mode("overwrite").save())
+    return e.load(d, fmt="json_docs")
+
+
+@register(
     "text_mixed_language",
     f"""
     WITH t AS (

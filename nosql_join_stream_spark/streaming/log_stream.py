@@ -595,6 +595,126 @@ def run_available_now(agg: DataFrame, query_name: str,
     q.awaitTermination()
 
 
+def _stage_flush_input(events_path: str, inp: str,
+                       left_type: str, right_type: str) -> None:
+    """Stage the event log into ``inp`` (symlinks — no data copied)
+    plus one parquet file carrying a far-future WATERMARK FLUSH
+    SENTINEL row PER SIDE (both event types at the same timestamp —
+    the global watermark is the MIN across both sides' nodes, so one
+    side alone does not flush; the first sf0.001 probe measured
+    exactly that as 3 withheld rows).  Sentinels carry negative ids
+    and user ids, so they match nothing real and are filtered
+    batch-side after the sink.  Idempotent: an already-staged dir is
+    left untouched (re-drains reuse it via the checkpoint)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(inp):
+        return
+    os.makedirs(inp)
+    src_files = ([events_path] if os.path.isfile(events_path) else
+                 sorted(os.path.join(events_path, f)
+                        for f in os.listdir(events_path)
+                        if f.endswith(".parquet")))
+    for i, f in enumerate(src_files):
+        os.symlink(os.path.abspath(f),
+                   os.path.join(inp, f"{i:04d}_src.parquet"))
+    # sentinel ts: far past anything real (any fixed future date
+    # beyond the log works; derived from the source max would need
+    # a scan — the log's synthetic horizon is January 2024)
+    sch = pq.ParquetFile(src_files[0]).schema_arrow.remove_metadata()
+    ts_field = sch.field("ts").type
+    t1 = datetime.datetime(2100, 1, 1)
+    ts_val = (int(t1.timestamp() * 1e9) if pa.types.is_integer(ts_field)
+              else t1)
+    pq.write_table(pa.table({
+        "event_id": pa.array([-1, -2], pa.int64()),
+        "ts": pa.array([ts_val, ts_val], ts_field),
+        "user_id": pa.array([-1, -2], pa.int64()),
+        "event_type": pa.array([left_type, right_type], pa.string()),
+        "value": pa.array([0.0, 0.0], pa.float64()),
+        "props": pa.array([None, None], pa.string()),
+    }, schema=sch), os.path.join(inp, "zz_flush.parquet"))
+
+
+def interval_join_streams_full(left: DataFrame, right: DataFrame,
+                               key: str, within: str = "1 hour",
+                               watermark: str = "2 hours") -> DataFrame:
+    """FULL OUTER stream-stream interval join: matched pairs as they
+    arrive, PLUS each side's unmatched rows NULL-padded once the
+    watermark proves no partner can still arrive — left rows when it
+    passes their own timestamp (no later right can satisfy
+    ``r.ts <= l.ts``... it must wait out nothing), right rows when it
+    passes ``r.ts + within`` (the last left that could still match).
+    'Purchases and the clicks that preceded them, including
+    click-less purchases AND purchase-less clicks' — both
+    abandonment tails of the attribution query in one pass.  Same
+    bounded-state contract as the inner/left forms (watermark + the
+    two-sided time bound let Spark expire both state stores); the
+    drained result equals the batch FULL JOIN (the oracle) provided
+    the watermark passes every timestamp + ``within`` —
+    :func:`interval_join_full_flush_drain` arranges that with the
+    per-side far-future sentinel.  The no-post-join-filter hazard of
+    the LEFT form applies unchanged (filter batch-side, after the
+    sink)."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    cond = ((F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (F.col("r.ts") >= F.col("l.ts") - F.expr(f"INTERVAL {within}"))
+            & (F.col("r.ts") <= F.col("l.ts")))
+    return l.join(r, cond, "fullOuter")
+
+
+def interval_join_full_flush_drain(
+        spark: SparkSession, events_path: str, run_dir: str,
+        left_type: str = "purchase", right_type: str = "click",
+        key: str = "user_id", within: str = "1 hour",
+        watermark: str = "2 hours") -> DataFrame:
+    """Deterministically drain the FULL OUTER interval join to its
+    complete batch answer — the r7/r8 flush-drain technique
+    (:func:`interval_join_outer_flush_drain`) applied to the join
+    form with TWO NULL tails.  The staged input carries one
+    far-future sentinel per side, so the final AvailableNow batch
+    pushes the global watermark past every real row's flush point on
+    BOTH sides: every real row is then matched, or NULL-emitted from
+    whichever side it sat on → the parquet sink equals the batch
+    FULL JOIN row for row.  Sentinels carry negative user ids and
+    match nothing real; their own unmatched rows are never flushed
+    (nothing advances the watermark past the maximum timestamp), and
+    the batch-side ``coalesce(key) >= 0`` filter removes any that
+    ever were.  Re-drains of the same ``run_dir`` are checkpointed
+    no-ops."""
+    inp = os.path.join(run_dir, "in")
+    out = os.path.join(run_dir, "out")
+    ckpt = os.path.join(run_dir, "ckpt")
+    _stage_flush_input(events_path, inp, left_type, right_type)
+    left = read_log_stream(spark, inp).filter(
+        F.col("event_type") == left_type)
+    right = read_log_stream(spark, inp).filter(
+        F.col("event_type") == right_type)
+    j = interval_join_streams_full(left, right, key=key, within=within,
+                                   watermark=watermark)
+    raw = j.select(F.col("l.event_id").alias("left_id"),
+                   F.col("r.event_id").alias("right_id"),
+                   F.coalesce(F.col(f"l.{key}"),
+                              F.col(f"r.{key}")).alias(key),
+                   F.col("l.value").alias("left_value"),
+                   F.col("r.value").alias("right_value"))
+    with _SHUFFLE_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (raw.writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt).outputMode("append")
+                 .trigger(availableNow=True).start())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return spark.read.parquet(out).filter(F.col(key) >= 0)
+
+
 def interval_join_outer_flush_drain(
         spark: SparkSession, events_path: str, run_dir: str,
         left_type: str = "purchase", right_type: str = "click",
@@ -630,39 +750,10 @@ def interval_join_outer_flush_drain(
     The checkpoint makes re-drains of the same ``run_dir`` no-ops
     (zero new files → the reread sink), so repeated calls are cheap
     and idempotent."""
-    import datetime
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     inp = os.path.join(run_dir, "in")
     out = os.path.join(run_dir, "out")
     ckpt = os.path.join(run_dir, "ckpt")
-    if not os.path.isdir(inp):
-        os.makedirs(inp)
-        src_files = ([events_path] if os.path.isfile(events_path) else
-                     sorted(os.path.join(events_path, f)
-                            for f in os.listdir(events_path)
-                            if f.endswith(".parquet")))
-        for i, f in enumerate(src_files):
-            os.symlink(os.path.abspath(f),
-                       os.path.join(inp, f"{i:04d}_src.parquet"))
-        # sentinel ts: far past anything real (any fixed future date
-        # beyond the log works; derived from the source max would need
-        # a scan — the log's synthetic horizon is January 2024)
-        sch = pq.ParquetFile(src_files[0]).schema_arrow.remove_metadata()
-        ts_field = sch.field("ts").type
-        t1 = datetime.datetime(2100, 1, 1)
-        ts_val = (int(t1.timestamp() * 1e9) if pa.types.is_integer(ts_field)
-                  else t1)
-        pq.write_table(pa.table({
-            "event_id": pa.array([-1, -2], pa.int64()),
-            "ts": pa.array([ts_val, ts_val], ts_field),
-            "user_id": pa.array([-1, -2], pa.int64()),
-            "event_type": pa.array([left_type, right_type], pa.string()),
-            "value": pa.array([0.0, 0.0], pa.float64()),
-            "props": pa.array([None, None], pa.string()),
-        }, schema=sch), os.path.join(inp, "zz_flush.parquet"))
+    _stage_flush_input(events_path, inp, left_type, right_type)
     left = read_log_stream(spark, inp).filter(
         F.col("event_type") == left_type)
     right = read_log_stream(spark, inp).filter(

@@ -248,3 +248,30 @@ def test_stream_state_dir_rearms_watermark_across_restart(tmp_path):
     rdr2 = JsonDocsStreamReader({"path": d, "statedir": state})
     with pytest.raises(RuntimeError, match="below the committed"):
         rdr2.latestOffset()
+
+
+def test_stream_checkpointed_restart_real_call_order(tmp_path):
+    """r8 regression guard: on a checkpointed resume Spark calls
+    ``partitions(committed_start, end)`` BEFORE ``latestOffset()`` on
+    a FRESH reader instance.  Seeding the watermark from the committed
+    start without also seeding the seen set made every committed file
+    look like a late arrival and every restart without stateDir raise.
+    Committed files must be absorbed; a file genuinely landing below
+    the watermark AFTER the restart must still raise."""
+    from nosql_join_stream_spark.pydocsource import JsonDocsStreamReader
+
+    d = str(tmp_path / "stream")
+    _write_files(d, {"0003.jsonl": [dict(doc_id=3, text="a")],
+                     "0005.jsonl": [dict(doc_id=5, text="b")]})
+
+    # fresh instance after a restart, no stateDir — Spark replays the
+    # committed span first, then polls for new data
+    rdr = JsonDocsStreamReader({"path": d})
+    parts = rdr.partitions({"last": "0005.jsonl"}, {"last": "0005.jsonl"})
+    assert parts == []  # nothing between committed offsets
+    assert rdr.latestOffset() == {"last": "0005.jsonl"}  # must NOT raise
+
+    # the guard stays armed for genuinely-late post-restart arrivals
+    _write_files(d, {"0004.jsonl": [dict(doc_id=4, text="z")]})
+    with pytest.raises(RuntimeError, match="below the committed"):
+        rdr.latestOffset()

@@ -1,0 +1,152 @@
+"""Write path of the pure-Python json_docs DataSource — the connector
+seam's SINK half (the reference's sinks are live-store inserts,
+storage.scala:661-699; here: staged tmp files + driver rename-commit).
+Covers: batch round-trip fidelity (typed tops + schemaless props,
+NULL = absent field), overwrite/append commit semantics, the stats
+sidecar maintained transactionally (file skipping works on freshly
+written collections with no extra pass), append names staying above
+the streaming watermark, the streaming sink producing a valid stream
+SOURCE directory, and loud schema validation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def registered(spark):
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+    register_json_docs(spark)
+    return spark
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, "
+              "props string")
+
+
+_ROWS = [
+    (1, "web", "en", "hello world", json.dumps({"n_chars": 11})),
+    (2, "web", None, "guten tag", json.dumps({"n_chars": 9, "x": "y"})),
+    (3, "book", "en", None, None),
+]
+
+
+def test_batch_write_round_trip(registered, tmp_path):
+    spark = registered
+    d = str(tmp_path / "out")
+    _docs_df(spark, _ROWS).write.format("json_docs") \
+        .option("path", d).mode("overwrite").save()
+    back = (spark.read.format("json_docs").option("path", d).load()
+            .collect())
+    canon = lambda p: (json.dumps(json.loads(p), sort_keys=True)
+                       if p else None)
+    got = {(r.doc_id, r.source, r.lang, r.text, canon(r.props))
+           for r in back}
+    assert got == {
+        (1, "web", "en", "hello world", canon('{"n_chars": 11}')),
+        (2, "web", None, "guten tag", canon('{"n_chars": 9, "x": "y"}')),
+        (3, "book", "en", None, None),
+    }
+    # no tmp leftovers; stats sidecar written in the same commit
+    names = os.listdir(d)
+    assert not [f for f in names if "inprogress" in f]
+    assert "_stats.json" in names
+    stats = json.load(open(os.path.join(d, "_stats.json")))["files"]
+    assert sum(s["n"] for s in stats.values()) == 3
+    assert set(stats) == {f for f in names if f.endswith(".jsonl")}
+
+
+def test_overwrite_replaces_append_adds(registered, tmp_path):
+    spark = registered
+    d = str(tmp_path / "out")
+    df1 = _docs_df(spark, _ROWS)
+    df1.write.format("json_docs").option("path", d) \
+       .mode("overwrite").save()
+    df1.write.format("json_docs").option("path", d) \
+       .mode("overwrite").save()
+    rd = spark.read.format("json_docs").option("path", d)
+    assert rd.load().count() == 3  # overwrite did not stack
+    extra = _docs_df(spark, [(9, "web", "en", "more", None)])
+    extra.write.format("json_docs").option("path", d) \
+         .mode("append").save()
+    assert rd.load().count() == 4
+    # appended names sort strictly ABOVE every pre-existing name (the
+    # streaming source's increasing-filenames contract)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".jsonl"))
+    got = {r.doc_id for r in spark.read.format("json_docs")
+           .option("path", os.path.join(d, files[-1])).load().collect()}
+    assert got == {9}
+
+
+def test_written_sidecar_prunes_files(registered, tmp_path):
+    """The stats written at commit must drive file skipping with no
+    extra write_docs_stats pass: disjoint doc_id ranges per partition
+    → a point predicate plans one file."""
+    spark = registered
+    d = str(tmp_path / "out")
+    rows = [(i, "s", "en", f"t{i}", None) for i in range(40)]
+    (_docs_df(spark, rows).repartitionByRange(4, "doc_id")
+     .write.format("json_docs").option("path", d)
+     .mode("overwrite").save())
+    from nosql_join_stream_spark.pydocsource import JsonDocsReader
+    rdr = JsonDocsReader({"path": d})
+    from pyspark.sql.datasource import EqualTo
+    leftover = list(rdr.pushFilters([EqualTo(("doc_id",), 7)]))
+    assert leftover == []
+    assert len(rdr.partitions()) == 1
+    q = (spark.read.format("json_docs").option("path", d).load()
+         .filter("doc_id = 7"))
+    assert [r.doc_id for r in q.collect()] == [7]
+
+
+def test_stream_sink_round_trip(registered, tmp_path):
+    """readStream json_docs → writeStream json_docs: the sink's
+    directory is itself a valid collection (batch-readable) AND its
+    names encode the batch id monotonically."""
+    spark = registered
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "0001.jsonl"), "w") as fh:
+        for r in [dict(doc_id=1, source="s", text="a"),
+                  dict(doc_id=2, source="s", text="b")]:
+            fh.write(json.dumps(r) + "\n")
+    stream = (spark.readStream.format("json_docs")
+              .option("path", src).load())
+    q = (stream.writeStream.format("json_docs")
+         .option("path", dst).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    back = spark.read.format("json_docs").option("path", dst).load()
+    assert {(r.doc_id, r.text) for r in back.collect()} \
+        == {(1, "a"), (2, "b")}
+    files = [f for f in os.listdir(dst) if f.endswith(".jsonl")]
+    assert files and all(f.startswith("b") for f in files)
+    # second drain with the same checkpoint: no new data, no new files
+    q2 = (spark.readStream.format("json_docs").option("path", src)
+          .load().writeStream.format("json_docs")
+          .option("path", dst).option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert back.count() == 2
+
+
+def test_writer_rejects_unknown_columns(registered, tmp_path):
+    spark = registered
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_chars long")
+    with pytest.raises(Exception, match="unknown columns"):
+        df.write.format("json_docs") \
+          .option("path", str(tmp_path / "o")).mode("overwrite").save()
+
+
+def test_writer_requires_path(registered, tmp_path):
+    spark = registered
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(Exception, match="path"):
+        df.write.format("json_docs").mode("overwrite").save()
