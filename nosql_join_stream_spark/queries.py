@@ -797,9 +797,10 @@ _DRIVER_WINDOW = [
     "join_left_anti", "join_outer_filtered", "log_scan_offset",
     "mql_filter", "multimodal_features", "pipeline_clean_corpus",
     # NEW in r9 (capability lands driver-verified in the round it
-    # ships): the json_docs WRITE path round-trip + the FULL-outer
-    # stream-stream interval join.
+    # ships): the json_docs WRITE path round-trip, the FULL-outer
+    # stream-stream interval join, the celled exact near-dup path.
     "pyds_roundtrip_write", "stream_interval_join_full",
+    "dedup_embedding_cosine_celled",
 ]
 
 

@@ -248,6 +248,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine_celled",
+    """
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+             AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+          >= 0.45
+    """,
+    doc="The CELLED multi-block path of embedding_near_dup_pairs "
+        "(r8-VERDICT lead #4), driver-verified: max_block_rows=128 "
+        "forces ceil(n/128) hash cells at every SF, so the query "
+        "exercises the single-plan cell-pair space — rows replicated "
+        "once per cell to (least, greatest) cell-pair keys, one "
+        "shuffle, one applyInPandas chunked GEMM per cell pair, "
+        "nothing through the driver (the r2-r8 form looped "
+        "sequential toPandas blocks driver-side).  Same oracle as "
+        "dedup_embedding_cosine: the two plan shapes must agree "
+        "pair-for-pair.",
+)
+def dedup_embedding_cosine_celled(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return similarity.embedding_near_dup_pairs(
+        e.table("embeddings"), "vec_id", "embedding", threshold=0.45,
+        max_block_rows=128)
+
+
+@register(
     "train_test_split",
     """
     SELECT doc_id, lang, n_chars,

@@ -791,6 +791,38 @@ def test_interval_join_outer_flush_drain_equals_batch(spark, engine,
     assert sorted((r.left_id, r.right_id) for r in again.collect()) == exp
 
 
+def test_interval_join_full_flush_drain_equals_batch(spark, engine,
+                                                     sf_dir, tmp_path):
+    """FULL OUTER form (r9): the drained sink equals the batch FULL
+    JOIN row for row — BOTH NULL tails present (click-less purchases
+    with NULL right, purchase-less clicks with NULL left)."""
+    from nosql_join_stream_spark.streaming.log_stream import (
+        interval_join_full_flush_drain)
+
+    run_dir = str(tmp_path / "ijf")
+    got_df = interval_join_full_flush_drain(
+        spark, table_path(sf_dir, "events"), run_dir)
+    got = sorted(((r.left_id, r.right_id) for r in got_df.collect()),
+                 key=lambda t: (t[0] is None, t[0] or 0,
+                                t[1] is None, t[1] or 0))
+
+    ev = engine.table("events")
+    pb = ev.filter("event_type = 'purchase'").alias("p")
+    cb = ev.filter("event_type = 'click'").alias("c")
+    cond = ((F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c.ts") <= F.col("p.ts")))
+    exp = sorted(((r.pid, r.cid) for r in
+                  pb.join(cb, cond, "full")
+                  .select(F.col("p.event_id").alias("pid"),
+                          F.col("c.event_id").alias("cid")).collect()),
+                 key=lambda t: (t[0] is None, t[0] or 0,
+                                t[1] is None, t[1] or 0))
+    assert got == exp
+    assert any(cid is None for _, cid in got)   # left NULL tail flushed
+    assert any(pid is None for pid, _ in got)   # right NULL tail flushed
+
+
 def test_interval_join_outer_postjoin_filter_suppresses_nulls(
         spark, tmp_path):
     """Pins the MEASURED Spark 4.1 hazard the flush drain designs

@@ -155,15 +155,19 @@ def main() -> None:
             results["ann_lsh_s"] = round(time.perf_counter() - t0, 2)
 
         if "neardup" in OPS:
-            # exact GEMM near-dup with BOUNDED blocks: a small
-            # max_block_rows forces the multi-block loop even at 1x, so
-            # the curve measures the n_blocks-scans shape (expected
-            # ~quadratic in factor — it's the exact path; LSH/minhash
-            # is the sub-quadratic handoff) with driver memory constant
+            # exact GEMM near-dup, CELLED single-plan pair space (r9):
+            # a small max_block_rows forces multiple hash cells even at
+            # 1x (2000 rows / 1024 = 2 cells; 32 cells at 16x), so the
+            # curve measures the cell-pair applyInPandas shape — one
+            # shuffle of n x n_cells replicas, parallel GEMM groups,
+            # nothing through the driver.  Expected ~quadratic WORK in
+            # factor (it's the exact path; LSH/minhash is the
+            # sub-quadratic handoff) spread over factor^2 parallel
+            # cell-pair tasks, with per-task memory constant
             t0 = time.perf_counter()
             results["neardup_pairs"] = similarity.embedding_near_dup_pairs(
                 ee, "vec_id", "embedding", threshold=0.45,
-                max_block_rows=4096).count()
+                max_block_rows=1024).count()
             results["neardup_s"] = round(time.perf_counter() - t0, 2)
 
         if "rrf" in OPS:
