@@ -8,10 +8,14 @@ training data:
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages — Python touches each batch once, schema is
   explicit, partitioning is preserved (no shuffle);
-- the actual codec work (PIL/ffmpeg/torchaudio) is NOT in this
-  container, so ``decode_image`` is a clearly-marked stub; everything
-  around it — schema, batch shape, UDF signature, partition flow — is
-  real and tested.
+- codec work: PIL/ffmpeg/torchaudio are NOT in this container, but
+  PNG decodes FOR REAL everywhere via the pure-stdlib codec
+  (:mod:`png_codec`, r9 — zlib+struct, bit-identical luma to PIL's
+  ``convert('L')``); the decode/resize branches try PIL first, fall
+  back to the stdlib PNG path, and only a non-PNG payload without
+  PIL raises the clearly-marked stub.  The ``multimodal_decode_png``
+  registry query closes the loop with a closed-form pixel-mean
+  oracle over genuinely encoded-and-decoded images.
 """
 
 from __future__ import annotations
@@ -71,21 +75,27 @@ def payload_dedup(media: DataFrame, payload_col: str = "payload",
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode image bytes to a grayscale ndarray — REAL when PIL is
-    importable (lib-gated, the same conditional pattern as the
-    mongo/cassandra connector smokes), a clearly-marked stub
-    otherwise.  The Spark-side contract (bytes in, ndarray-like out)
-    is identical either way."""
+    """Decode image bytes to a grayscale ndarray.  REAL on two
+    branches: PIL when importable (any format), else the pure-stdlib
+    PNG decoder (:mod:`png_codec`, r9 — bit-identical luma to PIL's
+    ``convert('L')``), so PNG decode executes everywhere Python runs,
+    including this PIL-less sandbox.  Only a non-PNG payload without
+    PIL raises the clearly-marked stub.  The Spark-side contract
+    (bytes in, ndarray out) is identical on every branch."""
     try:
         from PIL import Image
-    except ImportError:
-        raise NotImplementedError(
-            "image decode requires PIL/libvips; not available in this "
-            "environment") from None
-    import io
+        import io
 
-    import numpy as np
-    return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+        import numpy as np
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+    except ImportError:
+        pass
+    from nosql_join_stream_spark.operators import png_codec
+    if png_codec.is_png(payload):
+        return png_codec.decode_gray(payload)
+    raise NotImplementedError(
+        "non-PNG image decode requires PIL/libvips; not available in "
+        "this environment (PNG decodes via the stdlib codec)")
 
 
 def _fake_luma(payload: bytes) -> float:
@@ -118,13 +128,27 @@ def extract_features(media: DataFrame, batch_decode: bool = False) -> DataFrame:
         def _decode(payload: bytes):
             try:
                 from PIL import Image
+                import io as _io
+                return _np.asarray(
+                    Image.open(_io.BytesIO(payload)).convert("L"))
+            except ImportError:
+                pass
+            # stdlib PNG fallback (r9): real pixels without PIL; the
+            # import is call-time so pickling stays self-contained and
+            # an executor without the package degrades to the stub
+            # error, not a deserialization crash
+            try:
+                from nosql_join_stream_spark.operators import (
+                    png_codec as _pc)
             except ImportError:
                 raise NotImplementedError(
                     "image decode requires PIL/libvips; not available "
                     "here") from None
-            import io as _io
-            return _np.asarray(
-                Image.open(_io.BytesIO(payload)).convert("L"))
+            if _pc.is_png(payload):
+                return _pc.decode_gray(payload)
+            raise NotImplementedError(
+                "non-PNG image decode requires PIL/libvips; not "
+                "available here (PNG decodes via the stdlib codec)")
 
         def _luma(b: bytes) -> float:
             return float(sum(b)) / len(b) if b else 0.0
@@ -174,18 +198,34 @@ def resize_images(media: DataFrame, target_w: int = 128,
 
         import pandas as _pd
 
-        def _resize_real(payload: bytes, w: int, h: int) -> bytes:
+        def _resize_real(payload: bytes, w: int, h: int,
+                         s: int) -> bytes:
             try:
                 from PIL import Image
+                import io as _io
+                buf = _io.BytesIO()
+                (Image.open(_io.BytesIO(payload)).resize((w, h))
+                 .save(buf, format="PNG"))
+                return buf.getvalue()
+            except ImportError:
+                pass
+            # stdlib PNG fallback (r9): decode → integer-stride
+            # downsample (the SAME geometry contract: new dim =
+            # ceil(dim / stride)) → re-encode; call-time import keeps
+            # the pickled closure self-contained
+            try:
+                from nosql_join_stream_spark.operators import (
+                    png_codec as _pc)
             except ImportError:
                 raise NotImplementedError(
                     "image resize requires PIL/libvips; not available "
                     "here") from None
-            import io as _io
-            buf = _io.BytesIO()
-            (Image.open(_io.BytesIO(payload)).resize((w, h))
-             .save(buf, format="PNG"))
-            return buf.getvalue()
+            if _pc.is_png(payload):
+                return _pc.encode_gray(
+                    _pc.resize_gray(_pc.decode_gray(payload), s))
+            raise NotImplementedError(
+                "non-PNG image resize requires PIL/libvips; not "
+                "available here (PNG resizes via the stdlib codec)")
 
         for pdf in batches:
             stride = pdf["width"].map(
@@ -195,8 +235,8 @@ def resize_images(media: DataFrame, target_w: int = 128,
             new_h = [_math.ceil(h / s)
                      for h, s in zip(pdf["height"], stride)]
             if batch_decode:
-                payload = [_resize_real(b, w, h) for b, w, h
-                           in zip(pdf["payload"], new_w, new_h)]
+                payload = [_resize_real(b, w, h, s) for b, w, h, s
+                           in zip(pdf["payload"], new_w, new_h, stride)]
             else:
                 payload = [b[::s] for b, s in zip(pdf["payload"], stride)]
             yield _pd.DataFrame({

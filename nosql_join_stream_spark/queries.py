@@ -800,7 +800,7 @@ _DRIVER_WINDOW = [
     # ships): the json_docs WRITE path round-trip, the FULL-outer
     # stream-stream interval join, the celled exact near-dup path.
     "pyds_roundtrip_write", "stream_interval_join_full",
-    "dedup_embedding_cosine_celled",
+    "dedup_embedding_cosine_celled", "multimodal_decode_png",
 ]
 
 

@@ -690,6 +690,61 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_png",
+    """
+    SELECT d.doc_id AS doc_id,
+           CAST(d.doc_id % 32 + 8 AS INT) AS width,
+           CAST(d.doc_id % 16 + 8 AS INT) AS height,
+           ROUND(AVG(CAST((d.doc_id * 7 + u.i) % 256 AS DOUBLE)), 6)
+             AS mean_luma
+    FROM documents d,
+         UNNEST(range(0, (d.doc_id % 32 + 8) * (d.doc_id % 16 + 8)))
+           AS u(i)
+    GROUP BY d.doc_id
+    """,
+    doc="REAL image decode, driver-verified (r8-VERDICT lead #6 — the "
+        "codec branch had never executed in this PIL-less sandbox): "
+        "per document a deterministic gradient image (pixel(i) = "
+        "(doc_id*7 + i) % 256, dims doc_id%32+8 x doc_id%16+8) is "
+        "ENCODED to genuine PNG bytes (operators/png_codec.py, pure "
+        "stdlib zlib+struct) inside one mapInPandas stage, then "
+        "DECODED back to pixels by extract_features(batch_decode="
+        "True) — which tries PIL and falls back to the stdlib "
+        "decoder (bit-identical luma) — in another.  The oracle "
+        "recomputes each image's true pixel mean in closed form "
+        "over UNNEST(range(w*h)), so any bit error anywhere in "
+        "encode, chunking, filtering, zlib, or decode shifts "
+        "mean_luma and fails the value hash.  PNG byte payloads "
+        "themselves are deliberately NOT in the result: zlib "
+        "output is version-dependent; decoded pixels are not.",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id")
+
+    def plant(batches):
+        import numpy as _np
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import png_codec as _pc
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                w, h = int(did) % 32 + 8, int(did) % 16 + 8
+                arr = ((int(did) * 7
+                        + _np.arange(w * h, dtype=_np.int64)) % 256) \
+                    .astype(_np.uint8).reshape(h, w)
+                rows.append((int(did), _pc.encode_gray(arr),
+                             "image/png", w, h, 1))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "payload", "media_type", "width", "height",
+                "n_frames"])
+
+    media = docs.mapInPandas(plant, schema=multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, batch_decode=True)
+    return feats.select("doc_id", "width", "height", "mean_luma")
+
+
+@register(
     "agg_geomean_udaf",
     """
     SELECT o_orderstatus,

@@ -69,6 +69,116 @@ def test_mql_equals_dsl(orders_cached, preds, conj):
     assert got == want
 
 
+# --- MQL grammar fuzz vs DuckDB (r8-VERDICT lead #9) ----------------
+# Random predicate TREES (nested $and/$or, field-level $not, the full
+# comparison/set surface) rendered twice — to MQL JSON for
+# mql_to_column, and to ANSI SQL for DuckDB — over a null-bearing
+# table, so three-valued-logic divergence anywhere in the grammar
+# (NULL-dropping $ne/$nin vs the null-matching $not, nesting,
+# multi-branch conjunctions) fails the row-set equality.
+
+_FUZZ_ROWS = [
+    (i, a, b, s)
+    for i, (a, b, s) in enumerate([
+        (None, None, None), (0, 0.5, "x"), (1, 1.25, "y"),
+        (2, 2.5, "z"), (3, None, "ab"), (None, 3.5, "x"),
+        (4, 0.5, None), (1, 1.25, "ab"), (2, None, "y"),
+        (0, 2.5, None), (3, 3.5, "z"), (None, 0.5, "ab"),
+    ])
+]
+_FUZZ_FIELDS = {"a": "int", "b": "float", "s": "str"}
+_INT_VALS = [0, 1, 2, 3, 4]
+_FLOAT_VALS = [0.5, 1.25, 2.5, 3.5]      # exact binary fractions
+_STR_VALS = ["x", "y", "z", "ab"]
+_CMP_OPS = ["$eq", "$ne", "$gt", "$gte", "$lt", "$lte"]
+
+
+@st.composite
+def _fuzz_leaf(draw):
+    field = draw(st.sampled_from(sorted(_FUZZ_FIELDS)))
+    vals = {"int": _INT_VALS, "float": _FLOAT_VALS,
+            "str": _STR_VALS}[_FUZZ_FIELDS[field]]
+    op = draw(st.sampled_from(_CMP_OPS + ["$in", "$nin", "$not"]))
+    if op in ("$in", "$nin"):
+        val = draw(st.lists(st.sampled_from(vals), min_size=1,
+                            max_size=3, unique=True))
+    elif op == "$not":
+        inner = draw(st.sampled_from(_CMP_OPS))
+        val = (inner, draw(st.sampled_from(vals)))
+    else:
+        val = draw(st.sampled_from(vals))
+    return ("leaf", field, op, val)
+
+
+_fuzz_tree = st.recursive(
+    _fuzz_leaf(),
+    lambda ch: st.tuples(st.sampled_from(["$and", "$or"]),
+                         st.lists(ch, min_size=1, max_size=3)),
+    max_leaves=8)
+
+
+def _to_mql(node):
+    if node[0] == "leaf":
+        _, field, op, val = node
+        if op == "$eq":
+            return {field: val}
+        if op == "$not":
+            return {field: {"$not": {val[0]: val[1]}}}
+        return {field: {op: val}}
+    conj, kids = node
+    return {conj: [_to_mql(k) for k in kids]}
+
+
+def _sql_lit(v):
+    return f"'{v}'" if isinstance(v, str) else repr(v)
+
+
+_SQL_CMP = {"$eq": "=", "$ne": "<>", "$gt": ">", "$gte": ">=",
+            "$lt": "<", "$lte": "<="}
+
+
+def _to_sql(node):
+    if node[0] == "leaf":
+        _, field, op, val = node
+        if op in _SQL_CMP:
+            return f"({field} {_SQL_CMP[op]} {_sql_lit(val)})"
+        if op == "$in":
+            return f"({field} IN ({', '.join(map(_sql_lit, val))}))"
+        if op == "$nin":
+            return f"(NOT {field} IN ({', '.join(map(_sql_lit, val))}))"
+        # $not: Mongo semantics — a missing/NULL field MATCHES
+        inner = f"{field} {_SQL_CMP[val[0]]} {_sql_lit(val[1])}"
+        return f"((NOT ({inner})) OR {field} IS NULL)"
+    conj, kids = node
+    glue = " AND " if conj == "$and" else " OR "
+    return "(" + glue.join(_to_sql(k) for k in kids) + ")"
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tree=_fuzz_tree)
+def test_mql_tree_fuzz_equals_duckdb(spark, tree):
+    import duckdb
+    import pandas as pd
+
+    df = spark.createDataFrame(_FUZZ_ROWS,
+                               "id int, a int, b double, s string")
+    mql = json.dumps(_to_mql(tree))
+    got = {r.id for r in df.filter(mql_to_column(mql))
+           .select("id").collect()}
+    # nullable extension dtypes: plain int/float columns would turn
+    # None into NaN, which DuckDB treats as a VALUE (> everything),
+    # not NULL — exactly the divergence this test exists to catch
+    pdf = (pd.DataFrame(_FUZZ_ROWS, columns=["id", "a", "b", "s"])
+           .astype({"a": "Int64", "b": "Float64"}))
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {r[0] for r in con.execute(
+        f"SELECT id FROM t WHERE {_to_sql(tree)}").fetchall()}
+    con.close()
+    assert got == want, (mql, _to_sql(tree))
+
+
 @SLOW
 @given(keys=st.lists(st.integers(0, 4), min_size=1, max_size=40),
        rkeys=st.lists(st.integers(0, 4), min_size=0, max_size=10))

@@ -41,7 +41,9 @@ PROBES = [
     "dedup_resolve_keep_best",          # 3.48 -> 4.77 (+37%)
     "stream_incremental_dedup",         # 2.47 -> 3.44 (+39%)
     "dedup_resolve_keep_best_minhash",  # 2.25 -> 3.07 (+37%)
-    "dedup_incremental_bucketed",       # 3.94 -> 4.47 (+13%)
+    "dedup_incremental_bucketed",       # 3.94 -> 4.47 (+13%); r8 LOADED
+                                        # outlier 5.18 -> 19.22 (3.7x)
+    "dedup_incremental_minhash",        # r8 LOADED outlier 5.67 -> 10.31
     "pipeline_materialize_training",    # 2.37 -> 2.83 (+20%)
     "join_fk_inner",
     "pred_surface",
