@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed
 """
 
 from __future__ import annotations
@@ -751,6 +751,38 @@ def main() -> None:
             results["pyds_stream_rows"] = int(
                 spark.table(qn).agg(F.sum("count")).first()[0])
             results["pyds_stream_s"] = round(time.perf_counter() - t0, 2)
+
+        if "keyed" in OPS:
+            # point lookups on the keyed standing table (sinks.
+            # keyed_lookup, the reference's per-key GET): bucket
+            # COUNT scales with the corpus (8 per factor) so bucket
+            # SIZE stays constant — the deployment contract.  A
+            # fixed 8-key GET must then stay FLAT while the table
+            # grows 16x (it reads only the touched ~8 bucket dirs,
+            # pruned at planning time), while the naive full-scan
+            # filter grows with the table
+            import shutil as _shutil
+
+            from nosql_join_stream_spark.sinks import (keyed_lookup,
+                                                       read_keyed,
+                                                       write_keyed)
+            kpath = f"/tmp/scale_keyed_{factor}x"
+            if not os.path.isdir(kpath):
+                write_keyed(dd, kpath, "doc_id",
+                            num_buckets=8 * factor)
+            probe_keys = [11, 503, 1007, 2003, 10_000_011,
+                          10_000_503, 20_000_007, 30_000_019]
+            t0 = time.perf_counter()
+            results["keyed_rows"] = keyed_lookup(
+                spark, kpath, probe_keys).count()
+            results["keyed_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            results["keyed_scan_rows"] = (
+                read_keyed(spark, kpath)
+                .filter(F.col("doc_id").isin(probe_keys)).count())
+            results["keyed_scan_s"] = round(
+                time.perf_counter() - t0, 2)
+            _shutil.rmtree(kpath, ignore_errors=True)
 
         print(f"factor={factor:3d} docs={n_docs * factor:7d} {results}",
               flush=True)
