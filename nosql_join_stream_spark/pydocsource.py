@@ -723,11 +723,17 @@ class JsonDocsWriter(DataSourceWriter):
     storage.scala:661-699; same staged-commit shape here, minus the
     wire protocol).  Executor tasks stage uniquely-named tmp files in
     parallel; the driver's ``commit`` renames them to their final
-    names and updates the stats sidecar, so readers see either the
-    old collection or the complete new data, never a torn write.
+    names and updates the stats sidecar, so a FAILED JOB never
+    publishes partial data (tmp names are invisible to readers and
+    removed by ``abort``).
 
     ``mode('overwrite')`` removes the previous ``.jsonl`` files at
-    commit time (after the new data is fully staged).  ``append``
+    commit time, only after the new data is fully staged; the
+    commit itself (delete-old + rename-new) is a driver-local
+    sequence of renames, not one atomic swap — a crash INSIDE the
+    commit window can leave a mixed directory, the usual caveat of
+    directory-as-table layouts (a real store swaps a manifest; the
+    parquet sinks in sinks.py do exactly that via ``_nsjs_meta``).  ``append``
     names new files strictly ABOVE every existing name (the stem of
     the current maximum + ``_<seq>``), preserving the streaming
     source's lexicographically-increasing-filenames contract, so a

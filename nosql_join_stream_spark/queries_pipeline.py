@@ -4995,6 +4995,46 @@ def pyds_roundtrip_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pyds_stream_relay",
+    """
+    SELECT doc_id, source, lang, text,
+           '{"n_chars": ' || CAST(n_chars AS VARCHAR) || '}' AS props
+    FROM documents
+    """,
+    doc="STREAMING sink of the pure-Python connector "
+        "(pydocsource.JsonDocsStreamWriter): the documents collection "
+        "is tailed by the json_docs STREAM READER and relayed through "
+        "writeStream.format('json_docs') into a second directory — "
+        "per-batch staged tmp files published by the driver's "
+        "commit(batchId) under batch-id-monotone names, so the relay "
+        "dir is itself a valid json_docs stream SOURCE (a "
+        "materialized changelog another query can tail).  The relay "
+        "is then batch-read and oracle-verified row for row, so the "
+        "read-stream → write-stream → scan cycle — offsets, "
+        "projection contract, commit protocol, props round-trip — is "
+        "value-hash-checked end-to-end.  The shared checkpoint makes "
+        "re-drains no-ops (exactly-once across retries).",
+)
+def pyds_stream_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    e = _engine(spark, sf_dir)
+    src = _pyds_collection_dir(e, spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(),
+                        f"nsjs_pydsr_{os.getpid()}_{tag}")
+    relay = os.path.join(base, "relay")
+    ckpt = os.path.join(base, "ckpt")
+    q = (spark.readStream.format("json_docs").option("path", src).load()
+         .writeStream.format("json_docs").option("path", relay)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return e.load(relay, fmt="json_docs")
+
+
+@register(
     "text_mixed_language",
     f"""
     WITH t AS (
