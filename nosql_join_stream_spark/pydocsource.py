@@ -489,11 +489,16 @@ class JsonDocsStreamReader(DataSourceStreamReader):
     while the query was DOWN is indistinguishable from one that was
     already read, and restarts re-arm the guard only against late
     arrivals that happen afterwards.  ``.option('stateDir', <dir>)``
-    closes that hole: each ``commit`` persists the watermark + seen
-    set there (atomic tmp-file + rename), ``__init__`` restores it,
-    and a below-watermark file present at restart raises exactly like
-    a live late arrival.  Without ``stateDir`` the weaker in-memory
-    behavior is documented, not promised away.
+    closes that hole: the watermark + seen set persist there (atomic
+    tmp-file + rename) at PLANNING time (``latestOffset``) and again
+    at ``commit`` — the ``FileStreamSource`` WAL discipline —
+    ``__init__`` restores them, a below-watermark file present at
+    restart raises exactly like a live late arrival, and a file that
+    landed INSIDE a planned-but-uncommitted span while the query was
+    down trips ``partitions``'s replay-determinism guard instead of
+    silently changing the batch a retried sink would skip.  Without
+    ``stateDir`` the weaker in-memory behavior is documented, not
+    promised away.
 
     Supports ``.option('columns', ...)`` with the same projection
     contract as the batch reader (the declared schema and the emitted
@@ -540,9 +545,21 @@ class JsonDocsStreamReader(DataSourceStreamReader):
                 "source requires lexicographically increasing "
                 "filenames (zero-padded sequence numbers); re-land "
                 "the data under a name above the watermark")
+        changed = (not set(files) <= self._seen
+                   or bool(files and files[-1] > self._watermark))
         self._seen.update(files)
         if files:
             self._watermark = max(self._watermark, files[-1])
+        # WAL at PLANNING time, not just commit (the FileStreamSource
+        # discipline): a crash between planning a batch and committing
+        # it must not forget which files the batch contained, or a
+        # file landing inside the planned span while the query is down
+        # would be silently folded into the replay — which an
+        # exactly-once sink then skips wholesale (silent loss).  With
+        # the planning-time WAL, the restart restores the planned
+        # watermark+seen and the intruder trips the guard instead.
+        if self._state_dir and changed:
+            self._persist_state()
         return {"last": files[-1]} if files else {"last": ""}
 
     def partitions(self, start, end):
@@ -561,12 +578,39 @@ class JsonDocsStreamReader(DataSourceStreamReader):
             f for f in os.listdir(self.path)
             if f.endswith(".jsonl")
             and f > start["last"] and f <= end["last"])
+        # Replay determinism guard (stateDir only — without persisted
+        # state a restart cannot tell an intruder from a committed
+        # file): a file inside the replayed span that the planning-time
+        # WAL never saw means the batch's content would silently differ
+        # from what the sink already (maybe) committed under this batch
+        # id.  Raise rather than re-deliver a different batch.
+        if self._state_dir:
+            intruders = [f for f in files
+                         if f <= self._watermark and f not in self._seen]
+            if intruders:
+                raise RuntimeError(
+                    f"json_docs stream at {self.path}: file(s) "
+                    f"{intruders} landed inside the already-planned "
+                    f"span (start {start['last']!r}, end "
+                    f"{end['last']!r}] after planning — replaying "
+                    "this batch would deliver different data under "
+                    "the same batch id; re-land the data above the "
+                    "watermark")
         # an empty batch still needs a plan: zero partitions is legal
         return [_FilePartition(os.path.join(self.path, f))
                 for f in files]
 
     def read(self, partition):
         return _read_jsonl(partition.path, self.columns)
+
+    def _persist_state(self) -> None:
+        os.makedirs(self._state_dir, exist_ok=True)
+        st = os.path.join(self._state_dir, "json_docs_stream_state.json")
+        tmp = st + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"watermark": self._watermark,
+                       "seen": sorted(self._seen)}, fh)
+        os.replace(tmp, st)  # atomic: a crash leaves old or new, never half
 
     def commit(self, end):
         if not self._state_dir:
@@ -581,13 +625,7 @@ class JsonDocsStreamReader(DataSourceStreamReader):
         current = {f for f in os.listdir(self.path)
                    if f.endswith(".jsonl")}
         self._seen &= current
-        os.makedirs(self._state_dir, exist_ok=True)
-        st = os.path.join(self._state_dir, "json_docs_stream_state.json")
-        tmp = st + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump({"watermark": self._watermark,
-                       "seen": sorted(self._seen)}, fh)
-        os.replace(tmp, st)  # atomic: a crash leaves old or new, never half
+        self._persist_state()
 
 
 class _JsonDocsCommit(WriterCommitMessage):
