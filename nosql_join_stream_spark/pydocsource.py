@@ -209,7 +209,9 @@ def write_docs_stats(path: str) -> dict:
     (and of parquet footer stats).  One sequential pass per file at
     ingest time buys file skipping on every subsequent filtered scan.
     Returns the stats dict."""
-    files = sorted(f for f in os.listdir(path) if f.endswith(".jsonl"))
+    doomed = _compact_pending_deletes(path)
+    files = sorted(f for f in os.listdir(path)
+                   if f.endswith(".jsonl") and f not in doomed)
     out: dict[str, dict] = {}
     for fname in files:
         colstats = {c: {"min": None, "max": None, "has_null": False}
@@ -237,6 +239,205 @@ def write_docs_stats(path: str) -> dict:
               encoding="utf-8") as fh:
         json.dump({"files": out}, fh, sort_keys=True)
     return out
+
+
+_COMPACT_MANIFEST = "_compact_manifest.json"
+
+
+def _compact_pending_deletes(path: str) -> set[str]:
+    """Filenames a crashed-but-COMMITTED compaction still owes
+    deletion for.  The commit point is the staged tmp file's
+    disappearance (``os.replace`` into the target consumes it):
+    manifest present + tmp present = uncommitted (directory
+    untouched, manifest is dead intent); manifest present + tmp
+    absent = committed (the target already holds the merged rows, so
+    the doomed originals are duplicates and readers must skip them).
+    Non-mutating — safe under concurrent readers."""
+    man = os.path.join(path, _COMPACT_MANIFEST)
+    if not os.path.isfile(man):
+        return set()
+    with open(man, encoding="utf-8") as fh:
+        m = json.load(fh)
+    if os.path.exists(os.path.join(path, m["tmp"])):
+        return set()
+    return set(m["delete"])
+
+
+def _finish_compact_deletes(path: str, m: dict) -> None:
+    """Roll a committed compaction forward: delete the doomed
+    originals and fold their sidecar entries into the target's.
+    Idempotent — every step tolerates having already happened."""
+    for f in m["delete"]:
+        try:
+            os.remove(os.path.join(path, f))
+        except FileNotFoundError:
+            pass
+    sidecar = os.path.join(path, _STATS_FILE)
+    if not os.path.isfile(sidecar):
+        return
+    with open(sidecar, encoding="utf-8") as fh:
+        stats = json.load(fh).get("files", {})
+    entries = [stats.get(f) for f in m["delete"] + [m["target"]]]
+    if any(e is None for e in entries):
+        # a merged-away file had no stats entry: the merged target's
+        # true min/max are unknown — drop its entry (a file with no
+        # entry is always scanned; pruning stays conservative)
+        stats.pop(m["target"], None)
+    else:
+        merged = {"n": sum(e.get("n", 0) for e in entries)}
+        for c in _STATS_COLS:
+            vals = [e[c] for e in entries]
+            mins = [v["min"] for v in vals if v["min"] is not None]
+            maxs = [v["max"] for v in vals if v["max"] is not None]
+            merged[c] = {"min": min(mins) if mins else None,
+                         "max": max(maxs) if maxs else None,
+                         "has_null": any(v["has_null"] for v in vals)}
+        stats[m["target"]] = merged
+    for f in m["delete"]:
+        stats.pop(f, None)
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"files": stats}, fh, sort_keys=True)
+    os.replace(tmp, sidecar)
+
+
+def _recover_compact(path: str) -> None:
+    """Repair a crashed compaction, forward or back, before starting
+    a new one.  Tolerates losing a repair race to a concurrent
+    repairer (the other one reaching the same end state is success —
+    the similarity.py/dedup.py recovery convention)."""
+    man = os.path.join(path, _COMPACT_MANIFEST)
+    if not os.path.isfile(man):
+        return
+    try:
+        with open(man, encoding="utf-8") as fh:
+            m = json.load(fh)
+    except FileNotFoundError:
+        return
+    tmp = os.path.join(path, m["tmp"])
+    if os.path.exists(tmp):
+        os.remove(tmp)          # uncommitted: roll BACK (drop staging)
+    else:
+        _finish_compact_deletes(path, m)   # committed: roll FORWARD
+    try:
+        os.remove(man)
+    except FileNotFoundError:
+        pass
+
+
+def stream_committed_watermark(checkpoint_dir: str,
+                               source_index: int = 0) -> str | None:
+    """The filename high-watermark a ``json_docs`` STREAM has durably
+    COMMITTED past, read from its query's checkpoint — the safe
+    ``upto`` for :func:`compact_json_docs` when a live tailer shares
+    the directory (files at-or-below it can never be re-planned, so
+    merging them cannot change a replayed batch).
+
+    Reads Spark's own offset/commit WALs (``<ckpt>/commits/<n>`` marks
+    batch *n* fully committed; ``<ckpt>/offsets/<n>`` line 3+ holds
+    each source's serialized offset — ``{"last": <filename>}`` for
+    this source).  Returns None when no batch has committed yet
+    (compact nothing).  ``source_index`` selects the source for
+    multi-source queries (the offsets file carries one line per
+    source, in plan order)."""
+    cdir = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(cdir):
+        return None
+    ids = [int(f) for f in os.listdir(cdir) if f.isdigit()]
+    if not ids:
+        return None
+    with open(os.path.join(checkpoint_dir, "offsets", str(max(ids))),
+              encoding="utf-8") as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    # line 0 = "v1", line 1 = batch metadata, line 2+ = per-source
+    sources = lines[2:]
+    if source_index >= len(sources):
+        raise ValueError(
+            f"checkpoint {checkpoint_dir}: batch {max(ids)} has "
+            f"{len(sources)} source offset(s), no index {source_index}")
+    off = json.loads(sources[source_index])
+    if not isinstance(off, dict) or "last" not in off:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir}: source {source_index} "
+            f"offset {off!r} is not a json_docs filename watermark")
+    return off["last"] or None
+
+
+def compact_json_docs(path: str, upto: str | None = None) -> dict:
+    """Small-file compaction for a document collection — the
+    connector-side analog of ``sinks.compact`` (a store compacts its
+    chunks server-side; a rolled log's consumer does it here).  Merges
+    every ``.jsonl`` file at-or-below ``upto`` (all files when None)
+    into the group's MAXIMUM name, preserving both row content and
+    the streaming source's filename contract: the surviving name is
+    the group's max, so a tailing ``json_docs`` stream's watermark
+    and seen set stay valid — merged-away names vanish like rotation
+    (pruned at the stream's next commit), the target name was already
+    seen, and nothing ever re-lands below the watermark.
+
+    Crash-safe via an intent manifest: rows are staged to an
+    invisible tmp file, the manifest (tmp, target, delete-list) is
+    published atomically, and ``os.replace(tmp, target)`` is the
+    commit point — a crash before it rolls back, after it rolls
+    forward (readers skip the doomed originals meanwhile via
+    ``_compact_pending_deletes``, so even the crash window never
+    double-reads).  Compact only files the stream has COMMITTED past
+    (``upto`` = the checkpointed watermark) if a live tailer shares
+    the directory — merging files an in-flight batch still references
+    would change that batch under replay.  A concurrent BATCH scan
+    planned in the instant between the commit point and the deletes
+    can still observe both an original and the merged target — the
+    usual directory-as-table caveat (same window as the writer's
+    overwrite commit); run compaction write-quiesced.  ONE compactor
+    at a time (it is a maintenance op): the orphan sweep below would
+    pull the staging out from under a concurrent compactor — which
+    fails that compactor loudly and harmlessly (its manifest is
+    published after staging, so no recovery path can misread the
+    swept state as committed), but the run is wasted."""
+    import uuid
+
+    _recover_compact(path)
+    # sweep pre-intent orphans: a crash BEFORE the manifest published
+    # leaves staging files no recovery path owns (invisible to
+    # readers — not .jsonl — but they'd accumulate forever)
+    for f in os.listdir(path):
+        if (f.startswith("_tmp-compact-") and f.endswith(".inprogress")
+                or f == _COMPACT_MANIFEST + ".tmp"):
+            try:
+                os.remove(os.path.join(path, f))
+            except FileNotFoundError:
+                pass
+    files = sorted(f for f in os.listdir(path) if f.endswith(".jsonl"))
+    eligible = [f for f in files if upto is None or f <= upto]
+    if len(eligible) < 2:
+        return {"merged": 0, "target": None, "files_before": len(files),
+                "files_after": len(files)}
+    target, doomed = eligible[-1], eligible[:-1]
+    tmp_name = f"_tmp-compact-{uuid.uuid4().hex}.inprogress"
+    tmp = os.path.join(path, tmp_name)
+    with open(tmp, "w", encoding="utf-8") as out:
+        for f in eligible:   # name order == scan order; rows verbatim
+            with open(os.path.join(path, f), encoding="utf-8") as fh:
+                for line in fh:
+                    if line.strip():
+                        out.write(line if line.endswith("\n")
+                                  else line + "\n")
+    m = {"tmp": tmp_name, "target": target, "delete": doomed}
+    man = os.path.join(path, _COMPACT_MANIFEST)
+    man_tmp = man + ".tmp"
+    with open(man_tmp, "w", encoding="utf-8") as fh:
+        json.dump(m, fh)
+    os.replace(man_tmp, man)    # intent is durable before any mutation
+    # COMMIT: target now holds every row
+    os.replace(tmp, os.path.join(path, target))
+    _finish_compact_deletes(path, m)
+    try:
+        os.remove(man)
+    except FileNotFoundError:
+        pass  # a concurrent repairer rolled us forward first — same end state
+    return {"merged": len(eligible), "target": target,
+            "files_before": len(files),
+            "files_after": len(files) - len(doomed)}
 
 
 def _parse_sort_options(options):
@@ -338,8 +539,9 @@ class JsonDocsReader(DataSourceReader):
         # files the pushed filters prove empty are never planned.
         if os.path.isfile(self.path):
             return [_FilePartition(self.path)]
+        doomed = _compact_pending_deletes(self.path)
         files = sorted(f for f in os.listdir(self.path)
-                       if f.endswith(".jsonl"))
+                       if f.endswith(".jsonl") and f not in doomed)
         if not files:
             raise ValueError(f"no .jsonl files under {self.path}")
         stats = self._stats()
@@ -533,8 +735,9 @@ class JsonDocsStreamReader(DataSourceStreamReader):
         return {"last": ""}
 
     def latestOffset(self):
+        doomed = _compact_pending_deletes(self.path)
         files = sorted(f for f in os.listdir(self.path)
-                       if f.endswith(".jsonl"))
+                       if f.endswith(".jsonl") and f not in doomed)
         late = [f for f in files
                 if f <= self._watermark and f not in self._seen]
         if late:
@@ -569,6 +772,7 @@ class JsonDocsStreamReader(DataSourceStreamReader):
         # already read, so they must count as seen, or the next
         # latestOffset() after a checkpointed restart would misread
         # every committed file as a late arrival and raise
+        doomed = _compact_pending_deletes(self.path)
         if start["last"] > self._watermark:
             self._watermark = start["last"]
             self._seen.update(
@@ -576,7 +780,7 @@ class JsonDocsStreamReader(DataSourceStreamReader):
                 if f.endswith(".jsonl") and f <= start["last"])
         files = sorted(
             f for f in os.listdir(self.path)
-            if f.endswith(".jsonl")
+            if f.endswith(".jsonl") and f not in doomed
             and f > start["last"] and f <= end["last"])
         # Replay determinism guard (stateDir only — without persisted
         # state a restart cannot tell an intruder from a committed
@@ -791,6 +995,10 @@ class JsonDocsWriter(DataSourceWriter):
 
     def commit(self, messages):
         os.makedirs(self.path, exist_ok=True)  # empty-input write
+        # settle any crashed compaction first: a stale manifest's
+        # delete-list must never outlive an overwrite, or its later
+        # roll-forward would delete NEW files that reuse doomed names
+        _recover_compact(self.path)
         existing = sorted(f for f in os.listdir(self.path)
                           if f.endswith(".jsonl"))
         if self.overwrite:

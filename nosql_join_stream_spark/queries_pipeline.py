@@ -5035,6 +5035,55 @@ def pyds_stream_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pyds_compact_scan",
+    """
+    SELECT doc_id, source, lang, text,
+           '{"n_chars": ' || CAST(n_chars AS VARCHAR) || '}' AS props
+    FROM documents
+    """,
+    doc="SMALL-FILE COMPACTION of the document collection "
+        "(pydocsource.compact_json_docs — the connector-side analog "
+        "of sinks.compact; a store compacts its chunks server-side, a "
+        "rolled log's consumer does it here): the documents table is "
+        "written through the json_docs writer as 8 range-split files, "
+        "compacted into the group's MAXIMUM name (so a tailing "
+        "stream's filename watermark stays valid — merged-away names "
+        "vanish like rotation), and scanned back — the oracle "
+        "value-hash-verifies that the merge preserved every row and "
+        "the props round-trip.  Crash-safe via an intent manifest "
+        "around the os.replace commit point: rollback when the staged "
+        "tmp survives, roll-forward when it doesn't, with readers "
+        "skipping the doomed originals in the window between — "
+        "recovery branches covered in tests/test_pydocsource_compact"
+        ".py.  The folded _stats.json entry keeps the min/max union, "
+        "so file pruning survives compaction without a re-stat pass.",
+)
+def pyds_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.pydocsource import (compact_json_docs,
+                                                     register_json_docs)
+
+    e = _engine(spark, sf_dir)
+    register_json_docs(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(),
+                     f"nsjs_pydsc_{os.getpid()}_{tag}")
+    (e.table("documents")
+     .repartitionByRange(8, F.col("doc_id"))
+     .select("doc_id", "source", "lang", "text",
+             F.to_json(F.struct("n_chars")).alias("props"))
+     .write.format("json_docs").option("path", d)
+     .mode("overwrite").save())
+    res = compact_json_docs(d)
+    if res["files_after"] != 1:  # loud: a silent no-op would still
+        raise RuntimeError(       # pass the oracle row-for-row
+            f"compaction left {res['files_after']} files, expected 1")
+    return e.load(d, fmt="json_docs")
+
+
+@register(
     "text_mixed_language",
     f"""
     WITH t AS (
