@@ -363,7 +363,40 @@ def stream_committed_watermark(checkpoint_dir: str,
     return off["last"] or None
 
 
-def compact_json_docs(path: str, upto: str | None = None) -> dict:
+def _compact_group(path: str, eligible: list[str]) -> None:
+    """Merge one consecutive group of files into its MAXIMUM name via
+    the stage → manifest → commit → finish sequence.  At most one
+    group is ever in flight (groups run sequentially), so a crash
+    leaves exactly one manifest for recovery to settle."""
+    import uuid
+
+    target, doomed = eligible[-1], eligible[:-1]
+    tmp_name = f"_tmp-compact-{uuid.uuid4().hex}.inprogress"
+    tmp = os.path.join(path, tmp_name)
+    with open(tmp, "w", encoding="utf-8") as out:
+        for f in eligible:   # name order == scan order; rows verbatim
+            with open(os.path.join(path, f), encoding="utf-8") as fh:
+                for line in fh:
+                    if line.strip():
+                        out.write(line if line.endswith("\n")
+                                  else line + "\n")
+    m = {"tmp": tmp_name, "target": target, "delete": doomed}
+    man = os.path.join(path, _COMPACT_MANIFEST)
+    man_tmp = man + ".tmp"
+    with open(man_tmp, "w", encoding="utf-8") as fh:
+        json.dump(m, fh)
+    os.replace(man_tmp, man)    # intent is durable before any mutation
+    # COMMIT: target now holds every row
+    os.replace(tmp, os.path.join(path, target))
+    _finish_compact_deletes(path, m)
+    try:
+        os.remove(man)
+    except FileNotFoundError:
+        pass  # a concurrent repairer rolled us forward first — same end state
+
+
+def compact_json_docs(path: str, upto: str | None = None,
+                      group_bytes: int | None = None) -> dict:
     """Small-file compaction for a document collection — the
     connector-side analog of ``sinks.compact`` (a store compacts its
     chunks server-side; a rolled log's consumer does it here).  Merges
@@ -393,9 +426,17 @@ def compact_json_docs(path: str, upto: str | None = None) -> dict:
     pull the staging out from under a concurrent compactor — which
     fails that compactor loudly and harmlessly (its manifest is
     published after staging, so no recovery path can misread the
-    swept state as committed), but the run is wasted."""
-    import uuid
+    swept state as committed), but the run is wasted.
 
+    ``group_bytes`` bounds the merge — consecutive files accumulate
+    into a group until its bytes reach the threshold, and each group
+    merges into ITS OWN maximum name.  This is the scale knob: the
+    source plans one partition per file, so compacting a large
+    collection to a single file would serialize its scan; sized
+    groups keep read parallelism while still collapsing the
+    small-file tail.  Every group's surviving name is a name the
+    stream already watermarked past, so the contract holds per group.
+    None (the default) merges everything eligible into one file."""
     _recover_compact(path)
     # sweep pre-intent orphans: a crash BEFORE the manifest published
     # leaves staging files no recovery path owns (invisible to
@@ -409,35 +450,28 @@ def compact_json_docs(path: str, upto: str | None = None) -> dict:
                 pass
     files = sorted(f for f in os.listdir(path) if f.endswith(".jsonl"))
     eligible = [f for f in files if upto is None or f <= upto]
-    if len(eligible) < 2:
-        return {"merged": 0, "target": None, "files_before": len(files),
+    if group_bytes is None:
+        groups = [eligible]
+    else:
+        groups, cur, cur_bytes = [], [], 0
+        for f in eligible:
+            cur.append(f)
+            cur_bytes += os.path.getsize(os.path.join(path, f))
+            if cur_bytes >= group_bytes:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+        if cur:
+            groups.append(cur)
+    groups = [g for g in groups if len(g) >= 2]
+    if not groups:
+        return {"merged": 0, "targets": [], "files_before": len(files),
                 "files_after": len(files)}
-    target, doomed = eligible[-1], eligible[:-1]
-    tmp_name = f"_tmp-compact-{uuid.uuid4().hex}.inprogress"
-    tmp = os.path.join(path, tmp_name)
-    with open(tmp, "w", encoding="utf-8") as out:
-        for f in eligible:   # name order == scan order; rows verbatim
-            with open(os.path.join(path, f), encoding="utf-8") as fh:
-                for line in fh:
-                    if line.strip():
-                        out.write(line if line.endswith("\n")
-                                  else line + "\n")
-    m = {"tmp": tmp_name, "target": target, "delete": doomed}
-    man = os.path.join(path, _COMPACT_MANIFEST)
-    man_tmp = man + ".tmp"
-    with open(man_tmp, "w", encoding="utf-8") as fh:
-        json.dump(m, fh)
-    os.replace(man_tmp, man)    # intent is durable before any mutation
-    # COMMIT: target now holds every row
-    os.replace(tmp, os.path.join(path, target))
-    _finish_compact_deletes(path, m)
-    try:
-        os.remove(man)
-    except FileNotFoundError:
-        pass  # a concurrent repairer rolled us forward first — same end state
-    return {"merged": len(eligible), "target": target,
+    for g in groups:
+        _compact_group(path, g)
+    merged = sum(len(g) for g in groups)
+    return {"merged": merged, "targets": [g[-1] for g in groups],
             "files_before": len(files),
-            "files_after": len(files) - len(doomed)}
+            "files_after": len(files) - (merged - len(groups))}
 
 
 def _parse_sort_options(options):

@@ -60,7 +60,7 @@ def test_compact_merges_into_max_name(registered, docs_dir):
     from nosql_join_stream_spark.pydocsource import compact_json_docs
 
     res = compact_json_docs(docs_dir)
-    assert res["merged"] == 4 and res["target"] == "0003.jsonl"
+    assert res["merged"] == 4 and res["targets"] == ["0003.jsonl"]
     assert res["files_before"] == 4 and res["files_after"] == 1
     names = sorted(os.listdir(docs_dir))
     assert [f for f in names if f.endswith(".jsonl")] == ["0003.jsonl"]
@@ -79,7 +79,7 @@ def test_compact_upto_fences_newer_files(registered, docs_dir):
     from nosql_join_stream_spark.pydocsource import compact_json_docs
 
     res = compact_json_docs(docs_dir, upto="0001.jsonl")
-    assert res["merged"] == 2 and res["target"] == "0001.jsonl"
+    assert res["merged"] == 2 and res["targets"] == ["0001.jsonl"]
     jsonl = sorted(f for f in os.listdir(docs_dir)
                    if f.endswith(".jsonl"))
     assert jsonl == ["0001.jsonl", "0002.jsonl", "0003.jsonl"]
@@ -92,8 +92,41 @@ def test_compact_noop_below_two_files(tmp_path):
     d = str(tmp_path / "one")
     _write_files(d, {"0000.jsonl": _rows(0, 5)})
     res = compact_json_docs(d)
-    assert res["merged"] == 0 and res["target"] is None
+    assert res["merged"] == 0 and res["targets"] == []
     assert sorted(os.listdir(d)) == ["0000.jsonl"]
+
+
+def test_compact_group_bytes_preserves_read_parallelism(
+        registered, docs_dir):
+    """The scale knob: sized groups each merge into their OWN maximum
+    name, so a large collection keeps a bounded-but-plural file count
+    (partition-per-file read parallelism survives) and every
+    surviving name was already watermarked past by any tailer."""
+    from nosql_join_stream_spark.pydocsource import compact_json_docs
+
+    sizes = {f: os.path.getsize(os.path.join(docs_dir, f))
+             for f in sorted(os.listdir(docs_dir)) if f.endswith(".jsonl")}
+    # threshold = two files' worth -> the 4 files split into 2 groups
+    thresh = sizes["0000.jsonl"] + sizes["0001.jsonl"]
+    res = compact_json_docs(docs_dir, group_bytes=thresh)
+    assert res["merged"] == 4 and res["files_after"] == 2
+    assert res["targets"] == ["0001.jsonl", "0003.jsonl"]
+    jsonl = sorted(f for f in os.listdir(docs_dir)
+                   if f.endswith(".jsonl"))
+    assert jsonl == ["0001.jsonl", "0003.jsonl"]
+    assert _read_ids(registered, docs_dir) == list(range(40))
+    # sidecar folded per group: pruning stats stay disjoint and exact
+    stats = json.load(open(os.path.join(docs_dir, "_stats.json")))["files"]
+    assert stats["0001.jsonl"]["doc_id"] == {
+        "min": 0, "max": 19, "has_null": False}
+    assert stats["0003.jsonl"]["doc_id"] == {
+        "min": 20, "max": 39, "has_null": False}
+    # re-running at the same threshold is a TRUE no-op: each compacted
+    # file now fills a group alone, and 1-file groups never "merge"
+    res2 = compact_json_docs(docs_dir, group_bytes=thresh)
+    assert res2["merged"] == 0 and res2["targets"] == []
+    assert res2["files_after"] == 2
+    assert _read_ids(registered, docs_dir) == list(range(40))
 
 
 def test_crash_before_commit_rolls_back(registered, docs_dir):
@@ -201,7 +234,7 @@ def test_stream_tails_across_compaction_of_committed_prefix(
     wm = stream_committed_watermark(ckpt)
     assert wm == "b.jsonl"
     res = compact_json_docs(str(d), upto=wm)
-    assert res["merged"] == 2 and res["target"] == "b.jsonl"
+    assert res["merged"] == 2 and res["targets"] == ["b.jsonl"]
     (d / "c.jsonl").write_text(
         json.dumps({"doc_id": 2, "text": "t2"}) + "\n")
 
