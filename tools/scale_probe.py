@@ -784,6 +784,53 @@ def main() -> None:
                 time.perf_counter() - t0, 2)
             _shutil.rmtree(kpath, ignore_errors=True)
 
+        if "compact" in OPS:
+            # small-file compaction of a json_docs collection: the
+            # rolled-log shape (64 tiny files per factor-copy).  Wall
+            # must track total BYTES (one sequential pass — it is a
+            # maintenance op), and sized groups must keep the
+            # post-compaction scan plural (partition-per-file read
+            # parallelism) while collapsing the small-file tail ~8:1
+            import glob as _glob
+            import shutil as _shutil
+
+            from nosql_join_stream_spark.pydocsource import (
+                compact_json_docs, register_json_docs, write_docs_stats)
+            register_json_docs(spark)
+            cdir = f"/tmp/scale_compact_{factor}x"
+            _shutil.rmtree(cdir, ignore_errors=True)
+            (dd.repartitionByRange(64 * factor, "doc_id")
+             .select(F.to_json(F.struct("doc_id", "source", "lang",
+                                        "text", "n_chars")).alias("j"))
+             .write.mode("overwrite").text(cdir))
+            parts = sorted(_glob.glob(os.path.join(cdir, "part-*")))
+            for i, f in enumerate(parts):
+                os.rename(f, os.path.join(cdir, f"{i:05d}.jsonl"))
+            write_docs_stats(cdir)
+            total_b = sum(os.path.getsize(f) for f in
+                          _glob.glob(os.path.join(cdir, "*.jsonl")))
+            t0 = time.perf_counter()
+            pre = (spark.read.format("json_docs")
+                   .option("path", cdir).load())
+            results["compact_prescan_rows"] = pre.count()
+            results["compact_prescan_s"] = round(
+                time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            st = compact_json_docs(cdir,
+                                   group_bytes=total_b // (8 * factor))
+            results["compact_s"] = round(time.perf_counter() - t0, 2)
+            results["compact_files"] = (
+                f"{st['files_before']}->{st['files_after']}")
+            results["compact_mb"] = round(total_b / 1e6, 1)
+            t0 = time.perf_counter()
+            post = (spark.read.format("json_docs")
+                    .option("path", cdir).load())
+            results["compact_postscan_rows"] = post.count()
+            results["compact_post_parts"] = post.rdd.getNumPartitions()
+            results["compact_postscan_s"] = round(
+                time.perf_counter() - t0, 2)
+            _shutil.rmtree(cdir, ignore_errors=True)
+
         print(f"factor={factor:3d} docs={n_docs * factor:7d} {results}",
               flush=True)
         factor *= 4
