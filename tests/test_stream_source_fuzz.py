@@ -17,7 +17,13 @@ exactly-once filename-high-watermark source must do:
     persisted the seen set (the documented weaker in-memory contract
     absorbs them silently);
   * rotation (deleting committed files) never disturbs delivery,
-    and the persisted seen set stays bounded by the live directory.
+    and the persisted seen set stays bounded by the live directory;
+  * compaction at the committed fence (compact_json_docs with
+    upto = the committed offset, the stream_committed_watermark
+    discipline) is invisible to delivery: merged-away names vanish
+    like rotation, the surviving group-max names were already seen,
+    and replays never observe merged content (files at-or-below the
+    committed offset are never re-planned).
 
 Reference parity: the reference's resumable sequence-number cursor
 (log/package.scala) has the same exactly-once-across-replay
@@ -31,7 +37,8 @@ import os
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-from nosql_join_stream_spark.pydocsource import JsonDocsStreamReader
+from nosql_join_stream_spark.pydocsource import (JsonDocsStreamReader,
+                                                 compact_json_docs)
 
 
 def _land(d: str, name: str, rows: list[dict]) -> None:
@@ -46,7 +53,7 @@ def _land(d: str, name: str, rows: list[dict]) -> None:
 _OPS = st.lists(
     st.sampled_from(
         ["land", "land", "batch", "batch", "batch_crash",
-         "restart", "rotate", "land_late"]),
+         "restart", "rotate", "land_late", "compact"]),
     min_size=3, max_size=14)
 
 
@@ -153,6 +160,20 @@ def test_stream_reader_exactly_once_under_adversarial_schedule(
             if olds:
                 os.remove(os.path.join(d, olds[0]))
                 rotated_pending.add(olds[0])
+        elif op == "compact":
+            # the safe fence: only files the COMMIT log covers (what
+            # stream_committed_watermark reads from a real checkpoint)
+            if not committed["last"]:
+                continue
+            before = {f for f in os.listdir(d) if f.endswith(".jsonl")}
+            grp = data.draw(st.sampled_from([None, 40]),
+                            label="group_bytes")
+            compact_json_docs(d, upto=committed["last"],
+                              group_bytes=grp)
+            after = {f for f in os.listdir(d) if f.endswith(".jsonl")}
+            # merged-away names vanish like rotation: absorbed into
+            # the persisted-seen bound until the next commit prunes
+            rotated_pending.update(before - after)
 
     if guard_tripped:
         return  # loud failure IS the contract; delivery checks moot
