@@ -314,6 +314,42 @@ def test_committed_watermark_none_before_first_commit(tmp_path):
     assert stream_committed_watermark(str(tmp_path / "ckpt")) is None
 
 
+def test_committed_watermark_multi_source_index(registered, tmp_path):
+    """A union of two json_docs streams checkpoints ONE offsets file
+    with one offset line per source (plan order); source_index selects
+    the right fence for each directory, and an out-of-range index or a
+    non-json_docs offset fails loudly instead of fencing the wrong
+    collection."""
+    import json as _json
+
+    from nosql_join_stream_spark.pydocsource import (
+        stream_committed_watermark)
+
+    spark = registered
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    (d1 / "a1.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": "x"}) + "\n")
+    (d2 / "b7.jsonl").write_text(
+        _json.dumps({"doc_id": 2, "text": "y"}) + "\n")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    s1 = (spark.readStream.format("json_docs")
+          .option("path", str(d1)).load())
+    s2 = (spark.readStream.format("json_docs")
+          .option("path", str(d2)).load())
+    q = (s1.unionByName(s2)
+         .writeStream.format("parquet").option("path", out)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    assert stream_committed_watermark(ckpt, source_index=0) == "a1.jsonl"
+    assert stream_committed_watermark(ckpt, source_index=1) == "b7.jsonl"
+    with pytest.raises(ValueError, match="no index 2"):
+        stream_committed_watermark(ckpt, source_index=2)
+
+
 def test_overwrite_settles_stale_manifest(registered, docs_dir):
     """A committed-but-unfinished compaction must not survive an
     overwrite: the manifest's delete-list would otherwise doom NEW
