@@ -302,6 +302,98 @@ def test_crash_matrix_exactly_once_at_every_boundary(
     assert _read_ids(registered, docs_dir) == list(range(40)), label
 
 
+def _reader_view_ids(d):
+    """What any reader observes: every row of every .jsonl file minus
+    the manifest's pending deletes — as a MULTISET, so a double-read
+    (duplicate) fails the invariant as loudly as a loss."""
+    from nosql_join_stream_spark.pydocsource import (
+        _compact_pending_deletes)
+
+    doomed = _compact_pending_deletes(d)
+    out = []
+    for f in sorted(os.listdir(d)):
+        if not f.endswith(".jsonl") or f in doomed:
+            continue
+        with open(os.path.join(d, f), encoding="utf-8") as fh:
+            for line in fh:
+                if line.strip():
+                    out.append(json.loads(line)["doc_id"])
+    return sorted(out)
+
+
+def test_compact_crash_fuzz_random_shapes_and_crash_points(tmp_path):
+    """Randomized superset of the fixed crash matrix: arbitrary file
+    shapes (including empty files), arbitrary upto fence and group
+    size, and a crash injected at EVERY os.replace/os.remove call
+    index in turn.  At every intermediate state the reader-view
+    multiset equals the original rows (no loss, no duplicate), and a
+    recovery run converges to a clean directory."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import nosql_join_stream_spark.pydocsource as pds
+    from nosql_join_stream_spark.pydocsource import compact_json_docs
+
+    counter = 0
+
+    @settings(max_examples=120, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(sizes=st.lists(st.integers(0, 4), min_size=1, max_size=7),
+           upto_idx=st.one_of(st.none(), st.integers(0, 6)),
+           grouped=st.booleans(),
+           crash_at=st.one_of(st.none(), st.integers(1, 14)))
+    def run(sizes, upto_idx, grouped, crash_at):
+        nonlocal counter
+        counter += 1
+        d = str(tmp_path / f"fz{counter}")
+        os.makedirs(d)
+        nid = 0
+        for i, n in enumerate(sizes):
+            rows = []
+            for _ in range(n):
+                rows.append(dict(doc_id=nid, text="t"))
+                nid += 1
+            _write_files(d, {f"{i:04d}.jsonl": rows})
+        all_ids = sorted(range(nid))
+        upto = (None if upto_idx is None
+                else f"{min(upto_idx, len(sizes) - 1):04d}.jsonl")
+        gb = 60 if grouped else None  # ~2 tiny rows per group
+
+        real_rep, real_rem = pds.os.replace, pds.os.remove
+        calls = 0
+
+        def mk(real):
+            def wrapper(*a, **k):
+                nonlocal calls
+                calls += 1
+                if crash_at is not None and calls == crash_at:
+                    raise _CrashPoint(f"oscall #{crash_at}")
+                return real(*a, **k)
+            return wrapper
+
+        pds.os.replace, pds.os.remove = mk(real_rep), mk(real_rem)
+        try:
+            try:
+                compact_json_docs(d, upto=upto, group_bytes=gb)
+            except _CrashPoint:
+                pass
+        finally:
+            pds.os.replace, pds.os.remove = real_rep, real_rem
+
+        # invariant holds in whatever state the crash left behind
+        assert _reader_view_ids(d) == all_ids
+
+        # recovery converges: clean directory, same rows, and a
+        # second run is a no-op on the already-compacted groups
+        compact_json_docs(d, upto=upto, group_bytes=gb)
+        names = os.listdir(d)
+        assert "_compact_manifest.json" not in names
+        assert not [f for f in names if f.endswith(".inprogress")]
+        assert _reader_view_ids(d) == all_ids
+
+    run()
+
+
 def test_committed_watermark_none_before_first_commit(tmp_path):
     """No commits yet (fresh or absent checkpoint) = nothing is safe
     to compact: the fence is None, and compact(upto=None) on a shared
