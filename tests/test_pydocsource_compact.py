@@ -129,6 +129,26 @@ def test_compact_group_bytes_preserves_read_parallelism(
     assert _read_ids(registered, docs_dir) == list(range(40))
 
 
+def test_file_pruning_survives_compaction(registered, docs_dir):
+    """The folded sidecar must keep SKIPPING files at plan time: after
+    a grouped compaction, a doc_id range predicate plans only the one
+    surviving file whose folded min/max can match — no re-stat pass,
+    no conservative scan-everything fallback."""
+    from nosql_join_stream_spark.pydocsource import compact_json_docs
+
+    sizes = {f: os.path.getsize(os.path.join(docs_dir, f))
+             for f in sorted(os.listdir(docs_dir)) if f.endswith(".jsonl")}
+    compact_json_docs(
+        docs_dir,
+        group_bytes=sizes["0000.jsonl"] + sizes["0001.jsonl"])
+    # 2 files survive: ids 0-19 in 0001, 20-39 in 0003
+    sel = (registered.read.format("json_docs")
+           .option("path", docs_dir).load()
+           .filter("doc_id >= 25"))
+    assert sel.rdd.getNumPartitions() == 1  # 0001.jsonl pruned by stats
+    assert sorted(r.doc_id for r in sel.collect()) == list(range(25, 40))
+
+
 def test_crash_before_commit_rolls_back(registered, docs_dir):
     """Manifest + staged tmp on disk = the crash happened BEFORE the
     commit point: nothing is doomed, readers see every original, and
