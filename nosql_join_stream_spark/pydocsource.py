@@ -223,7 +223,16 @@ def write_docs_stats(path: str) -> dict:
                 if not line:
                     continue
                 n += 1
-                doc = json.loads(line)
+                try:
+                    doc = json.loads(line)
+                except json.JSONDecodeError:
+                    # a malformed line reads as all-NULL under
+                    # mode=PERMISSIVE, so the sidecar must carry the
+                    # null flags or IS NULL probes could wrongly skip
+                    # the file; min/max stay untouched (conservative)
+                    for c in _STATS_COLS:
+                        colstats[c]["has_null"] = True
+                    continue
                 for c in _STATS_COLS:
                     v = _doc_value(doc, c)
                     cs = colstats[c]
@@ -528,6 +537,45 @@ def _local_topk_pairs(rows_with_keys, ascending: bool, k: int):
     return rows_with_keys[:k]
 
 
+_MODES = ("FAILFAST", "DROPMALFORMED", "PERMISSIVE")
+
+
+def _parse_mode_option(options) -> str:
+    """Malformed-line policy, Spark's json reader vocabulary with the
+    OPPOSITE default: FAILFAST (the reference's fail-fast error
+    propagation, mongo/package.scala onError — a store surfaces a
+    broken document as a query error, not a silent hole).
+    DROPMALFORMED skips bad lines; PERMISSIVE yields them with every
+    typed column NULL and the raw line under ``_corrupt_record`` in
+    the schemaless ``props`` JSON (the fixed-schema analog of
+    columnNameOfCorruptRecord).  Malformed = the LINE fails to parse
+    as JSON; type drift inside valid JSON is the decode contract's
+    territory (Option-safe NULLs), not this option's."""
+    mode = (options.get("mode") or "FAILFAST").upper()
+    if mode not in _MODES:
+        raise ValueError(
+            f"json_docs: unknown mode {options.get('mode')!r}; "
+            f"expected one of {list(_MODES)}")
+    return mode
+
+
+def _malformed_doc(mode: str, path: str, lineno: int, line: str,
+                   err: Exception) -> dict | None:
+    """Resolve one malformed line under ``mode``: raise, skip (None),
+    or a marker doc that flows through the NORMAL row machinery —
+    every typed column reads as missing (NULL, filters three-valued to
+    dropped, sort keys to the null group) and the raw line lands in
+    props."""
+    if mode == "FAILFAST":
+        raise ValueError(
+            f"json_docs: malformed JSON at {path} line {lineno}: {err} "
+            "(mode=FAILFAST is the default; use DROPMALFORMED to skip "
+            "or PERMISSIVE to keep the raw line)") from err
+    if mode == "DROPMALFORMED":
+        return None
+    return {"_corrupt_record": line}
+
+
 def _parse_columns_option(options) -> list[str]:
     cols_opt = options.get("columns")
     if not cols_opt:
@@ -547,6 +595,7 @@ class JsonDocsReader(DataSourceReader):
             raise ValueError(
                 "json_docs requires .option('path', <dir or file>)")
         self.columns = _parse_columns_option(options)
+        self.mode = _parse_mode_option(options)
         (self.sort_col, self.ascending,
          self.skip, self.limit) = _parse_sort_options(options)
         self.pushed: list = []
@@ -634,11 +683,17 @@ class JsonDocsReader(DataSourceReader):
         k = (self.skip + limit) if limit is not None else None
         kept: list = []  # (row, key) when truncating to a local top-k
         with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
+            for lineno, line in enumerate(fh, 1):
                 line = line.strip()
                 if not line:
                     continue
-                doc = json.loads(line)
+                try:
+                    doc = json.loads(line)
+                except json.JSONDecodeError as e:
+                    doc = _malformed_doc(self.mode, partition.path,
+                                         lineno, line, e)
+                    if doc is None:
+                        continue
                 if any(_eval_filter(p, doc) is not True for p in pushed):
                     continue
                 row = []
@@ -672,18 +727,23 @@ class JsonDocsReader(DataSourceReader):
                         _local_topk_pairs(kept, self.ascending, k))
 
 
-def _read_jsonl(path: str, cols=None):
+def _read_jsonl(path: str, cols=None, mode: str = "FAILFAST"):
     """Per-file cursor yielding tuples in ``cols`` order (default: the
     full declared schema) — the stream reader shares it, so a
     ``columns``-narrowed schema and the emitted row arity always agree
     (r7-ADVICE: the stream used to emit full 5-tuples regardless)."""
     cols = list(_ALL_COLS) if cols is None else cols
     with open(path, encoding="utf-8") as fh:
-        for line in fh:
+        for lineno, line in enumerate(fh, 1):
             line = line.strip()
             if not line:
                 continue
-            doc = json.loads(line)
+            try:
+                doc = json.loads(line)
+            except json.JSONDecodeError as e:
+                doc = _malformed_doc(mode, path, lineno, line, e)
+                if doc is None:
+                    continue
             row = []
             for c in cols:
                 if c == "props":
@@ -738,8 +798,10 @@ class JsonDocsStreamReader(DataSourceStreamReader):
 
     Supports ``.option('columns', ...)`` with the same projection
     contract as the batch reader (the declared schema and the emitted
-    row arity always agree).  ``sort``/``skip``/``limit`` are
-    cursor-shape options with no streaming meaning and raise."""
+    row arity always agree) and ``.option('mode', ...)`` with the same
+    malformed-line policy (FAILFAST default / DROPMALFORMED /
+    PERMISSIVE).  ``sort``/``skip``/``limit`` are cursor-shape options
+    with no streaming meaning and raise."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -754,6 +816,7 @@ class JsonDocsStreamReader(DataSourceStreamReader):
                     "sort/skip/limit; apply the operation on the "
                     "streaming DataFrame instead")
         self.columns = _parse_columns_option(options)
+        self.mode = _parse_mode_option(options)
         self._seen: set[str] = set()
         self._watermark = ""
         self._state_dir = options.get("statedir") or options.get("stateDir")
@@ -839,7 +902,7 @@ class JsonDocsStreamReader(DataSourceStreamReader):
                 for f in files]
 
     def read(self, partition):
-        return _read_jsonl(partition.path, self.columns)
+        return _read_jsonl(partition.path, self.columns, self.mode)
 
     def _persist_state(self) -> None:
         os.makedirs(self._state_dir, exist_ok=True)

@@ -790,34 +790,36 @@ _DRIVER_WINDOW = [
     # last driver row r3 (4)
     "agg_approx_distinct", "ann_cosine_topk", "dedup_exact",
     "dedup_incremental_bucketed",
-    # last driver row r4 (first 14 of 30; the rest lead the r10 window)
+    # last driver row r4 (first 13 of 30; the rest lead the r10 window)
     "agg_geomean_udaf", "ann_lsh_topk", "bm25_search", "concat_logs",
     "decontaminate_overlap", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_resolve_canonical", "either_merge", "hybrid_search_rrf",
-    "join_left_anti", "join_outer_filtered", "log_scan_offset",
+    "join_left_anti", "join_outer_filtered",
     "mql_filter",
     # NEW in r9 (capability lands driver-verified in the round it
     # ships): the json_docs WRITE path round-trip (batch writer and
     # stream sink), small-file compaction of a collection, the
-    # FULL-outer stream-stream interval join, the celled exact
-    # near-dup path.  multimodal_features and pipeline_clean_corpus
+    # PERMISSIVE/DROPMALFORMED parse-mode surface, the FULL-outer
+    # stream-stream interval join, the celled exact near-dup path.
+    # multimodal_features, pipeline_clean_corpus and log_scan_offset
     # (r4 stamps) yield their slots and lead the r10 shortlist — the
     # multimodal family still gets a fresh row via
     # multimodal_decode_png.
     "pyds_roundtrip_write", "pyds_stream_relay", "pyds_compact_scan",
-    "stream_interval_join_full",
+    "pyds_parse_modes", "stream_interval_join_full",
     "dedup_embedding_cosine_celled", "multimodal_decode_png",
 ]
 
 
 # Post-r9 rotation state: if r9's window comes back green, no query's
-# newest driver row predates r4.  r10 shortlist, oldest first: the 16
-# r4 leftovers (multimodal_features, pipeline_clean_corpus,
-# pred_all_array, pred_date_mql, sample_stratified, sort_skip_limit,
-# sql_exists_decorrelated, stream_decontaminate, stream_dedup_keys,
-# stream_quality_filter, stream_windowed_counts, text_novelty_ratio,
-# text_paragraph_dedup, text_tfidf_topk, typed_as_projection,
-# zip_streams), then the 18 r5 stamps, then r6.
+# newest driver row predates r4.  r10 shortlist, oldest first: the 17
+# r4 leftovers (log_scan_offset, multimodal_features,
+# pipeline_clean_corpus, pred_all_array, pred_date_mql,
+# sample_stratified, sort_skip_limit, sql_exists_decorrelated,
+# stream_decontaminate, stream_dedup_keys, stream_quality_filter,
+# stream_windowed_counts, text_novelty_ratio, text_paragraph_dedup,
+# text_tfidf_topk, typed_as_projection, zip_streams), then the 18 r5
+# stamps, then r6.
 
 
 def _apply_driver_window() -> None:

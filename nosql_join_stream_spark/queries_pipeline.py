@@ -5084,6 +5084,60 @@ def pyds_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pyds_parse_modes",
+    """
+    SELECT doc_id, source, lang, text,
+           '{"n_chars": ' || CAST(n_chars AS VARCHAR) || '}' AS props
+    FROM documents
+    UNION ALL
+    SELECT NULL, NULL, NULL, NULL,
+           '{"_corrupt_record": "oops not json"}' AS props
+    UNION ALL
+    SELECT NULL, NULL, NULL, NULL,
+           '{"_corrupt_record": "{broken"}' AS props
+    """,
+    doc="Malformed-line POLICY of the pure-Python connector "
+        "(pydocsource._parse_mode_option): mode=FAILFAST is the "
+        "DEFAULT — the reference's fail-fast error propagation (T4; a "
+        "broken document is a query error naming file and line, never "
+        "a silent hole) — with DROPMALFORMED and PERMISSIVE opt-ins.  "
+        "This query reads a collection with two planted corrupt lines "
+        "under PERMISSIVE: good rows unchanged, corrupt lines yield "
+        "all-NULL typed columns with the raw line under "
+        "_corrupt_record in the schemaless props JSON (the "
+        "fixed-schema analog of columnNameOfCorruptRecord), "
+        "value-hash-verified against the documents table UNION the "
+        "two corrupt rows.  Pushed filters three-value corrupt rows "
+        "away exactly as Spark drops corrupt rows failing a "
+        "data-column filter (pinned in tests).",
+)
+def pyds_parse_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+
+    e = _engine(spark, sf_dir)
+    register_json_docs(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(),
+                     f"nsjs_pydsm_{os.getpid()}_{tag}")
+    (e.table("documents")
+     .repartitionByRange(4, F.col("doc_id"))
+     .select("doc_id", "source", "lang", "text",
+             F.to_json(F.struct("n_chars")).alias("props"))
+     .write.format("json_docs").option("path", d)
+     .mode("overwrite").save())
+    # plant the corrupt tail ABOVE every written name (the rolled-log
+    # shape: a truncated last file from a crashed producer)
+    with open(os.path.join(d, "zzzz-corrupt.jsonl"), "w",
+              encoding="utf-8") as fh:
+        fh.write("oops not json\n")
+        fh.write("{broken\n")
+    return e.load(d, fmt="json_docs", mode="PERMISSIVE")
+
+
+@register(
     "text_mixed_language",
     f"""
     WITH t AS (

@@ -275,3 +275,88 @@ def test_stream_checkpointed_restart_real_call_order(tmp_path):
     _write_files(d, {"0004.jsonl": [dict(doc_id=4, text="z")]})
     with pytest.raises(RuntimeError, match="below the committed"):
         rdr.latestOffset()
+
+
+def _corrupt_dir(tmp_path):
+    d = str(tmp_path / "corrupt")
+    os.makedirs(d)
+    with open(os.path.join(d, "0000.jsonl"), "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(dict(doc_id=1, lang="en", text="good")) + "\n")
+        fh.write('{"doc_id": 2, "lang": "en", "text": "trunc...\n')
+        fh.write("not json at all\n")
+        fh.write(json.dumps(dict(doc_id=3, lang="de", text="fine")) + "\n")
+    return d
+
+
+def test_mode_failfast_default_raises_with_location(spark, tmp_path):
+    """T4 error propagation stays the DEFAULT: a malformed line fails
+    the read loudly, naming the file and line (unlike Spark's json
+    reader, whose default is PERMISSIVE — a store surfaces a broken
+    document as a query error, not a silent hole)."""
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+    register_json_docs(spark)
+    d = _corrupt_dir(tmp_path)
+    df = spark.read.format("json_docs").option("path", d).load()
+    with pytest.raises(Exception, match="line 2"):
+        df.collect()
+
+
+def test_mode_dropmalformed_skips(spark, tmp_path):
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+    register_json_docs(spark)
+    d = _corrupt_dir(tmp_path)
+    rows = (spark.read.format("json_docs").option("path", d)
+            .option("mode", "DROPMALFORMED").load().collect())
+    assert sorted(r.doc_id for r in rows) == [1, 3]
+
+
+def test_mode_permissive_routes_corrupt_record(spark, tmp_path):
+    """Corrupt lines yield all-NULL typed columns with the raw line
+    under _corrupt_record in props; pushed filters three-value them
+    away exactly like Spark drops corrupt rows failing a data-column
+    filter; sort keys land them in the null group."""
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+    register_json_docs(spark)
+    d = _corrupt_dir(tmp_path)
+    rows = (spark.read.format("json_docs").option("path", d)
+            .option("mode", "PERMISSIVE").load().collect())
+    assert len(rows) == 4
+    corrupt = [r for r in rows if r.doc_id is None]
+    assert len(corrupt) == 2
+    raws = {json.loads(r.props)["_corrupt_record"] for r in corrupt}
+    assert raws == {'{"doc_id": 2, "lang": "en", "text": "trunc...',
+                    "not json at all"}
+    # a pushed filter on a typed column drops corrupt rows (3-valued)
+    filtered = (spark.read.format("json_docs").option("path", d)
+                .option("mode", "PERMISSIVE").load()
+                .filter("lang = 'en'").collect())
+    assert sorted(r.doc_id for r in filtered) == [1]
+
+
+def test_mode_option_in_stream_and_unknown_mode_raises(spark, tmp_path):
+    from nosql_join_stream_spark.pydocsource import (JsonDocsStreamReader,
+                                                     register_json_docs)
+    register_json_docs(spark)
+    d = _corrupt_dir(tmp_path)
+    # stream twin honors the same policy through its shared cursor
+    rdr = JsonDocsStreamReader({"path": d, "mode": "DROPMALFORMED"})
+    end = rdr.latestOffset()
+    parts = rdr.partitions({"last": ""}, dict(end))
+    got = {row[0] for p in parts for row in rdr.read(p)}
+    assert got == {1, 3}
+    with pytest.raises(ValueError, match="unknown mode"):
+        JsonDocsStreamReader({"path": d, "mode": "LENIENT"})
+
+
+def test_stats_builder_tolerates_corrupt_lines(tmp_path):
+    """write_docs_stats must not raise on a corrupt line, and must set
+    has_null conservatively (a PERMISSIVE reader yields NULL typed
+    columns for it, so IS NULL probes may not skip the file)."""
+    from nosql_join_stream_spark.pydocsource import write_docs_stats
+
+    d = _corrupt_dir(tmp_path)
+    stats = write_docs_stats(d)
+    e = stats["0000.jsonl"]
+    assert e["n"] == 4
+    assert e["doc_id"]["has_null"] and e["lang"]["has_null"]
+    assert e["doc_id"]["min"] == 1 and e["doc_id"]["max"] == 3
