@@ -93,6 +93,22 @@ _TYPES = {"doc_id": "long", "source": "string", "lang": "string",
 _TOP = ["doc_id", "source", "lang", "text"]
 _STATS_FILE = "_stats.json"
 _STATS_COLS = ("doc_id", "source", "lang")  # text min/max would be huge
+_DOC_SUFFIXES = (".jsonl", ".jsonl.gz")  # rolled logs ship gzipped
+
+
+def _is_doc_file(name: str) -> bool:
+    return name.endswith(_DOC_SUFFIXES)
+
+
+def _open_doc(path: str, mode: str = "rt"):
+    """Text handle for a collection file, transparently gunzipping —
+    every cursor (batch, stream, stats, compaction) shares it, so
+    ``.jsonl`` and ``.jsonl.gz`` members mix freely in one directory
+    (ordering and offsets are by FULL filename either way)."""
+    if path.endswith(".gz"):
+        import gzip
+        return gzip.open(path, mode, encoding="utf-8")
+    return open(path, mode, encoding="utf-8")
 
 
 class _FilePartition(InputPartition):
@@ -211,13 +227,13 @@ def write_docs_stats(path: str) -> dict:
     Returns the stats dict."""
     doomed = _compact_pending_deletes(path)
     files = sorted(f for f in os.listdir(path)
-                   if f.endswith(".jsonl") and f not in doomed)
+                   if _is_doc_file(f) and f not in doomed)
     out: dict[str, dict] = {}
     for fname in files:
         colstats = {c: {"min": None, "max": None, "has_null": False}
                     for c in _STATS_COLS}
         n = 0
-        with open(os.path.join(path, fname), encoding="utf-8") as fh:
+        with _open_doc(os.path.join(path, fname)) as fh:
             for line in fh:
                 line = line.strip()
                 if not line:
@@ -382,9 +398,16 @@ def _compact_group(path: str, eligible: list[str]) -> None:
     target, doomed = eligible[-1], eligible[:-1]
     tmp_name = f"_tmp-compact-{uuid.uuid4().hex}.inprogress"
     tmp = os.path.join(path, tmp_name)
-    with open(tmp, "w", encoding="utf-8") as out:
+    # the staged bytes become the TARGET via os.replace, so they must
+    # carry the target's compression; members gunzip transparently
+    if target.endswith(".gz"):
+        import gzip
+        out_ctx = gzip.open(tmp, "wt", encoding="utf-8")
+    else:
+        out_ctx = open(tmp, "w", encoding="utf-8")
+    with out_ctx as out:
         for f in eligible:   # name order == scan order; rows verbatim
-            with open(os.path.join(path, f), encoding="utf-8") as fh:
+            with _open_doc(os.path.join(path, f)) as fh:
                 for line in fh:
                     if line.strip():
                         out.write(line if line.endswith("\n")
@@ -457,7 +480,7 @@ def compact_json_docs(path: str, upto: str | None = None,
                 os.remove(os.path.join(path, f))
             except FileNotFoundError:
                 pass
-    files = sorted(f for f in os.listdir(path) if f.endswith(".jsonl"))
+    files = sorted(f for f in os.listdir(path) if _is_doc_file(f))
     eligible = [f for f in files if upto is None or f <= upto]
     if group_bytes is None:
         groups = [eligible]
@@ -576,6 +599,21 @@ def _malformed_doc(mode: str, path: str, lineno: int, line: str,
     return {"_corrupt_record": line}
 
 
+def _parse_compression_option(options) -> bool:
+    """Writer-side: ``.option('compression', 'gzip')`` publishes
+    ``.jsonl.gz`` members (staged gzipped, renamed at commit — the
+    same transactional shape); 'none'/absent writes plain.  Readers
+    need no option: the cursor dispatches on each file's suffix."""
+    comp = (options.get("compression") or "none").lower()
+    if comp in ("none", "uncompressed"):
+        return False
+    if comp == "gzip":
+        return True
+    raise ValueError(
+        f"json_docs: unsupported compression {options.get('compression')!r};"
+        " expected 'gzip' or 'none'")
+
+
 def _parse_columns_option(options) -> list[str]:
     cols_opt = options.get("columns")
     if not cols_opt:
@@ -624,9 +662,10 @@ class JsonDocsReader(DataSourceReader):
             return [_FilePartition(self.path)]
         doomed = _compact_pending_deletes(self.path)
         files = sorted(f for f in os.listdir(self.path)
-                       if f.endswith(".jsonl") and f not in doomed)
+                       if _is_doc_file(f) and f not in doomed)
         if not files:
-            raise ValueError(f"no .jsonl files under {self.path}")
+            raise ValueError(
+                f"no .jsonl/.jsonl.gz files under {self.path}")
         stats = self._stats()
         if stats is not None and self.pushed:
             files = [f for f in files
@@ -678,11 +717,15 @@ class JsonDocsReader(DataSourceReader):
         # driver never touches document bytes; pushed filters drop
         # non-matching docs BEFORE any output assembly (in particular
         # before the props JSON re-serialization)
+        if partition is None:
+            # every file was pruned: batch planning coerced the empty
+            # partition list to one None partition — an empty scan
+            return
         cols, pushed = self.columns, self.pushed
         sort_col, limit = self.sort_col, self.limit
         k = (self.skip + limit) if limit is not None else None
         kept: list = []  # (row, key) when truncating to a local top-k
-        with open(partition.path, encoding="utf-8") as fh:
+        with _open_doc(partition.path) as fh:
             for lineno, line in enumerate(fh, 1):
                 line = line.strip()
                 if not line:
@@ -733,7 +776,7 @@ def _read_jsonl(path: str, cols=None, mode: str = "FAILFAST"):
     ``columns``-narrowed schema and the emitted row arity always agree
     (r7-ADVICE: the stream used to emit full 5-tuples regardless)."""
     cols = list(_ALL_COLS) if cols is None else cols
-    with open(path, encoding="utf-8") as fh:
+    with _open_doc(path) as fh:
         for lineno, line in enumerate(fh, 1):
             line = line.strip()
             if not line:
@@ -834,7 +877,7 @@ class JsonDocsStreamReader(DataSourceStreamReader):
     def latestOffset(self):
         doomed = _compact_pending_deletes(self.path)
         files = sorted(f for f in os.listdir(self.path)
-                       if f.endswith(".jsonl") and f not in doomed)
+                       if _is_doc_file(f) and f not in doomed)
         late = [f for f in files
                 if f <= self._watermark and f not in self._seen]
         if late:
@@ -874,10 +917,10 @@ class JsonDocsStreamReader(DataSourceStreamReader):
             self._watermark = start["last"]
             self._seen.update(
                 f for f in os.listdir(self.path)
-                if f.endswith(".jsonl") and f <= start["last"])
+                if _is_doc_file(f) and f <= start["last"])
         files = sorted(
             f for f in os.listdir(self.path)
-            if f.endswith(".jsonl") and f not in doomed
+            if _is_doc_file(f) and f not in doomed
             and f > start["last"] and f <= end["last"])
         # Replay determinism guard (stateDir only — without persisted
         # state a restart cannot tell an intruder from a committed
@@ -924,7 +967,7 @@ class JsonDocsStreamReader(DataSourceStreamReader):
         # the loud behavior, since a deleted-then-recreated name means
         # a retried upload whose first copy was already consumed.
         current = {f for f in os.listdir(self.path)
-                   if f.endswith(".jsonl")}
+                   if _is_doc_file(f)}
         self._seen &= current
         self._persist_state()
 
@@ -992,11 +1035,12 @@ def _validate_write_schema(schema) -> list[str]:
 
 
 def _write_task_file(path: str, fields: list[str],
-                     iterator) -> _JsonDocsCommit:
+                     iterator, gz: bool = False) -> _JsonDocsCommit:
     """Executor-side write of one task's rows to a uniquely-named tmp
     file under ``path`` (never visible to readers: no ``.jsonl``
     suffix until the driver's commit renames it).  Computes sidecar
-    stats in the same pass."""
+    stats in the same pass.  ``gz`` stages gzipped bytes — the
+    driver's commit then publishes under a ``.jsonl.gz`` name."""
     import uuid
 
     os.makedirs(path, exist_ok=True)
@@ -1005,7 +1049,12 @@ def _write_task_file(path: str, fields: list[str],
     n = 0
     tmp_name = f"_tmp-{uuid.uuid4().hex}.jsonl.inprogress"
     tmp = os.path.join(path, tmp_name)
-    with open(tmp, "w", encoding="utf-8") as fh:
+    if gz:
+        import gzip
+        ctx = gzip.open(tmp, "wt", encoding="utf-8")
+    else:
+        ctx = open(tmp, "w", encoding="utf-8")
+    with ctx as fh:
         for row in iterator:
             doc = _row_to_doc(row, fields)
             _file_stats_accumulate(doc, colstats)
@@ -1086,9 +1135,11 @@ class JsonDocsWriter(DataSourceWriter):
                 "json_docs writer requires .option('path', <dir>)")
         self.fields = _validate_write_schema(schema)
         self.overwrite = overwrite
+        self.gz = _parse_compression_option(options)
 
     def write(self, iterator):
-        return _write_task_file(self.path, self.fields, iterator)
+        return _write_task_file(self.path, self.fields, iterator,
+                                gz=self.gz)
 
     def commit(self, messages):
         os.makedirs(self.path, exist_ok=True)  # empty-input write
@@ -1097,7 +1148,7 @@ class JsonDocsWriter(DataSourceWriter):
         # roll-forward would delete NEW files that reuse doomed names
         _recover_compact(self.path)
         existing = sorted(f for f in os.listdir(self.path)
-                          if f.endswith(".jsonl"))
+                          if _is_doc_file(f))
         if self.overwrite:
             for f in existing:
                 os.remove(os.path.join(self.path, f))
@@ -1106,11 +1157,17 @@ class JsonDocsWriter(DataSourceWriter):
                 os.remove(sidecar)
             prefix = ""
         elif existing:
-            prefix = existing[-1][:-len(".jsonl")] + "_"
+            stem = existing[-1]
+            for suf in _DOC_SUFFIXES:
+                if stem.endswith(suf):
+                    stem = stem[: -len(suf)]
+                    break
+            prefix = stem + "_"
         else:
             prefix = ""
+        ext = ".jsonl.gz" if self.gz else ".jsonl"
         _publish_files(self.path, messages,
-                       lambda i: f"{prefix}{i:08d}.jsonl")
+                       lambda i: f"{prefix}{i:08d}{ext}")
 
     def abort(self, messages):
         _abort_files(self.path, messages)
@@ -1133,14 +1190,17 @@ class JsonDocsStreamWriter(DataSourceStreamWriter):
             raise ValueError(
                 "json_docs writer requires .option('path', <dir>)")
         self.fields = _validate_write_schema(schema)
+        self.gz = _parse_compression_option(options)
 
     def write(self, iterator):
-        return _write_task_file(self.path, self.fields, iterator)
+        return _write_task_file(self.path, self.fields, iterator,
+                                gz=self.gz)
 
     def commit(self, messages, batchId):
+        ext = ".jsonl.gz" if self.gz else ".jsonl"
         _publish_files(
             self.path, messages,
-            lambda i: f"b{batchId:012d}-{i:05d}.jsonl")
+            lambda i: f"b{batchId:012d}-{i:05d}{ext}")
 
     def abort(self, messages, batchId):
         _abort_files(self.path, messages)

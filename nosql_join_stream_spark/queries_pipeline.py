@@ -5138,6 +5138,46 @@ def pyds_parse_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pyds_gzip_roundtrip",
+    """
+    SELECT doc_id, source, lang, text,
+           '{"n_chars": ' || CAST(n_chars AS VARCHAR) || '}' AS props
+    FROM documents
+    """,
+    doc="GZIPPED members of the document collection "
+        "(pydocsource._open_doc / compression option): the documents "
+        "table is written with .option('compression','gzip') — "
+        "executor tasks stage gzipped bytes through the same "
+        "staged-commit path, the driver publishes .jsonl.gz names — "
+        "then read back with NO reader option (the cursor dispatches "
+        "on each file's suffix, so plain and gz members mix freely in "
+        "one directory; ordering and stream offsets go by FULL "
+        "filename).  The oracle value-hash-verifies the whole "
+        "compressed write→commit→scan cycle; compaction preserving a "
+        "gz target and a stream tailing an appended gz batch are "
+        "pinned in tests.",
+)
+def pyds_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+
+    e = _engine(spark, sf_dir)
+    register_json_docs(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(),
+                     f"nsjs_pydsg_{os.getpid()}_{tag}")
+    (e.table("documents")
+     .repartitionByRange(4, F.col("doc_id"))
+     .select("doc_id", "source", "lang", "text",
+             F.to_json(F.struct("n_chars")).alias("props"))
+     .write.format("json_docs").option("path", d)
+     .option("compression", "gzip").mode("overwrite").save())
+    return e.load(d, fmt="json_docs")
+
+
+@register(
     "text_mixed_language",
     f"""
     WITH t AS (

@@ -150,3 +150,93 @@ def test_writer_requires_path(registered, tmp_path):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(Exception, match="path"):
         df.write.format("json_docs").mode("overwrite").save()
+
+
+def test_gzip_write_round_trip_and_pruning(registered, tmp_path):
+    """compression=gzip publishes .jsonl.gz members through the same
+    staged-commit path; readers need no option (the cursor dispatches
+    on each file's suffix), and the sidecar written at commit prunes
+    gz members exactly like plain ones."""
+    spark = registered
+    d = str(tmp_path / "gz")
+    (_docs_df(spark, _ROWS).repartition(2)
+     .write.format("json_docs").option("path", d)
+     .option("compression", "gzip").mode("overwrite").save())
+    names = sorted(f for f in os.listdir(d) if f != "_stats.json")
+    assert names and all(f.endswith(".jsonl.gz") for f in names)
+    with open(os.path.join(d, names[0]), "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"  # really gzip bytes
+    back = (spark.read.format("json_docs").option("path", d).load()
+            .collect())
+    assert sorted(r.doc_id for r in back) == [1, 2, 3]
+    # file skipping works on the freshly written gz collection
+    sel = (spark.read.format("json_docs").option("path", d).load()
+           .filter("doc_id >= 10"))
+    assert sel.count() == 0 and sel.rdd.getNumPartitions() <= 1
+
+
+def test_mixed_plain_and_gzip_members_one_collection(
+        registered, tmp_path):
+    """Plain and gz members mix freely: ordering and stream offsets go
+    by FULL filename, and a live tailer picks up an appended gz batch
+    as an ordinary new arrival."""
+    import json as _json
+
+    spark = registered
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "0001.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": "plain"}) + "\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (spark.readStream.format("json_docs")
+             .option("path", str(d)).load()
+             .writeStream.format("parquet").option("path", out)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    import gzip as _gzip
+    with _gzip.open(d / "0002.jsonl.gz", "wt", encoding="utf-8") as fh:
+        fh.write(_json.dumps({"doc_id": 2, "text": "zipped"}) + "\n")
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {1, 2} and len(rows) == 2
+    # batch read sees both members too
+    got = (spark.read.format("json_docs").option("path", str(d)).load()
+           .collect())
+    assert sorted(r.doc_id for r in got) == [1, 2]
+
+
+def test_compaction_preserves_gzip_target(registered, tmp_path):
+    """A group whose MAX name is gzipped stages gzipped bytes (the
+    staged tmp becomes the target verbatim via os.replace), so the
+    compacted member stays a valid .jsonl.gz."""
+    import gzip as _gzip
+    import json as _json
+
+    from nosql_join_stream_spark.pydocsource import compact_json_docs
+
+    spark = registered
+    d = tmp_path / "gzc"
+    d.mkdir()
+    (d / "0001.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": "a"}) + "\n")
+    with _gzip.open(d / "0002.jsonl.gz", "wt", encoding="utf-8") as fh:
+        fh.write(_json.dumps({"doc_id": 2, "text": "b"}) + "\n")
+    res = compact_json_docs(str(d))
+    assert res["targets"] == ["0002.jsonl.gz"]
+    with open(d / "0002.jsonl.gz", "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"
+    got = (spark.read.format("json_docs").option("path", str(d)).load()
+           .collect())
+    assert sorted(r.doc_id for r in got) == [1, 2]
+
+
+def test_unknown_compression_raises(registered, tmp_path):
+    with pytest.raises(Exception, match="unsupported compression"):
+        (_docs_df(registered, _ROWS).write.format("json_docs")
+         .option("path", str(tmp_path / "x"))
+         .option("compression", "zstd").mode("overwrite").save())
