@@ -956,3 +956,27 @@ def test_python_datasource_partitioned_stream_reader(spark, tmp_path):
     drain()
     rows = spark.read.parquet(out).collect()
     assert {r.doc_id for r in rows} == {1, 2, 3} and len(rows) == 3
+
+
+def test_engine_load_stream_json_docs_passthrough(spark, tmp_path):
+    """Engine.load_stream reaches the pure-Python connector through
+    the same pass-through arm as any registered streaming source —
+    the unbounded twin of Engine.load(fmt='json_docs'), no special
+    casing needed."""
+    import json
+
+    from nosql_join_stream_spark.engine import Engine
+    from nosql_join_stream_spark.pydocsource import register_json_docs
+
+    register_json_docs(spark)
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        json.dumps({"doc_id": 7, "text": "via engine"}) + "\n")
+    e = Engine(spark, "/root/testdata/sf0.001")
+    q = (e.load_stream(str(d), fmt="json_docs")
+         .writeStream.format("memory").queryName("eng_pyds")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT doc_id, text FROM eng_pyds").collect()
+    assert [(r.doc_id, r.text) for r in rows] == [(7, "via engine")]
