@@ -240,3 +240,26 @@ def test_unknown_compression_raises(registered, tmp_path):
         (_docs_df(registered, _ROWS).write.format("json_docs")
          .option("path", str(tmp_path / "x"))
          .option("compression", "zstd").mode("overwrite").save())
+
+
+def test_stream_sink_gzip_members(registered, tmp_path):
+    """The streaming sink honors compression=gzip too: per-batch
+    staged gzipped bytes published under batch-id-monotone .jsonl.gz
+    names — the relay directory stays a valid (mixed-member) stream
+    source."""
+    spark = registered
+    src = str(tmp_path / "src")
+    _docs_df(spark, _ROWS).write.format("json_docs") \
+        .option("path", src).mode("overwrite").save()
+    relay = str(tmp_path / "relay")
+    q = (spark.readStream.format("json_docs").option("path", src).load()
+         .writeStream.format("json_docs").option("path", relay)
+         .option("compression", "gzip")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    names = [f for f in os.listdir(relay) if f != "_stats.json"]
+    assert names and all(f.endswith(".jsonl.gz") for f in names)
+    back = (spark.read.format("json_docs").option("path", relay).load()
+            .collect())
+    assert sorted(r.doc_id for r in back) == [1, 2, 3]
