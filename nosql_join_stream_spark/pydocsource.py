@@ -242,7 +242,10 @@ def write_docs_stats(path: str) -> dict:
                 try:
                     doc = json.loads(line)
                 except json.JSONDecodeError:
-                    # a malformed line reads as all-NULL under
+                    doc = None
+                if not isinstance(doc, dict):
+                    # a malformed line (unparseable OR a non-object
+                    # top-level value) reads as all-NULL under
                     # mode=PERMISSIVE, so the sidecar must carry the
                     # null flags or IS NULL probes could wrongly skip
                     # the file; min/max stay untouched (conservative)
@@ -572,8 +575,9 @@ def _parse_mode_option(options) -> str:
     typed column NULL and the raw line under ``_corrupt_record`` in
     the schemaless ``props`` JSON (the fixed-schema analog of
     columnNameOfCorruptRecord).  Malformed = the LINE fails to parse
-    as JSON; type drift inside valid JSON is the decode contract's
-    territory (Option-safe NULLs), not this option's."""
+    as JSON or parses to a non-object top-level value; type drift
+    inside a valid document is the decode contract's territory
+    (Option-safe NULLs), not this option's."""
     mode = (options.get("mode") or "FAILFAST").upper()
     if mode not in _MODES:
         raise ValueError(
@@ -737,6 +741,14 @@ class JsonDocsReader(DataSourceReader):
                                          lineno, line, e)
                     if doc is None:
                         continue
+                else:
+                    if not isinstance(doc, dict):
+                        doc = _malformed_doc(
+                            self.mode, partition.path, lineno, line,
+                            ValueError("top-level JSON value is not "
+                                       "an object"))
+                        if doc is None:
+                            continue
                 if any(_eval_filter(p, doc) is not True for p in pushed):
                     continue
                 row = []
@@ -787,6 +799,14 @@ def _read_jsonl(path: str, cols=None, mode: str = "FAILFAST"):
                 doc = _malformed_doc(mode, path, lineno, line, e)
                 if doc is None:
                     continue
+            else:
+                if not isinstance(doc, dict):
+                    doc = _malformed_doc(
+                        mode, path, lineno, line,
+                        ValueError("top-level JSON value is not "
+                                   "an object"))
+                    if doc is None:
+                        continue
             row = []
             for c in cols:
                 if c == "props":
