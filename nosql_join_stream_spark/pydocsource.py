@@ -263,9 +263,14 @@ def write_docs_stats(path: str) -> dict:
                         if cs["max"] is None or v > cs["max"]:
                             cs["max"] = v
         out[fname] = {"n": n, **{c: colstats[c] for c in _STATS_COLS}}
-    with open(os.path.join(path, _STATS_FILE), "w",
-              encoding="utf-8") as fh:
+    # atomic publish (tmp + rename, like _publish_files and the
+    # compaction fold): a crash mid-write must leave the old sidecar
+    # or none — a TORN one would poison every subsequent scan
+    sidecar = os.path.join(path, _STATS_FILE)
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
         json.dump({"files": out}, fh, sort_keys=True)
+    os.replace(tmp, sidecar)
     return out
 
 
@@ -284,8 +289,11 @@ def _compact_pending_deletes(path: str) -> set[str]:
     man = os.path.join(path, _COMPACT_MANIFEST)
     if not os.path.isfile(man):
         return set()
-    with open(man, encoding="utf-8") as fh:
-        m = json.load(fh)
+    try:
+        with open(man, encoding="utf-8") as fh:
+            m = json.load(fh)
+    except FileNotFoundError:
+        return set()  # the compactor finished between check and read
     if os.path.exists(os.path.join(path, m["tmp"])):
         return set()
     return set(m["delete"])
@@ -344,7 +352,10 @@ def _recover_compact(path: str) -> None:
         return
     tmp = os.path.join(path, m["tmp"])
     if os.path.exists(tmp):
-        os.remove(tmp)          # uncommitted: roll BACK (drop staging)
+        try:
+            os.remove(tmp)      # uncommitted: roll BACK (drop staging)
+        except FileNotFoundError:
+            pass                # a concurrent repairer beat us to it
     else:
         _finish_compact_deletes(path, m)   # committed: roll FORWARD
     try:
