@@ -1088,6 +1088,10 @@ def dedup_index_compact(spark, db: str, tables_buckets=None,
         spark.sql(f"ALTER TABLE {full} RENAME TO {db}.{t}_old")
         spark.sql(f"ALTER TABLE {db}.{t}_compacting RENAME TO {db}.{t}")
         spark.sql(f"DROP TABLE {db}.{t}_old")
+        # the session may hold a cached relation for the pre-swap name
+        # (any earlier probe reads it); refresh so the post-compaction
+        # file listing is the NEW table's, not a stale FileIndex
+        spark.catalog.refreshTable(full)
         out[t] = len(spark.table(full).inputFiles())
     if tombs is not None:
         _drop_tombstones(spark, db)

@@ -182,14 +182,16 @@ def resize_images(media: DataFrame, target_w: int = 128,
                   batch_decode: bool = False) -> DataFrame:
     """Resize plumbing: integer-stride downsample to ``target_w``.
 
-    With ``batch_decode=True`` and PIL importable on the executors,
-    this decodes → resizes → re-encodes REAL pixels inside the same
-    mapInPandas stage (lib-gated, same conditional pattern as the
-    connector smokes; a conditional pytest plants a genuine PNG);
-    PIL absent raises the marked stub.  Both branches share the SAME
-    geometry contract — stride = ceil(width / target_w); new dims =
-    ceil(dim / stride) — so the fake path's oracle holds for the real
-    one.  The fake path remains a REAL byte transformation
+    With ``batch_decode=True``, PNG payloads decode → stride-resize →
+    re-encode REAL pixels inside the same mapInPandas stage through
+    the repo's stdlib codec (``png_codec``) on every environment;
+    non-PNG payloads decode via PIL when importable (then stride and
+    re-encode through the SAME stdlib encoder, so output bytes stay
+    environment-independent) and raise the marked stub otherwise.
+    Both paths share the SAME geometry contract — stride =
+    ceil(width / target_w); new dims = ceil(dim / stride) — so the
+    fake path's oracle holds for the real one.  The fake path
+    (``batch_decode=False``) remains a REAL byte transformation
     (payload' = payload[::stride], byte_len' = ceil(len / stride)).
     Partition-preserving, no shuffle.
     """
@@ -200,32 +202,34 @@ def resize_images(media: DataFrame, target_w: int = 128,
 
         def _resize_real(payload: bytes, w: int, h: int,
                          s: int) -> bytes:
-            try:
-                from PIL import Image
-                import io as _io
-                buf = _io.BytesIO()
-                (Image.open(_io.BytesIO(payload)).resize((w, h))
-                 .save(buf, format="PNG"))
-                return buf.getvalue()
-            except ImportError:
-                pass
-            # stdlib PNG fallback (r9): decode → integer-stride
-            # downsample (the SAME geometry contract: new dim =
-            # ceil(dim / stride)) → re-encode; call-time import keeps
-            # the pickled closure self-contained
-            try:
-                from nosql_join_stream_spark.operators import (
-                    png_codec as _pc)
-            except ImportError:
-                raise NotImplementedError(
-                    "image resize requires PIL/libvips; not available "
-                    "here") from None
+            # one deterministic contract on EVERY branch: decode →
+            # grayscale → integer-stride a[::s, ::s] → re-encode
+            # through the repo's own PNG encoder.  PNG inputs never
+            # touch PIL (the stdlib codec decodes them bit-identically
+            # to PIL's convert("L")), and non-PNG inputs decoded by
+            # PIL still stride + re-encode through the same encoder —
+            # so the output bytes (and any oracle-hashed value derived
+            # from them, e.g. byte_len/sha256) do not depend on
+            # whether PIL is installed.  Call-time import keeps the
+            # pickled closure self-contained.
+            from nosql_join_stream_spark.operators import (
+                png_codec as _pc)
             if _pc.is_png(payload):
                 return _pc.encode_gray(
                     _pc.resize_gray(_pc.decode_gray(payload), s))
-            raise NotImplementedError(
-                "non-PNG image resize requires PIL/libvips; not "
-                "available here (PNG resizes via the stdlib codec)")
+            try:
+                from PIL import Image
+                import io as _io
+                import numpy as _np2
+                a = _np2.asarray(
+                    Image.open(_io.BytesIO(payload)).convert("L"),
+                    dtype=_np2.uint8)
+                return _pc.encode_gray(_pc.resize_gray(a, s))
+            except ImportError:
+                raise NotImplementedError(
+                    "non-PNG image resize requires PIL/libvips; not "
+                    "available here (PNG resizes via the stdlib "
+                    "codec)") from None
 
         for pdf in batches:
             stride = pdf["width"].map(

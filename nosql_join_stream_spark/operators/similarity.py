@@ -422,6 +422,11 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         def side(cell):
             rows = pdf[pdf["__cell"] == cell]
             ids = rows[id_name].to_numpy().astype("int64")
+            if len(rows) == 0:
+                # a hash-empty cell paired with a non-empty one: np.stack
+                # on zero arrays would raise, so short-circuit to an empty
+                # (ids, matrix) pair — the GEMM loop below is a no-op
+                return ids, _np.empty((0, 0), dtype="float64")
             m = _np.stack(rows[vec_name].to_list()).astype("float64")
             nm = _np.linalg.norm(m, axis=1, keepdims=True)
             nm[nm == 0] = 1.0
@@ -429,6 +434,11 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
 
         ids_a, ma = side(lo)
         ids_b, mb = (ids_a, ma) if lo == hi else side(hi)
+        if len(ids_a) == 0 or len(ids_b) == 0:
+            return _pd.DataFrame({
+                "id1": _np.array([], dtype="int64"),
+                "id2": _np.array([], dtype="int64"),
+                "sim": _np.array([], dtype="float64")})
         # chunk the GEMM so the sim tile stays ~4M doubles (32 MB)
         step = max(1, 4_194_304 // max(1, len(ids_b)))
         for s in range(0, len(ids_a), step):

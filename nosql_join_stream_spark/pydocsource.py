@@ -74,6 +74,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceStreamReader,
@@ -98,6 +99,52 @@ _DOC_SUFFIXES = (".jsonl", ".jsonl.gz")  # rolled logs ship gzipped
 
 def _is_doc_file(name: str) -> bool:
     return name.endswith(_DOC_SUFFIXES)
+
+
+# Final digit run + non-digit tail: "events-0042.jsonl.gz" parses to
+# ("events-", "0042", ".jsonl.gz") — the rolled-log sequence-number
+# convention the stream source's producer contract mandates.
+_SEQ_NAME_RE = re.compile(r"(.*?)(\d+)(\D*)")
+
+
+def _encode_name_set(names) -> dict:
+    """LOSSLESS run-length encoding of a filename set, exploiting the
+    stream source's producer contract (zero-padded sequence numbers):
+    consecutive same-pattern names collapse to one ``[prefix, suffix,
+    width, lo, hi]`` run, non-conforming names stay literal.  A 10k-
+    file rolled log encodes to ONE run, so the persisted stream state
+    is O(gaps + oddballs), not O(files) — while membership stays
+    EXACT: a name inside a run's span that was never present (a gap)
+    decodes absent, so the late-arrival guard loses nothing."""
+    runs: list[list] = []
+    literals: list[str] = []
+    parsed: list[tuple] = []
+    for n in names:
+        m = _SEQ_NAME_RE.fullmatch(n)
+        if not m:
+            literals.append(n)
+            continue
+        pre, digits, suf = m.groups()
+        parsed.append((pre, suf, len(digits), int(digits)))
+    for pre, suf, w, v in sorted(parsed):
+        if (runs and runs[-1][0] == pre and runs[-1][1] == suf
+                and runs[-1][2] == w and v == runs[-1][4] + 1):
+            runs[-1][4] = v
+        else:
+            runs.append([pre, suf, w, v, v])
+    return {"runs": runs, "names": sorted(literals)}
+
+
+def _decode_name_set(enc) -> set[str]:
+    """Inverse of :func:`_encode_name_set`.  Also accepts the pre-r10
+    plain-list form (old persisted state files keep restoring)."""
+    if isinstance(enc, list):
+        return set(enc)
+    out = set(enc.get("names", []))
+    for pre, suf, w, lo, hi in enc.get("runs", []):
+        for i in range(lo, hi + 1):
+            out.add(f"{pre}{str(i).zfill(w)}{suf}")
+    return out
 
 
 def _open_doc(path: str, mode: str = "rt"):
@@ -285,18 +332,31 @@ def _compact_pending_deletes(path: str) -> set[str]:
     untouched, manifest is dead intent); manifest present + tmp
     absent = committed (the target already holds the merged rows, so
     the doomed originals are duplicates and readers must skip them).
-    Non-mutating — safe under concurrent readers."""
+    Because recovery ROLLS BACK by removing the manifest first and
+    the tmp second, "tmp absent" alone is ambiguous against a racing
+    rollback — so after observing tmp absence we re-read the manifest
+    and only trust the delete-list if the SAME intent is still
+    published (manifest gone or replaced = that intent was settled or
+    superseded; retry against the new one).  Non-mutating — safe
+    under concurrent readers."""
     man = os.path.join(path, _COMPACT_MANIFEST)
-    if not os.path.isfile(man):
-        return set()
-    try:
-        with open(man, encoding="utf-8") as fh:
-            m = json.load(fh)
-    except FileNotFoundError:
-        return set()  # the compactor finished between check and read
-    if os.path.exists(os.path.join(path, m["tmp"])):
-        return set()
-    return set(m["delete"])
+    for _ in range(8):
+        try:
+            with open(man, encoding="utf-8") as fh:
+                m = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return set()  # no intent (or it was settled mid-read)
+        if os.path.exists(os.path.join(path, m["tmp"])):
+            return set()   # uncommitted: directory is untouched
+        try:
+            with open(man, encoding="utf-8") as fh:
+                m2 = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return set()   # a rollback/finish consumed the intent
+        if m2 == m:
+            return set(m["delete"])   # still the same committed intent
+        # a new compaction published between our two reads — re-check
+    return set()  # livelock guard: treat as settled (conservative)
 
 
 def _finish_compact_deletes(path: str, m: dict) -> None:
@@ -352,16 +412,37 @@ def _recover_compact(path: str) -> None:
         return
     tmp = os.path.join(path, m["tmp"])
     if os.path.exists(tmp):
+        # uncommitted: roll BACK.  Retract the INTENT first, then the
+        # staging — in the reverse order, a reader (or a racing
+        # repairer) observing "manifest present + tmp absent" in the
+        # gap would misread this dead intent as COMMITTED and skip
+        # (or delete) the never-merged originals.  A crash between
+        # the two removals strands only an orphan tmp, which the
+        # pre-intent orphan sweep in compact_json_docs reclaims.
         try:
-            os.remove(tmp)      # uncommitted: roll BACK (drop staging)
+            os.remove(man)
         except FileNotFoundError:
             pass                # a concurrent repairer beat us to it
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
     else:
+        # tmp absence alone is ambiguous against a racing rollback
+        # (which now removes the manifest before the tmp): re-verify
+        # the SAME intent is still published before rolling forward
+        try:
+            with open(man, encoding="utf-8") as fh:
+                m2 = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return              # intent already settled by someone else
+        if m2 != m:
+            return _recover_compact(path)   # superseded: settle THAT one
         _finish_compact_deletes(path, m)   # committed: roll FORWARD
-    try:
-        os.remove(man)
-    except FileNotFoundError:
-        pass
+        try:
+            os.remove(man)
+        except FileNotFoundError:
+            pass
 
 
 def stream_committed_watermark(checkpoint_dir: str,
@@ -441,12 +522,34 @@ def _compact_group(path: str, eligible: list[str]) -> None:
         pass  # a concurrent repairer rolled us forward first — same end state
 
 
-def compact_json_docs(path: str, upto: str | None = None,
+class _CompactAll:
+    """Singleton sentinel: compact the WHOLE collection (no fence)."""
+    def __repr__(self):
+        return "ALL"
+
+
+#: Explicit "no fence — compact every file" marker for
+#: :func:`compact_json_docs`.  Distinct from ``None`` on purpose:
+#: ``stream_committed_watermark`` returns None for "no batch committed
+#: yet", and compacting EVERYTHING in that state would merge files a
+#: live tailer has planned but not committed, silently changing the
+#: replayed batch (the replay guard checks only filenames).  With ALL
+#: as the sentinel, the natural composition
+#: ``compact_json_docs(d, upto=stream_committed_watermark(ckpt))`` is
+#: a safe no-op until the first commit.
+ALL = _CompactAll()
+
+
+def compact_json_docs(path: str, upto=ALL,
                       group_bytes: int | None = None) -> dict:
     """Small-file compaction for a document collection — the
     connector-side analog of ``sinks.compact`` (a store compacts its
     chunks server-side; a rolled log's consumer does it here).  Merges
-    every ``.jsonl`` file at-or-below ``upto`` (all files when None)
+    every ``.jsonl`` file at-or-below ``upto`` (every file when
+    ``upto=ALL``, the default; a NO-OP when ``upto=None``, which is
+    what ``stream_committed_watermark`` returns before any batch has
+    committed — "nothing is fenced yet" must never widen to
+    "everything")
     into the group's MAXIMUM name, preserving both row content and
     the streaming source's filename contract: the surviving name is
     the group's max, so a tailing ``json_docs`` stream's watermark
@@ -482,7 +585,13 @@ def compact_json_docs(path: str, upto: str | None = None,
     groups keep read parallelism while still collapsing the
     small-file tail.  Every group's surviving name is a name the
     stream already watermarked past, so the contract holds per group.
-    None (the default) merges everything eligible into one file."""
+    ``group_bytes=None`` (the default) merges everything eligible
+    into one file."""
+    if upto is None:
+        # the un-committed-tailer guard: see the ALL sentinel's note
+        files0 = sorted(f for f in os.listdir(path) if _is_doc_file(f))
+        return {"merged": 0, "targets": [], "files_before": len(files0),
+                "files_after": len(files0)}
     _recover_compact(path)
     # sweep pre-intent orphans: a crash BEFORE the manifest published
     # leaves staging files no recovery path owns (invisible to
@@ -495,7 +604,7 @@ def compact_json_docs(path: str, upto: str | None = None,
             except FileNotFoundError:
                 pass
     files = sorted(f for f in os.listdir(path) if _is_doc_file(f))
-    eligible = [f for f in files if upto is None or f <= upto]
+    eligible = [f for f in files if upto is ALL or f <= upto]
     if group_bytes is None:
         groups = [eligible]
     else:
@@ -899,7 +1008,7 @@ class JsonDocsStreamReader(DataSourceStreamReader):
             if os.path.exists(st):
                 with open(st, encoding="utf-8") as fh:
                     state = json.load(fh)
-                self._seen = set(state["seen"])
+                self._seen = _decode_name_set(state["seen"])
                 self._watermark = state["watermark"]
 
     def initialOffset(self):
@@ -983,8 +1092,10 @@ class JsonDocsStreamReader(DataSourceStreamReader):
         st = os.path.join(self._state_dir, "json_docs_stream_state.json")
         tmp = st + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
+            # run-length-encoded (lossless): O(gaps + oddball names)
+            # on disk for a sequence-numbered rolled log, not O(files)
             json.dump({"watermark": self._watermark,
-                       "seen": sorted(self._seen)}, fh)
+                       "seen": _encode_name_set(self._seen)}, fh)
         os.replace(tmp, st)  # atomic: a crash leaves old or new, never half
 
     def commit(self, end):

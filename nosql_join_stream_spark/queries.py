@@ -765,61 +765,44 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 # remaining queries keep their registration order and stay covered by
 # tools/check_correctness.py.
 _DRIVER_WINDOW = [
-    # Round-9 rotation — oldest-driver-stamp-first (r8 VERDICT lead #3:
-    # r8 burned all 50 slots re-verifying r7's exact list).  Stamps
-    # computed from CORRECTNESS_r0{1..8}.json: after r8, 25 queries'
-    # newest driver row is r2, 4 are r3, 30 are r4.  This window takes
-    # ALL of r2 and r3 plus the first 16 of r4 (45 total, oldest
-    # first), keeps join_fk_inner (reference flagship / entry() query),
-    # and reserves the remaining slots for capability that lands in r9
-    # (new queries are appended as they register).  Every rotated-out
-    # query stays covered by tools/check_correctness.py each round;
-    # the r4 remainder + r5/r6 stamps are the r10 rotation shortlist.
+    # Round-10 rotation — oldest-driver-stamp-first (r9 VERDICT lead
+    # #1).  Stamps computed from CORRECTNESS_r0{1..9}.json: after r9,
+    # 17 queries' newest driver row is r4, 18 are r5, 49 are r6, and
+    # pyds_gzip_roundtrip (added after the r9 window froze) has none.
+    # This window takes ALL 36 of those, keeps join_fk_inner
+    # (reference flagship / entry() query), gives the three NEW r10
+    # TPC-H anchors (Q3/Q10/Q18 analogs) their ship-round stamp, and
+    # fills the last 10 slots from the r6 cohort in registry order.
+    # Post-r10 state if green: no stamp older than r6; the r6
+    # remainder (39) then r8 are the r11 shortlist.
     "join_fk_inner",
-    # last driver row r2 (25)
-    "agg_count_distinct", "agg_grouping_sets", "agg_percentiles",
-    "agg_pricing_summary", "agg_stats_funcs", "asof_join", "cube_flags",
-    "events_interarrival_stats", "funnel_view_click_purchase",
-    "integrity_orphan_check", "latest_event_per_user",
-    "local_supplier_volume", "pivot_priority_status",
-    "rollup_region_nation", "schemaless_json_extract",
-    "session_window_agg", "sessionize", "set_ops", "skew_key_profile",
-    "unpivot_order_metrics", "window_lead_lag", "window_moving_avg",
-    "window_rank_distributions", "window_running_sum",
-    "window_topk_per_group",
-    # last driver row r3 (4)
-    "agg_approx_distinct", "ann_cosine_topk", "dedup_exact",
-    "dedup_incremental_bucketed",
-    # last driver row r4 (first 13 of 30; the rest lead the r10 window)
-    "agg_geomean_udaf", "ann_lsh_topk", "bm25_search", "concat_logs",
-    "decontaminate_overlap", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_resolve_canonical", "either_merge", "hybrid_search_rrf",
-    "join_left_anti", "join_outer_filtered",
-    "mql_filter",
-    # NEW in r9 (capability lands driver-verified in the round it
-    # ships): the json_docs WRITE path round-trip (batch writer and
-    # stream sink), small-file compaction of a collection, the
-    # PERMISSIVE/DROPMALFORMED parse-mode surface, the FULL-outer
-    # stream-stream interval join, the celled exact near-dup path.
-    # multimodal_features, pipeline_clean_corpus and log_scan_offset
-    # (r4 stamps) yield their slots and lead the r10 shortlist — the
-    # multimodal family still gets a fresh row via
-    # multimodal_decode_png.
-    "pyds_roundtrip_write", "pyds_stream_relay", "pyds_compact_scan",
-    "pyds_parse_modes", "stream_interval_join_full",
-    "dedup_embedding_cosine_celled", "multimodal_decode_png",
+    # last driver row r4 (17)
+    "log_scan_offset", "multimodal_features", "pipeline_clean_corpus",
+    "pred_all_array", "pred_date_mql", "sample_stratified",
+    "sort_skip_limit", "sql_exists_decorrelated", "stream_decontaminate",
+    "stream_dedup_keys", "stream_quality_filter", "stream_windowed_counts",
+    "text_novelty_ratio", "text_paragraph_dedup", "text_tfidf_topk",
+    "typed_as_projection", "zip_streams",
+    # last driver row r5 (18)
+    "agg_approx_percentiles", "cluster_assign_kmeans",
+    "data_quality_report", "dedup_incremental_batch",
+    "dedup_resolve_keep_best", "dedup_simhash", "doc_pack_sequences",
+    "embedding_quantize", "join_salted_skew", "multimodal_patch_grid",
+    "pipeline_materialize_training", "pipeline_split_safe",
+    "pred_surface", "sample_token_budget", "stream_interval_join",
+    "stream_sessionize_stateful", "stream_static_enrich", "text_quality",
+    # never driver-stamped (registered after the r9 window froze)
+    "pyds_gzip_roundtrip",
+    # NEW in r10: externally recognizable TPC-H anchors
+    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    # r6 cohort, registry order (first 10 of 49)
+    "variant_schemaless_decode", "events_time_rollup",
+    "events_rate_spikes", "events_cohort_retention",
+    "events_coactivity_range_join", "asof_join_nearest",
+    "dedup_edit_distance", "dedup_embedding_cosine", "ann_ivf_topk",
+    "text_langid",
 ]
-
-
-# Post-r9 rotation state: if r9's window comes back green, no query's
-# newest driver row predates r4.  r10 shortlist, oldest first: the 17
-# r4 leftovers (log_scan_offset, multimodal_features,
-# pipeline_clean_corpus, pred_all_array, pred_date_mql,
-# sample_stratified, sort_skip_limit, sql_exists_decorrelated,
-# stream_decontaminate, stream_dedup_keys, stream_quality_filter,
-# stream_windowed_counts, text_novelty_ratio, text_paragraph_dedup,
-# text_tfidf_topk, typed_as_projection, zip_streams), then the 18 r5
-# stamps, then r6.
 
 
 def _apply_driver_window() -> None:

@@ -1170,3 +1170,157 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "hr",
         F.last("hr_value", ignorenulls=True).over(w).alias("value"),
         F.col("hr_value").isNull().alias("filled"))
+
+
+# --- TPC-H anchor queries (r10) ---------------------------------------
+# Externally recognizable benchmark shapes over the TESTDATA tables, so
+# BENCH numbers are comparable against published TPC-H plans:
+# agg_pricing_summary is the Q1 analog and local_supplier_volume the Q5
+# analog; these add Q3 (shipping priority), Q10 (returned items) and
+# Q18 (large-volume customer).  The schema has no o_shippriority /
+# partsupp, so each query projects the columns TESTDATA carries.
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 analog (shipping priority): segment-filtered customer "
+        "dimension broadcasts into orders, the order->lineitem fact join "
+        "shuffles on the order key, and the top-10 is "
+        "TakeOrderedAndProject (per-partition heaps, no global sort) — "
+        "at 100 TB the only full-data movement is the one fact shuffle, "
+        "and both date filters reach the parquet scans.  Ties at the "
+        "LIMIT cut are broken by (rounded revenue, date, orderkey) so "
+        "the cut is total and engine-independent.",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    c = e.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = e.table("orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp"))
+    l = e.table("lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp"))
+    return (c.join(o, o["o_custkey"] == c["c_custkey"])
+             .join(l, l["l_orderkey"] == o["o_orderkey"])
+             .groupBy(l["l_orderkey"].alias("orderkey"),
+                      o["o_orderdate"], o["o_orderpriority"])
+             .agg(F.round(F.sum(l["l_extendedprice"]
+                                * (1 - l["l_discount"])), 2).alias("revenue"))
+             .select("orderkey", "revenue", "o_orderdate", "o_orderpriority")
+             .orderBy(F.desc("revenue"), "o_orderdate", "orderkey")
+             .limit(10))
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 analog (returned-item reporting): one quarter of "
+        "orders joins returned lineitems, grouped back to the customer "
+        "with the nation dimension broadcast.  The quarter predicate "
+        "prunes the orders scan before the fact join; the customer "
+        "group key is high-cardinality but the partial aggregate "
+        "collapses it map-side; top-20 via TakeOrderedAndProject with "
+        "a custkey tiebreaker.",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    c = e.table("customer")
+    n = e.table("nation")
+    o = e.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")))
+    l = e.table("lineitem").filter(F.col("l_returnflag") == "R")
+    return (c.join(o, o["o_custkey"] == c["c_custkey"])
+             .join(l, l["l_orderkey"] == o["o_orderkey"])
+             .join(n, n["n_nationkey"] == c["c_nationkey"])
+             .groupBy(c["c_custkey"].alias("custkey"), c["c_name"],
+                      c["c_acctbal"], n["n_name"].alias("nation"))
+             .agg(F.round(F.sum(l["l_extendedprice"]
+                                * (1 - l["l_discount"])), 2).alias("revenue"))
+             .select("custkey", "c_name", "revenue",
+                     F.round("c_acctbal", 2).alias("acctbal"), "nation")
+             .orderBy(F.desc("revenue"), "custkey")
+             .limit(20))
+
+
+@register(
+    "tpch_q18_large_volume",
+    """
+    SELECT c.c_name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+           o.o_orderdate, ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY totalprice DESC, o_orderdate, orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 analog (large-volume customer): the IN subquery is a "
+        "grouped HAVING filter over the fact table expressed as a LEFT "
+        "SEMI join — Catalyst plans the same shape for the SQL form.  "
+        "Both the qualifier aggregate and the semi join shuffle on "
+        "l_orderkey, so AQE can reuse the exchange; the re-aggregation "
+        "after the semi join touches only qualifying orders (~1% of "
+        "keys).  Ordered by the exact parquet double o_totalprice (no "
+        "float arithmetic at the cut) with date+key tiebreakers.",
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    li = e.table("lineitem")
+    # the qualifier is a SELF-join against lineitem: alias both sides
+    # and use qualified string refs so attribute resolution is
+    # unambiguous (Spark's ambiguous-self-join check rejects raw
+    # df["col"] refs that trace to the same scan)
+    qualifying = (li.groupBy("l_orderkey")
+                  .agg(F.sum("l_quantity").alias("__q"))
+                  .filter(F.col("__q") > 250)
+                  .select(F.col("l_orderkey").alias("__qk")))
+    c = e.table("customer")
+    o = e.table("orders").join(
+        qualifying, F.col("o_orderkey") == F.col("__qk"), "left_semi")
+    fact = li.alias("fact")
+    return (c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+             .join(fact, F.col("fact.l_orderkey") == F.col("o_orderkey"))
+             .groupBy(F.col("c_name"), F.col("c_custkey").alias("custkey"),
+                      F.col("o_orderkey").alias("orderkey"),
+                      F.col("o_orderdate"), F.col("o_totalprice"))
+             .agg(F.round(F.sum(F.col("fact.l_quantity")), 2)
+                  .alias("sum_qty"))
+             .select("c_name", "custkey", "orderkey", "o_orderdate",
+                     F.round("o_totalprice", 2).alias("totalprice"),
+                     "sum_qty")
+             .orderBy(F.desc("totalprice"), "o_orderdate", "orderkey")
+             .limit(100))

@@ -1335,7 +1335,11 @@ def test_dedup_index_compact_shrinks_files_keeps_answers(spark, tmp_path):
 
     after_counts = dedup.dedup_index_compact(spark, db)
     assert set(after_counts) == {"corpus_prefix", "corpus_sets"}
-    assert after_counts["corpus_prefix"] < before_files
+    assert after_counts["corpus_prefix"] < before_files, (
+        # diagnostic-rich message: this assert flaked once (r10) with
+        # no reproduction; if it fires again, capture the listings
+        after_counts, before_files,
+        sorted(spark.table(f"{db}.corpus_prefix").inputFiles()))
     after = {(r.left_id, r.right_id, r.jaccard) for r in
              dedup.ngram_jaccard_pairs_between_bucketed(
                  corpus, probe, "text", "doc_id", db=db, location=loc,

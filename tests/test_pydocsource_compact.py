@@ -375,7 +375,7 @@ def test_compact_crash_fuzz_random_shapes_and_crash_points(tmp_path):
                 nid += 1
             _write_files(d, {f"{i:04d}.jsonl": rows})
         all_ids = sorted(range(nid))
-        upto = (None if upto_idx is None
+        upto = (pds.ALL if upto_idx is None
                 else f"{min(upto_idx, len(sizes) - 1):04d}.jsonl")
         gb = 60 if grouped else None  # ~2 tiny rows per group
 
@@ -416,14 +416,31 @@ def test_compact_crash_fuzz_random_shapes_and_crash_points(tmp_path):
 
 def test_committed_watermark_none_before_first_commit(tmp_path):
     """No commits yet (fresh or absent checkpoint) = nothing is safe
-    to compact: the fence is None, and compact(upto=None) on a shared
-    directory is the caller's explicit choice, never the default."""
+    to compact: the fence is None, and compact(upto=None) is a NO-OP —
+    the natural composition compact(upto=stream_committed_watermark(c))
+    must never merge a live tailer's planned-but-uncommitted files.
+    Compacting everything takes the explicit ALL sentinel (the
+    default when no fence argument is passed at all)."""
     from nosql_join_stream_spark.pydocsource import (
-        stream_committed_watermark)
+        ALL, compact_json_docs, stream_committed_watermark)
 
     assert stream_committed_watermark(str(tmp_path / "nope")) is None
     (tmp_path / "ckpt" / "commits").mkdir(parents=True)
     assert stream_committed_watermark(str(tmp_path / "ckpt")) is None
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    _write_files(d, {"0000.jsonl": [dict(doc_id=0, text="a")],
+                     "0001.jsonl": [dict(doc_id=1, text="b")]})
+    # the composition with a pre-first-commit fence: no-op, files intact
+    res = compact_json_docs(
+        d, upto=stream_committed_watermark(str(tmp_path / "ckpt")))
+    assert res["merged"] == 0 and res["files_after"] == 2
+    assert sorted(os.listdir(d)) == ["0000.jsonl", "0001.jsonl"]
+    # the explicit all-files form still merges
+    res = compact_json_docs(d, upto=ALL)
+    assert res["merged"] == 2 and res["files_after"] == 1
+    assert _reader_view_ids(d) == [0, 1]
 
 
 def test_committed_watermark_multi_source_index(registered, tmp_path):

@@ -209,7 +209,10 @@ def test_stream_reader_exactly_once_under_adversarial_schedule(
             with open(st_file, encoding="utf-8") as fh:
                 persisted = json.load(fh)
             live = {f for f in os.listdir(d) if f.endswith(".jsonl")}
-            assert set(persisted["seen"]) <= live | rotated_pending, (
+            from nosql_join_stream_spark.pydocsource import (
+                _decode_name_set)
+            assert _decode_name_set(
+                persisted["seen"]) <= live | rotated_pending, (
                 "persisted seen set leaked filenames rotated away "
                 "before the last commit (prune bound broken)")
 
@@ -300,3 +303,80 @@ def test_crash_between_planning_and_commit_intruder(tmp_path, use_state):
         parts = rdr2.partitions(dict(end1), dict(end2))
         got = {row[0] for p in parts for row in rdr2.read(p)}
         assert got == {3, 4}  # replay differs: the documented hole
+
+
+# --- persisted-state size bound (r10): run-length-encoded seen set ---
+
+
+@settings(max_examples=150, deadline=None)
+@given(names=st.sets(st.one_of(
+    # conforming rolled-log names (varied prefix/pad/suffix)
+    st.builds(lambda p, w, v, s: f"{p}{str(v).zfill(w)}{s}",
+              st.sampled_from(["", "log-", "events.", "p9"]),
+              st.integers(1, 6), st.integers(0, 99999),
+              st.sampled_from([".jsonl", ".jsonl.gz"])),
+    # oddballs: no digits, digits mid-name, weird tails
+    st.sampled_from(["nodigits.jsonl", "a1b.jsonl", "x.jsonl.gz",
+                     "UPPER-7-x.jsonl", "0.j", "123", "..jsonl"]))))
+def test_seen_state_encoding_lossless_roundtrip(names):
+    """encode∘decode is the identity on ANY filename set — the late-
+    arrival guard's membership test survives the compression exactly
+    (a gap name inside a run's span must decode ABSENT)."""
+    from nosql_join_stream_spark.pydocsource import (_decode_name_set,
+                                                     _encode_name_set)
+    assert _decode_name_set(_encode_name_set(names)) == names
+
+
+def test_seen_state_is_o1_on_rolled_log_and_guard_exact(tmp_path):
+    """A 10k-file sequence-numbered rolled log persists O(1) stream
+    state (one run, state file under 1 KB — the r9 VERDICT lead: the
+    commit used to rewrite all 10k names every micro-batch), restarts
+    losslessly, and the below-watermark guard still catches a GAP name
+    that a lossy watermark-only encoding would wave through."""
+    from nosql_join_stream_spark.pydocsource import (JsonDocsStreamReader,
+                                                     _decode_name_set)
+
+    d, state = str(tmp_path / "docs"), str(tmp_path / "state")
+    os.makedirs(d)
+    # 10k files, one deliberate gap at 5000 (rotated away mid-log)
+    for i in range(10_000):
+        if i == 5000:
+            continue
+        with open(os.path.join(d, f"{i:05d}.jsonl"), "w") as fh:
+            fh.write(json.dumps({"doc_id": i, "text": "t"}) + "\n")
+
+    rdr = JsonDocsStreamReader({"path": d, "statedir": state})
+    end = rdr.latestOffset()
+    assert end["last"] == "09999.jsonl"
+    st_file = os.path.join(state, "json_docs_stream_state.json")
+    size = os.path.getsize(st_file)
+    assert size < 1024, f"state file is {size} B for 10k files"
+    enc = json.load(open(st_file))["seen"]
+    assert len(enc["runs"]) == 2 and enc["names"] == []  # split at the gap
+
+    # lossless restart: the decoded set is exactly the 9 999 files
+    rdr2 = JsonDocsStreamReader({"path": d, "statedir": state})
+    assert len(rdr2._seen) == 9_999
+    assert "05000.jsonl" not in rdr2._seen
+
+    # guard exactness: landing the GAP name below the watermark while
+    # down must still raise — the run encoding knows 05000 was absent
+    _land(d, "05000.jsonl", [dict(doc_id=-1, text="late")])
+    with pytest.raises(RuntimeError, match="below the committed"):
+        rdr2.latestOffset()
+
+
+def test_seen_state_old_list_format_still_restores(tmp_path):
+    """Pre-r10 state files persisted the seen set as a plain list;
+    a reader restarting from one must restore it unchanged."""
+    d, state = str(tmp_path / "docs"), str(tmp_path / "state")
+    os.makedirs(d), os.makedirs(state)
+    _land(d, "0001.jsonl", [dict(doc_id=1, text="a")])
+    with open(os.path.join(state, "json_docs_stream_state.json"),
+              "w") as fh:
+        json.dump({"watermark": "0001.jsonl",
+                   "seen": ["0001.jsonl"]}, fh)
+    rdr = JsonDocsStreamReader({"path": d, "statedir": state})
+    assert rdr._seen == {"0001.jsonl"}
+    assert rdr._watermark == "0001.jsonl"
+    assert rdr.latestOffset() == {"last": "0001.jsonl"}
