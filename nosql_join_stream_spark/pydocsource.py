@@ -1315,16 +1315,63 @@ class JsonDocsWriter(DataSourceWriter):
         _abort_files(self.path, messages)
 
 
+def _retract_batch(path: str, batchId: int) -> None:
+    """Remove any published ``b<batchId>-*`` doc files (and their
+    sidecar entries) left by a CRASHED earlier commit attempt of the
+    same batch.  A replay re-runs the batch's tasks, and nothing
+    guarantees the retry shards rows into the same number of task
+    files — without this retraction a retry that publishes FEWER
+    files than the crashed attempt leaves the stale surplus in place,
+    i.e. duplicated rows under the exactly-once claim.  Retract-then-
+    publish makes the replayed commit wholesale idempotent: the batch
+    prefix ``b<batchId:012d>-`` namespaces exactly the files this
+    attempt owns, so nothing else is ever touched."""
+    prefix = f"b{batchId:012d}-"
+    stale = [f for f in os.listdir(path)
+             if f.startswith(prefix) and _is_doc_file(f)]
+    if not stale:
+        return
+    for f in stale:
+        try:
+            os.remove(os.path.join(path, f))
+        except FileNotFoundError:
+            pass
+    sidecar = os.path.join(path, _STATS_FILE)
+    if os.path.isfile(sidecar):
+        with open(sidecar, encoding="utf-8") as fh:
+            stats = json.load(fh).get("files", {})
+        for f in stale:
+            stats.pop(f, None)
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"files": stats}, fh, sort_keys=True)
+        os.replace(tmp, sidecar)
+
+
 class JsonDocsStreamWriter(DataSourceStreamWriter):
     """Streaming sink twin: each micro-batch's tasks stage tmp files;
     ``commit(messages, batchId)`` publishes them under
     ``b<batchId>-<task>.jsonl`` — batch ids are monotonically
     increasing, so filenames stay lexicographically increasing across
     batches and the directory remains a valid ``json_docs`` STREAM
-    SOURCE (a materialized changelog another query can tail).  A
-    failed/retried batch's leftovers are aborted (tmp files removed);
-    Spark's sink commit log guarantees ``commit`` runs once per
-    batch id, which is what makes the rename-publish exactly-once."""
+    SOURCE (a materialized changelog another query can tail).
+
+    Fault contract (reference resource-safety discipline,
+    storage.scala:661-699, under sink replay):
+
+    - a FAILED TASK's staged tmp never publishes (only messages that
+      reach the driver are renamed; its retry stages a fresh
+      uuid-named tmp, so the orphan is inert — invisible to readers);
+    - a FAILED BATCH's surviving tmps are removed by ``abort``;
+    - a REPLAYED batch id (driver crashed inside the commit window
+      after some renames) first RETRACTS the crashed attempt's
+      ``b<batchId>-*`` files, then publishes its own — the retry may
+      shard rows into a different number of task files, so without
+      the retraction a stale surplus file would double-publish rows.
+      Spark's sink commit log guarantees ``commit`` is not re-run for
+      a batch it recorded as committed, so retraction only ever sees
+      partial crashed attempts, never a durably-committed batch.
+    """
 
     def __init__(self, options, schema, overwrite: bool):
         self.path = options.get("path")
@@ -1340,6 +1387,8 @@ class JsonDocsStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId):
         ext = ".jsonl.gz" if self.gz else ".jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        _retract_batch(self.path, batchId)
         _publish_files(
             self.path, messages,
             lambda i: f"b{batchId:012d}-{i:05d}{ext}")
