@@ -1092,6 +1092,17 @@ def dedup_index_compact(spark, db: str, tables_buckets=None,
         # (any earlier probe reads it); refresh so the post-compaction
         # file listing is the NEW table's, not a stale FileIndex
         spark.catalog.refreshTable(full)
+        # refreshTable drops the relation cache entry, but the
+        # SESSION-SHARED FileStatusCache is keyed by directory PATH —
+        # and the managed-table renames above move directories, so the
+        # swapped-in table's path can still carry the PRE-swap listing
+        # (observed as a rare full-suite flake: post-compaction
+        # inputFiles() == the pre-compaction count).  refreshByPath is
+        # the API that purges that cache layer.
+        loc = spark.sql(f"DESC EXTENDED {full}") \
+            .where("col_name = 'Location'").head()
+        if loc is not None:
+            spark.catalog.refreshByPath(loc["data_type"])
         out[t] = len(spark.table(full).inputFiles())
     if tombs is not None:
         _drop_tombstones(spark, db)

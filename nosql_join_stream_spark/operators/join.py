@@ -71,8 +71,42 @@ def inner_join(
     return joined.select(*cols)
 
 
+def _auto_num_salts(left: DataFrame, keys: Sequence[str],
+                    sample_rows: int = 100_000) -> int:
+    """Pick a salt count from the observed hot-key share, mirroring
+    AQE's skew rule (a partition is skewed when it holds far more
+    than its fair 1/parallelism share): sample a bounded prefix of
+    the left side, measure the hottest key's row share, and choose
+    the smallest salt count that spreads that key back to a fair
+    per-reducer share — ``ceil(hot_share × parallelism)``, clamped to
+    [1, parallelism].
+
+    Why a bounded ``limit`` sample: an exact frequency pass over the
+    fact side would cost a full shuffle — the thing salting is meant
+    to protect.  The prefix sample reads a handful of input splits
+    (one tiny job, two aggregate rows collected), which is exactly
+    how AQE's runtime stats are "free": approximate is fine because
+    the cost of overestimating is a few extra right-side replicas and
+    the cost of underestimating is bounded by AQE's own skew split
+    behind it.  A uniform key distribution yields hot_share ≈ 1/keys
+    and salts = 1 — the salt columns then degenerate to constants and
+    the join plans like the unsalted one."""
+    import math
+
+    row = (left.select(*keys).limit(int(sample_rows))
+           .groupBy(*keys).count()
+           .agg(F.max("count").alias("hot"), F.sum("count").alias("n"))
+           .collect()[0])
+    if not row["n"]:
+        return 1
+    hot_share = row["hot"] / row["n"]
+    parallelism = int(left.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    return max(1, min(math.ceil(hot_share * parallelism), parallelism))
+
+
 def salted_join(left: DataFrame, right: DataFrame,
-                on: str | Sequence[str], num_salts: int = 16,
+                on: str | Sequence[str], num_salts: int | str = 16,
                 how: str = "inner") -> DataFrame:
     """Skew-resilient equi-join — result-identical to
     ``left.join(right, on, how)``, execution-resilient to hot keys.
@@ -92,11 +126,24 @@ def salted_join(left: DataFrame, right: DataFrame,
     right is the small/dimension side and left is the skewed fact.
     Supported ``how``: inner / left / left_semi / left_anti (unmatched
     right rows would otherwise surface once per salt).
+
+    ``num_salts="auto"`` samples the left side's key frequencies
+    (bounded prefix, one tiny job) and sizes the salt count from the
+    hot-key share — see :func:`_auto_num_salts`.  A fixed count is
+    blind in both directions: 16 salts saturate when one key holds
+    most of a 16×-grown fact (its per-reducer share still exceeds
+    everyone else's), and over-replicate the right side when the keys
+    are uniform.
     """
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join does not support how={how!r}: "
                          "unmatched right rows would appear once per salt")
     keys = [on] if isinstance(on, str) else list(on)
+    if num_salts == "auto":
+        num_salts = _auto_num_salts(left, keys)
+    elif not isinstance(num_salts, int) or num_salts < 1:
+        raise ValueError(
+            f"num_salts must be a positive int or 'auto', got {num_salts!r}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                   F.lit(num_salts)).cast("int")
     l_s = left.withColumn("__salt", salt)

@@ -77,11 +77,13 @@ def payload_dedup(media: DataFrame, payload_col: str = "payload",
 def decode_image(payload: bytes) -> "object":
     """Decode image bytes to a grayscale ndarray.  REAL on two
     branches: PIL when importable (any format), else the pure-stdlib
-    PNG decoder (:mod:`png_codec`, r9 — bit-identical luma to PIL's
-    ``convert('L')``), so PNG decode executes everywhere Python runs,
-    including this PIL-less sandbox.  Only a non-PNG payload without
-    PIL raises the clearly-marked stub.  The Spark-side contract
-    (bytes in, ndarray out) is identical on every branch."""
+    codecs (:mod:`png_codec` — PNG via zlib+struct, BMP and PGM/PPM
+    via struct alone, all bit-identical luma to PIL's
+    ``convert('L')``), so those formats decode everywhere Python
+    runs, including this PIL-less sandbox.  Only a payload outside
+    the stdlib family (JPEG…) without PIL raises the clearly-marked
+    stub.  The Spark-side contract (bytes in, ndarray out) is
+    identical on every branch."""
     try:
         from PIL import Image
         import io
@@ -91,11 +93,7 @@ def decode_image(payload: bytes) -> "object":
     except ImportError:
         pass
     from nosql_join_stream_spark.operators import png_codec
-    if png_codec.is_png(payload):
-        return png_codec.decode_gray(payload)
-    raise NotImplementedError(
-        "non-PNG image decode requires PIL/libvips; not available in "
-        "this environment (PNG decodes via the stdlib codec)")
+    return png_codec.decode_gray_auto(payload)
 
 
 def _fake_luma(payload: bytes) -> float:
@@ -133,10 +131,11 @@ def extract_features(media: DataFrame, batch_decode: bool = False) -> DataFrame:
                     Image.open(_io.BytesIO(payload)).convert("L"))
             except ImportError:
                 pass
-            # stdlib PNG fallback (r9): real pixels without PIL; the
-            # import is call-time so pickling stays self-contained and
-            # an executor without the package degrades to the stub
-            # error, not a deserialization crash
+            # stdlib codec fallback (r9, widened r10 to BMP/PGM/PPM):
+            # real pixels without PIL; the import is call-time so
+            # pickling stays self-contained and an executor without
+            # the package degrades to the stub error, not a
+            # deserialization crash
             try:
                 from nosql_join_stream_spark.operators import (
                     png_codec as _pc)
@@ -144,11 +143,7 @@ def extract_features(media: DataFrame, batch_decode: bool = False) -> DataFrame:
                 raise NotImplementedError(
                     "image decode requires PIL/libvips; not available "
                     "here") from None
-            if _pc.is_png(payload):
-                return _pc.decode_gray(payload)
-            raise NotImplementedError(
-                "non-PNG image decode requires PIL/libvips; not "
-                "available here (PNG decodes via the stdlib codec)")
+            return _pc.decode_gray_auto(payload)
 
         def _luma(b: bytes) -> float:
             return float(sum(b)) / len(b) if b else 0.0
@@ -204,19 +199,22 @@ def resize_images(media: DataFrame, target_w: int = 128,
                          s: int) -> bytes:
             # one deterministic contract on EVERY branch: decode →
             # grayscale → integer-stride a[::s, ::s] → re-encode
-            # through the repo's own PNG encoder.  PNG inputs never
-            # touch PIL (the stdlib codec decodes them bit-identically
-            # to PIL's convert("L")), and non-PNG inputs decoded by
-            # PIL still stride + re-encode through the same encoder —
-            # so the output bytes (and any oracle-hashed value derived
-            # from them, e.g. byte_len/sha256) do not depend on
-            # whether PIL is installed.  Call-time import keeps the
-            # pickled closure self-contained.
+            # through the repo's own PNG encoder.  Stdlib-decodable
+            # inputs (PNG/BMP/PGM/PPM) never touch PIL (the stdlib
+            # codecs decode them bit-identically to PIL's
+            # convert("L")), and inputs decoded by PIL still stride +
+            # re-encode through the same encoder — so the output
+            # bytes (and any oracle-hashed value derived from them,
+            # e.g. byte_len/sha256) do not depend on whether PIL is
+            # installed.  Call-time import keeps the pickled closure
+            # self-contained.
             from nosql_join_stream_spark.operators import (
                 png_codec as _pc)
-            if _pc.is_png(payload):
+            try:
                 return _pc.encode_gray(
-                    _pc.resize_gray(_pc.decode_gray(payload), s))
+                    _pc.resize_gray(_pc.decode_gray_auto(payload), s))
+            except NotImplementedError:
+                pass
             try:
                 from PIL import Image
                 import io as _io
@@ -227,9 +225,9 @@ def resize_images(media: DataFrame, target_w: int = 128,
                 return _pc.encode_gray(_pc.resize_gray(a, s))
             except ImportError:
                 raise NotImplementedError(
-                    "non-PNG image resize requires PIL/libvips; not "
-                    "available here (PNG resizes via the stdlib "
-                    "codec)") from None
+                    "image resize outside the stdlib family "
+                    "(PNG/BMP/PGM/PPM) requires PIL/libvips; not "
+                    "available here") from None
 
         for pdf in batches:
             stride = pdf["width"].map(

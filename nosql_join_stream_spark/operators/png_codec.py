@@ -23,6 +23,13 @@ pixels anywhere Python runs:
 Filters 0/2 (the encoder's output and the common screenshot case)
 unfilter as whole-row numpy ops; 1/3/4 fall back to a per-pixel loop
 (left-neighbor dependency is inherently sequential).
+
+r10 widens the real-pixel family to the OTHER struct-only raster
+formats: BMP (uncompressed 8/24/32-bit, bottom-up/top-down, palette)
+and binary Netpbm PGM/PPM — ``decode_gray_auto`` dispatches on magic
+bytes, every format shares the same fixed-point luma, and only
+genuinely-impossible-in-stdlib formats (JPEG) remain behind the PIL
+stub.
 """
 
 from __future__ import annotations
@@ -172,3 +179,167 @@ def resize_gray(a: np.ndarray, stride: int) -> np.ndarray:
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
     return a[::stride, ::stride]
+
+
+# --- BMP (r10): the other struct-only raster format -------------------
+
+def is_bmp(payload: bytes) -> bool:
+    return payload[:2] == b"BM"
+
+
+def _luma_rgb(rgb: np.ndarray) -> np.ndarray:
+    """(…, 3) uint8 RGB → uint8 luma, PIL's exact fixed-point ITU-R
+    601-2 rounding (shared by every decoder here so all formats are
+    bit-identical to ``convert('L')`` on the same pixels)."""
+    r = rgb.astype(np.uint32)
+    return ((r[..., 0] * 19595 + r[..., 1] * 38470 + r[..., 2] * 7471
+             + 0x8000) >> 16).astype(np.uint8)
+
+
+def decode_bmp_gray(payload: bytes) -> np.ndarray:
+    """Decode BMP bytes to (height, width) uint8 grayscale — stdlib
+    ``struct`` only.  Supports the overwhelmingly common on-disk
+    shapes: BITMAPINFOHEADER-or-later DIB, uncompressed (BI_RGB),
+    8-bit paletted / 24-bit BGR / 32-bit BGRX, bottom-up or top-down
+    rows, 4-byte row padding.  RLE/1/4/16-bit raise the documented
+    NotImplementedError (rare as pipeline payloads; PIL handles them
+    where installed)."""
+    if not is_bmp(payload):
+        raise ValueError("not a BMP (bad signature)")
+    if len(payload) < 54:
+        raise ValueError("BMP: truncated header")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (dib_size,) = struct.unpack_from("<I", payload, 14)
+    if dib_size < 40:
+        raise NotImplementedError(
+            f"BMP: pre-BITMAPINFOHEADER DIB (size {dib_size}) unsupported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (planes, bpp) = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    (clr_used,) = struct.unpack_from("<I", payload, 46)
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"BMP: bad dimensions {width}x{height}")
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError(
+            f"BMP: unsupported (bpp={bpp}, compression={compression}); "
+            "this decoder handles uncompressed 8/24/32-bit")
+    row_stride = ((bpp * width + 31) // 32) * 4
+    need = data_off + row_stride * height
+    if len(payload) < need:
+        raise ValueError(f"BMP: pixel data truncated "
+                         f"({len(payload)} < {need})")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_stride * height,
+                         offset=data_off).reshape(height, row_stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        n_colors = clr_used or 256
+        pal_off = 14 + dib_size
+        pal = np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4,
+                            offset=pal_off).reshape(-1, 4)
+        rgb = pal[rows[:, :width]][:, :, [2, 1, 0]]  # BGRA → RGB
+        return _luma_rgb(rgb)
+    ch = bpp // 8
+    px = rows[:, :width * ch].reshape(height, width, ch)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(X) → RGB
+    return _luma_rgb(rgb)
+
+
+def encode_gray_bmp(a: np.ndarray) -> bytes:
+    """Encode a (height, width) uint8 array as an 8-bit paletted BMP
+    with the identity gray palette (entry i = (i,i,i), whose
+    fixed-point luma is exactly i — 19595+38470+7471 = 2^16), so
+    encode → decode is the identity, like ``encode_gray``."""
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError(f"expected 2-D gray array, got shape {a.shape}")
+    h, w = a.shape
+    row_stride = ((w + 3) // 4) * 4
+    padded = np.zeros((h, row_stride), dtype=np.uint8)
+    padded[:, :w] = a
+    body = padded[::-1].tobytes()          # bottom-up rows
+    pal = bytes(v for i in range(256) for v in (i, i, i, 0))
+    data_off = 14 + 40 + len(pal)
+    return (b"BM"
+            + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body),
+                          2835, 2835, 256, 0)
+            + pal + body)
+
+
+def encode_gray_pgm(a: np.ndarray) -> bytes:
+    """Encode a (height, width) uint8 array as binary PGM (P5)."""
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError(f"expected 2-D gray array, got shape {a.shape}")
+    h, w = a.shape
+    return f"P5\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+# --- PNM / Netpbm (r10): header-plus-raster, trivially stdlib ----------
+
+def is_pnm(payload: bytes) -> bool:
+    return payload[:2] in (b"P5", b"P6")
+
+
+def decode_pnm_gray(payload: bytes) -> np.ndarray:
+    """Decode binary PGM (P5) / PPM (P6) to (height, width) uint8
+    grayscale.  maxval must be 255 (the universal 8-bit case; 16-bit
+    Netpbm raises the documented NotImplementedError).  Header
+    whitespace/comments per the Netpbm spec."""
+    if not is_pnm(payload):
+        raise ValueError("not a binary PGM/PPM (P5/P6)")
+    magic = payload[:2]
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        # skip whitespace and '#' comments, then read one ASCII int
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("PNM: unterminated comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos:pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("PNM: malformed header")
+        vals.append(int(payload[start:pos]))
+    width, height, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError(
+            f"PNM: maxval {maxval} unsupported (8-bit only)")
+    pos += 1  # exactly one whitespace byte before the raster, per spec
+    ch = 1 if magic == b"P5" else 3
+    need = width * height * ch
+    if len(payload) - pos < need:
+        raise ValueError(f"PNM: raster truncated "
+                         f"({len(payload) - pos} < {need})")
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    if ch == 1:
+        return px.reshape(height, width)
+    return _luma_rgb(px.reshape(height, width, 3))
+
+
+def decode_gray_auto(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes across every stdlib-decodable raster
+    format (PNG via zlib+struct, BMP and PGM/PPM via struct alone) —
+    the one entry point the multimodal decode/resize closures call.
+    Anything else (JPEG has no honest stdlib decode) raises the
+    documented NotImplementedError the PIL branch absorbs where PIL
+    exists."""
+    if is_png(payload):
+        return decode_gray(payload)
+    if is_bmp(payload):
+        return decode_bmp_gray(payload)
+    if is_pnm(payload):
+        return decode_pnm_gray(payload)
+    raise NotImplementedError(
+        "image decode without PIL supports PNG/BMP/PGM/PPM only "
+        "(JPEG and friends require PIL/libvips, not in this "
+        "environment)")

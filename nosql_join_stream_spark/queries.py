@@ -142,6 +142,31 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(fact, dim, on="orderkey", num_salts=8)
 
 
+@register(
+    "join_salted_auto",
+    """
+    SELECT l.l_orderkey AS orderkey, l.l_linenumber AS l_linenumber,
+           l.l_quantity AS l_quantity, o.o_custkey AS o_custkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="Salted join with num_salts='auto' (r10): the salt count is "
+        "sized from a bounded sample of the fact side's hot-key share "
+        "(ceil(hot_share x shuffle parallelism), AQE's skew rule) "
+        "instead of a blind constant — a 64x-skewed key at 16x data "
+        "gets proportionally more salts where a fixed 16 saturates, "
+        "and a uniform fact degenerates to 1 salt (no replication). "
+        "Result multiset is the plain join, which IS the oracle.",
+)
+def join_salted_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.join import salted_join
+    e = _engine(spark, sf_dir)
+    fact = e.table("lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_linenumber", "l_quantity")
+    dim = e.table("orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_custkey")
+    return salted_join(fact, dim, on="orderkey", num_salts="auto")
+
+
 # ---------------------------------------------------------------------------
 # Reference parity: predicates / sort / skip / limit (SURVEY §2.3-2.4)
 # ---------------------------------------------------------------------------
@@ -793,15 +818,16 @@ _DRIVER_WINDOW = [
     "stream_sessionize_stateful", "stream_static_enrich", "text_quality",
     # never driver-stamped (registered after the r9 window froze)
     "pyds_gzip_roundtrip",
-    # NEW in r10: externally recognizable TPC-H anchors
+    # NEW in r10: externally recognizable TPC-H anchors + the auto-
+    # salted join and the mixed-container stdlib decode
     "tpch_q3_shipping_priority", "tpch_q10_returned_items",
-    "tpch_q18_large_volume",
-    # r6 cohort, registry order (first 10 of 49)
+    "tpch_q18_large_volume", "join_salted_auto",
+    "multimodal_decode_mixed",
+    # r6 cohort, registry order (first 8 of 49)
     "variant_schemaless_decode", "events_time_rollup",
     "events_rate_spikes", "events_cohort_retention",
     "events_coactivity_range_join", "asof_join_nearest",
-    "dedup_edit_distance", "dedup_embedding_cosine", "ann_ivf_topk",
-    "text_langid",
+    "dedup_edit_distance", "dedup_embedding_cosine",
 ]
 
 

@@ -745,6 +745,63 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_mixed",
+    """
+    SELECT d.doc_id AS doc_id,
+           CASE d.doc_id % 3 WHEN 0 THEN 'image/png'
+                             WHEN 1 THEN 'image/bmp'
+                             ELSE 'image/x-portable-graymap'
+           END AS media_type,
+           ROUND(AVG(CAST((d.doc_id * 7 + u.i) % 256 AS DOUBLE)), 6)
+             AS mean_luma
+    FROM documents d,
+         UNNEST(range(0, (d.doc_id % 32 + 8) * (d.doc_id % 16 + 8)))
+           AS u(i)
+    GROUP BY d.doc_id
+    """,
+    doc="Mixed-container REAL decode (r10 — the BMP/PGM stdlib "
+        "decoders beside the PNG codec): the SAME deterministic "
+        "gradient pixels as multimodal_decode_png, but each document "
+        "encodes into a container chosen by doc_id % 3 — genuine PNG "
+        "(zlib+struct), 8-bit paletted BMP (identity gray palette), "
+        "or binary PGM — and extract_features(batch_decode=True) "
+        "must magic-dispatch each payload to the right decoder "
+        "(png_codec.decode_gray_auto) to reproduce the one "
+        "closed-form pixel mean.  A wrong decode path for ANY "
+        "container shifts its third of the rows and fails the hash; "
+        "only formats with no honest stdlib decode (JPEG) remain "
+        "stubbed behind PIL.",
+)
+def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id")
+
+    def plant(batches):
+        import numpy as _np
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import png_codec as _pc
+        encs = [(_pc.encode_gray, "image/png"),
+                (_pc.encode_gray_bmp, "image/bmp"),
+                (_pc.encode_gray_pgm, "image/x-portable-graymap")]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                w, h = int(did) % 32 + 8, int(did) % 16 + 8
+                arr = ((int(did) * 7
+                        + _np.arange(w * h, dtype=_np.int64)) % 256) \
+                    .astype(_np.uint8).reshape(h, w)
+                enc, mt = encs[int(did) % 3]
+                rows.append((int(did), enc(arr), mt, w, h, 1))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "payload", "media_type", "width", "height",
+                "n_frames"])
+
+    media = docs.mapInPandas(plant, schema=multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, batch_decode=True)
+    return feats.select("doc_id", "media_type", "mean_luma")
+
+
+@register(
     "agg_geomean_udaf",
     """
     SELECT o_orderstatus,

@@ -36,6 +36,50 @@ def test_salted_join_rejects_right_outer(engine):
     import pytest
     with pytest.raises(ValueError):
         salted_join(df, df, on="o_orderkey", how="right")
+    with pytest.raises(ValueError, match="num_salts"):
+        salted_join(df, df, on="o_orderkey", num_salts=0)
+    with pytest.raises(ValueError, match="num_salts"):
+        salted_join(df, df, on="o_orderkey", num_salts="many")
+
+
+def test_auto_salts_sized_by_hot_key_share(engine, spark):
+    """num_salts='auto' reads the skew, not a constant: a key holding
+    ~90% of the sampled rows gets ≈ 0.9 × shuffle-parallelism salts;
+    a uniform key distribution degenerates to 1 (no replication)."""
+    from nosql_join_stream_spark.operators.join import _auto_num_salts
+
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 9, F.lit(7))
+         .otherwise(F.col("id")).alias("k"))
+    n = _auto_num_salts(skewed, ["k"])
+    assert 0.8 * par <= n <= par, (n, par)
+    uniform = spark.range(10_000).select((F.col("id") % 1000).alias("k"))
+    assert _auto_num_salts(uniform, ["k"]) == 1
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert _auto_num_salts(empty, ["k"]) == 1
+
+
+def test_salted_join_auto_equals_plain_join(engine, spark):
+    """End-to-end 'auto' on a genuinely skewed fact: one orderkey
+    inflated to dominate, result multiset identical to the plain
+    join, and the chosen salt spread actually splits the hot key
+    across reducers (distinct salts observed > 1)."""
+    fact = engine.table("lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_linenumber")
+    hot = fact.limit(1).select(F.lit(1).alias("orderkey"),
+                               F.lit(0).alias("l_linenumber"))
+    # replicate one hot row to ~3× the base size
+    skewed = fact.union(
+        hot.crossJoin(spark.range(3 * fact.count()).select(
+            F.col("id").alias("__r"))).drop("__r"))
+    dim = engine.table("orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_custkey")
+    salted = salted_join(skewed, dim, on="orderkey", num_salts="auto")
+    plain = skewed.join(dim, "orderkey")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
 
 
 def test_write_partitioned_roundtrip(engine, spark, tmp_path):

@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto
 """
 
 from __future__ import annotations
@@ -606,6 +606,48 @@ def main() -> None:
                 results["aqeskew_s"] = round(time.perf_counter() - t0, 2)
                 plan = j._jdf.queryExecution().executedPlan().toString()
                 results["aqeskew_split"] = "skew=true" in plan
+            finally:
+                for c, v in saved.items():
+                    spark.conf.set(c, v)
+
+        if "saltauto" in OPS:
+            # salted_join num_salts="auto" vs the old blind 16: the
+            # hot key's row share GROWS with factor (50% → 87.5% →
+            # 96.9%), the thing a fixed salt count cannot track — at
+            # high share, 16 salts leave the hot key's per-reducer
+            # share ~2× everyone else's (a straggler), while auto
+            # sizes salts to hot_share × parallelism and stays fair.
+            # AQE's skew split + broadcast are disabled to isolate
+            # the operator (the case it exists for: joins AQE cannot
+            # rewrite).
+            from nosql_join_stream_spark.operators.join import (
+                _auto_num_salts, salted_join)
+            n = 300_000 * factor
+            hot_n = n - n // (2 * factor)   # share = 1 - 1/(2f)
+            fact_df = spark.range(n).select(
+                F.when(F.col("id") < hot_n, F.lit(0))
+                 .otherwise(F.col("id") % 1000).alias("k"),
+                F.col("id").alias("v"))
+            dim = spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("d"))
+            saved = {c: spark.conf.get(c) for c in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.enabled")}
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                               "-1")
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
+                               "false")
+                results["saltauto_n"] = _auto_num_salts(fact_df, ["k"])
+                for label, ns in (("salt16", 16), ("saltauto", "auto")):
+                    j = (salted_join(fact_df, dim, on="k", num_salts=ns)
+                         .agg(F.count("*").alias("n"),
+                              F.sum("v").alias("sv")))
+                    t0 = time.perf_counter()
+                    rows = int(j.collect()[0]["n"])
+                    results[f"{label}_s"] = round(
+                        time.perf_counter() - t0, 2)
+                results["saltauto_rows"] = rows
             finally:
                 for c, v in saved.items():
                     spark.conf.set(c, v)
