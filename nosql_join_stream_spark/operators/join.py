@@ -72,33 +72,51 @@ def inner_join(
 
 
 def _auto_num_salts(left: DataFrame, keys: Sequence[str],
-                    sample_rows: int = 100_000) -> int:
+                    sample_mod: int = 127) -> int:
     """Pick a salt count from the observed hot-key share, mirroring
     AQE's skew rule (a partition is skewed when it holds far more
-    than its fair 1/parallelism share): sample a bounded prefix of
-    the left side, measure the hottest key's row share, and choose
-    the smallest salt count that spreads that key back to a fair
-    per-reducer share — ``ceil(hot_share × parallelism)``, clamped to
-    [1, parallelism].
+    than its fair 1/parallelism share): sample ~1/``sample_mod`` of
+    the left side's rows, measure the hottest key's row share, and
+    choose the smallest salt count that spreads that key back to a
+    fair per-reducer share — ``ceil(hot_share × parallelism)``,
+    clamped to [1, parallelism].
 
-    Why a bounded ``limit`` sample: an exact frequency pass over the
-    fact side would cost a full shuffle — the thing salting is meant
-    to protect.  The prefix sample reads a handful of input splits
-    (one tiny job, two aggregate rows collected), which is exactly
-    how AQE's runtime stats are "free": approximate is fine because
-    the cost of overestimating is a few extra right-side replicas and
-    the cost of underestimating is bounded by AQE's own skew split
-    behind it.  A uniform key distribution yields hot_share ≈ 1/keys
+    The sample must be POSITION- and VALUE-independent.  A bounded
+    ``limit`` prefix reads whatever keys happen to live in the first
+    input splits — on key-clustered data (the common layout) it sees
+    either 100% or 0% of the hot key and mis-sizes in both directions
+    (a probe caught exactly this: a range-partitioned fact with the
+    hot rows up front sampled as hot_share=1.0 at every skew level).
+    Hashing key VALUES is worse — every copy of the hot key shares
+    the hash, so it is sampled all-or-nothing.  Hashing
+    ``monotonically_increasing_id`` (partition ordinal, no shuffle,
+    deterministic for a given partitioning) gives an unbiased row
+    sample for free.  Cost: one column-pruned scan of the keys with a
+    ~1/mod-sampled partial aggregate — the stats pass AQE gets from
+    shuffle files, paid explicitly because salting exists for joins
+    AQE cannot rewrite.  Overestimating costs a few extra right-side
+    replicas; a uniform key distribution yields hot_share ≈ 1/keys
     and salts = 1 — the salt columns then degenerate to constants and
-    the join plans like the unsalted one."""
+    the join plans like the unsalted one.  An empty sample (tiny
+    input) falls back to the exact frequency pass, which is cheap
+    precisely when the sample is empty."""
     import math
 
-    row = (left.select(*keys).limit(int(sample_rows))
-           .groupBy(*keys).count()
-           .agg(F.max("count").alias("hot"), F.sum("count").alias("n"))
-           .collect()[0])
+    def agg_of(df):
+        return (df.groupBy(*keys).count()
+                .agg(F.max("count").alias("hot"),
+                     F.sum("count").alias("n")).collect()[0])
+
+    sampled = (left.select(*keys)
+               .withColumn("__mid", F.monotonically_increasing_id())
+               .where(F.pmod(F.xxhash64("__mid"),
+                             F.lit(int(sample_mod))) == 0)
+               .drop("__mid"))
+    row = agg_of(sampled)
     if not row["n"]:
-        return 1
+        row = agg_of(left.select(*keys))
+        if not row["n"]:
+            return 1
     hot_share = row["hot"] / row["n"]
     parallelism = int(left.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
