@@ -151,9 +151,17 @@ def _open_doc(path: str, mode: str = "rt"):
     """Text handle for a collection file, transparently gunzipping —
     every cursor (batch, stream, stats, compaction) shares it, so
     ``.jsonl`` and ``.jsonl.gz`` members mix freely in one directory
-    (ordering and offsets are by FULL filename either way)."""
+    (ordering and offsets are by FULL filename either way).  Names
+    without the ``.gz`` suffix are magic-sniffed: a reader planned
+    over a pending overwrite's STAGED files (suffix ``.inprogress``
+    regardless of compression) must still gunzip gzipped bytes, and a
+    plain-text ``.jsonl`` can never begin with gzip's 0x1f 0x8b."""
+    import gzip
     if path.endswith(".gz"):
-        import gzip
+        return gzip.open(path, mode, encoding="utf-8")
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
         return gzip.open(path, mode, encoding="utf-8")
     return open(path, mode, encoding="utf-8")
 
@@ -272,6 +280,7 @@ def write_docs_stats(path: str) -> dict:
     (and of parquet footer stats).  One sequential pass per file at
     ingest time buys file skipping on every subsequent filtered scan.
     Returns the stats dict."""
+    _recover_overwrite(path)  # never stat a mid-roll overwrite's mix
     doomed = _compact_pending_deletes(path)
     files = sorted(f for f in os.listdir(path)
                    if _is_doc_file(f) and f not in doomed)
@@ -445,6 +454,93 @@ def _recover_compact(path: str) -> None:
             pass
 
 
+_OVERWRITE_MANIFEST = "_overwrite_manifest.json"
+
+
+def _overwrite_pending(path: str) -> dict | None:
+    """Non-mutating read of a pending overwrite intent (r10).  The
+    manifest is the COMMIT POINT of ``mode('overwrite')``: once it is
+    durably published (atomic tmp+rename), the overwrite has happened
+    logically — the delete-list names are doomed duplicates and the
+    ``publish`` map's staged files ARE the collection, wherever the
+    physical roll-forward got to.  Returns the manifest dict, or None
+    when no overwrite is in flight."""
+    man = os.path.join(path, _OVERWRITE_MANIFEST)
+    try:
+        with open(man, encoding="utf-8") as fh:
+            return json.load(fh)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None  # absent, or torn mid-publish (tmp not yet renamed)
+
+
+def _finish_overwrite(path: str, m: dict) -> None:
+    """Roll a committed overwrite forward: rename each staged tmp to
+    its final name, delete the doomed previous files, rewrite the
+    stats sidecar from the manifest's carried stats (the overwrite
+    REPLACES the collection, so the sidecar is exactly the new
+    files'), and retract the manifest.  Every step is idempotent —
+    safe to re-run from any crash point and under a losing repair
+    race (the compaction-recovery convention).
+
+    Ordering is load-bearing: overwrite FINALS REUSE the doomed
+    files' names (both are ``00000000.jsonl``…), so renames must run
+    FIRST — ``os.replace`` atomically clobbers a doomed name with its
+    replacement — and a delete-list name that doubles as a final must
+    NEVER be explicitly deleted (a recovery re-running after a crash
+    between the sidecar write and the manifest retraction would
+    otherwise delete the NEW file: tmp already consumed, final just
+    removed — unrecoverable data loss; the first fuzz draft had
+    exactly this order and the property test caught it)."""
+    finals = set(m["publish"].values())
+    for tmp, final in m["publish"].items():
+        tp, fp = os.path.join(path, tmp), os.path.join(path, final)
+        try:
+            os.replace(tp, fp)
+        except FileNotFoundError:
+            # tmp gone: either this rename already ran (idempotent
+            # re-entry) or someone deleted committed data externally.
+            # The final name may be occupied by the doomed OLD file
+            # (names are reused), so "final exists" alone cannot
+            # distinguish — the manifest's staged byte size can.
+            expect = m.get("bytes", {}).get(final)
+            if not os.path.exists(fp) or (
+                    expect is not None
+                    and os.path.getsize(fp) != expect):
+                raise RuntimeError(
+                    f"overwrite recovery: staged file {tmp} for "
+                    f"final {final} is missing under {path} and the "
+                    "final name does not hold the staged bytes — "
+                    "external interference; the committed overwrite "
+                    "cannot be completed") from None
+    for f in m["delete"]:
+        if f in finals:
+            continue  # already atomically replaced by its successor
+        try:
+            os.remove(os.path.join(path, f))
+        except FileNotFoundError:
+            pass
+    sidecar = os.path.join(path, _STATS_FILE)
+    tmp_sc = sidecar + ".tmp"
+    with open(tmp_sc, "w", encoding="utf-8") as fh:
+        json.dump({"files": m["stats"]}, fh, sort_keys=True)
+    os.replace(tmp_sc, sidecar)
+    try:
+        os.remove(os.path.join(path, _OVERWRITE_MANIFEST))
+    except FileNotFoundError:
+        pass  # a concurrent repairer finished first — same end state
+
+
+def _recover_overwrite(path: str) -> None:
+    """Settle a crashed overwrite before any other mutation.  Unlike
+    compaction (whose manifest can be UNcommitted while its staged
+    tmp survives), the overwrite manifest is only ever written after
+    every task file is staged, so a present manifest always means
+    COMMITTED — recovery only rolls forward."""
+    m = _overwrite_pending(path)
+    if m is not None:
+        _finish_overwrite(path, m)
+
+
 def stream_committed_watermark(checkpoint_dir: str,
                                source_index: int = 0) -> str | None:
     """The filename high-watermark a ``json_docs`` STREAM has durably
@@ -593,6 +689,7 @@ def compact_json_docs(path: str, upto=ALL,
         return {"merged": 0, "targets": [], "files_before": len(files0),
                 "files_after": len(files0)}
     _recover_compact(path)
+    _recover_overwrite(path)  # a mid-roll overwrite owns its files
     # sweep pre-intent orphans: a crash BEFORE the manifest published
     # leaves staging files no recovery path owns (invisible to
     # readers — not .jsonl — but they'd accumulate forever)
@@ -784,20 +881,42 @@ class JsonDocsReader(DataSourceReader):
         # files the pushed filters prove empty are never planned.
         if os.path.isfile(self.path):
             return [_FilePartition(self.path)]
-        doomed = _compact_pending_deletes(self.path)
-        files = sorted(f for f in os.listdir(self.path)
-                       if _is_doc_file(f) and f not in doomed)
+        ow = _overwrite_pending(self.path)
+        if ow is not None:
+            # a COMMITTED overwrite is mid-roll: the manifest IS the
+            # collection.  Plan exactly its publish set — final names
+            # already renamed read in place, still-staged ones read
+            # through their tmp path (same bytes; _open_doc sniffs
+            # compression) — and never the doomed previous files.
+            # The manifest's carried stats are the authoritative
+            # sidecar: the on-disk one may still describe the doomed
+            # files under REUSED final names.
+            paths = {}
+            for tmp, final in ow["publish"].items():
+                tp = os.path.join(self.path, tmp)
+                # prefer the tmp WHILE IT EXISTS: finals reuse doomed
+                # names, so "final exists" may be the doomed OLD file
+                # (rename not yet run) — the tmp's existence is the
+                # unambiguous signal
+                paths[final] = tp if os.path.exists(tp) \
+                    else os.path.join(self.path, final)
+            files = sorted(paths)
+            stats = ow["stats"]
+        else:
+            doomed = _compact_pending_deletes(self.path)
+            files = sorted(f for f in os.listdir(self.path)
+                           if _is_doc_file(f) and f not in doomed)
+            paths = {f: os.path.join(self.path, f) for f in files}
+            stats = self._stats()
         if not files:
             raise ValueError(
                 f"no .jsonl/.jsonl.gz files under {self.path}")
-        stats = self._stats()
         if stats is not None and self.pushed:
             files = [f for f in files
                      if all(_file_may_match(p, stats.get(f, {}))
                             for p in self.pushed)]
         files = self._prune_by_limit(files, stats)
-        return [_FilePartition(os.path.join(self.path, f))
-                for f in files]
+        return [_FilePartition(paths[f]) for f in files]
 
     def _prune_by_limit(self, files, stats):
         """Limit-based file pruning: drop file F when at least
@@ -1257,13 +1376,17 @@ class JsonDocsWriter(DataSourceWriter):
     publishes partial data (tmp names are invisible to readers and
     removed by ``abort``).
 
-    ``mode('overwrite')`` removes the previous ``.jsonl`` files at
-    commit time, only after the new data is fully staged; the
-    commit itself (delete-old + rename-new) is a driver-local
-    sequence of renames, not one atomic swap — a crash INSIDE the
-    commit window can leave a mixed directory, the usual caveat of
-    directory-as-table layouts (a real store swaps a manifest; the
-    parquet sinks in sinks.py do exactly that via ``_nsjs_meta``).  ``append``
+    ``mode('overwrite')`` is crash-ATOMIC via an intent manifest
+    (r10; previously the delete-old + rename-new sequence could leave
+    a mixed directory): after every task file is staged, the driver
+    publishes ``_overwrite_manifest.json`` (delete-list + tmp→final
+    map + new sidecar stats) with an atomic rename — THAT is the
+    commit point.  Before it, readers see the old collection intact;
+    after it, readers resolve the manifest (skipping doomed names and
+    reading still-staged finals through their tmp paths), recovery
+    rolls the physical roll-forward to completion from any crash
+    point, and every writer/compactor settles a pending manifest
+    before mutating.  ``append``
     names new files strictly ABOVE every existing name (the stem of
     the current maximum + ``_<seq>``), preserving the streaming
     source's lexicographically-increasing-filenames contract, so a
@@ -1285,20 +1408,37 @@ class JsonDocsWriter(DataSourceWriter):
 
     def commit(self, messages):
         os.makedirs(self.path, exist_ok=True)  # empty-input write
-        # settle any crashed compaction first: a stale manifest's
-        # delete-list must never outlive an overwrite, or its later
-        # roll-forward would delete NEW files that reuse doomed names
+        # settle any crashed compaction/overwrite first: a stale
+        # manifest's delete-list must never outlive THIS commit, or
+        # its later roll-forward would delete new files reusing
+        # doomed names
         _recover_compact(self.path)
+        _recover_overwrite(self.path)
         existing = sorted(f for f in os.listdir(self.path)
                           if _is_doc_file(f))
+        ext = ".jsonl.gz" if self.gz else ".jsonl"
         if self.overwrite:
-            for f in existing:
-                os.remove(os.path.join(self.path, f))
-            sidecar = os.path.join(self.path, _STATS_FILE)
-            if os.path.isfile(sidecar):
-                os.remove(sidecar)
-            prefix = ""
-        elif existing:
+            live = [m for m in messages
+                    if m is not None and m.tmp_name is not None]
+            publish = {m.tmp_name: f"{i:08d}{ext}"
+                       for i, m in enumerate(live)}
+            man = {"delete": existing, "publish": publish,
+                   "stats": {publish[m.tmp_name]: m.stats
+                             for m in live},
+                   # staged byte sizes: recovery's discriminator for
+                   # "rename already ran" vs "tmp deleted externally"
+                   # on the reused final names
+                   "bytes": {publish[m.tmp_name]: os.path.getsize(
+                       os.path.join(self.path, m.tmp_name))
+                       for m in live}}
+            man_path = os.path.join(self.path, _OVERWRITE_MANIFEST)
+            tmp = man_path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(man, fh, sort_keys=True)
+            os.replace(tmp, man_path)  # ← the overwrite commit point
+            _finish_overwrite(self.path, man)
+            return
+        if existing:
             stem = existing[-1]
             for suf in _DOC_SUFFIXES:
                 if stem.endswith(suf):
@@ -1307,7 +1447,6 @@ class JsonDocsWriter(DataSourceWriter):
             prefix = stem + "_"
         else:
             prefix = ""
-        ext = ".jsonl.gz" if self.gz else ".jsonl"
         _publish_files(self.path, messages,
                        lambda i: f"{prefix}{i:08d}{ext}")
 
