@@ -10,7 +10,8 @@ spec (ISO/IEC 15948) for the executor-side decode path to run REAL
 pixels anywhere Python runs:
 
 - decode: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-  4 (gray+alpha), 6 (RGBA); all five scanline filters; no interlace.
+  4 (gray+alpha), 6 (RGBA); all five scanline filters; progressive
+  (Adam7-interlaced) images reassemble pass-by-pass (r10).
   RGB→gray uses PIL's exact fixed-point ITU-R 601-2 luma
   ``(R*19595 + G*38470 + B*7471 + 2^15) >> 16`` so the stdlib and
   PIL branches are bit-identical on the same bytes.
@@ -105,6 +106,34 @@ def _unfilter(raw: bytes, width: int, height: int, ch: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x_start, x_step, y_start, y_step) per pass
+_ADAM7 = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+
+
+def _deinterlace(raw: bytes, width: int, height: int,
+                 ch: int) -> np.ndarray:
+    """Reassemble an Adam7-interlaced image (r10 — the codec's last
+    documented stub): each of the 7 passes is an independently
+    filtered sub-image; unfilter it with the shared scanline code and
+    scatter it onto its strided grid positions."""
+    out = np.empty((height, width, ch), dtype=np.uint8)
+    pos = 0
+    for x0, xs, y0, ys in _ADAM7:
+        wp = (width - x0 + xs - 1) // xs
+        hp = (height - y0 + ys - 1) // ys
+        if wp <= 0 or hp <= 0:
+            continue
+        need = hp * (1 + wp * ch)
+        sub = _unfilter(raw[pos:pos + need], wp, hp, ch)
+        pos += need
+        out[y0::ys, x0::xs, :] = sub.reshape(hp, wp, ch)
+    if pos != len(raw):
+        raise ValueError(
+            f"PNG: interlaced IDAT size mismatch ({len(raw)} != {pos})")
+    return out
+
+
 def decode_gray(payload: bytes) -> np.ndarray:
     """Decode PNG bytes to a (height, width) uint8 grayscale array —
     the stdlib twin of ``PIL.Image.open(...).convert('L')`` (same
@@ -125,18 +154,24 @@ def decode_gray(payload: bytes) -> np.ndarray:
             idat.extend(data)
     if width is None:
         raise ValueError("PNG: missing IHDR")
-    if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+    if bit_depth != 8 or interlace not in (0, 1) \
+            or color_type not in _CHANNELS:
         raise NotImplementedError(
             f"PNG: unsupported (bit_depth={bit_depth}, "
             f"color_type={color_type}, interlace={interlace}); "
-            "this decoder handles 8-bit non-interlaced types 0/2/3/4/6")
+            "this decoder handles 8-bit types 0/2/3/4/6, "
+            "non-interlaced or Adam7")
     ch = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    expect = height * (1 + width * ch)
-    if len(raw) != expect:
-        raise ValueError(
-            f"PNG: IDAT size mismatch ({len(raw)} != {expect})")
-    px = _unfilter(raw, width, height, ch).reshape(height, width, ch)
+    if interlace == 1:
+        px = _deinterlace(raw, width, height, ch)
+    else:
+        expect = height * (1 + width * ch)
+        if len(raw) != expect:
+            raise ValueError(
+                f"PNG: IDAT size mismatch ({len(raw)} != {expect})")
+        px = _unfilter(raw, width, height, ch).reshape(
+            height, width, ch)
     if color_type == 3:
         if plte is None:
             raise ValueError("PNG: palette image without PLTE")

@@ -116,6 +116,50 @@ def test_unsupported_shapes_fail_loudly():
         png_codec.encode_gray(np.zeros((2, 2, 3), dtype=np.uint8))
 
 
+def _interlace_raw(px: np.ndarray, ch: int, ftypes) -> bytes:
+    """Forward Adam7: extract each pass's sub-image and filter its
+    scanlines independently (an independent encoder, so the test is
+    not the code)."""
+    grid = ((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+    h, w = px.shape[0], px.shape[1] // ch
+    out = b""
+    for x0, xs, y0, ys in grid:
+        sub = px.reshape(h, w, ch)[y0::ys, x0::xs, :]
+        hp, wp = sub.shape[0], sub.shape[1]
+        if hp == 0 or wp == 0:
+            continue
+        out += _filter_rows(sub.reshape(hp, wp * ch), ch, ftypes)
+    return out
+
+
+def test_adam7_interlaced_decode():
+    """Progressive PNGs (the codec's last r9 stub): every color type
+    x all five filters, odd dimensions (partial passes), tiny images
+    where some passes are EMPTY."""
+    rng = np.random.default_rng(23)
+    for w, h in ((13, 9), (8, 8), (3, 2), (1, 1), (2, 5)):
+        # grayscale
+        g = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        raw = _interlace_raw(g.reshape(h, w), 1, [0, 1, 2, 3, 4])
+        png = _build_png((w, h, 8, 0, 0, 0, 1), raw)
+        assert (png_codec.decode_gray(png) == g).all(), (w, h, "gray")
+        # RGB through the shared luma
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        raw = _interlace_raw(rgb.reshape(h, w * 3), 3, [4, 3, 2, 1, 0])
+        png = _build_png((w, h, 8, 2, 0, 0, 1), raw)
+        r = rgb.astype(np.uint32)
+        exp = ((r[:, :, 0] * 19595 + r[:, :, 1] * 38470
+                + r[:, :, 2] * 7471 + 0x8000) >> 16).astype(np.uint8)
+        assert (png_codec.decode_gray(png) == exp).all(), (w, h, "rgb")
+    # truncated interlaced stream fails loudly
+    g = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    raw = _interlace_raw(g, 1, [0])
+    png = _build_png((13, 9, 8, 0, 0, 0, 1), raw[:-4])
+    with pytest.raises(Exception):
+        png_codec.decode_gray(png)
+
+
 def test_resize_stride_geometry():
     a = np.arange(23 * 39, dtype=np.uint64).reshape(23, 39) % 256
     a = a.astype(np.uint8)
