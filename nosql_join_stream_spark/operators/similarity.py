@@ -224,6 +224,149 @@ def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
                    F.round(F.max("v"), 4).alias("vmax")))
 
 
+def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
+                         dims: int | None = None) -> DataFrame:
+    """Full covariance matrix of an embedding column — the input to
+    PCA/whitening/Mahalanobis and the pairwise generalization of
+    :func:`embedding_dim_stats`.  Returns (i, j, cov) 1-based,
+    population covariance, rounded to 6.
+
+    Scale shape: two chained ``posexplode`` generators fan each row
+    out to D² (i, j, x_i·x_j) tuples INSIDE whole-stage codegen, and
+    the partial hash aggregate collapses them to D² rows per task
+    before the only shuffle — the exchange carries O(D² × partitions)
+    rows at any corpus size, the same scan-bound shape as
+    ``embedding_dim_stats`` (its D² analog).  E[x_i] rides the same
+    pass (grouped by (i,j), avg(x_i) IS E[x_i]), so one scan suffices.
+    ``dims`` optionally restricts to the leading dims (slices before
+    the fan-out, so the blowup is dims², not D²)."""
+    v = F.col(vec_col)
+    if dims is not None:
+        v = F.slice(v, 1, int(dims))
+    a = df.select(F.posexplode(v).alias("pi", "xi"), v.alias("__v"))
+    b = a.select("pi", "xi", F.posexplode("__v").alias("pj", "xj"))
+    return (b.groupBy((F.col("pi") + 1).alias("i"),
+                      (F.col("pj") + 1).alias("j"))
+             .agg(F.avg(F.col("xi").cast("double")
+                        * F.col("xj").cast("double")).alias("exy"),
+                  F.avg(F.col("xi").cast("double")).alias("ex"),
+                  F.avg(F.col("xj").cast("double")).alias("ey"))
+             .select("i", "j",
+                     F.round(F.col("exy") - F.col("ex") * F.col("ey"),
+                             6).alias("cov")))
+
+
+def _jl_sign(i, j):
+    """Deterministic ±1 from pure integer arithmetic — the projection
+    matrix entry both Spark and any oracle engine recompute exactly
+    (no shared hash function needed): 1 − 2·((i·31 + j·17) mod 2)."""
+    return F.lit(1) - F.lit(2) * ((i * 31 + j * 17) % 2)
+
+
+def jl_project(df: DataFrame, out_dim: int, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Johnson–Lindenstrauss random projection D → ``out_dim`` with a
+    deterministic Rademacher (±1/√k) matrix — the cheap dimensionality
+    reducer in front of ANN/clustering when encoder dims are wasteful
+    (pairwise distances preserved within the JL bound in expectation).
+
+    Scale shape: entirely row-local — ``transform`` over the output
+    index builds each y_j as a sequential ``aggregate`` fold over the
+    input array (JVM higher-order functions, no UDF), then one
+    ``posexplode`` emits long-form (id, j, y) rows.  NO shuffle at any
+    corpus size (contrast a groupBy formulation, which would exchange
+    N×k rows).  The matrix entry is closed-form integer arithmetic
+    (:func:`_jl_sign`), so an oracle reproduces values bit-for-bit
+    after the shared ×10⁻⁶ rounding."""
+    k = int(out_dim)
+    if k < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    scale = F.lit(1.0) / F.sqrt(F.lit(float(k)))
+    y = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.round(
+            F.aggregate(
+                F.transform(F.col(vec_col),
+                            lambda x, i: x.cast("double")
+                            * _jl_sign(i, j).cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x) * scale, 6))
+    return (df.select(F.col(id_col), F.posexplode(y).alias("j", "y"))
+              .select(id_col, "j", "y"))
+
+
+def pca_components(df: DataFrame, k: int,
+                   vec_col: str = "embedding") -> "tuple":
+    """Top-``k`` principal components of an embedding column.
+    Distributed covariance (one scan, O(D²) exchange —
+    :func:`embedding_covariance` before rounding), then an eigh of
+    the D×D matrix on the driver — bounded by DIMENSION, never corpus
+    size (the centroid/codebook precedent: similarity.py:242,537).
+    Returns (components ndarray (k, D) rows=components, eigenvalues
+    ndarray (k,), mean ndarray (D,))."""
+    import numpy as np
+
+    v = F.col(vec_col)
+    a = df.select(F.posexplode(v).alias("pi", "xi"), v.alias("__v"))
+    b = a.select("pi", "xi", F.posexplode("__v").alias("pj", "xj"))
+    rows = (b.groupBy("pi", "pj")
+             .agg(F.avg(F.col("xi").cast("double")
+                        * F.col("xj").cast("double")).alias("exy"),
+                  F.avg(F.col("xi").cast("double")).alias("ex"))
+             .collect())  # D² rows — bounded by dimension, not corpus
+    D = max(r["pi"] for r in rows) + 1
+    cov = np.zeros((D, D))
+    mean = np.zeros(D)
+    for r in rows:
+        cov[r["pi"], r["pj"]] = r["exy"]
+        if r["pj"] == 0:
+            mean[r["pi"]] = r["ex"]
+    cov -= np.outer(mean, mean)
+    w, vecs = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:int(k)]
+    comps = vecs[:, order].T               # (k, D)
+    # sign convention: largest-|.| coordinate positive → deterministic
+    for c in comps:
+        m = np.argmax(np.abs(c))
+        if c[m] < 0:
+            c *= -1
+    return comps, w[order], mean
+
+
+def pca_project(df: DataFrame, k: int, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                components=None, mean=None) -> DataFrame:
+    """Project embeddings onto the top-``k`` principal components —
+    long-form (id, comp, y) rows, comp 0-based.  The (k, D) component
+    matrix rides into the plan as LITERALS (k·D doubles — broadcast-
+    by-constant-folding), and the per-row projection is the same
+    shuffle-free transform/aggregate fold as :func:`jl_project`; the
+    only non-scan cost is the one covariance pass inside
+    :func:`pca_components` (skipped when ``components``/``mean`` are
+    passed in — the train-once/apply-many deployment shape)."""
+    if components is None or mean is None:
+        components, _, mean = pca_components(df, k, vec_col)
+    comps = [[float(x) for x in row] for row in components]
+    # centering folds into a constant per component: (x − μ)·w =
+    # x·w − μ·w, and μ·w is driver-side arithmetic
+    offs = [float(sum(m * w for m, w in zip(mean, comp)))
+            for comp in comps]
+
+    def proj(comp, off):
+        # closure, NOT a lambda default arg: higher-order-function
+        # lambdas must take exactly (x) or (x, i)
+        arr = F.array(*[F.lit(w) for w in comp])
+        return F.round(
+            F.aggregate(
+                F.transform(F.col(vec_col),
+                            lambda x, i: x.cast("double")
+                            * F.get(arr, i)),
+                F.lit(0.0), lambda acc, x: acc + x) - F.lit(off), 6)
+
+    y = F.array(*[proj(c, o) for c, o in zip(comps, offs)])
+    return (df.select(F.col(id_col), F.posexplode(y).alias("comp", "y"))
+              .select(id_col, "comp", "y"))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
                         vec: str = "embedding") -> DataFrame:
     """Symmetric int8 quantization per vector: scale = max|x|/127,

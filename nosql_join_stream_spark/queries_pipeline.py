@@ -1560,6 +1560,104 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.to_json("q_embedding").alias("q_json")))
 
 
+@register(
+    "embedding_covariance",
+    """
+    SELECT i.i AS i, j.j AS j,
+           ROUND(AVG(embedding[i.i]::DOUBLE * embedding[j.j]::DOUBLE)
+                 - AVG(embedding[i.i]::DOUBLE)
+                   * AVG(embedding[j.j]::DOUBLE), 6) AS cov
+    FROM embeddings,
+         (SELECT unnest(generate_series(1, 8)) AS i) i,
+         (SELECT unnest(generate_series(1, 8)) AS j) j
+    GROUP BY i.i, j.j
+    """,
+    doc="Covariance matrix of the embedding column (r10; leading 8 "
+        "dims here so the oracle's cross-unnest stays cheap — the "
+        "operator takes any dims). Two chained posexplode generators "
+        "fan each row to dims^2 (i, j, x_i*x_j) tuples inside codegen "
+        "and the partial hash aggregate collapses them per task, so "
+        "the one exchange carries O(dims^2 x partitions) rows at any "
+        "corpus size — embedding_dim_stats' pairwise analog, and the "
+        "input to PCA/whitening/Mahalanobis.",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (similarity.embedding_covariance(e.table("embeddings"),
+                                            "embedding", dims=8)
+            .select(F.col("i").cast("long"), F.col("j").cast("long"),
+                    "cov"))
+
+
+@register(
+    "embedding_jl_project",
+    """
+    SELECT vec_id, j.j AS j,
+           ROUND(SUM(embedding[i.i]::DOUBLE
+                     * (1 - 2 * (((i.i - 1) * 31 + j.j * 17) % 2)))
+                 / SQRT(4.0), 6) AS y
+    FROM embeddings,
+         (SELECT unnest(generate_series(1, 64)) AS i) i,
+         (SELECT unnest(generate_series(0, 3)) AS j) j
+    GROUP BY vec_id, j.j
+    """,
+    doc="Johnson-Lindenstrauss projection 64 -> 4 with a deterministic "
+        "Rademacher matrix (entry = 1 - 2*((i*31 + j*17) % 2), pure "
+        "integer arithmetic both engines reproduce exactly; scaled "
+        "1/sqrt(k)) — the cheap dimensionality reducer in front of "
+        "ANN/clustering. Entirely row-local on the Spark side: "
+        "transform-over-output-index builds each y_j as a sequential "
+        "aggregate fold (JVM higher-order functions), then posexplode "
+        "emits long-form rows — NO shuffle at any corpus size, while "
+        "the oracle recomputes the same sums relationally.",
+)
+def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    return (similarity.jl_project(e.table("embeddings"), out_dim=4)
+            .select("vec_id", F.col("j").cast("long"), "y"))
+
+
+@register(
+    "embedding_pca_witness",
+    """
+    SELECT j.j AS comp, TRUE AS var_matches, TRUE AS monotone_ok,
+           TRUE AS centered
+    FROM (SELECT unnest(generate_series(0, 3)) AS j) j
+    """,
+    doc="PCA correctness witnessed IN-PLAN (the ANN-family pattern: "
+        "eigendecomposition is not SQL-expressible, so the plan "
+        "itself proves the properties and emits booleans the oracle "
+        "pins to TRUE): top-4 components train via the distributed "
+        "covariance pass + a D x D driver eigh (bounded by DIMENSION, "
+        "the centroid/codebook precedent), the data projects through "
+        "the shuffle-free literal-matrix fold, and the plan then "
+        "checks (a) var_pop of each projected component equals its "
+        "eigenvalue within 1e-4 relative — the defining property of "
+        "PCA, verified on the DATA, not the trainer; (b) component "
+        "variances are monotone non-increasing; (c) projections are "
+        "centered. Any drift in covariance, eigh, or projection "
+        "flips a boolean and fails the value hash.",
+)
+def embedding_pca_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _engine(spark, sf_dir)
+    emb = e.table("embeddings")
+    comps, eig, mean = similarity.pca_components(emb, 4)
+    proj = similarity.pca_project(emb, 4, components=comps, mean=mean)
+    stats = proj.groupBy("comp").agg(F.var_pop("y").alias("v"),
+                                     F.avg("y").alias("m"))
+    eig_arr = F.array(*[F.lit(float(x)) for x in eig])
+    w = Window.orderBy("comp")
+    return (stats.select(
+        F.col("comp").cast("long"),
+        (F.abs(F.col("v") - F.get(eig_arr, F.col("comp")))
+         <= 1e-4 * F.get(eig_arr, F.col("comp"))).alias("var_matches"),
+        F.coalesce(F.col("v") >= F.lead("v").over(w), F.lit(True))
+         .alias("monotone_ok"),
+        (F.abs(F.col("m")) < 1e-5).alias("centered")))
+
+
 # ---------------------------------------------------------------------------
 # Retrieval scoring / decontamination / mixture sampling
 # ---------------------------------------------------------------------------

@@ -1,0 +1,111 @@
+"""Embedding linear algebra (r10): covariance / JL projection / PCA.
+
+Validation is against independent numpy recomputations on synthetic
+data (the tests are not the code), plus plan-shape assertions for the
+scale contracts the docstrings claim (JL/PCA projection shuffle-free;
+covariance one map-side-combined exchange)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_join_stream_spark.operators import similarity
+
+
+def _emb_df(spark, M):
+    rows = [(i, [float(x) for x in row]) for i, row in enumerate(M)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _synth(n=400, d=8, seed=3):
+    rng = np.random.default_rng(seed)
+    # anisotropic: one planted dominant direction + small noise
+    axis = rng.normal(size=d)
+    axis /= np.linalg.norm(axis)
+    M = (rng.normal(size=(n, 1)) * 3.0) @ axis[None, :] \
+        + rng.normal(size=(n, d)) * 0.3 + rng.normal(size=d)
+    return M
+
+
+def test_covariance_matches_numpy(spark):
+    M = _synth()
+    got = {(r.i, r.j): r.cov for r in
+           similarity.embedding_covariance(_emb_df(spark, M)).collect()}
+    exp = np.cov(M, rowvar=False, bias=True)  # population
+    assert len(got) == 64
+    for (i, j), v in got.items():
+        assert v == pytest.approx(exp[i - 1, j - 1], abs=2e-6), (i, j)
+    # dims slice restricts the pair space
+    got3 = similarity.embedding_covariance(_emb_df(spark, M), dims=3)
+    assert got3.count() == 9
+
+
+def test_jl_project_values_and_no_shuffle(spark):
+    M = _synth(n=50)
+    k = 4
+    df = _emb_df(spark, M)
+    out = similarity.jl_project(df, out_dim=k)
+    got = {(r.vec_id, r.j): r.y for r in out.collect()}
+    d = M.shape[1]
+    W = np.array([[1 - 2 * ((i * 31 + j * 17) % 2) for j in range(k)]
+                  for i in range(d)]) / np.sqrt(k)
+    exp = M @ W
+    for (vid, j), y in got.items():
+        assert y == pytest.approx(exp[vid, j], abs=2e-6)
+    # row-local: the executed plan has no Exchange
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    with pytest.raises(ValueError, match="out_dim"):
+        similarity.jl_project(df, out_dim=0)
+
+
+def test_jl_preserves_distances_on_average(spark):
+    # sanity on the JL promise (loose bound: mean relative distortion)
+    M = _synth(n=60, d=8, seed=9)
+    k = 6
+    out = similarity.jl_project(_emb_df(spark, M), out_dim=k)
+    Y = np.zeros((60, k))
+    for r in out.collect():
+        Y[r.vec_id, r.j] = r.y
+    rng = np.random.default_rng(1)
+    dist = []
+    for _ in range(300):
+        a, b = rng.integers(0, 60, 2)
+        if a == b:
+            continue
+        do = np.linalg.norm(M[a] - M[b])
+        dp = np.linalg.norm(Y[a] - Y[b])
+        dist.append(dp / do)
+    assert 0.7 < float(np.mean(dist)) < 1.3
+
+
+def test_pca_recovers_planted_axis_and_eigenvalues(spark):
+    M = _synth(n=600, d=8, seed=5)
+    df = _emb_df(spark, M)
+    comps, eig, mean = similarity.pca_components(df, k=3)
+    assert comps.shape == (3, 8) and eig.shape == (3,)
+    # numpy reference
+    exp_cov = np.cov(M, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(exp_cov)
+    order = np.argsort(w)[::-1][:3]
+    assert np.allclose(eig, w[order], atol=1e-6)
+    for ours, theirs in zip(comps, v[:, order].T):
+        assert abs(float(np.dot(ours, theirs))) > 1 - 1e-9
+    # deterministic sign convention
+    for c in comps:
+        assert c[np.argmax(np.abs(c))] > 0
+    assert np.allclose(mean, M.mean(axis=0), atol=1e-9)
+
+    # projection: per-component variance == eigenvalue; shuffle-free
+    # when components are passed in (train-once/apply-many)
+    proj = similarity.pca_project(df, k=3, components=comps, mean=mean)
+    Y = np.zeros((600, 3))
+    for r in proj.collect():
+        Y[r.vec_id, r.comp] = r.y
+    assert np.allclose(Y.var(axis=0), eig, rtol=1e-4)
+    assert abs(float(Y.mean(axis=0).max())) < 1e-5  # centered
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
