@@ -818,16 +818,17 @@ _DRIVER_WINDOW = [
     "stream_sessionize_stateful", "stream_static_enrich", "text_quality",
     # never driver-stamped (registered after the r9 window froze)
     "pyds_gzip_roundtrip",
-    # NEW in r10: externally recognizable TPC-H anchors + the auto-
-    # salted join and the mixed-container stdlib decode
+    # NEW in r10: externally recognizable TPC-H anchors, the auto-
+    # salted join, the mixed-container stdlib decode, and the
+    # embedding linear-algebra family
     "tpch_q3_shipping_priority", "tpch_q10_returned_items",
     "tpch_q18_large_volume", "join_salted_auto",
-    "multimodal_decode_mixed",
-    # r6 cohort, registry order (first 8 of 49)
+    "multimodal_decode_mixed", "embedding_covariance",
+    "embedding_jl_project", "embedding_pca_witness",
+    # r6 cohort, registry order (first 5 of 49)
     "variant_schemaless_decode", "events_time_rollup",
     "events_rate_spikes", "events_cohort_retention",
-    "events_coactivity_range_join", "asof_join_nearest",
-    "dedup_edit_distance", "dedup_embedding_cosine",
+    "events_coactivity_range_join",
 ]
 
 

@@ -226,6 +226,66 @@ def test_gzip_staged_final_reads_through_sniffing(tmp_path):
     assert sorted(os.listdir(d))[0] == "00000000.jsonl.gz"
 
 
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_reader_options_equivalent_during_window(tmp_path_factory,
+                                                 data):
+    """The full reader OPTION surface (sort/skip/limit/columns) over a
+    mid-roll overwrite must answer exactly like the settled directory
+    — in particular the limit-based file pruning, which consults the
+    manifest's stats instead of the stale sidecar."""
+    d = str(tmp_path_factory.mktemp("owopt") / "docs")
+    _seed_old(d, n=2)
+    shards, nid = [], 0
+    for _ in range(data.draw(st.integers(1, 3), label="tasks")):
+        n = data.draw(st.integers(1, 4), label="rows")
+        shards.append([(nid + i, f"t{nid + i}") for i in range(n)])
+        nid += n
+    w, msgs, man = _stage_overwrite(d, shards)
+    _publish_manifest(d, man)
+
+    opts = {"path": d}
+    if data.draw(st.booleans(), label="sorted"):
+        opts["sort"] = data.draw(st.sampled_from(
+            ["doc_id asc", "doc_id desc", "text asc"]), label="sort")
+        if data.draw(st.booleans(), label="limited"):
+            opts["limit"] = str(data.draw(st.integers(1, 6),
+                                          label="limit"))
+            opts["skip"] = str(data.draw(st.integers(0, 2),
+                                         label="skip"))
+    if data.draw(st.booleans(), label="projected"):
+        opts["columns"] = "doc_id,text"
+
+    def run(path_opts):
+        rdr = JsonDocsReader(dict(path_opts))
+        rows = []
+        for p in rdr.partitions():
+            rows.extend(tuple(r) for r in rdr.read(p))
+        return rows
+
+    during = run(opts)
+    _recover_overwrite(d)
+    settled = run(opts)
+    # the mid-roll view and the settled directory share the same
+    # logical files, the same stats (manifest stats == final sidecar)
+    # and the same bytes (rename never rewrites) — so EVERY option
+    # combination, including pushed sort/skip/limit with its
+    # stats-driven file pruning, must answer identically
+    assert sorted(during) == sorted(settled)
+    if "limit" in opts:
+        # and the emitted superset really contains the global top-k
+        k = int(opts["skip"]) + int(opts["limit"])
+        col = opts["sort"].split()[0]
+        idx = 0 if col == "doc_id" else (1 if "columns" in opts else 3)
+        full = run({"path": d} | (
+            {"columns": opts["columns"]} if "columns" in opts else {}))
+        full.sort(key=lambda t: t[0])                  # doc_id tiebreak
+        full.sort(key=lambda t: t[idx],
+                  reverse=opts["sort"].endswith("desc"))
+        assert set(full[:k]) <= set(during)
+
+
 def test_recovery_raises_on_external_tampering(tmp_path):
     """Both the staged tmp and its final missing = someone deleted
     committed data externally; recovery must fail LOUDLY, never
