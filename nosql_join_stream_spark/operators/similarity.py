@@ -334,7 +334,8 @@ def pca_components(df: DataFrame, k: int,
 
 def pca_project(df: DataFrame, k: int, id_col: str = "vec_id",
                 vec_col: str = "embedding",
-                components=None, mean=None) -> DataFrame:
+                components=None, mean=None,
+                whiten_eigenvalues=None) -> DataFrame:
     """Project embeddings onto the top-``k`` principal components —
     long-form (id, comp, y) rows, comp 0-based.  The (k, D) component
     matrix rides into the plan as LITERALS (k·D doubles — broadcast-
@@ -342,10 +343,29 @@ def pca_project(df: DataFrame, k: int, id_col: str = "vec_id",
     shuffle-free transform/aggregate fold as :func:`jl_project`; the
     only non-scan cost is the one covariance pass inside
     :func:`pca_components` (skipped when ``components``/``mean`` are
-    passed in — the train-once/apply-many deployment shape)."""
+    passed in — the train-once/apply-many deployment shape).
+
+    ``whiten_eigenvalues``: pass the matching eigenvalues to WHITEN —
+    each component scales by 1/√λ so the output has unit variance per
+    dimension (decorrelated + isotropic, the preprocessing contrastive
+    objectives and Mahalanobis retrieval want).  Scaling folds into
+    the literal matrix, so whitening costs nothing at run time."""
     if components is None or mean is None:
-        components, _, mean = pca_components(df, k, vec_col)
+        components, eig, mean = pca_components(df, k, vec_col)
+        if whiten_eigenvalues is True:
+            whiten_eigenvalues = eig
     comps = [[float(x) for x in row] for row in components]
+    if whiten_eigenvalues is not None and whiten_eigenvalues is not False:
+        import math
+
+        scales = [1.0 / math.sqrt(float(ev)) if float(ev) > 0 else 0.0
+                  for ev in whiten_eigenvalues]
+        if len(scales) != len(comps):
+            raise ValueError(
+                f"whiten_eigenvalues has {len(scales)} entries for "
+                f"{len(comps)} components")
+        comps = [[w * s for w in comp]
+                 for comp, s in zip(comps, scales)]
     # centering folds into a constant per component: (x − μ)·w =
     # x·w − μ·w, and μ·w is driver-side arithmetic
     offs = [float(sum(m * w for m, w in zip(mean, comp)))

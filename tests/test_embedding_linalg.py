@@ -109,3 +109,14 @@ def test_pca_recovers_planted_axis_and_eigenvalues(spark):
     assert abs(float(Y.mean(axis=0).max())) < 1e-5  # centered
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+    # whitening: unit variance per component, same shuffle-free plan
+    white = similarity.pca_project(df, k=3, components=comps,
+                                   mean=mean, whiten_eigenvalues=eig)
+    Z = np.zeros((600, 3))
+    for r in white.collect():
+        Z[r.vec_id, r.comp] = r.y
+    assert np.allclose(Z.var(axis=0), 1.0, rtol=1e-4)
+    with pytest.raises(ValueError, match="whiten_eigenvalues"):
+        similarity.pca_project(df, k=3, components=comps, mean=mean,
+                               whiten_eigenvalues=eig[:2])
