@@ -1621,7 +1621,7 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_pca_witness",
     """
     SELECT j.j AS comp, TRUE AS var_matches, TRUE AS monotone_ok,
-           TRUE AS centered
+           TRUE AS centered, TRUE AS whitened_unit_var
     FROM (SELECT unnest(generate_series(0, 3)) AS j) j
     """,
     doc="PCA correctness witnessed IN-PLAN (the ANN-family pattern: "
@@ -1635,8 +1635,11 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eigenvalue within 1e-4 relative — the defining property of "
         "PCA, verified on the DATA, not the trainer; (b) component "
         "variances are monotone non-increasing; (c) projections are "
-        "centered. Any drift in covariance, eigh, or projection "
-        "flips a boolean and fails the value hash.",
+        "centered; (d) the WHITENED projection (components scaled "
+        "1/sqrt(lambda) into the literal matrix) has unit variance "
+        "per component on the data. Any drift in covariance, eigh, "
+        "projection, or whitening flips a boolean and fails the "
+        "value hash.",
 )
 def embedding_pca_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1645,17 +1648,21 @@ def embedding_pca_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = e.table("embeddings")
     comps, eig, mean = similarity.pca_components(emb, 4)
     proj = similarity.pca_project(emb, 4, components=comps, mean=mean)
+    white = similarity.pca_project(emb, 4, components=comps,
+                                   mean=mean, whiten_eigenvalues=eig)
     stats = proj.groupBy("comp").agg(F.var_pop("y").alias("v"),
                                      F.avg("y").alias("m"))
+    wstats = white.groupBy("comp").agg(F.var_pop("y").alias("wv"))
     eig_arr = F.array(*[F.lit(float(x)) for x in eig])
     w = Window.orderBy("comp")
-    return (stats.select(
+    return (stats.join(wstats, "comp").select(
         F.col("comp").cast("long"),
         (F.abs(F.col("v") - F.get(eig_arr, F.col("comp")))
          <= 1e-4 * F.get(eig_arr, F.col("comp"))).alias("var_matches"),
         F.coalesce(F.col("v") >= F.lead("v").over(w), F.lit(True))
          .alias("monotone_ok"),
-        (F.abs(F.col("m")) < 1e-5).alias("centered")))
+        (F.abs(F.col("m")) < 1e-5).alias("centered"),
+        (F.abs(F.col("wv") - 1.0) <= 1e-4).alias("whitened_unit_var")))
 
 
 # ---------------------------------------------------------------------------
