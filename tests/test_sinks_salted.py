@@ -60,6 +60,29 @@ def test_auto_salts_sized_by_hot_key_share(engine, spark):
     assert _auto_num_salts(empty, ["k"]) == 1
 
 
+def test_salted_join_auto_composite_keys(engine, spark):
+    """'auto' over a composite key: sampling groups on the full key
+    tuple, and the salted result still equals the plain join."""
+    from nosql_join_stream_spark.operators.join import _auto_num_salts
+
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    skewed = spark.range(8_000).select(
+        F.when(F.col("id") % 4 != 3, F.lit(1)).otherwise(F.col("id"))
+         .alias("a"),
+        F.when(F.col("id") % 4 != 3, F.lit(2)).otherwise(-F.col("id"))
+         .alias("b"))
+    n = _auto_num_salts(skewed, ["a", "b"])
+    assert 0.6 * par <= n <= par, (n, par)  # ~75% hot share
+    dim = spark.range(50).select(F.col("id").alias("a"),
+                                 (F.col("id") * 2).alias("b"),
+                                 F.lit("x").alias("d"))
+    salted = salted_join(skewed, dim, on=["a", "b"], num_salts="auto")
+    plain = skewed.join(dim, ["a", "b"])
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.count() == plain.count()
+
+
 def test_salted_join_auto_equals_plain_join(engine, spark):
     """End-to-end 'auto' on a genuinely skewed fact: one orderkey
     inflated to dominate, result multiset identical to the plain

@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto emblinalg
 """
 
 from __future__ import annotations
@@ -609,6 +609,30 @@ def main() -> None:
             finally:
                 for c, v in saved.items():
                     spark.conf.set(c, v)
+
+        if "emblinalg" in OPS:
+            # embedding linear algebra (r10): covariance's exchange is
+            # O(D^2 x partitions) regardless of rows (wall should grow
+            # ~linearly with the scan), JL/PCA projection are
+            # shuffle-free row-local folds (same), and PCA training
+            # cost is one covariance pass + a driver eigh bounded by
+            # DIMENSION
+            from nosql_join_stream_spark.operators.similarity import (
+                embedding_covariance, jl_project, pca_components,
+                pca_project)
+            t0 = time.perf_counter()
+            results["cov_cells"] = embedding_covariance(ee).count()
+            results["cov_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            results["jl_rows"] = jl_project(ee, out_dim=8).count()
+            results["jl_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            comps, eig, mu = pca_components(ee, 4)
+            results["pca_train_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            results["pca_rows"] = pca_project(
+                ee, 4, components=comps, mean=mu).count()
+            results["pca_proj_s"] = round(time.perf_counter() - t0, 2)
 
         if "saltauto" in OPS:
             # salted_join num_salts="auto" vs the old blind 16: the
