@@ -1133,7 +1133,25 @@ class JsonDocsStreamReader(DataSourceStreamReader):
     def initialOffset(self):
         return {"last": ""}
 
+    def _guard_overwrite(self):
+        """mode('overwrite') under a live tailer is UNDEFINED: the
+        overwrite reuses filenames at-or-below the tailer's watermark,
+        so its files would be silently absorbed by the seen set (the
+        deleted-then-recreated ghost rule) and never delivered.  A
+        present overwrite manifest — mid-commit or crashed — makes
+        every subsequent poll and replay fail loudly instead (r10)."""
+        if _overwrite_pending(self.path) is not None:
+            raise RuntimeError(
+                f"json_docs stream at {self.path}: an overwrite "
+                "manifest is present — mode('overwrite') replaced the "
+                "collection under a live tailer, whose watermark/seen "
+                "state no longer describes the directory.  Restart "
+                "the query with a fresh checkpoint (overwrite+tail is "
+                "undefined; use append, whose names land above the "
+                "watermark)")
+
     def latestOffset(self):
+        self._guard_overwrite()
         doomed = _compact_pending_deletes(self.path)
         files = sorted(f for f in os.listdir(self.path)
                        if _is_doc_file(f) and f not in doomed)
@@ -1171,6 +1189,7 @@ class JsonDocsStreamReader(DataSourceStreamReader):
         # already read, so they must count as seen, or the next
         # latestOffset() after a checkpointed restart would misread
         # every committed file as a late arrival and raise
+        self._guard_overwrite()
         doomed = _compact_pending_deletes(self.path)
         if start["last"] > self._watermark:
             self._watermark = start["last"]

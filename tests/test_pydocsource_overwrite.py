@@ -286,6 +286,127 @@ def test_reader_options_equivalent_during_window(tmp_path_factory,
         assert set(full[:k]) <= set(during)
 
 
+def test_live_tailer_fails_loudly_on_overwrite(tmp_path):
+    """mode('overwrite') under a live tailer is undefined — reused
+    names below the watermark would be silently absorbed by the seen
+    set. Both the next poll and a checkpointed replay must raise
+    while the manifest is present (mid-commit or crashed)."""
+    from nosql_join_stream_spark.pydocsource import JsonDocsStreamReader
+
+    d = str(tmp_path / "docs")
+    _seed_old(d)
+    rdr = JsonDocsStreamReader({"path": d})
+    end = rdr.latestOffset()
+    rdr.partitions({"last": ""}, dict(end))
+    rdr.commit(dict(end))
+
+    w, msgs, man = _stage_overwrite(d, [[(91, "fresh")]])
+    _publish_manifest(d, man)
+    with pytest.raises(RuntimeError, match="overwrite manifest"):
+        rdr.latestOffset()
+    rdr2 = JsonDocsStreamReader({"path": d})
+    with pytest.raises(RuntimeError, match="overwrite manifest"):
+        rdr2.partitions({"last": ""}, dict(end))
+    # settling the manifest does NOT un-poison the tailer's state —
+    # it demonstrates WHY the guard must be loud: the overwrite reuses
+    # consumed names below the watermark, so without the guard the
+    # fresh rows would be silently ABSORBED by the seen set (the
+    # deleted-then-recreated ghost rule) and never delivered
+    _recover_overwrite(d)
+    end2 = rdr.latestOffset()
+    parts = rdr.partitions(dict(end), dict(end2))
+    delivered = [row[0] for p in parts for row in rdr.read(p)]
+    assert delivered == [], (
+        "fresh overwrite rows leaked through stale tailer state")
+
+
+def test_stream_sink_failed_batch_replay_through_real_spark(
+        spark, tmp_path):
+    """End-to-end through REAL Spark driver-restart replay (the model
+    fuzz's other schedule, on actual machinery): the first run's sink
+    task fails (file-flag injected inside write(), and local mode has
+    no task retries, so the BATCH fails and Spark aborts the epoch —
+    staged tmps removed, nothing published), then a second run on the
+    same checkpoint replays the batch id and commits — rows exactly
+    once, batch-id-monotone names, sidecar exact."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import (DataSource,
+                                        DataSourceStreamWriter,
+                                        WriterCommitMessage)
+
+    from nosql_join_stream_spark.pydocsource import (JsonDocsStreamWriter,
+                                                     register_json_docs)
+    register_json_docs(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    flag = str(tmp_path / "failed_once")
+    _os.makedirs(src)
+    _os.makedirs(dst)
+    with open(_os.path.join(src, "0001.jsonl"), "w") as fh:
+        for i in range(6):
+            fh.write(_json.dumps({"doc_id": i, "text": f"r{i}"}) + "\n")
+
+    class FlakyWriter(JsonDocsStreamWriter):
+        def write(self, iterator):
+            rows = list(iterator)
+            if rows and int(rows[0][0]) == 0 \
+                    and not _os.path.exists(flag):
+                open(flag, "w").close()
+                raise RuntimeError("injected first-attempt failure")
+            return super().write(iter(rows))
+
+    class FlakyJsonDocs(DataSource):
+        @classmethod
+        def name(cls):
+            return "flaky_json_docs"
+
+        def schema(self):
+            return ("doc_id long, source string, lang string, "
+                    "text string, props string")
+
+        def streamWriter(self, schema, overwrite):
+            return FlakyWriter({"path": dst}, schema, overwrite)
+
+    spark.dataSource.register(FlakyJsonDocs)
+
+    def run():
+        return (spark.readStream.format("json_docs")
+                .option("path", src).load().repartition(2, "doc_id")
+                .writeStream.format("flaky_json_docs")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    # run 1: the injected task failure aborts the batch (no retries
+    # in local mode) — the epoch's staged tmps are aborted, nothing
+    # publishes
+    q = run()
+    with pytest.raises(Exception, match="injected first-attempt"):
+        q.awaitTermination(120)
+    assert _os.path.exists(flag), "injection never fired"
+    assert not [f for f in _os.listdir(dst) if f.endswith(".jsonl")], \
+        "a failed batch published files"
+
+    # run 2: same checkpoint replays the batch id; flag exists so the
+    # write succeeds and the replay commits exactly once
+    q2 = run()
+    q2.awaitTermination(120)
+    back = spark.read.format("json_docs").option("path", dst).load()
+    got = sorted(r.doc_id for r in back.collect())
+    assert got == [0, 1, 2, 3, 4, 5], "task retry lost or doubled rows"
+    names = sorted(f for f in _os.listdir(dst) if f.endswith(".jsonl"))
+    assert all(n.startswith("b") for n in names)
+    # the failed attempt's orphan tmp may remain; it must be inert
+    from nosql_join_stream_spark.pydocsource import _is_doc_file
+    for f in _os.listdir(dst):
+        if f.endswith(".inprogress"):
+            assert not _is_doc_file(f)
+    stats = _json.load(open(_os.path.join(dst, "_stats.json")))["files"]
+    assert set(stats) == set(names)
+
+
 def test_recovery_raises_on_external_tampering(tmp_path):
     """Both the staged tmp and its final missing = someone deleted
     committed data externally; recovery must fail LOUDLY, never
