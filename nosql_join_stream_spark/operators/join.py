@@ -162,6 +162,10 @@ def salted_join(left: DataFrame, right: DataFrame,
     elif not isinstance(num_salts, int) or num_salts < 1:
         raise ValueError(
             f"num_salts must be a positive int or 'auto', got {num_salts!r}")
+    if num_salts == 1:
+        # no skew to fix: degenerate to the plain join — same result,
+        # and the plan carries no salt column or right-side replication
+        return left.join(right, keys, how)
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                   F.lit(num_salts)).cast("int")
     l_s = left.withColumn("__salt", salt)
