@@ -822,13 +822,13 @@ _DRIVER_WINDOW = [
     # salted join, the mixed-container stdlib decode, and the
     # embedding linear-algebra family
     "tpch_q3_shipping_priority", "tpch_q10_returned_items",
-    "tpch_q18_large_volume", "join_salted_auto",
+    "tpch_q18_large_volume", "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect", "join_salted_auto",
     "multimodal_decode_mixed", "embedding_covariance",
     "embedding_jl_project", "embedding_pca_witness",
-    # r6 cohort, registry order (first 5 of 49)
+    # r6 cohort, registry order (first 3 of 49)
     "variant_schemaless_decode", "events_time_rollup",
-    "events_rate_spikes", "events_cohort_retention",
-    "events_coactivity_range_join",
+    "events_rate_spikes",
 ]
 
 

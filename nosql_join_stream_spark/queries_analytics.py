@@ -1324,3 +1324,74 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "sum_qty")
              .orderBy(F.desc("totalprice"), "o_orderdate", "orderkey")
              .limit(100))
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 analog (forecast revenue change): the pure-scan "
+        "anchor — every predicate reaches the parquet scan as a "
+        "PushedFilter (range on shipdate, between on discount, "
+        "comparison on quantity), the aggregate is one map-side "
+        "partial SUM, and the exchange carries one row per "
+        "partition.  The simplest possible 100 TB shape: cost == "
+        "bytes scanned after row-group pruning.",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    li = e.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00")
+         .cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00")
+           .cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                2).alias("revenue"),
+        F.count("*").alias("n_lines"))
+
+
+@register(
+    "tpch_q14_promo_effect",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+    """,
+    doc="TPC-H Q14 analog (promotion effect): date-windowed fact scan "
+        "joins the part dimension — small side broadcasts, the "
+        "conditional revenue share is one map-side-combinable "
+        "aggregate over the join output (no second pass for the "
+        "denominator).  TESTDATA's p_type carries the literal class "
+        "('PROMO'), so the promo test is an equality, not LIKE.",
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    li = e.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00")
+         .cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01 00:00:00")
+           .cast("timestamp")))
+    p = e.table("part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p),
+                    F.col("p_partkey") == F.col("l_partkey"))
+            .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO",
+                                              rev).otherwise(0.0))
+                         / F.sum(rev), 4).alias("promo_pct"),
+                 F.count("*").alias("n_lines")))
