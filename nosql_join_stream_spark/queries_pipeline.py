@@ -1594,7 +1594,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id, j.j AS j,
            ROUND(SUM(embedding[i.i]::DOUBLE
-                     * (1 - 2 * (((i.i - 1) * 31 + j.j * 17) % 2)))
+                     * (1 - 2 * (((((i.i - 1) * 73 + j.j * 149 + 3)
+                                   % 65536)
+                                  * (((i.i - 1) * 73 + j.j * 149 + 3)
+                                     % 65536) // 128) % 2)))
                  / SQRT(4.0), 6) AS y
     FROM embeddings,
          (SELECT unnest(generate_series(1, 64)) AS i) i,
@@ -1602,9 +1605,11 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY vec_id, j.j
     """,
     doc="Johnson-Lindenstrauss projection 64 -> 4 with a deterministic "
-        "Rademacher matrix (entry = 1 - 2*((i*31 + j*17) % 2), pure "
-        "integer arithmetic both engines reproduce exactly; scaled "
-        "1/sqrt(k)) — the cheap dimensionality reducer in front of "
+        "Rademacher matrix (entry = a bounded mid-square bit over the "
+        "cell index — pure integer arithmetic both engines reproduce "
+        "exactly, and FULL-RANK, unlike a linear parity of i and j, "
+        "which degenerates to rank 1; scaled 1/sqrt(k)) — the cheap "
+        "dimensionality reducer in front of "
         "ANN/clustering. Entirely row-local on the Spark side: "
         "transform-over-output-index builds each y_j as a sequential "
         "aggregate fold (JVM higher-order functions), then posexplode "

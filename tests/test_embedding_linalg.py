@@ -49,7 +49,7 @@ def test_jl_project_values_and_no_shuffle(spark):
     out = similarity.jl_project(df, out_dim=k)
     got = {(r.vec_id, r.j): r.y for r in out.collect()}
     d = M.shape[1]
-    W = np.array([[1 - 2 * ((i * 31 + j * 17) % 2) for j in range(k)]
+    W = np.array([[_sign(i, j) for j in range(k)]
                   for i in range(d)]) / np.sqrt(k)
     exp = M @ W
     for (vid, j), y in got.items():
@@ -80,6 +80,56 @@ def test_jl_preserves_distances_on_average(spark):
         dp = np.linalg.norm(Y[a] - Y[b])
         dist.append(dp / do)
     assert 0.7 < float(np.mean(dist)) < 1.3
+
+
+def _sign(i, j):
+    """Independent reimplementation of the JL matrix entry."""
+    h = (i * 73 + j * 149 + 3) % 65536
+    return 1 - 2 * ((h * h >> 7) & 1)
+
+
+def test_jl_matrix_full_rank():
+    """The projection matrix must actually mix i and j: the first
+    draft's linear parity (i*31 + j*17) % 2 collapses to parity(i+j)
+    — a rank-1 outer product, every output dim the same projection
+    (and a plain LCG bit left small-D shapes rank-deficient).  Pin
+    full rank across the screening shapes."""
+    for d, k in ((64, 4), (64, 8), (64, 16), (64, 32), (32, 16),
+                 (16, 8), (128, 64), (96, 24), (16, 12), (12, 7)):
+        W = np.array([[_sign(i, j) for j in range(k)]
+                      for i in range(d)], dtype=float)
+        assert np.linalg.matrix_rank(W) == k, (d, k)
+
+
+def test_ann_jl_topk_on_structured_embeddings(spark):
+    """The JL screen's honest regime: clustered embeddings (planted
+    centers + small noise), where neighbor gaps exceed the JL
+    distortion — the screened-then-reranked top-k must recover most
+    of the exact top-k, far above the random-pool baseline."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 64)) * 2.0
+    M = np.vstack([centers[g % 8] + rng.normal(size=64) * 0.25
+                   for g in range(300)])
+    df = _emb_df(spark, M)
+    q = df.filter("vec_id < 10").selectExpr("vec_id AS q_id", "embedding")
+    c = df.selectExpr("vec_id AS c_id", "embedding")
+    exact = {(r.q_id, r.c_id) for r in
+             similarity.cosine_topk(q, c, k=5).collect()}
+    jl = {(r.q_id, r.c_id) for r in
+          similarity.ann_jl_topk(q, c, k=5, out_dim=16,
+                                 pool=30).collect()}
+    recall = len(exact & jl) / len(exact)
+    random_baseline = 30 / 300
+    assert recall >= 0.8, (recall, "expected near-exact on clustered "
+                           "data; random-pool baseline is "
+                           f"{random_baseline}")
+    # rerank is exact full-space cosine: every emitted sim matches the
+    # brute-force sim for that pair
+    brute = {(r.q_id, r.c_id): r.sim for r in
+             similarity.cosine_topk(q, c, k=300).collect()}
+    for r in similarity.ann_jl_topk(q, c, k=5, out_dim=16,
+                                    pool=30).collect():
+        assert brute[(r.q_id, r.c_id)] == r.sim
 
 
 def test_pca_recovers_planted_axis_and_eigenvalues(spark):
