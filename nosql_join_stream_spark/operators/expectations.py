@@ -230,3 +230,187 @@ def profile_drift(old: DataFrame, new: DataFrame,
         range_drift.alias("range_drift"),
         F.col("o_null_rate").isNull().alias("appeared"),
         F.col("n_null_rate").isNull().alias("vanished"))
+
+
+def sketch_quantiles_by_group(df: DataFrame, group_col: str,
+                              value_col: str,
+                              qs: "tuple" = (0.25, 0.5, 0.75, 0.9),
+                              rank_err: float = 0.02) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL via Spark's
+    ``kll_sketch_agg_double``) with an IN-PLAN accuracy witness — the
+    percentile machinery a 100 TB deployment actually runs: exact
+    ``percentile`` re-sorts the full value stream per group every
+    time, while per-partition/per-day KLL sketches are KBs that MERGE
+    without re-scanning history (``kll_merge_agg_double`` — the
+    ``__ALL__`` row below exercises exactly that).
+
+    KLL's contract is RANK error, not value error, and Spark's
+    ``kll_sketch_get_rank_double`` takes only foldable arguments — so
+    the witness is two-sided and rank-faithful: take the SKETCH's
+    quantile estimate at each q, then verify with a second cheap
+    aggregate that the estimate's EXACT rank (share of values <= it)
+    lands within ``rank_err`` of q.  Default k=200 KLL gives ~1.7%
+    normalized rank error at 99% confidence, so 0.02 is the honest
+    default tolerance.
+
+    Returns one row per group plus ``__ALL__``: (grp, q_<q> exact
+    percentiles rounded to 4 — the oracle-checkable truth — and
+    kll_ok).  Cost: the exact percentile pass (already the truth
+    the caller wants), the sketch pass fused into the same aggregate,
+    and one broadcast-join re-scan for the rank check.
+    """
+    qcols = [f"q_{str(q).replace('.', '')}" for q in qs]
+    exact_aggs = [F.expr(f"round(percentile({value_col}, {q}), 4)")
+                  .alias(c) for q, c in zip(qs, qcols)]
+    per = df.groupBy(group_col).agg(
+        *exact_aggs, F.expr(f"kll_sketch_agg_double({value_col})")
+        .alias("__sk"))
+    grp_str = F.col(group_col).cast("string")
+    per = per.select(
+        F.coalesce(grp_str, F.lit("<NULL>")).alias("grp"),
+        *[F.col(c) for c in qcols], "__sk",
+        F.assert_true(~grp_str.eqNullSafe("<NULL>"),
+                      F.lit("group value '<NULL>' collides with the "
+                            "null-group sentinel")).alias("__chk0"),
+        F.assert_true(F.coalesce(grp_str, F.lit("")) != "__ALL__",
+                      F.lit("group value '__ALL__' collides with the "
+                            "merged-total sentinel")).alias("__chk1"),
+    ).drop("__chk0", "__chk1")
+    total = df.agg(*exact_aggs)
+    merged = per.agg(F.expr("kll_merge_agg_double(__sk)").alias("__sk"))
+    all_row = (total.crossJoin(F.broadcast(merged))
+               .select(F.lit("__ALL__").alias("grp"),
+                       *[F.col(c) for c in qcols], "__sk"))
+    est = per.unionByName(all_row).select(
+        "grp", *qcols,
+        *[F.expr(f"kll_sketch_get_quantile_double(__sk, {q})")
+          .alias(f"__e_{c}") for q, c in zip(qs, qcols)])
+    # rank check: one re-scan, est broadcast (rows = groups + 1)
+    vals = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("<NULL>"))
+        .alias("grp"), F.col(value_col).alias("__v"))
+    vals = vals.select("grp", "__v").unionByName(
+        vals.select(F.lit("__ALL__").alias("grp"), "__v"))
+    ranked = (vals.join(F.broadcast(est), "grp")
+              .groupBy("grp")
+              .agg(*[F.avg((F.col("__v") <= F.col(f"__e_{c}"))
+                           .cast("double")).alias(f"__r_{c}")
+                     for c in qcols]))
+    ok = None
+    for q, c in zip(qs, qcols):
+        cond = (F.abs(F.col(f"__r_{c}") - F.lit(float(q)))
+                <= F.lit(float(rank_err)))
+        ok = cond if ok is None else (ok & cond)
+    return (est.join(ranked, "grp")
+            .select("grp", *qcols, ok.alias("kll_ok")))
+
+
+def sketch_set_overlap(df: DataFrame, group_col: str, value_col: str,
+                       group_a: str, group_b: str,
+                       rel_err: float = 0.05) -> DataFrame:
+    """Distinct-value set algebra between two cohorts via mergeable
+    theta sketches (Apache DataSketches theta: the sketch family that
+    supports INTERSECTION and DIFFERENCE, which HLL cannot), with an
+    in-plan exactness witness.
+
+    The 100 TB case: "how many users did both X and Y" across
+    arbitrary cohort pairs is one KB-sized sketch per cohort plus
+    set algebra at read time — exact COUNT(DISTINCT) intersection
+    re-shuffles the raw stream per PAIR of cohorts.  Below the
+    sketch's nominal entries (lgK=12 → 4096) theta runs in exact
+    mode, so the witness tolerance holds trivially; above it the
+    default ``rel_err`` matches the published RSE.
+
+    Returns ONE row: exact n_a / n_b / n_intersect / n_union /
+    n_a_only (the oracle-checkable truth) and ``theta_ok`` asserting
+    every theta estimate (union, intersection, a-minus-b) is within
+    ``rel_err`` of its exact counterpart.  Cost: one value-keyed
+    partial-agg distinct pass for the truth + one fused sketch
+    aggregate; no pair-space anything.
+    """
+    in_a = F.col(group_col).cast("string") == group_a
+    in_b = F.col(group_col).cast("string") == group_b
+    v = F.col(value_col)
+    flags = (df.filter(in_a | in_b)
+             .groupBy(v.alias("__v"))
+             .agg(F.max(in_a).alias("__a"), F.max(in_b).alias("__b")))
+    exact = flags.agg(
+        F.sum(F.col("__a").cast("long")).alias("n_a"),
+        F.sum(F.col("__b").cast("long")).alias("n_b"),
+        F.sum((F.col("__a") & F.col("__b")).cast("long"))
+        .alias("n_intersect"),
+        F.count("*").alias("n_union"),
+        F.sum((F.col("__a") & ~F.col("__b")).cast("long"))
+        .alias("n_a_only"))
+    sk = df.agg(
+        F.expr(f"theta_sketch_agg(case when {group_col} = '{group_a}' "
+               f"then {value_col} end)").alias("__ska"),
+        F.expr(f"theta_sketch_agg(case when {group_col} = '{group_b}' "
+               f"then {value_col} end)").alias("__skb"))
+    ests = sk.select(
+        F.expr("theta_sketch_estimate(__ska)").alias("__ea"),
+        F.expr("theta_sketch_estimate(__skb)").alias("__eb"),
+        F.expr("theta_sketch_estimate(theta_intersection(__ska, __skb))")
+        .alias("__ei"),
+        F.expr("theta_sketch_estimate(theta_union(__ska, __skb))")
+        .alias("__eu"),
+        F.expr("theta_sketch_estimate(theta_difference(__ska, __skb))")
+        .alias("__ed"))
+
+    def close(est, truth):
+        return (F.abs(est - truth)
+                <= F.greatest(F.lit(rel_err) * truth, F.lit(0.5)))
+
+    out = exact.crossJoin(F.broadcast(ests))
+    ok = (close(F.col("__ea"), F.col("n_a"))
+          & close(F.col("__eb"), F.col("n_b"))
+          & close(F.col("__ei"), F.col("n_intersect"))
+          & close(F.col("__eu"), F.col("n_union"))
+          & close(F.col("__ed"), F.col("n_a_only")))
+    return out.select("n_a", "n_b", "n_intersect", "n_union",
+                      "n_a_only", ok.alias("theta_ok"))
+
+
+def sketch_heavy_hitters(df: DataFrame, value_col: str, k: int = 10,
+                         max_tracked: int = 8192) -> DataFrame:
+    """Frequent-items heavy hitters (Apache DataSketches frequent-items
+    via Spark's ``approx_top_k``) with an in-plan accuracy witness.
+
+    The 100 TB case: the exact top-k needs a full groupBy over every
+    distinct value; the sketch tracks ``max_tracked`` candidates in
+    fixed memory per partition and merges — the standard first pass
+    for vocabulary/domain/user-agent heavy hitters.  Frequent-items
+    guarantees every item with true count > 3.5·N/``max_tracked`` is
+    retained and estimated within that bound (Anderson et al.,
+    DataSketches); when ``max_tracked`` >= the distinct count the
+    sketch is simply exact.
+
+    Returns the EXACT top-``k`` rows (item, cnt, rank — count desc,
+    item asc tie-break, the oracle-checkable truth) plus ``hh_ok``
+    per row asserting the item appears in the sketch's top-2k with
+    its estimate within the published bound.  Cost: the exact
+    groupBy (the truth the caller wants anyway) + one sketch
+    aggregate fused over the same scan.
+    """
+    from pyspark.sql import Window
+
+    exact = (df.groupBy(F.col(value_col).cast("string").alias("item"))
+             .agg(F.count("*").alias("cnt")))
+    w = Window.orderBy(F.desc("cnt"), F.asc("item"))
+    topk = (exact.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+    sk = df.agg(
+        F.expr(f"approx_top_k(cast({value_col} as string), {2 * k}, "
+               f"{max_tracked})").alias("__tk"),
+        F.count("*").alias("__n"))
+    sk = sk.select(
+        F.map_from_arrays(
+            F.transform("__tk", lambda s: s["item"]),
+            F.transform("__tk", lambda s: s["count"])).alias("__m"),
+        "__n")
+    err = F.ceil(F.lit(3.5) * F.col("__n") / F.lit(int(max_tracked)))
+    joined = topk.crossJoin(F.broadcast(sk))
+    est = F.col("__m")[F.col("item")]
+    ok = (est.isNotNull() & (F.abs(est - F.col("cnt")) <= err))
+    return joined.select("item", "cnt", "rank", ok.alias("hh_ok")) \
+                 .orderBy("rank")

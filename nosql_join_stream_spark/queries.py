@@ -795,9 +795,10 @@ _DRIVER_WINDOW = [
     # 17 queries' newest driver row is r4, 18 are r5, 49 are r6, and
     # pyds_gzip_roundtrip (added after the r9 window froze) has none.
     # This window takes ALL 36 of those, keeps join_fk_inner
-    # (reference flagship / entry() query), gives the three NEW r10
-    # TPC-H anchors (Q3/Q10/Q18 analogs) their ship-round stamp, and
-    # fills the last 10 slots from the r6 cohort in registry order.
+    # (reference flagship / entry() query), gives the NEW r10 TPC-H
+    # anchors (Q3/Q4/Q6/Q10/Q14/Q18/Q19 analogs) + new-operator
+    # queries their ship-round stamp, and fills the remainder from
+    # the r6 cohort in registry order.
     # Post-r10 state if green: no stamp older than r6; the r6
     # remainder (39) then r8 are the r11 shortlist.
     "join_fk_inner",
@@ -823,12 +824,12 @@ _DRIVER_WINDOW = [
     # embedding linear-algebra family
     "tpch_q3_shipping_priority", "tpch_q10_returned_items",
     "tpch_q18_large_volume", "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect", "join_salted_auto",
+    "tpch_q14_promo_effect", "tpch_q19_discounted_revenue",
+    "tpch_q4_order_priority", "join_salted_auto",
     "multimodal_decode_mixed", "embedding_covariance",
     "embedding_jl_project", "embedding_pca_witness",
-    # r6 cohort, registry order (first 3 of 49)
-    "variant_schemaless_decode", "events_time_rollup",
-    "events_rate_spikes",
+    # r6 cohort, registry order (first 1 of 49)
+    "variant_schemaless_decode",
 ]
 
 

@@ -1395,3 +1395,89 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               rev).otherwise(0.0))
                          / F.sum(rev), 4).alias("promo_pct"),
                  F.count("*").alias("n_lines")))
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+    doc="TPC-H Q19 analog (discounted revenue, disjunctive predicate): "
+        "the OR-of-ANDs straddles BOTH join sides, the planner shape "
+        "none of the other anchors exercise.  Catalyst's "
+        "PushExtraPredicateThroughJoin extracts the convertible "
+        "per-side residues — p_brand IN (...) AND p_size <= 35 reaches "
+        "the part scan, l_quantity BETWEEN 1 AND 35 reaches the "
+        "lineitem scan as PushedFilters (plan-audited) — so at 100 TB "
+        "the fact scan drops ~30%% of rows at the row-group level "
+        "before the broadcast join evaluates the exact disjunction.",
+)
+def tpch_q19_discounted_revenue(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    li = e.table("lineitem")
+    p = e.table("part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi))
+    cond = (arm("Brand#4", 15, 1, 15)
+            | arm("Brand#19", 25, 10, 25)
+            | arm("Brand#25", 35, 20, 35))
+    return (li.join(F.broadcast(p),
+                    F.col("p_partkey") == F.col("l_partkey"))
+            .filter(cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > TIMESTAMP '1997-10-01 00:00:00')
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 analog (order-priority checking): the correlated "
+        "EXISTS (the reference's per-record innerQ, "
+        "join/package.scala:72-76, executed N+1 there) decorrelates "
+        "into one LEFT SEMI hash join — expressed here in DataFrame "
+        "form (vs sql_exists_decorrelated's raw-SQL passthrough) and "
+        "rolled up to the 5-row priority histogram.  TESTDATA carries "
+        "no commitdate/receiptdate, so Q4's late-delivery predicate "
+        "becomes a late-shipment one; same plan shape.  Both date "
+        "filters reach their parquet scans; the semi join shuffles "
+        "only qualifying-quarter orders against date-pruned lineitems.",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    o = e.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00")
+         .cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00")
+           .cast("timestamp")))
+    late = (e.table("lineitem")
+            .filter(F.col("l_shipdate") > F.lit("1997-10-01 00:00:00")
+                    .cast("timestamp"))
+            .select("l_orderkey"))
+    return (o.join(late, F.col("o_orderkey") == F.col("l_orderkey"),
+                   "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))

@@ -5721,3 +5721,129 @@ def sample_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sampling.interleave_by_weight(
                 e.table("documents"), "source", "doc_id")
             .select("doc_id", "source", "train_pos"))
+
+
+@register(
+    "sketch_price_quantiles",
+    """
+    SELECT CAST(o_orderpriority AS VARCHAR) AS grp,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q_025,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS q_05,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q_075,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS q_09,
+           TRUE AS kll_ok
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__ALL__',
+           ROUND(quantile_cont(o_totalprice, 0.25), 4),
+           ROUND(quantile_cont(o_totalprice, 0.5), 4),
+           ROUND(quantile_cont(o_totalprice, 0.75), 4),
+           ROUND(quantile_cont(o_totalprice, 0.9), 4),
+           TRUE
+    FROM orders
+    """,
+    doc="Mergeable quantile sketches "
+        "(expectations.sketch_quantiles_by_group): per-priority order-"
+        "value percentiles via DataSketches KLL with a rank-faithful "
+        "in-plan witness — the sketch's quantile estimate is re-ranked "
+        "exactly (one broadcast-join re-scan) and must land within 2% "
+        "NORMALIZED RANK of the target q, KLL's actual contract.  The "
+        "__ALL__ row union-merges the per-group sketches "
+        "(kll_merge_agg_double): at 100 TB, per-day KB sketches answer "
+        "corpus percentiles without re-sorting history, where exact "
+        "percentile re-shuffles the full value stream.  A rank miss "
+        "flips kll_ok and fails the oracle; the exact percentiles are "
+        "the value-checked truth.",
+)
+def sketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.expectations import (
+        sketch_quantiles_by_group)
+
+    e = _engine(spark, sf_dir)
+    return sketch_quantiles_by_group(
+        e.table("orders"), "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "sketch_user_overlap_theta",
+    """
+    WITH flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY user_id)
+    SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+           CAST(SUM(b) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_intersect,
+           CAST(COUNT(*) AS BIGINT) AS n_union,
+           CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a_only,
+           TRUE AS theta_ok
+    FROM flags
+    """,
+    doc="Theta-sketch set algebra (expectations.sketch_set_overlap): "
+        "distinct viewers vs purchasers as two mergeable theta "
+        "sketches, with INTERSECTION / UNION / DIFFERENCE estimated "
+        "sketch-side (theta_intersection/theta_union/theta_difference "
+        "— the set ops HLL cannot do) and witnessed in-plan against "
+        "the exact one-pass flag aggregate.  The 100 TB case: "
+        "cohort-overlap questions over arbitrary cohort PAIRS become "
+        "KB-sketch algebra at read time instead of a raw re-shuffle "
+        "per pair.  Any estimate off by >5% (or >0.5 absolute in "
+        "exact mode) flips theta_ok and fails the oracle.",
+)
+def sketch_user_overlap_theta(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.expectations import (
+        sketch_set_overlap)
+
+    e = _engine(spark, sf_dir)
+    return sketch_set_overlap(e.table("events"), "event_type",
+                              "user_id", "view", "purchase")
+
+
+@register(
+    "sketch_token_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT tok FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS tok
+        FROM documents) z
+      WHERE tok <> ''),
+    cnts AS (
+      SELECT tok AS item, COUNT(*) AS cnt FROM toks GROUP BY tok)
+    SELECT item, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item ASC)
+                AS INT) AS rank,
+           TRUE AS hh_ok
+    FROM cnts
+    ORDER BY rank
+    LIMIT 10
+    """,
+    doc="Frequent-items heavy hitters (expectations."
+        "sketch_heavy_hitters): the exact top-10 corpus tokens "
+        "(count desc, token asc tie-break — the value-checked truth) "
+        "with an in-plan witness that Spark's approx_top_k sketch "
+        "(DataSketches frequent-items, 8192 tracked slots) retains "
+        "each of them with its estimate within the published "
+        "3.5*N/max_tracked bound.  The 100 TB case: vocabulary/"
+        "domain/UA heavy hitters in fixed memory per partition, "
+        "merged across days, instead of a full distinct groupBy per "
+        "question.  A dropped or mis-counted hitter flips hh_ok and "
+        "fails the oracle.",
+)
+def sketch_token_heavy_hitters(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.expectations import (
+        sketch_heavy_hitters)
+
+    e = _engine(spark, sf_dir)
+    toks = (e.table("documents")
+            .select(F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                      r"\s+")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    return sketch_heavy_hitters(toks, "tok", k=10)

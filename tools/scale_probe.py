@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto emblinalg
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto emblinalg jlann
 """
 
 from __future__ import annotations
@@ -633,6 +633,29 @@ def main() -> None:
             results["pca_rows"] = pca_project(
                 ee, 4, components=comps, mean=mu).count()
             results["pca_proj_s"] = round(time.perf_counter() - t0, 2)
+
+        if "jlann" in OPS:
+            # JL-screened ANN (r10) vs exact brute cosine over the
+            # SAME grown corpus: the screen's pair space is unchanged
+            # (|q| x n), but each screening pair costs out_dim/D of
+            # the flops+shuffle bytes (64->16 = 4x) and full-width
+            # vectors are touched for only |q| x pool candidate rows.
+            # 200 queries so pair work (200 x n), not fixed job
+            # overhead, is what's being measured — at 10 queries the
+            # screen's extra stages dominate and brute wins, which is
+            # the documented regime boundary, not a probe target
+            from nosql_join_stream_spark.operators.similarity import (
+                ann_jl_topk, cosine_topk)
+            qj = ee.filter(F.col("vec_id") < 200).select(
+                F.col("vec_id").alias("q_id"), "embedding")
+            cj = ee.select(F.col("vec_id").alias("c_id"), "embedding")
+            t0 = time.perf_counter()
+            results["jlann_rows"] = ann_jl_topk(
+                qj, cj, k=5, out_dim=16, pool=50).count()
+            results["jlann_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            results["brute_rows"] = cosine_topk(qj, cj, k=5).count()
+            results["brute_s"] = round(time.perf_counter() - t0, 2)
 
         if "saltauto" in OPS:
             # salted_join num_salts="auto" vs the old blind 16: the
