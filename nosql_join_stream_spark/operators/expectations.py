@@ -117,6 +117,26 @@ def expectations_report(rules: list[_Rule]) -> DataFrame:
     return out.withColumn("passed", (F.col("n_violations") == 0))
 
 
+def _sentinel_guarded_group(group_col: str) -> Column:
+    """The reported group label for sketch-by-group operators: NULL
+    groups become '<NULL>', and a REAL group whose string value is
+    '<NULL>' or '__ALL__' raises in-plan (it would alias the
+    synthesized rows).  The raise lives INSIDE the surviving label
+    expression — a dropped assert_true column gets pruned by the
+    optimizer along with its side effect, which is exactly the dead-
+    guard bug this helper replaces."""
+    grp_str = F.col(group_col).cast("string")
+    return (F.when(grp_str.eqNullSafe("<NULL>"),
+                   F.raise_error(F.lit(
+                       "group value '<NULL>' collides with the "
+                       "null-group sentinel")).cast("string"))
+            .when(grp_str == "__ALL__",
+                  F.raise_error(F.lit(
+                      "group value '__ALL__' collides with the "
+                      "merged-total sentinel")).cast("string"))
+            .otherwise(F.coalesce(grp_str, F.lit("<NULL>"))))
+
+
 def sketch_cardinality_by_group(df, group_col: str, value_col: str,
                                 rel_err: float = 0.05):
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
@@ -141,30 +161,19 @@ def sketch_cardinality_by_group(df, group_col: str, value_col: str,
     per = df.groupBy(group_col).agg(
         F.count_distinct(value_col).alias("n_distinct"),
         F.hll_sketch_agg(value_col).alias("sk"))
-    # NULL groups report as the '<NULL>' group: without the coalesce
-    # the sentinel guard below evaluates to NULL and assert_true
-    # throws its (misleading) collision error for a legitimate group.
-    # A REAL string group named '<NULL>' would be indistinguishable
-    # from the null group, so it gets the same in-plan guard as
-    # '__ALL__' (null-safe: <=> FALSE when the group IS null).
-    grp_str = F.col(group_col).cast("string")
+    # NULL groups report as the '<NULL>' group; a REAL string group
+    # named '<NULL>' (or '__ALL__', the merged-total sentinel) would
+    # be indistinguishable from the synthesized row, so both fail
+    # IN-PLAN.  The guard is folded into the SURVIVING grp column
+    # itself (when-collision-then-raise_error), not a dropped
+    # assert_true side column: Catalyst prunes a projected-then-
+    # dropped column together with its assert, which left the old
+    # guard dead — collisions silently produced two conflicting rows
+    # (caught by test_sketches.py's liveness probes in r10).
     per_rows = per.select(
-        F.coalesce(grp_str, F.lit("<NULL>")).alias("grp"),
+        _sentinel_guarded_group(group_col).alias("grp"),
         "n_distinct",
-        F.hll_sketch_estimate("sk").alias("est"),
-        F.assert_true(~grp_str.eqNullSafe("<NULL>"),
-                      F.lit("group value '<NULL>' collides with the "
-                            "null-group sentinel")).alias("__chk0")
-        ).drop("__chk0")
-    # the merged-total row uses the in-band sentinel '__ALL__': a real
-    # group with that name would alias it, so fail IN-PLAN (per-row
-    # assert, no extra job) rather than return two conflicting rows
-    per_rows = (per_rows.withColumn(
-                    "__chk",
-                    F.assert_true(F.col("grp") != "__ALL__",
-                                  F.lit("group value '__ALL__' collides "
-                                        "with the merged-total sentinel")))
-                .drop("__chk"))
+        F.hll_sketch_estimate("sk").alias("est"))
     total_exact = df.agg(F.count_distinct(value_col).alias("n_distinct"))
     merged = per.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
@@ -235,7 +244,8 @@ def profile_drift(old: DataFrame, new: DataFrame,
 def sketch_quantiles_by_group(df: DataFrame, group_col: str,
                               value_col: str,
                               qs: "tuple" = (0.25, 0.5, 0.75, 0.9),
-                              rank_err: float = 0.02) -> DataFrame:
+                              rank_err: float = 0.02,
+                              sketch_k: "int | None" = None) -> DataFrame:
     """Mergeable quantile sketches (Apache DataSketches KLL via Spark's
     ``kll_sketch_agg_double``) with an IN-PLAN accuracy witness — the
     percentile machinery a 100 TB deployment actually runs: exact
@@ -246,12 +256,20 @@ def sketch_quantiles_by_group(df: DataFrame, group_col: str,
 
     KLL's contract is RANK error, not value error, and Spark's
     ``kll_sketch_get_rank_double`` takes only foldable arguments — so
-    the witness is two-sided and rank-faithful: take the SKETCH's
-    quantile estimate at each q, then verify with a second cheap
-    aggregate that the estimate's EXACT rank (share of values <= it)
-    lands within ``rank_err`` of q.  Default k=200 KLL gives ~1.7%
-    normalized rank error at 99% confidence, so 0.02 is the honest
-    default tolerance.
+    the witness is rank-faithful from the value side: take the
+    SKETCH's quantile estimate at each q, re-rank it EXACTLY with one
+    cheap broadcast-join aggregate, and require q to fall inside
+    ``[rank_lt − rank_err, rank_le + rank_err]`` where ``rank_lt`` /
+    ``rank_le`` are the exact shares of values strictly-below / at-or-
+    below the estimate.  The interval (not a point check against
+    ``rank_le`` alone) is what makes the witness correct under TIES:
+    a duplicated mass makes rank_le jump — e.g. a 99%-one-value column
+    puts the median's rank_le at 0.99 with rank_lt 0 — and any value
+    KLL legitimately returns satisfies the interval while a point
+    check would flag it.  Default k=200 KLL gives ~1.7% normalized
+    rank error at 99% confidence, so 0.02 is the honest default
+    tolerance; ``sketch_k`` is exposed so tests can force a
+    low-accuracy sketch and prove the witness actually fires.
 
     Returns one row per group plus ``__ALL__``: (grp, q_<q> exact
     percentiles rounded to 4 — the oracle-checkable truth — and
@@ -262,20 +280,13 @@ def sketch_quantiles_by_group(df: DataFrame, group_col: str,
     qcols = [f"q_{str(q).replace('.', '')}" for q in qs]
     exact_aggs = [F.expr(f"round(percentile({value_col}, {q}), 4)")
                   .alias(c) for q, c in zip(qs, qcols)]
+    karg = f", {int(sketch_k)}" if sketch_k is not None else ""
     per = df.groupBy(group_col).agg(
-        *exact_aggs, F.expr(f"kll_sketch_agg_double({value_col})")
+        *exact_aggs, F.expr(f"kll_sketch_agg_double({value_col}{karg})")
         .alias("__sk"))
-    grp_str = F.col(group_col).cast("string")
     per = per.select(
-        F.coalesce(grp_str, F.lit("<NULL>")).alias("grp"),
-        *[F.col(c) for c in qcols], "__sk",
-        F.assert_true(~grp_str.eqNullSafe("<NULL>"),
-                      F.lit("group value '<NULL>' collides with the "
-                            "null-group sentinel")).alias("__chk0"),
-        F.assert_true(F.coalesce(grp_str, F.lit("")) != "__ALL__",
-                      F.lit("group value '__ALL__' collides with the "
-                            "merged-total sentinel")).alias("__chk1"),
-    ).drop("__chk0", "__chk1")
+        _sentinel_guarded_group(group_col).alias("grp"),
+        *[F.col(c) for c in qcols], "__sk")
     total = df.agg(*exact_aggs)
     merged = per.agg(F.expr("kll_merge_agg_double(__sk)").alias("__sk"))
     all_row = (total.crossJoin(F.broadcast(merged))
@@ -291,15 +302,20 @@ def sketch_quantiles_by_group(df: DataFrame, group_col: str,
         .alias("grp"), F.col(value_col).alias("__v"))
     vals = vals.select("grp", "__v").unionByName(
         vals.select(F.lit("__ALL__").alias("grp"), "__v"))
+    rank_aggs = []
+    for c in qcols:
+        rank_aggs.append(F.avg((F.col("__v") < F.col(f"__e_{c}"))
+                               .cast("double")).alias(f"__rlt_{c}"))
+        rank_aggs.append(F.avg((F.col("__v") <= F.col(f"__e_{c}"))
+                               .cast("double")).alias(f"__rle_{c}"))
     ranked = (vals.join(F.broadcast(est), "grp")
-              .groupBy("grp")
-              .agg(*[F.avg((F.col("__v") <= F.col(f"__e_{c}"))
-                           .cast("double")).alias(f"__r_{c}")
-                     for c in qcols]))
+              .groupBy("grp").agg(*rank_aggs))
     ok = None
     for q, c in zip(qs, qcols):
-        cond = (F.abs(F.col(f"__r_{c}") - F.lit(float(q)))
-                <= F.lit(float(rank_err)))
+        cond = ((F.lit(float(q))
+                 >= F.col(f"__rlt_{c}") - F.lit(float(rank_err)))
+                & (F.lit(float(q))
+                   <= F.col(f"__rle_{c}") + F.lit(float(rank_err))))
         ok = cond if ok is None else (ok & cond)
     return (est.join(ranked, "grp")
             .select("grp", *qcols, ok.alias("kll_ok")))

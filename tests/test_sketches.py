@@ -1,0 +1,167 @@
+"""Tests for the r10 mergeable-sketch operators (expectations.py):
+KLL quantiles, theta set algebra, frequent-items heavy hitters.
+
+Strategy mirrors the HLL precedent (sketch_cardinality_by_group): the
+EXACT values are the oracle-checked truth; these tests pin (a) the
+witness is LIVE (an impossible tolerance flips it to False — it is a
+real in-plan check, not a constant), (b) the sentinel guards fail
+loudly, and (c) hand-computable edge shapes (disjoint cohorts, planted
+skew, null groups).
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_join_stream_spark.operators.expectations import (
+    sketch_heavy_hitters,
+    sketch_quantiles_by_group,
+    sketch_set_overlap,
+)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 3 groups x 400 deterministic values with distinct scales so the
+    # per-group quantiles differ and the merged __ALL__ row is a real
+    # mixture, plus a NULL group
+    rows = []
+    for g, scale in (("a", 1.0), ("b", 10.0), ("c", 100.0)):
+        rows += [(g, scale * ((i * 37) % 400)) for i in range(400)]
+    rows += [(None, 5.0), (None, 6.0)]
+    return spark.createDataFrame(rows, "grp_in string, v double")
+
+
+class TestKllQuantiles:
+    def test_exact_quantiles_and_witness(self, values):
+        out = sketch_quantiles_by_group(
+            values, "grp_in", "v").orderBy("grp").collect()
+        grps = [r["grp"] for r in out]
+        assert grps == ["<NULL>", "__ALL__", "a", "b", "c"]
+        by = {r["grp"]: r for r in out}
+        # group a holds 0..399 step-37 mod 400 == a permutation of
+        # 0..399, so the exact median is 199.5
+        assert by["a"]["q_05"] == pytest.approx(199.5)
+        assert by["b"]["q_05"] == pytest.approx(1995.0)
+        # every witness true at the honest default tolerance
+        assert all(r["kll_ok"] for r in out)
+
+    def test_witness_is_live(self, spark):
+        # a deliberately starved sketch (k=8) over 10k distinct values
+        # with zero tolerance: the sketch's ~10% rank error cannot fit
+        # in the 1/n-wide tie interval, so the witness must flip —
+        # proving the rank re-check is a real in-plan computation,
+        # not a constant
+        df = spark.createDataFrame(
+            [("g", float((i * 7919) % 10000)) for i in range(10000)],
+            "grp_in string, v double")
+        out = sketch_quantiles_by_group(
+            df, "grp_in", "v", qs=(0.25, 0.5, 0.75), rank_err=0.0,
+            sketch_k=8).collect()
+        assert any(not r["kll_ok"] for r in out)
+
+    def test_ties_do_not_false_flag(self, spark):
+        # 99% duplicated mass: rank_le(median value) = 0.99 with
+        # rank_lt = 0 — the interval check must accept it (a point
+        # check against rank_le alone would wrongly flag legitimate
+        # skew)
+        rows = [("g", 1.0)] * 990 + [("g", 2.0)] * 10
+        df = spark.createDataFrame(rows, "grp_in string, v double")
+        out = sketch_quantiles_by_group(df, "grp_in", "v").collect()
+        assert all(r["kll_ok"] for r in out)
+        assert {r["grp"]: r["q_05"] for r in out}["g"] == 1.0
+
+    def test_all_sentinel_collision_raises(self, spark):
+        df = spark.createDataFrame(
+            [("__ALL__", 1.0), ("x", 2.0)], "grp_in string, v double")
+        with pytest.raises(Exception, match="__ALL__"):
+            sketch_quantiles_by_group(df, "grp_in", "v").collect()
+
+
+class TestSentinelGuardsLive:
+    """r10 regression pins: the original guards were assert_true side
+    columns that got PRUNED with their drop — collisions silently
+    returned two conflicting __ALL__ rows.  The guard now lives inside
+    the surviving grp expression; these tests keep it alive."""
+
+    def test_hll_all_collision_raises(self, spark):
+        from nosql_join_stream_spark.operators.expectations import (
+            sketch_cardinality_by_group)
+        df = spark.createDataFrame(
+            [("__ALL__", 1), ("x", 2)], "g string, v int")
+        with pytest.raises(Exception, match="__ALL__"):
+            sketch_cardinality_by_group(df, "g", "v").collect()
+
+    def test_hll_null_string_collision_raises(self, spark):
+        from nosql_join_stream_spark.operators.expectations import (
+            sketch_cardinality_by_group)
+        df = spark.createDataFrame(
+            [("<NULL>", 1), ("x", 2)], "g string, v int")
+        with pytest.raises(Exception, match="<NULL>"):
+            sketch_cardinality_by_group(df, "g", "v").collect()
+
+    def test_hll_real_null_group_still_reports(self, spark):
+        from nosql_join_stream_spark.operators.expectations import (
+            sketch_cardinality_by_group)
+        df = spark.createDataFrame(
+            [(None, 1), (None, 2), ("x", 2)], "g string, v int")
+        out = {r["grp"]: r["n_distinct"]
+               for r in sketch_cardinality_by_group(df, "g",
+                                                    "v").collect()}
+        assert out == {"<NULL>": 2, "x": 1, "__ALL__": 2}
+
+
+class TestThetaOverlap:
+    def test_exact_counts_and_witness(self, spark):
+        # users 0..29 view, 20..44 purchase -> |A|=30 |B|=25 |A∩B|=10
+        rows = ([("view", u) for u in range(30)]
+                + [("purchase", u) for u in range(20, 45)]
+                + [("view", u) for u in range(5)])  # dup rows collapse
+        df = spark.createDataFrame(rows, "et string, uid long")
+        r = sketch_set_overlap(df, "et", "uid", "view",
+                               "purchase").collect()[0]
+        assert (r["n_a"], r["n_b"], r["n_intersect"], r["n_union"],
+                r["n_a_only"]) == (30, 25, 10, 45, 20)
+        assert r["theta_ok"]
+
+    def test_disjoint_cohorts(self, spark):
+        df = spark.createDataFrame(
+            [("view", 1), ("view", 2), ("purchase", 3)],
+            "et string, uid long")
+        r = sketch_set_overlap(df, "et", "uid", "view",
+                               "purchase").collect()[0]
+        assert r["n_intersect"] == 0 and r["n_a_only"] == 2
+        assert r["theta_ok"]  # exact-mode sketch estimates 0 == 0
+
+    def test_other_groups_ignored(self, spark):
+        df = spark.createDataFrame(
+            [("view", 1), ("purchase", 1), ("click", 99)],
+            "et string, uid long")
+        r = sketch_set_overlap(df, "et", "uid", "view",
+                               "purchase").collect()[0]
+        assert r["n_union"] == 1 and r["n_intersect"] == 1
+
+
+class TestHeavyHitters:
+    def test_planted_skew_exact_topk(self, spark):
+        # token frequencies 50/30/20/... with an alphabetical tie pair
+        rows = ([("zz",)] * 50 + [("mm",)] * 30 + [("aa",)] * 20
+                + [("tie1",)] * 7 + [("tie0",)] * 7 + [("x",)] * 1)
+        df = spark.createDataFrame(rows, "tok string")
+        out = sketch_heavy_hitters(df, "tok", k=5).collect()
+        assert [(r["item"], r["cnt"], r["rank"]) for r in out] == [
+            ("zz", 50, 1), ("mm", 30, 2), ("aa", 20, 3),
+            ("tie0", 7, 4), ("tie1", 7, 5)]
+        assert all(r["hh_ok"] for r in out)
+
+    def test_witness_respects_error_bound(self, spark):
+        # max_tracked far below the distinct count: the sketch may
+        # misestimate tail items, but every retained ESTIMATE must
+        # stay within 3.5 N / max_tracked of truth for the true
+        # heavy hitter, so the planted 40% hitter stays ok=True
+        rows = [("hot",)] * 400 + [(f"t{i}",) for i in range(600)]
+        df = spark.createDataFrame(rows, "tok string")
+        out = sketch_heavy_hitters(df, "tok", k=1, max_tracked=8)
+        r = out.collect()[0]
+        assert r["item"] == "hot" and r["cnt"] == 400
+        assert r["hh_ok"]
