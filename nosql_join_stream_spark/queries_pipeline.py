@@ -5847,3 +5847,47 @@ def sketch_token_heavy_hitters(spark: SparkSession,
                                       r"\s+")).alias("tok"))
             .filter(F.col("tok") != ""))
     return sketch_heavy_hitters(toks, "tok", k=10)
+
+
+@register(
+    "stream_sketch_quantiles",
+    """
+    SELECT CAST(q AS DOUBLE) AS q, qv, TRUE AS kll_ok,
+           CAST(4 AS BIGINT) AS n_batches
+    FROM (
+      SELECT 0.25 AS q, ROUND(quantile_cont(value, 0.25), 4) AS qv
+        FROM events
+      UNION ALL
+      SELECT 0.5,  ROUND(quantile_cont(value, 0.5), 4)  FROM events
+      UNION ALL
+      SELECT 0.75, ROUND(quantile_cont(value, 0.75), 4) FROM events
+      UNION ALL
+      SELECT 0.9,  ROUND(quantile_cont(value, 0.9), 4)  FROM events)
+    ORDER BY q
+    """,
+    doc="Streaming KLL sketch merge across micro-batches "
+        "(streaming.stream_sketch_quantiles): the event log drains as "
+        "4 real micro-batches (maxFilesPerTrigger=1 over row-slice "
+        "stages), each reduced to ONE KB sketch row appended to a "
+        "standing sketch table; lifetime percentiles come from "
+        "kll_merge_agg_double over the accumulated sketches — no "
+        "batch re-scanned, the 100 TB/day monitoring shape.  An "
+        "in-plan guard raises if the drain produced <2 sketches "
+        "(merge not exercised), and kll_ok re-ranks each merged "
+        "estimate exactly against the full log with the tie-tolerant "
+        "interval witness.  The exact percentiles are the "
+        "value-checked truth.",
+)
+def stream_sketch_quantiles_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.streaming.log_stream import (
+        stream_sketch_quantiles)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    run_dir = os.path.join(tempfile.gettempdir(),
+                           f"nsjs_skq_{os.getpid()}_{tag}")
+    return stream_sketch_quantiles(
+        spark, table_path(sf_dir, "events"), run_dir).orderBy("q")

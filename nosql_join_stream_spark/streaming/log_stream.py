@@ -963,3 +963,102 @@ def stream_cdc_upsert_snapshot(stream: DataFrame, path: str,
         sq.awaitTermination()
         return None
     return q.start()
+
+
+def stream_sketch_quantiles(spark: SparkSession, events_path: str,
+                            run_dir: str, value_col: str = "value",
+                            qs: "tuple" = (0.25, 0.5, 0.75, 0.9),
+                            rank_err: float = 0.02,
+                            n_splits: int = 4) -> DataFrame:
+    """Streaming quantile monitoring via mergeable KLL sketches — the
+    sketch-MERGE-ACROSS-TIME deployment the batch operator
+    (expectations.sketch_quantiles_by_group) only simulates: each
+    micro-batch reduces to ONE KB-sized sketch row appended to a
+    standing sketch table, and corpus-lifetime percentiles are
+    answered by merging the accumulated sketches
+    (``kll_merge_agg_double``) — no micro-batch is ever re-scanned.
+    At 100 TB/day this is the only affordable shape: state per batch
+    is O(k log n) bytes, the merge input is rows-per-batch, and the
+    raw stream is touched exactly once.
+
+    Drain mechanics: the log is staged into ``n_splits`` real parquet
+    slices (idempotent; row-slice split so every micro-batch carries
+    a value mix) and read with ``maxFilesPerTrigger=1`` under
+    ``Trigger.AvailableNow`` — one sketch row per slice, so the final
+    merge GENUINELY combines ``n_splits`` independent sketches (the
+    result asserts it in-plan; a single-batch drain would vacuously
+    pass a merge test).
+
+    Returns one row per q: (q, qv — the EXACT percentile over the
+    whole log, rounded to 4, the oracle-checkable truth — kll_ok, and
+    n_batches).  ``kll_ok`` re-ranks the MERGED sketch's estimate
+    exactly against the full log with the same tie-tolerant interval
+    as the batch operator: q ∈ [rank_lt − rank_err, rank_le +
+    rank_err].
+    """
+    import pyarrow.parquet as pq
+
+    inp = os.path.join(run_dir, "in")
+    sk_dir = os.path.join(run_dir, "sketches")
+    ckpt = os.path.join(run_dir, "ckpt")
+    if not os.path.isdir(inp):
+        os.makedirs(inp, exist_ok=True)
+        tbl = pq.read_table(events_path)
+        n = tbl.num_rows
+        step = (n + n_splits - 1) // n_splits
+        for i in range(n_splits):
+            pq.write_table(tbl.slice(i * step, step),
+                           os.path.join(inp, f"{i:04d}_slice.parquet"))
+    stream = read_log_stream(spark, inp, max_files_per_trigger=1)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.agg(
+            F.expr(f"kll_sketch_agg_double({value_col})").alias("sk"),
+            F.count("*").alias("n_rows"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(sk_dir))
+
+    q = (stream.writeStream.foreachBatch(write_batch)
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    sk = spark.read.parquet(sk_dir)
+    merged = sk.agg(
+        F.expr("kll_merge_agg_double(sk)").alias("msk"),
+        # the merge must combine >1 sketches or this test is vacuous
+        F.count("*").alias("n_batches"))
+    merged = merged.select(
+        "msk",
+        F.when(F.col("n_batches") >= 2, F.col("n_batches"))
+         .otherwise(F.raise_error(F.lit(
+             "single-batch drain: sketch merge not exercised"))
+             .cast("long")).alias("n_batches"),
+        *[F.expr(f"kll_sketch_get_quantile_double(msk, {q_})")
+          .alias(f"__e_{i}") for i, q_ in enumerate(qs)])
+    full = spark.read.parquet(events_path).select(
+        F.col(value_col).cast("double").alias("__v"))
+    rank_aggs = []
+    for i in range(len(qs)):
+        rank_aggs.append(F.avg((F.col("__v") < F.col(f"__e_{i}"))
+                               .cast("double")).alias(f"__rlt_{i}"))
+        rank_aggs.append(F.avg((F.col("__v") <= F.col(f"__e_{i}"))
+                               .cast("double")).alias(f"__rle_{i}"))
+    exact_aggs = [F.expr(f"round(percentile(__v, {q_}), 4)")
+                  .alias(f"__qv_{i}") for i, q_ in enumerate(qs)]
+    checked = (full.crossJoin(F.broadcast(merged))
+               .agg(*exact_aggs, *rank_aggs,
+                    F.first("n_batches").alias("n_batches")))
+    rows = []
+    for i, q_ in enumerate(qs):
+        ok = ((F.lit(float(q_))
+               >= F.col(f"__rlt_{i}") - F.lit(float(rank_err)))
+              & (F.lit(float(q_))
+                 <= F.col(f"__rle_{i}") + F.lit(float(rank_err))))
+        rows.append(F.struct(F.lit(float(q_)).alias("q"),
+                             F.col(f"__qv_{i}").alias("qv"),
+                             ok.alias("kll_ok"),
+                             F.col("n_batches").alias("n_batches")))
+    return (checked.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.q", "r.qv", "r.kll_ok", "r.n_batches"))

@@ -165,3 +165,39 @@ class TestHeavyHitters:
         r = out.collect()[0]
         assert r["item"] == "hot" and r["cnt"] == 400
         assert r["hh_ok"]
+
+
+class TestStreamSketchQuantiles:
+    def test_multi_batch_merge_and_witness(self, spark, sf_dir, tmp_path):
+        from nosql_join_stream_spark.catalog import table_path
+        from nosql_join_stream_spark.streaming.log_stream import (
+            stream_sketch_quantiles)
+        out = stream_sketch_quantiles(
+            spark, table_path(sf_dir, "events"),
+            str(tmp_path / "run")).orderBy("q").collect()
+        assert [r["q"] for r in out] == [0.25, 0.5, 0.75, 0.9]
+        assert all(r["kll_ok"] for r in out)
+        assert all(r["n_batches"] == 4 for r in out)
+
+    def test_redrain_is_idempotent(self, spark, sf_dir, tmp_path):
+        # second drain against the same run_dir finds the checkpoint
+        # complete, appends NO new sketch rows, and returns the same
+        # answer (the restart contract of the standing sketch table)
+        from nosql_join_stream_spark.catalog import table_path
+        from nosql_join_stream_spark.streaming.log_stream import (
+            stream_sketch_quantiles)
+        rd = str(tmp_path / "run")
+        first = stream_sketch_quantiles(
+            spark, table_path(sf_dir, "events"), rd).orderBy("q").collect()
+        second = stream_sketch_quantiles(
+            spark, table_path(sf_dir, "events"), rd).orderBy("q").collect()
+        assert first == second
+
+    def test_single_batch_drain_raises(self, spark, sf_dir, tmp_path):
+        from nosql_join_stream_spark.catalog import table_path
+        from nosql_join_stream_spark.streaming.log_stream import (
+            stream_sketch_quantiles)
+        with pytest.raises(Exception, match="single-batch"):
+            stream_sketch_quantiles(
+                spark, table_path(sf_dir, "events"),
+                str(tmp_path / "run1"), n_splits=1).collect()
