@@ -430,3 +430,50 @@ def sketch_heavy_hitters(df: DataFrame, value_col: str, k: int = 10,
     ok = (est.isNotNull() & (F.abs(est - F.col("cnt")) <= err))
     return joined.select("item", "cnt", "rank", ok.alias("hh_ok")) \
                  .orderBy("rank")
+
+
+def sketch_overlap_matrix(df: DataFrame, group_col: str,
+                          value_col: str,
+                          rel_err: float = 0.05) -> DataFrame:
+    """PAIRWISE cohort-overlap matrix via theta sketches — the read-
+    time set-algebra deployment :func:`sketch_set_overlap` runs for
+    one pair: every group reduces to ONE KB sketch in a single scan,
+    and all G·(G−1)/2 intersections are estimated by crossing the
+    G-row sketch frame with itself — the raw stream is never
+    re-scanned per pair.  Exact pairwise intersection by contrast
+    costs a distinct-pair self-join per question; here it is computed
+    ONCE, as the witness truth.
+
+    Returns one row per unordered group pair (g1 < g2 as strings):
+    (g1, g2, n_intersect exact — the oracle-checkable truth — and
+    theta_ok within ``rel_err`` or ±0.5 absolute in exact mode).
+    Zero-overlap pairs are included (estimate must also be ~0).
+    Cost: one scan for the sketches, one distinct self-join for the
+    truth, and a G²-row crossJoin that is metadata-sized for any
+    realistic number of cohorts.
+    """
+    g = F.col(group_col).cast("string")
+    per = (df.groupBy(g.alias("g"))
+           .agg(F.expr(f"theta_sketch_agg({value_col})").alias("sk")))
+    a = per.select(F.col("g").alias("g1"), F.col("sk").alias("__s1"))
+    b = per.select(F.col("g").alias("g2"), F.col("sk").alias("__s2"))
+    pairs = (a.join(b, F.col("g1") < F.col("g2"))
+             .select("g1", "g2",
+                     F.expr("theta_sketch_estimate("
+                            "theta_intersection(__s1, __s2))")
+                     .alias("__est")))
+    d = (df.select(g.alias("__g"), F.col(value_col).alias("__v"))
+         .distinct())
+    d2 = d.select(F.col("__g").alias("__g2"), F.col("__v").alias("__v2"))
+    inter = (d.join(d2, (F.col("__v") == F.col("__v2"))
+                    & (F.col("__g") < F.col("__g2")))
+             .groupBy(F.col("__g").alias("g1"),
+                      F.col("__g2").alias("g2"))
+             .agg(F.count("*").alias("n_intersect")))
+    out = (pairs.join(inter, ["g1", "g2"], "left")
+           .withColumn("n_intersect",
+                       F.coalesce(F.col("n_intersect"), F.lit(0))))
+    ok = (F.abs(F.col("__est") - F.col("n_intersect"))
+          <= F.greatest(F.lit(rel_err) * F.col("n_intersect"),
+                        F.lit(0.5)))
+    return out.select("g1", "g2", "n_intersect", ok.alias("theta_ok"))

@@ -826,10 +826,14 @@ _DRIVER_WINDOW = [
     "tpch_q18_large_volume", "tpch_q6_forecast_revenue",
     "tpch_q14_promo_effect", "tpch_q19_discounted_revenue",
     "tpch_q4_order_priority", "join_salted_auto",
-    "multimodal_decode_mixed", "embedding_covariance",
+    "multimodal_decode_mixed", "sketch_price_quantiles",
     "embedding_jl_project", "embedding_pca_witness",
-    # r6 cohort, registry order (first 1 of 49)
-    "variant_schemaless_decode",
+    "stream_sketch_quantiles",
+    # embedding_covariance yields its slot to sketch_price_quantiles
+    # (pca_witness covers the covariance path transitively) and the
+    # r6-cohort filler to stream_sketch_quantiles; both plus the
+    # remaining new sketch queries are the r11 stamp shortlist along
+    # with the r6 cohort.
 ]
 
 

@@ -5891,3 +5891,43 @@ def stream_sketch_quantiles_q(spark: SparkSession,
                            f"nsjs_skq_{os.getpid()}_{tag}")
     return stream_sketch_quantiles(
         spark, table_path(sf_dir, "events"), run_dir).orderBy("q")
+
+
+@register(
+    "sketch_cohort_matrix",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type AS g, user_id AS v FROM events),
+    gs AS (SELECT DISTINCT event_type AS g FROM events),
+    pairs AS (
+      SELECT a.g AS g1, b.g AS g2 FROM gs a JOIN gs b ON a.g < b.g),
+    inter AS (
+      SELECT a.g AS g1, b.g AS g2, COUNT(*) AS n
+      FROM d a JOIN d b ON a.v = b.v AND a.g < b.g
+      GROUP BY a.g, b.g)
+    SELECT p.g1, p.g2,
+           CAST(COALESCE(i.n, 0) AS BIGINT) AS n_intersect,
+           TRUE AS theta_ok
+    FROM pairs p LEFT JOIN inter i ON p.g1 = i.g1 AND p.g2 = i.g2
+    ORDER BY p.g1, p.g2
+    """,
+    doc="Pairwise cohort-overlap matrix "
+        "(expectations.sketch_overlap_matrix): every event-type cohort "
+        "reduces to one KB theta sketch in a single scan, and ALL "
+        "G*(G-1)/2 distinct-user intersections come from sketch "
+        "algebra over the G-row frame — the raw stream is never "
+        "re-scanned per pair, the read-time shape that makes cohort "
+        "dashboards affordable at 100 TB.  The exact pairwise "
+        "intersections (one distinct self-join, computed once as the "
+        "truth) are the value-checked output; theta_ok witnesses "
+        "every estimate within 5% (or +/-0.5 in exact mode), "
+        "including zero-overlap pairs.",
+)
+def sketch_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.expectations import (
+        sketch_overlap_matrix)
+
+    e = _engine(spark, sf_dir)
+    return (sketch_overlap_matrix(e.table("events"), "event_type",
+                                  "user_id")
+            .orderBy("g1", "g2"))

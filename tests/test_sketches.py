@@ -201,3 +201,27 @@ class TestStreamSketchQuantiles:
             stream_sketch_quantiles(
                 spark, table_path(sf_dir, "events"),
                 str(tmp_path / "run1"), n_splits=1).collect()
+
+
+class TestOverlapMatrix:
+    def test_hand_case_including_zero_pair(self, spark):
+        from nosql_join_stream_spark.operators.expectations import (
+            sketch_overlap_matrix)
+        # A={1..10}, B={6..15}, C={100} -> AB=5, AC=0, BC=0
+        rows = ([("A", u) for u in range(1, 11)]
+                + [("B", u) for u in range(6, 16)]
+                + [("C", 100)])
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = {(r["g1"], r["g2"]): (r["n_intersect"], r["theta_ok"])
+               for r in sketch_overlap_matrix(df, "g", "v").collect()}
+        assert out == {("A", "B"): (5, True), ("A", "C"): (0, True),
+                       ("B", "C"): (0, True)}
+
+    def test_duplicates_do_not_inflate(self, spark):
+        from nosql_join_stream_spark.operators.expectations import (
+            sketch_overlap_matrix)
+        rows = [("A", 1)] * 50 + [("B", 1)] * 50 + [("B", 2)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        r = sketch_overlap_matrix(df, "g", "v").collect()[0]
+        assert (r["g1"], r["g2"], r["n_intersect"]) == ("A", "B", 1)
+        assert r["theta_ok"]

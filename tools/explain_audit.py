@@ -57,7 +57,15 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             "sketch_vocab_cardinality",
             # the data card stitches two 1-row aggregates (doc-level x
             # vocabulary)
-            "corpus_data_card"}
+            "corpus_data_card",
+            # r10 sketch-witness queries: each attaches a 1-row (or
+            # G-row) broadcast sketch/estimate frame to the exact
+            # truth — the scalar-attach BNLJ by design, never a pair
+            # space (the raw stream is scanned a bounded number of
+            # times regardless of group/pair count)
+            "sketch_price_quantiles", "sketch_user_overlap_theta",
+            "sketch_token_heavy_hitters", "sketch_cohort_matrix",
+            "stream_sketch_quantiles"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
