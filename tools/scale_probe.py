@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto emblinalg jlann
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto emblinalg jlann sketchq
 """
 
 from __future__ import annotations
@@ -656,6 +656,48 @@ def main() -> None:
             t0 = time.perf_counter()
             results["brute_rows"] = cosine_topk(qj, cj, k=5).count()
             results["brute_s"] = round(time.perf_counter() - t0, 2)
+
+        if "sketchq" in OPS:
+            # the sketch family's 100 TB claim, measured: lifetime
+            # quantiles answered from a STANDING sketch table (one
+            # KB row per ingest slice, merged at read time) must stay
+            # FLAT as the log grows, while exact percentile re-sorts
+            # the full value stream every question (linear).  Build
+            # cost (one scan -> per-slice sketches) is the linear
+            # pass you pay ONCE at ingest, amortized across every
+            # later question.
+            import shutil
+            import tempfile
+            ev_ = spark.read.parquet(f"{SF_DIR}/events.parquet")
+            copies_ = spark.range(factor).select(
+                F.col("id").alias("__c"))
+            gev_ = ev_.crossJoin(copies_)
+            skdir = tempfile.mkdtemp(prefix="nsjs_sketchq_")
+            try:
+                t0 = time.perf_counter()
+                (gev_.groupBy("__c")
+                     .agg(F.expr("kll_sketch_agg_double(value)")
+                          .alias("sk"))
+                     .write.mode("overwrite").parquet(skdir))
+                results["skq_build_s"] = round(
+                    time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                est = (spark.read.parquet(skdir)
+                       .agg(F.expr("kll_sketch_get_quantile_double("
+                                   "kll_merge_agg_double(sk), 0.5)")
+                            .alias("m")).collect()[0]["m"])
+                results["skq_merge_s"] = round(
+                    time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                exact = gev_.agg(
+                    F.expr("percentile(value, 0.5)").alias("m")
+                ).collect()[0]["m"]
+                results["skq_exact_s"] = round(
+                    time.perf_counter() - t0, 2)
+                results["skq_est_vs_exact"] = round(
+                    abs(est - exact), 4)
+            finally:
+                shutil.rmtree(skdir, ignore_errors=True)
 
         if "saltauto" in OPS:
             # salted_join num_salts="auto" vs the old blind 16: the
