@@ -477,3 +477,68 @@ def sketch_overlap_matrix(df: DataFrame, group_col: str,
           <= F.greatest(F.lit(rel_err) * F.col("n_intersect"),
                         F.lit(0.5)))
     return out.select("g1", "g2", "n_intersect", ok.alias("theta_ok"))
+
+
+def sketch_heavy_hitters_by_group(df: DataFrame, group_col: str,
+                                  value_col: str, k: int = 10,
+                                  max_tracked: int = 8192) -> DataFrame:
+    """Per-group frequent-items heavy hitters with a MERGE witness —
+    the partial-sketch workflow ``approx_top_k_accumulate`` /
+    ``approx_top_k_combine`` exists for: every group (source, day,
+    shard) reduces to one bounded-memory sketch struct in a single
+    scan, and the corpus-level answer comes from COMBINING those
+    partials — the raw stream is never re-scanned for the total, the
+    exact mergeability contract the HLL/KLL/theta families already
+    witness on their tiers.
+
+    Returns the exact top-``k`` per group plus ``__ALL__`` rows
+    (grp, item, cnt, rank — count desc, item asc tie-break, the
+    oracle-checkable truth) with ``hh_ok`` per row: the item appears
+    in its group's sketch estimates (top-2k) within the published
+    3.5·N_grp/``max_tracked`` bound — where the ``__ALL__`` rows'
+    estimates come from the COMBINED partials, so a merge that lost
+    or mis-summed counts flips the witness.  Group labels pass
+    through :func:`_sentinel_guarded_group` (collisions raise
+    in-plan).  Cost: one scan for counts + sketches, a G-row combine,
+    and broadcast map joins — nothing scales with pair or question
+    count.
+    """
+    from pyspark.sql import Window
+
+    g = _sentinel_guarded_group(group_col)
+    counts = (df.groupBy(g.alias("grp"),
+                         F.col(value_col).cast("string").alias("item"))
+              .agg(F.count("*").alias("cnt")))
+    both = counts.unionByName(
+        counts.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+              .select(F.lit("__ALL__").alias("grp"), "item", "cnt"))
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("item"))
+    topk = (both.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+    acc = (df.groupBy(g.alias("grp"))
+           .agg(F.expr(f"approx_top_k_accumulate("
+                       f"cast({value_col} as string), {max_tracked})")
+                .alias("__acc"),
+                F.count("*").alias("__n")))
+    per_est = acc.select(
+        "grp", "__n",
+        F.expr(f"approx_top_k_estimate(__acc, {2 * k})").alias("__tk"))
+    all_est = (acc.agg(
+        F.expr(f"approx_top_k_combine(__acc, {max_tracked})")
+        .alias("__c"),
+        F.sum("__n").alias("__n"))
+        .select(F.lit("__ALL__").alias("grp"), "__n",
+                F.expr(f"approx_top_k_estimate(__c, {2 * k})")
+                .alias("__tk")))
+    est = per_est.unionByName(all_est).select(
+        "grp", "__n",
+        F.map_from_arrays(
+            F.transform("__tk", lambda s: s["item"]),
+            F.transform("__tk", lambda s: s["count"])).alias("__m"))
+    joined = topk.join(F.broadcast(est), "grp")
+    err = F.ceil(F.lit(3.5) * F.col("__n") / F.lit(int(max_tracked)))
+    e = F.col("__m")[F.col("item")]
+    ok = (e.isNotNull() & (F.abs(e - F.col("cnt")) <= err))
+    return (joined.select("grp", "item", "cnt", "rank",
+                          ok.alias("hh_ok"))
+            .orderBy("grp", "rank"))

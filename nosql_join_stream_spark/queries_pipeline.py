@@ -5931,3 +5931,54 @@ def sketch_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sketch_overlap_matrix(e.table("events"), "event_type",
                                   "user_id")
             .orderBy("g1", "g2"))
+
+
+@register(
+    "sketch_source_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT source, tok FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS tok
+        FROM documents) z
+      WHERE tok <> ''),
+    cnts AS (
+      SELECT source AS grp, tok AS item, COUNT(*) AS cnt
+      FROM toks GROUP BY source, tok
+      UNION ALL
+      SELECT '__ALL__', tok, COUNT(*) FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT grp, item, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                                     ORDER BY cnt DESC, item ASC)
+                  AS INT) AS rank
+      FROM cnts)
+    SELECT grp, item, cnt, rank, TRUE AS hh_ok
+    FROM ranked WHERE rank <= 5
+    ORDER BY grp, rank
+    """,
+    doc="Per-source heavy hitters with a MERGE witness "
+        "(expectations.sketch_heavy_hitters_by_group): each source "
+        "reduces to one bounded-memory frequent-items partial "
+        "(approx_top_k_accumulate) in a single scan; the corpus "
+        "__ALL__ rows' witness comes from COMBINING those partials "
+        "(approx_top_k_combine) — the mergeability deployment (per-"
+        "shard/per-day partials -> corpus answer without re-scanning "
+        "raw) that the plain approx_top_k query cannot exercise.  "
+        "Exact per-source and corpus top-5 (count desc, token asc) "
+        "are the value-checked truth; a merge that lost or mis-"
+        "summed counts flips hh_ok and fails the oracle.",
+)
+def sketch_source_heavy_hitters(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.expectations import (
+        sketch_heavy_hitters_by_group)
+
+    e = _engine(spark, sf_dir)
+    toks = (e.table("documents")
+            .select("source",
+                    F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                      r"\s+")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    return sketch_heavy_hitters_by_group(toks, "source", "tok", k=5)

@@ -225,3 +225,28 @@ class TestOverlapMatrix:
         r = sketch_overlap_matrix(df, "g", "v").collect()[0]
         assert (r["g1"], r["g2"], r["n_intersect"]) == ("A", "B", 1)
         assert r["theta_ok"]
+
+
+class TestHeavyHittersByGroup:
+    def test_group_and_combined_truth(self, spark):
+        from nosql_join_stream_spark.operators.expectations import (
+            sketch_heavy_hitters_by_group)
+        rows = ([("s1", "a")] * 10 + [("s1", "b")] * 5
+                + [("s2", "b")] * 9 + [("s2", "c")] * 2)
+        df = spark.createDataFrame(rows, "src string, tok string")
+        out = [(r["grp"], r["item"], r["cnt"], r["rank"], r["hh_ok"])
+               for r in sketch_heavy_hitters_by_group(
+                   df, "src", "tok", k=2).collect()]
+        # __ALL__ combines: b=14 > a=10 > c=2
+        assert out == [
+            ("__ALL__", "b", 14, 1, True), ("__ALL__", "a", 10, 2, True),
+            ("s1", "a", 10, 1, True), ("s1", "b", 5, 2, True),
+            ("s2", "b", 9, 1, True), ("s2", "c", 2, 2, True)]
+
+    def test_sentinel_collision_raises(self, spark):
+        from nosql_join_stream_spark.operators.expectations import (
+            sketch_heavy_hitters_by_group)
+        df = spark.createDataFrame(
+            [("__ALL__", "a"), ("x", "b")], "src string, tok string")
+        with pytest.raises(Exception, match="__ALL__"):
+            sketch_heavy_hitters_by_group(df, "src", "tok").collect()
