@@ -542,3 +542,69 @@ def sketch_heavy_hitters_by_group(df: DataFrame, group_col: str,
     return (joined.select("grp", "item", "cnt", "rank",
                           ok.alias("hh_ok"))
             .orderBy("grp", "rank"))
+
+
+def distribution_drift_psi(old: DataFrame, new: DataFrame,
+                           value_col: str, n_buckets: int = 10,
+                           eps: float = 1e-4) -> DataFrame:
+    """Population Stability Index between two value distributions —
+    the day-2 drift monitor :func:`profile_drift`'s min/max/null-rate
+    checks cannot express: a distribution can shift wholesale inside
+    unchanged bounds (an upstream extractor change, a new traffic
+    mix) and only a bucket-mass comparison sees it.
+
+    Cutpoints are the OLD side's exact ``n_buckets``-quantiles
+    (rounded to 4, the cross-engine float policy), so the old side's
+    mass is ~uniform by construction and PSI reads as "how far the
+    NEW side left the baseline buckets".  Bucket index = number of
+    cutpoints strictly below the value (ties land LEFT, the
+    convention both engines share); empty buckets are materialized
+    (a vanished bucket is exactly the signal) and fractions are
+    ``eps``-clamped before the log, the standard PSI guard.  The
+    industry reading: <0.1 stable, 0.1–0.2 moderate, >0.2 drifted.
+
+    Returns one row per bucket: (bucket, old_frac, new_frac,
+    psi_term, all rounded to 6) plus a ``bucket = -1`` TOTAL row
+    carrying the summed PSI — exact, engine-portable arithmetic
+    throughout (one percentile pass on old, one bucket-count
+    aggregate per side; the cutpoint frame is a 1-row broadcast).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = old.agg(*[
+        F.expr(f"round(percentile({value_col}, {q}), 4)")
+        .alias(f"__c{i}") for i, q in enumerate(qs)])
+
+    def bucketed(df):
+        v = F.col(value_col).cast("double")
+        idx = None
+        for i in range(len(qs)):
+            term = (v > F.col(f"__c{i}")).cast("int")
+            idx = term if idx is None else idx + term
+        return (df.crossJoin(F.broadcast(cuts))
+                .groupBy(idx.alias("bucket"))
+                .agg(F.count("*").alias("n")))
+
+    buckets = old.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    o = bucketed(old).withColumnRenamed("n", "__no")
+    n_ = bucketed(new).withColumnRenamed("n", "__nn")
+    j = (buckets.join(o, "bucket", "left").join(n_, "bucket", "left")
+         .fillna(0, ["__no", "__nn"]))
+    tot = j.agg(F.sum("__no").alias("__to"),
+                F.sum("__nn").alias("__tn"))
+    j = j.crossJoin(F.broadcast(tot))
+    of = F.greatest(F.col("__no") / F.col("__to"), F.lit(float(eps)))
+    nf = F.greatest(F.col("__nn") / F.col("__tn"), F.lit(float(eps)))
+    terms = j.select(
+        "bucket",
+        F.round(F.col("__no") / F.col("__to"), 6).alias("old_frac"),
+        F.round(F.col("__nn") / F.col("__tn"), 6).alias("new_frac"),
+        ((nf - of) * F.log(nf / of)).alias("__t"))
+    per = terms.select("bucket", "old_frac", "new_frac",
+                       F.round("__t", 6).alias("psi_term"))
+    total = (terms.agg(F.round(F.sum("__t"), 6).alias("psi_term"))
+             .select(F.lit(-1).alias("bucket"),
+                     F.lit(None).cast("double").alias("old_frac"),
+                     F.lit(None).cast("double").alias("new_frac"),
+                     "psi_term"))
+    return per.unionByName(total).orderBy("bucket")

@@ -5982,3 +5982,78 @@ def sketch_source_heavy_hitters(spark: SparkSession,
                                       r"\s+")).alias("tok"))
             .filter(F.col("tok") != ""))
     return sketch_heavy_hitters_by_group(toks, "source", "tok", k=5)
+
+
+@register(
+    "drift_psi_value",
+    """
+    WITH old_v AS (SELECT value AS v FROM events
+                   WHERE event_type = 'view'),
+    new_v AS (SELECT value AS v FROM events
+              WHERE event_type = 'purchase'),
+    cuts AS (SELECT
+      ROUND(quantile_cont(v, 0.1), 4) AS c0,
+      ROUND(quantile_cont(v, 0.2), 4) AS c1,
+      ROUND(quantile_cont(v, 0.3), 4) AS c2,
+      ROUND(quantile_cont(v, 0.4), 4) AS c3,
+      ROUND(quantile_cont(v, 0.5), 4) AS c4,
+      ROUND(quantile_cont(v, 0.6), 4) AS c5,
+      ROUND(quantile_cont(v, 0.7), 4) AS c6,
+      ROUND(quantile_cont(v, 0.8), 4) AS c7,
+      ROUND(quantile_cont(v, 0.9), 4) AS c8
+      FROM old_v),
+    ob AS (SELECT CAST((v > c0) AS INT) + CAST((v > c1) AS INT)
+                + CAST((v > c2) AS INT) + CAST((v > c3) AS INT)
+                + CAST((v > c4) AS INT) + CAST((v > c5) AS INT)
+                + CAST((v > c6) AS INT) + CAST((v > c7) AS INT)
+                + CAST((v > c8) AS INT) AS bucket, COUNT(*) AS n
+           FROM old_v, cuts GROUP BY 1),
+    nb AS (SELECT CAST((v > c0) AS INT) + CAST((v > c1) AS INT)
+                + CAST((v > c2) AS INT) + CAST((v > c3) AS INT)
+                + CAST((v > c4) AS INT) + CAST((v > c5) AS INT)
+                + CAST((v > c6) AS INT) + CAST((v > c7) AS INT)
+                + CAST((v > c8) AS INT) AS bucket, COUNT(*) AS n
+           FROM new_v, cuts GROUP BY 1),
+    b AS (SELECT CAST(range AS INT) AS bucket FROM range(0, 10)),
+    j AS (SELECT b.bucket, COALESCE(ob.n, 0) AS no,
+                 COALESCE(nb.n, 0) AS nn
+          FROM b LEFT JOIN ob ON b.bucket = ob.bucket
+                 LEFT JOIN nb ON b.bucket = nb.bucket),
+    t AS (SELECT SUM(no) AS tot_o, SUM(nn) AS tot_n FROM j),
+    terms AS (SELECT bucket,
+        ROUND(no * 1.0 / tot_o, 6) AS old_frac,
+        ROUND(nn * 1.0 / tot_n, 6) AS new_frac,
+        (GREATEST(nn * 1.0 / tot_n, 0.0001)
+         - GREATEST(no * 1.0 / tot_o, 0.0001))
+        * LN(GREATEST(nn * 1.0 / tot_n, 0.0001)
+             / GREATEST(no * 1.0 / tot_o, 0.0001)) AS t
+      FROM j, t)
+    SELECT bucket, old_frac, new_frac, ROUND(t, 6) AS psi_term
+    FROM terms
+    UNION ALL
+    SELECT -1, NULL, NULL, ROUND(SUM(t), 6) FROM terms
+    ORDER BY bucket
+    """,
+    doc="Population Stability Index drift monitor "
+        "(expectations.distribution_drift_psi): view-event values as "
+        "the baseline, purchase-event values as the 'today' side — "
+        "cutpoints are the baseline's exact deciles (rounded 4, the "
+        "cross-engine float policy), buckets materialized even when "
+        "empty (a vanished bucket IS the signal), fractions "
+        "eps-clamped before the log.  Catches wholesale shifts "
+        "inside unchanged min/max bounds, the case profile_drift's "
+        "range checks cannot see.  Pure exact arithmetic — one "
+        "percentile pass on the baseline + one bucket-count "
+        "aggregate per side, cutpoints as a 1-row broadcast; the "
+        "bucket=-1 row carries the summed PSI.",
+)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.expectations import (
+        distribution_drift_psi)
+
+    e = _engine(spark, sf_dir)
+    ev = e.table("events")
+    return distribution_drift_psi(
+        ev.filter(F.col("event_type") == "view").select("value"),
+        ev.filter(F.col("event_type") == "purchase").select("value"),
+        "value")

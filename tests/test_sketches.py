@@ -250,3 +250,42 @@ class TestHeavyHittersByGroup:
             [("__ALL__", "a"), ("x", "b")], "src string, tok string")
         with pytest.raises(Exception, match="__ALL__"):
             sketch_heavy_hitters_by_group(df, "src", "tok").collect()
+
+
+class TestDistributionDriftPsi:
+    def test_identical_distributions_score_zero(self, spark):
+        from nosql_join_stream_spark.operators.expectations import (
+            distribution_drift_psi)
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1000)], "value double")
+        out = {r["bucket"]: r["psi_term"]
+               for r in distribution_drift_psi(df, df,
+                                               "value").collect()}
+        assert out[-1] == 0.0
+        assert len(out) == 11
+
+    def test_shifted_distribution_flags(self, spark):
+        from nosql_join_stream_spark.operators.expectations import (
+            distribution_drift_psi)
+        old = spark.createDataFrame(
+            [(float(i),) for i in range(1000)], "value double")
+        new = spark.createDataFrame(
+            [(float(i),) for i in range(800, 1800)], "value double")
+        rows = {r["bucket"]: r for r in distribution_drift_psi(
+            old, new, "value").collect()}
+        # 80% of the new mass sits above the old p90 cutpoint: the
+        # top bucket holds it all, every lower bucket is eps-clamped
+        assert rows[9]["new_frac"] > 0.8
+        assert rows[-1]["psi_term"] > 0.2  # "drifted" by the
+        # industry reading pinned in the docstring
+        # vanished buckets are materialized, not dropped
+        assert rows[0]["new_frac"] == 0.0
+
+    def test_old_side_is_uniform_baseline(self, spark):
+        from nosql_join_stream_spark.operators.expectations import (
+            distribution_drift_psi)
+        old = spark.createDataFrame(
+            [(float(i),) for i in range(1000)], "value double")
+        rows = distribution_drift_psi(old, old, "value").collect()
+        fr = [r["old_frac"] for r in rows if r["bucket"] >= 0]
+        assert all(abs(f - 0.1) < 0.02 for f in fr)
