@@ -105,6 +105,19 @@ def _field_predicate(field: str, spec) -> Column:
                         f"$not expects an operator object for field "
                         f"{field!r}, got {val!r}")
                 c = ~_field_predicate(field, val) | col.isNull()
+            elif op == "$exists":
+                # the reference parser's own TODO (mqlparser :98 —
+                # 'support for other boolean ops "$not" | $exists').
+                # Mongo semantics are field PRESENCE in a schemaless
+                # document; on a relational frame absent == NULL, the
+                # same equivalence the variant/schemaless decode path
+                # uses (typed.py): {"f": {"$exists": true}} keeps rows
+                # where f is set, false keeps rows where it is not.
+                if not isinstance(val, bool):
+                    raise MQLParseError(
+                        f"$exists expects a boolean for field "
+                        f"{field!r}, got {val!r}")
+                c = col.isNotNull() if val else col.isNull()
             else:
                 raise MQLParseError(f"unknown operator {op!r} for field {field!r}")
             pred = c if pred is None else (pred & c)

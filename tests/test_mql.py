@@ -108,3 +108,31 @@ def test_not_matches_null_rows(spark):
 def test_not_requires_operator_object():
     with pytest.raises(MQLParseError):
         mql_to_column('{"age": {"$not": 5}}')
+
+
+def test_exists_true_and_false(spark):
+    # the reference parser's own TODO (mqlparser :98): $exists maps
+    # field PRESENCE to NULL-ness on a relational frame
+    from nosql_join_stream_spark.mql import mql_to_column
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 7)],
+                               "id int, age int")
+    got = {r.id for r in
+           df.filter(mql_to_column('{"age": {"$exists": true}}')).collect()}
+    assert got == {1, 3}
+    got = {r.id for r in
+           df.filter(mql_to_column('{"age": {"$exists": false}}')).collect()}
+    assert got == {2}
+
+
+def test_exists_composes_in_multi_selector(spark):
+    from nosql_join_stream_spark.mql import mql_to_column
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 7)],
+                               "id int, age int")
+    got = {r.id for r in df.filter(mql_to_column(
+        '{"age": {"$exists": true, "$gt": 8}}')).collect()}
+    assert got == {1}
+
+
+def test_exists_requires_boolean():
+    with pytest.raises(MQLParseError):
+        mql_to_column('{"age": {"$exists": 1}}')
