@@ -1481,3 +1481,47 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(F.count("*").alias("order_count"))
             .orderBy("o_orderpriority"))
+
+
+@register(
+    "tpch_q17_small_quantity",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey)
+    """,
+    doc="TPC-H Q17 analog (small-quantity-order revenue): the "
+        "correlated SCALAR subquery — the one planner shape the other "
+        "anchors don't exercise.  Catalyst decorrelates it into a "
+        "per-partkey aggregate joined back to the fact (exactly the "
+        "DataFrame form below): the qualifier aggregate shuffles on "
+        "l_partkey once, broadcasts its ~200-row Brand#4 slice, and "
+        "the brand filter reaches both the part scan and — through "
+        "the join — prunes the aggregate's probe side.  The "
+        "reference's shape for this is N+1 scalar innerQ calls "
+        "(join/package.scala:72-76); here it is one pass.",
+)
+def tpch_q17_small_quantity(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    li = e.table("lineitem")
+    p = e.table("part").filter(F.col("p_brand") == "Brand#4") \
+         .select("p_partkey")
+    thresh = (li.groupBy(F.col("l_partkey").alias("__pk"))
+              .agg((F.lit(0.2) * F.avg("l_quantity")).alias("__lim")))
+    return (li.join(F.broadcast(p),
+                    F.col("p_partkey") == F.col("l_partkey"))
+            .join(F.broadcast(thresh.join(
+                F.broadcast(p), F.col("__pk") == F.col("p_partkey"))
+                .select("__pk", "__lim")),
+                F.col("l_partkey") == F.col("__pk"))
+            .filter(F.col("l_quantity") < F.col("__lim"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly"),
+                 F.count("*").alias("n_lines")))
