@@ -350,14 +350,19 @@ def sketch_set_overlap(df: DataFrame, group_col: str, value_col: str,
     flags = (df.filter(in_a | in_b)
              .groupBy(v.alias("__v"))
              .agg(F.max(in_a).alias("__a"), F.max(in_b).alias("__b")))
+    # coalesce(0): with BOTH cohorts empty the flags frame has no
+    # rows and SUM aggregates to NULL (caught by the r10 property
+    # fuzz) — the exact counts are 0, not unknown
     exact = flags.agg(
-        F.sum(F.col("__a").cast("long")).alias("n_a"),
-        F.sum(F.col("__b").cast("long")).alias("n_b"),
-        F.sum((F.col("__a") & F.col("__b")).cast("long"))
-        .alias("n_intersect"),
+        F.coalesce(F.sum(F.col("__a").cast("long")), F.lit(0))
+        .alias("n_a"),
+        F.coalesce(F.sum(F.col("__b").cast("long")), F.lit(0))
+        .alias("n_b"),
+        F.coalesce(F.sum((F.col("__a") & F.col("__b")).cast("long")),
+                   F.lit(0)).alias("n_intersect"),
         F.count("*").alias("n_union"),
-        F.sum((F.col("__a") & ~F.col("__b")).cast("long"))
-        .alias("n_a_only"))
+        F.coalesce(F.sum((F.col("__a") & ~F.col("__b")).cast("long")),
+                   F.lit(0)).alias("n_a_only"))
     sk = df.agg(
         F.expr(f"theta_sketch_agg(case when {group_col} = '{group_a}' "
                f"then {value_col} end)").alias("__ska"),

@@ -750,3 +750,64 @@ def test_cut_spans_removes_exactly_marked_positions(spark, data):
             cut |= set(range(s, e))
         keep = [tok for i, tok in enumerate(t) if i not in cut]
         assert got[did] == (len(t), len(cut), " ".join(keep)), did
+
+
+# --- r10 sketch/PSI family invariants -------------------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(0, 50), min_size=20, max_size=120),
+       dup=st.integers(0, 30))
+def test_psi_zero_on_identical_and_symmetric_shift(spark, vals, dup):
+    """PSI(X, X) == 0 for ANY distribution (including heavy ties), and
+    every psi_term is >= 0 by construction (Gibbs' inequality holds
+    per eps-clamped bucket pair)."""
+    from nosql_join_stream_spark.operators.expectations import (
+        distribution_drift_psi)
+    rows = [(float(v),) for v in vals] + [(7.0,)] * dup
+    df = spark.createDataFrame(rows, "value double")
+    out = distribution_drift_psi(df, df, "value").collect()
+    by = {r["bucket"]: r["psi_term"] for r in out}
+    assert by[-1] == 0.0
+    assert all(t == 0.0 for t in by.values())
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=st.dictionaries(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+    st.integers(1, 40), min_size=1, max_size=12))
+def test_heavy_hitters_match_exact_multiset(spark, counts):
+    """With max_tracked >= distinct count the frequent-items sketch is
+    exact: the witness must hold and the reported rows must equal the
+    exact top-k (count desc, item asc) for every random multiset."""
+    from nosql_join_stream_spark.operators.expectations import (
+        sketch_heavy_hitters)
+    rows = [(tok,) for tok, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "tok string")
+    k = min(5, len(counts))
+    out = sketch_heavy_hitters(df, "tok", k=k).collect()
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert [(r["item"], r["cnt"]) for r in out] == expect
+    assert all(r["hh_ok"] for r in out)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=st.sets(st.integers(0, 60), min_size=0, max_size=40),
+       b=st.sets(st.integers(0, 60), min_size=0, max_size=40))
+def test_theta_overlap_exact_mode_any_sets(spark, a, b):
+    """Below the sketch's nominal entries theta runs exact: the
+    witness must hold for ANY pair of sets, including empty and
+    disjoint ones, and the exact fields must equal set arithmetic."""
+    from nosql_join_stream_spark.operators.expectations import (
+        sketch_set_overlap)
+    rows = ([("A", v) for v in a] + [("B", v) for v in b]
+            + [("pad", 999)])  # keeps both filters non-degenerate
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = sketch_set_overlap(df, "g", "v", "A", "B").collect()[0]
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert r["n_intersect"] == len(a & b)
+    assert r["n_union"] == len(a | b)
+    assert r["n_a_only"] == len(a - b)
+    assert r["theta_ok"]
