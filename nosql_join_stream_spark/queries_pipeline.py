@@ -1592,23 +1592,27 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_jl_project",
     """
-    SELECT vec_id, j.j AS j,
-           ROUND(SUM(embedding[i.i]::DOUBLE
-                     * (1 - 2 * (((((i.i - 1) * 73 + j.j * 149 + 3)
-                                   % 65536)
-                                  * (((i.i - 1) * 73 + j.j * 149 + 3)
-                                     % 65536) // 128) % 2)))
+    WITH g0 AS (
+      SELECT i.i AS i, j.j AS j,
+             (((i.i - 1) * 25173 + j.j * 13849 + 7919) % 65536) AS h
+      FROM (SELECT unnest(generate_series(1, 64)) AS i) i,
+           (SELECT unnest(generate_series(0, 3)) AS j) j),
+    g1 AS (SELECT i, j, ((h * h) // 256) % 65536 AS h FROM g0),
+    g2 AS (SELECT i, j, ((h * h) // 256) % 65536 AS h FROM g1),
+    sgn AS (SELECT i, j, 1 - 2 * ((h // 256) % 2) AS s FROM g2)
+    SELECT e.vec_id, sgn.j AS j,
+           ROUND(SUM(e.embedding[sgn.i]::DOUBLE * sgn.s)
                  / SQRT(4.0), 6) AS y
-    FROM embeddings,
-         (SELECT unnest(generate_series(1, 64)) AS i) i,
-         (SELECT unnest(generate_series(0, 3)) AS j) j
-    GROUP BY vec_id, j.j
+    FROM embeddings e, sgn
+    GROUP BY e.vec_id, sgn.j
     """,
     doc="Johnson-Lindenstrauss projection 64 -> 4 with a deterministic "
-        "Rademacher matrix (entry = a bounded mid-square bit over the "
-        "cell index — pure integer arithmetic both engines reproduce "
-        "exactly, and FULL-RANK, unlike a linear parity of i and j, "
-        "which degenerates to rank 1; scaled 1/sqrt(k)) — the cheap "
+        "Rademacher matrix (entry = two middle-square rounds over the "
+        "16-bit cell seed, HIGH bit taken — pure integer arithmetic "
+        "both engines reproduce exactly; no structural rank "
+        "deficiency at ANY shape, unlike a linear parity (rank 1) or "
+        "a low square bit (256-periodic, rank ceiling 120 — the r10 "
+        "review catch); scaled 1/sqrt(k)) — the cheap "
         "dimensionality reducer in front of "
         "ANN/clustering. Entirely row-local on the Spark side: "
         "transform-over-output-index builds each y_j as a sequential "

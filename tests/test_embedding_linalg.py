@@ -83,22 +83,37 @@ def test_jl_preserves_distances_on_average(spark):
 
 
 def _sign(i, j):
-    """Independent reimplementation of the JL matrix entry."""
-    h = (i * 73 + j * 149 + 3) % 65536
-    return 1 - 2 * ((h * h >> 7) & 1)
+    """Independent reimplementation of the JL matrix entry: two
+    middle-square rounds over the 16-bit affine seed, HIGH bit."""
+    h = (i * 25173 + j * 13849 + 7919) % 65536
+    h = ((h * h) >> 8) % 65536
+    h = ((h * h) >> 8) % 65536
+    return 1 - 2 * ((h >> 8) & 1)
 
 
-def test_jl_matrix_full_rank():
-    """The projection matrix must actually mix i and j: the first
-    draft's linear parity (i*31 + j*17) % 2 collapses to parity(i+j)
-    — a rank-1 outer product, every output dim the same projection
-    (and a plain LCG bit left small-D shapes rank-deficient).  Pin
-    full rank across the screening shapes."""
+def test_jl_matrix_no_structural_deficiency():
+    """The projection matrix must actually mix i and j.  History:
+    draft 1 was parity(i+j) — RANK 1; draft 2 took a LOW bit of one
+    bounded square — bit 7 of h² depends only on h mod 2⁸, so the
+    matrix was 256-periodic with a hard rank ceiling of 120 (fine on
+    small pinned shapes, deficient at encoder shapes; r10 review
+    catch).  Pin: full rank across the screening shapes in use AND
+    the encoder-class shapes the ceiling broke, plus the periodicity
+    itself (rows 256 apart must differ)."""
     for d, k in ((64, 4), (64, 8), (64, 16), (64, 32), (32, 16),
-                 (16, 8), (128, 64), (96, 24), (16, 12), (12, 7)):
+                 (16, 8), (128, 64), (96, 24), (16, 12), (12, 7),
+                 (768, 128), (512, 128), (300, 256)):
         W = np.array([[_sign(i, j) for j in range(k)]
                       for i in range(d)], dtype=float)
-        assert np.linalg.matrix_rank(W) == k, (d, k)
+        assert np.linalg.matrix_rank(W) == min(d, k), (d, k)
+    # no 256-periodicity in the row index (draft 2's failure mode)
+    col = np.array([[_sign(i, j) for j in range(8)]
+                    for i in range(520)])
+    assert not np.array_equal(col[0:8], col[256:264])
+    # bias sanity: a Rademacher-like entry, not a constant-leaning bit
+    big = np.array([[_sign(i, j) for j in range(128)]
+                    for i in range(768)], dtype=float)
+    assert abs(big.mean()) < 0.05
 
 
 def test_ann_jl_topk_on_structured_embeddings(spark):
@@ -115,9 +130,11 @@ def test_ann_jl_topk_on_structured_embeddings(spark):
     c = df.selectExpr("vec_id AS c_id", "embedding")
     exact = {(r.q_id, r.c_id) for r in
              similarity.cosine_topk(q, c, k=5).collect()}
-    jl = {(r.q_id, r.c_id) for r in
-          similarity.ann_jl_topk(q, c, k=5, out_dim=16,
-                                 pool=30).collect()}
+    jl_rows = similarity.ann_jl_topk(q, c, k=5, out_dim=16,
+                                     pool=30).collect()  # one job,
+    # reused for both assertions (the screen+rerank is the slowest
+    # plan in this module)
+    jl = {(r.q_id, r.c_id) for r in jl_rows}
     recall = len(exact & jl) / len(exact)
     random_baseline = 30 / 300
     assert recall >= 0.8, (recall, "expected near-exact on clustered "
@@ -127,9 +144,13 @@ def test_ann_jl_topk_on_structured_embeddings(spark):
     # brute-force sim for that pair
     brute = {(r.q_id, r.c_id): r.sim for r in
              similarity.cosine_topk(q, c, k=300).collect()}
-    for r in similarity.ann_jl_topk(q, c, k=5, out_dim=16,
-                                    pool=30).collect():
+    for r in jl_rows:
         assert brute[(r.q_id, r.c_id)] == r.sim
+
+
+def test_ann_jl_topk_rejects_pool_below_k():
+    with pytest.raises(ValueError, match="pool"):
+        similarity.ann_jl_topk(None, None, k=10, pool=5)
 
 
 def test_pca_recovers_planted_axis_and_eigenvalues(spark):
