@@ -45,6 +45,28 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _rank_topk(scored: DataFrame, k: int, query_id: str,
+               corpus_id: str, round_to: int = 6) -> DataFrame:
+    """Shared score-and-rank tail of the top-k family: exact cosine
+    over the staged ``__qv``/``__cv`` pair columns, ranked per query
+    on (ROUNDED sim desc, corpus id asc) and cut at ``k``.  ONE
+    definition on purpose — the screened/bucketed variants are
+    recall-measured against :func:`cosine_topk`, so a tie-break or
+    rounding change must hit every variant at once, never drift one
+    copy (r10 review: three hand-maintained copies of this block)."""
+    sim = F.round(cosine(
+        F.transform("__qv", lambda x: x.cast("double")),
+        F.transform("__cv", lambda x: x.cast("double"))), round_to)
+    w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(),
+                                            F.col("__cid"))
+    return (scored.withColumn("sim", sim)
+                  .withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(F.col("__qid").alias(query_id),
+                          F.col("__cid").alias(corpus_id),
+                          "sim", "rank"))
+
+
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 query_id: str = "q_id", corpus_id: str = "c_id",
                 vec: str = "embedding", round_to: int = 6) -> DataFrame:
@@ -57,18 +79,9 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """
     q = queries.select(F.col(query_id).alias("__qid"), F.col(vec).alias("__qv"))
     c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec).alias("__cv"))
-    sim = F.round(cosine(
-        F.transform("__qv", lambda x: x.cast("double")),
-        F.transform("__cv", lambda x: x.cast("double"))), round_to)
     scored = (F.broadcast(q).crossJoin(c)
-              .filter(F.col("__qid") != F.col("__cid"))
-              .withColumn("sim", sim))
-    w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(), F.col("__cid"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select(F.col("__qid").alias(query_id),
-                          F.col("__cid").alias(corpus_id),
-                          "sim", "rank"))
+              .filter(F.col("__qid") != F.col("__cid")))
+    return _rank_topk(scored, k, query_id, corpus_id, round_to)
 
 
 def mmr_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -189,17 +202,9 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                        lsh_bucket(F.col(vec), n_planes, dim).alias("__b"))
     c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec).alias("__cv"),
                       lsh_bucket(F.col(vec), n_planes, dim).alias("__b"))
-    sim = F.round(cosine(
-        F.transform("__qv", lambda x: x.cast("double")),
-        F.transform("__cv", lambda x: x.cast("double"))), 6)
     scored = (F.broadcast(q).join(c, "__b")
-              .filter(F.col("__qid") != F.col("__cid"))
-              .withColumn("sim", sim))
-    w = Window.partitionBy("__qid").orderBy(F.col("sim").desc(), F.col("__cid"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select(F.col("__qid").alias(query_id),
-                          F.col("__cid").alias(corpus_id), "sim", "rank"))
+              .filter(F.col("__qid") != F.col("__cid")))
+    return _rank_topk(scored, k, query_id, corpus_id)
 
 
 def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -362,25 +367,21 @@ def ann_jl_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     cand = cosine_topk(qr, cr, k=pool, query_id=query_id,
                        corpus_id=corpus_id, vec=vec) \
         .select(query_id, corpus_id)
-    q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
-    c = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
-    sim = F.round(cosine(
-        F.transform("__qv", lambda x: x.cast("double")),
-        F.transform("__cv", lambda x: x.cast("double"))), 6)
+    q = queries.select(F.col(query_id).alias("__qid"),
+                       F.col(vec).alias("__qv"))
+    c = corpus.select(F.col(corpus_id).alias("__cid"),
+                      F.col(vec).alias("__cv"))
     # join DIRECTION matters at scale: the candidate frame is only
     # |queries| x pool rows — broadcast it (with the query vectors
     # already attached) INTO the corpus scan, so the full-width
     # corpus vectors are probed in place and never shuffled.  The
     # naive cand.join(c, corpus_id) plans a shuffle of every corpus
     # vector (r10 review catch), negating the screen's savings.
-    cand_q = cand.join(F.broadcast(q), query_id)
-    scored = c.join(F.broadcast(cand_q), corpus_id) \
-              .withColumn("sim", sim)
-    w = Window.partitionBy(query_id).orderBy(F.col("sim").desc(),
-                                             F.col(corpus_id))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .filter(F.col("rank") <= k)
-                  .select(query_id, corpus_id, "sim", "rank"))
+    cand_q = (cand.select(F.col(query_id).alias("__qid"),
+                          F.col(corpus_id).alias("__cid"))
+              .join(F.broadcast(q), "__qid"))
+    scored = c.join(F.broadcast(cand_q), "__cid")
+    return _rank_topk(scored, k, query_id, corpus_id)
 
 
 def pca_components(df: DataFrame, k: int,
