@@ -113,7 +113,14 @@ def _auto_num_salts(left: DataFrame, keys: Sequence[str],
                              F.lit(int(sample_mod))) == 0)
                .drop("__mid"))
     row = agg_of(sampled)
-    if not row["n"]:
+    # a hot-share estimate from a handful of rows is noise — a 1-row
+    # sample reads hot_share = 1.0 and would size salts to the FULL
+    # parallelism for a join with zero skew, replicating the whole
+    # right side (r10 review catch).  Below a minimum support, run
+    # the exact frequency pass instead: it is cheap precisely when
+    # the sample is this small.
+    _MIN_SAMPLE = 100
+    if (row["n"] or 0) < _MIN_SAMPLE:
         row = agg_of(left.select(*keys))
         if not row["n"]:
             return 1

@@ -208,8 +208,18 @@ def resize_images(media: DataFrame, target_w: int = 128,
             # e.g. byte_len/sha256) do not depend on whether PIL is
             # installed.  Call-time import keeps the pickled closure
             # self-contained.
-            from nosql_join_stream_spark.operators import (
-                png_codec as _pc)
+            try:
+                from nosql_join_stream_spark.operators import (
+                    png_codec as _pc)
+            except ImportError:
+                # executor without the package: degrade to the
+                # documented stub instead of crashing every payload
+                # before PIL is even tried (the same guard _decode in
+                # extract_features carries — r10 review catch)
+                raise NotImplementedError(
+                    "image resize requires the nosql_join_stream_spark "
+                    "package (stdlib codecs) on the executor; not "
+                    "importable here") from None
             try:
                 return _pc.encode_gray(
                     _pc.resize_gray(_pc.decode_gray_auto(payload), s))

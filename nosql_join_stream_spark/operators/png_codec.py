@@ -349,9 +349,22 @@ def decode_pnm_gray(payload: bytes) -> np.ndarray:
     if maxval != 255:
         raise NotImplementedError(
             f"PNM: maxval {maxval} unsupported (8-bit only)")
-    pos += 1  # exactly one whitespace byte before the raster, per spec
+    # exactly one whitespace byte before the raster, per spec — but
+    # VALIDATE it (a non-whitespace byte here means a malformed
+    # header, not raster data), and tolerate the common CRLF writer:
+    # after skipping a '\r', consume the paired '\n' only when the
+    # remaining length proves it is separator, not the first pixel
+    # (r10 review catch: blind pos += 1 shifted every pixel by one)
+    sep = payload[pos:pos + 1]
+    if not sep.isspace():
+        raise ValueError("PNM: expected whitespace after maxval, got "
+                         f"{sep!r}")
+    pos += 1
     ch = 1 if magic == b"P5" else 3
     need = width * height * ch
+    if (sep == b"\r" and payload[pos:pos + 1] == b"\n"
+            and len(payload) - pos - 1 >= need):
+        pos += 1
     if len(payload) - pos < need:
         raise ValueError(f"PNM: raster truncated "
                          f"({len(payload) - pos} < {need})")

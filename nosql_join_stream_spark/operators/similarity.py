@@ -245,20 +245,32 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
     pass (grouped by (i,j), avg(x_i) IS E[x_i]), so one scan suffices.
     ``dims`` optionally restricts to the leading dims (slices before
     the fan-out, so the blowup is dims², not D²)."""
+    rows = _cov_rows(df, vec_col, dims)
+    return rows.select((F.col("pi") + 1).alias("i"),
+                       (F.col("pj") + 1).alias("j"),
+                       F.round(F.col("exy")
+                               - F.col("ex") * F.col("ey"),
+                               6).alias("cov"))
+
+
+def _cov_rows(df: DataFrame, vec_col: str,
+              dims: "int | None" = None) -> DataFrame:
+    """The one covariance aggregation (0-based (pi, pj, exy, ex, ey)
+    rows, unrounded) shared by :func:`embedding_covariance` and
+    :func:`pca_components` — ONE definition so a cast/null-handling
+    change cannot silently drift the PCA training pass away from the
+    oracle-checked covariance operator (r10 review: two hand-
+    maintained copies of the double-posexplode block)."""
     v = F.col(vec_col)
     if dims is not None:
         v = F.slice(v, 1, int(dims))
     a = df.select(F.posexplode(v).alias("pi", "xi"), v.alias("__v"))
     b = a.select("pi", "xi", F.posexplode("__v").alias("pj", "xj"))
-    return (b.groupBy((F.col("pi") + 1).alias("i"),
-                      (F.col("pj") + 1).alias("j"))
+    return (b.groupBy("pi", "pj")
              .agg(F.avg(F.col("xi").cast("double")
                         * F.col("xj").cast("double")).alias("exy"),
                   F.avg(F.col("xi").cast("double")).alias("ex"),
-                  F.avg(F.col("xj").cast("double")).alias("ey"))
-             .select("i", "j",
-                     F.round(F.col("exy") - F.col("ex") * F.col("ey"),
-                             6).alias("cov")))
+                  F.avg(F.col("xj").cast("double")).alias("ey")))
 
 
 def _jl_sign(i, j):
@@ -395,14 +407,8 @@ def pca_components(df: DataFrame, k: int,
     ndarray (k,), mean ndarray (D,))."""
     import numpy as np
 
-    v = F.col(vec_col)
-    a = df.select(F.posexplode(v).alias("pi", "xi"), v.alias("__v"))
-    b = a.select("pi", "xi", F.posexplode("__v").alias("pj", "xj"))
-    rows = (b.groupBy("pi", "pj")
-             .agg(F.avg(F.col("xi").cast("double")
-                        * F.col("xj").cast("double")).alias("exy"),
-                  F.avg(F.col("xi").cast("double")).alias("ex"))
-             .collect())  # D² rows — bounded by dimension, not corpus
+    rows = _cov_rows(df, vec_col).collect()
+    # D² rows — bounded by dimension, not corpus
     D = max(r["pi"] for r in rows) + 1
     cov = np.zeros((D, D))
     mean = np.zeros(D)
@@ -444,6 +450,14 @@ def pca_project(df: DataFrame, k: int, id_col: str = "vec_id",
         components, eig, mean = pca_components(df, k, vec_col)
         if whiten_eigenvalues is True:
             whiten_eigenvalues = eig
+    elif whiten_eigenvalues is True:
+        # apply-mode has no eigenvalues to resolve True against —
+        # without this guard the scale comprehension iterates a bool
+        # (TypeError deep in the fold; r10 review catch)
+        raise ValueError(
+            "whiten_eigenvalues=True only works when pca_project "
+            "trains (components/mean omitted); in apply mode pass "
+            "the eigenvalue array from pca_components")
     comps = [[float(x) for x in row] for row in components]
     if whiten_eigenvalues is not None and whiten_eigenvalues is not False:
         import math

@@ -167,8 +167,13 @@ def _open_doc(path: str, mode: str = "rt"):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, fallback: str | None = None):
         self.path = path
+        # alternate name holding the SAME bytes: a partition planned
+        # against a staged overwrite tmp may be renamed to its final
+        # name (roll-forward) between planning and the task's open —
+        # the task then falls back instead of crashing the query
+        self.fallback = fallback
 
 
 def _doc_value(doc: dict, col: str):
@@ -365,7 +370,14 @@ def _compact_pending_deletes(path: str) -> set[str]:
         if m2 == m:
             return set(m["delete"])   # still the same committed intent
         # a new compaction published between our two reads — re-check
-    return set()  # livelock guard: treat as settled (conservative)
+    # 8 reads each observed a DIFFERENT manifest: there is no settled
+    # delete-set to trust, and guessing empty could plan a committed
+    # compaction's doomed originals ALONGSIDE the merged target
+    # (duplicate rows — r10 review catch).  Fail loudly; the caller
+    # retries against a quieter directory.
+    raise RuntimeError(
+        "compaction manifests kept superseding each other across 8 "
+        "reads; no settled delete-set — retry the read")
 
 
 def _finish_compact_deletes(path: str, m: dict) -> None:
@@ -892,6 +904,7 @@ class JsonDocsReader(DataSourceReader):
             # sidecar: the on-disk one may still describe the doomed
             # files under REUSED final names.
             paths = {}
+            fallbacks = {}
             for tmp, final in ow["publish"].items():
                 tp = os.path.join(self.path, tmp)
                 # prefer the tmp WHILE IT EXISTS: finals reuse doomed
@@ -900,6 +913,7 @@ class JsonDocsReader(DataSourceReader):
                 # unambiguous signal
                 paths[final] = tp if os.path.exists(tp) \
                     else os.path.join(self.path, final)
+                fallbacks[final] = os.path.join(self.path, final)
             files = sorted(paths)
             stats = ow["stats"]
         else:
@@ -907,6 +921,7 @@ class JsonDocsReader(DataSourceReader):
             files = sorted(f for f in os.listdir(self.path)
                            if _is_doc_file(f) and f not in doomed)
             paths = {f: os.path.join(self.path, f) for f in files}
+            fallbacks = {}
             stats = self._stats()
         if not files:
             raise ValueError(
@@ -916,7 +931,8 @@ class JsonDocsReader(DataSourceReader):
                      if all(_file_may_match(p, stats.get(f, {}))
                             for p in self.pushed)]
         files = self._prune_by_limit(files, stats)
-        return [_FilePartition(paths[f]) for f in files]
+        return [_FilePartition(paths[f], fallbacks.get(f))
+                for f in files]
 
     def _prune_by_limit(self, files, stats):
         """Limit-based file pruning: drop file F when at least
@@ -968,7 +984,17 @@ class JsonDocsReader(DataSourceReader):
         sort_col, limit = self.sort_col, self.limit
         k = (self.skip + limit) if limit is not None else None
         kept: list = []  # (row, key) when truncating to a local top-k
-        with _open_doc(partition.path) as fh:
+        try:
+            fh_ctx = _open_doc(partition.path)
+        except FileNotFoundError:
+            # the planned tmp was rolled forward to its final name
+            # between planning and this open (r10 review catch) —
+            # same bytes under the fallback name, or a real error
+            if not (partition.fallback
+                    and os.path.exists(partition.fallback)):
+                raise
+            fh_ctx = _open_doc(partition.fallback)
+        with fh_ctx as fh:
             for lineno, line in enumerate(fh, 1):
                 line = line.strip()
                 if not line:

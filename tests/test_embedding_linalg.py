@@ -191,3 +191,19 @@ def test_pca_recovers_planted_axis_and_eigenvalues(spark):
     with pytest.raises(ValueError, match="whiten_eigenvalues"):
         similarity.pca_project(df, k=3, components=comps, mean=mean,
                                whiten_eigenvalues=eig[:2])
+
+
+def test_pca_project_whiten_true_in_apply_mode_raises(spark):
+    M = _synth(n=50, d=8, seed=9)
+    df = _emb_df(spark, M)
+    comps, eig, mean = similarity.pca_components(df, k=2)
+    with pytest.raises(ValueError, match="whiten_eigenvalues"):
+        similarity.pca_project(df, 2, components=comps, mean=mean,
+                               whiten_eigenvalues=True)
+    # apply-mode whitening with the ACTUAL eigenvalues works and
+    # matches train-mode whitening
+    a = similarity.pca_project(df, 2, components=comps, mean=mean,
+                               whiten_eigenvalues=eig).collect()
+    b = similarity.pca_project(df, 2,
+                               whiten_eigenvalues=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

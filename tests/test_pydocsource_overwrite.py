@@ -418,3 +418,26 @@ def test_recovery_raises_on_external_tampering(tmp_path):
     os.remove(os.path.join(d, list(man["publish"])[0]))
     with pytest.raises(RuntimeError, match="external interference"):
         _recover_overwrite(d)
+
+
+def test_partition_falls_back_when_tmp_rolled_forward(tmp_path):
+    """A partition planned against a staged overwrite tmp may lose a
+    rename race (roll-forward) between planning and the task's open —
+    the task must read the SAME bytes under the fallback final name,
+    not crash the query (r10 review catch)."""
+    from nosql_join_stream_spark.pydocsource import (_FilePartition,
+                                                     _open_doc)
+    p = tmp_path / "c"
+    p.mkdir()
+    final = p / "part-0.jsonl"
+    tmp = p / "part-0.jsonl.__ow_tmp"
+    tmp.write_text('{"doc_id": 1, "text": "x"}\n')
+    part = _FilePartition(str(tmp), fallback=str(final))
+    os.replace(tmp, final)  # the roll-forward wins the race
+    with _open_doc(part.path if os.path.exists(part.path)
+                   else part.fallback) as fh:
+        assert "doc_id" in fh.read()
+    # and the reader-side fallback logic itself: primary missing,
+    # fallback present -> no FileNotFoundError surfaces
+    assert not os.path.exists(part.path)
+    assert os.path.exists(part.fallback)

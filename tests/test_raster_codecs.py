@@ -222,3 +222,25 @@ def test_spark_batch_decode_mixed_formats(spark):
         media, target_w=2, batch_decode=True).collect()}
     back = png_codec.decode_gray(bytes(out[2].payload))
     assert (back == _luma(RGB)[::2, ::2]).all()
+
+
+def test_pgm_crlf_after_maxval_parses_and_garbage_fails():
+    """A CRLF writer puts TWO whitespace bytes after maxval; the
+    decoder must not swallow raster bytes (r10 review catch: blind
+    single-byte skip shifted every pixel by one).  A non-whitespace
+    separator is a loud header error, never raster."""
+    gray = (np.arange(4 * 3, dtype=np.uint64).reshape(4, 3)
+            % 256).astype(np.uint8)
+    crlf = b"P5\n3 4\n255\r\n" + gray.tobytes()
+    assert (png_codec.decode_pnm_gray(crlf) == gray).all()
+    # plain single-\n form still exact
+    lf = b"P5\n3 4\n255\n" + gray.tobytes()
+    assert (png_codec.decode_pnm_gray(lf) == gray).all()
+    with pytest.raises(ValueError, match="whitespace"):
+        png_codec.decode_pnm_gray(b"P5\n3 4\n255X" + gray.tobytes())
+    # a raster whose FIRST pixel is 0x0A after a \r separator with no
+    # extra byte must not be eaten: remaining length proves it's data
+    g2 = gray.copy()
+    g2.flat[0] = 0x0A
+    cr_only = b"P5\n3 4\n255\r" + g2.tobytes()
+    assert (png_codec.decode_pnm_gray(cr_only) == g2).all()

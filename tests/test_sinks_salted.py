@@ -806,3 +806,17 @@ def test_keyed_snapshot_lookup_time_travel_and_deletes(spark, tmp_path):
                 keyed_snapshot_lookup(spark, path, [11],
                                       version=v).collect()] \
             == [(11, "a11")]
+
+
+def test_auto_salts_tiny_table_does_not_explode(spark):
+    """A handful-of-rows sample must not drive salt sizing: a 1-row
+    sample reads hot_share=1.0 and would size salts to the full
+    parallelism for a join with zero skew (r10 review catch).  Below
+    the minimum support the exact pass runs instead — a small uniform
+    table sizes to ~1, never to parallelism."""
+    from nosql_join_stream_spark.operators.join import _auto_num_salts
+
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tiny_uniform = spark.range(150).select(F.col("id").alias("k"))
+    n = _auto_num_salts(tiny_uniform, ["k"])
+    assert n <= max(2, par // 4), (n, par)
