@@ -273,35 +273,39 @@ def sketch_quantiles_by_group(df: DataFrame, group_col: str,
 
     Returns one row per group plus ``__ALL__``: (grp, q_<q> exact
     percentiles rounded to 4 — the oracle-checkable truth — and
-    kll_ok).  Cost: the exact percentile pass (already the truth
-    the caller wants), the sketch pass fused into the same aggregate,
-    and one broadcast-join re-scan for the rank check.
+    kll_ok).  Cost: TWO scans of the frame, both via a two-label
+    explode (each row contributes to its own group AND ``__ALL__``
+    inside the generator — never a self-union that reads the source
+    twice per pass; r10 review catch): one for the exact percentiles
+    + per-group sketches fused in the same aggregate, one for the
+    rank re-check against the broadcast estimates.  The ``__ALL__``
+    estimates still come from MERGING the per-group sketches — the
+    mergeability property under test — not from a direct pass.
     """
     qcols = [f"q_{str(q).replace('.', '')}" for q in qs]
-    exact_aggs = [F.expr(f"round(percentile({value_col}, {q}), 4)")
+    exact_aggs = [F.expr(f"round(percentile(__v, {q}), 4)")
                   .alias(c) for q, c in zip(qs, qcols)]
     karg = f", {int(sketch_k)}" if sketch_k is not None else ""
-    per = df.groupBy(group_col).agg(
-        *exact_aggs, F.expr(f"kll_sketch_agg_double({value_col}{karg})")
-        .alias("__sk"))
-    per = per.select(
-        _sentinel_guarded_group(group_col).alias("grp"),
-        *[F.col(c) for c in qcols], "__sk")
-    total = df.agg(*exact_aggs)
-    merged = per.agg(F.expr("kll_merge_agg_double(__sk)").alias("__sk"))
-    all_row = (total.crossJoin(F.broadcast(merged))
-               .select(F.lit("__ALL__").alias("grp"),
-                       *[F.col(c) for c in qcols], "__sk"))
-    est = per.unionByName(all_row).select(
+    vals = df.select(
+        F.explode(F.array(_sentinel_guarded_group(group_col),
+                          F.lit("__ALL__"))).alias("grp"),
+        F.col(value_col).alias("__v"))
+    per = vals.groupBy("grp").agg(
+        *exact_aggs,
+        F.expr(f"kll_sketch_agg_double(__v{karg})").alias("__sk"))
+    # the __ALL__ row's direct sketch is DISCARDED: its estimates
+    # must come from merging the per-group sketches, which is the
+    # property under test
+    merged = (per.filter(F.col("grp") != "__ALL__")
+              .agg(F.expr("kll_merge_agg_double(__sk)").alias("__mk")))
+    per = per.join(F.broadcast(merged),
+                   F.lit(True)).withColumn(
+        "__sk", F.when(F.col("grp") == "__ALL__", F.col("__mk"))
+                 .otherwise(F.col("__sk"))).drop("__mk")
+    est = per.select(
         "grp", *qcols,
         *[F.expr(f"kll_sketch_get_quantile_double(__sk, {q})")
           .alias(f"__e_{c}") for q, c in zip(qs, qcols)])
-    # rank check: one re-scan, est broadcast (rows = groups + 1)
-    vals = df.select(
-        F.coalesce(F.col(group_col).cast("string"), F.lit("<NULL>"))
-        .alias("grp"), F.col(value_col).alias("__v"))
-    vals = vals.select("grp", "__v").unionByName(
-        vals.select(F.lit("__ALL__").alias("grp"), "__v"))
     rank_aggs = []
     for c in qcols:
         rank_aggs.append(F.avg((F.col("__v") < F.col(f"__e_{c}"))
@@ -347,7 +351,12 @@ def sketch_set_overlap(df: DataFrame, group_col: str, value_col: str,
     in_a = F.col(group_col).cast("string") == group_a
     in_b = F.col(group_col).cast("string") == group_b
     v = F.col(value_col)
-    flags = (df.filter(in_a | in_b)
+    # NULL values are excluded from BOTH sides: theta sketches skip
+    # NULL inputs, and counting them as set members in the exact
+    # truth would false-flag the witness on legitimate data (r10
+    # review catch) — same convention as sketch_cardinality_by_group,
+    # whose count_distinct truth excludes NULLs.
+    flags = (df.filter((in_a | in_b) & v.isNotNull())
              .groupBy(v.alias("__v"))
              .agg(F.max(in_a).alias("__a"), F.max(in_b).alias("__b")))
     # coalesce(0): with BOTH cohorts empty the flags frame has no
@@ -363,11 +372,12 @@ def sketch_set_overlap(df: DataFrame, group_col: str, value_col: str,
         F.count("*").alias("n_union"),
         F.coalesce(F.sum((F.col("__a") & ~F.col("__b")).cast("long")),
                    F.lit(0)).alias("n_a_only"))
+    # column-based CASE, never string interpolation: a cohort value
+    # carrying a quote must select normally, not parse-error (or
+    # worse, inject) — r10 review catch
     sk = df.agg(
-        F.expr(f"theta_sketch_agg(case when {group_col} = '{group_a}' "
-               f"then {value_col} end)").alias("__ska"),
-        F.expr(f"theta_sketch_agg(case when {group_col} = '{group_b}' "
-               f"then {value_col} end)").alias("__skb"))
+        F.theta_sketch_agg(F.when(in_a, v)).alias("__ska"),
+        F.theta_sketch_agg(F.when(in_b, v)).alias("__skb"))
     ests = sk.select(
         F.expr("theta_sketch_estimate(__ska)").alias("__ea"),
         F.expr("theta_sketch_estimate(__skb)").alias("__eb"),
@@ -409,18 +419,28 @@ def sketch_heavy_hitters(df: DataFrame, value_col: str, k: int = 10,
     Returns the EXACT top-``k`` rows (item, cnt, rank — count desc,
     item asc tie-break, the oracle-checkable truth) plus ``hh_ok``
     per row asserting the item appears in the sketch's top-2k with
-    its estimate within the published bound.  Cost: the exact
-    groupBy (the truth the caller wants anyway) + one sketch
-    aggregate fused over the same scan.
+    its estimate within the published bound.  NULL values are
+    excluded (the sketch never sees them, so counting them would
+    both false-flag the witness and inflate its N bound — same
+    convention as the rest of the sketch family).  Cost: the exact
+    groupBy (the truth the caller wants anyway) with the top-k cut
+    as a distributed TakeOrderedAndProject (per-partition heaps —
+    never a global single-task window over the whole vocabulary),
+    plus one sketch aggregate fused over the same scan.
     """
     from pyspark.sql import Window
 
-    exact = (df.groupBy(F.col(value_col).cast("string").alias("item"))
+    vals = df.filter(F.col(value_col).isNotNull())
+    exact = (vals.groupBy(F.col(value_col).cast("string").alias("item"))
              .agg(F.count("*").alias("cnt")))
+    # orderBy+limit plans TakeOrderedAndProject; the row_number window
+    # then runs over only k rows (r10 review catch: a global no-
+    # partition window funneled the full distinct-item frame through
+    # one task)
     w = Window.orderBy(F.desc("cnt"), F.asc("item"))
-    topk = (exact.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
-    sk = df.agg(
+    topk = (exact.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
+            .withColumn("rank", F.row_number().over(w)))
+    sk = vals.agg(
         F.expr(f"approx_top_k(cast({value_col} as string), {2 * k}, "
                f"{max_tracked})").alias("__tk"),
         F.count("*").alias("__n"))
@@ -453,12 +473,16 @@ def sketch_overlap_matrix(df: DataFrame, group_col: str,
     (g1, g2, n_intersect exact — the oracle-checkable truth — and
     theta_ok within ``rel_err`` or ±0.5 absolute in exact mode).
     Zero-overlap pairs are included (estimate must also be ~0).
-    Cost: one scan for the sketches, one distinct self-join for the
-    truth, and a G²-row crossJoin that is metadata-sized for any
-    realistic number of cohorts.
+    NULL cohorts report as '<NULL>' (a bare NULL label would fail
+    every g1 < g2 comparison and silently vanish from the matrix —
+    r10 review catch) and NULL values are excluded, both the family
+    conventions.  Cost: one scan for the sketches, one distinct
+    self-join for the truth, and a G²-row crossJoin that is
+    metadata-sized for any realistic number of cohorts.
     """
-    g = F.col(group_col).cast("string")
-    per = (df.groupBy(g.alias("g"))
+    vals = df.filter(F.col(value_col).isNotNull())
+    g = _sentinel_guarded_group(group_col)
+    per = (vals.groupBy(g.alias("g"))
            .agg(F.expr(f"theta_sketch_agg({value_col})").alias("sk")))
     a = per.select(F.col("g").alias("g1"), F.col("sk").alias("__s1"))
     b = per.select(F.col("g").alias("g2"), F.col("sk").alias("__s2"))
@@ -467,7 +491,7 @@ def sketch_overlap_matrix(df: DataFrame, group_col: str,
                      F.expr("theta_sketch_estimate("
                             "theta_intersection(__s1, __s2))")
                      .alias("__est")))
-    d = (df.select(g.alias("__g"), F.col(value_col).alias("__v"))
+    d = (vals.select(g.alias("__g"), F.col(value_col).alias("__v"))
          .distinct())
     d2 = d.select(F.col("__g").alias("__g2"), F.col("__v").alias("__v2"))
     inter = (d.join(d2, (F.col("__v") == F.col("__v2"))
@@ -504,23 +528,33 @@ def sketch_heavy_hitters_by_group(df: DataFrame, group_col: str,
     estimates come from the COMBINED partials, so a merge that lost
     or mis-summed counts flips the witness.  Group labels pass
     through :func:`_sentinel_guarded_group` (collisions raise
-    in-plan).  Cost: one scan for counts + sketches, a G-row combine,
-    and broadcast map joins — nothing scales with pair or question
-    count.
+    in-plan); NULL values are excluded on both sides, the family
+    convention.  Cost: one scan for counts + sketches, a G-row
+    combine, and broadcast map joins; the per-group top-k is a
+    partitioned window over per-group counts, and the corpus-wide
+    ``__ALL__`` top-k is a distributed TakeOrderedAndProject —
+    never a single task holding the full vocabulary (r10 review
+    catch).
     """
     from pyspark.sql import Window
 
+    vals = df.filter(F.col(value_col).isNotNull())
     g = _sentinel_guarded_group(group_col)
-    counts = (df.groupBy(g.alias("grp"),
-                         F.col(value_col).cast("string").alias("item"))
+    counts = (vals.groupBy(g.alias("grp"),
+                           F.col(value_col).cast("string")
+                           .alias("item"))
               .agg(F.count("*").alias("cnt")))
-    both = counts.unionByName(
-        counts.groupBy("item").agg(F.sum("cnt").alias("cnt"))
-              .select(F.lit("__ALL__").alias("grp"), "item", "cnt"))
     w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("item"))
-    topk = (both.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
-    acc = (df.groupBy(g.alias("grp"))
+    per_topk = (counts.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+    w_all = Window.orderBy(F.desc("cnt"), F.asc("item"))
+    all_topk = (counts.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("item")).limit(k)
+                .withColumn("rank", F.row_number().over(w_all))
+                .select(F.lit("__ALL__").alias("grp"), "item", "cnt",
+                        "rank"))
+    topk = per_topk.unionByName(all_topk)
+    acc = (vals.groupBy(g.alias("grp"))
            .agg(F.expr(f"approx_top_k_accumulate("
                        f"cast({value_col} as string), {max_tracked})")
                 .alias("__acc"),

@@ -362,9 +362,26 @@ def decode_pnm_gray(payload: bytes) -> np.ndarray:
     pos += 1
     ch = 1 if magic == b"P5" else 3
     need = width * height * ch
-    if (sep == b"\r" and payload[pos:pos + 1] == b"\n"
-            and len(payload) - pos - 1 >= need):
-        pos += 1
+    if sep == b"\r" and payload[pos:pos + 1] == b"\n":
+        # '\r' then '\n': either a CRLF separator (common Windows
+        # writers) or a lone-'\r' separator (old-Mac, essentially
+        # extinct) whose first PIXEL is 0x0A.  The raster length
+        # picks the reading: exact-fit-without-skip wins (provably
+        # lone '\r'), else exact-fit-with-skip (CRLF), else REFUSE —
+        # with extra trailing bytes both readings fit and guessing
+        # silently shifts every pixel (r10 review catch).  The one
+        # undecidable corner (lone '\r' + 0x0A first pixel + exactly
+        # one trailing byte) resolves to CRLF by this order, the
+        # overwhelmingly more common writer.
+        rest = len(payload) - pos
+        if rest == need:
+            pass                      # the \n is the first pixel
+        elif rest - 1 == need:
+            pos += 1                  # CRLF separator
+        else:
+            raise ValueError(
+                "PNM: ambiguous \\r\\n after maxval with trailing "
+                "bytes — cannot locate the raster start")
     if len(payload) - pos < need:
         raise ValueError(f"PNM: raster truncated "
                          f"({len(payload) - pos} < {need})")

@@ -796,9 +796,10 @@ _DRIVER_WINDOW = [
     # pyds_gzip_roundtrip (added after the r9 window froze) has none.
     # This window takes ALL 36 of those, keeps join_fk_inner
     # (reference flagship / entry() query), gives the NEW r10 TPC-H
-    # anchors (Q3/Q4/Q6/Q10/Q14/Q18/Q19 analogs) + new-operator
-    # queries their ship-round stamp, and fills the remainder from
-    # the r6 cohort in registry order.
+    # anchors (Q3/Q4/Q6/Q10/Q14/Q18/Q19 analogs; Q17 ships r10 but
+    # stamps with the r11 shortlist) + new-operator queries their
+    # ship-round stamp, and fills the remainder from the r6 cohort
+    # in registry order.
     # Post-r10 state if green: no stamp older than r6; the r6
     # remainder (39) then r8 are the r11 shortlist.
     "join_fk_inner",

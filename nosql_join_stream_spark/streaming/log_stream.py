@@ -1012,11 +1012,18 @@ def stream_sketch_quantiles(spark: SparkSession, events_path: str,
     stream = read_log_stream(spark, inp, max_files_per_trigger=1)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # replay-idempotent: each micro-batch OVERWRITES its own
+        # batch_id=N subdir — a retried batch replaces its sketch row
+        # instead of appending a duplicate that would double-count
+        # the slice's mass in the merge (the same per-batch-partition
+        # discipline as write_stream_idempotent)
+        # (batch_id rides the partition DIR, not a data column —
+        # discovery re-attaches it on read)
         (batch_df.agg(
             F.expr(f"kll_sketch_agg_double({value_col})").alias("sk"),
             F.count("*").alias("n_rows"))
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(sk_dir))
+         .write.mode("overwrite")
+         .parquet(os.path.join(sk_dir, f"batch_id={batch_id}")))
 
     q = (stream.writeStream.foreachBatch(write_batch)
          .outputMode("append")

@@ -424,20 +424,22 @@ def test_partition_falls_back_when_tmp_rolled_forward(tmp_path):
     """A partition planned against a staged overwrite tmp may lose a
     rename race (roll-forward) between planning and the task's open —
     the task must read the SAME bytes under the fallback final name,
-    not crash the query (r10 review catch)."""
+    not crash the query (r10 review catch).  Drives the PRODUCTION
+    JsonDocsReader.read() fallback branch, not a reimplementation."""
     from nosql_join_stream_spark.pydocsource import (_FilePartition,
-                                                     _open_doc)
+                                                     JsonDocsReader)
     p = tmp_path / "c"
     p.mkdir()
     final = p / "part-0.jsonl"
     tmp = p / "part-0.jsonl.__ow_tmp"
-    tmp.write_text('{"doc_id": 1, "text": "x"}\n')
+    tmp.write_text('{"doc_id": 1, "text": "x", "lang": "en", '
+                   '"source": "s", "n_chars": 1}\n')
+    reader = JsonDocsReader({"path": str(p)})
     part = _FilePartition(str(tmp), fallback=str(final))
     os.replace(tmp, final)  # the roll-forward wins the race
-    with _open_doc(part.path if os.path.exists(part.path)
-                   else part.fallback) as fh:
-        assert "doc_id" in fh.read()
-    # and the reader-side fallback logic itself: primary missing,
-    # fallback present -> no FileNotFoundError surfaces
-    assert not os.path.exists(part.path)
-    assert os.path.exists(part.fallback)
+    rows = list(reader.read(part))
+    assert len(rows) == 1 and rows[0][0] == 1  # doc_id survives
+    # without a fallback the same race is a real error, not a silent
+    # empty read
+    with pytest.raises(FileNotFoundError):
+        list(reader.read(_FilePartition(str(tmp))))

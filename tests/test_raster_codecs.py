@@ -244,3 +244,20 @@ def test_pgm_crlf_after_maxval_parses_and_garbage_fails():
     g2.flat[0] = 0x0A
     cr_only = b"P5\n3 4\n255\r" + g2.tobytes()
     assert (png_codec.decode_pnm_gray(cr_only) == g2).all()
+
+
+def test_pgm_crlf_ambiguous_trailing_bytes_refuses():
+    """With a \r\n after maxval AND extra trailing bytes, both the
+    CRLF and lone-\r readings fit the length — guessing silently
+    shifts every pixel, so the decoder must refuse loudly (r10 review
+    catch).  The one-trailing-byte corner resolves to the CRLF
+    reading by the documented priority order."""
+    gray = (np.arange(4 * 3, dtype=np.uint64).reshape(4, 3)
+            % 256).astype(np.uint8)
+    # CRLF separator + trailing garbage: rest > need + 1 -> refuse
+    with pytest.raises(ValueError, match="ambiguous"):
+        png_codec.decode_pnm_gray(
+            b"P5\n3 4\n255\r\n" + gray.tobytes() + b"\x00\x00")
+    # exactly-one-extra corner: CRLF reading wins (documented)
+    crlf = b"P5\n3 4\n255\r\n" + gray.tobytes()
+    assert (png_codec.decode_pnm_gray(crlf) == gray).all()
