@@ -61,7 +61,8 @@ def main():
     sf = float(m.group(1).rstrip(".")) if m else None
     groups: dict[str, float] = {}
     for name, t in timings.items():
-        fam = ("stream" if name.startswith("stream_") else
+        fam = ("sketch" if name.startswith(("sketch_", "drift_")) else
+               "stream" if name.startswith("stream_") else
                "dedup" if name.startswith(("dedup_", "pipeline_")) else
                "text" if name.startswith(("text_", "token_", "corpus_",
                                           "doc_", "quality_", "sample_",

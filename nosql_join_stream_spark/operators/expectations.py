@@ -647,3 +647,74 @@ def distribution_drift_psi(old: DataFrame, new: DataFrame,
                      F.lit(None).cast("double").alias("new_frac"),
                      "psi_term"))
     return per.unionByName(total).orderBy("bucket")
+
+
+def distribution_drift_psi_by_group(old: DataFrame, new: DataFrame,
+                                    group_col: str, value_col: str,
+                                    n_buckets: int = 10,
+                                    eps: float = 1e-4,
+                                    psi_warn: float = 0.2) -> DataFrame:
+    """Per-cohort PSI — :func:`distribution_drift_psi` fanned across a
+    group column in ONE plan: each cohort's cutpoints come from ITS
+    OWN baseline deciles, so the report answers "which source/shard
+    drifted" directly instead of averaging a localized shift into the
+    global number (a single drifted source among many stable ones is
+    exactly what the global PSI dilutes).
+
+    Returns one row per group present on EITHER side: (grp, psi
+    rounded 6, drifted = psi > ``psi_warn``, plus n_old/n_new row
+    counts — a cohort that appears or vanishes outright reports
+    psi NULL with drifted TRUE, the schema-drift analog).  Cost: one
+    percentile aggregate over the baseline, one bucket-count
+    aggregate per side (cutpoints joined back by group — a broadcast
+    of G rows), never a per-cohort re-scan.  NULL group labels
+    report as '<NULL>' via the family's sentinel guard.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    g = _sentinel_guarded_group(group_col)
+    cuts = (old.groupBy(g.alias("grp"))
+            .agg(*[F.expr(f"round(percentile({value_col}, {q}), 4)")
+                   .alias(f"__c{i}") for i, q in enumerate(qs)]))
+
+    def bucketed(df, n_name):
+        idx = None
+        for i in range(len(qs)):
+            term = (F.col("__val") > F.col(f"__c{i}")).cast("int")
+            idx = term if idx is None else idx + term
+        return (df.select(g.alias("grp"),
+                          F.col(value_col).cast("double")
+                          .alias("__val"))
+                .join(F.broadcast(cuts), "grp")
+                .groupBy("grp", idx.alias("bucket"))
+                .agg(F.count("*").alias(n_name)))
+
+    buckets = old.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    grps = (cuts.select("grp").unionByName(
+        new.select(g.alias("grp"))).distinct())
+    grid = grps.crossJoin(F.broadcast(buckets))
+    j = (grid.join(bucketed(old, "__no"), ["grp", "bucket"], "left")
+         .join(bucketed(new, "__nn"), ["grp", "bucket"], "left")
+         .fillna(0, ["__no", "__nn"]))
+    tot = j.groupBy("grp").agg(F.sum("__no").alias("__to"),
+                               F.sum("__nn").alias("__tn"))
+    j = j.join(F.broadcast(tot), "grp")
+    # try_divide: a cohort absent from one side has total 0 — its psi
+    # is reported NULL below, but the per-bucket arithmetic must not
+    # raise under ANSI division-by-zero on the way there
+    of = F.greatest(F.try_divide(F.col("__no"), F.col("__to")),
+                    F.lit(float(eps)))
+    nf = F.greatest(F.try_divide(F.col("__nn"), F.col("__tn")),
+                    F.lit(float(eps)))
+    per = (j.groupBy("grp")
+           .agg(F.sum((nf - of) * F.log(nf / of)).alias("__psi"),
+                F.first("__to").alias("n_old"),
+                F.first("__tn").alias("n_new")))
+    psi = F.when((F.col("n_old") > 0) & (F.col("n_new") > 0),
+                 F.round(F.col("__psi"), 6))
+    drifted = F.coalesce(psi > F.lit(float(psi_warn)), F.lit(True))
+    return (per.select("grp", psi.alias("psi"),
+                       drifted.alias("drifted"),
+                       F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                       F.coalesce("n_new", F.lit(0)).alias("n_new"))
+            .orderBy("grp"))

@@ -316,3 +316,42 @@ def test_stream_sketch_batch_replay_is_idempotent(spark, sf_dir,
     after = spark.read.parquet(sk_dir)
     assert after.count() == before == 4
     assert [r["q"] for r in out1] == [0.25, 0.5, 0.75, 0.9]
+
+
+class TestDistributionDriftPsiByGroup:
+    def test_per_group_isolation(self, spark):
+        """One drifted cohort among stable ones must flag ONLY itself
+        — the localized shift a global PSI dilutes."""
+        from nosql_join_stream_spark.operators.expectations import (
+            distribution_drift_psi_by_group)
+        old = spark.createDataFrame(
+            [("a", float(i % 100)) for i in range(1000)]
+            + [("b", float(i % 100)) for i in range(1000)],
+            "g string, v double")
+        new = spark.createDataFrame(
+            [("a", float(i % 100)) for i in range(1000)]
+            + [("b", float(i % 100) + 500.0) for i in range(1000)],
+            "g string, v double")
+        out = {r["grp"]: r for r in distribution_drift_psi_by_group(
+            old, new, "g", "v").collect()}
+        assert not out["a"]["drifted"] and out["a"]["psi"] < 0.05
+        assert out["b"]["drifted"] and out["b"]["psi"] > 0.2
+
+    def test_appearing_and_vanishing_cohorts(self, spark):
+        from nosql_join_stream_spark.operators.expectations import (
+            distribution_drift_psi_by_group)
+        old = spark.createDataFrame(
+            [("gone", float(i)) for i in range(50)]
+            + [("stays", float(i)) for i in range(50)],
+            "g string, v double")
+        new = spark.createDataFrame(
+            [("fresh", float(i)) for i in range(50)]
+            + [("stays", float(i)) for i in range(50)],
+            "g string, v double")
+        out = {r["grp"]: r for r in distribution_drift_psi_by_group(
+            old, new, "g", "v").collect()}
+        assert set(out) == {"gone", "stays", "fresh"}
+        assert out["gone"]["psi"] is None and out["gone"]["drifted"]
+        assert out["fresh"]["psi"] is None and out["fresh"]["drifted"]
+        assert out["gone"]["n_new"] == 0 and out["fresh"]["n_old"] == 0
+        assert not out["stays"]["drifted"]

@@ -66,8 +66,10 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             "sketch_price_quantiles", "sketch_user_overlap_theta",
             "sketch_token_heavy_hitters", "sketch_cohort_matrix",
             "stream_sketch_quantiles",
-            # PSI attaches the 1-row cutpoint/total frames by design
-            "drift_psi_value"}
+            # PSI attaches the 1-row cutpoint/total frames by design;
+            # the by-group form also crosses the G-row group list
+            # with the 10-row bucket list (metadata-sized grid)
+            "drift_psi_value", "drift_psi_by_source"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
