@@ -718,3 +718,109 @@ def distribution_drift_psi_by_group(old: DataFrame, new: DataFrame,
                        F.coalesce("n_old", F.lit(0)).alias("n_old"),
                        F.coalesce("n_new", F.lit(0)).alias("n_new"))
             .orderBy("grp"))
+
+
+def write_psi_baseline(df: DataFrame, path: str, value_col: str,
+                       group_col: "str | None" = None,
+                       n_buckets: int = 10) -> None:
+    """Materialize a PSI BASELINE as a standing KB-sized table: per
+    cohort (or the single '__ALL__' cohort), the exact decile
+    cutpoints and per-bucket masses of the reference distribution.
+    The deployment shape :func:`distribution_drift_psi` simulates by
+    re-reading the baseline frame: computed ONCE at baseline time,
+    every later batch scores against it via
+    :func:`psi_against_baseline` without the baseline data ever
+    being re-scanned — the same standing-artifact discipline as the
+    dedup gram / ANN IVF indexes.  Layout: one parquet of
+    (grp, c0..c{B-2}, n_0..n_{B-1}, n_rows)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    g = (_sentinel_guarded_group(group_col) if group_col is not None
+         else F.lit("__ALL__"))
+    cuts = (df.groupBy(g.alias("grp"))
+            .agg(*[F.expr(f"round(percentile({value_col}, {q}), 4)")
+                   .alias(f"c{i}") for i, q in enumerate(qs)]))
+    v = F.col(value_col).cast("double")
+    idx = None
+    for i in range(len(qs)):
+        term = (v > F.col(f"c{i}")).cast("int")
+        idx = term if idx is None else idx + term
+    masses = (df.select(g.alias("grp"), v.alias(value_col))
+              .join(F.broadcast(cuts), "grp")
+              .groupBy("grp", idx.alias("bucket"))
+              .agg(F.count("*").alias("n")))
+    pivot = (masses.groupBy("grp")
+             .pivot("bucket", list(range(n_buckets)))
+             .agg(F.first("n"))
+             .na.fill(0))
+    for b in range(n_buckets):
+        pivot = pivot.withColumnRenamed(str(b), f"n_{b}")
+    out = cuts.join(pivot, "grp")
+    total = None
+    for b in range(n_buckets):
+        c = F.col(f"n_{b}")
+        total = c if total is None else total + c
+    out.withColumn("n_rows", total) \
+       .write.mode("overwrite").parquet(path)
+
+
+def psi_against_baseline(spark, path: str, new: DataFrame,
+                         value_col: str,
+                         group_col: "str | None" = None,
+                         eps: float = 1e-4,
+                         psi_warn: float = 0.2) -> DataFrame:
+    """Score a new batch against a standing PSI baseline
+    (:func:`write_psi_baseline`): the baseline side costs a KB-table
+    read — its raw data is NEVER re-scanned — and the batch side is
+    one bucket-count aggregate.  Output schema matches
+    :func:`distribution_drift_psi_by_group` (grp, psi, drifted,
+    n_old, n_new), and on identical inputs the two forms agree
+    exactly (pinned by test)."""
+    base = spark.read.parquet(path)
+    qcols = sorted((c for c in base.columns if c.startswith("c")
+                    and c[1:].isdigit()), key=lambda c: int(c[1:]))
+    ncols = sorted((c for c in base.columns if c.startswith("n_")
+                    and c[2:].isdigit()), key=lambda c: int(c[2:]))
+    n_buckets = len(ncols)
+    g = (_sentinel_guarded_group(group_col) if group_col is not None
+         else F.lit("__ALL__"))
+    v = F.col(value_col).cast("double")
+    idx = None
+    for i in range(len(qcols)):
+        term = (v > F.col(qcols[i])).cast("int")
+        idx = term if idx is None else idx + term
+    nb = (new.select(g.alias("grp"), v.alias(value_col))
+          .join(F.broadcast(base.select("grp", *qcols)), "grp")
+          .groupBy("grp", idx.alias("bucket"))
+          .agg(F.count("*").alias("__nn")))
+    # long-form the baseline masses and full-outer with batch groups
+    stack = ", ".join(f"{b}, CAST(n_{b} AS BIGINT)"
+                      for b in range(n_buckets))
+    old_long = base.selectExpr(
+        "grp", f"stack({n_buckets}, {stack}) AS (bucket, __no)")
+    buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    grps = (base.select("grp")
+            .unionByName(new.select(g.alias("grp"))).distinct())
+    grid = grps.crossJoin(F.broadcast(buckets))
+    j = (grid.join(old_long, ["grp", "bucket"], "left")
+         .join(nb, ["grp", "bucket"], "left")
+         .fillna(0, ["__no", "__nn"]))
+    tot = j.groupBy("grp").agg(F.sum("__no").alias("__to"),
+                               F.sum("__nn").alias("__tn"))
+    j = j.join(F.broadcast(tot), "grp")
+    of = F.greatest(F.try_divide(F.col("__no"), F.col("__to")),
+                    F.lit(float(eps)))
+    nf = F.greatest(F.try_divide(F.col("__nn"), F.col("__tn")),
+                    F.lit(float(eps)))
+    per = (j.groupBy("grp")
+           .agg(F.sum((nf - of) * F.log(nf / of)).alias("__psi"),
+                F.first("__to").alias("n_old"),
+                F.first("__tn").alias("n_new")))
+    psi = F.when((F.col("n_old") > 0) & (F.col("n_new") > 0),
+                 F.round(F.col("__psi"), 6))
+    drifted = F.coalesce(psi > F.lit(float(psi_warn)), F.lit(True))
+    return (per.select("grp", psi.alias("psi"),
+                       drifted.alias("drifted"),
+                       F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                       F.coalesce("n_new", F.lit(0)).alias("n_new"))
+            .orderBy("grp"))

@@ -355,3 +355,45 @@ class TestDistributionDriftPsiByGroup:
         assert out["fresh"]["psi"] is None and out["fresh"]["drifted"]
         assert out["gone"]["n_new"] == 0 and out["fresh"]["n_old"] == 0
         assert not out["stays"]["drifted"]
+
+
+class TestStandingPsiBaseline:
+    def test_standing_baseline_equals_direct_form(self, spark,
+                                                  tmp_path):
+        """write_psi_baseline + psi_against_baseline must equal the
+        direct two-frame distribution_drift_psi_by_group on the same
+        split — equality IS the standing-artifact claim (the baseline
+        raw data is never re-scanned at score time)."""
+        from nosql_join_stream_spark.operators.expectations import (
+            distribution_drift_psi_by_group, psi_against_baseline,
+            write_psi_baseline)
+        rows = ([("a", float((i * 13) % 97)) for i in range(800)]
+                + [("b", float((i * 7) % 53) + 100.0)
+                   for i in range(800)])
+        df = spark.createDataFrame(rows, "g string, v double") \
+                  .withColumn("rid", F.monotonically_increasing_id())
+        old = df.filter(F.col("rid") % 2 == 0)
+        new = df.filter(F.col("rid") % 2 == 1)
+        direct = distribution_drift_psi_by_group(
+            old, new, "g", "v").collect()
+        path = str(tmp_path / "baseline")
+        write_psi_baseline(old, path, "v", group_col="g")
+        standing = psi_against_baseline(
+            spark, path, new, "v", group_col="g").collect()
+        assert sorted(map(tuple, direct)) == sorted(map(tuple,
+                                                        standing))
+
+    def test_ungrouped_baseline_and_new_cohort(self, spark, tmp_path):
+        from nosql_join_stream_spark.operators.expectations import (
+            psi_against_baseline, write_psi_baseline)
+        old = spark.createDataFrame(
+            [(float(i % 50),) for i in range(500)], "v double")
+        path = str(tmp_path / "b2")
+        write_psi_baseline(old, path, "v")
+        same = psi_against_baseline(spark, path, old, "v").collect()
+        assert len(same) == 1 and same[0]["grp"] == "__ALL__"
+        assert same[0]["psi"] == 0.0 and not same[0]["drifted"]
+        shifted = spark.createDataFrame(
+            [(float(i % 50) + 500.0,) for i in range(500)], "v double")
+        out = psi_against_baseline(spark, path, shifted, "v").collect()
+        assert out[0]["drifted"] and out[0]["psi"] > 0.2

@@ -69,7 +69,8 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             # PSI attaches the 1-row cutpoint/total frames by design;
             # the by-group form also crosses the G-row group list
             # with the 10-row bucket list (metadata-sized grid)
-            "drift_psi_value", "drift_psi_by_source"}
+            "drift_psi_value", "drift_psi_by_source",
+            "drift_psi_standing"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
