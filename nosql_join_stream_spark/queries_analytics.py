@@ -1525,3 +1525,86 @@ def tpch_q17_small_quantity(spark: SparkSession,
             .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
                  .alias("avg_yearly"),
                  F.count("*").alias("n_lines")))
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    WITH all_l AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p      ON p.p_partkey = l.l_partkey
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN customer c  ON c.c_custkey = o.o_custkey
+      JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+      JOIN region r    ON r.r_regionkey = cn.n_regionkey
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_7'
+                          THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM all_l GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8 analog (national market share): the deepest join "
+        "tree in the anchor set — the lineitem fact against SIX "
+        "dimension scans, with nation playing TWO roles (customer "
+        "side, region-restricted; supplier side, the share "
+        "numerator).  Every dimension broadcasts (part/customer/"
+        "nation/region/supplier are all sub-threshold), so the plan "
+        "is one fact scan with a broadcast-hash-join chain and a "
+        "single map-side-combinable aggregate — at 100 TB the only "
+        "full-data movement is the 2-row-per-year exchange.  Both "
+        "date bounds and the type filter reach the scans.",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    li = e.table("lineitem")
+    p = e.table("part").filter(F.col("p_type") == "PROMO") \
+         .select("p_partkey")
+    o = e.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00")
+         .cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00")
+           .cast("timestamp"))) \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    c = e.table("customer").select("c_custkey", "c_nationkey")
+    cn = e.table("nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"))
+    r = e.table("region").filter(F.col("r_name") == "ASIA") \
+         .select("r_regionkey")
+    s = e.table("supplier").select("s_suppkey", "s_nationkey")
+    sn = e.table("nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (li.join(F.broadcast(p),
+                      F.col("p_partkey") == F.col("l_partkey"))
+              .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+              .join(F.broadcast(c),
+                    F.col("c_custkey") == F.col("o_custkey"))
+              .join(F.broadcast(cn),
+                    F.col("cn_key") == F.col("c_nationkey"))
+              .join(F.broadcast(r),
+                    F.col("r_regionkey") == F.col("cn_region"))
+              .join(F.broadcast(s),
+                    F.col("s_suppkey") == F.col("l_suppkey"))
+              .join(F.broadcast(sn),
+                    F.col("sn_key") == F.col("s_nationkey")))
+    return (joined
+            .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                    vol.alias("volume"), "supp_nation")
+            .groupBy("o_year")
+            .agg(F.round(F.sum(F.when(F.col("supp_nation")
+                                      == "NATION_7",
+                                      F.col("volume")).otherwise(0.0))
+                         / F.sum("volume"), 6).alias("mkt_share"),
+                 F.count("*").alias("n_lines"))
+            .orderBy("o_year"))
