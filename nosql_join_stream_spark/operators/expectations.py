@@ -649,6 +649,71 @@ def distribution_drift_psi(old: DataFrame, new: DataFrame,
     return per.unionByName(total).orderBy("bucket")
 
 
+
+def _bucket_index(value: Column, n_cuts: int,
+                  cut_prefix: str = "__c") -> Column:
+    """Bucket index = number of cutpoint columns strictly below the
+    value (ties land LEFT — the convention every PSI form and both
+    engines share).  ONE definition: the by-group monitor, the
+    baseline writer, and the baseline scorer all bucket through this
+    helper, so the convention cannot drift between the forms the
+    equality tests pin together."""
+    idx = None
+    for i in range(n_cuts):
+        term = (value > F.col(f"{cut_prefix}{i}")).cast("int")
+        idx = term if idx is None else idx + term
+    return idx
+
+
+def _psi_report(bucketed_old: DataFrame, bucketed_new: DataFrame,
+                n_buckets: int, eps: float,
+                psi_warn: float) -> DataFrame:
+    """Shared PSI tail: join per-(grp, bucket) counts over the
+    materialized group×bucket grid, eps-clamp, sum the terms, mask
+    psi NULL (drifted TRUE) for cohorts missing a side.  Inputs are
+    POST-AGGREGATE frames — (grp, bucket, __no) / (grp, bucket, __nn)
+    with bucket possibly NULL for rows of a cohort that had no
+    cutpoints (appearing cohort) — so group discovery and totals come
+    from these tiny frames, never another raw scan.  One definition
+    serves the two-frame monitor and the standing-baseline scorer:
+    their pinned equality holds by construction."""
+    spark = bucketed_old.sparkSession
+    grps = (bucketed_old.select("grp")
+            .unionByName(bucketed_new.select("grp")).distinct())
+    # totals BEFORE the grid join: NULL-bucket rows (a cohort with no
+    # baseline cutpoints) still count toward n_old/n_new — dropping
+    # them reported an appearing flood as n_new=0 (r10 review catch)
+    tot = (grps
+           .join(bucketed_old.groupBy("grp")
+                 .agg(F.sum("__no").alias("__to")), "grp", "left")
+           .join(bucketed_new.groupBy("grp")
+                 .agg(F.sum("__nn").alias("__tn")), "grp", "left")
+           .fillna(0, ["__to", "__tn"]))
+    buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    grid = grps.crossJoin(F.broadcast(buckets))
+    j = (grid.join(bucketed_old, ["grp", "bucket"], "left")
+         .join(bucketed_new, ["grp", "bucket"], "left")
+         .fillna(0, ["__no", "__nn"])
+         .join(F.broadcast(tot), "grp"))
+    of = F.greatest(F.try_divide(F.col("__no"), F.col("__to")),
+                    F.lit(float(eps)))
+    nf = F.greatest(F.try_divide(F.col("__nn"), F.col("__tn")),
+                    F.lit(float(eps)))
+    per = (j.groupBy("grp")
+           .agg(F.sum((nf - of) * F.log(nf / of)).alias("__psi"),
+                F.first("__to").alias("n_old"),
+                F.first("__tn").alias("n_new")))
+    psi = F.when((F.col("n_old") > 0) & (F.col("n_new") > 0),
+                 F.round(F.col("__psi"), 6))
+    drifted = F.coalesce(psi > F.lit(float(psi_warn)), F.lit(True))
+    return (per.select("grp", psi.alias("psi"),
+                       drifted.alias("drifted"),
+                       F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                       F.coalesce("n_new", F.lit(0)).alias("n_new"))
+            .orderBy("grp"))
+
+
 def distribution_drift_psi_by_group(old: DataFrame, new: DataFrame,
                                     group_col: str, value_col: str,
                                     n_buckets: int = 10,
@@ -663,12 +728,15 @@ def distribution_drift_psi_by_group(old: DataFrame, new: DataFrame,
 
     Returns one row per group present on EITHER side: (grp, psi
     rounded 6, drifted = psi > ``psi_warn``, plus n_old/n_new row
-    counts — a cohort that appears or vanishes outright reports
-    psi NULL with drifted TRUE, the schema-drift analog).  Cost: one
-    percentile aggregate over the baseline, one bucket-count
-    aggregate per side (cutpoints joined back by group — a broadcast
-    of G rows), never a per-cohort re-scan.  NULL group labels
-    report as '<NULL>' via the family's sentinel guard.
+    counts — a cohort that appears or vanishes outright reports psi
+    NULL with drifted TRUE and its REAL row count on the side it
+    exists, the schema-drift analog).  Cost: one percentile aggregate
+    over the baseline and one bucket-count aggregate per side
+    (cutpoints joined back by group — a broadcast of G rows; an
+    appearing cohort's rows bucket to NULL and still count); group
+    discovery and totals come from the post-aggregate frames, never
+    an extra raw scan.  NULL group labels report as '<NULL>' via the
+    family's sentinel guard.
     """
     qs = [i / n_buckets for i in range(1, n_buckets)]
     g = _sentinel_guarded_group(group_col)
@@ -677,47 +745,19 @@ def distribution_drift_psi_by_group(old: DataFrame, new: DataFrame,
                    .alias(f"__c{i}") for i, q in enumerate(qs)]))
 
     def bucketed(df, n_name):
-        idx = None
-        for i in range(len(qs)):
-            term = (F.col("__val") > F.col(f"__c{i}")).cast("int")
-            idx = term if idx is None else idx + term
+        # LEFT join: a cohort with no baseline cutpoints (appearing)
+        # buckets to NULL but its rows still flow into the totals
         return (df.select(g.alias("grp"),
                           F.col(value_col).cast("double")
                           .alias("__val"))
-                .join(F.broadcast(cuts), "grp")
-                .groupBy("grp", idx.alias("bucket"))
+                .join(F.broadcast(cuts), "grp", "left")
+                .groupBy("grp",
+                         _bucket_index(F.col("__val"), len(qs))
+                         .alias("bucket"))
                 .agg(F.count("*").alias(n_name)))
 
-    buckets = old.sparkSession.range(n_buckets).select(
-        F.col("id").cast("int").alias("bucket"))
-    grps = (cuts.select("grp").unionByName(
-        new.select(g.alias("grp"))).distinct())
-    grid = grps.crossJoin(F.broadcast(buckets))
-    j = (grid.join(bucketed(old, "__no"), ["grp", "bucket"], "left")
-         .join(bucketed(new, "__nn"), ["grp", "bucket"], "left")
-         .fillna(0, ["__no", "__nn"]))
-    tot = j.groupBy("grp").agg(F.sum("__no").alias("__to"),
-                               F.sum("__nn").alias("__tn"))
-    j = j.join(F.broadcast(tot), "grp")
-    # try_divide: a cohort absent from one side has total 0 — its psi
-    # is reported NULL below, but the per-bucket arithmetic must not
-    # raise under ANSI division-by-zero on the way there
-    of = F.greatest(F.try_divide(F.col("__no"), F.col("__to")),
-                    F.lit(float(eps)))
-    nf = F.greatest(F.try_divide(F.col("__nn"), F.col("__tn")),
-                    F.lit(float(eps)))
-    per = (j.groupBy("grp")
-           .agg(F.sum((nf - of) * F.log(nf / of)).alias("__psi"),
-                F.first("__to").alias("n_old"),
-                F.first("__tn").alias("n_new")))
-    psi = F.when((F.col("n_old") > 0) & (F.col("n_new") > 0),
-                 F.round(F.col("__psi"), 6))
-    drifted = F.coalesce(psi > F.lit(float(psi_warn)), F.lit(True))
-    return (per.select("grp", psi.alias("psi"),
-                       drifted.alias("drifted"),
-                       F.coalesce("n_old", F.lit(0)).alias("n_old"),
-                       F.coalesce("n_new", F.lit(0)).alias("n_new"))
-            .orderBy("grp"))
+    return _psi_report(bucketed(old, "__no"), bucketed(new, "__nn"),
+                       n_buckets, eps, psi_warn)
 
 
 def write_psi_baseline(df: DataFrame, path: str, value_col: str,
@@ -732,21 +772,21 @@ def write_psi_baseline(df: DataFrame, path: str, value_col: str,
     :func:`psi_against_baseline` without the baseline data ever
     being re-scanned — the same standing-artifact discipline as the
     dedup gram / ANN IVF indexes.  Layout: one parquet of
-    (grp, c0..c{B-2}, n_0..n_{B-1}, n_rows)."""
+    (grp, c0..c{B-2}, n_0..n_{B-1}, group_col) — the grouping column
+    NAME rides in the artifact so a scorer invoked with a different
+    grouping fails fast instead of reporting every cohort as
+    appeared/vanished."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     g = (_sentinel_guarded_group(group_col) if group_col is not None
          else F.lit("__ALL__"))
     cuts = (df.groupBy(g.alias("grp"))
             .agg(*[F.expr(f"round(percentile({value_col}, {q}), 4)")
-                   .alias(f"c{i}") for i, q in enumerate(qs)]))
-    v = F.col(value_col).cast("double")
-    idx = None
-    for i in range(len(qs)):
-        term = (v > F.col(f"c{i}")).cast("int")
-        idx = term if idx is None else idx + term
-    masses = (df.select(g.alias("grp"), v.alias(value_col))
+                   .alias(f"__c{i}") for i, q in enumerate(qs)]))
+    masses = (df.select(g.alias("grp"),
+                        F.col(value_col).cast("double").alias("__val"))
               .join(F.broadcast(cuts), "grp")
-              .groupBy("grp", idx.alias("bucket"))
+              .groupBy("grp", _bucket_index(F.col("__val"), len(qs))
+                       .alias("bucket"))
               .agg(F.count("*").alias("n")))
     pivot = (masses.groupBy("grp")
              .pivot("bucket", list(range(n_buckets)))
@@ -755,12 +795,10 @@ def write_psi_baseline(df: DataFrame, path: str, value_col: str,
     for b in range(n_buckets):
         pivot = pivot.withColumnRenamed(str(b), f"n_{b}")
     out = cuts.join(pivot, "grp")
-    total = None
-    for b in range(n_buckets):
-        c = F.col(f"n_{b}")
-        total = c if total is None else total + c
-    out.withColumn("n_rows", total) \
-       .write.mode("overwrite").parquet(path)
+    for i in range(len(qs)):
+        out = out.withColumnRenamed(f"__c{i}", f"c{i}")
+    (out.withColumn("group_col", F.lit(group_col or "__NONE__"))
+        .write.mode("overwrite").parquet(path))
 
 
 def psi_against_baseline(spark, path: str, new: DataFrame,
@@ -771,56 +809,39 @@ def psi_against_baseline(spark, path: str, new: DataFrame,
     """Score a new batch against a standing PSI baseline
     (:func:`write_psi_baseline`): the baseline side costs a KB-table
     read — its raw data is NEVER re-scanned — and the batch side is
-    one bucket-count aggregate.  Output schema matches
-    :func:`distribution_drift_psi_by_group` (grp, psi, drifted,
-    n_old, n_new), and on identical inputs the two forms agree
-    exactly (pinned by test)."""
+    one bucket-count aggregate (group discovery rides the aggregate's
+    output, not a second scan).  Output schema matches
+    :func:`distribution_drift_psi_by_group` and on identical inputs
+    the two forms agree exactly (pinned by test; they share the
+    bucketing and report helpers, so the equality holds by
+    construction).  A ``group_col`` that differs from the one the
+    baseline was written with raises instead of silently reporting
+    every cohort as appeared/vanished."""
     base = spark.read.parquet(path)
+    stored = base.select("group_col").head()[0]
+    asked = group_col or "__NONE__"
+    if stored != asked:
+        raise ValueError(
+            f"baseline at {path} was written with "
+            f"group_col={stored!r}; scorer asked for {asked!r}")
     qcols = sorted((c for c in base.columns if c.startswith("c")
                     and c[1:].isdigit()), key=lambda c: int(c[1:]))
     ncols = sorted((c for c in base.columns if c.startswith("n_")
                     and c[2:].isdigit()), key=lambda c: int(c[2:]))
     n_buckets = len(ncols)
+    cuts = base.select(
+        "grp", *[F.col(qcols[i]).alias(f"__c{i}")
+                 for i in range(len(qcols))])
     g = (_sentinel_guarded_group(group_col) if group_col is not None
          else F.lit("__ALL__"))
-    v = F.col(value_col).cast("double")
-    idx = None
-    for i in range(len(qcols)):
-        term = (v > F.col(qcols[i])).cast("int")
-        idx = term if idx is None else idx + term
-    nb = (new.select(g.alias("grp"), v.alias(value_col))
-          .join(F.broadcast(base.select("grp", *qcols)), "grp")
-          .groupBy("grp", idx.alias("bucket"))
+    nb = (new.select(g.alias("grp"),
+                     F.col(value_col).cast("double").alias("__val"))
+          .join(F.broadcast(cuts), "grp", "left")
+          .groupBy("grp", _bucket_index(F.col("__val"), len(qcols))
+                   .alias("bucket"))
           .agg(F.count("*").alias("__nn")))
-    # long-form the baseline masses and full-outer with batch groups
     stack = ", ".join(f"{b}, CAST(n_{b} AS BIGINT)"
                       for b in range(n_buckets))
     old_long = base.selectExpr(
         "grp", f"stack({n_buckets}, {stack}) AS (bucket, __no)")
-    buckets = spark.range(n_buckets).select(
-        F.col("id").cast("int").alias("bucket"))
-    grps = (base.select("grp")
-            .unionByName(new.select(g.alias("grp"))).distinct())
-    grid = grps.crossJoin(F.broadcast(buckets))
-    j = (grid.join(old_long, ["grp", "bucket"], "left")
-         .join(nb, ["grp", "bucket"], "left")
-         .fillna(0, ["__no", "__nn"]))
-    tot = j.groupBy("grp").agg(F.sum("__no").alias("__to"),
-                               F.sum("__nn").alias("__tn"))
-    j = j.join(F.broadcast(tot), "grp")
-    of = F.greatest(F.try_divide(F.col("__no"), F.col("__to")),
-                    F.lit(float(eps)))
-    nf = F.greatest(F.try_divide(F.col("__nn"), F.col("__tn")),
-                    F.lit(float(eps)))
-    per = (j.groupBy("grp")
-           .agg(F.sum((nf - of) * F.log(nf / of)).alias("__psi"),
-                F.first("__to").alias("n_old"),
-                F.first("__tn").alias("n_new")))
-    psi = F.when((F.col("n_old") > 0) & (F.col("n_new") > 0),
-                 F.round(F.col("__psi"), 6))
-    drifted = F.coalesce(psi > F.lit(float(psi_warn)), F.lit(True))
-    return (per.select("grp", psi.alias("psi"),
-                       drifted.alias("drifted"),
-                       F.coalesce("n_old", F.lit(0)).alias("n_old"),
-                       F.coalesce("n_new", F.lit(0)).alias("n_new"))
-            .orderBy("grp"))
+    return _psi_report(old_long, nb, n_buckets, eps, psi_warn)

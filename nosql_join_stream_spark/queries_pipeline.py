@@ -6063,9 +6063,8 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value")
 
 
-@register(
-    "drift_psi_by_source",
-    """
+
+_PSI_BY_GROUP_ORACLE = """
     WITH old_v AS (SELECT event_type AS grp, value AS v FROM events
                    WHERE event_id % 2 = 0),
     new_v AS (SELECT event_type AS grp, value AS v FROM events
@@ -6119,7 +6118,11 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(tot_o) AS BIGINT) AS n_old,
            CAST(MIN(tot_n) AS BIGINT) AS n_new
     FROM terms GROUP BY grp ORDER BY grp
-    """,
+    """
+
+@register(
+    "drift_psi_by_source",
+    _PSI_BY_GROUP_ORACLE,
     doc="Per-cohort PSI drift report "
         "(expectations.distribution_drift_psi_by_group): each event "
         "type's value distribution in the odd-id half scored against "
@@ -6146,61 +6149,7 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "drift_psi_standing",
-    """
-    WITH old_v AS (SELECT event_type AS grp, value AS v FROM events
-                   WHERE event_id % 2 = 0),
-    new_v AS (SELECT event_type AS grp, value AS v FROM events
-              WHERE event_id % 2 = 1),
-    cuts AS (SELECT grp,
-      ROUND(quantile_cont(v, 0.1), 4) AS c0,
-      ROUND(quantile_cont(v, 0.2), 4) AS c1,
-      ROUND(quantile_cont(v, 0.3), 4) AS c2,
-      ROUND(quantile_cont(v, 0.4), 4) AS c3,
-      ROUND(quantile_cont(v, 0.5), 4) AS c4,
-      ROUND(quantile_cont(v, 0.6), 4) AS c5,
-      ROUND(quantile_cont(v, 0.7), 4) AS c6,
-      ROUND(quantile_cont(v, 0.8), 4) AS c7,
-      ROUND(quantile_cont(v, 0.9), 4) AS c8
-      FROM old_v GROUP BY grp),
-    ob AS (SELECT o.grp,
-             CAST((v > c0) AS INT) + CAST((v > c1) AS INT)
-           + CAST((v > c2) AS INT) + CAST((v > c3) AS INT)
-           + CAST((v > c4) AS INT) + CAST((v > c5) AS INT)
-           + CAST((v > c6) AS INT) + CAST((v > c7) AS INT)
-           + CAST((v > c8) AS INT) AS bucket, COUNT(*) AS n
-           FROM old_v o JOIN cuts USING (grp) GROUP BY o.grp, bucket),
-    nb AS (SELECT o.grp,
-             CAST((v > c0) AS INT) + CAST((v > c1) AS INT)
-           + CAST((v > c2) AS INT) + CAST((v > c3) AS INT)
-           + CAST((v > c4) AS INT) + CAST((v > c5) AS INT)
-           + CAST((v > c6) AS INT) + CAST((v > c7) AS INT)
-           + CAST((v > c8) AS INT) AS bucket, COUNT(*) AS n
-           FROM new_v o JOIN cuts USING (grp) GROUP BY o.grp, bucket),
-    grid AS (SELECT g.grp, CAST(b.range AS INT) AS bucket
-             FROM (SELECT DISTINCT grp FROM old_v
-                   UNION SELECT DISTINCT grp FROM new_v) g,
-                  range(0, 10) b),
-    j AS (SELECT grid.grp, grid.bucket,
-                 COALESCE(ob.n, 0) AS no, COALESCE(nb.n, 0) AS nn
-          FROM grid LEFT JOIN ob ON grid.grp = ob.grp
-                                AND grid.bucket = ob.bucket
-                    LEFT JOIN nb ON grid.grp = nb.grp
-                                AND grid.bucket = nb.bucket),
-    t AS (SELECT grp, SUM(no) AS tot_o, SUM(nn) AS tot_n
-          FROM j GROUP BY grp),
-    terms AS (SELECT j.grp,
-        (GREATEST(nn * 1.0 / tot_n, 0.0001)
-         - GREATEST(no * 1.0 / tot_o, 0.0001))
-        * LN(GREATEST(nn * 1.0 / tot_n, 0.0001)
-             / GREATEST(no * 1.0 / tot_o, 0.0001)) AS term,
-        tot_o, tot_n
-      FROM j JOIN t ON j.grp = t.grp)
-    SELECT grp, ROUND(SUM(term), 6) AS psi,
-           ROUND(SUM(term), 6) > 0.2 AS drifted,
-           CAST(MIN(tot_o) AS BIGINT) AS n_old,
-           CAST(MIN(tot_n) AS BIGINT) AS n_new
-    FROM terms GROUP BY grp ORDER BY grp
-    """,
+    _PSI_BY_GROUP_ORACLE,
     doc="Standing PSI baseline lifecycle (expectations."
         "write_psi_baseline / psi_against_baseline): the even-id "
         "half's per-cohort deciles + bucket masses materialize ONCE "

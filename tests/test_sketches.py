@@ -354,6 +354,11 @@ class TestDistributionDriftPsiByGroup:
         assert out["gone"]["psi"] is None and out["gone"]["drifted"]
         assert out["fresh"]["psi"] is None and out["fresh"]["drifted"]
         assert out["gone"]["n_new"] == 0 and out["fresh"]["n_old"] == 0
+        # an appearing cohort's REAL volume must be reported — the
+        # first cut inner-joined the cuts and counted a flood as 0
+        # (r10 review catch)
+        assert out["fresh"]["n_new"] == 50
+        assert out["gone"]["n_old"] == 50
         assert not out["stays"]["drifted"]
 
 
@@ -397,3 +402,37 @@ class TestStandingPsiBaseline:
             [(float(i % 50) + 500.0,) for i in range(500)], "v double")
         out = psi_against_baseline(spark, path, shifted, "v").collect()
         assert out[0]["drifted"] and out[0]["psi"] > 0.2
+
+
+def test_psi_baseline_group_mismatch_raises(spark, tmp_path):
+    """A scorer invoked with a different grouping than the artifact
+    was written with must fail fast — the first cut silently reported
+    every cohort as appeared/vanished (r10 review catch)."""
+    from nosql_join_stream_spark.operators.expectations import (
+        psi_against_baseline, write_psi_baseline)
+    df = spark.createDataFrame(
+        [("a", float(i % 20)) for i in range(100)],
+        "src string, v double")
+    path = str(tmp_path / "b3")
+    write_psi_baseline(df, path, "v")  # ungrouped
+    with pytest.raises(ValueError, match="group_col"):
+        psi_against_baseline(spark, path, df, "v", group_col="src")
+
+
+def test_psi_baseline_appearing_cohort_counts(spark, tmp_path):
+    from nosql_join_stream_spark.operators.expectations import (
+        psi_against_baseline, write_psi_baseline)
+    old = spark.createDataFrame(
+        [("a", float(i % 20)) for i in range(100)],
+        "src string, v double")
+    new = spark.createDataFrame(
+        [("a", float(i % 20)) for i in range(100)]
+        + [("c", float(i)) for i in range(77)],
+        "src string, v double")
+    path = str(tmp_path / "b4")
+    write_psi_baseline(old, path, "v", group_col="src")
+    out = {r["grp"]: r for r in psi_against_baseline(
+        spark, path, new, "v", group_col="src").collect()}
+    assert out["c"]["psi"] is None and out["c"]["drifted"]
+    assert out["c"]["n_new"] == 77 and out["c"]["n_old"] == 0
+    assert not out["a"]["drifted"] and out["a"]["n_new"] == 100
