@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto emblinalg jlann sketchq
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto emblinalg jlann sketchq psib
 """
 
 from __future__ import annotations
@@ -698,6 +698,45 @@ def main() -> None:
                     abs(est - exact), 4)
             finally:
                 shutil.rmtree(skdir, ignore_errors=True)
+
+        if "psib" in OPS:
+            # standing PSI baseline (r10): the BASELINE side grows
+            # with factor; the batch is fixed.  Scoring against the
+            # standing KB artifact must stay FLAT (its input is the
+            # artifact + the batch, never the baseline raw data),
+            # while the direct two-frame form re-scans the grown
+            # baseline every question (grows).  write cost is the
+            # one-time linear pass.
+            import shutil
+            import tempfile
+            from nosql_join_stream_spark.operators.expectations import (
+                distribution_drift_psi_by_group, psi_against_baseline,
+                write_psi_baseline)
+            ev_ = spark.read.parquet(f"{SF_DIR}/events.parquet")
+            copies_ = spark.range(factor).select(
+                F.col("id").alias("__c"))
+            base_df = ev_.crossJoin(copies_)
+            batch = ev_.limit(5000)
+            bdir = tempfile.mkdtemp(prefix="nsjs_psib_")
+            try:
+                t0 = time.perf_counter()
+                write_psi_baseline(base_df, bdir, "value",
+                                   group_col="event_type")
+                results["psib_write_s"] = round(
+                    time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                results["psib_rows"] = psi_against_baseline(
+                    spark, bdir, batch, "value",
+                    group_col="event_type").count()
+                results["psib_score_s"] = round(
+                    time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                distribution_drift_psi_by_group(
+                    base_df, batch, "event_type", "value").count()
+                results["psib_direct_s"] = round(
+                    time.perf_counter() - t0, 2)
+            finally:
+                shutil.rmtree(bdir, ignore_errors=True)
 
         if "saltauto" in OPS:
             # salted_join num_salts="auto" vs the old blind 16: the
