@@ -1501,10 +1501,14 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchors don't exercise.  Catalyst decorrelates it into a "
         "per-partkey aggregate joined back to the fact (exactly the "
         "DataFrame form below): the qualifier aggregate shuffles on "
-        "l_partkey once, broadcasts its ~200-row Brand#4 slice, and "
-        "the brand filter reaches both the part scan and — through "
-        "the join — prunes the aggregate's probe side.  The "
-        "reference's shape for this is N+1 scalar innerQ calls "
+        "l_partkey once, and the brand filter reaches both the part "
+        "scan and — through the join — prunes the aggregate's probe "
+        "side.  No explicit broadcast hints: part and the per-partkey "
+        "threshold both grow linearly with scale, so join strategy is "
+        "left to autoBroadcastJoinThreshold/AQE, which picks BHJ at "
+        "small sf and degrades gracefully to shuffle at 100× instead "
+        "of pinning an OOM-bound broadcast (r10 VERDICT lead #2).  "
+        "The reference's shape for this is N+1 scalar innerQ calls "
         "(join/package.scala:72-76); here it is one pass.",
 )
 def tpch_q17_small_quantity(spark: SparkSession,
@@ -1515,12 +1519,10 @@ def tpch_q17_small_quantity(spark: SparkSession,
          .select("p_partkey")
     thresh = (li.groupBy(F.col("l_partkey").alias("__pk"))
               .agg((F.lit(0.2) * F.avg("l_quantity")).alias("__lim")))
-    return (li.join(F.broadcast(p),
-                    F.col("p_partkey") == F.col("l_partkey"))
-            .join(F.broadcast(thresh.join(
-                F.broadcast(p), F.col("__pk") == F.col("p_partkey"))
-                .select("__pk", "__lim")),
-                F.col("l_partkey") == F.col("__pk"))
+    return (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .join(thresh.join(p, F.col("__pk") == F.col("p_partkey"))
+                  .select("__pk", "__lim"),
+                  F.col("l_partkey") == F.col("__pk"))
             .filter(F.col("l_quantity") < F.col("__lim"))
             .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
                  .alias("avg_yearly"),
@@ -1556,12 +1558,15 @@ def tpch_q17_small_quantity(spark: SparkSession,
         "tree in the anchor set — the lineitem fact against SIX "
         "dimension scans, with nation playing TWO roles (customer "
         "side, region-restricted; supplier side, the share "
-        "numerator).  Every dimension broadcasts (part/customer/"
-        "nation/region/supplier are all sub-threshold), so the plan "
-        "is one fact scan with a broadcast-hash-join chain and a "
-        "single map-side-combinable aggregate — at 100 TB the only "
-        "full-data movement is the 2-row-per-year exchange.  Both "
-        "date bounds and the type filter reach the scans.",
+        "numerator).  Only the FIXED-cardinality dimensions carry "
+        "broadcast hints (nation=25 rows, region=5 at every sf); "
+        "part/customer/supplier grow linearly with scale, so their "
+        "join strategy is left to autoBroadcastJoinThreshold/AQE — "
+        "BHJ at small sf, graceful shuffle at 100× instead of a "
+        "pinned-plan OOM (r10 VERDICT lead #2).  The aggregate is "
+        "map-side-combinable, so the only guaranteed full-data "
+        "movement is the 2-row-per-year exchange.  Both date bounds "
+        "and the type filter reach the scans.",
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
@@ -1585,17 +1590,14 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"),
         F.col("n_name").alias("supp_nation"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = (li.join(F.broadcast(p),
-                      F.col("p_partkey") == F.col("l_partkey"))
+    joined = (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
               .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-              .join(F.broadcast(c),
-                    F.col("c_custkey") == F.col("o_custkey"))
+              .join(c, F.col("c_custkey") == F.col("o_custkey"))
               .join(F.broadcast(cn),
                     F.col("cn_key") == F.col("c_nationkey"))
               .join(F.broadcast(r),
                     F.col("r_regionkey") == F.col("cn_region"))
-              .join(F.broadcast(s),
-                    F.col("s_suppkey") == F.col("l_suppkey"))
+              .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
               .join(F.broadcast(sn),
                     F.col("sn_key") == F.col("s_nationkey")))
     return (joined
