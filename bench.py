@@ -6,6 +6,35 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully materialized JVM-side via the noop sink (no
 driver-side collect, no Python row serde) so we time the real plan:
 scan → filter/join/agg → project.
+
+Three timed passes, explicitly labeled (r10 VERDICT lead #3 — cold
+numbers leaking into the headline read as an 8× phantom regression):
+
+- COLD   (``queries_cold``): first run of each query.  Includes plan/
+  codegen compilation, Python-worker spin-up, and — for the standing-
+  artifact queries — the ONE-TIME index/label/snapshot
+  materialization that repeat invocations never pay.
+- WARM:  second run, immediately after, same loop iteration.
+- LOADED (``queries_loaded``): one more run of every query AFTER the
+  whole registry has executed, when JIT/codegen warm-up is at its
+  deepest (scale-probe r22 protocol).  Compare THESE numbers round
+  over round.
+
+The headline ``queries``/``value`` report steady state =
+min(warm, loaded).  ``standing_build`` is its own line item: for the
+queries with a build-once-per-process artifact gate, cold − warm is
+exactly that one-time materialization (plus that query's share of
+codegen warm-up — labeled, not hidden in a per-query number).
+
+The driver keeps only a ~2000-char tail of stdout, so the full
+207-query dicts can never ride the final line (BENCH_r{1,2,3}.json
+all recorded parsed=null from an overflowing tail).  The FULL
+artifact — cold/warm/loaded for ALL queries — is therefore written to
+``BENCH_full.json`` at the repo root (committed per round; git
+history keeps the round-over-round record), and the final stdout line
+is a compact summary carrying totals, group subtotals, the 10 slowest
+queries (cold AND loaded), the standing-build line item, and a
+``full_artifact`` pointer.
 """
 
 from __future__ import annotations
@@ -19,6 +48,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FULL_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json")
+
+# Queries with a build-once-per-process standing artifact (tableExists /
+# isdir / snapshot-exists gate inside the query fn): their COLD run
+# materializes the artifact, every later run is the pure daily-job cost.
+STANDING_BUILD = {
+    "dedup_index_delete_probe",      # standing MinHash band index
+    "stream_minhash_dedup_ingest",   # standing MinHash band index
+    "ann_ivf_partitioned",           # standing cell-partitioned IVF
+    "ann_ivf_append_probe",          # standing IVF + append log
+    "ann_ivf_filtered",              # standing IVF with metadata
+    "stream_ann_probe",              # standing IVF, streaming probe
+    "multimodal_incremental_chunks",  # standing media chunk index
+    "dedup_resolve_incremental",     # standing CC label table
+    "cdc_upsert_snapshot",           # initial keyed snapshot version
+}
 
 
 def main():
@@ -30,32 +76,25 @@ def main():
     REGISTRY["join_fk_inner"].fn(spark, SF_DIR).write.format("noop") \
         .mode("overwrite").save()
 
-    # each query runs twice: the first run pays one-time plan/codegen
-    # compilation and Python-worker spin-up, the second is the
-    # steady-state cost a real deployment sees.  "queries"/"value"
-    # report steady-state; "cold_total" records the first-run total.
-    timings: dict[str, float] = {}
-    cold_total = 0.0
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, qd in REGISTRY.items():
         t0 = time.perf_counter()
         qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        cold = time.perf_counter() - t0
-        cold_total += cold
+        cold[name] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(min(cold, time.perf_counter() - t0), 4)
+        warm[name] = round(time.perf_counter() - t0, 4)
 
-    # LOADED pass (scale-probe r22 protocol): one more run of every
-    # query AFTER the whole registry has executed, when JIT/codegen
-    # warm-up is at its deepest (~17% faster than the interleaved warm
-    # runs, measured).  Cross-round deltas in `queries` mix plan
-    # changes with warm-up depth; `queries_loaded` separates them by
-    # construction — compare THESE numbers round over round.
     loaded: dict[str, float] = {}
     for name, qd in REGISTRY.items():
         t0 = time.perf_counter()
         qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         loaded[name] = round(time.perf_counter() - t0, 4)
+
+    timings = {n: round(min(warm[n], loaded[n]), 4) for n in cold}
+    standing_build = {n: round(max(cold[n] - warm[n], 0.0), 4)
+                      for n in sorted(STANDING_BUILD) if n in cold}
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -78,19 +117,22 @@ def main():
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
+        "queries_warm": warm,
         "queries_loaded": loaded,
+        "standing_build": standing_build,
+        "standing_build_total": round(sum(standing_build.values()), 4),
         "sf": sf,
-        "cold_total": round(cold_total, 4),
+        "cold_total": round(sum(cold.values()), 4),
         "loaded_total": round(sum(loaded.values()), 4),
         "groups": groups,
         "n_queries": len(timings),
     }
-    # Full per-query JSON first (local archaeology / diffing), then a
-    # COMPACT summary as the FINAL stdout line: the driver keeps a
-    # bounded tail of stdout, and the full 122-query line overflows it
-    # (BENCH_r{1,2,3}.json all recorded parsed=null with a truncated
-    # tail).  The final line carries totals + group subtotals + the 10
-    # slowest queries and stays well under any sane tail window.
+    with open(FULL_ARTIFACT, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    # Full per-query JSON first (local archaeology / diffing), then the
+    # COMPACT summary as the FINAL stdout line (driver tail budget).
     print(json.dumps(out))
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     compact = {
@@ -99,7 +141,10 @@ def main():
         "unit": "sec",
         "queries": slowest,
         "queries_truncated_to_slowest": 10,
+        "queries_cold": {n: cold[n] for n in slowest},
         "queries_loaded": {n: loaded[n] for n in slowest},
+        "standing_build_total": out["standing_build_total"],
+        "full_artifact": "BENCH_full.json",
         "sf": sf,
         "cold_total": out["cold_total"],
         "loaded_total": out["loaded_total"],

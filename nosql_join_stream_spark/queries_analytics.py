@@ -1610,3 +1610,182 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.sum("volume"), 6).alias("mkt_share"),
                  F.count("*").alias("n_lines"))
             .orderBy("o_year"))
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE l1.late
+      AND n.n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM l1 l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    doc="TPC-H Q21 analog (suppliers who kept orders waiting): the "
+        "MULTI-EXISTS planner shape — a positive AND a negative "
+        "correlated EXISTS against the same derived fact, the one "
+        "correlation pattern the other anchors don't exercise.  The "
+        "reference's per-record innerQ (join/package.scala:72-76) "
+        "generalizes here to TWO inner queries per record, one "
+        "negated; on Spark each decorrelates to a hash semi/anti "
+        "self-join on l_orderkey (the supplier inequality rides the "
+        "join as a residual predicate — still hash, never BNLJ).  "
+        "TESTDATA has no commit/receipt dates, so 'kept waiting' is "
+        "shipped >60 days after order date; same plan shape.  The "
+        "status filter reaches the orders scan; the fact derives "
+        "once per side from the same pruned 3-column scan, and the "
+        "supplier/nation probe side is left to AQE (supplier is "
+        "scale-linear — no pinned broadcast, r10 VERDICT lead #2).",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    orders_f = (e.table("orders")
+                .filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"))
+    base = (e.table("lineitem")
+            .select("l_orderkey", "l_suppkey", "l_shipdate")
+            .join(orders_f, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select("l_orderkey", "l_suppkey",
+                    (F.col("l_shipdate")
+                     > F.col("o_orderdate")
+                     + F.expr("INTERVAL 60 DAYS")).alias("late")))
+    supp = (e.table("supplier")
+            .join(F.broadcast(e.table("nation")
+                              .filter(F.col("n_name") == "NATION_3")
+                              .select("n_nationkey")),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .select("s_suppkey", "s_name"))
+    probe = (base.filter(F.col("late"))
+             .join(supp, F.col("s_suppkey") == F.col("l_suppkey")))
+    other = base.select(F.col("l_orderkey").alias("o_k"),
+                        F.col("l_suppkey").alias("s_k"),
+                        F.col("late").alias("o_late"))
+    # EXISTS: some line on the order from a DIFFERENT supplier
+    probe = probe.join(
+        other,
+        (F.col("o_k") == F.col("l_orderkey"))
+        & (F.col("s_k") != F.col("l_suppkey")),
+        "left_semi")
+    # NOT EXISTS: no OTHER supplier was also late on that order
+    probe = probe.join(
+        other.filter(F.col("o_late")),
+        (F.col("o_k") == F.col("l_orderkey"))
+        & (F.col("s_k") != F.col("l_suppkey")),
+        "left_anti")
+    return (probe.groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name"))
+
+
+@register(
+    "tpch_q22_dormant_balance",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+    thresh AS (SELECT AVG(c_acctbal) AS a FROM pool WHERE c_acctbal > 0)
+    SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM pool, thresh
+    WHERE c_acctbal > thresh.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = pool.c_custkey
+                        AND o.o_orderdate
+                            >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY cntry
+    ORDER BY cntry
+    """,
+    doc="TPC-H Q22 analog (global sales opportunity): the NOT-IN + "
+        "scalar-average planner shape — a single-row aggregate "
+        "threshold attached to a filtered dimension, then an ANTI "
+        "join against the fact.  TESTDATA carries no c_phone, so the "
+        "country-code substring becomes the nation-key pool, and "
+        "'never ordered' (every customer here has orders) becomes "
+        "'dormant since 2000' — the date filter reaches the orders "
+        "scan, so the anti join probes only recent orders.  The "
+        "1-row threshold attaches via a broadcast (the standard "
+        "scalar-subquery BNLJ); the anti join is hash on o_custkey.  "
+        "Reference shape: a negated innerQ with a driver-side fold "
+        "for the average (join/package.scala:72-76, "
+        "AkkaJoinCassandraSpec.scala:75) — N+1 there, two scans here.",
+)
+def tpch_q22_dormant_balance(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    pool = (e.table("customer")
+            .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+            .select("c_custkey", "c_nationkey", "c_acctbal"))
+    thresh = (pool.filter(F.col("c_acctbal") > 0)
+              .agg(F.avg("c_acctbal").alias("__a")))
+    recent = (e.table("orders")
+              .filter(F.col("o_orderdate")
+                      >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+              .select("o_custkey"))
+    return (pool.join(F.broadcast(thresh))
+            .filter(F.col("c_acctbal") > F.col("__a"))
+            .join(recent, F.col("o_custkey") == F.col("c_custkey"),
+                  "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntry"))
+            .agg(F.count("*").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+            .orderBy("cntry"))
+
+
+@register(
+    "tpch_q13_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 analog (customer order-count distribution): the "
+        "LEFT-OUTER grouped-count shape — the join-side filter lives "
+        "in the ON clause (customers whose every order is urgent "
+        "must survive with c_count=0, so the filter cannot move to a "
+        "WHERE), then a double aggregate: per-customer order count, "
+        "then the histogram of those counts.  TESTDATA has no "
+        "o_comment, so Q13's NOT LIKE becomes a priority exclusion — "
+        "same plan: the priority filter pushes into the orders scan "
+        "(it is join-side-only, so pushing it preserves outer rows), "
+        "one shuffle on custkey shared by the join and the first "
+        "aggregate, then a near-free second shuffle on the ~20 "
+        "distinct counts.  COUNT(o_orderkey) not COUNT(*): unmatched "
+        "customers count 0, not 1.",
+)
+def tpch_q13_order_distribution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    c = e.table("customer").select("c_custkey")
+    o = (e.table("orders")
+         .filter(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per_cust = (c.join(o, F.col("o_custkey") == F.col("c_custkey"),
+                       "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))

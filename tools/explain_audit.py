@@ -50,6 +50,10 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             "text_collocations_pmi",
             # bigram LM attaches V (vocab size) via a 1-row broadcast
             "text_bigram_logprob",
+            # Q22 attaches the 1-row scalar-average threshold via a
+            # broadcast BNLJ (the standard scalar-subquery shape);
+            # the anti join itself is hash
+            "tpch_q22_dormant_balance",
             # NB classifier attaches class totals via a 1-row broadcast
             "text_nb_quality_llr",
             # __ALL__ row stitches two 1-row aggregates (exact total x
