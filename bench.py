@@ -64,6 +64,7 @@ STANDING_BUILD = {
     "multimodal_incremental_chunks",  # standing media chunk index
     "dedup_resolve_incremental",     # standing CC label table
     "cdc_upsert_snapshot",           # initial keyed snapshot version
+    "export_shard_written",          # one-time sharded corpus export
 }
 
 

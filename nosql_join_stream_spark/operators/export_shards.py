@@ -1,0 +1,142 @@
+"""Deterministic global shuffle → fixed-size shard export — the
+training-data handoff primitive (the dataloader contract).
+
+A training run wants the corpus as N equal-row shards in a SEEDED,
+reproducible global order: re-running the export byte-identically, on
+any engine, with no RNG state to ship.  The reference stops at sinks
+(SURVEY §2 S10 — Process/Observable writers, storage.scala:593-658);
+this is the beyond-reference export tier on top of them.
+
+Scale shape (the whole point):
+
+- The total order is a HASH order — ``sha2(seed || ':' || id)`` — so
+  the "shuffle" is stateless and replayable (same trick as
+  sampling.order_hash, seeded).
+- No global single-partition sort anywhere: positions come from the
+  two-pass dense index (range-partition by hash key + within-
+  partition ``row_number`` + a partitions-sized broadcast offset
+  table — combinators._with_pos's shape, with the corpus TOTAL riding
+  the same tiny broadcast so shard arithmetic adds zero passes).
+- Shard of a row = ``(pos * n_shards) DIV total`` in pure integer
+  arithmetic (no double rounding at 10^15 rows) — shard sizes differ
+  by at most 1, remainder rows spread evenly instead of front-loaded.
+- The writer hash-repartitions on the shard id, so every shard's rows
+  land in exactly ONE task → exactly one parquet file per
+  ``shard=K/`` directory, each internally sorted by the shuffle key —
+  a dataloader can stream shard K with zero further shuffling.
+- The manifest is driver-side but bounded by n_shards (never by
+  rows): shard → row count, plus the (seed, n_shards, total) triple a
+  consumer needs to verify the contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def seeded_order_hash(id_col: Column, seed: int) -> Column:
+    """60-bit seeded ordering hash: first 15 hex chars of
+    ``sha256(seed || ':' || id)``.  Identical formula in DuckDB
+    (``cast('0x' || substr(sha256(seed || ':' || id::varchar),1,15)
+    as bigint)``) so seeded orders replay bit-for-bit across engines;
+    different seeds give independent permutations (epoch reshuffles
+    without RNG state)."""
+    tagged = F.concat(F.lit(f"{seed}:"), id_col.cast("string"))
+    return F.conv(F.substring(F.sha2(tagged, 256), 1, 15),
+                  16, 10).cast("long")
+
+
+def assign_shards(df: DataFrame, id_col: str, n_shards: int,
+                  seed: int = 0, shard_col: str = "shard",
+                  key_col: str | None = None) -> DataFrame:
+    """df + ``shard_col`` (0..n_shards-1): the row's shard under the
+    seeded global shuffle.  Pure function of (id, seed, n_shards, the
+    corpus id-set) — no RNG, no timestamps, so two runs (or two
+    engines) agree row-for-row.
+
+    Equal sizes by construction: with 0-based hash-order position p
+    and corpus total t, ``shard = (p * n_shards) DIV t`` — every shard
+    gets floor(t/n) or ceil(t/n) rows.  Integer DIV, not float floor:
+    at 10^15 row-shard products a double mantissa already rounds.
+
+    One wide shuffle (the range partition); the offset/total side is
+    a partitions-sized aggregate that broadcasts.  If ``key_col`` is
+    given the 60-bit shuffle key survives in the output (the writer
+    sorts shards by it).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    kc = key_col or "__shuffle_key"
+    order = [kc, id_col]
+    d = (df.withColumn(kc, seeded_order_hash(F.col(id_col), seed))
+           .repartitionByRange(*[F.col(c) for c in order])
+           .sortWithinPartitions(*order)
+           .withColumn("__pid", F.spark_partition_id()))
+    w_in = Window.partitionBy("__pid").orderBy(*order)
+    d = d.withColumn("__rn", F.row_number().over(w_in))
+    # partitions-sized side: cumulative offsets AND the grand total
+    # ride one tiny broadcast — shard arithmetic costs no extra pass
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    offsets = (d.groupBy("__pid").agg(F.count("*").alias("__n"))
+               .withColumn("__off", F.coalesce(F.sum("__n").over(w_off),
+                                               F.lit(0)))
+               .withColumn("__total", F.sum("__n").over(w_all))
+               .select("__pid", "__off", "__total"))
+    d = (d.join(F.broadcast(offsets), "__pid")
+          .withColumn("__p0", F.col("__off") + F.col("__rn") - 1)
+          .withColumn(shard_col,
+                      F.expr(f"CAST((__p0 * {int(n_shards)}) DIV __total "
+                             f"AS INT)"))
+          .drop("__pid", "__rn", "__off", "__total", "__p0"))
+    return d if key_col else d.drop(kc)
+
+
+def write_shards(df: DataFrame, path: str, id_col: str, n_shards: int,
+                 seed: int = 0) -> dict:
+    """Export ``df`` as ``n_shards`` equal-row parquet shards under
+    ``path`` (hive layout ``shard=K/``), one file per shard, rows
+    inside each shard sorted by the seeded shuffle key — then write a
+    ``_MANIFEST.json`` a dataloader verifies against.  Returns the
+    manifest dict.
+
+    The repartition is BY SHARD ID, so each shard's rows coalesce
+    into one task → one file; the per-task sort keys on (shard, key)
+    so a task that happens to hold two shards (hash collision) still
+    writes each file internally ordered.  Deterministic end to end:
+    rerunning overwrites with identical shard membership and order.
+    """
+    kc = "__shuffle_key"
+    assigned = assign_shards(df, id_col, n_shards, seed=seed,
+                             key_col=kc)
+    (assigned
+     .repartition(n_shards, F.col("shard"))
+     .sortWithinPartitions("shard", kc, id_col)
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(path))
+    spark = df.sparkSession
+    rows = (spark.read.parquet(path)
+            .groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(F.count("*").alias("rows"))
+            .orderBy("shard").collect())  # bounded: n_shards rows
+    manifest = {
+        "format": "parquet/hive shard=K",
+        "seed": seed,
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "order": f"sha256('{seed}:' || {id_col}) first-15-hex, "
+                 f"ties on {id_col}",
+        "total_rows": int(sum(r["rows"] for r in rows)),
+        "shards": [{"shard": int(r["shard"]), "rows": int(r["rows"])}
+                   for r in rows],
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return manifest

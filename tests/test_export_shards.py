@@ -1,0 +1,99 @@
+"""Deterministic shard export (operators/export_shards.py): the
+dataloader contract — equal sizes, seeded determinism, cross-run
+stability, one sorted file per shard, manifest fidelity, and the
+no-single-partition-sort plan shape."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nosql_join_stream_spark.operators import export_shards
+
+N = 16
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def docs(engine):
+    return engine.table("documents").select("doc_id")
+
+
+def test_shard_sizes_equal_within_one(docs):
+    sizes = (export_shards.assign_shards(docs, "doc_id", N, seed=SEED)
+             .groupBy("shard").count().collect())
+    assert len(sizes) == N
+    assert {r["shard"] for r in sizes} == set(range(N))
+    counts = [r["count"] for r in sizes]
+    assert max(counts) - min(counts) <= 1
+
+
+def test_assignment_is_pure_hash_of_id_and_seed(docs):
+    a = export_shards.assign_shards(docs, "doc_id", N, seed=SEED)
+    b = export_shards.assign_shards(docs, "doc_id", N, seed=SEED)
+    diff = (a.alias("a").join(b.alias("b"), "doc_id")
+            .filter(F.col("a.shard") != F.col("b.shard")).count())
+    assert diff == 0
+    # a different seed is a genuinely different permutation
+    c = export_shards.assign_shards(docs, "doc_id", N, seed=SEED + 1)
+    moved = (a.alias("a").join(c.alias("c"), "doc_id")
+             .filter(F.col("a.shard") != F.col("c.shard")).count())
+    assert moved > 0
+
+
+def test_matches_reference_window_formula(docs, spark):
+    """The distributed two-pass index equals the single-window truth."""
+    from pyspark.sql import Window
+    got = export_shards.assign_shards(docs, "doc_id", N, seed=SEED)
+    key = export_shards.seeded_order_hash(F.col("doc_id"), SEED)
+    total = docs.count()
+    w = Window.orderBy(key, "doc_id")
+    want = (docs.withColumn("__rn", F.row_number().over(w))
+            .withColumn("shard_ref",
+                        F.expr(f"CAST(((__rn - 1) * {N}) DIV {total} "
+                               f"AS INT)")))
+    diff = (got.join(want.select("doc_id", "shard_ref"), "doc_id")
+            .filter(F.col("shard") != F.col("shard_ref")).count())
+    assert diff == 0
+
+
+def test_no_single_partition_exchange_on_the_row_side(docs):
+    """The corpus-sized side must never collapse to one partition —
+    the only SinglePartition structure allowed is the partitions-sized
+    offset table (rangepartitioning carries the big side)."""
+    plan = (export_shards.assign_shards(docs, "doc_id", N, seed=SEED)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_write_shards_layout_manifest_and_stability(docs, tmp_path):
+    path = str(tmp_path / "shards")
+    m1 = export_shards.write_shards(docs, path, "doc_id", N, seed=SEED)
+    assert m1["n_shards"] == N and m1["seed"] == SEED
+    assert sum(s["rows"] for s in m1["shards"]) == m1["total_rows"]
+    sizes = [s["rows"] for s in m1["shards"]]
+    assert max(sizes) - min(sizes) <= 1
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        assert json.load(fh) == m1
+    # exactly one data file per shard directory, internally sorted
+    spark = docs.sparkSession
+    for k in (0, N // 2, N - 1):
+        files = [f for f in glob.glob(os.path.join(path, f"shard={k}", "*"))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, f"shard {k}: {files}"
+        rows = spark.read.parquet(files[0]).collect()
+        keys = [r["__shuffle_key"] for r in rows]
+        assert keys == sorted(keys)
+        assert len(rows) == m1["shards"][k]["rows"]
+    # rerun overwrites with identical membership
+    m2 = export_shards.write_shards(docs, path, "doc_id", N, seed=SEED)
+    assert m2 == m1
+
+
+def test_n_shards_validation(docs):
+    with pytest.raises(ValueError):
+        export_shards.assign_shards(docs, "doc_id", 0)
