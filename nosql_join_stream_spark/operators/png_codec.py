@@ -27,10 +27,11 @@ unfilter as whole-row numpy ops; 1/3/4 fall back to a per-pixel loop
 
 r10 widens the real-pixel family to the OTHER struct-only raster
 formats: BMP (uncompressed 8/24/32-bit, bottom-up/top-down, palette)
-and binary Netpbm PGM/PPM — ``decode_gray_auto`` dispatches on magic
-bytes, every format shares the same fixed-point luma, and only
-genuinely-impossible-in-stdlib formats (JPEG) remain behind the PIL
-stub.
+and binary Netpbm PGM/PPM; r11 adds GIF (87a/89a, global/local color
+tables, interlace, the ~80-line public-spec LZW) — ``decode_gray_auto``
+dispatches on magic bytes, every format shares the same fixed-point
+luma, and only genuinely-impossible-in-stdlib formats (JPEG) remain
+behind the PIL stub.
 """
 
 from __future__ import annotations
@@ -391,20 +392,238 @@ def decode_pnm_gray(payload: bytes) -> np.ndarray:
     return _luma_rgb(px.reshape(height, width, 3))
 
 
+# --- GIF (r11): LZW is ~80 lines of public spec (GIF89a, CompuServe
+# 1990) — the last stdlib-feasible raster format, shrinking the PIL
+# stub surface to JPEG only -------------------------------------------
+
+def is_gif(payload: bytes) -> bool:
+    return payload[:6] in (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, limit: int) -> bytes:
+    """GIF-variant LZW: variable-width codes read LSB-first, CLEAR
+    resets the dictionary, codes cap at 12 bits.  Decodes at most
+    ``limit`` index bytes (a frame is width*height — data past that is
+    padding some encoders emit).  Pure stdlib, O(output)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"GIF: bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    while len(out) < limit:
+        while bits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF: LZW code {code} before any "
+                                 "output")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):        # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF: LZW code {code} out of range "
+                             f"(table size {len(table)})")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out[:limit])
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace row order
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-LZW encoder, the exact inverse pairing of
+    :func:`_lzw_decode` (width bump after registering code
+    2^width — the giflib convention)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, code_size)
+    w = b""
+    for b in indices:
+        wb = w + bytes([b])
+        if wb in table:
+            w = wb
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wb] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:                           # table full: reset (rare)
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gray_gif(a: np.ndarray) -> bytes:
+    """Encode a (height, width) uint8 array as a GIF89a with the
+    identity gray global color table (entry i = (i,i,i), luma exactly
+    i — like ``encode_gray_bmp``), so encode → decode is the
+    identity."""
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError(f"expected 2-D gray array, got shape {a.shape}")
+    h, w = a.shape
+    data = _lzw_encode(a.tobytes(), 8)
+    blocks = b"".join(bytes([len(data[i:i + 255])]) + data[i:i + 255]
+                      for i in range(0, len(data), 255)) + b"\x00"
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    return (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0x80 | 7, 0, 0]) + pal
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            + b"\x08" + blocks + b"\x3b")
+
+
+def decode_gif_gray(payload: bytes) -> np.ndarray:
+    """Decode GIF bytes to (height, width) uint8 grayscale — stdlib
+    only.  Supports global/local color tables, interlaced row order,
+    87a and 89a (extensions skipped); decodes the FIRST frame of an
+    animation.  Fails loudly on a first frame that doesn't cover the
+    logical screen (compositing partial frames is animation
+    territory, PIL's job where installed).  Transparency is ignored —
+    the transparent index decodes to its palette color, matching
+    PIL's ``convert('L')`` on a fresh frame."""
+    if not is_gif(payload):
+        raise ValueError("not a GIF (bad signature)")
+    if len(payload) < 14:
+        raise ValueError("GIF: truncated header")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:               # extension: skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:             # image descriptor
+            if pos + 11 > len(payload):
+                raise ValueError("GIF: truncated image descriptor")
+            left, top, fw, fh = struct.unpack_from("<HHHH", payload,
+                                                   pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            lct = None
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                if pos + 3 * n + 1 > len(payload):
+                    raise ValueError("GIF: truncated local color table")
+                lct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                                    offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if (left, top, fw, fh) != (0, 0, width, height):
+                raise NotImplementedError(
+                    f"GIF: first frame {fw}x{fh}@({left},{top}) does "
+                    f"not cover the {width}x{height} screen — partial-"
+                    "frame compositing unsupported without PIL")
+            table = lct if lct is not None else gct
+            if table is None:
+                raise ValueError("GIF: frame has no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decode(bytes(data), min_code_size, fw * fh),
+                dtype=np.uint8)
+            if idx.size < fw * fh:
+                raise ValueError(f"GIF: frame data truncated "
+                                 f"({idx.size} < {fw * fh} pixels)")
+            if idx.max(initial=0) >= len(table):
+                raise ValueError("GIF: pixel index outside color table")
+            a = idx.reshape(fh, fw)
+            if ipacked & 0x40:          # interlaced: reorder rows
+                d = np.empty_like(a)
+                src = 0
+                for start, step in _GIF_PASSES:
+                    rows = range(start, fh, step)
+                    d[list(rows)] = a[src:src + len(rows)]
+                    src += len(rows)
+                a = d
+            return _luma_rgb(table[a])
+        elif block == 0x3B:             # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+    raise ValueError("GIF: no image data")
+
+
 def decode_gray_auto(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes across every stdlib-decodable raster
-    format (PNG via zlib+struct, BMP and PGM/PPM via struct alone) —
+    format (PNG via zlib+struct, GIF via its ~80-line public-spec LZW,
+    BMP and PGM/PPM via struct alone) —
     the one entry point the multimodal decode/resize closures call.
     Anything else (JPEG has no honest stdlib decode) raises the
     documented NotImplementedError the PIL branch absorbs where PIL
     exists."""
     if is_png(payload):
         return decode_gray(payload)
+    if is_gif(payload):
+        return decode_gif_gray(payload)
     if is_bmp(payload):
         return decode_bmp_gray(payload)
     if is_pnm(payload):
         return decode_pnm_gray(payload)
     raise NotImplementedError(
-        "image decode without PIL supports PNG/BMP/PGM/PPM only "
+        "image decode without PIL supports PNG/GIF/BMP/PGM/PPM only "
         "(JPEG and friends require PIL/libvips, not in this "
         "environment)")

@@ -748,9 +748,10 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_mixed",
     """
     SELECT d.doc_id AS doc_id,
-           CASE d.doc_id % 3 WHEN 0 THEN 'image/png'
+           CASE d.doc_id % 4 WHEN 0 THEN 'image/png'
                              WHEN 1 THEN 'image/bmp'
-                             ELSE 'image/x-portable-graymap'
+                             WHEN 2 THEN 'image/x-portable-graymap'
+                             ELSE 'image/gif'
            END AS media_type,
            ROUND(AVG(CAST((d.doc_id * 7 + u.i) % 256 AS DOUBLE)), 6)
              AS mean_luma
@@ -759,16 +760,17 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
            AS u(i)
     GROUP BY d.doc_id
     """,
-    doc="Mixed-container REAL decode (r10 — the BMP/PGM stdlib "
-        "decoders beside the PNG codec): the SAME deterministic "
+    doc="Mixed-container REAL decode (r10; GIF added r11): the SAME "
+        "deterministic "
         "gradient pixels as multimodal_decode_png, but each document "
-        "encodes into a container chosen by doc_id % 3 — genuine PNG "
+        "encodes into a container chosen by doc_id % 4 — genuine PNG "
         "(zlib+struct), 8-bit paletted BMP (identity gray palette), "
-        "or binary PGM — and extract_features(batch_decode=True) "
+        "binary PGM, or GIF89a (the ~80-line public-spec LZW) — and "
+        "extract_features(batch_decode=True) "
         "must magic-dispatch each payload to the right decoder "
         "(png_codec.decode_gray_auto) to reproduce the one "
         "closed-form pixel mean.  A wrong decode path for ANY "
-        "container shifts its third of the rows and fails the hash; "
+        "container shifts its quarter of the rows and fails the hash; "
         "only formats with no honest stdlib decode (JPEG) remain "
         "stubbed behind PIL.",
 )
@@ -782,7 +784,8 @@ def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         from nosql_join_stream_spark.operators import png_codec as _pc
         encs = [(_pc.encode_gray, "image/png"),
                 (_pc.encode_gray_bmp, "image/bmp"),
-                (_pc.encode_gray_pgm, "image/x-portable-graymap")]
+                (_pc.encode_gray_pgm, "image/x-portable-graymap"),
+                (_pc.encode_gray_gif, "image/gif")]
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
@@ -790,7 +793,7 @@ def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = ((int(did) * 7
                         + _np.arange(w * h, dtype=_np.int64)) % 256) \
                     .astype(_np.uint8).reshape(h, w)
-                enc, mt = encs[int(did) % 3]
+                enc, mt = encs[int(did) % 4]
                 rows.append((int(did), enc(arr), mt, w, h, 1))
             yield _pd.DataFrame(rows, columns=[
                 "doc_id", "payload", "media_type", "width", "height",

@@ -261,3 +261,204 @@ def test_pgm_crlf_ambiguous_trailing_bytes_refuses():
     # exactly-one-extra corner: CRLF reading wins (documented)
     crlf = b"P5\n3 4\n255\r\n" + gray.tobytes()
     assert (png_codec.decode_pnm_gray(crlf) == gray).all()
+
+
+# --- GIF (r11): independent writer incl. a real LZW encoder -----------
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Independent GIF-LZW encoder (variable width, LSB-first,
+    width bump after registering code 2^width — the giflib pairing)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, code_size)
+    w = b""
+    for b in indices:
+        wb = w + bytes([b])
+        if wb in table:
+            w = wb
+            continue
+        emit(table[w], code_size)
+        table[wb] = next_code
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        next_code += 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_encode_clear_spam(indices: bytes, min_code_size: int) -> bytes:
+    """Degenerate but spec-valid stream: CLEAR before every pixel code
+    (the classic 'uncompressed GIF' trick) — width never grows."""
+    clear = 1 << min_code_size
+    out = bytearray()
+    acc = bits = 0
+    size = min_code_size + 1
+    for code in [c for i in indices for c in (clear, i)] + [clear + 1]:
+        acc |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _build_gif(idx: np.ndarray, palette: np.ndarray,
+               interlaced: bool = False, clear_spam: bool = False,
+               local_table: bool = False, gce: bool = False) -> bytes:
+    """Independent GIF89a writer: global or local color table,
+    optional interlace and Graphic Control Extension."""
+    h, w = idx.shape
+    n = len(palette)
+    assert n & (n - 1) == 0 and n >= 2
+    bits = (n - 1).bit_length() or 1
+    mcs = max(bits, 2)
+    rows = (np.concatenate([idx[s::st] for s, st in _GIF_PASSES])
+            if interlaced else idx)
+    enc = _lzw_encode_clear_spam if clear_spam else _lzw_encode
+    data = enc(rows.astype(np.uint8).tobytes(), mcs)
+    blocks = b"".join(bytes([len(data[i:i + 255])]) + data[i:i + 255]
+                      for i in range(0, len(data), 255)) + b"\x00"
+    pal = palette.astype(np.uint8).tobytes()
+    out = b"GIF89a" + struct.pack("<HH", w, h)
+    out += bytes([(0 if local_table else 0x80) | (bits - 1), 0, 0])
+    if not local_table:
+        out += pal
+    if gce:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([(0x80 if local_table else 0)
+                  | (0x40 if interlaced else 0)
+                  | ((bits - 1) if local_table else 0)])
+    if local_table:
+        out += pal
+    out += bytes([mcs]) + blocks + b"\x3b"
+    return out
+
+
+_GRAY_PAL = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+
+def test_gif_real_lzw_roundtrip():
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(16, 11), dtype=np.uint8)
+    got = png_codec.decode_gif_gray(_build_gif(gray, _GRAY_PAL))
+    assert (got == gray).all()           # identity gray palette: luma=i
+
+
+def test_gif_kwkwk_and_width_growth():
+    """A constant image drives the code==len(table) (KwKwK) path and a
+    long one drives multiple width bumps."""
+    flat = np.full((3, 7), 5, dtype=np.uint8)
+    assert (png_codec.decode_gif_gray(_build_gif(flat, _GRAY_PAL))
+            == flat).all()
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, size=(40, 33), dtype=np.uint8)
+    assert (png_codec.decode_gif_gray(_build_gif(big, _GRAY_PAL))
+            == big).all()
+
+
+def test_gif_interlaced_and_variants():
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(13, 9), dtype=np.uint8)
+    plain = png_codec.decode_gif_gray(_build_gif(gray, _GRAY_PAL))
+    inter = png_codec.decode_gif_gray(
+        _build_gif(gray, _GRAY_PAL, interlaced=True))
+    assert (inter == plain).all() and (plain == gray).all()
+    spam = png_codec.decode_gif_gray(
+        _build_gif(gray, _GRAY_PAL, clear_spam=True))
+    assert (spam == gray).all()
+    local = png_codec.decode_gif_gray(
+        _build_gif(gray, _GRAY_PAL, local_table=True, gce=True))
+    assert (local == gray).all()
+
+
+def test_gif_color_palette_luma():
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                    [10, 20, 30]], dtype=np.uint8)
+    got = png_codec.decode_gif_gray(_build_gif(idx, pal))
+    assert (got == _luma(pal[idx])).all()
+
+
+def test_gif_unsupported_and_malformed_fail_loudly():
+    gray = np.full((4, 4), 7, dtype=np.uint8)
+    good = bytearray(_build_gif(gray, _GRAY_PAL))
+    with pytest.raises(ValueError, match="signature"):
+        png_codec.decode_gif_gray(b"NOTAGIF" + bytes(good))
+    # partial first frame (descriptor smaller than the screen)
+    bad = bytearray(good)
+    struct.pack_into("<HH", bad, 6, 8, 8)   # screen 8x8, frame 4x4
+    with pytest.raises(NotImplementedError, match="partial"):
+        png_codec.decode_gif_gray(bytes(bad))
+    # no color table anywhere
+    nopal = bytearray(good)
+    nopal[10] &= 0x7F                        # clear GCT flag
+    del nopal[13:13 + 3 * 256]
+    with pytest.raises(ValueError, match="color table"):
+        png_codec.decode_gif_gray(bytes(nopal))
+    # truncated LZW stream
+    with pytest.raises(ValueError, match="truncated"):
+        png_codec.decode_gif_gray(bytes(good[:20 + 3 * 256]))
+
+
+def test_gif_auto_dispatch():
+    gray = np.full((5, 6), 33, dtype=np.uint8)
+    assert (png_codec.decode_gray_auto(_build_gif(gray, _GRAY_PAL))
+            == gray).all()
+
+
+@pytest.mark.skipif(_pil_or_none() is None,
+                    reason="PIL not installed (stdlib-only sandbox)")
+def test_gif_bit_identical_to_pil_convert_L():
+    import io
+
+    Image = _pil_or_none()
+    rng = np.random.default_rng(13)
+    rgb_pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(9, 13), dtype=np.uint8)
+    for kw in ({}, {"interlaced": True}, {"local_table": True,
+                                          "gce": True}):
+        payload = _build_gif(idx, rgb_pal, **kw)
+        ours = png_codec.decode_gray_auto(payload)
+        pil = np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+        assert (ours == pil).all()
+
+
+def test_gif_codec_encoder_roundtrip_identity():
+    """The codec's own encoder (the planted-payload path of
+    multimodal_decode_mixed) roundtrips exactly, including a size
+    that forces multiple LZW width bumps and >255-byte sub-blocks."""
+    rng = np.random.default_rng(17)
+    for shape in ((1, 1), (7, 5), (39, 23)):
+        gray = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = png_codec.encode_gray_gif(gray)
+        assert png_codec.is_gif(payload)
+        assert (png_codec.decode_gif_gray(payload) == gray).all()
+    with pytest.raises(ValueError, match="2-D"):
+        png_codec.encode_gray_gif(np.zeros((2, 2, 3), dtype=np.uint8))
