@@ -159,6 +159,20 @@ def salted_join(left: DataFrame, right: DataFrame,
     most of a 16×-grown fact (its per-reducer share still exceeds
     everyone else's), and over-replicate the right side when the keys
     are uniform.
+
+    WHEN to salt (measured — SCALING.md probe r38, AQE-only vs
+    salted-only vs both on a hot key growing to a 98% row share):
+    for a plain batch shuffle join, DON'T — AQE's skew-join split
+    rewrites it at runtime and matches or beats salting at every skew
+    level without paying the right-side ×num_salts replication.
+    Salting earns its cost exactly where AQE cannot re-plan: a skewed
+    key feeding a window / groupBy-key ``applyInPandas`` stage,
+    stream-stream and stream-static joins (no adaptive re-plan in
+    Structured Streaming), shuffled-hash build-side hot blocks, or
+    any pipeline running with AQE disabled.  (And if the right side
+    broadcasts, there is no skew problem at all — always the first
+    choice.)  Within the salted regime, prefer ``"auto"`` over a
+    blind fixed count (probe r32).
     """
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join does not support how={how!r}: "

@@ -790,51 +790,50 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 # remaining queries keep their registration order and stay covered by
 # tools/check_correctness.py.
 _DRIVER_WINDOW = [
-    # Round-10 rotation — oldest-driver-stamp-first (r9 VERDICT lead
-    # #1).  Stamps computed from CORRECTNESS_r0{1..9}.json: after r9,
-    # 17 queries' newest driver row is r4, 18 are r5, 49 are r6, and
-    # pyds_gzip_roundtrip (added after the r9 window froze) has none.
-    # This window takes ALL 36 of those, keeps join_fk_inner
-    # (reference flagship / entry() query), gives the NEW r10 TPC-H
-    # anchors (Q3/Q4/Q6/Q10/Q14/Q18/Q19 analogs; Q17 ships r10 but
-    # stamps with the r11 shortlist) + new-operator queries their
-    # ship-round stamp, and fills the remainder from the r6 cohort
-    # in registry order.
-    # Post-r10 state if green: no stamp older than r6; the r6
-    # remainder (39) then r8 are the r11 shortlist.
-    "join_fk_inner",
-    # last driver row r4 (17)
-    "log_scan_offset", "multimodal_features", "pipeline_clean_corpus",
-    "pred_all_array", "pred_date_mql", "sample_stratified",
-    "sort_skip_limit", "sql_exists_decorrelated", "stream_decontaminate",
-    "stream_dedup_keys", "stream_quality_filter", "stream_windowed_counts",
-    "text_novelty_ratio", "text_paragraph_dedup", "text_tfidf_topk",
-    "typed_as_projection", "zip_streams",
-    # last driver row r5 (18)
-    "agg_approx_percentiles", "cluster_assign_kmeans",
-    "data_quality_report", "dedup_incremental_batch",
-    "dedup_resolve_keep_best", "dedup_simhash", "doc_pack_sequences",
-    "embedding_quantize", "join_salted_skew", "multimodal_patch_grid",
-    "pipeline_materialize_training", "pipeline_split_safe",
-    "pred_surface", "sample_token_budget", "stream_interval_join",
-    "stream_sessionize_stateful", "stream_static_enrich", "text_quality",
-    # never driver-stamped (registered after the r9 window froze)
-    "pyds_gzip_roundtrip",
-    # NEW in r10: externally recognizable TPC-H anchors, the auto-
-    # salted join, the mixed-container stdlib decode, and the
-    # embedding linear-algebra family
-    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
-    "tpch_q18_large_volume", "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect", "tpch_q19_discounted_revenue",
-    "tpch_q4_order_priority", "join_salted_auto",
-    "multimodal_decode_mixed", "sketch_price_quantiles",
-    "embedding_jl_project", "embedding_pca_witness",
-    "stream_sketch_quantiles",
-    # embedding_covariance yields its slot to sketch_price_quantiles
-    # (pca_witness covers the covariance path transitively) and the
-    # r6-cohort filler to stream_sketch_quantiles; both plus the
-    # remaining new sketch queries are the r11 stamp shortlist along
-    # with the r6 cohort.
+    # Round-11 rotation — oldest-driver-stamp-first (r10 VERDICT lead
+    # #1).  Stamps computed from CORRECTNESS_r{01..10}.json: after
+    # r10, 10 queries have NO driver stamp (born r10 after the window
+    # froze), 49 sit at r6, 49 at r8, 49 at r9, 50 at r10.  This
+    # window takes all 10 never-stamped, gives the 5 NEW r11 queries
+    # (TPC-H Q21/Q22/Q13 planner shapes; the shard-export pair) their
+    # ship-round stamp, and fills the remaining 35 slots from the r6
+    # cohort in registry order.
+    # Post-r11 state if green: 14 r6-cohort stragglers remain
+    # (retrieval_mmr_diversified, ann_ivf_filtered, stream_ann_probe,
+    # stream_quality_ewma, stream_token_budget, dedup_substring_spans,
+    # cdc_upsert_latest, stream_cdc_upsert, text_bigram_logprob,
+    # sketch_vocab_cardinality, pyds_document_scan,
+    # dedup_resolve_incremental, cdc_upsert_snapshot,
+    # cdc_upsert_deletes) — they + any r12-born queries lead the r12
+    # window, then the r8 cohort.
+    # never driver-stamped (born r10)
+    "tpch_q17_small_quantity", "tpch_q8_market_share",
+    "embedding_covariance", "sketch_user_overlap_theta",
+    "sketch_token_heavy_hitters", "sketch_cohort_matrix",
+    "sketch_source_heavy_hitters", "drift_psi_value",
+    "drift_psi_by_source", "drift_psi_standing",
+    # NEW in r11: the three remaining TPC-H planner shapes and the
+    # deterministic shard export
+    "tpch_q21_waiting_suppliers", "tpch_q22_dormant_balance",
+    "tpch_q13_order_distribution", "export_shard_assignment",
+    "export_shard_written",
+    # r6-stamp cohort, registry order (35 of 49)
+    "variant_schemaless_decode", "events_time_rollup",
+    "events_rate_spikes", "events_cohort_retention",
+    "events_coactivity_range_join", "asof_join_nearest",
+    "dedup_edit_distance", "dedup_embedding_cosine", "ann_ivf_topk",
+    "text_langid", "multimodal_frame_sample", "multimodal_resize",
+    "text_sentences_udtf", "pipeline_clean_corpus_minhash",
+    "pipeline_split_leakage", "multimodal_payload_dedup",
+    "sample_weighted_reservoir", "embedding_dim_stats",
+    "sample_global_shuffle", "sample_cap_per_group",
+    "dedup_incremental_minhash", "dedup_index_delete_probe",
+    "stream_minhash_dedup_ingest", "text_normalize", "ann_ivfpq_topk",
+    "embedding_pq_codes", "sample_temperature_weights",
+    "text_redact_pii", "embedding_label_centroids",
+    "stream_incremental_dedup", "dedup_semantic_clusters",
+    "dedup_resolve_keep_best_minhash", "text_bpe_subword_count",
+    "ann_ivf_partitioned", "ann_ivf_append_probe",
 ]
 
 

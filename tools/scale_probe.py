@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto emblinalg jlann sketchq psib
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto saltaqe emblinalg jlann sketchq psib
 """
 
 from __future__ import annotations
@@ -776,6 +776,69 @@ def main() -> None:
                     results[f"{label}_s"] = round(
                         time.perf_counter() - t0, 2)
                 results["saltauto_rows"] = rows
+            finally:
+                for c, v in saved.items():
+                    spark.conf.set(c, v)
+
+        if "saltaqe" in OPS:
+            # r38 — the A/B the salted-join story was missing: on the
+            # SAME growing hot-key share (50% → 98.4% at 64×), is
+            # AQE's skew-join split alone enough, does salting alone
+            # match it, and do they compose?  AQE thresholds are set
+            # aggressive (256KB) so splits trigger at local probe
+            # sizes — the knob a real cluster has at its defaults.
+            # Broadcast stays disabled: with a broadcastable dim there
+            # is no skew problem to solve (that is the documented
+            # first choice), and AQE skew-split only rewrites
+            # SortMergeJoin.
+            from nosql_join_stream_spark.operators.join import (
+                salted_join)
+            n = 300_000 * factor
+            hot_n = n - n // (2 * factor)   # share = 1 - 1/(2f)
+            fact_df = spark.range(n).select(
+                F.when(F.col("id") < hot_n, F.lit(0))
+                 .otherwise(F.col("id") % 1000).alias("k"),
+                F.col("id").alias("v"))
+            dim = spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("d"))
+            saved = {c: spark.conf.get(c) for c in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.enabled",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes")}
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                               "-1")
+                spark.conf.set(
+                    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                    "2")
+                spark.conf.set(
+                    "spark.sql.adaptive.skewJoin."
+                    "skewedPartitionThresholdInBytes", "256KB")
+                spark.conf.set(
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                    "256KB")
+                legs = (("aqe", True, False), ("salt", False, True),
+                        ("both", True, True))
+                for label, aqe_on, salt_on in legs:
+                    spark.conf.set(
+                        "spark.sql.adaptive.skewJoin.enabled",
+                        str(aqe_on).lower())
+                    joined = (salted_join(fact_df, dim, on="k",
+                                          num_salts="auto")
+                              if salt_on else fact_df.join(dim, "k"))
+                    j = joined.agg(F.count("*").alias("n"),
+                                   F.sum("v").alias("sv"))
+                    t0 = time.perf_counter()
+                    int(j.collect()[0]["n"])
+                    results[f"saltaqe_{label}_s"] = round(
+                        time.perf_counter() - t0, 2)
+                    plan = (j._jdf.queryExecution().executedPlan()
+                            .toString())
+                    results[f"saltaqe_{label}_split"] = \
+                        "skew=true" in plan
             finally:
                 for c, v in saved.items():
                     spark.conf.set(c, v)
