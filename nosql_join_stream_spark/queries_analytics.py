@@ -1789,3 +1789,343 @@ def tpch_q13_order_distribution(spark: SparkSession,
     return (per_cust.groupBy("c_count")
             .agg(F.count("*").alias("custdist"))
             .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH pc AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    m AS (SELECT l_partkey AS mk, MIN(unit_cost) AS mn
+          FROM pc GROUP BY l_partkey)
+    SELECT s.s_name, n.n_name AS nation, pc.l_partkey AS partkey,
+           ROUND(pc.unit_cost, 4) AS unit_cost
+    FROM pc
+    JOIN m  ON m.mk = pc.l_partkey AND pc.unit_cost = m.mn
+    JOIN part p     ON p.p_partkey = pc.l_partkey
+                   AND p.p_brand = 'Brand#7'
+    JOIN supplier s ON s.s_suppkey = pc.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+                   AND r.r_name = 'ASIA'
+    ORDER BY partkey, s.s_name
+    """,
+    doc="TPC-H Q2 analog (minimum-cost supplier): the per-group "
+        "MIN-join-back shape — Q2's correlated 'cost = (SELECT "
+        "MIN(...) for this part)' subquery, decorrelated into an "
+        "aggregate joined back on (key, min) equality.  TESTDATA has "
+        "no partsupp, so the part×supplier cost relation derives from "
+        "the fact itself (unit cost = min extendedprice/quantity per "
+        "(part, supplier) pair — both engines compute the identical "
+        "IEEE double, so the equality join-back replays exactly; the "
+        "ROUND is output-only).  Two shuffles on l_partkey that AQE "
+        "can plan back-to-back, then dimension joins the optimizer "
+        "sizes itself — no pinned broadcasts on the scale-linear "
+        "part/supplier sides; region/nation filters reach their "
+        "scans.  Reference shape: N+1 scalar innerQ per outer record "
+        "(join/package.scala:72-76).",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    pc = (e.table("lineitem")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+               .alias("unit_cost")))
+    m = (pc.groupBy(F.col("l_partkey").alias("mk"))
+         .agg(F.min("unit_cost").alias("mn")))
+    p = e.table("part").filter(F.col("p_brand") == "Brand#7") \
+         .select("p_partkey")
+    s = e.table("supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = e.table("nation").select("n_nationkey", "n_regionkey",
+                                 F.col("n_name").alias("nation"))
+    r = e.table("region").filter(F.col("r_name") == "ASIA") \
+         .select("r_regionkey")
+    return (pc.join(m, (F.col("mk") == F.col("l_partkey"))
+                    & (F.col("unit_cost") == F.col("mn")))
+            .join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(n),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(r),
+                  F.col("r_regionkey") == F.col("n_regionkey"))
+            .select("s_name", "nation",
+                    F.col("l_partkey").alias("partkey"),
+                    F.round("unit_cost", 4).alias("unit_cost"))
+            .orderBy("partkey", "s_name"))
+
+
+@register(
+    "tpch_q7_nation_volume",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 analog (volume shipping between a nation pair): "
+        "nation in two roles again (Q8's trick) plus the shape Q8 "
+        "lacks — a DISJUNCTIVE cross-filter over the two role columns "
+        "((s=A and c=B) or (s=B and c=A)) that can only apply after "
+        "both dimension joins, so the planner must keep it residual "
+        "while still pushing the date bounds to the fact scan.  "
+        "Fixed-size nation broadcasts by hint; orders/customer/"
+        "supplier are AQE's call (scale-linear).  One "
+        "map-side-combinable aggregate on (nation, nation, year) — "
+        "4 groups.",
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    li = (e.table("lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    o = e.table("orders").select("o_orderkey", "o_custkey")
+    c = e.table("customer").select("c_custkey", "c_nationkey")
+    cn = e.table("nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"))
+    s = e.table("supplier").select("s_suppkey", "s_nationkey")
+    sn = e.table("nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    return (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(cn),
+                  F.col("cn_key") == F.col("c_nationkey"))
+            .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(sn),
+                  F.col("sn_key") == F.col("s_nationkey"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH v AS (
+      SELECT l.l_partkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+                     AND n.n_name IN ('NATION_1', 'NATION_2',
+                                      'NATION_3')
+      GROUP BY l.l_partkey)
+    SELECT l_partkey AS partkey, ROUND(val, 2) AS value
+    FROM v WHERE val > (SELECT SUM(val) * 0.0009 FROM v)
+    ORDER BY value DESC, partkey
+    """,
+    doc="TPC-H Q11 analog (important stock identification): the "
+        "HAVING-against-a-global-scalar shape — per-group totals "
+        "kept only when they exceed a FRACTION OF THE GRAND TOTAL, "
+        "i.e. a scalar subquery over the same aggregate feeding its "
+        "own filter.  Spark computes the per-part aggregate once, "
+        "derives the 1-row grand total from it (re-aggregation of "
+        "the 2000-row group table, not a second fact scan), and "
+        "attaches it via a 1-row broadcast.  TESTDATA has no "
+        "partsupp, so 'stock value' is discounted lineitem revenue "
+        "restricted to a 3-nation supplier group; same plan shape as "
+        "value×supplycost.",
+)
+def tpch_q11_important_stock(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    sup = (e.table("supplier")
+           .join(F.broadcast(
+               e.table("nation")
+               .filter(F.col("n_name").isin("NATION_1", "NATION_2",
+                                            "NATION_3"))
+               .select("n_nationkey")),
+               F.col("n_nationkey") == F.col("s_nationkey"))
+           .select("s_suppkey"))
+    v = (e.table("lineitem")
+         .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+         .groupBy("l_partkey")
+         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .alias("val")))
+    thresh = v.agg((F.sum("val") * 0.0009).alias("__lim"))
+    return (v.join(F.broadcast(thresh))
+            .filter(F.col("val") > F.col("__lim"))
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.round("val", 2).alias("value"))
+            .orderBy(F.desc("value"), "partkey"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH r AS (
+      SELECT l_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey AS suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM r)
+    ORDER BY suppkey
+    """,
+    doc="TPC-H Q15 analog (top supplier): the view-plus-scalar-MAX "
+        "join-back — Q15's revenue view materializes as a per-"
+        "supplier aggregate (100 groups), its 1-row MAX re-derives "
+        "from that aggregate (never a second fact scan), and the "
+        "equality join-back is a broadcast HASH join on the rounded "
+        "revenue value (rounding happens in the aggregate on BOTH "
+        "sides, so the equality is exact by construction).  Ties all "
+        "surface, per the spec.  The quarter filter reaches the "
+        "fact scan.",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    r = (e.table("lineitem")
+         .filter((F.col("l_shipdate")
+                  >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                 & (F.col("l_shipdate")
+                    < F.lit("1997-04-01 00:00:00").cast("timestamp")))
+         .groupBy("l_suppkey")
+         .agg(F.round(F.sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))), 2)
+              .alias("total_rev")))
+    mx = r.agg(F.max("total_rev").alias("__mx"))
+    return (e.table("supplier").select("s_suppkey", "s_name")
+            .join(r, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(mx), F.col("total_rev") == F.col("__mx"))
+            .select(F.col("s_suppkey").alias("suppkey"), "s_name",
+                    "total_rev")
+            .orderBy("suppkey"))
+
+
+@register(
+    "tpch_q16_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 analog (part-supplier relationship counts): "
+        "COUNT(DISTINCT) over a NOT-IN exclusion — the two-expansion "
+        "aggregate (Catalyst plans distinct-count as a double "
+        "aggregate) composed with an anti join against a filtered "
+        "dimension (s_suppkey is non-null, so NOT IN == LEFT ANTI "
+        "with no null-semantics trap; the complaint filter reaches "
+        "the supplier scan).  The negated brand predicate and the "
+        "size IN-list both push into the part scan.  TESTDATA's "
+        "lineitem stands in for partsupp as the part×supplier "
+        "relation.",
+)
+def tpch_q16_supplier_counts(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    p = (e.table("part")
+         .filter((F.col("p_brand") != "Brand#3")
+                 & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (e.table("supplier").filter(F.col("s_acctbal") < 0)
+           .select("s_suppkey"))
+    return (e.table("lineitem").select("l_partkey", "l_suppkey")
+            .join(bad, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_anti")
+            .join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type",
+                     "p_size"))
+
+
+@register(
+    "tpch_q20_excess_shippers",
+    """
+    WITH q AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey),
+    t AS (SELECT l_partkey AS tk, SUM(sq) AS tot FROM q
+          GROUP BY l_partkey)
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT q.l_suppkey FROM q
+      JOIN t ON t.tk = q.l_partkey
+      JOIN part p ON p.p_partkey = q.l_partkey
+                 AND p.p_type = 'SMALL'
+      WHERE q.sq > 0.35 * t.tot)
+    ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 analog (suppliers with excess share): the NESTED "
+        "semi-join chain — an IN whose subquery itself joins two "
+        "aggregates of the same fact slice against a per-key "
+        "threshold (supplier shipped >35% of a part's year volume; "
+        "TESTDATA has no partsupp availqty, so the threshold derives "
+        "from the shipped totals).  The per-(part,supplier) aggregate "
+        "and the per-part rollup share one shuffle key; the part-type "
+        "filter prunes the qualifier before the threshold join; the "
+        "outer supplier probe is one LEFT SEMI hash join — never a "
+        "per-supplier subquery (the reference's N+1 innerQ shape, "
+        "join/package.scala:72-76).",
+)
+def tpch_q20_excess_shippers(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    q = (e.table("lineitem")
+         .filter((F.col("l_shipdate")
+                  >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                 & (F.col("l_shipdate")
+                    < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+         .groupBy("l_partkey", "l_suppkey")
+         .agg(F.sum("l_quantity").alias("sq")))
+    t = (q.groupBy(F.col("l_partkey").alias("tk"))
+         .agg(F.sum("sq").alias("tot")))
+    psmall = (e.table("part").filter(F.col("p_type") == "SMALL")
+              .select("p_partkey"))
+    qual = (q.join(t, F.col("tk") == F.col("l_partkey"))
+            .join(psmall, F.col("p_partkey") == F.col("l_partkey"))
+            .filter(F.col("sq") > 0.35 * F.col("tot"))
+            .select("l_suppkey"))
+    return (e.table("supplier")
+            .join(qual, F.col("l_suppkey") == F.col("s_suppkey"),
+                  "left_semi")
+            .join(F.broadcast(e.table("nation")
+                              .select("n_nationkey",
+                                      F.col("n_name").alias("nation"))),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .select("s_name", "nation")
+            .orderBy("s_name"))

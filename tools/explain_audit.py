@@ -54,6 +54,9 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             # broadcast BNLJ (the standard scalar-subquery shape);
             # the anti join itself is hash
             "tpch_q22_dormant_balance",
+            # Q11's grand-total threshold is the same 1-row scalar
+            # attach (HAVING vs a fraction of the total)
+            "tpch_q11_important_stock",
             # NB classifier attaches class totals via a 1-row broadcast
             "text_nb_quality_llr",
             # __ALL__ row stitches two 1-row aggregates (exact total x
