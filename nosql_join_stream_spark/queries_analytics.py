@@ -2129,3 +2129,100 @@ def tpch_q20_excess_shippers(spark: SparkSession,
                   F.col("n_nationkey") == F.col("s_nationkey"))
             .select("s_name", "nation")
             .orderBy("s_name"))
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - l.l_quantity * p.p_retailprice * 0.1), 2)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+                   AND p.p_name LIKE '%gear%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 analog (product-type profit): profit rollup by "
+        "supplier nation × order year with a LIKE-filtered part "
+        "probe — the substring predicate can't push as a parquet "
+        "filter (it prunes post-scan), so the plan's efficiency "
+        "rests on column pruning + the part join halving the fact "
+        "before orders joins in.  TESTDATA has no partsupp, so "
+        "supply cost is a retail-price fraction — same expression "
+        "shape (two fact columns × one dimension column inside the "
+        "aggregate).  No hints on scale-linear sides.",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    p = (e.table("part").filter(F.col("p_name").like("%gear%"))
+         .select("p_partkey", "p_retailprice"))
+    s = e.table("supplier").select("s_suppkey", "s_nationkey")
+    n = e.table("nation").select("n_nationkey",
+                                 F.col("n_name").alias("nation"))
+    o = e.table("orders").select("o_orderkey", "o_orderdate")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("l_quantity") * F.col("p_retailprice") * 0.1)
+    return (e.table("lineitem")
+            .select("l_orderkey", "l_partkey", "l_suppkey",
+                    "l_quantity", "l_extendedprice", "l_discount")
+            .join(p, F.col("p_partkey") == F.col("l_partkey"))
+            .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(n),
+                  F.col("n_nationkey") == F.col("s_nationkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("nation",
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    """
+    SELECT l.l_returnflag AS shipmode,
+           CAST(SUM(CASE WHEN o.o_orderpriority
+                              IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority
+                         NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY shipmode
+    ORDER BY shipmode
+    """,
+    doc="TPC-H Q12 analog (shipping modes / order priority): the "
+        "complementary conditional-count pair — one pass, two CASE "
+        "aggregates whose predicates partition the priority domain "
+        "(high = urgent|high, low = everything else), grouped by the "
+        "mode column (l_returnflag stands in for the absent "
+        "l_shipmode; the absent receipt/commit dates become a "
+        "shipdate year).  Both halves fold map-side; the date bounds "
+        "reach the lineitem scan; 3 output rows mean the final "
+        "exchange is free.",
+)
+def tpch_q12_shipmode_priority(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    li = (e.table("lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+          .select("l_orderkey", "l_returnflag"))
+    o = e.table("orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(F.col("l_returnflag").alias("shipmode"))
+            .agg(F.sum(F.when(hi, 1).otherwise(0))
+                 .alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0))
+                 .alias("low_line_count"))
+            .orderBy("shipmode"))

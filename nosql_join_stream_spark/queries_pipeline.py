@@ -6264,3 +6264,52 @@ def export_shard_written(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_rows"),
                  F.sum("doc_id").alias("id_sum"))
             .orderBy("shard"))
+
+
+@register(
+    "cdc_scd2_history",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    g AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM s),
+    r AS (
+      SELECT user_id, event_type, grp, MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, event_type, grp)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+             AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+             IS NULL AS is_current,
+           n_events
+    FROM r
+    """,
+    doc="SCD TYPE-2 dimension history (sinks.scd2_history): each "
+        "user's event_type runs collapse into half-open validity "
+        "intervals — valid_from/valid_to/is_current — the warehouse "
+        "shape point-in-time joins need, complementing "
+        "cdc_upsert_latest's final-state-only view.  Change points "
+        "by lag, run ids by conditional running sum, interval chain "
+        "by lead: all three windows partition by user_id and share "
+        "ONE exchange+sort (Catalyst reuses the identical spec), so "
+        "the operator parallelizes across keys at any corpus size "
+        "with no global window.  Run order is (ts, event_id) — a "
+        "deterministic total order, so the history replays "
+        "bit-for-bit in both engines.",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark import sinks
+
+    e = _engine(spark, sf_dir)
+    return (sinks.scd2_history(e.table("events"), "user_id",
+                               ["ts", "event_id"], "event_type")
+            .select("user_id", "event_type", "valid_from", "valid_to",
+                    "is_current", "n_events"))

@@ -24,7 +24,7 @@ import re
 import uuid
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -223,6 +223,43 @@ def write_log_rolled(df: DataFrame, path: str, order_col: str,
 # ---------------------------------------------------------------------------
 
 _KB = "__kb"
+
+
+def scd2_history(df: DataFrame, key_col: str,
+                 order_by: Sequence[str], tracked_col: str) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 history from an event/CDC
+    stream: per key, collapse consecutive runs of the same
+    ``tracked_col`` value into validity intervals —
+    ``(key, tracked, valid_from, valid_to, is_current, n_events)``,
+    half-open ``[valid_from, valid_to)``, ``valid_to`` NULL on the
+    current row.  The warehouse-dimension twin of
+    :func:`latest_per_key` (which keeps only the final state): SCD2
+    keeps every state WITH its tenure, the shape point-in-time joins
+    ("what was the user's tier when this order landed") need.
+
+    Scale shape: change-point detection (lag), run numbering
+    (conditional running sum), and the interval chain (lead) are all
+    windows PARTITIONED BY the key — they parallelize across keys and
+    share one exchange+sort (identical window spec, reused by
+    Catalyst); the run collapse is a hash aggregate on
+    (key, run).  No global window, no driver path; a hot key costs
+    its own sort only.  ``order_by`` must be a deterministic total
+    order within a key (e.g. ``["ts", "event_id"]``) or run
+    boundaries are replay-unstable.
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_by])
+    changed = (F.lag(tracked_col).over(w).isNull()
+               | (F.lag(tracked_col).over(w) != F.col(tracked_col)))
+    runs = (df.withColumn("__grp",
+                          F.sum(F.when(changed, 1).otherwise(0)).over(w))
+            .groupBy(key_col, tracked_col, "__grp")
+            .agg(F.min(order_by[0]).alias("valid_from"),
+                 F.count("*").alias("n_events")))
+    w_iv = Window.partitionBy(key_col).orderBy("__grp")
+    return (runs
+            .withColumn("valid_to", F.lead("valid_from").over(w_iv))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .drop("__grp"))
 
 
 def _key_bucket(key_col: str, num_buckets: int) -> Column:

@@ -820,3 +820,49 @@ def test_auto_salts_tiny_table_does_not_explode(spark):
     tiny_uniform = spark.range(150).select(F.col("id").alias("k"))
     n = _auto_num_salts(tiny_uniform, ["k"])
     assert n <= max(2, par // 4), (n, par)
+
+
+def test_scd2_history_semantics(spark):
+    from datetime import datetime
+
+    from nosql_join_stream_spark.sinks import scd2_history
+
+    ts = lambda d: datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        # user 1: A,A,B,A — the same value RETURNS as a new interval
+        (1, ts(1), 10, "A"), (1, ts(2), 11, "A"),
+        (1, ts(3), 12, "B"), (1, ts(4), 13, "A"),
+        # user 2: single run
+        (2, ts(1), 20, "X"), (2, ts(5), 21, "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, et string")
+    out = {(r.user_id, r.valid_from): r
+           for r in scd2_history(df, "user_id", ["ts", "event_id"],
+                                 "et").collect()}
+    assert len(out) == 4
+    a1 = out[(1, ts(1))]
+    assert (a1.et, a1.n_events, a1.valid_to, a1.is_current) == \
+        ("A", 2, ts(3), False)
+    b = out[(1, ts(3))]
+    assert (b.et, b.n_events, b.valid_to, b.is_current) == \
+        ("B", 1, ts(4), False)
+    a2 = out[(1, ts(4))]
+    assert (a2.et, a2.valid_to, a2.is_current) == ("A", None, True)
+    x = out[(2, ts(1))]
+    assert (x.et, x.n_events, x.is_current) == ("X", 2, True)
+    # intervals chain exactly: each valid_to is the next valid_from,
+    # one current row per key
+    assert sum(1 for r in out.values()
+               if r.user_id == 1 and r.is_current) == 1
+
+
+def test_scd2_history_single_exchange(engine):
+    """The three window specs share one shuffle on the key — the plan
+    must carry exactly one hashpartitioning exchange for user_id."""
+    from nosql_join_stream_spark.sinks import scd2_history
+
+    plan = scd2_history(engine.table("events"), "user_id",
+                        ["ts", "event_id"], "event_type") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("hashpartitioning(user_id") <= 2
