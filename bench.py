@@ -65,6 +65,7 @@ STANDING_BUILD = {
     "dedup_resolve_incremental",     # standing CC label table
     "cdc_upsert_snapshot",           # initial keyed snapshot version
     "export_shard_written",          # one-time sharded corpus export
+    "cdc_snapshot_time_travel",      # v1 load + v2 merge, once
 }
 
 

@@ -6313,3 +6313,76 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ["ts", "event_id"], "event_type")
             .select("user_id", "event_type", "valid_from", "valid_to",
                     "is_current", "n_events"))
+
+
+@register(
+    "cdc_snapshot_time_travel",
+    """
+    WITH i AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC)
+                 AS rn
+        FROM events WHERE event_id % 3 <> 0) WHERE rn = 1),
+    a AS (
+      SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC)
+                 AS rn
+        FROM events) WHERE rn = 1)
+    SELECT a.user_id, i.event_id AS old_event_id,
+           a.event_id AS new_event_id
+    FROM a LEFT JOIN i ON i.user_id = a.user_id
+    WHERE i.event_id IS NULL OR i.event_id <> a.event_id
+    ORDER BY a.user_id
+    """,
+    doc="Snapshot TIME TRAVEL (sinks.read_keyed_snapshot(version=N)): "
+        "the audit/repro primitive the versioned CDC table exists for "
+        "— v1 (initial load) and v2 (after one merge) are read back AS "
+        "OF their versions and diffed per key, reporting every user "
+        "whose latest state the merge changed.  Both reads resolve "
+        "immutable manifests, so the diff costs two bucket-pruned "
+        "scans of only the touched versions — history is never "
+        "replayed.  The oracle recomputes both states logically "
+        "(latest-per-key over the initial slice vs over everything): "
+        "equality proves version isolation — the v1 read is "
+        "bit-identical to the pre-merge table even though v2 landed "
+        "in the same directory tree.  Build-once per process; reruns "
+        "read the same two frozen versions.",
+)
+def cdc_snapshot_time_travel(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark import sinks
+
+    e = _engine(spark, sf_dir)
+    ev = e.table("events").select("user_id", "ts", "event_id",
+                                  "event_type", "value")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"nsjs_cdctt_{os.getpid()}_{tag}")
+    try:
+        sinks.read_keyed_snapshot(spark, path, version=2)
+    except ValueError:
+        sinks.write_keyed_snapshot(
+            sinks.latest_per_key(ev.filter(F.col("event_id") % 3 != 0),
+                                 "user_id", ["ts", "event_id"]),
+            path, "user_id", num_buckets=16)
+        sinks.upsert_keyed_snapshot(
+            spark, path, ev.filter(F.col("event_id") % 3 == 0),
+            "user_id", ["ts", "event_id"])
+    v1 = (sinks.read_keyed_snapshot(spark, path, version=1)
+          .select("user_id", F.col("event_id").alias("old_event_id")))
+    v2 = (sinks.read_keyed_snapshot(spark, path, version=2)
+          .select(F.col("user_id").alias("u2"),
+                  F.col("event_id").alias("new_event_id")))
+    return (v2.join(v1, F.col("user_id") == F.col("u2"), "left")
+            .filter(F.col("old_event_id").isNull()
+                    | (F.col("old_event_id") != F.col("new_event_id")))
+            .select(F.col("u2").alias("user_id"), "old_event_id",
+                    "new_event_id")
+            .orderBy("user_id"))
