@@ -66,6 +66,7 @@ STANDING_BUILD = {
     "cdc_upsert_snapshot",           # initial keyed snapshot version
     "export_shard_written",          # one-time sharded corpus export
     "cdc_snapshot_time_travel",      # v1 load + v2 merge, once
+    "stream_late_quarantine",        # two-drain staging + routing, once
 }
 
 

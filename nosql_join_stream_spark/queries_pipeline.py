@@ -6386,3 +6386,44 @@ def cdc_snapshot_time_travel(spark: SparkSession,
             .select(F.col("u2").alias("user_id"), "old_event_id",
                     "new_event_id")
             .orderBy("user_id"))
+
+
+@register(
+    "stream_late_quarantine",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_id % 97 = 0
+      AND ts < (SELECT MAX(ts) FROM events WHERE event_id % 97 <> 0)
+                - INTERVAL 6 HOUR
+    ORDER BY event_id
+    """,
+    doc="Late-data DEAD-LETTER QUEUE (log_stream."
+        "late_data_quarantine): Spark's watermark silently DROPS "
+        "late rows from stateful operators — this routes them to a "
+        "quarantine table instead.  The on-time log drains first "
+        "(advancing a KB watermark-state table), then the straggler "
+        "slice (1/97 of events, arriving a drain late) drains over "
+        "the SAME checkpoint with its cutoff frozen at drain start — "
+        "deterministic routing under any file→batch packing, "
+        "replay-idempotent per-batch partition overwrites.  The "
+        "oracle is the closed-form definition of late (older than "
+        "the on-time max minus 6h): equality proves the streaming "
+        "two-drain lifecycle routes exactly the rows a bare "
+        "watermark would have silently lost.",
+)
+def stream_late_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.streaming.log_stream import (
+        late_data_quarantine)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    run_dir = os.path.join(tempfile.gettempdir(),
+                           f"nsjs_lateq_{os.getpid()}_{tag}")
+    return (late_data_quarantine(spark, table_path(sf_dir, "events"),
+                                 run_dir)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .orderBy("event_id"))

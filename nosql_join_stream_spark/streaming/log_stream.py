@@ -1069,3 +1069,76 @@ def stream_sketch_quantiles(spark: SparkSession, events_path: str,
                              F.col("n_batches").alias("n_batches")))
     return (checked.select(F.explode(F.array(*rows)).alias("r"))
             .select("r.q", "r.qv", "r.kll_ok", "r.n_batches"))
+
+
+def late_data_quarantine(spark: SparkSession, events_path: str,
+                         run_dir: str, delay_s: int = 21600,
+                         late_mod: int = 97) -> DataFrame:
+    """Late-data DEAD-LETTER QUEUE — the piece Spark's watermark
+    lacks: ``withWatermark`` silently DROPS rows older than the
+    watermark from stateful operators, which for a training-data
+    pipeline means silently losing stragglers.  This operator makes
+    the same decision visible: every micro-batch routes rows older
+    than (previous drain's max event time − delay) to a quarantine
+    table and the rest to the main output, so late arrivals are
+    auditable/replayable instead of gone.
+
+    Mechanics: two AvailableNow drains over one checkpoint.  Drain 1
+    ingests the on-time log (``event_id % late_mod != 0``) with no
+    prior watermark — nothing quarantines, the per-batch max event
+    time lands in a KB watermark-state table.  Drain 2 ingests the
+    straggler slice (``% late_mod == 0``); its cutoff is FROZEN at
+    drain start from the accumulated watermark state (never advanced
+    mid-drain), so routing is deterministic whatever the file→batch
+    packing, and a replayed batch re-routes identically (cutoff is a
+    pure function of the PRIOR drain).  All three per-batch writes
+    (main, quarantine, watermark row) overwrite their own
+    ``batch_id=N`` partition — the replay-idempotent discipline of
+    :func:`write_stream_idempotent`.
+
+    State is O(batches) KB rows; the quarantine decision costs one
+    comparison per row — no join, no extra shuffle.  Returns the
+    quarantine table (the rows a bare watermark would have silently
+    dropped).
+    """
+    inp = os.path.join(run_dir, "in")
+    main = os.path.join(run_dir, "main")
+    quar = os.path.join(run_dir, "quarantine")
+    wm_dir = os.path.join(run_dir, "wm")
+    ckpt = os.path.join(run_dir, "ckpt")
+    ev = spark.read.parquet(events_path)
+
+    def drain(cutoff) -> None:
+        stream = read_log_stream(spark, inp)
+
+        def route(batch_df: DataFrame, batch_id: int) -> None:
+            is_late = (F.col("ts") < F.lit(cutoff) if cutoff is not None
+                       else F.lit(False))
+            (batch_df.filter(is_late)
+             .write.mode("overwrite")
+             .parquet(os.path.join(quar, f"batch_id={batch_id}")))
+            (batch_df.filter(~is_late)
+             .write.mode("overwrite")
+             .parquet(os.path.join(main, f"batch_id={batch_id}")))
+            (batch_df.agg(F.max("ts").alias("max_ts"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(wm_dir, f"batch_id={batch_id}")))
+
+        q = (stream.writeStream.foreachBatch(route)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    if not os.path.isdir(wm_dir):
+        os.makedirs(inp, exist_ok=True)
+        ev.filter(F.col("event_id") % late_mod != 0) \
+          .write.mode("overwrite").parquet(inp)
+        drain(cutoff=None)
+        ev.filter(F.col("event_id") % late_mod == 0) \
+          .write.mode("append").parquet(inp)
+        from datetime import timedelta
+        wm = spark.read.parquet(wm_dir).agg(
+            F.max("max_ts").alias("m")).collect()[0]["m"]
+        drain(cutoff=wm - timedelta(seconds=delay_s))
+    return spark.read.parquet(quar).drop("props")

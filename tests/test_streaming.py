@@ -980,3 +980,35 @@ def test_engine_load_stream_json_docs_passthrough(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT doc_id, text FROM eng_pyds").collect()
     assert [(r.doc_id, r.text) for r in rows] == [(7, "via engine")]
+
+
+def test_late_data_quarantine_routes_and_replays(spark, sf_dir, tmp_path):
+    """The DLQ routes exactly the straggler rows older than the
+    on-time max minus the delay; a rerun over the same run_dir drains
+    nothing new and returns the identical quarantine."""
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.streaming.log_stream import (
+        late_data_quarantine)
+
+    run_dir = str(tmp_path / "lateq")
+    events = table_path(sf_dir, "events")
+    q1 = late_data_quarantine(spark, events, run_dir)
+    got = sorted(r.event_id for r in q1.collect())
+    ev = spark.read.parquet(events)
+    from pyspark.sql import functions as F
+    wm = ev.filter(F.col("event_id") % 97 != 0) \
+        .agg(F.max("ts")).collect()[0][0]
+    from datetime import timedelta
+    want = sorted(r.event_id for r in ev.filter(
+        (F.col("event_id") % 97 == 0)
+        & (F.col("ts") < wm - timedelta(seconds=21600))).collect())
+    assert got == want and len(got) > 0
+    # every quarantined row is from the straggler slice — no on-time
+    # row ever routes to the DLQ
+    assert all(e % 97 == 0 for e in got)
+    # rerun: build-once gate skips staging, result identical
+    q2 = late_data_quarantine(spark, events, run_dir)
+    assert sorted(r.event_id for r in q2.collect()) == got
+    # main output holds everything else (no row lost, no duplicate)
+    main = spark.read.parquet(str(tmp_path / "lateq" / "main"))
+    assert main.count() == ev.count() - len(got)
