@@ -125,6 +125,11 @@ def write_shards(df: DataFrame, path: str, id_col: str, n_shards: int,
             .groupBy(F.col("shard").cast("int").alias("shard"))
             .agg(F.count("*").alias("rows"))
             .orderBy("shard").collect())  # bounded: n_shards rows
+    # a corpus smaller than n_shards leaves some shards EMPTY (no
+    # hive dir is written for them) — the manifest still lists every
+    # shard 0..N-1 so a dataloader expecting N entries sees rows=0
+    # instead of a missing shard
+    per = {int(r["shard"]): int(r["rows"]) for r in rows}
     manifest = {
         "format": "parquet/hive shard=K",
         "seed": seed,
@@ -132,9 +137,9 @@ def write_shards(df: DataFrame, path: str, id_col: str, n_shards: int,
         "id_col": id_col,
         "order": f"sha256('{seed}:' || {id_col}) first-15-hex, "
                  f"ties on {id_col}",
-        "total_rows": int(sum(r["rows"] for r in rows)),
-        "shards": [{"shard": int(r["shard"]), "rows": int(r["rows"])}
-                   for r in rows],
+        "total_rows": int(sum(per.values())),
+        "shards": [{"shard": k, "rows": per.get(k, 0)}
+                   for k in range(n_shards)],
     }
     with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)

@@ -97,3 +97,33 @@ def test_write_shards_layout_manifest_and_stability(docs, tmp_path):
 def test_n_shards_validation(docs):
     with pytest.raises(ValueError):
         export_shards.assign_shards(docs, "doc_id", 0)
+
+
+def test_tiny_corpus_fewer_rows_than_shards(spark, tmp_path):
+    """n_rows < n_shards: assignment still covers sizes <= 1, the
+    manifest lists ALL N shards (empty ones rows=0), and the written
+    layout reads back complete."""
+    docs = spark.range(5).select(F.col("id").alias("doc_id"))
+    a = export_shards.assign_shards(docs, "doc_id", N, seed=SEED)
+    sizes = [r["count"] for r in a.groupBy("shard").count().collect()]
+    assert sum(sizes) == 5 and max(sizes) == 1
+    m = export_shards.write_shards(docs, str(tmp_path / "tiny"),
+                                   "doc_id", N, seed=SEED)
+    assert len(m["shards"]) == N
+    assert sum(s["rows"] for s in m["shards"]) == 5
+    assert m["total_rows"] == 5
+    back = spark.read.parquet(str(tmp_path / "tiny"))
+    assert back.count() == 5
+
+
+def test_assignment_order_matches_shard_boundaries(docs):
+    """Shards are CONTIGUOUS slices of the seeded permutation: the
+    max key in shard k is below the min key in shard k+1 (ties on id
+    respected) — the property a sequential dataloader relies on."""
+    a = export_shards.assign_shards(docs, "doc_id", N, seed=SEED,
+                                    key_col="k")
+    bounds = (a.groupBy("shard")
+              .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+              .orderBy("shard").collect())
+    for prev, cur in zip(bounds, bounds[1:]):
+        assert prev["hi"] <= cur["lo"]
