@@ -811,3 +811,29 @@ def test_theta_overlap_exact_mode_any_sets(spark, a, b):
     assert r["n_union"] == len(a | b)
     assert r["n_a_only"] == len(a - b)
     assert r["theta_ok"]
+
+
+# --- GIF LZW codec pair (pure Python, no Spark job per example) --------
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=600), st.integers(2, 8))
+def test_gif_lzw_roundtrip_property(data, mcs):
+    """encode→decode is the identity for ANY index stream and any min
+    code size — covers KwKwK runs, width bumps, and CLEAR-adjacent
+    boundaries the handwritten cases can't enumerate."""
+    from nosql_join_stream_spark.operators.png_codec import (
+        _lzw_decode, _lzw_encode)
+    idx = bytes(b % (1 << mcs) for b in data)
+    assert _lzw_decode(_lzw_encode(idx, mcs), mcs, len(idx)) == idx
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 31), st.integers(1, 23), st.integers(0, 2**31))
+def test_gif_image_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from nosql_join_stream_spark.operators import png_codec
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = png_codec.decode_gif_gray(png_codec.encode_gray_gif(gray))
+    assert (out == gray).all()
