@@ -67,6 +67,7 @@ STANDING_BUILD = {
     "export_shard_written",          # one-time sharded corpus export
     "cdc_snapshot_time_travel",      # v1 load + v2 merge, once
     "stream_late_quarantine",        # two-drain staging + routing, once
+    "sink_bucketed_join",            # one-time bucketed-table layout
 }
 
 

@@ -6427,3 +6427,53 @@ def stream_late_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  run_dir)
             .select("event_id", "ts", "user_id", "event_type", "value")
             .orderBy("event_id"))
+
+
+@register(
+    "sink_bucketed_join",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice), 2) AS total_price,
+           ANY_VALUE(o.o_orderpriority) AS priority
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY orderkey
+    """,
+    doc="Shuffle-free co-located join over BUCKETED tables "
+        "(sinks.write_bucketed): both sides land once as 16-bucket "
+        "managed tables hashed on the order key (build-once per "
+        "process — the layout investment); the join and the "
+        "per-order aggregate then run with ZERO Exchange on either "
+        "side — bucket metadata satisfies both distributions, the "
+        "bulk-synchronous answer to the reference's per-key index "
+        "lookups (N+1, storage.scala:390-391).  The no-Exchange "
+        "claim is plan-asserted in pytest "
+        "(test_write_bucketed_join_has_no_shuffle); the oracle "
+        "proves the bucketed path changes layout, never the answer.",
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nosql_join_stream_spark import sinks
+
+    e = _engine(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    lt, ot = f"nsjs_li_bkt_{tag}", f"nsjs_ord_bkt_{tag}"
+    if not spark.catalog.tableExists(ot):
+        sinks.write_bucketed(
+            e.table("orders").select("o_orderkey", "o_orderstatus",
+                                     "o_orderpriority"),
+            ot, ["o_orderkey"], num_buckets=16, sort_by=["o_orderkey"])
+        sinks.write_bucketed(
+            e.table("lineitem").select("l_orderkey", "l_extendedprice"),
+            lt, ["l_orderkey"], num_buckets=16, sort_by=["l_orderkey"])
+    li = spark.table(lt)
+    o = spark.table(ot).filter(F.col("o_orderstatus") == "F")
+    return (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(F.col("l_orderkey").alias("orderkey"))
+            .agg(F.count("*").alias("n_lines"),
+                 F.round(F.sum("l_extendedprice"), 2)
+                 .alias("total_price"),
+                 F.any_value("o_orderpriority").alias("priority")))
