@@ -68,6 +68,7 @@ STANDING_BUILD = {
     "cdc_snapshot_time_travel",      # v1 load + v2 merge, once
     "stream_late_quarantine",        # two-drain staging + routing, once
     "sink_bucketed_join",            # one-time bucketed-table layout
+    "sink_zorder_scan",              # one-time z-ordered re-layout
 }
 
 
