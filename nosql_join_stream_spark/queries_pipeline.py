@@ -6521,3 +6521,60 @@ def sink_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & F.col("value").between(10.0, 20.0))
             .select("event_id", "user_id", "value")
             .orderBy("event_id"))
+
+
+@register(
+    "cdc_scd2_incremental",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    g AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM s),
+    r AS (
+      SELECT user_id, event_type, grp, MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, event_type, grp)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+             AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+             IS NULL AS is_current,
+           n_events
+    FROM r
+    """,
+    doc="INCREMENTAL SCD2 fold (sinks.scd2_apply_batch): yesterday's "
+        "SCD2 table (events before Jan 24) + today's batch (the "
+        "rest) — closed intervals are never recomputed; per touched "
+        "key only the CURRENT row re-enters the run collapse as one "
+        "n_events-weighted pseudo-event alongside the batch, so the "
+        "fold costs O(batch + touched current rows) at ANY history "
+        "size.  Same-value batches extend the current interval, "
+        "changes close it at the change point, unseen keys open "
+        "fresh history.  The oracle is the FULL-history SCD2: "
+        "equality of the folded and full forms IS the "
+        "incremental-correctness claim (the resolve_incremental / "
+        "drift_psi_standing discipline applied to dimension "
+        "history).",
+)
+def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark import sinks
+
+    e = _engine(spark, sf_dir)
+    ev = e.table("events").select("user_id", "ts", "event_id",
+                                  "event_type")
+    split = F.lit("2024-01-24 00:00:00").cast("timestamp")
+    hist = sinks.scd2_history(ev.filter(F.col("ts") < split),
+                              "user_id", ["ts", "event_id"],
+                              "event_type")
+    return (sinks.scd2_apply_batch(hist, ev.filter(F.col("ts") >= split),
+                                   "user_id", ["ts", "event_id"],
+                                   "event_type")
+            .select("user_id", "event_type", "valid_from", "valid_to",
+                    "is_current", "n_events"))

@@ -226,7 +226,8 @@ _KB = "__kb"
 
 
 def scd2_history(df: DataFrame, key_col: str,
-                 order_by: Sequence[str], tracked_col: str) -> DataFrame:
+                 order_by: Sequence[str], tracked_col: str,
+                 weight_col: str | None = None) -> DataFrame:
     """Slowly-Changing-Dimension TYPE 2 history from an event/CDC
     stream: per key, collapse consecutive runs of the same
     ``tracked_col`` value into validity intervals —
@@ -246,20 +247,70 @@ def scd2_history(df: DataFrame, key_col: str,
     its own sort only.  ``order_by`` must be a deterministic total
     order within a key (e.g. ``["ts", "event_id"]``) or run
     boundaries are replay-unstable.
+
+    ``weight_col``: count each row as N events instead of 1 — the
+    hook :func:`scd2_apply_batch` uses to fold a whole prior interval
+    back in as one pseudo-event without losing its tally.
     """
     w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_by])
     changed = (F.lag(tracked_col).over(w).isNull()
                | (F.lag(tracked_col).over(w) != F.col(tracked_col)))
+    n = (F.sum(weight_col) if weight_col is not None
+         else F.count("*")).alias("n_events")
     runs = (df.withColumn("__grp",
                           F.sum(F.when(changed, 1).otherwise(0)).over(w))
             .groupBy(key_col, tracked_col, "__grp")
-            .agg(F.min(order_by[0]).alias("valid_from"),
-                 F.count("*").alias("n_events")))
+            .agg(F.min(order_by[0]).alias("valid_from"), n))
     w_iv = Window.partitionBy(key_col).orderBy("__grp")
     return (runs
             .withColumn("valid_to", F.lead("valid_from").over(w_iv))
             .withColumn("is_current", F.col("valid_to").isNull())
             .drop("__grp"))
+
+
+def scd2_apply_batch(history: DataFrame, batch: DataFrame, key_col: str,
+                     order_by: Sequence[str],
+                     tracked_col: str) -> DataFrame:
+    """INCREMENTAL SCD2 fold — the daily-job twin of
+    :func:`scd2_history`: merge a batch of new events into an
+    existing SCD2 table touching ONLY the batch's keys.  Closed
+    intervals are never recomputed; per touched key, the CURRENT row
+    re-enters the run collapse as one pseudo-event at its own
+    ``valid_from`` weighted by its ``n_events`` (so tallies survive),
+    unioned with the batch — if the batch continues the same tracked
+    value the current interval extends, if it changes value the
+    interval closes at the change point, and unseen keys open fresh
+    history.  Result == ``scd2_history`` over the full event log
+    (pinned by test AND by the registry oracle — the equality IS the
+    incremental-correctness claim, the resolve_incremental
+    discipline).
+
+    Cost: O(|batch| + touched keys' current rows) — history size
+    never enters; the anti/semi key splits are hash joins on the
+    batch's (small) key set.  PRECONDITION: every batch event is
+    at-or-after its key's current ``valid_from`` (true whenever
+    batches apply in change-log order); a late event older than the
+    current interval would need closed-history repair, which is a
+    rebuild, not a fold.
+    """
+    cols = [key_col, tracked_col, "valid_from", "valid_to",
+            "is_current", "n_events"]
+    touched = batch.select(key_col).distinct()
+    untouched = history.join(touched, key_col, "left_anti").select(*cols)
+    h_t = history.join(touched, key_col, "left_semi")
+    closed = h_t.filter(~F.col("is_current")).select(*cols)
+    ts_col, *tie = order_by
+    pseudo = (h_t.filter(F.col("is_current"))
+              .select(key_col,
+                      F.col("valid_from").alias(ts_col),
+                      *[F.lit(-1).cast("long").alias(c) for c in tie],
+                      tracked_col,
+                      F.col("n_events").alias("__w")))
+    newev = batch.select(key_col, ts_col, *tie, tracked_col,
+                         F.lit(1).cast("long").alias("__w"))
+    tail = scd2_history(pseudo.unionByName(newev), key_col, order_by,
+                        tracked_col, weight_col="__w").select(*cols)
+    return untouched.unionByName(closed).unionByName(tail)
 
 
 def _key_bucket(key_col: str, num_buckets: int) -> Column:

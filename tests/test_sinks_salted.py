@@ -866,3 +866,41 @@ def test_scd2_history_single_exchange(engine):
                         ["ts", "event_id"], "event_type") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.lower().count("hashpartitioning(user_id") <= 2
+
+
+def test_scd2_apply_batch_folds_without_touching_closed_history(spark):
+    from datetime import datetime
+
+    from nosql_join_stream_spark.sinks import scd2_apply_batch, scd2_history
+
+    ts = lambda d: datetime(2024, 1, d)  # noqa: E731
+    hist_ev = [
+        (1, ts(1), 10, "A"), (1, ts(2), 11, "A"), (1, ts(3), 12, "B"),
+        (2, ts(1), 20, "X"),
+        (3, ts(2), 30, "Z"),   # untouched by the batch
+    ]
+    batch_ev = [
+        (1, ts(5), 13, "B"),   # extends user 1's current B interval
+        (1, ts(6), 14, "C"),   # then changes it
+        (2, ts(4), 21, "X"),   # extends user 2's only interval
+        (4, ts(7), 40, "Q"),   # key with no history at all
+    ]
+    schema = "user_id long, ts timestamp, event_id long, et string"
+    hist = scd2_history(spark.createDataFrame(hist_ev, schema),
+                        "user_id", ["ts", "event_id"], "et")
+    folded = scd2_apply_batch(hist, spark.createDataFrame(batch_ev, schema),
+                              "user_id", ["ts", "event_id"], "et")
+    full = scd2_history(
+        spark.createDataFrame(hist_ev + batch_ev, schema),
+        "user_id", ["ts", "event_id"], "et")
+    assert folded.exceptAll(full).count() == 0
+    assert full.exceptAll(folded).count() == 0
+    out = {(r.user_id, r.et, r.valid_from): r for r in folded.collect()}
+    # extended current interval keeps its tally: B run = event 12 + 13
+    b = out[(1, "B", ts(3))]
+    assert (b.n_events, b.valid_to, b.is_current) == (2, ts(6), False)
+    assert out[(1, "C", ts(6))].is_current
+    assert out[(2, "X", ts(1))].n_events == 2
+    assert out[(4, "Q", ts(7))].is_current
+    # untouched key's row unchanged
+    assert out[(3, "Z", ts(2))].is_current
