@@ -890,9 +890,12 @@ def test_scd2_apply_batch_folds_without_touching_closed_history(spark):
                         "user_id", ["ts", "event_id"], "et")
     folded = scd2_apply_batch(hist, spark.createDataFrame(batch_ev, schema),
                               "user_id", ["ts", "event_id"], "et")
+    cols = ["user_id", "et", "valid_from", "valid_to", "is_current",
+            "n_events"]
     full = scd2_history(
         spark.createDataFrame(hist_ev + batch_ev, schema),
-        "user_id", ["ts", "event_id"], "et")
+        "user_id", ["ts", "event_id"], "et").select(*cols)
+    folded = folded.select(*cols)
     assert folded.exceptAll(full).count() == 0
     assert full.exceptAll(folded).count() == 0
     out = {(r.user_id, r.et, r.valid_from): r for r in folded.collect()}
