@@ -798,10 +798,17 @@ _DRIVER_WINDOW = [
     # (TPC-H Q21/Q22/Q13 planner shapes; the shard-export pair) their
     # ship-round stamp, and fills the remaining 35 slots from the r6
     # cohort in registry order.
-    # Post-r11 state if green: 14 r6-cohort stragglers remain
-    # (retrieval_mmr_diversified, ann_ivf_filtered, stream_ann_probe,
-    # stream_quality_ewma, stream_token_budget, dedup_substring_spans,
-    # cdc_upsert_latest, stream_cdc_upsert, text_bigram_logprob,
+    # Post-r11 state if green: 28 r6-cohort stragglers remain
+    # (dedup_index_delete_probe onward in the r6 registry order:
+    # stream_minhash_dedup_ingest, text_normalize, ann_ivfpq_topk,
+    # embedding_pq_codes, sample_temperature_weights, text_redact_pii,
+    # embedding_label_centroids, stream_incremental_dedup,
+    # dedup_semantic_clusters, dedup_resolve_keep_best_minhash,
+    # text_bpe_subword_count, ann_ivf_partitioned,
+    # ann_ivf_append_probe, retrieval_mmr_diversified,
+    # ann_ivf_filtered, stream_ann_probe, stream_quality_ewma,
+    # stream_token_budget, dedup_substring_spans, cdc_upsert_latest,
+    # stream_cdc_upsert, text_bigram_logprob,
     # sketch_vocab_cardinality, pyds_document_scan,
     # dedup_resolve_incremental, cdc_upsert_snapshot,
     # cdc_upsert_deletes) — they + any r12-born queries lead the r12
@@ -812,12 +819,21 @@ _DRIVER_WINDOW = [
     "sketch_token_heavy_hitters", "sketch_cohort_matrix",
     "sketch_source_heavy_hitters", "drift_psi_value",
     "drift_psi_by_source", "drift_psi_standing",
-    # NEW in r11: the three remaining TPC-H planner shapes and the
-    # deterministic shard export
+    # NEW in r11 (ship-round stamps): TPC-H planner shapes Q21/Q22/
+    # Q13 + Q2/Q7/Q9/Q11/Q12/Q15/Q16/Q20 (the anchor set now covers
+    # all 22), the deterministic shard export, SCD2 (full +
+    # incremental fold), snapshot time travel, the late-data DLQ,
+    # and the bucketed/z-ordered layout witnesses
     "tpch_q21_waiting_suppliers", "tpch_q22_dormant_balance",
     "tpch_q13_order_distribution", "export_shard_assignment",
-    "export_shard_written",
-    # r6-stamp cohort, registry order (35 of 49)
+    "export_shard_written", "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_counts",
+    "tpch_q20_excess_shippers", "cdc_scd2_history",
+    "cdc_scd2_incremental", "cdc_snapshot_time_travel",
+    "stream_late_quarantine", "sink_bucketed_join", "sink_zorder_scan",
+    # r6-stamp cohort, registry order (21 of 49)
     "variant_schemaless_decode", "events_time_rollup",
     "events_rate_spikes", "events_cohort_retention",
     "events_coactivity_range_join", "asof_join_nearest",
@@ -827,13 +843,7 @@ _DRIVER_WINDOW = [
     "pipeline_split_leakage", "multimodal_payload_dedup",
     "sample_weighted_reservoir", "embedding_dim_stats",
     "sample_global_shuffle", "sample_cap_per_group",
-    "dedup_incremental_minhash", "dedup_index_delete_probe",
-    "stream_minhash_dedup_ingest", "text_normalize", "ann_ivfpq_topk",
-    "embedding_pq_codes", "sample_temperature_weights",
-    "text_redact_pii", "embedding_label_centroids",
-    "stream_incremental_dedup", "dedup_semantic_clusters",
-    "dedup_resolve_keep_best_minhash", "text_bpe_subword_count",
-    "ann_ivf_partitioned", "ann_ivf_append_probe",
+    "dedup_incremental_minhash",
 ]
 
 
