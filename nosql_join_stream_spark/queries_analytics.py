@@ -1172,13 +1172,18 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hr_value").isNull().alias("filled"))
 
 
-# --- TPC-H anchor queries (r10) ---------------------------------------
+# --- TPC-H anchor queries (r10, completed r11) ------------------------
 # Externally recognizable benchmark shapes over the TESTDATA tables, so
 # BENCH numbers are comparable against published TPC-H plans:
 # agg_pricing_summary is the Q1 analog and local_supplier_volume the Q5
-# analog; these add Q3 (shipping priority), Q10 (returned items) and
-# Q18 (large-volume customer).  The schema has no o_shippriority /
-# partsupp, so each query projects the columns TESTDATA carries.
+# analog; with the r10 anchors (Q3/Q4/Q6/Q8/Q10/Q14/Q17/Q18/Q19) and
+# the r11 anchors (Q2/Q7/Q9/Q11/Q12/Q13/Q15/Q16/Q20/Q21/Q22) the set
+# covers ALL 22 TPC-H planner shapes.  The schema has no
+# o_shippriority / partsupp / l_shipmode / commit-receipt dates, so
+# each query projects the columns TESTDATA carries (the doc of each
+# anchor names its substitution).  No broadcast hints on scale-linear
+# tables anywhere — fixed-cardinality nation/region only (r10 VERDICT
+# lead #2).
 
 
 @register(

@@ -14,7 +14,7 @@ Usage: python tools/scale_probe.py [max_factor] [op ...]
                        rrf textq pack mm coverage cap phrase dimstats
                        shuffle paradedup budget semdedup keepbest
                        keepbestmh ivfappend cleanmh streamij editdist
-                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto saltaqe emblinalg jlann sketchq psib
+                       incrmh mmr ivfcompact substr upsert bigram nbllr sketch substrinc chunkjac resolveinc snapupsert bpe retract asof mediainc aqeskew pyds keyed saltauto saltaqe shards scd2inc emblinalg jlann sketchq psib
 """
 
 from __future__ import annotations
@@ -842,6 +842,80 @@ def main() -> None:
             finally:
                 for c, v in saved.items():
                     spark.conf.set(c, v)
+
+        if "shards" in OPS:
+            # r39 — deterministic shard export: assignment wall must
+            # grow ~linearly (one range-partition shuffle + per-
+            # partition rank; the offset table is partitions-sized),
+            # vs the single-window form whose rank funnels every row
+            # through ONE task — the cliff the two-pass index exists
+            # to avoid.
+            from pyspark.sql import Window
+            from nosql_join_stream_spark.operators.export_shards import (
+                assign_shards, seeded_order_hash)
+            ids = dd.select("doc_id")
+            t0 = time.perf_counter()
+            results["shards_rows"] = assign_shards(
+                ids, "doc_id", 128, seed=7).count()
+            results["shards_s"] = round(time.perf_counter() - t0, 2)
+            key = seeded_order_hash(F.col("doc_id"), 7)
+            w1 = Window.orderBy(key, "doc_id")
+            t0 = time.perf_counter()
+            ids.withColumn("__rn", F.row_number().over(w1)).count()
+            results["shards_1task_s"] = round(
+                time.perf_counter() - t0, 2)
+
+        if "scd2inc" in OPS:
+            # r40 — incremental SCD2 fold: history GROWS with factor,
+            # the batch stays fixed; the fold reads only the batch +
+            # touched keys' current rows, so its wall must stay
+            # near-flat while the full-history recompute grows with
+            # the log.  History is a standing parquet table (the
+            # deployment shape), written once per factor.
+            import shutil
+            import tempfile
+            from nosql_join_stream_spark.sinks import (
+                scd2_apply_batch, scd2_history)
+            ev_ = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+                .select("user_id", "ts", "event_id", "event_type")
+            copies_ = spark.range(factor).select(F.col("id").alias("__c"))
+            grown = (ev_.crossJoin(copies_)
+                     .withColumn("user_id",
+                                 F.col("user_id") + F.col("__c") * 10_000)
+                     .withColumn("event_id",
+                                 F.col("event_id")
+                                 + F.col("__c") * 10_000_000)
+                     .drop("__c"))
+            split = F.lit("2024-01-28 00:00:00").cast("timestamp")
+            hdir = tempfile.mkdtemp(prefix="nsjs_scd2_")
+            try:
+                t0 = time.perf_counter()
+                scd2_history(grown.filter(F.col("ts") < split),
+                             "user_id", ["ts", "event_id"],
+                             "event_type") \
+                    .write.mode("overwrite").parquet(hdir)
+                results["scd2_hist_build_s"] = round(
+                    time.perf_counter() - t0, 2)
+                hist = spark.read.parquet(hdir)
+                # fixed batch: copy-0 events after the split
+                batch = grown.filter(
+                    (F.col("ts") >= split)
+                    & (F.col("user_id") < 10_000))
+                t0 = time.perf_counter()
+                results["scd2_fold_rows"] = scd2_apply_batch(
+                    hist, batch, "user_id", ["ts", "event_id"],
+                    "event_type").count()
+                results["scd2_fold_s"] = round(
+                    time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                scd2_history(
+                    grown.filter((F.col("ts") < split)
+                                 | (F.col("user_id") < 10_000)),
+                    "user_id", ["ts", "event_id"], "event_type").count()
+                results["scd2_full_s"] = round(
+                    time.perf_counter() - t0, 2)
+            finally:
+                shutil.rmtree(hdir, ignore_errors=True)
 
         if "substr" in OPS:
             # linear token blowup + two hash-partitioned shuffles; the
