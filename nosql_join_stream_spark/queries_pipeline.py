@@ -6455,13 +6455,27 @@ def stream_late_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
+    import tempfile
 
     from nosql_join_stream_spark import sinks
 
     e = _engine(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    lt, ot = f"nsjs_li_bkt_{tag}", f"nsjs_ord_bkt_{tag}"
+    # pid-scoped database at a tmp LOCATION (the dedup-index pattern):
+    # an unscoped managed table leaves its warehouse dir behind when
+    # the process dies, and the next session's in-memory catalog
+    # doesn't know it — saveAsTable then fails LOCATION_ALREADY_EXISTS
+    db = f"nsjs_bkt_{os.getpid()}_{tag}"
+    loc = os.path.join(tempfile.gettempdir(), db)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    lt, ot = f"{db}.lineitem_b", f"{db}.orders_b"
     if not spark.catalog.tableExists(ot):
+        for t in ("lineitem_b", "orders_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+            stale = os.path.join(loc.removeprefix("file:"), t)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
         sinks.write_bucketed(
             e.table("orders").select("o_orderkey", "o_orderstatus",
                                      "o_orderpriority"),
