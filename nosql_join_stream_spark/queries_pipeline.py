@@ -6498,8 +6498,8 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id, value
     FROM events
-    WHERE user_id BETWEEN 100 AND 120
-      AND value BETWEEN 10.0 AND 20.0
+    WHERE user_id BETWEEN 10 AND 40
+      AND value BETWEEN 5.0 AND 50.0
     ORDER BY event_id
     """,
     doc="Z-ORDER data-skipping layout witnessed end-to-end "
@@ -6531,8 +6531,8 @@ def sink_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.table("events").select("event_id", "user_id", "value"),
             path, ["user_id", "value"], n_files=16)
     return (spark.read.parquet(path)
-            .filter(F.col("user_id").between(100, 120)
-                    & F.col("value").between(10.0, 20.0))
+            .filter(F.col("user_id").between(10, 40)
+                    & F.col("value").between(5.0, 50.0))
             .select("event_id", "user_id", "value")
             .orderBy("event_id"))
 
