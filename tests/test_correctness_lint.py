@@ -86,3 +86,36 @@ def test_lint_rejects_r3_failure_shapes(sql, spark_t):
     desc = _describe(sql)
     cols = {desc[0][0]: spark_t}
     assert type_lint(cols, desc), f"lint must reject: {sql}"
+
+
+def test_bench_compact_line_fits_driver_tail():
+    """The driver keeps only ~2000 chars of bench stdout; the compact
+    final line must fit with margin even if the 10 slowest queries
+    are the 10 LONGEST-named ones (BENCH_r{1,2,3} were lost to an
+    overflowing tail — this guard keeps the regression dead)."""
+    import json
+
+    from nosql_join_stream_spark.queries import REGISTRY
+
+    names = sorted(REGISTRY, key=len, reverse=True)[:10]
+    slowest = {n: 9999.9999 for n in names}
+    compact = {
+        "metric": "registry_total_wall",
+        "value": 99999.9999,
+        "unit": "sec",
+        "queries": slowest,
+        "queries_truncated_to_slowest": 10,
+        "queries_cold": dict(slowest),
+        "queries_loaded": dict(slowest),
+        "standing_build_total": 9999.9999,
+        "full_artifact": "BENCH_full.json",
+        "sf": 0.1,
+        "cold_total": 99999.9999,
+        "loaded_total": 99999.9999,
+        "groups": {g: 9999.9999 for g in
+                   ("sketch", "stream", "dedup", "text", "embedding",
+                    "multimodal", "relational")},
+        "n_queries": len(REGISTRY),
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, len(line)
