@@ -287,11 +287,14 @@ def scd2_apply_batch(history: DataFrame, batch: DataFrame, key_col: str,
 
     Cost: O(|batch| + touched keys' current rows) — history size
     never enters; the anti/semi key splits are hash joins on the
-    batch's (small) key set.  PRECONDITION: every batch event is
-    at-or-after its key's current ``valid_from`` (true whenever
-    batches apply in change-log order); a late event older than the
-    current interval would need closed-history repair, which is a
-    rebuild, not a fold.
+    batch's (small) key set.  PRECONDITION, enforced in-plan: every
+    batch event is at-or-after its key's current ``valid_from`` (true
+    whenever batches apply in change-log order); a late event older
+    than the current interval would need closed-history repair, which
+    is a rebuild, not a fold — the fold RAISES on it instead of
+    silently mis-collapsing (the guard lives inside the surviving
+    timestamp column so Catalyst can't prune it — the r10 dead-guard
+    lesson).
     """
     cols = [key_col, tracked_col, "valid_from", "valid_to",
             "is_current", "n_events"]
@@ -305,11 +308,37 @@ def scd2_apply_batch(history: DataFrame, batch: DataFrame, key_col: str,
                       F.col("valid_from").alias(ts_col),
                       *[F.lit(-1).cast("long").alias(c) for c in tie],
                       tracked_col,
-                      F.col("n_events").alias("__w")))
+                      F.col("n_events").alias("__w"),
+                      F.lit(True).alias("__is_cur")))
     newev = batch.select(key_col, ts_col, *tie, tracked_col,
-                         F.lit(1).cast("long").alias("__w"))
-    tail = scd2_history(pseudo.unionByName(newev), key_col, order_by,
-                        tracked_col, weight_col="__w").select(*cols)
+                         F.lit(1).cast("long").alias("__w"),
+                         F.lit(False).alias("__is_cur"))
+    # the ordering guard rides a WINDOW over the union itself (same
+    # key partitioning the collapse uses — no extra join, and no
+    # second reference to the history subtree: a cur-side join here
+    # plus the 3-way result union made Catalyst's relation
+    # de-duplication mis-resolve the tail's window partition in one
+    # observed plan — wrong rows, not an error, so the guard now
+    # stays inside one frame): a batch event older than its key's
+    # current valid_from raises from inside the surviving ts column.
+    ts_type = dict(batch.dtypes)[ts_col]
+    w_all = Window.partitionBy(key_col)
+    cur_vf = F.max(F.when(F.col("__is_cur"), F.col(ts_col))).over(w_all)
+    guarded_ts = F.when(
+        ~F.col("__is_cur") & (F.col(ts_col) < cur_vf),
+        F.raise_error(F.concat(
+            F.lit("scd2_apply_batch: batch event at "),
+            F.col(ts_col).cast("string"),
+            F.lit(f" predates its key's current interval ({key_col}="),
+            F.col(key_col).cast("string"),
+            F.lit(") — closed-history repair needs a rebuild, "
+                  "not a fold"))).cast(ts_type)
+    ).otherwise(F.col(ts_col))
+    u = (pseudo.unionByName(newev)
+         .withColumn(ts_col, guarded_ts)
+         .drop("__is_cur"))
+    tail = scd2_history(u, key_col, order_by, tracked_col,
+                        weight_col="__w").select(*cols)
     return untouched.unionByName(closed).unionByName(tail)
 
 

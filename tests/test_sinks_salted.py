@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nosql_join_stream_spark.operators.join import salted_join
@@ -907,3 +908,24 @@ def test_scd2_apply_batch_folds_without_touching_closed_history(spark):
     assert out[(4, "Q", ts(7))].is_current
     # untouched key's row unchanged
     assert out[(3, "Z", ts(2))].is_current
+
+
+def test_scd2_apply_batch_rejects_out_of_order_event(spark):
+    """A batch event older than its key's current interval needs
+    closed-history repair — the fold must RAISE, never silently
+    mis-collapse (guard rides the surviving ts column)."""
+    from datetime import datetime
+
+    from pyspark.sql.utils import PythonException
+
+    from nosql_join_stream_spark.sinks import scd2_apply_batch, scd2_history
+
+    ts = lambda d: datetime(2024, 1, d)  # noqa: E731
+    schema = "user_id long, ts timestamp, event_id long, et string"
+    hist = scd2_history(
+        spark.createDataFrame([(1, ts(5), 10, "A")], schema),
+        "user_id", ["ts", "event_id"], "et")
+    bad = spark.createDataFrame([(1, ts(2), 11, "B")], schema)
+    with pytest.raises(Exception, match="predates|SCD2|rebuild"):
+        scd2_apply_batch(hist, bad, "user_id", ["ts", "event_id"],
+                         "et").collect()
