@@ -837,3 +837,52 @@ def test_gif_image_roundtrip_property(w, h, seed):
     gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
     out = png_codec.decode_gif_gray(png_codec.encode_gray_gif(gray))
     assert (out == gray).all()
+
+
+# --- SCD2 run collapse vs a plain-Python gaps-and-islands oracle -------
+
+@st.composite
+def _scd2_events(draw):
+    n = draw(st.integers(1, 30))
+    rows = []
+    for i in range(n):
+        rows.append((draw(st.integers(1, 4)),           # key
+                     draw(st.integers(1, 12)),          # day
+                     i,                                 # unique event id
+                     draw(st.sampled_from("ABC"))))     # tracked value
+    return rows
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_scd2_events())
+def test_scd2_history_matches_python_oracle(spark, rows):
+    from datetime import datetime
+
+    from nosql_join_stream_spark.sinks import scd2_history
+
+    df = spark.createDataFrame(
+        [(u, datetime(2024, 1, d), e, v) for u, d, e, v in rows],
+        "user_id long, ts timestamp, event_id long, et string")
+    got = {(r.user_id, r.valid_from): (r.et, r.valid_to, r.is_current,
+                                       r.n_events)
+           for r in scd2_history(df, "user_id", ["ts", "event_id"],
+                                 "et").collect()}
+    # plain-Python oracle: sort per key by (ts, event_id), collapse
+    # consecutive runs, chain the intervals
+    want = {}
+    bykey: dict = {}
+    for u, d, e, v in rows:
+        bykey.setdefault(u, []).append((datetime(2024, 1, d), e, v))
+    for u, evs in bykey.items():
+        evs.sort()
+        runs = []
+        for ts_, _, v in evs:
+            if runs and runs[-1][0] == v:
+                runs[-1][2] += 1
+            else:
+                runs.append([v, ts_, 1])
+        for i, (v, vf, n) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else None
+            want[(u, vf)] = (v, vt, vt is None, n)
+    assert got == want
