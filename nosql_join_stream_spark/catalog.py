@@ -64,12 +64,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     object, and test data never mutates mid-session.
     """
     path = table_path(sf_dir or DEFAULT_SF_DIR, name)
+    # Determinism-gate seam (tools/check_correctness.py --perturb): when
+    # SPARK_GRAFT_PERTURB=<n> is set, every catalog scan is re-sharded
+    # into n partitions, permuting aggregation accumulation order.  Any
+    # query whose VALUES change under two different n is order-
+    # nondeterministic (the r11 tpch_q11 half-cent ROUND(SUM(double))
+    # class) and would flake the driver's value hash.
+    perturb = os.environ.get("SPARK_GRAFT_PERTURB")
+    cache_key = (path, perturb)
     cache = getattr(spark, "_nsjs_table_cache", None)
     if cache is None:
         cache = {}
         spark._nsjs_table_cache = cache
-    if path in cache:
-        return cache[path]
+    if cache_key in cache:
+        return cache[cache_key]
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -82,7 +90,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
         elif dtype == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-    cache[path] = df
+    if perturb:
+        df = df.repartition(int(perturb))
+    cache[cache_key] = df
     return df
 
 

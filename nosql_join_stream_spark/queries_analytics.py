@@ -19,14 +19,44 @@ from nosql_join_stream_spark.functions import epoch_us
 from nosql_join_stream_spark.queries import _engine, register
 
 
+def _dec(col: str | F.Column) -> F.Column:
+    """Cast a money expression to decimal(38,6) for ORDER-DETERMINISTIC
+    summation.
+
+    ``SUM(double)`` depends on accumulation order; TESTDATA money
+    columns sit on the 2-dp grid, so 4-to-6-dp products like
+    ``price*(1-disc)`` sum to values that land EXACTLY on the half-cent
+    boundary routinely (r11: six of tpch_q11's 222 sums, e.g.
+    311622.9935 — ``ROUND(...,2)`` then flips a cent between Spark's
+    partial-agg order and DuckDB's, or between two partitionings of the
+    same Spark query).  Decimal sums are exact and order-free, and the
+    per-row double→decimal(38,6) cast is itself deterministic: no
+    double at these magnitudes lies exactly halfway on the 6-dp grid
+    (0.0000005 is not binary-representable), so both engines round the
+    same row value to the same decimal.  Oracle twin:
+    ``SUM(CAST(x AS DECIMAL(38,6)))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(38,6)")
+
+
+def _money_sum(col: str | F.Column, dp: int = 2) -> F.Column:
+    """``ROUND(SUM(double), dp)`` made order-deterministic (see _dec).
+    Oracle twin: ``ROUND(SUM(CAST(x AS DECIMAL(38,6))), dp)::DOUBLE``.
+    """
+    return F.round(F.sum(_dec(col)), dp).cast("double")
+
+
 @register(
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                  AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                             AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(38,6))), 2)::DOUBLE              AS sum_disc_price,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          AS DECIMAL(38,6))), 2)::DOUBLE              AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                  AS avg_qty,
            ROUND(AVG(l_extendedprice), 4)                             AS avg_price,
            ROUND(AVG(l_discount), 4)                                  AS avg_disc,
@@ -47,8 +77,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        _money_sum(disc).alias("sum_disc_price"),
+        _money_sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -247,7 +277,8 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     """
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(38,6))), 2)::DOUBLE AS revenue,
            COUNT(*) AS n_items
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -281,7 +312,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(s, (s["s_suppkey"] == l["l_suppkey"])
                      & (s["s_nationkey"] == c["c_nationkey"])))
     return (joined.groupBy(n["n_name"].alias("nation"))
-            .agg(F.round(F.sum(l["l_extendedprice"] * (1 - l["l_discount"])), 2)
+            .agg(_money_sum(l["l_extendedprice"] * (1 - l["l_discount"]))
                   .alias("revenue"),
                  F.count("*").alias("n_items")))
 
@@ -1190,7 +1221,8 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     """
     SELECT l.l_orderkey AS orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(38,6))), 2)::DOUBLE AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -1222,8 +1254,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(l, l["l_orderkey"] == o["o_orderkey"])
              .groupBy(l["l_orderkey"].alias("orderkey"),
                       o["o_orderdate"], o["o_orderpriority"])
-             .agg(F.round(F.sum(l["l_extendedprice"]
-                                * (1 - l["l_discount"])), 2).alias("revenue"))
+             .agg(_money_sum(l["l_extendedprice"]
+                             * (1 - l["l_discount"])).alias("revenue"))
              .select("orderkey", "revenue", "o_orderdate", "o_orderpriority")
              .orderBy(F.desc("revenue"), "o_orderdate", "orderkey")
              .limit(10))
@@ -1233,7 +1265,8 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     """
     SELECT c.c_custkey AS custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(38,6))), 2)::DOUBLE AS revenue,
            ROUND(c.c_acctbal, 2) AS acctbal,
            n.n_name AS nation
     FROM customer c
@@ -1268,8 +1301,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(n, n["n_nationkey"] == c["c_nationkey"])
              .groupBy(c["c_custkey"].alias("custkey"), c["c_name"],
                       c["c_acctbal"], n["n_name"].alias("nation"))
-             .agg(F.round(F.sum(l["l_extendedprice"]
-                                * (1 - l["l_discount"])), 2).alias("revenue"))
+             .agg(_money_sum(l["l_extendedprice"]
+                             * (1 - l["l_discount"])).alias("revenue"))
              .select("custkey", "c_name", "revenue",
                      F.round("c_acctbal", 2).alias("acctbal"), "nation")
              .orderBy(F.desc("revenue"), "custkey")
@@ -1334,7 +1367,8 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT ROUND(SUM(CAST(l_extendedprice * l_discount
+                          AS DECIMAL(38,6))), 2)::DOUBLE AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1360,18 +1394,19 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24))
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
-                2).alias("revenue"),
+        _money_sum(F.col("l_extendedprice") * F.col("l_discount"))
+        .alias("revenue"),
         F.count("*").alias("n_lines"))
 
 
 @register(
     "tpch_q14_promo_effect",
     """
-    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+    SELECT ROUND(100.0 * SUM(CAST(CASE WHEN p.p_type = 'PROMO'
                                   THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+                                  ELSE 0 END AS DECIMAL(38,6)))::DOUBLE
+                 / SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS DECIMAL(38,6)))::DOUBLE, 4)
              AS promo_pct,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
@@ -1396,16 +1431,19 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (li.join(F.broadcast(p),
                     F.col("p_partkey") == F.col("l_partkey"))
-            .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO",
-                                              rev).otherwise(0.0))
-                         / F.sum(rev), 4).alias("promo_pct"),
+            .agg(F.round(100.0 * F.sum(_dec(F.when(F.col("p_type") == "PROMO",
+                                                   rev).otherwise(0.0)))
+                         .cast("double")
+                         / F.sum(_dec(rev)).cast("double"), 4)
+                 .alias("promo_pct"),
                  F.count("*").alias("n_lines")))
 
 
 @register(
     "tpch_q19_discounted_revenue",
     """
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(38,6))), 2)::DOUBLE AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1 AND 15
@@ -1440,8 +1478,8 @@ def tpch_q19_discounted_revenue(spark: SparkSession,
     return (li.join(F.broadcast(p),
                     F.col("p_partkey") == F.col("l_partkey"))
             .filter(cond)
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
+            .agg(_money_sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
                  .alias("revenue"),
                  F.count("*").alias("n_lines")))
 
@@ -1491,7 +1529,8 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_small_quantity",
     """
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6)))::DOUBLE
+                 / 7.0, 2) AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -1529,7 +1568,8 @@ def tpch_q17_small_quantity(spark: SparkSession,
                   .select("__pk", "__lim"),
                   F.col("l_partkey") == F.col("__pk"))
             .filter(F.col("l_quantity") < F.col("__lim"))
-            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+            .agg(F.round(F.sum(_dec("l_extendedprice")).cast("double")
+                         / 7.0, 2)
                  .alias("avg_yearly"),
                  F.count("*").alias("n_lines")))
 
@@ -1553,9 +1593,10 @@ def tpch_q17_small_quantity(spark: SparkSession,
         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
     SELECT CAST(o_year AS BIGINT) AS o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_7'
-                          THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share,
+           ROUND(SUM(CAST(CASE WHEN supp_nation = 'NATION_7'
+                          THEN volume ELSE 0 END AS DECIMAL(38,6)))::DOUBLE
+                 / SUM(CAST(volume AS DECIMAL(38,6)))::DOUBLE, 6)
+             AS mkt_share,
            COUNT(*) AS n_lines
     FROM all_l GROUP BY o_year ORDER BY o_year
     """,
@@ -1609,10 +1650,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.year("o_orderdate").cast("long").alias("o_year"),
                     vol.alias("volume"), "supp_nation")
             .groupBy("o_year")
-            .agg(F.round(F.sum(F.when(F.col("supp_nation")
-                                      == "NATION_7",
-                                      F.col("volume")).otherwise(0.0))
-                         / F.sum("volume"), 6).alias("mkt_share"),
+            .agg(F.round(F.sum(_dec(F.when(F.col("supp_nation")
+                                           == "NATION_7",
+                                           F.col("volume")).otherwise(0.0)))
+                         .cast("double")
+                         / F.sum(_dec("volume")).cast("double"), 6)
+                 .alias("mkt_share"),
                  F.count("*").alias("n_lines"))
             .orderBy("o_year"))
 
@@ -1867,7 +1910,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession,
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(38,6))), 2)::DOUBLE
              AS revenue
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -1925,8 +1969,8 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(pair)
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").cast("long").alias("l_year"))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
+            .agg(_money_sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount")))
                  .alias("revenue"))
             .orderBy("supp_nation", "cust_nation", "l_year"))
 
@@ -1936,15 +1980,16 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
       SELECT l.l_partkey,
-             SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,6))) AS val
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n   ON n.n_nationkey = s.s_nationkey
                      AND n.n_name IN ('NATION_1', 'NATION_2',
                                       'NATION_3')
       GROUP BY l.l_partkey)
-    SELECT l_partkey AS partkey, ROUND(val, 2) AS value
-    FROM v WHERE val > (SELECT SUM(val) * 0.0009 FROM v)
+    SELECT l_partkey AS partkey, ROUND(val, 2)::DOUBLE AS value
+    FROM v WHERE val * 10000 > (SELECT SUM(val) * 9 FROM v)
     ORDER BY value DESC, partkey
     """,
     doc="TPC-H Q11 analog (important stock identification): the "
@@ -1970,16 +2015,21 @@ def tpch_q11_important_stock(spark: SparkSession,
                .select("n_nationkey")),
                F.col("n_nationkey") == F.col("s_nationkey"))
            .select("s_suppkey"))
+    # Decimal-grain sums + an integer-scaled threshold (val > 0.0009·tot
+    # ⟺ 10000·val > 9·tot) keep BOTH the cent rounding and the borderline
+    # membership test exact — the r11 driver-hash flake hit six parts
+    # whose double sums landed exactly on the half-cent grid (see _dec).
     v = (e.table("lineitem")
          .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
          .groupBy("l_partkey")
-         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+         .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,6)"))
               .alias("val")))
-    thresh = v.agg((F.sum("val") * 0.0009).alias("__lim"))
+    thresh = v.agg((F.sum("val") * F.lit(9)).alias("__lim9"))
     return (v.join(F.broadcast(thresh))
-            .filter(F.col("val") > F.col("__lim"))
+            .filter(F.col("val") * F.lit(10000) > F.col("__lim9"))
             .select(F.col("l_partkey").alias("partkey"),
-                    F.round("val", 2).alias("value"))
+                    F.round("val", 2).cast("double").alias("value"))
             .orderBy(F.desc("value"), "partkey"))
 
 
@@ -1988,7 +2038,8 @@ def tpch_q11_important_stock(spark: SparkSession,
     """
     WITH r AS (
       SELECT l_suppkey,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+             ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(38,6))), 2)::DOUBLE
                AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -2017,8 +2068,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & (F.col("l_shipdate")
                     < F.lit("1997-04-01 00:00:00").cast("timestamp")))
          .groupBy("l_suppkey")
-         .agg(F.round(F.sum(F.col("l_extendedprice")
-                            * (1 - F.col("l_discount"))), 2)
+         .agg(_money_sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount")))
               .alias("total_rev")))
     mx = r.agg(F.max("total_rev").alias("__mx"))
     return (e.table("supplier").select("s_suppkey", "s_name")
@@ -2077,7 +2128,8 @@ def tpch_q16_supplier_counts(spark: SparkSession,
     "tpch_q20_excess_shippers",
     """
     WITH q AS (
-      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -2092,7 +2144,7 @@ def tpch_q16_supplier_counts(spark: SparkSession,
       JOIN t ON t.tk = q.l_partkey
       JOIN part p ON p.p_partkey = q.l_partkey
                  AND p.p_type = 'SMALL'
-      WHERE q.sq > 0.35 * t.tot)
+      WHERE q.sq * 100 > 35 * t.tot)
     ORDER BY s.s_name
     """,
     doc="TPC-H Q20 analog (suppliers with excess share): the NESTED "
@@ -2116,14 +2168,19 @@ def tpch_q20_excess_shippers(spark: SparkSession,
                  & (F.col("l_shipdate")
                     < F.lit("1998-01-01 00:00:00").cast("timestamp")))
          .groupBy("l_partkey", "l_suppkey")
-         .agg(F.sum("l_quantity").alias("sq")))
+         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+              .alias("sq")))
     t = (q.groupBy(F.col("l_partkey").alias("tk"))
          .agg(F.sum("sq").alias("tot")))
     psmall = (e.table("part").filter(F.col("p_type") == "SMALL")
               .select("p_partkey"))
+    # sq > 0.35·tot as exact decimal arithmetic (100·sq > 35·tot): a
+    # supplier at exactly 35% share must land the same side in every
+    # engine/partitioning — double sums put that membership one ulp
+    # from flipping (the q11 rounding class, applied to a filter).
     qual = (q.join(t, F.col("tk") == F.col("l_partkey"))
             .join(psmall, F.col("p_partkey") == F.col("l_partkey"))
-            .filter(F.col("sq") > 0.35 * F.col("tot"))
+            .filter(F.col("sq") * F.lit(100) > F.lit(35) * F.col("tot"))
             .select("l_suppkey"))
     return (e.table("supplier")
             .join(qual, F.col("l_suppkey") == F.col("s_suppkey"),
@@ -2141,8 +2198,9 @@ def tpch_q20_excess_shippers(spark: SparkSession,
     """
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - l.l_quantity * p.p_retailprice * 0.1), 2)
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          - l.l_quantity * p.p_retailprice * 0.1
+                          AS DECIMAL(38,6))), 2)::DOUBLE
              AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
@@ -2183,7 +2241,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
             .groupBy("nation",
                      F.year("o_orderdate").cast("long").alias("o_year"))
-            .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+            .agg(_money_sum(profit).alias("sum_profit"))
             .orderBy("nation", F.desc("o_year")))
 
 

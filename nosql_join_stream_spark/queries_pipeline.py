@@ -6276,7 +6276,7 @@ def export_shard_written(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     g AS (
       SELECT user_id, ts, event_id, event_type,
-             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+             SUM(CASE WHEN prev IS DISTINCT FROM event_type
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
       FROM s),
@@ -6547,7 +6547,7 @@ def sink_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     g AS (
       SELECT user_id, ts, event_id, event_type,
-             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+             SUM(CASE WHEN prev IS DISTINCT FROM event_type
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
       FROM s),

@@ -253,8 +253,13 @@ def scd2_history(df: DataFrame, key_col: str,
     back in as one pseudo-event without losing its tally.
     """
     w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_by])
-    changed = (F.lag(tracked_col).over(w).isNull()
-               | (F.lag(tracked_col).over(w) != F.col(tracked_col)))
+    # NULL-SAFE change detection (r11 advisor): plain `lag != col` is
+    # NULL on a value→NULL transition (treated as no-change, merging
+    # NULL rows into the prior run), and `lag IS NULL` marks every row
+    # of a NULL→NULL run as a fresh boundary.  eqNullSafe gives NULL
+    # runs the same collapse semantics as any other value (SQL twin:
+    # `prev IS DISTINCT FROM tracked`).
+    changed = ~F.lag(tracked_col).over(w).eqNullSafe(F.col(tracked_col))
     n = (F.sum(weight_col) if weight_col is not None
          else F.count("*")).alias("n_events")
     runs = (df.withColumn("__grp",
@@ -303,14 +308,26 @@ def scd2_apply_batch(history: DataFrame, batch: DataFrame, key_col: str,
     h_t = history.join(touched, key_col, "left_semi")
     closed = h_t.filter(~F.col("is_current")).select(*cols)
     ts_col, *tie = order_by
+    # The pseudo-event must sort BEFORE every batch event at the same
+    # timestamp.  An explicit rank column does that without inventing
+    # tie-column sentinel VALUES: a `lit(-1)` sentinel (r11 advisor)
+    # type-coerced string/timestamp tie columns through unionByName —
+    # silently reordering same-ts batch events — and collided with
+    # legitimate tie values below it.  Tie columns keep their real
+    # type; the pseudo-event carries typed NULLs there (never compared:
+    # __cur_rank separates it first, and it is unique per key).
+    batch_types = dict(batch.dtypes)
     pseudo = (h_t.filter(F.col("is_current"))
               .select(key_col,
                       F.col("valid_from").alias(ts_col),
-                      *[F.lit(-1).cast("long").alias(c) for c in tie],
+                      F.lit(0).alias("__cur_rank"),
+                      *[F.lit(None).cast(batch_types[c]).alias(c)
+                        for c in tie],
                       tracked_col,
                       F.col("n_events").alias("__w"),
                       F.lit(True).alias("__is_cur")))
-    newev = batch.select(key_col, ts_col, *tie, tracked_col,
+    newev = batch.select(key_col, ts_col,
+                         F.lit(1).alias("__cur_rank"), *tie, tracked_col,
                          F.lit(1).cast("long").alias("__w"),
                          F.lit(False).alias("__is_cur"))
     # the ordering guard rides a WINDOW over the union itself (same
@@ -337,8 +354,8 @@ def scd2_apply_batch(history: DataFrame, batch: DataFrame, key_col: str,
     u = (pseudo.unionByName(newev)
          .withColumn(ts_col, guarded_ts)
          .drop("__is_cur"))
-    tail = scd2_history(u, key_col, order_by, tracked_col,
-                        weight_col="__w").select(*cols)
+    tail = scd2_history(u, key_col, [ts_col, "__cur_rank", *tie],
+                        tracked_col, weight_col="__w").select(*cols)
     return untouched.unionByName(closed).unionByName(tail)
 
 

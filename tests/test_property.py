@@ -849,7 +849,9 @@ def _scd2_events(draw):
         rows.append((draw(st.integers(1, 4)),           # key
                      draw(st.integers(1, 12)),          # day
                      i,                                 # unique event id
-                     draw(st.sampled_from("ABC"))))     # tracked value
+                     # None included: NULL runs must collapse like any
+                     # other value (null-safe boundary, r12)
+                     draw(st.sampled_from(["A", "B", "C", None]))))
     return rows
 
 

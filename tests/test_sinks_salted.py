@@ -929,3 +929,68 @@ def test_scd2_apply_batch_rejects_out_of_order_event(spark):
     with pytest.raises(Exception, match="predates|SCD2|rebuild"):
         scd2_apply_batch(hist, bad, "user_id", ["ts", "event_id"],
                          "et").collect()
+
+
+def test_scd2_history_null_tracked_runs(spark):
+    """NULL tracked values form runs like any other value (null-safe
+    boundary detection): value→NULL opens a NEW interval, consecutive
+    NULLs collapse into ONE — plain `lag != col` merged the former
+    into the prior run and split the latter row-per-row."""
+    from datetime import datetime
+
+    from nosql_join_stream_spark.sinks import scd2_history
+
+    ts = lambda d: datetime(2024, 1, d)  # noqa: E731
+    rows = [(1, ts(1), 10, "A"), (1, ts(2), 11, None),
+            (1, ts(3), 12, None), (1, ts(4), 13, "A"),
+            (2, ts(1), 20, None), (2, ts(2), 21, None)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, et string")
+    out = {(r.user_id, r.valid_from): r
+           for r in scd2_history(df, "user_id", ["ts", "event_id"],
+                                 "et").collect()}
+    assert len(out) == 4
+    assert (out[(1, ts(1))].et, out[(1, ts(1))].n_events) == ("A", 1)
+    nul = out[(1, ts(2))]
+    assert (nul.et, nul.n_events, nul.valid_to, nul.is_current) == \
+        (None, 2, ts(4), False)
+    assert out[(1, ts(4))].is_current
+    lead_null = out[(2, ts(1))]  # leading-NULL run, single interval
+    assert (lead_null.et, lead_null.n_events, lead_null.is_current) == \
+        (None, 2, True)
+    # exactly one current row per key survives the interval chain
+    assert sum(1 for r in out.values() if r.is_current) == 2
+
+
+def test_scd2_apply_batch_string_tie_column(spark):
+    """The fold's pseudo-event must not invent tie-column VALUES: with
+    a STRING tie column the old `lit(-1).cast('long')` sentinel
+    type-coerced the union (bigint∪string) and could reorder same-ts
+    batch events.  The rank-column form keeps tie types intact —
+    folded == full on same-timestamp batches ordered by string ids."""
+    from datetime import datetime
+
+    from nosql_join_stream_spark.sinks import scd2_apply_batch, scd2_history
+
+    ts = lambda d: datetime(2024, 1, d)  # noqa: E731
+    schema = "user_id long, ts timestamp, eid string, et string"
+    hist_ev = [(1, ts(1), "e05", "A"), (1, ts(2), "e06", "B")]
+    # two batch events share ts(3); string order "e10" < "e11" must
+    # decide the run order (B then A → B extends, then A opens)
+    batch_ev = [(1, ts(3), "e11", "A"), (1, ts(3), "e10", "B")]
+    hist = scd2_history(spark.createDataFrame(hist_ev, schema),
+                        "user_id", ["ts", "eid"], "et")
+    batch = spark.createDataFrame(batch_ev, schema)
+    cols = ["user_id", "et", "valid_from", "valid_to", "is_current",
+            "n_events"]
+    folded = scd2_apply_batch(hist, batch, "user_id", ["ts", "eid"],
+                              "et").select(*cols)
+    full = scd2_history(spark.createDataFrame(hist_ev + batch_ev, schema),
+                        "user_id", ["ts", "eid"], "et").select(*cols)
+    assert folded.exceptAll(full).count() == 0
+    assert full.exceptAll(folded).count() == 0
+    out = {(r.et, r.valid_from): r for r in folded.collect()}
+    assert out[("B", ts(2))].n_events == 2      # extended by e10
+    assert out[("A", ts(3))].is_current         # opened by e11
+    # tie column type survived the union un-coerced
+    assert dict(batch.dtypes)["eid"] == "string"

@@ -22,6 +22,17 @@ stringify identically — that is precisely the case the driver hashes
 differently.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --perturb [sf_dir] [query ...]
+
+--perturb is the DETERMINISM gate (r11 VERDICT lead #2): each Spark
+query runs twice with every catalog scan re-sharded two different ways
+(SPARK_GRAFT_PERTURB=7 vs 13 — see catalog.load_table), permuting the
+partial-aggregation accumulation order, and the two runs' value hashes
+must agree.  A mismatch is the r11 ``tpch_q11`` failure class — a
+``ROUND(SUM(double), 2)`` whose true sum sits exactly on the rounding
+grid, flipping a cent with accumulation order — surfacing as a driver
+value-hash flake even though the local DuckDB gate passes.  No DuckDB
+run in this mode; it is Spark-vs-Spark.
 """
 
 from __future__ import annotations
@@ -35,8 +46,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_argv = [a for a in sys.argv[1:] if a != "--perturb"]
+PERTURB = "--perturb" in sys.argv[1:]
+SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.01"
+ONLY = set(_argv[1:])
 
 
 def _tclass_spark(t: str) -> str:
@@ -137,7 +150,46 @@ def value_hash(cols, rows):
     return h.hexdigest()
 
 
+def perturb_main():
+    """Spark-vs-Spark determinism gate: every query under two catalog
+    re-shardings must produce identical (rowcount, value hash)."""
+    from nosql_join_stream_spark.session import get_session
+    import __spark_entry__ as entry_mod
+
+    spark = get_session()
+    qs = entry_mod.queries()
+    failed = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        runs = []
+        try:
+            for n in ("7", "13"):
+                os.environ["SPARK_GRAFT_PERTURB"] = n
+                try:
+                    sdf = fn(spark, SF_DIR)
+                    rows = [tuple(r) for r in sdf.collect()]
+                    runs.append((len(rows), value_hash(sdf.columns, rows)))
+                finally:
+                    os.environ.pop("SPARK_GRAFT_PERTURB", None)
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failed.append(name)
+            continue
+        if runs[0] != runs[1]:
+            print(f"FAIL {name}: NONDETERMINISTIC under re-sharding "
+                  f"(rows {runs[0][0]} vs {runs[1][0]}, "
+                  f"hash {'==' if runs[0][1] == runs[1][1] else '!='})")
+            failed.append(name)
+        else:
+            print(f"OK   {name}: {runs[0][0]} rows, hash stable")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
 def main():
+    if PERTURB:
+        return perturb_main()
     from nosql_join_stream_spark.session import get_session
     import __spark_entry__ as entry_mod
 
