@@ -19,6 +19,11 @@ in round 5 on MMR scores).
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -28,6 +33,32 @@ from pyspark.sql import functions as F
 from nosql_join_stream_spark.engine import Engine
 from nosql_join_stream_spark.dsl import q
 from nosql_join_stream_spark.operators.join import inner_join
+
+# --- standing-artifact location ------------------------------------------
+# Queries with build-once-serve-many semantics (standing dedup/ANN
+# indexes, CDC tables, stream run dirs) key their artifact dir on a
+# SESSION-UNIQUE token, not the bare pid: pids recycle, so a later
+# process could inherit a stale artifact built from different data and
+# silently serve it against a fresh oracle (r11 advisor).  The token is
+# minted once per interpreter; every dir handed out is rmtree'd at
+# process exit so temp space doesn't accumulate across runs.
+
+_RUN_TOKEN = uuid.uuid4().hex[:12]
+_ARTIFACT_DIRS: set[str] = set()
+
+
+def artifact_dir(prefix: str, tag: str) -> str:
+    """Session-scoped standing-artifact directory (stable within this
+    process, collision-free across processes, cleaned up at exit)."""
+    d = os.path.join(tempfile.gettempdir(), f"{prefix}_{_RUN_TOKEN}_{tag}")
+    _ARTIFACT_DIRS.add(d)
+    return d
+
+
+@atexit.register
+def _cleanup_artifact_dirs() -> None:
+    for d in _ARTIFACT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @dataclass
@@ -623,8 +654,7 @@ def stream_interval_join_outer(spark: SparkSession,
         interval_join_outer_flush_drain)
     from nosql_join_stream_spark.catalog import table_path
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    run_dir = os.path.join(tempfile.gettempdir(),
-                           f"nsjs_ijo_{os.getpid()}_{tag}")
+    run_dir = artifact_dir("nsjs_ijo", tag)
     df = interval_join_outer_flush_drain(
         spark, table_path(sf_dir, "events"), run_dir)
     return df.select(F.col("left_id").alias("purchase_id"),
@@ -668,8 +698,7 @@ def stream_interval_join_full(spark: SparkSession,
         interval_join_full_flush_drain)
     from nosql_join_stream_spark.catalog import table_path
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    run_dir = os.path.join(tempfile.gettempdir(),
-                           f"nsjs_ijf_{os.getpid()}_{tag}")
+    run_dir = artifact_dir("nsjs_ijf", tag)
     df = interval_join_full_flush_drain(
         spark, table_path(sf_dir, "events"), run_dir)
     return df.select(F.col("left_id").alias("purchase_id"),

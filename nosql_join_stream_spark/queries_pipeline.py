@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nosql_join_stream_spark.queries import _engine, register
+from nosql_join_stream_spark.queries import _engine, artifact_dir, register
 from nosql_join_stream_spark.operators import dedup, similarity, text
 from nosql_join_stream_spark.operators import multimodal
 
@@ -2522,8 +2522,7 @@ def dedup_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 9)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     db = f"nsjs_mh_del_{tag}"
-    loc = os.path.join(tempfile.gettempdir(),
-                       f"nsjs_mh_del_{os.getpid()}_{tag}")
+    loc = artifact_dir("nsjs_mh_del", tag)
     # standing-index semantics: build once per process; reruns are a
     # pure delete+probe (the delete append is idempotent — tombstones
     # are distinct-ed at probe time, so the result is run-stable)
@@ -2591,8 +2590,7 @@ def stream_minhash_dedup_ingest(spark: SparkSession,
     docs = e.table("documents")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     db = f"nsjs_mh_strm_{tag}"
-    loc = os.path.join(tempfile.gettempdir(),
-                       f"nsjs_mh_strm_{os.getpid()}_{tag}")
+    loc = artifact_dir("nsjs_mh_strm", tag)
     if not spark.catalog.tableExists(f"{db}.corpus_bands"):
         # standing-index semantics: build once per process, then every
         # invocation is a pure streaming probe
@@ -2602,8 +2600,7 @@ def stream_minhash_dedup_ingest(spark: SparkSession,
             corpus, seed, "text", "doc_id", db=db, location=loc,
             rebuild=True).collect()
     _STREAM_SEQ[0] += 1
-    run_dir = os.path.join(tempfile.gettempdir(),
-                           f"nsjs_mhsd_{os.getpid()}_{_STREAM_SEQ[0]}")
+    run_dir = artifact_dir("nsjs_mhsd", str(_STREAM_SEQ[0]))
     batch_stream = (read_table_stream(spark, table_path(sf_dir, "documents"),
                                       DOCUMENTS_SCHEMA)
                     .filter(F.col("doc_id") % 10 == 9))
@@ -3786,8 +3783,7 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every later invocation is a pure pruned probe — the steady state
     # this operator exists to demonstrate
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    loc = os.path.join(tempfile.gettempdir(),
-                       f"nsjs_ivf_q_{os.getpid()}_{tag}")
+    loc = artifact_dir("nsjs_ivf_q", tag)
     rebuild = not os.path.isdir(os.path.join(loc, "corpus_cells"))
     part = similarity.ann_ivf_partitioned(queries, corpus, k=5,
                                           n_cells=16, nprobe=4,
@@ -3821,8 +3817,7 @@ def ann_ivf_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.col("vec_id").alias("q_id"), "embedding")
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    loc = os.path.join(tempfile.gettempdir(),
-                       f"nsjs_ivf_app_{os.getpid()}_{tag}")
+    loc = artifact_dir("nsjs_ivf_app", tag)
     if not os.path.isdir(os.path.join(loc, "corpus_cells")):
         # build-then-append happens ONCE per process (standing-index
         # semantics); every later invocation probes the maintained index
@@ -3948,8 +3943,7 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.col("vec_id").alias("q_id"), "embedding")
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding", "label")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    loc = os.path.join(tempfile.gettempdir(),
-                       f"nsjs_ivf_flt_{os.getpid()}_{tag}")
+    loc = artifact_dir("nsjs_ivf_flt", tag)
     rebuild = not os.path.isdir(os.path.join(loc, "corpus_cells"))
     probe = similarity.ann_ivf_partitioned(
         queries, corpus, k=5, n_cells=16, nprobe=8, location=loc,
@@ -3989,15 +3983,13 @@ def stream_ann_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.col("vec_id").alias("q_id"), "embedding")
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    loc = os.path.join(tempfile.gettempdir(),
-                       f"nsjs_ivf_strm_{os.getpid()}_{tag}")
+    loc = artifact_dir("nsjs_ivf_strm", tag)
     if not os.path.isdir(os.path.join(loc, "corpus_cells")):
         similarity.ann_ivf_partitioned(queries, corpus, k=5, n_cells=16,
                                        nprobe=4, location=loc,
                                        rebuild=True).collect()
     _STREAM_SEQ[0] += 1
-    run_dir = os.path.join(tempfile.gettempdir(),
-                           f"nsjs_annprobe_{os.getpid()}_{_STREAM_SEQ[0]}")
+    run_dir = artifact_dir("nsjs_annprobe", str(_STREAM_SEQ[0]))
     qstream = (read_table_stream(spark, table_path(sf_dir, "embeddings"),
                                  EMBEDDINGS_SCHEMA)
                .filter(F.col("vec_id") < 10)
@@ -4411,8 +4403,7 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.table("events").select("user_id", "ts", "event_id",
                                   "event_type", "value")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"nsjs_cdc_{os.getpid()}_{tag}")
+    path = artifact_dir("nsjs_cdc", tag)
     initial = ev.filter(F.col("event_id") % 3 != 0)
     batch = ev.filter(F.col("event_id") % 3 == 0)
     # meta-sidecar gate, not the bare dir: a crashed mid-bootstrap
@@ -4467,8 +4458,7 @@ def cdc_keyed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.table("events").select("user_id", "ts", "event_id",
                                   "event_type", "value")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"nsjs_cdclk_{os.getpid()}_{tag}")
+    path = artifact_dir("nsjs_cdclk", tag)
     if not sinks.keyed_table_exists(spark, path):
         sinks.write_keyed(
             sinks.latest_per_key(ev, "user_id", ["ts", "event_id"]),
@@ -4582,8 +4572,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.table("events").select("user_id", "ts", "event_id",
                                   "event_type", "value")
     _STREAM_SEQ[0] += 1
-    run_dir = os.path.join(tempfile.gettempdir(),
-                           f"nsjs_scdc_{os.getpid()}_{_STREAM_SEQ[0]}")
+    run_dir = artifact_dir("nsjs_scdc", str(_STREAM_SEQ[0]))
     tbl = os.path.join(run_dir, "tbl")
     sinks.write_keyed(
         sinks.latest_per_key(ev.filter(F.col("event_id") % 3 != 0),
@@ -5028,8 +5017,7 @@ def multimodal_incremental_chunks(spark: SparkSession,
     batch = media.filter(F.col("doc_id") % 10 == 9)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     db = f"nsjs_media_{tag}"
-    loc = os.path.join(tempfile.gettempdir(),
-                       f"nsjs_media_{os.getpid()}_{tag}")
+    loc = artifact_dir("nsjs_media", tag)
     rebuild = not spark.catalog.tableExists(f"{db}.corpus_chunks")
     return multimodal.payload_chunks_between_bucketed(
         corpus, batch, threshold=0.5, db=db, location=loc,
@@ -5072,8 +5060,7 @@ def _pyds_collection_dir(e, spark: SparkSession, sf_dir: str) -> str:
                                                      write_docs_stats)
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(),
-                     f"nsjs_pyds_{os.getpid()}_{tag}")
+    d = artifact_dir("nsjs_pyds", tag)
     if not glob.glob(os.path.join(d, "*.jsonl")):  # once per process
         # range layout on doc_id (a store's natural chunk split): the
         # sidecar's per-file min/max become disjoint, so doc_id range
@@ -5157,8 +5144,7 @@ def pyds_roundtrip_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     register_json_docs(spark)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(),
-                     f"nsjs_pydsw_{os.getpid()}_{tag}")
+    d = artifact_dir("nsjs_pydsw", tag)
     (e.table("documents")
      .repartitionByRange(4, F.col("doc_id"))
      .select("doc_id", "source", "lang", "text",
@@ -5196,8 +5182,7 @@ def pyds_stream_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     src = _pyds_collection_dir(e, spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(),
-                        f"nsjs_pydsr_{os.getpid()}_{tag}")
+    base = artifact_dir("nsjs_pydsr", tag)
     relay = os.path.join(base, "relay")
     ckpt = os.path.join(base, "ckpt")
     q = (spark.readStream.format("json_docs").option("path", src).load()
@@ -5242,8 +5227,7 @@ def pyds_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     register_json_docs(spark)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(),
-                     f"nsjs_pydsc_{os.getpid()}_{tag}")
+    d = artifact_dir("nsjs_pydsc", tag)
     (e.table("documents")
      .repartitionByRange(8, F.col("doc_id"))
      .select("doc_id", "source", "lang", "text",
@@ -5294,8 +5278,7 @@ def pyds_parse_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     register_json_docs(spark)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(),
-                     f"nsjs_pydsm_{os.getpid()}_{tag}")
+    d = artifact_dir("nsjs_pydsm", tag)
     (e.table("documents")
      .repartitionByRange(4, F.col("doc_id"))
      .select("doc_id", "source", "lang", "text",
@@ -5340,8 +5323,7 @@ def pyds_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     register_json_docs(spark)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(),
-                     f"nsjs_pydsg_{os.getpid()}_{tag}")
+    d = artifact_dir("nsjs_pydsg", tag)
     (e.table("documents")
      .repartitionByRange(4, F.col("doc_id"))
      .select("doc_id", "source", "lang", "text",
@@ -5482,8 +5464,7 @@ def dedup_resolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # process (the stream_minhash_dedup_ingest pattern) so repeat
     # invocations time what the daily job actually runs: the fold
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    lab_path = os.path.join(tempfile.gettempdir(),
-                            f"nsjs_cclab_{os.getpid()}_{tag}")
+    lab_path = artifact_dir("nsjs_cclab", tag)
     if not os.path.isdir(lab_path):
         dedup.connected_components(hist).write.mode("overwrite") \
              .parquet(lab_path)
@@ -5611,8 +5592,7 @@ def cdc_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.table("events").select("user_id", "ts", "event_id",
                                   "event_type", "value")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"nsjs_cdcv_{os.getpid()}_{tag}")
+    path = artifact_dir("nsjs_cdcv", tag)
     initial = ev.filter(F.col("event_id") % 3 != 0)
     batch = ev.filter(F.col("event_id") % 3 == 0)
     try:
@@ -5669,8 +5649,7 @@ def cdc_upsert_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.table("events").select("user_id", "ts", "event_id",
                                   "event_type", "value")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"nsjs_cdcdel_{os.getpid()}_{tag}")
+    path = artifact_dir("nsjs_cdcdel", tag)
     initial = ev.filter(F.col("event_id") % 3 != 0)
     batch = (ev.filter(F.col("event_id") % 3 == 0)
                .withColumn("is_delete", F.col("event_type") == "click"))
@@ -5894,8 +5873,7 @@ def stream_sketch_quantiles_q(spark: SparkSession,
     from nosql_join_stream_spark.streaming.log_stream import (
         stream_sketch_quantiles)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    run_dir = os.path.join(tempfile.gettempdir(),
-                           f"nsjs_skq_{os.getpid()}_{tag}")
+    run_dir = artifact_dir("nsjs_skq", tag)
     return stream_sketch_quantiles(
         spark, table_path(sf_dir, "events"), run_dir).orderBy("q")
 
@@ -6173,8 +6151,7 @@ def drift_psi_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     ev = e.table("events")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"nsjs_psibase_{os.getpid()}_{tag}")
+    path = artifact_dir("nsjs_psibase", tag)
     write_psi_baseline(ev.filter(F.col("event_id") % 2 == 0), path,
                        "value", group_col="event_type")
     return psi_against_baseline(spark, path,
@@ -6252,8 +6229,7 @@ def export_shard_written(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _engine(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"nsjs_shards_{os.getpid()}_{tag}")
+    path = artifact_dir("nsjs_shards", tag)
     if not os.path.exists(os.path.join(path, "_MANIFEST.json")):
         # standing-export semantics: write once per process; reruns
         # time what a dataloader actually does — read the shards
@@ -6363,8 +6339,7 @@ def cdc_snapshot_time_travel(spark: SparkSession,
     ev = e.table("events").select("user_id", "ts", "event_id",
                                   "event_type", "value")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"nsjs_cdctt_{os.getpid()}_{tag}")
+    path = artifact_dir("nsjs_cdctt", tag)
     try:
         sinks.read_keyed_snapshot(spark, path, version=2)
     except ValueError:
@@ -6421,8 +6396,7 @@ def stream_late_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         late_data_quarantine)
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    run_dir = os.path.join(tempfile.gettempdir(),
-                           f"nsjs_lateq_{os.getpid()}_{tag}")
+    run_dir = artifact_dir("nsjs_lateq", tag)
     return (late_data_quarantine(spark, table_path(sf_dir, "events"),
                                  run_dir)
             .select("event_id", "ts", "user_id", "event_type", "value")
@@ -6462,12 +6436,15 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _engine(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    # pid-scoped database at a tmp LOCATION (the dedup-index pattern):
-    # an unscoped managed table leaves its warehouse dir behind when
-    # the process dies, and the next session's in-memory catalog
-    # doesn't know it — saveAsTable then fails LOCATION_ALREADY_EXISTS
-    db = f"nsjs_bkt_{os.getpid()}_{tag}"
-    loc = os.path.join(tempfile.gettempdir(), db)
+    # session-scoped database at a tmp LOCATION (the dedup-index
+    # pattern): an unscoped managed table leaves its warehouse dir
+    # behind when the process dies, and the next session's in-memory
+    # catalog doesn't know it — saveAsTable then fails
+    # LOCATION_ALREADY_EXISTS.  artifact_dir keys on the session token
+    # (pid recycling can't resurrect a stale layout) and registers the
+    # location for exit cleanup.
+    loc = artifact_dir("nsjs_bkt", tag)
+    db = os.path.basename(loc)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     lt, ot = f"{db}.lineitem_b", f"{db}.orders_b"
     if not spark.catalog.tableExists(ot):
@@ -6524,8 +6501,7 @@ def sink_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _engine(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    path = os.path.join(tempfile.gettempdir(),
-                        f"nsjs_zord_{os.getpid()}_{tag}")
+    path = artifact_dir("nsjs_zord", tag)
     if not os.path.isdir(path):
         sinks.write_zordered(
             e.table("events").select("event_id", "user_id", "value"),

@@ -1130,7 +1130,22 @@ def late_data_quarantine(spark: SparkSession, events_path: str,
              .trigger(availableNow=True).start())
         q.awaitTermination()
 
-    if not os.path.isdir(wm_dir):
+    # Staging completeness is gated on an explicit _DONE marker written
+    # AFTER drain 2 — not on wm_dir existing (r11 advisor): wm_dir is
+    # created by drain 1's first batch, so a crash between the drains
+    # would make every later call skip staging and hand back a
+    # quarantine missing all stragglers.  A partially-staged run_dir
+    # (wm state present, no marker) fails loudly instead: the
+    # checkpoint/input state mid-crash is ambiguous, so the honest
+    # recovery is a fresh run_dir, not a silent half-resume.
+    done_marker = os.path.join(run_dir, "_DONE")
+    if not os.path.exists(done_marker):
+        if os.path.isdir(wm_dir):
+            raise RuntimeError(
+                f"late_data_quarantine: {run_dir} is partially staged "
+                f"(watermark state exists but no _DONE marker) — a "
+                f"prior run crashed mid-staging; point at a fresh "
+                f"run_dir")
         os.makedirs(inp, exist_ok=True)
         ev.filter(F.col("event_id") % late_mod != 0) \
           .write.mode("overwrite").parquet(inp)
@@ -1141,4 +1156,6 @@ def late_data_quarantine(spark: SparkSession, events_path: str,
         wm = spark.read.parquet(wm_dir).agg(
             F.max("max_ts").alias("m")).collect()[0]["m"]
         drain(cutoff=wm - timedelta(seconds=delay_s))
+        with open(done_marker, "w") as f:
+            f.write("staged\n")
     return spark.read.parquet(quar).drop("props")
