@@ -6568,3 +6568,80 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    "event_type")
             .select("user_id", "event_type", "valid_from", "valid_to",
                     "is_current", "n_events"))
+
+
+@register(
+    "cdc_scd2_point_in_time",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'),
+    g AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM s),
+    r AS (
+      SELECT user_id, event_type, grp, MIN(ts) AS valid_from
+      FROM g GROUP BY user_id, event_type, grp),
+    iv AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+               AS valid_to
+      FROM r)
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           ROUND(p.value, 2) AS value,
+           iv.event_type AS state_at_purchase,
+           iv.valid_from AS state_since
+    FROM events p
+    JOIN iv ON iv.user_id = p.user_id
+           AND iv.valid_from <= p.ts
+           AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="POINT-IN-TIME dimension join (r11 VERDICT lead #5): the "
+        "consumer of scd2_history's validity intervals — each "
+        "purchase picks up the user's state (latest non-purchase "
+        "event_type run) valid AT its timestamp, the 'customer's "
+        "tier as of order date' shape and the time-generalized form "
+        "of the reference's per-record correlated lookup "
+        "(join/package.scala:56).  NOT an interval/range join on "
+        "Spark's side: because SCD2 intervals partition the timeline "
+        "(valid_to = next valid_from), 'the interval containing ts' "
+        "== 'the latest valid_from at-or-before ts', so the lookup "
+        "is asof_join's union + one key shuffle + one per-key "
+        "ordered window — no pair space, no BNLJ at any key "
+        "cardinality (the DuckDB oracle states the same semantics "
+        "as the explicit interval predicate).  Empty intervals "
+        "(possible only under same-(key,ts) run boundaries) are "
+        "filtered before the asof so valid_from is unique per key "
+        "and the match is deterministic; purchases before a user's "
+        "first state row drop (inner semantics, mirrored by the "
+        "oracle's JOIN).",
+)
+def cdc_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark import sinks
+    from nosql_join_stream_spark.operators.join import asof_join
+
+    e = _engine(spark, sf_dir)
+    ev = e.table("events")
+    dim = sinks.scd2_history(
+        ev.filter(F.col("event_type") != "purchase")
+          .select("user_id", "ts", "event_id", "event_type"),
+        "user_id", ["ts", "event_id"], "event_type")
+    dim = dim.filter(F.col("valid_to").isNull()
+                     | (F.col("valid_from") < F.col("valid_to")))
+    fact = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "value"))
+    out = asof_join(fact, dim, on="user_id", left_ts="ts",
+                    right_ts="valid_from", payload=["event_type"],
+                    direction="backward")
+    return (out.filter(F.col("asof_event_type").isNotNull())
+            .select(F.col("event_id").alias("purchase_id"),
+                    "user_id", "ts",
+                    F.round("value", 2).alias("value"),
+                    F.col("asof_event_type").alias("state_at_purchase"),
+                    F.col("asof_valid_from").alias("state_since")))

@@ -931,6 +931,43 @@ def test_scd2_apply_batch_rejects_out_of_order_event(spark):
                          "et").collect()
 
 
+def test_scd2_point_in_time_semantics_and_plan(spark):
+    """SCD2 intervals consumed by an as-of lookup: each fact row gets
+    the dimension value valid AT its timestamp; the plan is union +
+    key-partitioned windows — never an interval pair space (no BNLJ /
+    cartesian)."""
+    from datetime import datetime
+
+    from nosql_join_stream_spark.operators.join import asof_join
+    from nosql_join_stream_spark.sinks import scd2_history
+
+    ts = lambda d: datetime(2024, 1, d)  # noqa: E731
+    dim_ev = [(1, ts(2), 10, "bronze"), (1, ts(5), 11, "gold"),
+              (1, ts(9), 12, "bronze"), (2, ts(4), 20, "silver")]
+    dim = scd2_history(
+        spark.createDataFrame(
+            dim_ev, "user_id long, ts timestamp, event_id long, et string"),
+        "user_id", ["ts", "event_id"], "et")
+    dim = dim.filter(F.col("valid_to").isNull()
+                     | (F.col("valid_from") < F.col("valid_to")))
+    facts = spark.createDataFrame(
+        [(100, 1, ts(1)),   # before any state → no match
+         (101, 1, ts(2)),   # exactly at interval start → bronze
+         (102, 1, ts(6)),   # inside gold
+         (103, 1, ts(9)),   # boundary day → new bronze interval
+         (104, 2, ts(30))], # current (open) interval
+        "fact_id long, user_id long, ts timestamp")
+    out = asof_join(facts, dim, on="user_id", left_ts="ts",
+                    right_ts="valid_from", payload=["et"],
+                    direction="backward")
+    got = {r.fact_id: r.asof_et for r in out.collect()}
+    assert got == {100: None, 101: "bronze", 102: "gold",
+                   103: "bronze", 104: "silver"}
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "broadcastnestedloop" not in plan
+    assert "cartesian" not in plan
+
+
 def test_scd2_history_null_tracked_runs(spark):
     """NULL tracked values form runs like any other value (null-safe
     boundary detection): value→NULL opens a NEW interval, consecutive
