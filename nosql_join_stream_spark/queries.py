@@ -819,60 +819,44 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 # remaining queries keep their registration order and stay covered by
 # tools/check_correctness.py.
 _DRIVER_WINDOW = [
-    # Round-11 rotation — oldest-driver-stamp-first (r10 VERDICT lead
-    # #1).  Stamps computed from CORRECTNESS_r{01..10}.json: after
-    # r10, 10 queries have NO driver stamp (born r10 after the window
-    # froze), 49 sit at r6, 49 at r8, 49 at r9, 50 at r10.  This
-    # window takes all 10 never-stamped, gives the 5 NEW r11 queries
-    # (TPC-H Q21/Q22/Q13 planner shapes; the shard-export pair) their
-    # ship-round stamp, and fills the remaining 35 slots from the r6
-    # cohort in registry order.
-    # Post-r11 state if green: 28 r6-cohort stragglers remain
-    # (dedup_index_delete_probe onward in the r6 registry order:
-    # stream_minhash_dedup_ingest, text_normalize, ann_ivfpq_topk,
-    # embedding_pq_codes, sample_temperature_weights, text_redact_pii,
-    # embedding_label_centroids, stream_incremental_dedup,
-    # dedup_semantic_clusters, dedup_resolve_keep_best_minhash,
-    # text_bpe_subword_count, ann_ivf_partitioned,
-    # ann_ivf_append_probe, retrieval_mmr_diversified,
-    # ann_ivf_filtered, stream_ann_probe, stream_quality_ewma,
-    # stream_token_budget, dedup_substring_spans, cdc_upsert_latest,
-    # stream_cdc_upsert, text_bigram_logprob,
-    # sketch_vocab_cardinality, pyds_document_scan,
-    # dedup_resolve_incremental, cdc_upsert_snapshot,
-    # cdc_upsert_deletes) — they + any r12-born queries lead the r12
-    # window, then the r8 cohort.
-    # never driver-stamped (born r10)
-    "tpch_q17_small_quantity", "tpch_q8_market_share",
-    "embedding_covariance", "sketch_user_overlap_theta",
-    "sketch_token_heavy_hitters", "sketch_cohort_matrix",
-    "sketch_source_heavy_hitters", "drift_psi_value",
-    "drift_psi_by_source", "drift_psi_standing",
-    # NEW in r11 (ship-round stamps): TPC-H planner shapes Q21/Q22/
-    # Q13 + Q2/Q7/Q9/Q11/Q12/Q15/Q16/Q20 (the anchor set now covers
-    # all 22), the deterministic shard export, SCD2 (full +
-    # incremental fold), snapshot time travel, the late-data DLQ,
-    # and the bucketed/z-ordered layout witnesses
-    "tpch_q21_waiting_suppliers", "tpch_q22_dormant_balance",
-    "tpch_q13_order_distribution", "export_shard_assignment",
-    "export_shard_written", "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_counts",
-    "tpch_q20_excess_shippers", "cdc_scd2_history",
-    "cdc_scd2_incremental", "cdc_snapshot_time_travel",
-    "stream_late_quarantine", "sink_bucketed_join", "sink_zorder_scan",
-    # r6-stamp cohort, registry order (21 of 49)
-    "variant_schemaless_decode", "events_time_rollup",
-    "events_rate_spikes", "events_cohort_retention",
-    "events_coactivity_range_join", "asof_join_nearest",
-    "dedup_edit_distance", "dedup_embedding_cosine", "ann_ivf_topk",
-    "text_langid", "multimodal_frame_sample", "multimodal_resize",
-    "text_sentences_udtf", "pipeline_clean_corpus_minhash",
-    "pipeline_split_leakage", "multimodal_payload_dedup",
-    "sample_weighted_reservoir", "embedding_dim_stats",
-    "sample_global_shuffle", "sample_cap_per_group",
-    "dedup_incremental_minhash",
+    # Round-12 rotation — oldest-driver-stamp-first (r11 VERDICT lead
+    # #3).  Stamps computed from CORRECTNESS_r{01..11}.json: after
+    # r11, 28 queries' newest stamp is r6 (the full list below — this
+    # window takes ALL of them), 49 sit at r8, 49 at r9, 50 at r10,
+    # 50 at r11.  Leading the window: the r12-born
+    # cdc_scd2_point_in_time (ship-round stamp) and the re-fixed
+    # tpch_q11_important_stock (r11's one driver-hash flake, now
+    # decimal-grain deterministic — its fresh green stamp IS the fix's
+    # acceptance test).  The remaining 20 slots drain the r8 cohort in
+    # registry order.
+    # Post-r12 state if green: no stamp older than r8; 29 r8-cohort
+    # queries remain (doc_pack_sequences_bpe onward) — they lead the
+    # r13 window, then the r9 cohort.
+    "cdc_scd2_point_in_time", "tpch_q11_important_stock",
+    # r6-stamp cohort, all 28, registry order
+    "dedup_index_delete_probe", "stream_minhash_dedup_ingest",
+    "text_normalize", "ann_ivfpq_topk", "embedding_pq_codes",
+    "sample_temperature_weights", "text_redact_pii",
+    "embedding_label_centroids", "stream_incremental_dedup",
+    "dedup_semantic_clusters", "dedup_resolve_keep_best_minhash",
+    "text_bpe_subword_count", "ann_ivf_partitioned",
+    "ann_ivf_append_probe", "retrieval_mmr_diversified",
+    "ann_ivf_filtered", "stream_ann_probe", "stream_quality_ewma",
+    "stream_token_budget", "dedup_substring_spans",
+    "cdc_upsert_latest", "stream_cdc_upsert", "text_bigram_logprob",
+    "sketch_vocab_cardinality", "pyds_document_scan",
+    "dedup_resolve_incremental", "cdc_upsert_snapshot",
+    "cdc_upsert_deletes",
+    # r8-stamp cohort, registry order (20 of 49)
+    "mql_not_filter", "stream_interval_join_outer",
+    "stream_session_window", "events_session_assign",
+    "asof_join_backward", "events_session_sequences",
+    "events_resample_ffill", "train_test_split", "token_freq_topk",
+    "corpus_stats", "text_metrics", "embedding_centroid_drift",
+    "source_vocab_overlap", "token_zipf_fit", "text_token_entropy",
+    "text_collocations_pmi", "table_profile_orders",
+    "dedup_ngram_coverage", "retrieval_phrase_search",
+    "text_unigram_logprob",
 ]
 
 

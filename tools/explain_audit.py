@@ -85,6 +85,69 @@ SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_quality_filter", "stream_decontaminate",
         "stream_incremental_dedup"}
 
+# Queries allowed to carry an UNPARTITIONED window (WindowExec moves
+# its whole input to one task) — each with the asserted reason the
+# frame is BOUNDED (metadata-sized, never row-proportional).  Any
+# query with an unpartitioned window NOT listed here is a WARN: a
+# genuinely global single-task window over data rows is the
+# 100 TB-killer this audit exists to catch (r11 VERDICT lead #4 —
+# previously these ~15 sites were bounded only by docstring claim).
+WINDOW_OK = {
+    # two-pass dense-index offsets table: one row PER INPUT PARTITION
+    # (HashAggregate keys=__pid feeds the window), bounded by cluster
+    # parallelism, never by row count (combinators._with_pos;
+    # export_shards.py; SCALING probe r39 pins the shape)
+    "export_shard_assignment": "partitions-sized offsets table",
+    "pipeline_materialize_training": "partitions-sized offsets table",
+    "sample_global_shuffle": "partitions-sized offsets table",
+    "sample_interleave_sources": "partitions-sized offsets table",
+    "zip_streams": "2x partitions-sized offsets tables",
+    # row_number over a TakeOrderedAndProject head: frame <= limit
+    "hybrid_search_rrf": "two top-1000 ranking heads",
+    "sketch_source_heavy_hitters": "top-5 per-source head",
+    "sketch_token_heavy_hitters": "top-k head",
+    "token_zipf_fit": "top-1000 token head",
+    # lead() over the per-component eigenvalue table: <= dims rows
+    "embedding_pca_witness": "dims-sized (64) eigenvalue table",
+}
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window NODES whose spec has no PARTITION BY clause.
+
+    The plan line format is ambiguous on bracket groups alone (a
+    partitioned-but-unordered window also prints two groups), so this
+    parses the node's first ``windowspecdefinition(...)``: its
+    arguments are partition expressions, then ordering expressions
+    (suffixed ASC/DESC), then the frame.  No partition clause ⟺ the
+    FIRST top-level argument is an ordering or the frame itself.
+    """
+    n = 0
+    for line in plan.splitlines():
+        s = line.strip()
+        if not re.match(r"^[:+\-\s]*Window \[", s):
+            continue
+        m = re.search(r"windowspecdefinition\(", s)
+        if not m:
+            continue
+        i, depth, arg = m.end(), 1, []
+        while i < len(s) and depth:
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth == 1 and ch == ",":
+                break
+            if depth:
+                arg.append(ch)
+            i += 1
+        first = "".join(arg).strip().rstrip(")")
+        if first.startswith("specifiedwindowframe") or re.search(
+                r" (ASC|DESC)( NULLS (FIRST|LAST))?$", first):
+            n += 1
+    return n
+
 
 def main() -> None:
     from nosql_join_stream_spark.session import get_session
@@ -120,6 +183,13 @@ def main() -> None:
                 warn.append(j)
         if re.search(r"BatchEvalPython", plan):
             warn.append("row-at-a-time PythonUDF")
+        n_unpart = unpartitioned_windows(plan)
+        if n_unpart:
+            if name in WINDOW_OK:
+                marks.append(f"1task-win×{n_unpart} ({WINDOW_OK[name]})")
+            else:
+                warn.append(f"unpartitioned Window×{n_unpart} "
+                            f"(single-task; not in WINDOW_OK)")
         status = "WARN " + ",".join(warn) if warn else "ok"
         if warn:
             bad += 1
