@@ -1,0 +1,630 @@
+"""Baseline JFIF (JPEG) codec — stdlib + numpy, no PIL/libjpeg.
+
+Closes the LAST raster-codec stub (r11 VERDICT lead #6): after PNG
+(zlib+struct), BMP/PGM/PPM (struct), and GIF (public-spec LZW), JPEG
+was the one format ``multimodal``'s decode path still gated behind a
+PIL branch this container can't execute.  This module implements
+enough of ITU-T T.81 for the decode path to run REAL pixels anywhere
+Python+numpy runs:
+
+- **decode** (:func:`decode_jpeg_gray`): baseline sequential DCT
+  (SOF0), 8-bit precision, 1 or 3 components, any chroma subsampling,
+  restart markers (DRI/RSTn), multiple DQT/DHT segments, 16-bit quant
+  tables.  Returns the LUMA plane: for grayscale JPEGs that is the
+  image; for YCbCr it is the Y component — the spec's own BT.601 luma
+  signal — so no chroma upsampling enters the luma path at all (chroma
+  blocks are still entropy-decoded to advance the bitstream, their
+  IDCT is skipped).  Progressive (SOF2) and arithmetic coding raise
+  ``NotImplementedError`` naming the limitation.
+- **IDCT**: a vectorized numpy port of libjpeg's ``jidct_islow``
+  (Loeffler-Ligtenberg-Moshovitz fixed-point, CONST_BITS=13/
+  PASS1_BITS=2, constants derived with the same FIX() rounding) — the
+  algorithm libjpeg/PIL use by default, so grayscale decode is
+  bit-comparable to ``PIL.Image.convert("L")`` on the same bytes
+  (asserted when PIL is importable; libjpeg's wrap-around range-limit
+  table is replaced by a clamp, which agrees on any non-garbage
+  stream).  Cross-checked in-sandbox against the exact float IDCT
+  (|Δ| ≤ 1 on random blocks, pytest).
+- **encode** (:func:`encode_gray_jpeg`): baseline grayscale, float
+  fDCT, single-length canonical Huffman tables built per image (valid
+  per the spec — the all-ones code stays unassigned; compression is
+  not the point, a decodable self-test stream is), optional restart
+  intervals, optional planted 4:2:0 three-component wrapping with
+  zeroed chroma (:func:`encode_gray_jpeg_as_ycbcr420`) so the
+  interleaved-MCU + chroma-skip decode path executes in-sandbox.
+
+Entropy decoding is a pure-Python bit reader — fine for the
+mapInPandas batch sizes this feeds (a few KB per payload); the IDCT,
+the only O(pixels) arithmetic, is whole-array numpy.
+
+Reference seam: the reference engine has no media surface at all
+(SURVEY.md §2.8) — this belongs to the beyond-reference multimodal
+family (multimodal.py), which treats payloads as opaque binary plus
+typed metadata.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- shared tables ---------------------------------------------------------
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# ITU-T T.81 Annex K.1 luminance quantization table (row-major)
+STD_LUMA_QUANT = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int64)
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return payload[:2] == b"\xff\xd8"
+
+
+# --- fixed-point IDCT (jidct_islow port) -----------------------------------
+
+_CONST_BITS = 13
+_PASS1_BITS = 2
+
+
+def _fix(x: float) -> int:
+    return int(round(x * (1 << _CONST_BITS)))
+
+
+_F0_298631336 = _fix(0.298631336)
+_F0_390180644 = _fix(0.390180644)
+_F0_541196100 = _fix(0.541196100)
+_F0_765366865 = _fix(0.765366865)
+_F0_899976223 = _fix(0.899976223)
+_F1_175875602 = _fix(1.175875602)
+_F1_501321110 = _fix(1.501321110)
+_F1_847759065 = _fix(1.847759065)
+_F1_961570560 = _fix(1.961570560)
+_F2_053119869 = _fix(2.053119869)
+_F2_562915447 = _fix(2.562915447)
+_F3_072711026 = _fix(3.072711026)
+
+
+def _descale(x: np.ndarray, n: int) -> np.ndarray:
+    return (x + (1 << (n - 1))) >> n
+
+
+def _idct_pass(cols: list[np.ndarray], shift: int) -> list[np.ndarray]:
+    """One 8-point Loeffler pass over vectorized lanes.  ``cols`` is
+    the 8 frequency lanes (each an int64 array of any shape); returns
+    the 8 spatial lanes descaled by ``shift`` — exactly libjpeg's
+    column/row pass with the all-AC-zero shortcut dropped (the general
+    path is arithmetic-identical to the shortcut, see jidctint.c)."""
+    c0, c1, c2, c3, c4, c5, c6, c7 = cols
+    # even part
+    z1 = (c2 + c6) * _F0_541196100
+    tmp2 = z1 - c6 * _F1_847759065
+    tmp3 = z1 + c2 * _F0_765366865
+    tmp0 = (c0 + c4) << _CONST_BITS
+    tmp1 = (c0 - c4) << _CONST_BITS
+    tmp10, tmp13 = tmp0 + tmp3, tmp0 - tmp3
+    tmp11, tmp12 = tmp1 + tmp2, tmp1 - tmp2
+    # odd part
+    t0, t1, t2, t3 = c7, c5, c3, c1
+    z1 = t0 + t3
+    z2 = t1 + t2
+    z3 = t0 + t2
+    z4 = t1 + t3
+    z5 = (z3 + z4) * _F1_175875602
+    t0 = t0 * _F0_298631336
+    t1 = t1 * _F2_053119869
+    t2 = t2 * _F3_072711026
+    t3 = t3 * _F1_501321110
+    z1 = -z1 * _F0_899976223
+    z2 = -z2 * _F2_562915447
+    z3 = -z3 * _F1_961570560 + z5
+    z4 = -z4 * _F0_390180644 + z5
+    t0 += z1 + z3
+    t1 += z2 + z4
+    t2 += z2 + z3
+    t3 += z1 + z4
+    return [_descale(tmp10 + t3, shift), _descale(tmp11 + t2, shift),
+            _descale(tmp12 + t1, shift), _descale(tmp13 + t0, shift),
+            _descale(tmp13 - t0, shift), _descale(tmp12 - t1, shift),
+            _descale(tmp11 - t2, shift), _descale(tmp10 - t3, shift)]
+
+
+def idct_blocks(coefs: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized fixed-point IDCT → (n, 8, 8) uint8 samples
+    (+128 level shift, clamped — libjpeg's range-limit table minus its
+    garbage-stream wraparound)."""
+    blk = coefs.astype(np.int64) * quant.astype(np.int64)
+    # pass 1 over columns: lanes are blk[:, k, :] (frequency index k)
+    cols = _idct_pass([blk[:, k, :] for k in range(8)],
+                      _CONST_BITS - _PASS1_BITS)
+    ws = np.stack(cols, axis=1)              # (n, 8row, 8col) workspace
+    # pass 2 over rows: lanes are ws[:, :, k]
+    rows = _idct_pass([ws[:, :, k] for k in range(8)],
+                      _CONST_BITS + _PASS1_BITS + 3)
+    out = np.stack(rows, axis=2) + 128
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+# --- Huffman ---------------------------------------------------------------
+
+_FAST_BITS = 9
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: ``bits[i]`` = #codes of length
+    i+1, ``values`` = symbols in code order (T.81 C.2).  Decoding is
+    table-driven: a 2^9 first-level lookup resolves every code of ≤9
+    bits in one peek (covers both this repo's flat encoder tables and
+    the bulk of Annex K's), longer codes walk the per-length map."""
+
+    def __init__(self, bits: list[int], values: bytes):
+        if sum(bits) != len(values):
+            raise ValueError("DHT: counts do not match value list")
+        self.lookup: dict[tuple[int, int], int] = {}
+        self.fast: list[tuple[int, int] | None] = [None] * (1 << _FAST_BITS)
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.lookup[(ln, code)] = values[k]
+                if ln <= _FAST_BITS:
+                    base = code << (_FAST_BITS - ln)
+                    entry = (values[k], ln)
+                    for x in range(1 << (_FAST_BITS - ln)):
+                        self.fast[base + x] = entry
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, pads 1-bits at a
+    terminating marker (T.81 F.2.2.5), and byte-aligns across restart
+    markers.  Bits are consumed in bulk (peek-and-drop), not one at a
+    time — the decode hot loop is one dict-free table hit per symbol."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG: entropy data ran out")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # marker-terminated segment (RSTn / EOI / anything
+                # non-stuffed): pad with 1-bits WITHOUT advancing —
+                # bulk peeks legitimately reach past the last symbol's
+                # real bits (T.81 F.2.2.5 pads segments with 1s);
+                # align_restart still finds the marker at self.pos
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        self.bitbuf &= (1 << self.nbits) - 1
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        while self.nbits < _FAST_BITS:
+            self._fill()
+        peek = (self.bitbuf >> (self.nbits - _FAST_BITS)) \
+            & ((1 << _FAST_BITS) - 1)
+        entry = table.fast[peek]
+        if entry is not None:
+            sym, ln = entry
+            self.nbits -= ln
+            self.bitbuf &= (1 << self.nbits) - 1
+            return sym
+        # long codes (10..16 bits): extend the 9-bit prefix
+        code = peek
+        self.nbits -= _FAST_BITS
+        self.bitbuf &= (1 << self.nbits) - 1
+        for ln in range(_FAST_BITS + 1, 17):
+            code = (code << 1) | self.receive(1)
+            sym = table.lookup.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+    def align_restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        # skip stuffing/fill bytes up to the marker
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                break
+            self.pos += 1
+        marker = d[self.pos + 1]
+        if marker != 0xD0 + (n & 7):
+            raise ValueError(
+                f"JPEG: expected RST{n & 7}, found 0xFF{marker:02x}")
+        self.pos += 2
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# --- decoder ---------------------------------------------------------------
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "dc", "ac", "blocks", "pred",
+                 "bw", "bh")
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG's LUMA plane to uint8 (H, W).
+
+    Grayscale files: the image, bit-comparable to PIL (same islow
+    IDCT).  YCbCr files: the Y component (the BT.601 luma the encoder
+    measured), at full image resolution — chroma never upsamples into
+    this path.  Raises ``NotImplementedError`` for progressive/
+    arithmetic/12-bit/hierarchical streams and ``ValueError`` for
+    malformed ones.
+    """
+    if not is_jpeg(payload):
+        raise ValueError("JPEG: bad signature (no FFD8)")
+    d = payload
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, _HuffTable] = {}
+    ac_tabs: dict[int, _HuffTable] = {}
+    comps: list[_Component] = []
+    width = height = 0
+    restart_interval = 0
+
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = d[pos + 1]
+        if marker == 0xD9:                       # EOI before SOS
+            break
+        seglen = struct.unpack(">H", d[pos + 2:pos + 4])[0]
+        if seglen < 2:
+            raise ValueError(f"JPEG: bad segment length at {pos}")
+        seg = d[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG: SOF{marker - 0xC0} (progressive/extended/"
+                f"arithmetic/hierarchical) — baseline SOF0 only")
+        if marker == 0xC0:                       # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("JPEG: 8-bit precision only")
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                c = _Component()
+                c.cid, c.h, c.v, c.tq = cid, hv >> 4, hv & 15, tq
+                c.blocks, c.pred = [], 0
+                comps.append(c)
+        elif marker == 0xDB:                     # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = seg[i:i + n]
+                i += n
+                vals = (np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                        if pq else
+                        np.frombuffer(raw, dtype=np.uint8).astype(np.int64))
+                tab = np.zeros(64, dtype=np.int64)
+                tab[ZIGZAG] = vals
+                quant[tq] = tab.reshape(8, 8)
+        elif marker == 0xC4:                     # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                nvals = sum(bits)
+                values = seg[i + 17:i + 17 + nvals]
+                i += 17 + nvals
+                (dc_tabs if tc == 0 else ac_tabs)[th] = \
+                    _HuffTable(bits, values)
+        elif marker == 0xDD:                     # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                     # SOS — entropy follows
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cs] = (tt >> 4, tt & 15)
+            scan = [c for c in comps if c.cid in sel]
+            if len(scan) != len(comps):
+                raise NotImplementedError(
+                    "JPEG: multi-scan (non-interleaved) streams")
+            for c in scan:
+                c.dc, c.ac = sel[c.cid]
+            return _decode_scan(d, pos, scan, quant, dc_tabs, ac_tabs,
+                                width, height, restart_interval)
+        # APPn/COM/DNL etc.: skipped
+    raise ValueError("JPEG: no SOS marker found")
+
+
+def _decode_scan(d: bytes, pos: int, comps, quant, dc_tabs, ac_tabs,
+                 width: int, height: int, restart_interval: int
+                 ) -> np.ndarray:
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    y = comps[0]
+    if (y.h, y.v) != (hmax, vmax):
+        raise NotImplementedError(
+            "JPEG: luma subsampled below another component")
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        c.bw, c.bh = mcus_x * c.h, mcus_y * c.v
+
+    reader = _BitReader(d, pos)
+    rst = 0
+    zz = ZIGZAG
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.align_restart(rst)
+            rst = (rst + 1) & 7
+            for c in comps:
+                c.pred = 0
+        for c in comps:
+            dc_t, ac_t = dc_tabs[c.dc], ac_tabs[c.ac]
+            for _ in range(c.h * c.v):
+                coef = np.zeros(64, dtype=np.int64)
+                t = reader.decode(dc_t)
+                c.pred += _extend(reader.receive(t), t)
+                coef[0] = c.pred
+                k = 1
+                while k < 64:
+                    rs = reader.decode(ac_t)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:              # EOB
+                            break
+                        k += 16                  # ZRL
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG: AC index past 63")
+                    coef[zz[k]] = _extend(reader.receive(s), s)
+                    k += 1
+                c.blocks.append(coef)
+
+    # luma only: IDCT every Y block at once, assemble, crop.  Blocks
+    # arrive MCU-major — [mcu_y][mcu_x][by][bx] — not grid-raster, so
+    # the assembly transpose carries the MCU structure.
+    pix = idct_blocks(np.stack(y.blocks).reshape(-1, 8, 8),
+                      quant[y.tq])
+    grid = pix.reshape(mcus_y, mcus_x, y.v, y.h, 8, 8)
+    plane = (grid.transpose(0, 2, 4, 1, 3, 5)
+             .reshape(mcus_y * y.v * 8, mcus_x * y.h * 8))
+    return plane[:height, :width]
+
+
+# --- encoder (grayscale baseline, self-test oriented) ----------------------
+
+def _flat_huff(nsyms: int) -> tuple[list[int], bytes, dict[int, tuple[int, int]]]:
+    """Single-length canonical table for symbols 0..nsyms-1: length L =
+    the smallest with nsyms < 2^L (strict, so the all-ones code — the
+    one T.81 reserves — is never assigned)."""
+    ln = 1
+    while (1 << ln) <= nsyms:
+        ln += 1
+    bits = [0] * 16
+    bits[ln - 1] = nsyms
+    enc = {s: (ln, s) for s in range(nsyms)}
+    return bits, bytes(range(nsyms)), enc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:             # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc <<= (8 - self.n)
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s (F.1.2.3)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+_DCT_N = np.arange(8)
+_DCT_COS = np.cos((2 * _DCT_N[:, None] + 1) * _DCT_N[None, :] * np.pi / 16)
+_DCT_CF = np.full(8, 0.5)
+_DCT_CF[0] = 0.5 / np.sqrt(2.0)
+_DCT_SCALE = _DCT_CF[:, None] * _DCT_CF[None, :]
+
+
+def _fdct_quant_many(tiles: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Float 2-D DCT-II of (n, 8, 8) level-shifted tiles in one einsum,
+    quantized half-away-from-zero (encoder fidelity only needs a valid
+    stream — decoder parity is the tested contract)."""
+    x = tiles.astype(np.float64) - 128.0
+    f = _DCT_SCALE * np.einsum("ki,nkl,lj->nij", _DCT_COS, x, _DCT_COS)
+    q = f / quant
+    return (np.floor(np.abs(q) + 0.5) * np.sign(q)).astype(np.int64)
+
+
+def _mag_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_block(w: _BitWriter, coef: np.ndarray, pred: int,
+                  dc_enc, ac_enc) -> int:
+    zz = coef.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - pred
+    t = _mag_cat(diff)
+    ln, code = dc_enc[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_enc[0xF0]              # ZRL
+            w.write(code, ln)
+            run -= 16
+        s = _mag_cat(v)
+        ln, code = ac_enc[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_enc[0x00]                  # EOB
+        w.write(code, ln)
+    return int(zz[0])
+
+
+def _tile(a: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicated (H, W) → (bh*8, bw*8) tiling, (n, 8, 8) blocks
+    in MCU raster order."""
+    h, w = a.shape
+    padded = np.pad(a, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    return (padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8))
+
+
+def encode_gray_jpeg(a: np.ndarray, quant: np.ndarray | None = None,
+                     restart_interval: int = 0) -> bytes:
+    """Baseline grayscale JPEG of a uint8 (H, W) array."""
+    if a.dtype != np.uint8 or a.ndim != 2:
+        raise ValueError("encode_gray_jpeg expects a uint8 (H, W) array")
+    q = STD_LUMA_QUANT if quant is None else np.asarray(quant,
+                                                        dtype=np.int64)
+    h, w = a.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    dc_bits, dc_vals, dc_enc = _flat_huff(12)
+    ac_bits, ac_vals, ac_enc = _flat_huff(251)   # covers (15<<4)|10
+    out = bytearray(b"\xff\xd8")
+    zzq = q.reshape(64)[ZIGZAG.argsort()]        # natural → zigzag
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(v) for v in q.reshape(64)[ZIGZAG])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+        + bytes([1, 0x11, 0])
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals),
+                                         tc << 4) + bytes(bits) + vals
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0,
+                                                           63, 0])
+    wtr = _BitWriter()
+    pred = 0
+    rst = 0
+    blocks = _fdct_quant_many(_tile(a, bh, bw), q)
+    for i in range(blocks.shape[0]):
+        if restart_interval and i and i % restart_interval == 0:
+            wtr.flush()
+            out_piece = bytes(wtr.out)
+            wtr.out.clear()
+            out += out_piece + bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            pred = 0
+        pred = _encode_block(wtr, blocks[i], pred, dc_enc, ac_enc)
+    wtr.flush()
+    out += bytes(wtr.out) + b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_gray_jpeg_as_ycbcr420(a: np.ndarray,
+                                 quant: np.ndarray | None = None) -> bytes:
+    """The same gray pixels wrapped as a 3-component 4:2:0 YCbCr
+    baseline stream with ZERO chroma (Cb=Cr=128 ⇒ all-zero chroma
+    blocks) — planted coverage for the interleaved-MCU decode path
+    (4 Y + 1 Cb + 1 Cr per MCU) without needing a color source."""
+    if a.dtype != np.uint8 or a.ndim != 2:
+        raise ValueError("expects a uint8 (H, W) array")
+    q = STD_LUMA_QUANT if quant is None else np.asarray(quant,
+                                                        dtype=np.int64)
+    h, w = a.shape
+    mx, my = -(-w // 16), -(-h // 16)
+    dc_bits, dc_vals, dc_enc = _flat_huff(12)
+    ac_bits, ac_vals, ac_enc = _flat_huff(251)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(v) for v in q.reshape(64)[ZIGZAG])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) \
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals),
+                                         tc << 4) + bytes(bits) + vals
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3) \
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    tiles = _tile(a, my * 2, mx * 2)
+    coefs = _fdct_quant_many(tiles, q).reshape(my * 2, mx * 2, 8, 8)
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    zero = np.zeros((8, 8), dtype=np.int64)
+    for yy in range(my):
+        for xx in range(mx):
+            for by in range(2):
+                for bx in range(2):
+                    preds[0] = _encode_block(
+                        wtr, coefs[2 * yy + by, 2 * xx + bx],
+                        preds[0], dc_enc, ac_enc)
+            for ci in (1, 2):                    # zero chroma blocks
+                preds[ci] = _encode_block(wtr, zero, preds[ci],
+                                          dc_enc, ac_enc)
+    wtr.flush()
+    out += bytes(wtr.out) + b"\xff\xd9"
+    return bytes(out)

@@ -76,14 +76,16 @@ def payload_dedup(media: DataFrame, payload_col: str = "payload",
 
 def decode_image(payload: bytes) -> "object":
     """Decode image bytes to a grayscale ndarray.  REAL on two
-    branches: PIL when importable (any format), else the pure-stdlib
-    codecs (:mod:`png_codec` — PNG via zlib+struct, BMP and PGM/PPM
-    via struct alone, all bit-identical luma to PIL's
-    ``convert('L')``), so those formats decode everywhere Python
-    runs, including this PIL-less sandbox.  Only a payload outside
-    the stdlib family (JPEG…) without PIL raises the clearly-marked
-    stub.  The Spark-side contract (bytes in, ndarray out) is
-    identical on every branch."""
+    branches: PIL when importable (any format), else the in-repo
+    codecs (:mod:`png_codec` — PNG via zlib+struct, GIF via
+    public-spec LZW, BMP and PGM/PPM via struct alone, all
+    bit-identical luma to PIL's ``convert('L')``; :mod:`jpeg_codec` —
+    baseline JPEG via Huffman + the same fixed-point islow IDCT
+    libjpeg runs, r12), so every mainstream raster decodes anywhere
+    Python+numpy runs, including this PIL-less sandbox.  Only exotic
+    containers (progressive JPEG, JPEG 2000, WebP…) without PIL raise
+    the clearly-marked stub.  The Spark-side contract (bytes in,
+    ndarray out) is identical on every branch."""
     try:
         from PIL import Image
         import io

@@ -608,13 +608,14 @@ def decode_gif_gray(payload: bytes) -> np.ndarray:
 
 
 def decode_gray_auto(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes across every stdlib-decodable raster
-    format (PNG via zlib+struct, GIF via its ~80-line public-spec LZW,
-    BMP and PGM/PPM via struct alone) —
-    the one entry point the multimodal decode/resize closures call.
-    Anything else (JPEG has no honest stdlib decode) raises the
-    documented NotImplementedError the PIL branch absorbs where PIL
-    exists."""
+    """Dispatch on magic bytes across every raster format this repo
+    decodes without PIL (PNG via zlib+struct, GIF via its ~80-line
+    public-spec LZW, BMP and PGM/PPM via struct alone, baseline JPEG
+    via jpeg_codec's Huffman + fixed-point islow IDCT) — the one entry
+    point the multimodal decode/resize closures call.  r12 closes the
+    codec family: only genuinely exotic streams (progressive JPEG,
+    JPEG 2000, WebP/AVIF...) remain behind the documented
+    NotImplementedError the PIL branch absorbs where PIL exists."""
     if is_png(payload):
         return decode_gray(payload)
     if is_gif(payload):
@@ -623,7 +624,10 @@ def decode_gray_auto(payload: bytes) -> np.ndarray:
         return decode_bmp_gray(payload)
     if is_pnm(payload):
         return decode_pnm_gray(payload)
+    from nosql_join_stream_spark.operators import jpeg_codec
+    if jpeg_codec.is_jpeg(payload):
+        return jpeg_codec.decode_jpeg_gray(payload)
     raise NotImplementedError(
-        "image decode without PIL supports PNG/GIF/BMP/PGM/PPM only "
-        "(JPEG and friends require PIL/libvips, not in this "
-        "environment)")
+        "image decode without PIL supports PNG/GIF/BMP/PGM/PPM and "
+        "baseline JPEG (progressive JPEG / JPEG 2000 / WebP require "
+        "PIL or libvips, not in this environment)")

@@ -829,10 +829,11 @@ _DRIVER_WINDOW = [
     # decimal-grain deterministic — its fresh green stamp IS the fix's
     # acceptance test).  The remaining 20 slots drain the r8 cohort in
     # registry order.
-    # Post-r12 state if green: no stamp older than r8; 29 r8-cohort
-    # queries remain (doc_pack_sequences_bpe onward) — they lead the
+    # Post-r12 state if green: no stamp older than r8; 30 r8-cohort
+    # queries remain (text_unigram_logprob onward) — they lead the
     # r13 window, then the r9 cohort.
-    "cdc_scd2_point_in_time", "tpch_q11_important_stock",
+    "cdc_scd2_point_in_time", "multimodal_decode_jpeg",
+    "tpch_q11_important_stock",
     # r6-stamp cohort, all 28, registry order
     "dedup_index_delete_probe", "stream_minhash_dedup_ingest",
     "text_normalize", "ann_ivfpq_topk", "embedding_pq_codes",
@@ -847,7 +848,7 @@ _DRIVER_WINDOW = [
     "sketch_vocab_cardinality", "pyds_document_scan",
     "dedup_resolve_incremental", "cdc_upsert_snapshot",
     "cdc_upsert_deletes",
-    # r8-stamp cohort, registry order (20 of 49)
+    # r8-stamp cohort, registry order (19 of 49)
     "mql_not_filter", "stream_interval_join_outer",
     "stream_session_window", "events_session_assign",
     "asof_join_backward", "events_session_sequences",
@@ -856,7 +857,6 @@ _DRIVER_WINDOW = [
     "source_vocab_overlap", "token_zipf_fit", "text_token_entropy",
     "text_collocations_pmi", "table_profile_orders",
     "dedup_ngram_coverage", "retrieval_phrase_search",
-    "text_unigram_logprob",
 ]
 
 

@@ -805,6 +805,89 @@ def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg",
+    """
+    SELECT d.doc_id AS doc_id,
+           CAST(d.doc_id % 32 + 8 AS BIGINT) AS width,
+           CAST(d.doc_id % 16 + 8 AS BIGINT) AS height,
+           ROUND(AVG(CAST((d.doc_id * 7 + u.i) % 256 AS DOUBLE)), 6)
+             AS source_mean,
+           TRUE AS decode_ok
+    FROM documents d,
+         UNNEST(range(0, (d.doc_id % 32 + 8) * (d.doc_id % 16 + 8)))
+           AS u(i)
+    GROUP BY d.doc_id
+    """,
+    doc="REAL baseline-JPEG decode end-to-end (r12 — the codec family "
+        "is now stub-free for baseline streams): the same "
+        "deterministic gradient as multimodal_decode_mixed encodes "
+        "into a genuine JPEG chosen by doc_id % 3 — plain grayscale "
+        "baseline, grayscale with restart intervals (DRI/RSTn), or a "
+        "4:2:0 three-component YCbCr wrap (interleaved 4Y+Cb+Cr "
+        "MCUs) — and decodes through the SAME magic-dispatch path as "
+        "every other raster (decode_gray_auto → jpeg_codec: Huffman "
+        "+ the fixed-point islow IDCT PIL/libjpeg use).  JPEG decode "
+        "is not pixel-exact (the integer IDCT is ±1/pixel even at "
+        "all-ones quant tables), so the witness is the ANN pattern: "
+        "|decoded mean − closed-form source mean| ≤ 1.0 is asserted "
+        "IN-PLAN into decode_ok, and only DuckDB-computable values "
+        "(geometry, source mean, the boolean the oracle pins TRUE) "
+        "are emitted.  A wrong Huffman table, restart handling, MCU "
+        "interleave, or IDCT constant shifts its third of the rows "
+        "and fails the hash.",
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id")
+
+    def plant(batches):
+        import numpy as _np
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import jpeg_codec as _jc
+        one = _np.ones((8, 8), dtype=_np.int64)
+        encs = [lambda a: _jc.encode_gray_jpeg(a, quant=one),
+                lambda a: _jc.encode_gray_jpeg(a, quant=one,
+                                               restart_interval=2),
+                lambda a: _jc.encode_gray_jpeg_as_ycbcr420(a, quant=one)]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                w, h = int(did) % 32 + 8, int(did) % 16 + 8
+                arr = ((int(did) * 7
+                        + _np.arange(w * h, dtype=_np.int64)) % 256) \
+                    .astype(_np.uint8).reshape(h, w)
+                rows.append((int(did), encs[int(did) % 3](arr),
+                             "image/jpeg", w, h, 1))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "payload", "media_type", "width", "height",
+                "n_frames"])
+
+    # the corpus lands as one parquet file at small sf → one partition,
+    # and AQE would coalesce a column-only repartition of 5k rows right
+    # back to one task; the Python encode+decode kernels are the cost
+    # here and parallelize per row, so force an EXPLICIT task count
+    # (AQE honors user-numbered repartitions)
+    par = spark.sparkContext.defaultParallelism
+    media = (docs.repartition(par, "doc_id")
+             .mapInPandas(plant, schema=multimodal.MEDIA_SCHEMA))
+    feats = (multimodal.extract_features(media, batch_decode=True)
+             .select("doc_id", F.col("mean_luma").alias("__decoded")))
+    src = (docs
+           .withColumn("width", (F.col("doc_id") % 32 + 8).cast("long"))
+           .withColumn("height", (F.col("doc_id") % 16 + 8).cast("long"))
+           .withColumn("i", F.explode(F.sequence(
+               F.lit(0).cast("long"),
+               F.col("width") * F.col("height") - 1)))
+           .groupBy("doc_id", "width", "height")
+           .agg(F.round(F.avg(((F.col("doc_id") * 7 + F.col("i")) % 256)
+                              .cast("double")), 6).alias("source_mean")))
+    return (src.join(feats, "doc_id")
+            .select("doc_id", "width", "height", "source_mean",
+                    (F.abs(F.col("__decoded") - F.col("source_mean"))
+                     <= 1.0).alias("decode_ok")))
+
+
+@register(
     "agg_geomean_udaf",
     """
     SELECT o_orderstatus,

@@ -144,13 +144,27 @@ def test_auto_dispatch_and_stub_surface():
             == _luma(RGB)).all()
     assert (png_codec.decode_gray_auto(_build_ppm(RGB))
             == _luma(RGB)).all()
-    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    # r12: baseline JPEG is REAL — the dispatcher routes it to
+    # jpeg_codec (roundtrip within the fixed-point IDCT's ±1)
+    from nosql_join_stream_spark.operators import jpeg_codec
+    big = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    got = png_codec.decode_gray_auto(
+        jpeg_codec.encode_gray_jpeg(big, quant=np.ones((8, 8), int)))
+    assert np.abs(got.astype(int) - big.astype(int)).max() <= 1
+    # the remaining honest stubs: progressive JPEG (SOF2) names the
+    # baseline-only limitation; a non-JPEG exotic container hits the
+    # dispatcher's PIL stub
+    progressive = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+                   + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="baseline SOF0"):
+        png_codec.decode_gray_auto(progressive)
+    webp_ish = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 24
     with pytest.raises(NotImplementedError, match="PIL"):
-        png_codec.decode_gray_auto(jpeg_ish)
+        png_codec.decode_gray_auto(webp_ish)
     # module-level decode contract follows the dispatcher
     if _pil_or_none() is None:
         with pytest.raises(NotImplementedError):
-            multimodal.decode_image(jpeg_ish)
+            multimodal.decode_image(webp_ish)
 
 
 def test_bmp_pnm_unsupported_shapes_fail_loudly():
