@@ -275,3 +275,30 @@ def test_python_datasource_json_docs_end_to_end(spark, tmp_path):
     from nosql_join_stream_spark.engine import QueryValidationError
     with pytest.raises(QueryValidationError, match="requires a path"):
         e.load(fmt="json_docs")
+
+
+def test_perturb_seam_reshards_catalog_scans(spark, sf_dir):
+    """The determinism gate's seam (SPARK_GRAFT_PERTURB): setting it
+    re-shards every catalog scan to exactly N partitions, the cache
+    keys on the setting (no cross-contamination within a session), and
+    unsetting restores the plain scan — the mechanism behind
+    check_correctness.py --perturb, which retired the r11 q11
+    ROUND(SUM(double)) flake class."""
+    import os
+
+    from nosql_join_stream_spark.catalog import load_table
+
+    plain = load_table(spark, "orders", sf_dir)
+    try:
+        os.environ["SPARK_GRAFT_PERTURB"] = "7"
+        assert load_table(spark, "orders",
+                          sf_dir).rdd.getNumPartitions() == 7
+        os.environ["SPARK_GRAFT_PERTURB"] = "13"
+        assert load_table(spark, "orders",
+                          sf_dir).rdd.getNumPartitions() == 13
+    finally:
+        os.environ.pop("SPARK_GRAFT_PERTURB", None)
+    # cache separation: the plain entry was not poisoned by the
+    # perturbed loads, and values are identical under any sharding
+    after = load_table(spark, "orders", sf_dir)
+    assert after.rdd.getNumPartitions() == plain.rdd.getNumPartitions()
