@@ -16,6 +16,8 @@ All math is plain ``ln``/arithmetic on JVM columns (codegen, no Python).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -328,3 +330,148 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str,
     return (scored.groupBy("id")
                   .agg(F.count("*").alias("n_bigrams"),
                        F.round(F.avg("lp"), 4).alias("mean_logprob")))
+
+
+# 1-indexed DCG position discounts 1/log2(rank+1), pre-rounded to 8 dp
+# and embedded as LITERALS on both engines: no runtime log2 (whose last
+# ulp may differ between libm builds) ever reaches a hash-checked value.
+_DCG_DISCOUNTS = [round(1.0 / math.log2(r + 1), 8) for r in range(1, 101)]
+
+
+def dcg_discount_literals(n: int) -> list[float]:
+    """First ``n`` position discounts (shared with the SQL oracle so
+    both engines index the exact same constants)."""
+    return _DCG_DISCOUNTS[:n]
+
+
+def retrieval_eval(docs: DataFrame, emb: DataFrame, text_col: str,
+                   id_col: str, vec_id: str = "vec_id",
+                   n_queries: int = 10, k: int = 10, head_n: int = 20,
+                   k1: float = 1.2, b: float = 0.75,
+                   n_salts: int = 64) -> DataFrame:
+    """Retrieval-quality evaluation: recall@k / MRR / nDCG@k of the
+    LEXICAL BM25 ranking against EXACT-cosine semantic ground truth,
+    per query — the offline eval loop a RAG / search pipeline runs
+    before swapping retrievers (how well does cheap lexical retrieval
+    approximate the embedding ranking?).  Both sides are fully
+    deterministic and SQL-expressible, so the metrics themselves are
+    value-oracle-checkable (unlike evaluating an ANN index, whose
+    recall is witnessed in-plan — see _ann_recall_witness).
+
+    Queries = the first ``n_queries`` doc ids (their distinct tokens
+    are the BM25 query bags; their embeddings are the semantic ground
+    truth probes).  Self-matches excluded on both sides.
+
+    Scale shape:
+    - Query vocab is tiny → broadcast; corpus term stats computed only
+      for tokens in some query (semi-join before the tf aggregate).
+    - Per-query candidate sets can approach the corpus (stopword-ish
+      query tokens), so the per-query ranking head is TWO-stage: a
+      window over (q_id, salt) keeps head_n per salt partition, then
+      the survivors (≤ n_salts·head_n per query) re-rank per q_id.
+      Exact: any global-top-head_n row is top-head_n within its salt.
+      No window ever sees an unbounded single partition.
+    - Scores sum at decimal grain (per-term weights rounded to 6 dp →
+      decimal(38,6)) so ranking and hashes are independent of partial-
+      aggregation order; DCG sums pre-rounded literal discounts at
+      decimal(18,8).  (The ROUND(SUM(double)) half-cent class.)
+
+    Returns one row per query: (q_id, n_retrieved, recall_at_k, mrr,
+    ndcg_at_k), doubles rounded to 4 dp.
+    """
+    from pyspark.sql import Window
+
+    from nosql_join_stream_spark.operators import similarity
+
+    if head_n < k:
+        raise ValueError(f"head_n ({head_n}) must be >= k ({k})")
+    toks = _tokens(docs, text_col, id_col)
+    qt = (toks.filter(F.col(id_col) < n_queries)
+              .select(F.col(id_col).alias("q_id"), "tok").distinct())
+    qvocab = qt.select("tok").distinct()
+    tf = (toks.join(F.broadcast(qvocab), "tok")
+              .groupBy(id_col, "tok").agg(F.count("*").alias("tf")))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.avg("dl").alias("avgdl"),
+                    F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    per_term = (_join_scalar(
+                    F.broadcast(qt).join(tf, "tok")
+                      .filter(F.col(id_col) != F.col("q_id"))
+                      .join(dl, id_col), corpus)
+                .join(F.broadcast(dfreq), "tok")
+                .withColumn(
+                    "idf",
+                    F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) /
+                          (F.col("df") + 0.5)))
+                .withColumn(
+                    "w",
+                    F.col("idf") * F.col("tf") * (k1 + 1.0) /
+                    (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") /
+                                         F.col("avgdl")))))
+    scores = (per_term
+              .withColumn("w6", F.round("w", 6).cast("decimal(38,6)"))
+              .groupBy("q_id", id_col)
+              .agg(F.sum("w6").alias("s"))
+              .withColumn("bm25", F.round(F.col("s"), 4).cast("double"))
+              .select("q_id", F.col(id_col).alias("c_id"), "bm25"))
+    # two-stage exact per-query top-head_n (see docstring)
+    w_salt = (Window.partitionBy("q_id", "__salt")
+                    .orderBy(F.col("bm25").desc(), F.col("c_id")))
+    stage1 = (scores.withColumn("__salt",
+                                F.pmod(F.hash("c_id"), F.lit(n_salts)))
+                    .withColumn("__r1", F.row_number().over(w_salt))
+                    .filter(F.col("__r1") <= head_n)
+                    .drop("__salt", "__r1"))
+    w_q = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(),
+                                             F.col("c_id"))
+    head = (stage1.withColumn("bm_rank", F.row_number().over(w_q))
+                  .filter(F.col("bm_rank") <= head_n))
+
+    queries = (emb.filter(F.col(vec_id) < n_queries)
+                  .select(F.col(vec_id).alias("q_id"), "embedding"))
+    corpus_v = emb.select(F.col(vec_id).alias("c_id"), "embedding")
+    truth = similarity.cosine_topk(queries, corpus_v, k=k)
+
+    disc = F.array(*[F.lit(x) for x in dcg_discount_literals(head_n)])
+    rel = (head.join(truth.select("q_id", "c_id")
+                          .withColumn("rel", F.lit(1)),
+                     ["q_id", "c_id"], "left")
+               .withColumn("rel", F.coalesce("rel", F.lit(0))))
+    per_q = (rel.groupBy("q_id").agg(
+        F.count("*").alias("n_retrieved"),
+        F.sum(F.when((F.col("rel") == 1) & (F.col("bm_rank") <= k), 1)
+               .otherwise(0)).alias("__n_hit"),
+        F.max(F.when(F.col("rel") == 1,
+                     F.round(F.lit(1.0) / F.col("bm_rank"), 4))
+               .otherwise(0.0)).alias("mrr"),
+        F.sum(F.when((F.col("rel") == 1) & (F.col("bm_rank") <= k),
+                     F.element_at(disc, F.col("bm_rank"))
+                      .cast("decimal(18,8)"))
+               .otherwise(F.lit(0).cast("decimal(18,8)")))
+         .alias("__dcg")))
+    n_truth = truth.groupBy("q_id").agg(F.count("*").alias("__n_truth"))
+    # ideal DCG for m relevant docs = prefix sum of the discounts;
+    # exact 8-dp decimal prefix sums, embedded as literals
+    from decimal import Decimal
+    cum, acc = [], Decimal(0)
+    for x in dcg_discount_literals(k):
+        acc += Decimal(str(x))
+        cum.append(float(acc))
+    idcg = F.array(*[F.lit(x) for x in cum])
+    qids = (docs.filter(F.col(id_col) < n_queries)
+                .select(F.col(id_col).alias("q_id")))
+    return (qids.join(n_truth, "q_id", "left")
+                .join(per_q, "q_id", "left")
+                .select(
+                    "q_id",
+                    F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+                    F.round(F.coalesce("__n_hit", F.lit(0)) /
+                            F.col("__n_truth"), 4).alias("recall_at_k"),
+                    F.coalesce("mrr", F.lit(0.0)).alias("mrr"),
+                    F.round(F.coalesce(F.col("__dcg").cast("double"),
+                                       F.lit(0.0)) /
+                            F.element_at(idcg,
+                                         F.least(F.col("__n_truth"),
+                                                 F.lit(k)).cast("int")),
+                            4).alias("ndcg_at_k")))

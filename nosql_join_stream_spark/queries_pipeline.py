@@ -6722,3 +6722,131 @@ def cdc_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 2).alias("value"),
                     F.col("asof_event_type").alias("state_at_purchase"),
                     F.col("asof_valid_from").alias("state_since")))
+
+
+def _retrieval_eval_oracle(n_queries: int = 10, k: int = 10,
+                           head_n: int = 20) -> str:
+    """Full-value oracle for retrieval_eval_metrics: the batched BM25
+    ranking, the exact-cosine ground truth, and the metric arithmetic
+    all re-expressed in DuckDB.  The DCG discounts / ideal-DCG prefix
+    sums are the SAME pre-rounded literals the Spark side embeds
+    (retrieval.dcg_discount_literals) — no engine ever evaluates
+    log2 on a hash-checked path."""
+    from decimal import Decimal
+
+    from nosql_join_stream_spark.operators import retrieval
+
+    disc = retrieval.dcg_discount_literals(head_n)
+    cum, acc = [], Decimal(0)
+    for x in retrieval.dcg_discount_literals(k):
+        acc += Decimal(str(x))
+        cum.append(float(acc))
+    disc_lit = "[" + ",".join(repr(x) for x in disc) + "]"
+    idcg_lit = "[" + ",".join(repr(x) for x in cum) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(trim(lower(text)), ' ')) AS tok
+      FROM documents),
+    tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+    qt AS (SELECT DISTINCT doc_id AS q_id, tok FROM tt
+           WHERE doc_id < {n_queries}),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tt GROUP BY doc_id),
+    corpus AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tt
+           WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    w AS (
+      SELECT qt.q_id, tf.doc_id AS c_id,
+             ROUND(ln(1.0 + (c.n_docs - dfreq.df + 0.5)
+                            / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)),
+                   6) AS w6
+      FROM qt JOIN tf USING (tok)
+              JOIN dfreq ON tf.tok = dfreq.tok
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN corpus c
+      WHERE tf.doc_id <> qt.q_id),
+    s AS (SELECT q_id, c_id,
+                 CAST(ROUND(SUM(CAST(w6 AS DECIMAL(38,6))), 4) AS DOUBLE)
+                   AS bm25
+          FROM w GROUP BY q_id, c_id),
+    head AS (
+      SELECT * FROM (
+        SELECT q_id, c_id, bm25,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY bm25 DESC, c_id) AS bm_rank
+        FROM s) WHERE bm_rank <= {head_n}),
+    q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+          WHERE vec_id < {n_queries}),
+    sc AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             ROUND(list_dot_product(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]))), 6)
+               AS sim
+      FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+    tr AS (SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY sim DESC, c_id) AS r
+             FROM sc) WHERE r <= {k}),
+    ntr AS (SELECT q_id, COUNT(*) AS n_truth FROM tr GROUP BY q_id),
+    rel AS (
+      SELECT h.q_id, h.bm_rank,
+             CASE WHEN t2.c_id IS NULL THEN 0 ELSE 1 END AS rel
+      FROM head h LEFT JOIN tr t2
+        ON h.q_id = t2.q_id AND h.c_id = t2.c_id),
+    perq AS (
+      SELECT q_id, COUNT(*) AS n_retrieved,
+             SUM(CASE WHEN rel = 1 AND bm_rank <= {k}
+                      THEN 1 ELSE 0 END) AS n_hit,
+             MAX(CASE WHEN rel = 1
+                      THEN ROUND(1.0 / bm_rank, 4)
+                      ELSE 0.0 END) AS mrr,
+             SUM(CASE WHEN rel = 1 AND bm_rank <= {k}
+                      THEN CAST({disc_lit}[bm_rank] AS DECIMAL(18,8))
+                      ELSE CAST(0 AS DECIMAL(18,8)) END) AS dcg
+      FROM rel GROUP BY q_id)
+    SELECT d.doc_id AS q_id,
+           COALESCE(perq.n_retrieved, 0) AS n_retrieved,
+           ROUND(COALESCE(perq.n_hit, 0) / ntr.n_truth, 4) AS recall_at_k,
+           COALESCE(perq.mrr, 0.0) AS mrr,
+           ROUND(COALESCE(CAST(perq.dcg AS DOUBLE), 0.0)
+                 / {idcg_lit}[LEAST(ntr.n_truth, {k})::INT],
+                 4) AS ndcg_at_k
+    FROM (SELECT doc_id FROM documents WHERE doc_id < {n_queries}) d
+    LEFT JOIN ntr ON ntr.q_id = d.doc_id
+    LEFT JOIN perq ON perq.q_id = d.doc_id
+    """
+
+
+@register(
+    "retrieval_eval_metrics",
+    _retrieval_eval_oracle(),
+    doc="Offline retrieval evaluation — recall@10 / MRR / nDCG@10 of "
+        "the lexical BM25 ranking against exact-cosine semantic "
+        "ground truth, one row per query (the first 10 doc ids; "
+        "their distinct tokens are the query bags, their embeddings "
+        "the truth probes).  The eval loop a search/RAG pipeline "
+        "runs before swapping retrievers.  Scale shape: query vocab "
+        "broadcasts, corpus term stats computed only for query "
+        "tokens (broadcast semi-join before the tf aggregate), and "
+        "the per-query ranking head is a TWO-stage exact top-N "
+        "(window over (q_id, salt) then re-rank survivors) so no "
+        "window sees an unbounded partition even when stopword-ish "
+        "query tokens make the candidate set corpus-sized.  BM25 "
+        "sums at decimal(38,6) grain and DCG at decimal(18,8) over "
+        "PRE-ROUNDED literal discounts (no runtime log2), so every "
+        "metric is independent of accumulation order and libm — the "
+        "full metric surface value-hashes against DuckDB.",
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import retrieval
+    e = _engine(spark, sf_dir)
+    return retrieval.retrieval_eval(
+        e.table("documents"), e.table("embeddings"), "text", "doc_id")

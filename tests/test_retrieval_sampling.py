@@ -308,3 +308,56 @@ def test_interleave_by_weight_proportional_cadence(spark):
     gaps = [b - a for a, b in zip(small_pos, small_pos[1:])]
     assert max(gaps) <= 8  # expected ~4 under 3:1 cadence; 8 = slack
     assert min(small_pos) < 20  # small source starts early, not at the end
+
+
+def _eval_fixture(spark):
+    # queries = docs 0,1 (n_queries=2).  doc 10 is a verbatim copy of
+    # query 0's text AND its nearest embedding; doc 11 shares nothing
+    # lexically with query 0 but is query 1's semantic neighbor.
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "delta epsilon zeta"),
+        (10, "alpha beta gamma"),
+        (11, "eta theta iota"),
+        (12, "beta kappa kappa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (10, [0.9, 0.1, 0.0]),     # nearest to q0
+        (11, [0.1, 0.9, 0.0]),     # nearest to q1
+        (12, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    return docs, emb
+
+
+def test_retrieval_eval_hand_checked(spark):
+    docs, emb = _eval_fixture(spark)
+    out = retrieval.retrieval_eval(docs, emb, "text", "doc_id",
+                                   n_queries=2, k=2, head_n=4)
+    rows = {r.q_id: r for r in out.collect()}
+    assert set(rows) == {0, 1}
+    # q0: lexical rank 1 = doc 10 (verbatim copy); truth top-2 by
+    # cosine = {10, 1}?  cosine(q0, c) for c in {1:0.0, 10:~0.994,
+    # 11:~0.110, 12:0.0} -> truth = {10, 11} (ties on sim 0.0 lose to
+    # positive sims).  doc 10 relevant at rank 1 -> mrr = 1.0
+    assert rows[0].mrr == 1.0
+    assert rows[0].recall_at_k >= 0.5
+    # metrics bounded
+    for r in rows.values():
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.ndcg_at_k <= 1.0
+
+
+def test_retrieval_eval_two_stage_head_is_exact(spark):
+    # the salted two-stage top-N must equal the single-stage ranking:
+    # n_salts=1 IS the single-stage form
+    docs, emb = _eval_fixture(spark)
+    a = retrieval.retrieval_eval(docs, emb, "text", "doc_id",
+                                 n_queries=2, k=2, head_n=4, n_salts=1)
+    b = retrieval.retrieval_eval(docs, emb, "text", "doc_id",
+                                 n_queries=2, k=2, head_n=4, n_salts=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
