@@ -145,3 +145,48 @@ def write_shards(df: DataFrame, path: str, id_col: str, n_shards: int,
         json.dump(manifest, fh, indent=1, sort_keys=True)
         fh.write("\n")
     return manifest
+
+
+def assign_shards_weight_balanced(df: DataFrame, id_col: str,
+                                  weight_col: str, n_shards: int,
+                                  shard_col: str = "shard") -> DataFrame:
+    """df + ``shard_col``: shards balanced on a per-row WEIGHT (token
+    counts), not row counts — the dataloader contract when documents
+    vary 100x in length and equal-row shards would skew step times.
+
+    Serpentine (boustrophedon) assignment over the weight-sorted
+    order: rows sort by (weight DESC, id); 0-based position p maps to
+    block b = p DIV n and offset o = p MOD n; shard = o on even
+    blocks, n-1-o on odd blocks.  Each block hands every shard
+    exactly one row, and the direction flip pairs each block's
+    heaviest rows with the previous block's lightest, so shard totals
+    differ by at most one block's internal spread — in particular
+    max(total) - min(total) <= max(weight).  Deterministic: pure
+    integer arithmetic on the dense rank, no RNG.
+
+    Scale shape: identical to assign_shards — one range partition on
+    the sort key, per-partition row_number, partitions-sized
+    broadcast offset table.  No global single-partition sort.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    order = [F.col(weight_col).desc(), F.col(id_col).asc()]
+    d = (df.repartitionByRange(*order)
+           .sortWithinPartitions(*order)
+           .withColumn("__pid", F.spark_partition_id()))
+    w_in = Window.partitionBy("__pid").orderBy(*order)
+    d = d.withColumn("__rn", F.row_number().over(w_in))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = (d.groupBy("__pid").agg(F.count("*").alias("__n"))
+               .withColumn("__off", F.coalesce(F.sum("__n").over(w_off),
+                                               F.lit(0)))
+               .select("__pid", "__off"))
+    n = int(n_shards)
+    return (d.join(F.broadcast(offsets), "__pid")
+             .withColumn("__p0", F.col("__off") + F.col("__rn") - 1)
+             .withColumn(shard_col,
+                         F.expr(f"CAST(IF((__p0 DIV {n}) % 2 = 0, "
+                                f"__p0 % {n}, {n - 1} - __p0 % {n}) "
+                                f"AS INT)"))
+             .drop("__pid", "__rn", "__off", "__p0"))

@@ -6850,3 +6850,50 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     return retrieval.retrieval_eval(
         e.table("documents"), e.table("embeddings"), "text", "doc_id")
+
+
+@register(
+    "export_shard_token_balanced",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             len(list_filter(string_split(trim(lower(text)), ' '),
+                             x -> x <> '')) AS wt
+      FROM documents),
+    p AS (
+      SELECT doc_id, wt,
+             ROW_NUMBER() OVER (ORDER BY wt DESC, doc_id) - 1 AS p0
+      FROM w),
+    a AS (
+      SELECT doc_id, wt,
+             CASE WHEN (p0 // 8) % 2 = 0 THEN p0 % 8
+                  ELSE 7 - (p0 % 8) END AS shard
+      FROM p)
+    SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(wt) AS BIGINT) AS total_tokens
+    FROM a GROUP BY shard
+    """,
+    doc="TOKEN-balanced shard export: serpentine assignment over the "
+        "(token count DESC, id) order — each 8-row block hands every "
+        "shard one row, direction flipping per block, so shard token "
+        "totals differ by at most one block's spread (<= max doc "
+        "weight) even when documents vary 100x in length.  The "
+        "dataloader contract equal-ROW shards (export_shard_"
+        "assignment) can't give: balanced STEP TIMES.  Same scale "
+        "shape as the equal-row form — range partition + per-"
+        "partition row_number + partitions-sized broadcast offsets, "
+        "no single-task sort (the oracle's global ROW_NUMBER states "
+        "the semantics; the Spark plan never runs one).",
+)
+def export_shard_token_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import export_shards
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select(
+        "doc_id",
+        F.size(F.filter(F.split(F.trim(F.lower(F.col("text"))), " "),
+                        lambda x: x != "")).alias("wt"))
+    out = export_shards.assign_shards_weight_balanced(
+        docs, "doc_id", "wt", n_shards=8)
+    return (out.groupBy("shard")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("wt").cast("bigint").alias("total_tokens")))

@@ -127,3 +127,36 @@ def test_assignment_order_matches_shard_boundaries(docs):
               .orderBy("shard").collect())
     for prev, cur in zip(bounds, bounds[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_weight_balanced_shards_bound_and_blocks(spark):
+    # 100 docs with weights spanning two orders of magnitude; the
+    # serpentine guarantee: every n-row block of the sorted order
+    # hands each shard exactly one row, and shard totals differ by
+    # at most the max single weight.
+    n_sh = 4
+    rows = [(i, (i * 37) % 997 + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, wt int")
+    a = export_shards.assign_shards_weight_balanced(
+        df, "id", "wt", n_sh).collect()
+    # per-block coverage: reconstruct positions from (wt desc, id)
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    shard_of = {r["id"]: r["shard"] for r in a}
+    for b in range(len(order) // n_sh):
+        block = {shard_of[order[b * n_sh + o][0]] for o in range(n_sh)}
+        assert block == set(range(n_sh))
+    totals = {}
+    for i, wt in rows:
+        totals[shard_of[i]] = totals.get(shard_of[i], 0) + wt
+    assert max(totals.values()) - min(totals.values()) <= max(
+        wt for _, wt in rows)
+
+
+def test_weight_balanced_deterministic_across_partitionings(spark):
+    rows = [(i, (i * 13) % 51 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, wt int")
+    a = export_shards.assign_shards_weight_balanced(
+        df.repartition(3), "id", "wt", 5)
+    b = export_shards.assign_shards_weight_balanced(
+        df.repartition(11), "id", "wt", 5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -77,7 +77,12 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             # the by-group form also crosses the G-row group list
             # with the 10-row bucket list (metadata-sized grid)
             "drift_psi_value", "drift_psi_by_source",
-            "drift_psi_standing"}
+            "drift_psi_standing",
+            # BM25 corpus scalars (N, avgdl) attach via the
+            # standard 1-row broadcast; the cosine truth side is
+            # the intentional brute-force ground truth over a
+            # 10-query broadcast (ann_cosine_topk precedent)
+            "retrieval_eval_metrics"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
@@ -98,6 +103,7 @@ WINDOW_OK = {
     # parallelism, never by row count (combinators._with_pos;
     # export_shards.py; SCALING probe r39 pins the shape)
     "export_shard_assignment": "partitions-sized offsets table",
+    "export_shard_token_balanced": "partitions-sized offsets table",
     "pipeline_materialize_training": "partitions-sized offsets table",
     "sample_global_shuffle": "partitions-sized offsets table",
     "sample_interleave_sources": "partitions-sized offsets table",
