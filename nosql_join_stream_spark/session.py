@@ -39,6 +39,17 @@ def get_session(app_name: str = "nosql_join_stream_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Reduce-side parallelism is AQE's to choose, bounded ABOVE by
+        # initialPartitionNum, not by the static shuffle.partitions:
+        # small shuffles still coalesce to ~parallelism, but a shuffle
+        # whose map output is 10-100x the advisory size fans out to up
+        # to 8x cores instead of spilling through a fixed 32 — the
+        # superlinearity SCALING probe r41 measured on the CC-bearing
+        # dedup family at 10x (per-partition sort/spill pressure).  On
+        # a real cluster this is the same policy: initial high, AQE
+        # sizes the actual reducer count from runtime statistics.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max((int(cpus) if cpus.isdigit() else 32) * 8, 64)))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
