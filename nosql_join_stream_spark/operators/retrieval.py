@@ -344,47 +344,30 @@ def dcg_discount_literals(n: int) -> list[float]:
     return _DCG_DISCOUNTS[:n]
 
 
-def retrieval_eval(docs: DataFrame, emb: DataFrame, text_col: str,
-                   id_col: str, vec_id: str = "vec_id",
-                   n_queries: int = 10, k: int = 10, head_n: int = 20,
-                   k1: float = 1.2, b: float = 0.75,
-                   n_salts: int = 64) -> DataFrame:
-    """Retrieval-quality evaluation: recall@k / MRR / nDCG@k of the
-    LEXICAL BM25 ranking against EXACT-cosine semantic ground truth,
-    per query — the offline eval loop a RAG / search pipeline runs
-    before swapping retrievers (how well does cheap lexical retrieval
-    approximate the embedding ranking?).  Both sides are fully
-    deterministic and SQL-expressible, so the metrics themselves are
-    value-oracle-checkable (unlike evaluating an ANN index, whose
-    recall is witnessed in-plan — see _ann_recall_witness).
+def bm25_multiquery_head(docs: DataFrame, text_col: str, id_col: str,
+                         n_queries: int = 10, head_n: int = 20,
+                         k1: float = 1.2, b: float = 0.75,
+                         n_salts: int = 64) -> DataFrame:
+    """Batched BM25: the top-``head_n`` lexical candidates for EVERY
+    query in one plan — queries are the first ``n_queries`` doc ids,
+    each query bag that doc's distinct tokens, self-matches excluded.
+    Returns (q_id, c_id, bm25, bm_rank), bm_rank 1..head_n per query.
 
-    Queries = the first ``n_queries`` doc ids (their distinct tokens
-    are the BM25 query bags; their embeddings are the semantic ground
-    truth probes).  Self-matches excluded on both sides.
-
-    Scale shape:
-    - Query vocab is tiny → broadcast; corpus term stats computed only
-      for tokens in some query (semi-join before the tf aggregate).
-    - Per-query candidate sets can approach the corpus (stopword-ish
-      query tokens), so the per-query ranking head is TWO-stage: a
-      window over (q_id, salt) keeps head_n per salt partition, then
-      the survivors (≤ n_salts·head_n per query) re-rank per q_id.
-      Exact: any global-top-head_n row is top-head_n within its salt.
-      No window ever sees an unbounded single partition.
-    - Scores sum at decimal grain (per-term weights rounded to 6 dp →
-      decimal(38,6)) so ranking and hashes are independent of partial-
-      aggregation order; DCG sums pre-rounded literal discounts at
-      decimal(18,8).  (The ROUND(SUM(double)) half-cent class.)
-
-    Returns one row per query: (q_id, n_retrieved, recall_at_k, mrr,
-    ndcg_at_k), doubles rounded to 4 dp.
+    Scale shape: the query vocab is tiny → broadcast; corpus term
+    stats are computed only for tokens appearing in some query
+    (broadcast semi-join before the tf aggregate).  Per-query
+    candidate sets can approach the corpus (stopword-ish query
+    tokens), so the ranking head is TWO-stage: a window over
+    (q_id, salt) keeps head_n per salt partition, then the survivors
+    (≤ n_salts·head_n per query) re-rank per q_id.  Exact: any
+    global-top-head_n row is top-head_n within its own salt.  No
+    window ever sees an unbounded single partition.  Scores sum at
+    decimal(38,6) grain over 6-dp-rounded per-term weights, so the
+    ranking and any downstream hash are independent of partial-
+    aggregation order (the ROUND(SUM(double)) half-cent class).
     """
     from pyspark.sql import Window
 
-    from nosql_join_stream_spark.operators import similarity
-
-    if head_n < k:
-        raise ValueError(f"head_n ({head_n}) must be >= k ({k})")
     toks = _tokens(docs, text_col, id_col)
     qt = (toks.filter(F.col(id_col) < n_queries)
               .select(F.col(id_col).alias("q_id"), "tok").distinct())
@@ -425,8 +408,98 @@ def retrieval_eval(docs: DataFrame, emb: DataFrame, text_col: str,
                     .drop("__salt", "__r1"))
     w_q = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(),
                                              F.col("c_id"))
-    head = (stage1.withColumn("bm_rank", F.row_number().over(w_q))
+    return (stage1.withColumn("bm_rank", F.row_number().over(w_q))
                   .filter(F.col("bm_rank") <= head_n))
+
+
+def mine_hard_negatives(docs: DataFrame, emb: DataFrame, text_col: str,
+                        id_col: str, vec_id: str = "vec_id",
+                        n_queries: int = 10, k_pos: int = 5,
+                        n_neg: int = 5, head_n: int = 20,
+                        n_salts: int = 64) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each query, the top lexically-similar documents (BM25 head) that
+    are NOT among its ``k_pos`` exact-cosine semantic neighbors —
+    documents that LOOK relevant to a term matcher but aren't, the
+    negatives that teach a bi-encoder the most (random negatives are
+    trivially separable; BM25-close-but-semantically-far is the
+    standard mining recipe).
+
+    Positives (the exact top-``k_pos`` cosine set) and the query doc
+    itself are anti-joined out of the BM25 head; survivors re-rank
+    1..``n_neg`` per query by (bm25 DESC, id).  Every stage is
+    deterministic and SQL-expressible — full value oracle, no
+    sampled/witnessed step.  Returns (q_id, neg_id, bm25, neg_rank).
+
+    Scale shape: inherits bm25_multiquery_head's two-stage bounded
+    ranking; the anti join is per-query k_pos rows broadcast; the
+    final window runs over ≤ head_n rows per query.
+    """
+    from pyspark.sql import Window
+
+    from nosql_join_stream_spark.operators import similarity
+
+    if head_n < n_neg:
+        raise ValueError(f"head_n ({head_n}) must be >= n_neg ({n_neg})")
+    head = bm25_multiquery_head(docs, text_col, id_col,
+                                n_queries=n_queries, head_n=head_n,
+                                n_salts=n_salts)
+    queries = (emb.filter(F.col(vec_id) < n_queries)
+                  .select(F.col(vec_id).alias("q_id"), "embedding"))
+    corpus_v = emb.select(F.col(vec_id).alias("c_id"), "embedding")
+    pos = similarity.cosine_topk(queries, corpus_v, k=k_pos) \
+                    .select("q_id", "c_id")
+    w_q = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(),
+                                             F.col("c_id"))
+    return (head.join(F.broadcast(pos), ["q_id", "c_id"], "left_anti")
+                .withColumn("neg_rank", F.row_number().over(w_q))
+                .filter(F.col("neg_rank") <= n_neg)
+                .select("q_id", F.col("c_id").alias("neg_id"),
+                        "bm25", "neg_rank"))
+
+
+def retrieval_eval(docs: DataFrame, emb: DataFrame, text_col: str,
+                   id_col: str, vec_id: str = "vec_id",
+                   n_queries: int = 10, k: int = 10, head_n: int = 20,
+                   k1: float = 1.2, b: float = 0.75,
+                   n_salts: int = 64) -> DataFrame:
+    """Retrieval-quality evaluation: recall@k / MRR / nDCG@k of the
+    LEXICAL BM25 ranking against EXACT-cosine semantic ground truth,
+    per query — the offline eval loop a RAG / search pipeline runs
+    before swapping retrievers (how well does cheap lexical retrieval
+    approximate the embedding ranking?).  Both sides are fully
+    deterministic and SQL-expressible, so the metrics themselves are
+    value-oracle-checkable (unlike evaluating an ANN index, whose
+    recall is witnessed in-plan — see _ann_recall_witness).
+
+    Queries = the first ``n_queries`` doc ids (their distinct tokens
+    are the BM25 query bags; their embeddings are the semantic ground
+    truth probes).  Self-matches excluded on both sides.
+
+    Scale shape:
+    - Query vocab is tiny → broadcast; corpus term stats computed only
+      for tokens in some query (semi-join before the tf aggregate).
+    - Per-query candidate sets can approach the corpus (stopword-ish
+      query tokens), so the per-query ranking head is TWO-stage: a
+      window over (q_id, salt) keeps head_n per salt partition, then
+      the survivors (≤ n_salts·head_n per query) re-rank per q_id.
+      Exact: any global-top-head_n row is top-head_n within its salt.
+      No window ever sees an unbounded single partition.
+    - Scores sum at decimal grain (per-term weights rounded to 6 dp →
+      decimal(38,6)) so ranking and hashes are independent of partial-
+      aggregation order; DCG sums pre-rounded literal discounts at
+      decimal(18,8).  (The ROUND(SUM(double)) half-cent class.)
+
+    Returns one row per query: (q_id, n_retrieved, recall_at_k, mrr,
+    ndcg_at_k), doubles rounded to 4 dp.
+    """
+    from nosql_join_stream_spark.operators import similarity
+
+    if head_n < k:
+        raise ValueError(f"head_n ({head_n}) must be >= k ({k})")
+    head = bm25_multiquery_head(docs, text_col, id_col,
+                                n_queries=n_queries, head_n=head_n,
+                                k1=k1, b=b, n_salts=n_salts)
 
     queries = (emb.filter(F.col(vec_id) < n_queries)
                   .select(F.col(vec_id).alias("q_id"), "embedding"))

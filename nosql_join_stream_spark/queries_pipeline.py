@@ -6897,3 +6897,171 @@ def export_shard_token_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.groupBy("shard")
                .agg(F.count("*").alias("n_docs"),
                     F.sum("wt").cast("bigint").alias("total_tokens")))
+
+
+@register(
+    "stream_scd2_point_in_time",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'),
+    g AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM s),
+    r AS (
+      SELECT user_id, event_type, grp, MIN(ts) AS valid_from
+      FROM g GROUP BY user_id, event_type, grp),
+    iv AS (
+      SELECT user_id, event_type, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+               AS valid_to
+      FROM r)
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           ROUND(p.value, 2) AS value,
+           iv.event_type AS state_at_purchase,
+           iv.valid_from AS state_since
+    FROM events p
+    JOIN iv ON iv.user_id = p.user_id
+           AND iv.valid_from <= p.ts
+           AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="STREAMING point-in-time dimension enrichment: purchases "
+        "arrive as a stream and each micro-batch is stamped with the "
+        "user's state valid AT its timestamp from the standing SCD2 "
+        "history — the streaming twin of cdc_scd2_point_in_time and "
+        "the production shape (dimension history maintained, facts "
+        "continuous; a plain stream-static join would stamp the "
+        "CURRENT state, silently wrong for late or replayed facts).  "
+        "foreachBatch runs the batch as-of lookup per micro-batch "
+        "(union + one key shuffle + per-key window, no range-join "
+        "pair space); idempotent per-batch partition overwrite; "
+        "AvailableNow drain == the batch point-in-time join (same "
+        "oracle).",
+)
+def stream_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nosql_join_stream_spark import sinks
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.queries import _STREAM_SEQ, artifact_dir
+    from nosql_join_stream_spark.streaming.log_stream import (
+        read_log_stream, stream_scd2_enrich)
+
+    _STREAM_SEQ[0] += 1
+    run_dir = artifact_dir("nsjs_scd2pit", str(_STREAM_SEQ[0]))
+    e = _engine(spark, sf_dir)
+    ev = e.table("events")
+    dim = sinks.scd2_history(
+        ev.filter(F.col("event_type") != "purchase")
+          .select("user_id", "ts", "event_id", "event_type"),
+        "user_id", ["ts", "event_id"], "event_type")
+    dim = dim.filter(F.col("valid_to").isNull()
+                     | (F.col("valid_from") < F.col("valid_to")))
+    fact_stream = (read_log_stream(spark, table_path(sf_dir, "events"))
+                   .filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts", "value"))
+    stream_scd2_enrich(fact_stream, dim, os.path.join(run_dir, "out"),
+                       os.path.join(run_dir, "ckpt"),
+                       on="user_id", left_ts="ts",
+                       right_ts="valid_from", payload=["event_type"])
+    back = spark.read.parquet(os.path.join(run_dir, "out"))
+    return (back.filter(F.col("asof_event_type").isNotNull())
+            .select(F.col("event_id").alias("purchase_id"),
+                    "user_id", "ts",
+                    F.round("value", 2).alias("value"),
+                    F.col("asof_event_type").alias("state_at_purchase"),
+                    F.col("asof_valid_from").alias("state_since")))
+
+
+def _hard_negatives_oracle(n_queries: int = 10, k_pos: int = 5,
+                           n_neg: int = 5, head_n: int = 20) -> str:
+    """Oracle for retrieval_hard_negatives: the batched-BM25 head and
+    exact-cosine positive set restated in DuckDB, positives anti-
+    joined out, survivors re-ranked."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(trim(lower(text)), ' ')) AS tok
+      FROM documents),
+    tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+    qt AS (SELECT DISTINCT doc_id AS q_id, tok FROM tt
+           WHERE doc_id < {n_queries}),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tt GROUP BY doc_id),
+    corpus AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tt
+           WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    w AS (
+      SELECT qt.q_id, tf.doc_id AS c_id,
+             ROUND(ln(1.0 + (c.n_docs - dfreq.df + 0.5)
+                            / (dfreq.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)),
+                   6) AS w6
+      FROM qt JOIN tf USING (tok)
+              JOIN dfreq ON tf.tok = dfreq.tok
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN corpus c
+      WHERE tf.doc_id <> qt.q_id),
+    s AS (SELECT q_id, c_id,
+                 CAST(ROUND(SUM(CAST(w6 AS DECIMAL(38,6))), 4) AS DOUBLE)
+                   AS bm25
+          FROM w GROUP BY q_id, c_id),
+    head AS (
+      SELECT * FROM (
+        SELECT q_id, c_id, bm25,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY bm25 DESC, c_id) AS bm_rank
+        FROM s) WHERE bm_rank <= {head_n}),
+    q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+          WHERE vec_id < {n_queries}),
+    sc AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             ROUND(list_dot_product(q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]))), 6)
+               AS sim
+      FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+    pos AS (SELECT q_id, c_id FROM (
+              SELECT q_id, c_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY sim DESC, c_id) AS r
+              FROM sc) WHERE r <= {k_pos})
+    SELECT q_id, c_id AS neg_id, bm25, CAST(neg_rank AS INT) AS neg_rank
+    FROM (
+      SELECT h.q_id, h.c_id, h.bm25,
+             ROW_NUMBER() OVER (PARTITION BY h.q_id
+                                ORDER BY h.bm25 DESC, h.c_id) AS neg_rank
+      FROM head h ANTI JOIN pos p
+        ON h.q_id = p.q_id AND h.c_id = p.c_id)
+    WHERE neg_rank <= {n_neg}
+    """
+
+
+@register(
+    "retrieval_hard_negatives",
+    _hard_negatives_oracle(),
+    doc="Hard-negative mining for contrastive/embedding training: per "
+        "query, the BM25-head documents NOT among its exact-cosine "
+        "top-5 semantic neighbors — lexically-close-but-semantically-"
+        "far, the negatives that teach a bi-encoder the most (random "
+        "negatives are trivially separable).  Positives anti-join out "
+        "of the head (per-query k_pos rows, broadcast); survivors "
+        "re-rank over <= head_n rows per query.  Inherits the batched "
+        "BM25 head's bounded two-stage ranking and decimal-grain "
+        "sums; every stage deterministic -> full value oracle.",
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import retrieval
+    e = _engine(spark, sf_dir)
+    return retrieval.mine_hard_negatives(
+        e.table("documents"), e.table("embeddings"), "text", "doc_id")

@@ -1205,3 +1205,49 @@ def late_data_quarantine(spark: SparkSession, events_path: str,
         with open(done_marker, "w") as f:
             f.write("staged\n")
     return spark.read.parquet(quar).drop("props")
+
+
+def stream_scd2_enrich(fact_stream: DataFrame, dim: DataFrame,
+                       out_path: str, checkpoint: str, on: str,
+                       left_ts: str, right_ts: str,
+                       payload: list[str],
+                       available_now: bool = True):
+    """Streaming point-in-time dimension enrichment: each micro-batch
+    of fact events picks up the dimension attribute valid AT its
+    timestamp from a standing SCD2 history (sinks.scd2_history) — the
+    streaming twin of cdc_scd2_point_in_time, and the shape a real
+    pipeline runs: dimension history is a maintained table, facts
+    arrive continuously, and every fact must be stamped with the
+    dimension state as of ITS time (not the current state, which
+    enrich_stream's plain stream-static join would give).
+
+    foreachBatch because the as-of lookup is a union + per-key ordered
+    window (operators/join.asof_join), which streaming planability
+    forbids in-plan; per batch it is the standard batch operator with
+    the SAME bounded shape (one key shuffle, no range-join pair
+    space).  Results land via the idempotent per-batch partition
+    overwrite, so a replayed batch id retracts-and-replaces instead
+    of double-publishing.  With a single-batch AvailableNow drain the
+    drained output equals the batch point-in-time join — the oracle.
+    """
+    from nosql_join_stream_spark.operators.join import asof_join
+
+    def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = asof_join(batch_df, dim, on=on, left_ts=left_ts,
+                        right_ts=right_ts, payload=payload,
+                        direction="backward")
+        (out.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_path))
+
+    q = (fact_stream.writeStream.foreachBatch(enrich_batch)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        sq = q.trigger(availableNow=True).start()
+        sq.awaitTermination()
+        return None
+    return q.start()

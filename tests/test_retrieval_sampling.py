@@ -361,3 +361,22 @@ def test_retrieval_eval_two_stage_head_is_exact(spark):
     b = retrieval.retrieval_eval(docs, emb, "text", "doc_id",
                                  n_queries=2, k=2, head_n=4, n_salts=64)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_mine_hard_negatives_excludes_semantic_positives(spark):
+    docs, emb = _eval_fixture(spark)
+    out = retrieval.mine_hard_negatives(docs, emb, "text", "doc_id",
+                                        n_queries=1, k_pos=1, n_neg=5,
+                                        head_n=5)
+    rows = out.collect()
+    negs = {r.neg_id for r in rows}
+    # q0's semantic top-1 is doc 10 (cos ~0.994) -> positive, excluded
+    # even though it is the strongest lexical match (verbatim copy);
+    # doc 12 shares 'beta' with q0 -> lexical candidate, not a
+    # positive -> hard negative
+    assert 10 not in negs
+    assert 12 in negs
+    # ranks contiguous from 1, scores non-increasing
+    by_rank = sorted(rows, key=lambda r: r.neg_rank)
+    assert [r.neg_rank for r in by_rank] == list(range(1, len(rows) + 1))
+    assert all(a.bm25 >= b.bm25 for a, b in zip(by_rank, by_rank[1:]))

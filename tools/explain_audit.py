@@ -82,7 +82,11 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             # standard 1-row broadcast; the cosine truth side is
             # the intentional brute-force ground truth over a
             # 10-query broadcast (ann_cosine_topk precedent)
-            "retrieval_eval_metrics"}
+            "retrieval_eval_metrics",
+            # same shape: 1-row BM25 corpus scalars + the
+            # intentional brute-force cosine positive set over a
+            # 10-query broadcast
+            "retrieval_hard_negatives"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
