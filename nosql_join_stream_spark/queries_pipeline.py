@@ -7065,3 +7065,55 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     return retrieval.mine_hard_negatives(
         e.table("documents"), e.table("embeddings"), "text", "doc_id")
+
+
+@register(
+    "mine_bitext_pairs",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             ROUND(list_dot_product(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                          a.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]))), 6)
+               AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]) /
+                  (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                         a.embedding::DOUBLE[])) *
+                   sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]))), 6)
+            >= 0.4)
+    SELECT p.id1, p.id2, d1.lang AS lang1, d2.lang AS lang2, p.sim
+    FROM p JOIN documents d1 ON d1.doc_id = p.id1
+           JOIN documents d2 ON d2.doc_id = p.id2
+    WHERE d1.lang <> d2.lang
+    """,
+    doc="Bitext / translation-pair mining: embedding near-dup pairs "
+        "whose DOCUMENTS carry different languages — semantically "
+        "aligned, lexically disjoint, the margin-based mining recipe "
+        "that builds parallel corpora for multilingual training "
+        "(monolingual near-dups are dedup's business; CROSS-language "
+        "near-dups are training data).  Pair space is the celled "
+        "single-plan GEMM (embedding_near_dup_pairs — one shuffle, "
+        "no driver loop; the sub-quadratic tier at corpus scale is "
+        "the banded/IVF path); language attach is two hash joins on "
+        "the id keys; threshold 0.4 suits this synthetic corpus "
+        "(no planted translations — the query witnesses the "
+        "composition, the oracle pins every value).",
+)
+def mine_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    pairs = similarity.embedding_near_dup_pairs(
+        e.table("embeddings"), "vec_id", "embedding", threshold=0.4)
+    langs = e.table("documents").select("doc_id", "lang")
+    return (pairs
+            .join(langs.select(F.col("doc_id").alias("id1"),
+                               F.col("lang").alias("lang1")), "id1")
+            .join(langs.select(F.col("doc_id").alias("id2"),
+                               F.col("lang").alias("lang2")), "id2")
+            .filter(F.col("lang1") != F.col("lang2"))
+            .select("id1", "id2", "lang1", "lang2", "sim"))
