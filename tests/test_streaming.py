@@ -1012,3 +1012,63 @@ def test_late_data_quarantine_routes_and_replays(spark, sf_dir, tmp_path):
     # main output holds everything else (no row lost, no duplicate)
     main = spark.read.parquet(str(tmp_path / "lateq" / "main"))
     assert main.count() == ev.count() - len(got)
+
+
+def test_stream_scd2_enrich_multibatch_and_replay(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1 over a two-file fact
+    source) through the streaming point-in-time enrichment must equal
+    the batch as-of join over the same facts — the cross-batch
+    contract (each batch consults the SAME standing history, and no
+    fact's answer depends on which batch carried it).  Then a batch-1
+    replay (commit record deleted) must converge, not duplicate."""
+    import os
+
+    from nosql_join_stream_spark import sinks
+    from nosql_join_stream_spark.operators.join import asof_join
+    from nosql_join_stream_spark.streaming.log_stream import (
+        stream_scd2_enrich)
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dim = sinks.scd2_history(
+        raw.filter("event_type <> 'purchase'")
+           .select("user_id", "ts", "event_id", "event_type"),
+        "user_id", ["ts", "event_id"], "event_type")
+    dim = dim.filter(F.col("valid_to").isNull()
+                     | (F.col("valid_from") < F.col("valid_to")))
+    facts = (raw.filter("event_type = 'purchase'")
+                .select("event_id", "user_id", "ts", "value"))
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    facts.filter("user_id % 2 = 0").coalesce(1) \
+         .write.mode("overwrite").parquet(src)
+    facts.filter("user_id % 2 = 1").coalesce(1) \
+         .write.mode("append").parquet(src)
+
+    def drain():
+        stream = (spark.readStream.schema(facts.schema).format("parquet")
+                  .option("maxFilesPerTrigger", "1").load(src))
+        stream_scd2_enrich(stream, dim, out, ckpt, on="user_id",
+                           left_ts="ts", right_ts="valid_from",
+                           payload=["event_type"])
+
+    drain()
+    got = spark.read.parquet(out)
+    assert set(os.listdir(out)) >= {"__batch_id=0", "__batch_id=1"}
+
+    expect = asof_join(facts, dim, on="user_id", left_ts="ts",
+                       right_ts="valid_from", payload=["event_type"],
+                       direction="backward")
+    key = ["event_id", "asof_event_type", "asof_valid_from"]
+    rows1 = sorted(map(tuple, got.select(*key).collect()))
+    assert rows1 == sorted(map(tuple, expect.select(*key).collect()))
+
+    # crash inside batch 1's commit window → replay must overwrite its
+    # own partition, leaving the output row-identical (materialize
+    # rows1 first: the replay rewrites batch-1's part files, so any
+    # pre-replay DataFrame's file list is stale)
+    os.remove(os.path.join(ckpt, "commits", "1"))
+    os.remove(os.path.join(ckpt, "commits", ".1.crc"))
+    drain()
+    spark.catalog.refreshByPath(out)
+    rows2 = sorted(map(tuple,
+                       spark.read.parquet(out).select(*key).collect()))
+    assert rows2 == rows1
