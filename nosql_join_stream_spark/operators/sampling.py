@@ -266,3 +266,47 @@ def interleave_by_weight(df: DataFrame, group_col: str, id_col: str,
                 .withColumn("__key", F.col("__rk") / F.sqrt("__n")))
     return (_with_pos(ranked, ["__key", group_col, id_col], pos_col)
             .drop("__rk", "__n", "__key"))
+
+
+def weighted_acceptance_sample(df: DataFrame, id_col: str,
+                               weight_col: str, seed: int = 0,
+                               beta: float = 0.5) -> DataFrame:
+    """Deterministic weighted ACCEPTANCE sampling (Bernoulli thinning):
+    keep each row independently with probability
+    ``p = (w / w_max) ** beta`` — the soft, size-proportional cousin of
+    the hard quota operators (cap_per_group keeps exactly N;
+    weighted_sample_no_replacement draws a fixed k; this keeps an
+    EXPECTED fraction, preserving the weight distribution's shape at
+    ``beta`` temperature).  Accepted rows carry ``ht_weight = 1/p``,
+    the Horvitz-Thompson inverse-inclusion weight that keeps any
+    downstream aggregate unbiased.
+
+    No RNG: the coin is the 52-bit prefix of ``sha256(seed || ':' ||
+    id)`` compared against ``p * 2**52`` — replayable, engine-portable
+    (52 bits convert to double EXACTLY; DuckDB mirrors the arithmetic
+    bit-for-bit), and a different ``seed`` gives an independent draw.
+    ``beta`` 0.5 / 1.0 route through ``sqrt`` / identity (both
+    IEEE-exact across libms); other exponents use ``pow`` and rely on
+    the 9-dp rounding of ``p`` to absorb any last-ulp libm divergence.
+
+    One scan + a 1-row broadcast max — no shuffle of the data rows at
+    any corpus size.
+    """
+    wmax = df.agg(F.max(F.col(weight_col).cast("double")).alias("__wmax"))
+    ratio = F.col(weight_col).cast("double") / F.col("__wmax")
+    if beta == 0.5:
+        p_raw = F.sqrt(ratio)
+    elif beta == 1.0:
+        p_raw = ratio
+    else:
+        p_raw = F.pow(ratio, F.lit(float(beta)))
+    tagged = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    h52 = F.conv(F.substring(F.sha2(tagged, 256), 1, 13), 16, 10) \
+           .cast("long")
+    return (df.crossJoin(F.broadcast(wmax))
+              .withColumn("__p", F.round(p_raw, 9))
+              .filter(h52.cast("double")
+                      < F.col("__p") * F.lit(float(1 << 52)))
+              .withColumn("accept_p", F.col("__p"))
+              .withColumn("ht_weight", F.round(1.0 / F.col("__p"), 6))
+              .drop("__wmax", "__p"))

@@ -7117,3 +7117,37 @@ def mine_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("lang").alias("lang2")), "id2")
             .filter(F.col("lang1") != F.col("lang2"))
             .select("id1", "id2", "lang1", "lang2", "sim"))
+
+
+@register(
+    "sample_weighted_acceptance",
+    """
+    WITH m AS (SELECT MAX(CAST(n_chars AS DOUBLE)) AS wmax
+               FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             ROUND(sqrt(n_chars / m.wmax), 9) AS p,
+             CAST(concat('0x',
+                         substr(sha256('0:' || doc_id::VARCHAR), 1, 13))
+                  AS BIGINT) AS h
+      FROM documents CROSS JOIN m)
+    SELECT doc_id, lang, p AS accept_p, ROUND(1.0 / p, 6) AS ht_weight
+    FROM s WHERE CAST(h AS DOUBLE) < p * 4503599627370496.0
+    """,
+    doc="Deterministic weighted acceptance sampling: keep each doc "
+        "with p = sqrt(len / max_len) (beta=0.5 temperature), coin = "
+        "52-bit sha256 prefix vs p*2^52 (52 bits convert to double "
+        "EXACTLY; sqrt is IEEE-exact on both engines — no libm or "
+        "RNG exposure anywhere).  Accepted rows carry the 1/p "
+        "Horvitz-Thompson weight for unbiased downstream aggregates. "
+        "The soft size-proportional member of the sampling family "
+        "(cap/budget keep hard quotas; this preserves the length "
+        "distribution's shape at temperature).  One scan + a 1-row "
+        "broadcast max — zero data shuffles at any corpus size.",
+)
+def sample_weighted_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators import sampling
+    e = _engine(spark, sf_dir)
+    return (sampling.weighted_acceptance_sample(
+                e.table("documents"), "doc_id", "n_chars")
+            .select("doc_id", "lang", "accept_p", "ht_weight"))

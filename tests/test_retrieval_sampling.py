@@ -380,3 +380,25 @@ def test_mine_hard_negatives_excludes_semantic_positives(spark):
     by_rank = sorted(rows, key=lambda r: r.neg_rank)
     assert [r.neg_rank for r in by_rank] == list(range(1, len(rows) + 1))
     assert all(a.bm25 >= b.bm25 for a, b in zip(by_rank, by_rank[1:]))
+
+
+def test_weighted_acceptance_sample_properties(spark):
+    rows = [(i, (i % 100) + 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    out = sampling.weighted_acceptance_sample(df, "id", "w")
+    got = out.collect()
+    # max-weight rows have p = 1 -> always kept
+    kept = {r.id for r in got}
+    assert all(i in kept for i, w in rows if w == 100)
+    # kept fraction tracks E[p] = mean(sqrt(w/wmax)) (hash coin ~ U)
+    exp = sum((w / 100) ** 0.5 for _, w in rows) / len(rows)
+    frac = len(got) / len(rows)
+    assert abs(frac - exp) < 0.05
+    # accept_p and ht_weight are inverses (at their rounded grains)
+    for r in got:
+        assert abs(r.ht_weight - 1.0 / r.accept_p) < 1e-4
+    # deterministic replay; independent draw under another seed
+    again = sampling.weighted_acceptance_sample(df, "id", "w")
+    assert {r.id for r in again.collect()} == kept
+    other = sampling.weighted_acceptance_sample(df, "id", "w", seed=1)
+    assert {r.id for r in other.collect()} != kept

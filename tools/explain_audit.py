@@ -86,7 +86,9 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             # same shape: 1-row BM25 corpus scalars + the
             # intentional brute-force cosine positive set over a
             # 10-query broadcast
-            "retrieval_hard_negatives"}
+            "retrieval_hard_negatives",
+            # acceptance sampler attaches the 1-row corpus max
+            "sample_weighted_acceptance"}
 # streaming queries materialize through a memory sink — no batch plan to audit
 SKIP = {"stream_windowed_counts", "stream_dedup_keys",
         "stream_sessionize_stateful", "stream_static_enrich",
