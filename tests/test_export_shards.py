@@ -160,3 +160,15 @@ def test_weight_balanced_deterministic_across_partitionings(spark):
     b = export_shards.assign_shards_weight_balanced(
         df.repartition(11), "id", "wt", 5)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_weight_balanced_no_single_partition_exchange(spark):
+    """The weight-balanced variant keeps the equal-row form's scale
+    shape: the row side range-partitions on the sort key — no
+    SinglePartition exchange anywhere in the row path (the offsets
+    window is the partitions-sized side)."""
+    rows = [(i, i % 7 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, wt int")
+    a = export_shards.assign_shards_weight_balanced(df, "id", "wt", 4)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
