@@ -190,3 +190,47 @@ def assign_shards_weight_balanced(df: DataFrame, id_col: str,
                                 f"__p0 % {n}, {n - 1} - __p0 % {n}) "
                                 f"AS INT)"))
              .drop("__pid", "__rn", "__off", "__p0"))
+
+
+def write_shards_weight_balanced(df: DataFrame, path: str, id_col: str,
+                                 weight_col: str, n_shards: int) -> dict:
+    """Export ``df`` as ``n_shards`` WEIGHT-balanced parquet shards
+    (hive ``shard=K/`` layout, one file per shard, rows inside sorted
+    by (weight DESC, id) — heaviest first, the schedule a length-
+    bucketing dataloader wants), plus a ``_MANIFEST.json`` recording
+    per-shard row counts AND weight totals so a consumer can verify
+    the balance bound (max − min ≤ max single weight) without
+    re-scanning.  Deterministic: rerunning overwrites with identical
+    shard membership and order."""
+    assigned = assign_shards_weight_balanced(df, id_col, weight_col,
+                                             n_shards)
+    (assigned
+     .repartition(n_shards, F.col("shard"))
+     .sortWithinPartitions("shard", F.col(weight_col).desc(),
+                           F.col(id_col))
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(path))
+    spark = df.sparkSession
+    rows = (spark.read.parquet(path)
+            .groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(F.count("*").alias("rows"),
+                 F.sum(F.col(weight_col).cast("long")).alias("weight"))
+            .orderBy("shard").collect())  # bounded: n_shards rows
+    per = {int(r["shard"]): (int(r["rows"]), int(r["weight"]))
+           for r in rows}
+    manifest = {
+        "format": "parquet/hive shard=K",
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "weight_col": weight_col,
+        "order": f"({weight_col} DESC, {id_col}) serpentine",
+        "total_rows": int(sum(r for r, _ in per.values())),
+        "total_weight": int(sum(w for _, w in per.values())),
+        "shards": [{"shard": k, "rows": per.get(k, (0, 0))[0],
+                    "weight": per.get(k, (0, 0))[1]}
+                   for k in range(n_shards)],
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return manifest

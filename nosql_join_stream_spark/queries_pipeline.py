@@ -7151,3 +7151,58 @@ def sample_weighted_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sampling.weighted_acceptance_sample(
                 e.table("documents"), "doc_id", "n_chars")
             .select("doc_id", "lang", "accept_p", "ht_weight"))
+
+
+@register(
+    "export_token_balanced_written",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             len(list_filter(string_split(trim(lower(text)), ' '),
+                             x -> x <> '')) AS wt
+      FROM documents),
+    p AS (
+      SELECT doc_id, wt,
+             ROW_NUMBER() OVER (ORDER BY wt DESC, doc_id) - 1 AS p0
+      FROM w),
+    a AS (
+      SELECT doc_id, wt,
+             CASE WHEN (p0 // 8) % 2 = 0 THEN p0 % 8
+                  ELSE 7 - (p0 % 8) END AS shard
+      FROM p)
+    SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(wt) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM a GROUP BY shard
+    """,
+    doc="Token-balanced shard WRITER end-to-end: the corpus lands "
+        "once per process as 8 hive shard=K/ dirs — one file per "
+        "shard, heaviest-first inside, _MANIFEST.json carrying "
+        "per-shard row AND token totals so a dataloader verifies the "
+        "balance bound without re-scanning — then this query reads "
+        "the EXPORT back and summarizes it.  Oracle = the pure "
+        "serpentine assignment SQL: equality proves the writer moved "
+        "every row to exactly the shard the weight-sorted contract "
+        "assigns (id_sum pins membership, not just counts).",
+)
+def export_token_balanced_written(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import os
+
+    from nosql_join_stream_spark.operators import export_shards
+
+    e = _engine(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = artifact_dir("nsjs_wshards", tag)
+    if not os.path.exists(os.path.join(path, "_MANIFEST.json")):
+        docs = e.table("documents").select(
+            "doc_id",
+            F.size(F.filter(F.split(F.trim(F.lower(F.col("text"))), " "),
+                            lambda x: x != "")).alias("wt"))
+        export_shards.write_shards_weight_balanced(
+            docs, path, "doc_id", "wt", n_shards=8)
+    return (spark.read.parquet(path)
+            .groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("wt").cast("bigint").alias("total_tokens"),
+                 F.sum("doc_id").cast("bigint").alias("id_sum")))

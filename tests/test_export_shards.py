@@ -172,3 +172,33 @@ def test_weight_balanced_no_single_partition_exchange(spark):
     a = export_shards.assign_shards_weight_balanced(df, "id", "wt", 4)
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_weight_balanced_writer_layout_manifest_balance(spark, tmp_path):
+    import json as _json
+
+    rows = [(i, (i * 37) % 997 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, wt int")
+    path = str(tmp_path / "wshards")
+    m = export_shards.write_shards_weight_balanced(df, path, "id",
+                                                   "wt", 4)
+    # manifest totals conserve the corpus
+    assert m["total_rows"] == 200
+    assert m["total_weight"] == sum(w for _, w in rows)
+    # balance bound holds and is verifiable FROM the manifest alone
+    weights = [s["weight"] for s in m["shards"]]
+    assert max(weights) - min(weights) <= max(w for _, w in rows)
+    # one data file per shard dir; read-back agrees with the manifest
+    for k in range(4):
+        files = [f for f in os.listdir(os.path.join(path, f"shard={k}"))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+    back = (spark.read.parquet(path)
+            .groupBy("shard").agg(F.count("*").alias("n"),
+                                  F.sum("wt").alias("w")).collect())
+    got = {int(r["shard"]): (r["n"], r["w"]) for r in back}
+    assert got == {s["shard"]: (s["rows"], s["weight"])
+                   for s in m["shards"]}
+    # disk manifest round-trips
+    disk = _json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert disk == m
