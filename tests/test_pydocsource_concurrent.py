@@ -95,6 +95,13 @@ def test_writer_compactor_tailer_threads(tmp_path, seed):
                     # clean restart: new instance, same persisted state
                     rdr = JsonDocsStreamReader({"path": d,
                                                 "statedir": state})
+                # Observe writer-death BEFORE polling: a file published
+                # between latestOffset() and an is_alive() check would
+                # otherwise be abandoned (poll sees up to F, writer
+                # publishes F+1 and exits, empty-poll + dead-writer →
+                # return, F+1 never drained — seed-6 flake).  Dead
+                # before the poll ⇒ every publish is visible to it.
+                writer_done = not writer_t.is_alive()
                 end = rdr.latestOffset()
                 if end["last"] > committed["last"]:
                     parts = rdr.partitions(dict(committed), dict(end))
@@ -104,7 +111,7 @@ def test_writer_compactor_tailer_threads(tmp_path, seed):
                     rdr.commit(dict(end))
                     committed = end
                     committed_wm[0] = end["last"]
-                elif not writer_t.is_alive():
+                elif writer_done:
                     return               # drained after writer finished
                 time.sleep(rng_t.random() * 0.003)
         except BaseException as e:  # noqa: BLE001
