@@ -347,11 +347,19 @@ def dcg_discount_literals(n: int) -> list[float]:
 def bm25_multiquery_head(docs: DataFrame, text_col: str, id_col: str,
                          n_queries: int = 10, head_n: int = 20,
                          k1: float = 1.2, b: float = 0.75,
-                         n_salts: int = 64) -> DataFrame:
+                         n_salts: int = 64,
+                         query_ids=None) -> DataFrame:
     """Batched BM25: the top-``head_n`` lexical candidates for EVERY
     query in one plan — queries are the first ``n_queries`` doc ids,
     each query bag that doc's distinct tokens, self-matches excluded.
     Returns (q_id, c_id, bm25, bm_rank), bm_rank 1..head_n per query.
+
+    PRECONDITION: the ``ids < n_queries`` query set assumes DENSE
+    0-based integer ids (true of the fixture tables).  On a corpus
+    with sparse or non-integer ids pass ``query_ids`` — an explicit
+    iterable of ids to use as queries — instead; ``n_queries`` is then
+    ignored (r12 advisor; ``mine_hard_negatives`` / ``retrieval_eval``
+    inherit the same contract).
 
     Scale shape: the query vocab is tiny → broadcast; corpus term
     stats are computed only for tokens appearing in some query
@@ -369,7 +377,9 @@ def bm25_multiquery_head(docs: DataFrame, text_col: str, id_col: str,
     from pyspark.sql import Window
 
     toks = _tokens(docs, text_col, id_col)
-    qt = (toks.filter(F.col(id_col) < n_queries)
+    q_pred = (F.col(id_col).isin(list(query_ids)) if query_ids is not None
+              else F.col(id_col) < n_queries)
+    qt = (toks.filter(q_pred)
               .select(F.col(id_col).alias("q_id"), "tok").distinct())
     qvocab = qt.select("tok").distinct()
     tf = (toks.join(F.broadcast(qvocab), "tok")
@@ -433,7 +443,10 @@ def mine_hard_negatives(docs: DataFrame, emb: DataFrame, text_col: str,
 
     Scale shape: inherits bm25_multiquery_head's two-stage bounded
     ranking; the anti join is per-query k_pos rows broadcast; the
-    final window runs over ≤ head_n rows per query.
+    final window runs over ≤ head_n rows per query.  Inherits its
+    dense-0-based-integer-id precondition for the query set too (see
+    bm25_multiquery_head: pass explicit ``query_ids`` there for
+    sparse/non-integer id corpora).
     """
     from pyspark.sql import Window
 
@@ -474,7 +487,9 @@ def retrieval_eval(docs: DataFrame, emb: DataFrame, text_col: str,
 
     Queries = the first ``n_queries`` doc ids (their distinct tokens
     are the BM25 query bags; their embeddings are the semantic ground
-    truth probes).  Self-matches excluded on both sides.
+    truth probes).  Self-matches excluded on both sides.  Requires
+    dense 0-based integer ids (see bm25_multiquery_head's
+    ``query_ids`` escape hatch for sparse/non-integer id corpora).
 
     Scale shape:
     - Query vocab is tiny → broadcast; corpus term stats computed only

@@ -270,7 +270,8 @@ def interleave_by_weight(df: DataFrame, group_col: str, id_col: str,
 
 def weighted_acceptance_sample(df: DataFrame, id_col: str,
                                weight_col: str, seed: int = 0,
-                               beta: float = 0.5) -> DataFrame:
+                               beta: float = 0.5,
+                               validate: bool = True) -> DataFrame:
     """Deterministic weighted ACCEPTANCE sampling (Bernoulli thinning):
     keep each row independently with probability
     ``p = (w / w_max) ** beta`` — the soft, size-proportional cousin of
@@ -291,7 +292,28 @@ def weighted_acceptance_sample(df: DataFrame, id_col: str,
 
     One scan + a 1-row broadcast max — no shuffle of the data rows at
     any corpus size.
+
+    Weight domain: ``w`` must be non-null and > 0.  A NULL or zero
+    weight makes ``p`` NULL/0 and the row vanishes WITHOUT its 1/p
+    weight ever existing; a NEGATIVE weight is worse — ``sqrt`` gives
+    NaN and Spark's NaN-is-largest ordering then KEEPS the row with a
+    NaN acceptance weight.  Either way corrupt weight data silently
+    biases the sample (r12 advisor).  With ``validate=True`` (default)
+    a bounded 1-row aggregate counts offending rows up front and
+    raises; pass ``validate=False`` only when the caller has already
+    asserted the domain (the check is one extra scan).
     """
+    if validate:
+        bad = df.agg(F.sum(
+            F.when(F.col(weight_col).isNull()
+                   | (F.col(weight_col).cast("double") <= 0.0), 1)
+            .otherwise(0)).alias("n")).first()["n"]
+        if bad:
+            raise ValueError(
+                f"weighted_acceptance_sample: {bad} row(s) have NULL or "
+                f"non-positive {weight_col!r}; acceptance probability is "
+                "undefined there and the rows would be dropped silently. "
+                "Filter or repair the weight column first.")
     wmax = df.agg(F.max(F.col(weight_col).cast("double")).alias("__wmax"))
     ratio = F.col(weight_col).cast("double") / F.col("__wmax")
     if beta == 0.5:

@@ -20,6 +20,7 @@ in round 5 on MMR scores).
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 import tempfile
@@ -53,6 +54,18 @@ def artifact_dir(prefix: str, tag: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"{prefix}_{_RUN_TOKEN}_{tag}")
     _ARTIFACT_DIRS.add(d)
     return d
+
+
+def sf_tag(sf_dir: str) -> str:
+    """Artifact tag for a catalog dir: the human-readable basename PLUS
+    a digest of the normalized absolute path.  The run token protects
+    standing artifacts across processes; the path digest protects
+    within one — two catalogs sharing a basename (e.g. copies of
+    sf0.01 under different roots) must never reuse each other's
+    standing indexes/exports (r12 advisor)."""
+    p = os.path.abspath(os.path.normpath(sf_dir))
+    base = os.path.basename(p).replace(".", "_")
+    return f"{base}_{hashlib.sha256(p.encode()).hexdigest()[:8]}"
 
 
 @atexit.register
@@ -653,7 +666,7 @@ def stream_interval_join_outer(spark: SparkSession,
     from nosql_join_stream_spark.streaming.log_stream import (
         interval_join_outer_flush_drain)
     from nosql_join_stream_spark.catalog import table_path
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_tag(sf_dir)
     run_dir = artifact_dir("nsjs_ijo", tag)
     df = interval_join_outer_flush_drain(
         spark, table_path(sf_dir, "events"), run_dir)
@@ -697,7 +710,7 @@ def stream_interval_join_full(spark: SparkSession,
     from nosql_join_stream_spark.streaming.log_stream import (
         interval_join_full_flush_drain)
     from nosql_join_stream_spark.catalog import table_path
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_tag(sf_dir)
     run_dir = artifact_dir("nsjs_ijf", tag)
     df = interval_join_full_flush_drain(
         spark, table_path(sf_dir, "events"), run_dir)

@@ -16,6 +16,7 @@ matter on a 1000-executor cluster:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -32,8 +33,18 @@ def get_session(app_name: str = "nosql_join_stream_spark",
     URL comes from spark-submit and these conf defaults still apply.
     """
     cpus = str(cpus or DEFAULT_CPUS)
+    if cpus.isdigit():
+        n_cpus = int(cpus)
+    elif cpus == "*":
+        # 'local[*]' semantics: all cores — size confs from the real
+        # count instead of silently falling back to 32 (r12 advisor).
+        n_cpus = os.cpu_count() or 32
+    else:
+        warnings.warn(f"get_session: non-numeric cpus={cpus!r}; sizing "
+                      "shuffle/AQE confs for 32 cores", stacklevel=2)
+        n_cpus = 32
     if shuffle_partitions is None:
-        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+        shuffle_partitions = max(n_cpus, 8)
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -49,7 +60,7 @@ def get_session(app_name: str = "nosql_join_stream_spark",
         # a real cluster this is the same policy: initial high, AQE
         # sizes the actual reducer count from runtime statistics.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-                str(max((int(cpus) if cpus.isdigit() else 32) * 8, 64)))
+                str(max(n_cpus * 8, 64)))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
@@ -59,11 +70,36 @@ def get_session(app_name: str = "nosql_join_stream_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
-    if SparkSession.getActiveSession() is None:
+    active = SparkSession.getActiveSession()
+    if active is None:
         # master only applies when we are the one creating the JVM.
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if active is not None:
+        # getOrCreate on a live session applies only runtime SQL confs;
+        # static ones (master, driver memory) are silently kept from the
+        # session's birth.  Apply what we legally can and WARN about the
+        # rest, so a long-lived harness that built the session elsewhere
+        # doesn't invisibly run with stale reducer caps (r12 advisor).
+        desired = {
+            "spark.sql.shuffle.partitions": str(shuffle_partitions),
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+                str(max(n_cpus * 8, 64)),
+            **{k: str(v) for k, v in (extra_conf or {}).items()},
+        }
+        stale = []
+        for k, v in desired.items():
+            try:
+                if spark.conf.get(k, None) != v:
+                    spark.conf.set(k, v)
+            except Exception:
+                stale.append(k)
+        if stale:
+            warnings.warn(
+                "get_session: reusing an existing SparkSession; these "
+                f"confs could not be applied and keep their old values: "
+                f"{stale}", stacklevel=2)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -402,3 +402,19 @@ def test_weighted_acceptance_sample_properties(spark):
     assert {r.id for r in again.collect()} == kept
     other = sampling.weighted_acceptance_sample(df, "id", "w", seed=1)
     assert {r.id for r in other.collect()} != kept
+
+
+def test_weighted_acceptance_rejects_bad_weights(spark):
+    import pytest as _pytest
+    bad = spark.createDataFrame(
+        [(0, 5), (1, 0), (2, -3), (3, None)], "id long, w int")
+    with _pytest.raises(ValueError, match="3 row"):
+        sampling.weighted_acceptance_sample(bad, "id", "w").collect()
+    # validate=False is the caller-asserted-domain escape hatch.
+    # Documented hazard shapes: NULL/zero weights drop silently;
+    # a NEGATIVE weight survives with a NaN p under Spark's
+    # NaN-is-largest ordering -- exactly why validate defaults on.
+    out = sampling.weighted_acceptance_sample(
+        bad, "id", "w", validate=False).collect()
+    ids = {r.id for r in out}
+    assert 0 in ids and 1 not in ids and 3 not in ids
