@@ -748,6 +748,68 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         cell_pair_kernel, schema="id1 long, id2 long, sim double")
 
 
+def embedding_near_dup_pairs_banded(df: DataFrame, id_col: str = "vec_id",
+                                    vec: str = "embedding",
+                                    threshold: float = 0.9,
+                                    n_bands: int = 8, band_planes: int = 8,
+                                    dim: int = 64) -> DataFrame:
+    """BANDED embedding-cosine near-duplicate pairs — the sub-quadratic
+    scale tier of ``embedding_near_dup_pairs`` (which is exact but
+    inherently O(n²) GEMM work).  The MinHash-LSH banding recipe
+    applied to hyperplane sign hashes: ``n_bands`` bands of
+    ``band_planes`` sign bits each; a pair is a CANDIDATE iff it
+    collides in at least one band; candidates are verified with the
+    exact cosine, so precision is 1 — recall is the banded part
+    (P[collide] = 1-(1-s^r)^b for sign-agreement rate s).  Identical
+    vectors agree on every sign bit, so sim=1.0 pairs are found with
+    probability 1 — the planted-translation regime this backs
+    (mine_bitext_planted_recall) is exact-recoverable by construction.
+
+    Scale shape (the 100 TB path): one narrow scan computes all band
+    keys, rows explode ×n_bands, the self-join shuffles on
+    (band, key) — linear in rows and candidates, never all-pairs;
+    duplicate candidates across bands collapse with a distinct BEFORE
+    embeddings re-attach, so each surviving pair does exactly one
+    cosine.  Hyperplanes are the same SHA-256 counter-mode planes as
+    ann_lsh_topk — deterministic everywhere, no RNG.
+    """
+    planes = _hyperplanes(n_bands * band_planes, dim)
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v"))
+    v = F.transform(F.col("__v"), lambda x: x.cast("double"))
+    band_structs = []
+    for b_i in range(n_bands):
+        key = F.lit(0).cast("long")
+        for i in range(band_planes):
+            plane = planes[b_i * band_planes + i]
+            d = _dot(v, F.array(*[F.lit(float(x)) for x in plane]))
+            key = key + F.when(d > 0, F.lit(1 << i).cast("long")) \
+                         .otherwise(F.lit(0).cast("long"))
+        band_structs.append(F.struct(F.lit(b_i).alias("band"),
+                                     key.alias("key")))
+    hashed = (base.select("__id",
+                          F.explode(F.array(*band_structs)).alias("bk"))
+                  .select("__id", F.col("bk.band").alias("__band"),
+                          F.col("bk.key").alias("__key")))
+    a, b = hashed.alias("a"), hashed.alias("b")
+    cand = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
+                   & (F.col("a.__key") == F.col("b.__key"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+             .select(F.col("a.__id").alias("id1"),
+                     F.col("b.__id").alias("id2"))
+             .distinct())
+    e1 = base.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1"))
+    e2 = base.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"))
+    v1 = F.transform(F.col("__v1"), lambda x: x.cast("double"))
+    v2 = F.transform(F.col("__v2"), lambda x: x.cast("double"))
+    denom = F.sqrt(_dot(v1, v1)) * F.sqrt(_dot(v2, v2))
+    sim = F.when(denom == 0, F.lit(0.0)) \
+           .otherwise(F.round(_dot(v1, v2) / denom, 6))
+    return (cand.join(e1, "id1").join(e2, "id2")
+                .withColumn("sim", sim)
+                .filter(F.col("sim") >= float(threshold))
+                .select("id1", "id2", "sim"))
+
+
 def cluster_assign(df: DataFrame, k: int = 8, id_col: str = "vec_id",
                    vec: str = "embedding") -> DataFrame:
     """Nearest-centroid assignment for semantic curation (cluster-then-

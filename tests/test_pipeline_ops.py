@@ -2015,3 +2015,30 @@ def test_tombstone_swap_crash_recovery_dir(spark, engine, tmp_path):
     assert similarity.ann_ivf_append(
         c.filter(F.col("c_id") == victim), loc) == 1
     assert not os.path.isdir(tomb) and not os.path.isdir(old)
+
+
+def test_banded_near_dup_equals_exact_on_planted_corpus(spark, engine):
+    """The banded (LSH-candidate + exact-verify) tier must equal the
+    exact GEMM tier on a planted-twin corpus: at threshold 0.9 the
+    only qualifying pairs are identical-vector twins (organic cosine
+    ceiling ~0.51), and identical vectors collide in every band, so
+    banded recall is 1 by construction -- set equality, not just
+    counts (mine_bitext_planted_recall's contract)."""
+    emb = engine.table("embeddings").select("vec_id", "embedding")
+    twins = (emb.filter(F.col("vec_id") % 17 == 0)
+                .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                        "embedding"))
+    allv = emb.unionByName(twins)
+    exact = similarity.embedding_near_dup_pairs(
+        allv, "vec_id", "embedding", threshold=0.9)
+    banded = similarity.embedding_near_dup_pairs_banded(
+        allv, "vec_id", "embedding", threshold=0.9)
+    ex = {(r.id1, r.id2, r.sim) for r in exact.collect()}
+    bd = {(r.id1, r.id2, r.sim) for r in banded.collect()}
+    n_twins = twins.count()
+    assert n_twins > 0
+    # exact tier finds precisely the planted twins, all at sim 1.0
+    assert len(ex) == n_twins
+    assert all(i2 == i1 + 10_000_000 and i1 % 17 == 0 and s == 1.0
+               for i1, i2, s in ex)
+    assert bd == ex
