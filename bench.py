@@ -97,6 +97,12 @@ def main():
         qd.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         loaded[name] = round(time.perf_counter() - t0, 4)
 
+    # External perf anchor (r12 VERDICT lead #3): execution-only
+    # Spark-vs-DuckDB medians on the headline TPC-H shapes, embedded so
+    # every BENCH_r{N}.json machine-checks the BASELINE.md 2x target.
+    from tools.bench_anchor import run_anchor
+    anchor = run_anchor(spark, SF_DIR)
+
     timings = {n: round(min(warm[n], loaded[n]), 4) for n in cold}
     standing_build = {n: round(max(cold[n] - warm[n], 0.0), 4)
                       for n in sorted(STANDING_BUILD) if n in cold}
@@ -132,6 +138,7 @@ def main():
         "loaded_total": round(sum(loaded.values()), 4),
         "groups": groups,
         "n_queries": len(timings),
+        "anchor": anchor,
     }
     with open(FULL_ARTIFACT, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
@@ -155,6 +162,7 @@ def main():
         "loaded_total": out["loaded_total"],
         "groups": groups,
         "n_queries": len(timings),
+        "anchor": anchor,
     }
     print(json.dumps(compact))
 

@@ -16,6 +16,14 @@ Python+numpy runs:
   blocks are still entropy-decoded to advance the bitstream, their
   IDCT is skipped).  Progressive (SOF2) and arithmetic coding raise
   ``NotImplementedError`` naming the limitation.
+- **full-color decode** (:func:`decode_jpeg_rgb`, r13): every
+  component IDCTs, chroma upsamples with libjpeg's FANCY triangular
+  filters (``h2v1``/``h2v2_fancy_upsample``, the do_fancy_upsampling
+  default PIL runs; replication for exotic factors, libjpeg's own
+  dispatch), then the fixed-point BT.601 inverse (``ycc_rgb_convert``)
+  — bit-comparable to ``PIL.Image.open(...)`` RGB output on the same
+  bytes (asserted when PIL is importable).  Grayscale streams
+  replicate luma ×3 (``convert("RGB")`` semantics).
 - **IDCT**: a vectorized numpy port of libjpeg's ``jidct_islow``
   (Loeffler-Ligtenberg-Moshovitz fixed-point, CONST_BITS=13/
   PASS1_BITS=2, constants derived with the same FIX() rounding) — the
@@ -32,6 +40,10 @@ Python+numpy runs:
   intervals, optional planted 4:2:0 three-component wrapping with
   zeroed chroma (:func:`encode_gray_jpeg_as_ycbcr420`) so the
   interleaved-MCU + chroma-skip decode path executes in-sandbox.
+- **color encode** (:func:`encode_rgb_jpeg`, r13): RGB → fixed-point
+  BT.601 YCbCr, 4:4:4 or box-downsampled 4:2:0 — real (non-zero)
+  chroma content so the full-color decode path has an in-sandbox
+  source.
 
 Entropy decoding is a pure-Python bit reader — fine for the
 mapInPandas batch sizes this feeds (a few KB per payload); the IDCT,
@@ -297,10 +309,21 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     Grayscale files: the image, bit-comparable to PIL (same islow
     IDCT).  YCbCr files: the Y component (the BT.601 luma the encoder
     measured), at full image resolution — chroma never upsamples into
-    this path.  Raises ``NotImplementedError`` for progressive/
-    arithmetic/12-bit/hierarchical streams and ``ValueError`` for
-    malformed ones.
+    this path (its IDCT is skipped; see :func:`decode_jpeg_rgb` for
+    the full-color path).  Raises ``NotImplementedError`` for
+    progressive/arithmetic/12-bit/hierarchical streams and
+    ``ValueError`` for malformed ones.
     """
+    comps, quant, width, height, mcus_x, mcus_y = _parse_decode(payload)
+    y = comps[0]
+    return _assemble_plane(y, quant, mcus_x, mcus_y)[:height, :width]
+
+
+def _parse_decode(payload: bytes):
+    """Parse headers and entropy-decode every component's blocks.
+    Returns (comps, quant, width, height, mcus_x, mcus_y); only the
+    entropy stage runs — per-component IDCT/assembly is the caller's
+    (so the luma-only path never IDCTs chroma)."""
     if not is_jpeg(payload):
         raise ValueError("JPEG: bad signature (no FFD8)")
     d = payload
@@ -377,15 +400,17 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                     "JPEG: multi-scan (non-interleaved) streams")
             for c in scan:
                 c.dc, c.ac = sel[c.cid]
-            return _decode_scan(d, pos, scan, quant, dc_tabs, ac_tabs,
-                                width, height, restart_interval)
+            mcus_x, mcus_y = _entropy_scan(
+                d, pos, scan, dc_tabs, ac_tabs, width, height,
+                restart_interval)
+            return scan, quant, width, height, mcus_x, mcus_y
         # APPn/COM/DNL etc.: skipped
     raise ValueError("JPEG: no SOS marker found")
 
 
-def _decode_scan(d: bytes, pos: int, comps, quant, dc_tabs, ac_tabs,
-                 width: int, height: int, restart_interval: int
-                 ) -> np.ndarray:
+def _entropy_scan(d: bytes, pos: int, comps, dc_tabs, ac_tabs,
+                  width: int, height: int, restart_interval: int
+                  ) -> tuple[int, int]:
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
     y = comps[0]
@@ -428,16 +453,144 @@ def _decode_scan(d: bytes, pos: int, comps, quant, dc_tabs, ac_tabs,
                     coef[zz[k]] = _extend(reader.receive(s), s)
                     k += 1
                 c.blocks.append(coef)
+    return mcus_x, mcus_y
 
-    # luma only: IDCT every Y block at once, assemble, crop.  Blocks
-    # arrive MCU-major — [mcu_y][mcu_x][by][bx] — not grid-raster, so
-    # the assembly transpose carries the MCU structure.
-    pix = idct_blocks(np.stack(y.blocks).reshape(-1, 8, 8),
-                      quant[y.tq])
-    grid = pix.reshape(mcus_y, mcus_x, y.v, y.h, 8, 8)
-    plane = (grid.transpose(0, 2, 4, 1, 3, 5)
-             .reshape(mcus_y * y.v * 8, mcus_x * y.h * 8))
-    return plane[:height, :width]
+
+def _assemble_plane(c, quant, mcus_x: int, mcus_y: int) -> np.ndarray:
+    """IDCT one component's blocks and assemble its plane at its OWN
+    (possibly subsampled) resolution.  Blocks arrive MCU-major —
+    [mcu_y][mcu_x][by][bx] — not grid-raster, so the assembly
+    transpose carries the MCU structure."""
+    pix = idct_blocks(np.stack(c.blocks).reshape(-1, 8, 8), quant[c.tq])
+    grid = pix.reshape(mcus_y, mcus_x, c.v, c.h, 8, 8)
+    return (grid.transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * c.v * 8, mcus_x * c.h * 8))
+
+
+# --- full-color decode (r13: chroma upsample + YCbCr→RGB) -------------------
+
+_SCALEBITS = 16
+_ONE_HALF = 1 << (_SCALEBITS - 1)
+
+
+def _fix16(x: float) -> int:
+    return int(x * (1 << _SCALEBITS) + 0.5)
+
+
+def _h2v1_fancy(p: np.ndarray) -> np.ndarray:
+    """libjpeg h2v1_fancy_upsample (jdsample.c, public algorithm):
+    horizontal 2× triangular filter — out pixels are 3/4·nearer +
+    1/4·further, edges replicated.  Bit-exact with libjpeg's scalar
+    path (what PIL runs with do_fancy_upsampling, the default)."""
+    p = p.astype(np.int64)
+    n, m = p.shape
+    out = np.empty((n, 2 * m), dtype=np.int64)
+    if m == 1:
+        out[:, 0] = out[:, 1] = p[:, 0]
+        return out
+    out[:, 0] = p[:, 0]
+    out[:, 2::2] = (p[:, 1:] * 3 + p[:, :-1] + 1) >> 2
+    out[:, 1:-1:2] = (p[:, :-1] * 3 + p[:, 1:] + 2) >> 2
+    out[:, -1] = p[:, -1]
+    return out
+
+
+def _expand_h_v2(cs: np.ndarray) -> np.ndarray:
+    """Horizontal half of h2v2_fancy_upsample over per-column sums
+    (each sum is 3·near_row + far_row, so the >>4 folds both axes);
+    libjpeg's exact +8/+7 bias pattern."""
+    n, m = cs.shape
+    out = np.empty((n, 2 * m), dtype=np.int64)
+    if m == 1:
+        out[:, 0] = (cs[:, 0] * 4 + 8) >> 4
+        out[:, 1] = (cs[:, 0] * 4 + 7) >> 4
+        return out
+    out[:, 0] = (cs[:, 0] * 4 + 8) >> 4
+    out[:, 1] = (cs[:, 0] * 3 + cs[:, 1] + 7) >> 4
+    if m > 2:
+        out[:, 2:-2:2] = (cs[:, 1:-1] * 3 + cs[:, :-2] + 8) >> 4
+        out[:, 3:-2:2] = (cs[:, 1:-1] * 3 + cs[:, 2:] + 7) >> 4
+    out[:, -2] = (cs[:, -1] * 3 + cs[:, -2] + 8) >> 4
+    out[:, -1] = (cs[:, -1] * 4 + 7) >> 4
+    return out
+
+
+def _h2v2_fancy(p: np.ndarray) -> np.ndarray:
+    """libjpeg h2v2_fancy_upsample: 2×2 triangular filter.  Output row
+    2r blends input row r (weight 3) with the row ABOVE, row 2r+1 with
+    the row BELOW; edge rows replicate (libjpeg's duplicated context
+    rows)."""
+    p = p.astype(np.int64)
+    up = np.vstack([p[0:1], p[:-1]])
+    dn = np.vstack([p[1:], p[-1:]])
+    a = _expand_h_v2(p * 3 + up)
+    b = _expand_h_v2(p * 3 + dn)
+    out = np.empty((2 * p.shape[0], a.shape[1]), dtype=np.int64)
+    out[0::2] = a
+    out[1::2] = b
+    return out
+
+
+def _upsample(p: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Upsample one chroma plane by integral factors, libjpeg's
+    dispatch: 1×1 passthrough, h2v1/h2v2 fancy (triangular), anything
+    else plain replication (libjpeg int_upsample)."""
+    if fx == 1 and fy == 1:
+        return p.astype(np.int64)
+    if fx == 2 and fy == 1:
+        return _h2v1_fancy(p)
+    if fx == 2 and fy == 2:
+        return _h2v2_fancy(p)
+    return np.repeat(np.repeat(p.astype(np.int64), fy, axis=0), fx, axis=1)
+
+
+def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray,
+                cr: np.ndarray) -> np.ndarray:
+    """libjpeg ycc_rgb_convert (jdcolor.c): BT.601 inverse in 16-bit
+    fixed point, arithmetic right shifts, clamp to [0, 255]."""
+    y = y.astype(np.int64)
+    xb = cb.astype(np.int64) - 128
+    xr = cr.astype(np.int64) - 128
+    r = y + ((_fix16(1.40200) * xr + _ONE_HALF) >> _SCALEBITS)
+    b = y + ((_fix16(1.77200) * xb + _ONE_HALF) >> _SCALEBITS)
+    g = y + ((-_fix16(0.34414) * xb - _fix16(0.71414) * xr
+              + _ONE_HALF) >> _SCALEBITS)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_rgb(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to uint8 RGB (H, W, 3) — the full-color
+    path (r12 VERDICT lead #7; decode_jpeg_gray stays the luma fast
+    path).  Grayscale streams replicate the luma into three channels
+    (``PIL.convert("RGB")`` semantics); 3-component YCbCr streams IDCT
+    every component, upsample chroma with libjpeg's FANCY (triangular)
+    filters for the standard 4:2:2/4:2:0 layouts — replication for
+    exotic factors, libjpeg's own dispatch — and convert via the
+    fixed-point BT.601 inverse, so output is bit-comparable to PIL on
+    the same bytes (asserted when PIL is importable).
+    """
+    comps, quant, width, height, mcus_x, mcus_y = _parse_decode(payload)
+    if len(comps) == 1:
+        g = _assemble_plane(comps[0], quant, mcus_x, mcus_y)[:height,
+                                                             :width]
+        return np.stack([g, g, g], axis=2)
+    if len(comps) != 3:
+        raise NotImplementedError(
+            f"JPEG: {len(comps)}-component color (CMYK/YCCK) — "
+            "1 (gray) or 3 (YCbCr) only")
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    planes = []
+    for c in comps:
+        fx, fy = hmax // c.h, vmax // c.v
+        if c.h * fx != hmax or c.v * fy != vmax:
+            raise NotImplementedError(
+                "JPEG: non-integral subsampling ratios")
+        p = _assemble_plane(c, quant, mcus_x, mcus_y)
+        cw = -(-width * c.h // hmax)         # ceil(width·h/hmax): T.81 A.1.1
+        ch = -(-height * c.v // vmax)
+        planes.append(_upsample(p[:ch, :cw], fx, fy)[:height, :width])
+    return _ycc_to_rgb(*planes)
 
 
 # --- encoder (grayscale baseline, self-test oriented) ----------------------
@@ -625,6 +778,98 @@ def encode_gray_jpeg_as_ycbcr420(a: np.ndarray,
             for ci in (1, 2):                    # zero chroma blocks
                 preds[ci] = _encode_block(wtr, zero, preds[ci],
                                           dc_enc, ac_enc)
+    wtr.flush()
+    out += bytes(wtr.out) + b"\xff\xd9"
+    return bytes(out)
+
+
+# --- color encoder (r13: RGB → YCbCr 4:4:4 / 4:2:0) -------------------------
+
+def _rgb_to_ycc(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                          np.ndarray]:
+    """libjpeg rgb_ycc_convert (jccolor.c): BT.601 forward in 16-bit
+    fixed point (Cb/Cr use ONE_HALF-1 so exact halves round toward the
+    128 center, libjpeg's own bias)."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    off = 128 << _SCALEBITS
+    y = (_fix16(0.29900) * r + _fix16(0.58700) * g
+         + _fix16(0.11400) * b + _ONE_HALF) >> _SCALEBITS
+    cb = (-_fix16(0.16874) * r - _fix16(0.33126) * g
+          + _fix16(0.50000) * b + off + _ONE_HALF - 1) >> _SCALEBITS
+    cr = (_fix16(0.50000) * r - _fix16(0.41869) * g
+          - _fix16(0.08131) * b + off + _ONE_HALF - 1) >> _SCALEBITS
+    return (y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8))
+
+
+def _box_down2(p: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """2×2 box-mean chroma downsample (round half up), edge-replicated
+    to even padded dims first — encoder-side only (decoder parity is
+    the tested contract, the downsampler just has to preserve means)."""
+    pad = np.pad(p.astype(np.int64),
+                 ((0, 2 * out_h - p.shape[0]), (0, 2 * out_w - p.shape[1])),
+                 mode="edge")
+    return ((pad[0::2, 0::2] + pad[0::2, 1::2]
+             + pad[1::2, 0::2] + pad[1::2, 1::2] + 2) >> 2).astype(np.uint8)
+
+
+def encode_rgb_jpeg(a: np.ndarray, quant: np.ndarray | None = None,
+                    subsampling: str = "444") -> bytes:
+    """Baseline COLOR JPEG of a uint8 (H, W, 3) RGB array — real
+    chroma content (encode_gray_jpeg_as_ycbcr420 plants zero chroma),
+    so the full-color decode path (chroma IDCT + fancy upsample +
+    YCbCr→RGB) has an in-sandbox source.  ``subsampling``: "444"
+    (every component full resolution, 3 blocks per MCU) or "420"
+    (chroma 2×2 box-downsampled, 4 Y + Cb + Cr per MCU)."""
+    if a.dtype != np.uint8 or a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_rgb_jpeg expects a uint8 (H, W, 3) array")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    q = STD_LUMA_QUANT if quant is None else np.asarray(quant,
+                                                        dtype=np.int64)
+    h, w = a.shape[:2]
+    yp, cbp, crp = _rgb_to_ycc(a)
+    dc_bits, dc_vals, dc_enc = _flat_huff(12)
+    ac_bits, ac_vals, ac_enc = _flat_huff(251)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(v) for v in q.reshape(64)[ZIGZAG])
+    samp = 0x22 if subsampling == "420" else 0x11
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) \
+        + bytes([1, samp, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals),
+                                         tc << 4) + bytes(bits) + vals
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3) \
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    if subsampling == "444":
+        bh, bw = -(-h // 8), -(-w // 8)
+        coefs = [_fdct_quant_many(_tile(p, bh, bw), q)
+                 for p in (yp, cbp, crp)]
+        for i in range(bh * bw):
+            for ci in range(3):
+                preds[ci] = _encode_block(wtr, coefs[ci][i], preds[ci],
+                                          dc_enc, ac_enc)
+    else:
+        mx, my = -(-w // 16), -(-h // 16)
+        ycoef = _fdct_quant_many(_tile(yp, my * 2, mx * 2), q) \
+            .reshape(my * 2, mx * 2, 8, 8)
+        ccoef = [_fdct_quant_many(
+                     _tile(_box_down2(p, my * 8, mx * 8), my, mx), q)
+                 .reshape(my, mx, 8, 8) for p in (cbp, crp)]
+        for yy in range(my):
+            for xx in range(mx):
+                for by in range(2):
+                    for bx in range(2):
+                        preds[0] = _encode_block(
+                            wtr, ycoef[2 * yy + by, 2 * xx + bx],
+                            preds[0], dc_enc, ac_enc)
+                for ci in (1, 2):
+                    preds[ci] = _encode_block(wtr, ccoef[ci - 1][yy, xx],
+                                              preds[ci], dc_enc, ac_enc)
     wtr.flush()
     out += bytes(wtr.out) + b"\xff\xd9"
     return bytes(out)

@@ -832,44 +832,42 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 # remaining queries keep their registration order and stay covered by
 # tools/check_correctness.py.
 _DRIVER_WINDOW = [
-    # Round-12 rotation — oldest-driver-stamp-first (r11 VERDICT lead
-    # #3).  Stamps computed from CORRECTNESS_r{01..11}.json: after
-    # r11, 28 queries' newest stamp is r6 (the full list below — this
-    # window takes ALL of them), 49 sit at r8, 49 at r9, 50 at r10,
-    # 50 at r11.  Leading the window: the r12-born
-    # cdc_scd2_point_in_time (ship-round stamp) and the re-fixed
-    # tpch_q11_important_stock (r11's one driver-hash flake, now
-    # decimal-grain deterministic — its fresh green stamp IS the fix's
-    # acceptance test).  The remaining 20 slots drain the r8 cohort in
-    # registry order.
-    # Post-r12 state if green: no stamp older than r8; 30 r8-cohort
-    # queries remain (text_unigram_logprob onward) — they lead the
-    # r13 window, then the r9 cohort.
-    "cdc_scd2_point_in_time", "multimodal_decode_jpeg",
-    "tpch_q11_important_stock",
-    # r6-stamp cohort, all 28, registry order
-    "dedup_index_delete_probe", "stream_minhash_dedup_ingest",
-    "text_normalize", "ann_ivfpq_topk", "embedding_pq_codes",
-    "sample_temperature_weights", "text_redact_pii",
-    "embedding_label_centroids", "stream_incremental_dedup",
-    "dedup_semantic_clusters", "dedup_resolve_keep_best_minhash",
-    "text_bpe_subword_count", "ann_ivf_partitioned",
-    "ann_ivf_append_probe", "retrieval_mmr_diversified",
-    "ann_ivf_filtered", "stream_ann_probe", "stream_quality_ewma",
-    "stream_token_budget", "dedup_substring_spans",
-    "cdc_upsert_latest", "stream_cdc_upsert", "text_bigram_logprob",
-    "sketch_vocab_cardinality", "pyds_document_scan",
-    "dedup_resolve_incremental", "cdc_upsert_snapshot",
-    "cdc_upsert_deletes",
-    # r8-stamp cohort, registry order (19 of 49)
-    "mql_not_filter", "stream_interval_join_outer",
-    "stream_session_window", "events_session_assign",
-    "asof_join_backward", "events_session_sequences",
-    "events_resample_ffill", "train_test_split", "token_freq_topk",
-    "corpus_stats", "text_metrics", "embedding_centroid_drift",
-    "source_vocab_overlap", "token_zipf_fit", "text_token_entropy",
-    "text_collocations_pmi", "table_profile_orders",
-    "dedup_ngram_coverage", "retrieval_phrase_search",
+    # Round-13 rotation — never-stamped-first, then oldest-stamp
+    # (r12 VERDICT lead #1).  Stamps after r12: 7 queries landed
+    # after the r12 window was fixed and have NO driver stamp at all
+    # — they lead, together with this round's new
+    # mine_bitext_planted_recall (ship-round stamp).  Then the full
+    # 30-query r8 cohort drains (oldest remaining stamp), and the
+    # last 11 slots start the r9 cohort in registry order.
+    # Post-r13 state if green: zero never-stamped queries, no stamp
+    # older than r9; 37 r9-cohort queries remain
+    # (pivot_priority_status onward) — they lead the r14 window.
+    "mine_bitext_planted_recall", "multimodal_decode_jpeg_rgb",
+    # never-stamped (landed late in r12), registry order
+    "retrieval_eval_metrics", "export_shard_token_balanced",
+    "stream_scd2_point_in_time", "retrieval_hard_negatives",
+    "mine_bitext_pairs", "sample_weighted_acceptance",
+    "export_token_balanced_written",
+    # r8-stamp cohort, all 30, registry order
+    "text_unigram_logprob", "doc_pack_sequences_bpe",
+    "doc_pack_nosplit", "quality_decile_buckets",
+    "contamination_rate_by_source", "multimodal_audio_chunks",
+    "stream_dim_stats", "text_boilerplate_ratio", "corpus_source_kl",
+    "text_chunk_sliding", "text_repetition_ratio", "dedup_head_grams",
+    "text_token_count_bpe", "text_bpe_subword_count_eow",
+    "mine_contrastive_pairs", "multimodal_embed_stub",
+    "embedding_norm_outliers", "doc_pack_sequences_text",
+    "cdc_keyed_lookup", "dedup_substring_clean",
+    "text_nb_quality_llr", "table_profile_drift",
+    "dedup_substring_spans_incremental", "dedup_component_sizes",
+    "multimodal_chunk_jaccard", "multimodal_incremental_chunks",
+    "pyds_document_filter", "text_mixed_language",
+    "corpus_data_card", "sample_interleave_sources",
+    # r9-stamp cohort, registry order (12 of 49)
+    "join_outer_filtered", "join_left_anti", "mql_filter",
+    "either_merge", "concat_logs", "stream_interval_join_full",
+    "agg_pricing_summary", "agg_count_distinct",
+    "agg_approx_distinct", "agg_stats_funcs", "rollup_region_nation",
 ]
 
 

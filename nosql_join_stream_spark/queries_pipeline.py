@@ -889,6 +889,110 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg_rgb",
+    """
+    SELECT d.doc_id AS doc_id,
+           CAST((d.doc_id % 16 + 4) * 2 AS BIGINT) AS width,
+           CAST((d.doc_id % 8 + 4) * 2 AS BIGINT) AS height,
+           ROUND(AVG(CAST((d.doc_id * 7 + u.i) % 256 AS DOUBLE)), 6)
+             AS mean_r_src,
+           ROUND(AVG(CAST((d.doc_id * 11 + u.i) % 256 AS DOUBLE)), 6)
+             AS mean_g_src,
+           ROUND(AVG(CAST((d.doc_id * 13 + u.i) % 256 AS DOUBLE)), 6)
+             AS mean_b_src,
+           TRUE AS decode_ok
+    FROM documents d,
+         UNNEST(range(0, ((d.doc_id % 16 + 4) * 2)
+                         * ((d.doc_id % 8 + 4) * 2))) AS u(i)
+    GROUP BY d.doc_id
+    """,
+    doc="FULL-COLOR JPEG decode end-to-end (r13 — r12 VERDICT lead "
+        "#7 closes the luma-only scope note): per document a "
+        "deterministic RGB gradient (r/g/b = (doc_id·{7,11,13} + i) "
+        "% 256, even dims so 4:2:0 tiles cleanly) encodes through "
+        "encode_rgb_jpeg — REAL chroma, 4:4:4 or 4:2:0 by doc_id "
+        "parity — and decodes through decode_jpeg_rgb: every "
+        "component IDCTs, chroma upsamples with libjpeg's fancy "
+        "triangular filters, fixed-point BT.601 inverse.  JPEG is "
+        "not pixel-exact, so the witness is the ANN pattern: "
+        "per-CHANNEL decoded means within 3.5 of the closed-form "
+        "source means, asserted in-plan into decode_ok (4:2:0's box "
+        "downsample + triangular upsample preserve channel means to "
+        "a measured max deviation of 2.63 over the full doc-id shape "
+        "cycle — edge-replication bias on saw-toothed chroma; "
+        "a wrong upsample bias, component interleave, or conversion "
+        "constant shifts a channel mean and flips its rows).  Only "
+        "DuckDB-computable values are emitted.",
+)
+def multimodal_decode_jpeg_rgb(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id")
+
+    def plant(batches):
+        import numpy as _np
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import jpeg_codec as _jc
+        one = _np.ones((8, 8), dtype=_np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = (did % 16 + 4) * 2, (did % 8 + 4) * 2
+                i = _np.arange(w * h, dtype=_np.int64)
+                rgb = _np.stack([(did * 7 + i) % 256,
+                                 (did * 11 + i) % 256,
+                                 (did * 13 + i) % 256],
+                                axis=1).astype(_np.uint8).reshape(h, w, 3)
+                sub = "444" if did % 2 == 0 else "420"
+                rows.append((did, _jc.encode_rgb_jpeg(
+                    rgb, quant=one, subsampling=sub)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def decode(batches):
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import jpeg_codec as _jc
+        for pdf in batches:
+            rows = []
+            for did, pay in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _jc.decode_jpeg_rgb(bytes(pay))
+                rows.append((int(did),
+                             float(arr[..., 0].mean()),
+                             float(arr[..., 1].mean()),
+                             float(arr[..., 2].mean())))
+            yield _pd.DataFrame(rows, columns=["doc_id", "dec_r",
+                                               "dec_g", "dec_b"])
+
+    # explicit task count for the Python encode/decode kernels (the
+    # same AQE-coalesce note as multimodal_decode_jpeg)
+    par = spark.sparkContext.defaultParallelism
+    dec = (docs.repartition(par, "doc_id")
+           .mapInPandas(plant, schema="doc_id long, payload binary")
+           .mapInPandas(decode, schema="doc_id long, dec_r double, "
+                                       "dec_g double, dec_b double"))
+    src = (docs
+           .withColumn("width", ((F.col("doc_id") % 16 + 4) * 2)
+                       .cast("long"))
+           .withColumn("height", ((F.col("doc_id") % 8 + 4) * 2)
+                       .cast("long"))
+           .withColumn("i", F.explode(F.sequence(
+               F.lit(0).cast("long"),
+               F.col("width") * F.col("height") - 1)))
+           .groupBy("doc_id", "width", "height")
+           .agg(*[F.round(F.avg(((F.col("doc_id") * k + F.col("i")) % 256)
+                                .cast("double")), 6).alias(a)
+                  for k, a in ((7, "mean_r_src"), (11, "mean_g_src"),
+                               (13, "mean_b_src"))]))
+    return (src.join(dec, "doc_id")
+            .select("doc_id", "width", "height",
+                    "mean_r_src", "mean_g_src", "mean_b_src",
+                    ((F.abs(F.col("dec_r") - F.col("mean_r_src")) <= 3.5)
+                     & (F.abs(F.col("dec_g") - F.col("mean_g_src")) <= 3.5)
+                     & (F.abs(F.col("dec_b") - F.col("mean_b_src")) <= 3.5)
+                     ).alias("decode_ok")))
+
+
+@register(
     "agg_geomean_udaf",
     """
     SELECT o_orderstatus,
