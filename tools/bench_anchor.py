@@ -6,12 +6,18 @@ DuckDB comparison each round; this tool codifies that exact protocol
 (r12 VERDICT lead #3) so the claim is self-auditing:
 
 - For each headline TPC-H-shaped anchor query, build the Spark
-  DataFrame ONCE and materialize it through the noop sink ``reps``
-  times; take the MEDIAN.  DataFrame reuse means plan analysis is paid
-  once and the median is execution-only — per-call planning overhead
-  is a CONSTANT, irrelevant at 100x data, and excluding it is what
-  makes rounds comparable (the r12 "regressions" were all planning
-  drift; execution medians were flat-to-faster).
+  DataFrame ONCE and ``collect()`` it ``reps`` times; take the MEDIAN.
+  collect() reuses the DataFrame's cached QueryExecution, so analysis/
+  optimization/physical planning are paid exactly once (the untimed
+  warm rep) and the median is execution-only.  This is measured, not
+  assumed: a noop-sink ``write`` builds a NEW QueryExecution per
+  action and re-pays planning every rep — on the decimal-grain
+  aggregates that is ~0.6 s/call vs ~0.06 s execution for TPC-H Q1 at
+  sf0.1, a 10x phantom.  Per-call planning is a CONSTANT, irrelevant
+  at 100x data; excluding it is what makes rounds comparable (the r12
+  "regressions" were all planning drift; execution medians were
+  flat-to-faster).  Anchor outputs are <=100s of rows, so collect's
+  row serde is noise.
 - DuckDB runs the registry's OWN ORACLE SQL for the same query on the
   same parquet files, same rep count, median of full materialization
   (``fetchall``).  Same data, same answer, single node vs local[32].
@@ -60,7 +66,7 @@ def _median_spark(df, reps: int) -> float:
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        df.collect()                 # cached QueryExecution: no re-plan
         ts.append(time.perf_counter() - t0)
     return statistics.median(ts)
 
@@ -95,8 +101,8 @@ def run_anchor(spark, sf_dir: str, reps: int = 7,
     for name in (queries or ANCHOR_QUERIES):
         qd = REGISTRY[name]
         df = qd.fn(spark, sf_dir)          # ONE DataFrame: plan reused
-        df.write.format("noop").mode("overwrite").save()  # warm, untimed
-        con.execute(qd.oracle).fetchall()                 # warm, untimed
+        df.collect()                       # warm, untimed: pays planning
+        con.execute(qd.oracle).fetchall()  # warm, untimed
         s = _median_spark(df, reps)
         d = _median_duck(con, qd.oracle, reps)
         ratio = round(s / d, 3) if d > 0 else float("inf")
