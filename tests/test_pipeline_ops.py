@@ -2042,3 +2042,25 @@ def test_banded_near_dup_equals_exact_on_planted_corpus(spark, engine):
     assert all(i2 == i1 + 10_000_000 and i1 % 17 == 0 and s == 1.0
                for i1, i2, s in ex)
     assert bd == ex
+
+
+def test_bm25_multiquery_head_explicit_query_ids(spark):
+    """query_ids (r12 advisor): sparse/non-integer-id corpora pass the
+    query set explicitly; must equal the dense n_queries form on a
+    corpus where both are expressible."""
+    from nosql_join_stream_spark.operators import retrieval
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta delta"), (2, "alpha beta"),
+         (3, "gamma delta epsilon"), (4, "epsilon alpha")],
+        "doc_id long, text string")
+    dense = retrieval.bm25_multiquery_head(docs, "text", "doc_id",
+                                           n_queries=2, head_n=3)
+    explicit = retrieval.bm25_multiquery_head(docs, "text", "doc_id",
+                                              query_ids=[0, 1], head_n=3)
+    d = {(r.q_id, r.c_id, r.bm25, r.bm_rank) for r in dense.collect()}
+    x = {(r.q_id, r.c_id, r.bm25, r.bm_rank) for r in explicit.collect()}
+    assert len(d) > 0 and d == x
+    # a sparse set the dense form cannot express
+    sparse = retrieval.bm25_multiquery_head(docs, "text", "doc_id",
+                                            query_ids=[1, 4], head_n=3)
+    assert {r.q_id for r in sparse.collect()} == {1, 4}
