@@ -773,23 +773,40 @@ def embedding_near_dup_pairs_banded(df: DataFrame, id_col: str = "vec_id",
     cosine.  Hyperplanes are the same SHA-256 counter-mode planes as
     ann_lsh_topk — deterministic everywhere, no RNG.
     """
-    planes = _hyperplanes(n_bands * band_planes, dim)
+    import numpy as np
+
+    planes = np.asarray(_hyperplanes(n_bands * band_planes, dim),
+                        dtype="float64")
     base = df.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v"))
-    v = F.transform(F.col("__v"), lambda x: x.cast("double"))
-    band_structs = []
-    for b_i in range(n_bands):
-        key = F.lit(0).cast("long")
-        for i in range(band_planes):
-            plane = planes[b_i * band_planes + i]
-            d = _dot(v, F.array(*[F.lit(float(x)) for x in plane]))
-            key = key + F.when(d > 0, F.lit(1 << i).cast("long")) \
-                         .otherwise(F.lit(0).cast("long"))
-        band_structs.append(F.struct(F.lit(b_i).alias("band"),
-                                     key.alias("key")))
-    hashed = (base.select("__id",
-                          F.explode(F.array(*band_structs)).alias("bk"))
-                  .select("__id", F.col("bk.band").alias("__band"),
-                          F.col("bk.key").alias("__key")))
+    spark = df.sparkSession
+    bplanes = spark.sparkContext.broadcast(planes)
+    nb, bp = n_bands, band_planes
+
+    def band_keys(batches):
+        # ONE numpy GEMM per Arrow batch computes every sign bit; the
+        # equivalent Catalyst tree (n_bands·band_planes dot-aggregates
+        # per row, evaluated on BOTH sides of the self-join) planned
+        # and ran ~10x slower — the vectorized-UDF exception the
+        # module policy allows
+        import numpy as _np
+        import pandas as _pd
+        P = bplanes.value
+        shifts = _np.arange(bp, dtype="int64")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _np.stack(pdf["__v"].to_list()).astype("float64")
+            bits = (m @ P.T > 0).astype("int64")           # (n, nb*bp)
+            keys = (bits.reshape(len(m), nb, bp)
+                    << shifts[None, None, :]).sum(axis=2)  # (n, nb)
+            ids = pdf["__id"].to_numpy().astype("int64")
+            yield _pd.DataFrame({
+                "__id": _np.repeat(ids, nb),
+                "__band": _np.tile(_np.arange(nb, dtype="int64"), len(m)),
+                "__key": keys.reshape(-1)})
+
+    hashed = base.mapInPandas(
+        band_keys, schema="__id long, __band long, __key long")
     a, b = hashed.alias("a"), hashed.alias("b")
     cand = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
                    & (F.col("a.__key") == F.col("b.__key"))
@@ -799,15 +816,33 @@ def embedding_near_dup_pairs_banded(df: DataFrame, id_col: str = "vec_id",
              .distinct())
     e1 = base.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1"))
     e2 = base.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"))
-    v1 = F.transform(F.col("__v1"), lambda x: x.cast("double"))
-    v2 = F.transform(F.col("__v2"), lambda x: x.cast("double"))
-    denom = F.sqrt(_dot(v1, v1)) * F.sqrt(_dot(v2, v2))
-    sim = F.when(denom == 0, F.lit(0.0)) \
-           .otherwise(F.round(_dot(v1, v2) / denom, 6))
+    thr = float(threshold)
+
+    def verify(batches):
+        # vectorized exact-cosine verify: one Arrow batch = one numpy
+        # row-wise dot (the zip_with/aggregate expression tree costs
+        # ~10x this on 64-dim vectors)
+        import numpy as _np
+        import pandas as _pd
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m1 = _np.stack(pdf["__v1"].to_list()).astype("float64")
+            m2 = _np.stack(pdf["__v2"].to_list()).astype("float64")
+            num = _np.einsum("ij,ij->i", m1, m2)
+            den = (_np.linalg.norm(m1, axis=1)
+                   * _np.linalg.norm(m2, axis=1))
+            sims = _np.where(den == 0, 0.0, _np.round(num
+                                                      / _np.where(den == 0,
+                                                                  1.0, den),
+                                                      6))
+            keep = sims >= thr
+            yield _pd.DataFrame({"id1": pdf["id1"].to_numpy()[keep],
+                                 "id2": pdf["id2"].to_numpy()[keep],
+                                 "sim": sims[keep]})
+
     return (cand.join(e1, "id1").join(e2, "id2")
-                .withColumn("sim", sim)
-                .filter(F.col("sim") >= float(threshold))
-                .select("id1", "id2", "sim"))
+                .mapInPandas(verify, schema="id1 long, id2 long, sim double"))
 
 
 def cluster_assign(df: DataFrame, k: int = 8, id_col: str = "vec_id",
