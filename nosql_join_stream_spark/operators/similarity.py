@@ -814,14 +814,22 @@ def embedding_near_dup_pairs_banded(df: DataFrame, id_col: str = "vec_id",
              .select(F.col("a.__id").alias("id1"),
                      F.col("b.__id").alias("id2"))
              .distinct())
+    return _verify_candidate_pairs(cand, base, threshold)
+
+
+def _verify_candidate_pairs(cand: DataFrame, base: DataFrame,
+                            threshold: float) -> DataFrame:
+    """Exact-cosine verification of a (id1, id2) candidate set:
+    re-attach embeddings with two hash joins, then one vectorized
+    Arrow batch per task computes row-wise cosines (the equivalent
+    zip_with/aggregate Catalyst tree costs ~10x on 64-dim vectors).
+    Shared by the banded (LSH) and IVF-celled candidate tiers —
+    precision 1 by construction, the tier only decides recall."""
     e1 = base.select(F.col("__id").alias("id1"), F.col("__v").alias("__v1"))
     e2 = base.select(F.col("__id").alias("id2"), F.col("__v").alias("__v2"))
     thr = float(threshold)
 
     def verify(batches):
-        # vectorized exact-cosine verify: one Arrow batch = one numpy
-        # row-wise dot (the zip_with/aggregate expression tree costs
-        # ~10x this on 64-dim vectors)
         import numpy as _np
         import pandas as _pd
         for pdf in batches:
@@ -843,6 +851,40 @@ def embedding_near_dup_pairs_banded(df: DataFrame, id_col: str = "vec_id",
 
     return (cand.join(e1, "id1").join(e2, "id2")
                 .mapInPandas(verify, schema="id1 long, id2 long, sim double"))
+
+
+def embedding_near_dup_pairs_ivf(df: DataFrame, id_col: str = "vec_id",
+                                 vec: str = "embedding",
+                                 threshold: float = 0.9,
+                                 k: int = 8) -> DataFrame:
+    """IVF-CELLED near-duplicate pairs — the coarse-quantizer sibling
+    of the banded LSH tier: candidates are pairs sharing a nearest-
+    centroid cell (``cluster_assign``'s deterministic assignment —
+    centroids = k smallest ids, 6-dp cosine, lowest-cid tie-break, so
+    an oracle can reproduce the cells), verified with the exact cosine
+    (shared _verify_candidate_pairs; precision 1).  Identical vectors
+    assign to the same cell by determinism of the kernel, so
+    planted-twin recall is 1 — the same exact-recoverable regime as
+    the banded tier.
+
+    Scale shape: one broadcast GEMM assigns cells (no corpus shuffle),
+    the candidate join shuffles on cell id; per-cell pair space is
+    O(cell²), so ``k`` must scale with the corpus (k ≈ n/target_cell).
+    For open-ended pair MINING the banded tier's fixed-size buckets
+    scale better; the IVF tier fits mining within semantically
+    coherent cells (cluster-level curation) and reuses the standing
+    IVF layout the ANN family already maintains.
+    """
+    assign = cluster_assign(df, k=k, id_col=id_col, vec=vec)
+    a = assign.select(F.col(id_col).alias("id1"),
+                      F.col("cluster_id").alias("__c"))
+    b = assign.select(F.col(id_col).alias("id2"),
+                      F.col("cluster_id").alias("__c"))
+    cand = (a.join(b, "__c")
+             .filter(F.col("id1") < F.col("id2"))
+             .select("id1", "id2"))
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v"))
+    return _verify_candidate_pairs(cand, base, threshold)
 
 
 def cluster_assign(df: DataFrame, k: int = 8, id_col: str = "vec_id",

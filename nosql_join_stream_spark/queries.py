@@ -838,11 +838,12 @@ _DRIVER_WINDOW = [
     # — they lead, together with this round's new
     # mine_bitext_planted_recall (ship-round stamp).  Then the full
     # 30-query r8 cohort drains (oldest remaining stamp), and the
-    # last 11 slots start the r9 cohort in registry order.
+    # last 10 slots start the r9 cohort in registry order.
     # Post-r13 state if green: zero never-stamped queries, no stamp
     # older than r9; 37 r9-cohort queries remain
     # (pivot_priority_status onward) — they lead the r14 window.
     "mine_bitext_planted_recall", "multimodal_decode_jpeg_rgb",
+    "mine_bitext_planted_ivf",
     # never-stamped (landed late in r12), registry order
     "retrieval_eval_metrics", "export_shard_token_balanced",
     "stream_scd2_point_in_time", "retrieval_hard_negatives",
@@ -867,7 +868,7 @@ _DRIVER_WINDOW = [
     "join_outer_filtered", "join_left_anti", "mql_filter",
     "either_merge", "concat_logs", "stream_interval_join_full",
     "agg_pricing_summary", "agg_count_distinct",
-    "agg_approx_distinct", "agg_stats_funcs", "rollup_region_nation",
+    "agg_approx_distinct", "agg_stats_funcs",
 ]
 
 

@@ -2064,3 +2064,23 @@ def test_bm25_multiquery_head_explicit_query_ids(spark):
     sparse = retrieval.bm25_multiquery_head(docs, "text", "doc_id",
                                             query_ids=[1, 4], head_n=3)
     assert {r.q_id for r in sparse.collect()} == {1, 4}
+
+
+def test_ivf_near_dup_equals_exact_on_planted_corpus(spark, engine):
+    """The IVF-celled tier (nearest-centroid cells as candidate
+    blocks) must also equal the exact tier on the planted-twin
+    regime: identical vectors assign to the same cell by kernel
+    determinism (mine_bitext_planted_ivf's contract)."""
+    emb = engine.table("embeddings").select("vec_id", "embedding")
+    twins = (emb.filter(F.col("vec_id") % 17 == 0)
+                .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                        "embedding"))
+    allv = emb.unionByName(twins)
+    exact = similarity.embedding_near_dup_pairs(
+        allv, "vec_id", "embedding", threshold=0.9)
+    ivf = similarity.embedding_near_dup_pairs_ivf(
+        allv, "vec_id", "embedding", threshold=0.9, k=8)
+    ex = {(r.id1, r.id2, r.sim) for r in exact.collect()}
+    iv = {(r.id1, r.id2, r.sim) for r in ivf.collect()}
+    assert len(ex) == twins.count() > 0
+    assert iv == ex
