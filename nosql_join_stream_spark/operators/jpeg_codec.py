@@ -14,8 +14,12 @@ Python+numpy runs:
   image; for YCbCr it is the Y component — the spec's own BT.601 luma
   signal — so no chroma upsampling enters the luma path at all (chroma
   blocks are still entropy-decoded to advance the bitstream, their
-  IDCT is skipped).  Progressive (SOF2) and arithmetic coding raise
-  ``NotImplementedError`` naming the limitation.
+  IDCT is skipped).  r13: PROGRESSIVE (SOF2) streams decode too —
+  spectral selection, successive approximation, EOB-run coding,
+  interleaved DC / non-interleaved AC scans, restarts (T.81 Annex G;
+  control flow per the public stb_image/libjpeg-jdphuff algorithm) —
+  only arithmetic coding and 12-bit precision still raise
+  ``NotImplementedError``.
 - **full-color decode** (:func:`decode_jpeg_rgb`, r13): every
   component IDCTs, chroma upsamples with libjpeg's FANCY triangular
   filters (``h2v1``/``h2v2_fancy_upsample``, the do_fancy_upsampling
@@ -299,31 +303,36 @@ def _extend(v: int, t: int) -> int:
 # --- decoder ---------------------------------------------------------------
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "dc", "ac", "blocks", "pred",
-                 "bw", "bh")
+    __slots__ = ("cid", "h", "v", "tq", "dc", "ac", "coef", "pred",
+                 "bw", "bh", "nbw", "nbh")
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG's LUMA plane to uint8 (H, W).
+    """Decode a JPEG's LUMA plane to uint8 (H, W) — baseline (SOF0) or
+    progressive (SOF2, r13: spectral selection + successive
+    approximation + EOBRUN, T.81 Annex G).
 
     Grayscale files: the image, bit-comparable to PIL (same islow
     IDCT).  YCbCr files: the Y component (the BT.601 luma the encoder
     measured), at full image resolution — chroma never upsamples into
     this path (its IDCT is skipped; see :func:`decode_jpeg_rgb` for
     the full-color path).  Raises ``NotImplementedError`` for
-    progressive/arithmetic/12-bit/hierarchical streams and
-    ``ValueError`` for malformed ones.
+    arithmetic/12-bit/hierarchical streams and ``ValueError`` for
+    malformed ones.
     """
     comps, quant, width, height, mcus_x, mcus_y = _parse_decode(payload)
     y = comps[0]
-    return _assemble_plane(y, quant, mcus_x, mcus_y)[:height, :width]
+    return _assemble_plane(y, quant)[:height, :width]
 
 
 def _parse_decode(payload: bytes):
-    """Parse headers and entropy-decode every component's blocks.
-    Returns (comps, quant, width, height, mcus_x, mcus_y); only the
-    entropy stage runs — per-component IDCT/assembly is the caller's
-    (so the luma-only path never IDCTs chroma)."""
+    """Parse headers and entropy-decode every scan's coefficients into
+    per-component block grids.  Returns (comps, quant, width, height,
+    mcus_x, mcus_y); per-component IDCT/assembly is the caller's (so
+    the luma-only path never IDCTs chroma).  Baseline = one full scan;
+    progressive accumulates DC/AC bands and approximation bits across
+    scans into the same grids (the IDCT sees finished coefficients
+    either way)."""
     if not is_jpeg(payload):
         raise ValueError("JPEG: bad signature (no FFD8)")
     d = payload
@@ -334,12 +343,15 @@ def _parse_decode(payload: bytes):
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    mcus_x = mcus_y = 0
+    scans_seen = 0
 
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
         marker = d[pos + 1]
-        if marker == 0xD9:                       # EOI before SOS
+        if marker == 0xD9:                       # EOI
             break
         seglen = struct.unpack(">H", d[pos + 2:pos + 4])[0]
         if seglen < 2:
@@ -347,12 +359,13 @@ def _parse_decode(payload: bytes):
         seg = d[pos + 4:pos + 2 + seglen]
         pos += 2 + seglen
 
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG: SOF{marker - 0xC0} (progressive/extended/"
-                f"arithmetic/hierarchical) — baseline SOF0 only")
-        if marker == 0xC0:                       # SOF0 baseline
+                f"JPEG: SOF{marker - 0xC0} (extended/arithmetic/"
+                f"hierarchical) — baseline SOF0 / progressive SOF2 only")
+        if marker in (0xC0, 0xC2):               # SOF0 / SOF2
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("JPEG: 8-bit precision only")
@@ -360,8 +373,23 @@ def _parse_decode(payload: bytes):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 c = _Component()
                 c.cid, c.h, c.v, c.tq = cid, hv >> 4, hv & 15, tq
-                c.blocks, c.pred = [], 0
+                c.pred = 0
                 comps.append(c)
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            if (comps[0].h, comps[0].v) != (hmax, vmax):
+                raise NotImplementedError(
+                    "JPEG: luma subsampled below another component")
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for c in comps:
+                c.bw, c.bh = mcus_x * c.h, mcus_y * c.v
+                # non-interleaved scans cover only the REAL block grid
+                # of the component's downsampled dims (T.81 A.2.2)
+                cw = -(-width * c.h // hmax)
+                ch = -(-height * c.v // vmax)
+                c.nbw, c.nbh = -(-cw // 8), -(-ch // 8)
+                c.coef = np.zeros((c.bh * c.bw, 64), dtype=np.int64)
         elif marker == 0xDB:                     # DQT
             i = 0
             while i < len(seg):
@@ -388,83 +416,225 @@ def _parse_decode(payload: bytes):
                     _HuffTable(bits, values)
         elif marker == 0xDD:                     # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:                     # SOS — entropy follows
+        elif marker == 0xDA:                     # SOS
+            if not comps:
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
             sel = {}
+            order = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 15)
+                order.append(cs)
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             scan = [c for c in comps if c.cid in sel]
-            if len(scan) != len(comps):
-                raise NotImplementedError(
-                    "JPEG: multi-scan (non-interleaved) streams")
+            scan.sort(key=lambda c: order.index(c.cid))
+            if not progressive:
+                if len(scan) != len(comps):
+                    raise NotImplementedError(
+                        "JPEG: baseline multi-scan streams")
+                ss, se, ah, al = 0, 63, 0, 0
             for c in scan:
                 c.dc, c.ac = sel[c.cid]
-            mcus_x, mcus_y = _entropy_scan(
-                d, pos, scan, dc_tabs, ac_tabs, width, height,
-                restart_interval)
-            return scan, quant, width, height, mcus_x, mcus_y
+            pos = _scan_entropy(d, pos, scan, dc_tabs, ac_tabs,
+                                mcus_x, mcus_y, restart_interval,
+                                progressive, ss, se, ah, al)
+            scans_seen += 1
+            if not progressive:
+                # baseline: single scan is the whole image
+                return comps, quant, width, height, mcus_x, mcus_y
         # APPn/COM/DNL etc.: skipped
-    raise ValueError("JPEG: no SOS marker found")
+    if not comps or not scans_seen:
+        raise ValueError("JPEG: no SOS marker found")
+    return comps, quant, width, height, mcus_x, mcus_y
 
 
-def _entropy_scan(d: bytes, pos: int, comps, dc_tabs, ac_tabs,
-                  width: int, height: int, restart_interval: int
-                  ) -> tuple[int, int]:
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    y = comps[0]
-    if (y.h, y.v) != (hmax, vmax):
-        raise NotImplementedError(
-            "JPEG: luma subsampled below another component")
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    for c in comps:
-        c.bw, c.bh = mcus_x * c.h, mcus_y * c.v
+def _scan_entropy(d: bytes, pos: int, scan, dc_tabs, ac_tabs,
+                  mcus_x: int, mcus_y: int, restart_interval: int,
+                  progressive: bool, ss: int, se: int, ah: int,
+                  al: int) -> int:
+    """Entropy-decode one scan into the components' coefficient grids
+    and return the byte offset of the next marker segment.
 
+    Baseline: the full interleaved DC+AC walk.  Progressive (T.81
+    Annex G.2): DC scans (Ss=0) may be interleaved; AC scans are
+    single-component over the component's REAL (non-MCU-padded) block
+    grid; first scans (Ah=0) deliver value·2^Al with EOB-run coding;
+    refinement scans (Ah>0) deliver one correction bit per
+    already-nonzero coefficient plus newly-significant ±2^Al values —
+    the control flow is the public stb_image/jpgd/libjpeg-jdphuff
+    algorithm restated in numpy/python."""
     reader = _BitReader(d, pos)
     rst = 0
     zz = ZIGZAG
-    for m in range(mcus_x * mcus_y):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.align_restart(rst)
-            rst = (rst + 1) & 7
-            for c in comps:
-                c.pred = 0
-        for c in comps:
-            dc_t, ac_t = dc_tabs[c.dc], ac_tabs[c.ac]
-            for _ in range(c.h * c.v):
-                coef = np.zeros(64, dtype=np.int64)
-                t = reader.decode(dc_t)
-                c.pred += _extend(reader.receive(t), t)
-                coef[0] = c.pred
-                k = 1
-                while k < 64:
-                    rs = reader.decode(ac_t)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r != 15:              # EOB
-                            break
-                        k += 16                  # ZRL
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG: AC index past 63")
-                    coef[zz[k]] = _extend(reader.receive(s), s)
-                    k += 1
-                c.blocks.append(coef)
-    return mcus_x, mcus_y
+    eobrun = [0]
+    for c in scan:
+        c.pred = 0
+
+    def restart():
+        nonlocal rst
+        reader.align_restart(rst)
+        rst = (rst + 1) & 7
+        eobrun[0] = 0
+        for c in scan:
+            c.pred = 0
+
+    def block_baseline(c, idx):
+        coef = c.coef[idx]
+        dc_t, ac_t = dc_tabs[c.dc], ac_tabs[c.ac]
+        t = reader.decode(dc_t)
+        c.pred += _extend(reader.receive(t), t)
+        coef[0] = c.pred
+        k = 1
+        while k < 64:
+            rs = reader.decode(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:                      # EOB
+                    break
+                k += 16                          # ZRL
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("JPEG: AC index past 63")
+            coef[zz[k]] = _extend(reader.receive(s), s)
+            k += 1
+
+    def block_dc_first(c, idx):
+        t = reader.decode(dc_tabs[c.dc])
+        c.pred += _extend(reader.receive(t), t)
+        c.coef[idx, 0] = c.pred << al
+
+    def block_dc_refine(c, idx):
+        if reader.receive(1):
+            c.coef[idx, 0] |= (1 << al)
+
+    def block_ac_first(c, idx):
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        coef = c.coef[idx]
+        ac_t = ac_tabs[c.ac]
+        k = ss
+        while k <= se:
+            rs = reader.decode(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:                      # EOBn
+                    eobrun[0] = (1 << r) - 1
+                    if r:
+                        eobrun[0] += reader.receive(r)
+                    break
+                k += 16                          # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC index past band end")
+            coef[zz[k]] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def _refine_nonzero(coef, p, bit):
+        # correction bit for an already-significant coefficient:
+        # magnitude grows toward ±(2·|v|+1)·2^al one bit at a time
+        if reader.receive(1) and not (coef[p] & bit):
+            coef[p] += bit if coef[p] > 0 else -bit
+
+    def block_ac_refine(c, idx):
+        coef = c.coef[idx]
+        bit = 1 << al
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            for k in range(ss, se + 1):
+                p = zz[k]
+                if coef[p]:
+                    _refine_nonzero(coef, p, bit)
+            return
+        ac_t = ac_tabs[c.ac]
+        k = ss
+        while k <= se:
+            rs = reader.decode(ac_t)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:                       # EOBn: corrections to
+                    eobrun[0] = (1 << r) - 1     # the rest of THIS block,
+                    if r:                        # run applies to the NEXT
+                        eobrun[0] += reader.receive(r)
+                    r = 1 << 30
+                # else ZRL: skip 16 not-yet-significant zeros
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: bad AC-refine size")
+                val = bit if reader.receive(1) else -bit
+            while k <= se:
+                p = zz[k]
+                if coef[p]:
+                    _refine_nonzero(coef, p, bit)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[zz[k]] = val
+            k += 1
+
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("JPEG: progressive DC scan must have Se=0")
+    if progressive and ss != 0 and len(scan) != 1:
+        raise ValueError("JPEG: progressive AC scan must be "
+                         "single-component (T.81 G.1.1.1.1)")
+
+    interleaved = len(scan) > 1 or not progressive
+    if progressive:
+        if ss == 0:
+            block = block_dc_first if ah == 0 else block_dc_refine
+        else:
+            block = block_ac_first if ah == 0 else block_ac_refine
+    else:
+        block = block_baseline
+
+    if interleaved:
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                restart()
+            my, mx = divmod(m, mcus_x)
+            for c in scan:
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        block(c, (my * c.v + by) * c.bw
+                              + mx * c.h + bx)
+    else:
+        c = scan[0]
+        # non-interleaved: the component's real block grid, row-major,
+        # indexed into the MCU-padded storage grid
+        n = c.nbh * c.nbw
+        for i in range(n):
+            if restart_interval and i and i % restart_interval == 0:
+                restart()
+            r, col = divmod(i, c.nbw)
+            block(c, r * c.bw + col)
+
+    # locate the next marker (skip entropy padding, stuffed FF00s and
+    # any trailing RST the reader did not consume)
+    p = reader.pos
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00 \
+                and not (0xD0 <= d[p + 1] <= 0xD7):
+            break
+        p += 1
+    return p
 
 
-def _assemble_plane(c, quant, mcus_x: int, mcus_y: int) -> np.ndarray:
-    """IDCT one component's blocks and assemble its plane at its OWN
-    (possibly subsampled) resolution.  Blocks arrive MCU-major —
-    [mcu_y][mcu_x][by][bx] — not grid-raster, so the assembly
-    transpose carries the MCU structure."""
-    pix = idct_blocks(np.stack(c.blocks).reshape(-1, 8, 8), quant[c.tq])
-    grid = pix.reshape(mcus_y, mcus_x, c.v, c.h, 8, 8)
-    return (grid.transpose(0, 2, 4, 1, 3, 5)
-            .reshape(mcus_y * c.v * 8, mcus_x * c.h * 8))
+def _assemble_plane(c, quant, *_ignored) -> np.ndarray:
+    """IDCT one component's coefficient grid and assemble its plane at
+    its OWN (possibly subsampled) resolution.  The grid is stored
+    block-row-major (absolute block position, not MCU-major), so
+    assembly is a single transpose."""
+    pix = idct_blocks(c.coef.reshape(-1, 8, 8), quant[c.tq])
+    grid = pix.reshape(c.bh, c.bw, 8, 8)
+    return grid.transpose(0, 2, 1, 3).reshape(c.bh * 8, c.bw * 8)
 
 
 # --- full-color decode (r13: chroma upsample + YCbCr→RGB) -------------------
@@ -872,4 +1042,245 @@ def encode_rgb_jpeg(a: np.ndarray, quant: np.ndarray | None = None,
                                               preds[ci], dc_enc, ac_enc)
     wtr.flush()
     out += bytes(wtr.out) + b"\xff\xd9"
+    return bytes(out)
+
+
+# --- progressive encoder (r13: spectral selection + EOB-run batching) -------
+
+def _emit_eobn(wtr: _BitWriter, ac_enc, eobrun: int) -> None:
+    """EOBn symbol: run of 2^n..2^(n+1)-1 all-done blocks in one code
+    (T.81 G.1.2.2) — n magnitude bits carry eobrun - 2^n."""
+    n = eobrun.bit_length() - 1
+    ln, code = ac_enc[n << 4]
+    wtr.write(code, ln)
+    if n:
+        wtr.write(eobrun - (1 << n), n)
+
+
+def _encode_ac_band(wtr: _BitWriter, zz_blocks, ss: int, se: int,
+                    ac_enc, restart_interval: int, out: bytearray,
+                    rst_state: list) -> None:
+    """One progressive AC scan (Ah=Al=0): per-block run/size coding
+    inside the band, all-zero tails batched into EOB runs across
+    blocks.  Restart intervals flush the pending EOB run first (the
+    run never crosses a restart, T.81 G.1.2.2)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            _emit_eobn(wtr, ac_enc, eobrun)
+            eobrun = 0
+
+    for i, z in enumerate(zz_blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            flush_eob()
+            _flush_restart(wtr, out, rst_state)
+        band = z[ss:se + 1]
+        nz = np.nonzero(band)[0]
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for j in range(int(nz[-1]) + 1):
+            v = int(band[j])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_enc[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            s = _mag_cat(v)
+            ln, code = ac_enc[(run << 4) | s]
+            wtr.write(code, ln)
+            wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if int(nz[-1]) < se - ss:
+            eobrun += 1
+    flush_eob()
+
+
+def _flush_restart(wtr: _BitWriter, out: bytearray, rst_state: list) -> None:
+    wtr.flush()
+    out += bytes(wtr.out)
+    wtr.out.clear()
+    out += bytes([0xFF, 0xD0 + rst_state[0]])
+    rst_state[0] = (rst_state[0] + 1) & 7
+
+
+def _sos_header(comp_specs, ss: int, se: int, ah: int = 0,
+                al: int = 0) -> bytes:
+    ns = len(comp_specs)
+    body = bytes([ns])
+    for cid, tsel in comp_specs:
+        body += bytes([cid, tsel])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _encode_progressive_scans(out: bytearray, comps, dc_enc, ac_enc,
+                              bands, restart_interval: int) -> None:
+    """Append the scan sequence: one interleaved DC scan (all
+    components, baseline DC diff coding), then per component one AC
+    scan per (Ss, Se) band over the component's REAL block grid in
+    row-major (non-interleaved) order — T.81 G.1.1.1.1.
+
+    ``comps``: list of dicts with cid, h, v, zz (bh, bw, 64)
+    zigzag-order coefficient grid, nbw, nbh, mcus_x, mcus_y."""
+    # DC scan, interleaved
+    out += _sos_header([(c["cid"], 0x00) for c in comps], 0, 0)
+    wtr = _BitWriter()
+    rst_state = [0]
+    preds = {c["cid"]: 0 for c in comps}
+    mcus_x = comps[0]["mcus_x"]
+    mcus_y = comps[0]["mcus_y"]
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            _flush_restart(wtr, out, rst_state)
+            preds = {c["cid"]: 0 for c in comps}
+        my, mx = divmod(m, mcus_x)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    dc = int(c["zz"][my * c["v"] + by,
+                                     mx * c["h"] + bx, 0])
+                    diff = dc - preds[c["cid"]]
+                    preds[c["cid"]] = dc
+                    t = _mag_cat(diff)
+                    ln, code = dc_enc[t]
+                    wtr.write(code, ln)
+                    if t:
+                        wtr.write(diff if diff >= 0
+                                  else diff + (1 << t) - 1, t)
+    wtr.flush()
+    out += bytes(wtr.out)
+    # AC scans, non-interleaved, per component per band
+    for c in comps:
+        real = [c["zz"][r, col]
+                for r in range(c["nbh"]) for col in range(c["nbw"])]
+        for ss, se in bands:
+            out += _sos_header([(c["cid"], 0x00)], ss, se)
+            wtr = _BitWriter()
+            rst_state = [0]
+            _encode_ac_band(wtr, real, ss, se, ac_enc,
+                            restart_interval, out, rst_state)
+            wtr.flush()
+            out += bytes(wtr.out)
+
+
+def encode_gray_jpeg_progressive(a: np.ndarray,
+                                 quant: np.ndarray | None = None,
+                                 bands=((1, 63),),
+                                 restart_interval: int = 0) -> bytes:
+    """PROGRESSIVE (SOF2) grayscale JPEG: same coefficients as
+    encode_gray_jpeg, delivered as one DC scan + one AC scan per
+    spectral band — so a correct progressive decoder reconstructs the
+    EXACT pixels the baseline stream yields (the bit-equality witness
+    the tests pin).  Spectral selection only (Ah=Al=0); EOB runs are
+    batched across all-zero blocks, exercising the decoder's EOBn
+    skip path on flat regions."""
+    if a.dtype != np.uint8 or a.ndim != 2:
+        raise ValueError("encode_gray_jpeg_progressive expects a uint8 "
+                         "(H, W) array")
+    _validate_bands(bands)
+    q = STD_LUMA_QUANT if quant is None else np.asarray(quant,
+                                                        dtype=np.int64)
+    h, w = a.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    dc_bits, dc_vals, dc_enc = _flat_huff(12)
+    ac_bits, ac_vals, ac_enc = _flat_huff(251)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(v) for v in q.reshape(64)[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+        + bytes([1, 0x11, 0])
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals),
+                                         tc << 4) + bytes(bits) + vals
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    coefs = _fdct_quant_many(_tile(a, bh, bw), q)
+    zz = coefs.reshape(-1, 64)[:, ZIGZAG].reshape(bh, bw, 64)
+    comps = [{"cid": 1, "h": 1, "v": 1, "zz": zz, "nbw": bw, "nbh": bh,
+              "mcus_x": bw, "mcus_y": bh}]
+    _encode_progressive_scans(out, comps, dc_enc, ac_enc, bands,
+                              restart_interval)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _validate_bands(bands) -> None:
+    for ss, se in bands:
+        if not (1 <= ss <= se <= 63):
+            raise ValueError(f"bad spectral band ({ss}, {se})")
+
+
+def encode_rgb_jpeg_progressive(a: np.ndarray,
+                                quant: np.ndarray | None = None,
+                                subsampling: str = "444",
+                                bands=((1, 63),)) -> bytes:
+    """PROGRESSIVE color JPEG: the same YCbCr coefficients as
+    encode_rgb_jpeg (same forward conversion, same 4:4:4/4:2:0
+    downsample, same fDCT+quant), delivered as an interleaved DC scan
+    + per-component AC band scans over each component's REAL block
+    grid — decoded output is bit-equal to the baseline stream's (MCU
+    pad blocks receive DC only; their pixels crop away)."""
+    if a.dtype != np.uint8 or a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_rgb_jpeg_progressive expects a uint8 "
+                         "(H, W, 3) array")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    _validate_bands(bands)
+    q = STD_LUMA_QUANT if quant is None else np.asarray(quant,
+                                                        dtype=np.int64)
+    h, w = a.shape[:2]
+    yp, cbp, crp = _rgb_to_ycc(a)
+    dc_bits, dc_vals, dc_enc = _flat_huff(12)
+    ac_bits, ac_vals, ac_enc = _flat_huff(251)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(v) for v in q.reshape(64)[ZIGZAG])
+    samp = 0x22 if subsampling == "420" else 0x11
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3) \
+        + bytes([1, samp, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals),
+                                         tc << 4) + bytes(bits) + vals
+
+    def grid(plane, gh, gw):
+        coefs = _fdct_quant_many(_tile(plane, gh, gw), q)
+        return coefs.reshape(-1, 64)[:, ZIGZAG].reshape(gh, gw, 64)
+
+    if subsampling == "444":
+        mx, my = -(-w // 8), -(-h // 8)
+        comps = [
+            {"cid": 1, "h": 1, "v": 1, "zz": grid(yp, my, mx),
+             "nbw": mx, "nbh": my, "mcus_x": mx, "mcus_y": my},
+            {"cid": 2, "h": 1, "v": 1, "zz": grid(cbp, my, mx),
+             "nbw": mx, "nbh": my, "mcus_x": mx, "mcus_y": my},
+            {"cid": 3, "h": 1, "v": 1, "zz": grid(crp, my, mx),
+             "nbw": mx, "nbh": my, "mcus_x": mx, "mcus_y": my},
+        ]
+    else:
+        mx, my = -(-w // 16), -(-h // 16)
+        cb_d = _box_down2(cbp, my * 8, mx * 8)
+        cr_d = _box_down2(crp, my * 8, mx * 8)
+        comps = [
+            {"cid": 1, "h": 2, "v": 2, "zz": grid(yp, my * 2, mx * 2),
+             "nbw": -(-w // 8), "nbh": -(-h // 8),
+             "mcus_x": mx, "mcus_y": my},
+            {"cid": 2, "h": 1, "v": 1, "zz": grid(cb_d, my, mx),
+             "nbw": -(-(-(-w // 2)) // 8), "nbh": -(-(-(-h // 2)) // 8),
+             "mcus_x": mx, "mcus_y": my},
+            {"cid": 3, "h": 1, "v": 1, "zz": grid(cr_d, my, mx),
+             "nbw": -(-(-(-w // 2)) // 8), "nbh": -(-(-(-h // 2)) // 8),
+             "mcus_x": mx, "mcus_y": my},
+        ]
+    _encode_progressive_scans(out, comps, dc_enc, ac_enc, bands,
+                              restart_interval=0)
+    out += b"\xff\xd9"
     return bytes(out)

@@ -822,10 +822,12 @@ def multimodal_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="REAL baseline-JPEG decode end-to-end (r12 — the codec family "
         "is now stub-free for baseline streams): the same "
         "deterministic gradient as multimodal_decode_mixed encodes "
-        "into a genuine JPEG chosen by doc_id % 3 — plain grayscale "
-        "baseline, grayscale with restart intervals (DRI/RSTn), or a "
+        "into a genuine JPEG chosen by doc_id % 4 — plain grayscale "
+        "baseline, grayscale with restart intervals (DRI/RSTn), a "
         "4:2:0 three-component YCbCr wrap (interleaved 4Y+Cb+Cr "
-        "MCUs) — and decodes through the SAME magic-dispatch path as "
+        "MCUs), or (r13) a PROGRESSIVE multi-band spectral-selection "
+        "stream (SOF2, DC scan + two AC band scans, EOB-run coding) "
+        "— and decodes through the SAME magic-dispatch path as "
         "every other raster (decode_gray_auto → jpeg_codec: Huffman "
         "+ the fixed-point islow IDCT PIL/libjpeg use).  JPEG decode "
         "is not pixel-exact (the integer IDCT is ±1/pixel even at "
@@ -849,7 +851,9 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         encs = [lambda a: _jc.encode_gray_jpeg(a, quant=one),
                 lambda a: _jc.encode_gray_jpeg(a, quant=one,
                                                restart_interval=2),
-                lambda a: _jc.encode_gray_jpeg_as_ycbcr420(a, quant=one)]
+                lambda a: _jc.encode_gray_jpeg_as_ycbcr420(a, quant=one),
+                lambda a: _jc.encode_gray_jpeg_progressive(
+                    a, quant=one, bands=((1, 5), (6, 63)))]
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
@@ -857,7 +861,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = ((int(did) * 7
                         + _np.arange(w * h, dtype=_np.int64)) % 256) \
                     .astype(_np.uint8).reshape(h, w)
-                rows.append((int(did), encs[int(did) % 3](arr),
+                rows.append((int(did), encs[int(did) % 4](arr),
                              "image/jpeg", w, h, 1))
             yield _pd.DataFrame(rows, columns=[
                 "doc_id", "payload", "media_type", "width", "height",

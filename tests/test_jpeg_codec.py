@@ -104,10 +104,17 @@ def test_standard_quant_is_lossy_but_close_on_smooth_gradients():
 def test_unsupported_and_malformed_fail_loudly():
     with pytest.raises(ValueError, match="signature"):
         J.decode_jpeg_gray(b"NOTAJPEG")
+    # SOF2 (progressive) is SUPPORTED since r13 — a header-only stream
+    # now fails on the missing scan, not the frame type
     sof2 = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
             + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="baseline SOF0"):
+    with pytest.raises(ValueError, match="no SOS"):
         J.decode_jpeg_gray(sof2)
+    # arithmetic coding (SOF9) stays unimplemented and says so
+    sof9 = (b"\xff\xd8\xff\xc9" + struct.pack(">H", 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        J.decode_jpeg_gray(sof9)
     # 12-bit precision
     sof12 = (b"\xff\xd8\xff\xc0" + struct.pack(">H", 11)
              + struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0]))
@@ -166,3 +173,152 @@ def test_bit_identical_to_pil_grayscale():
     payload = buf.getvalue()
     pil = np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
     assert (J.decode_jpeg_gray(payload) == pil).all()
+
+
+def test_progressive_equals_baseline_bit_for_bit():
+    """Progressive delivery of the SAME coefficients must reconstruct
+    the EXACT baseline pixels: single band, multi-band spectral
+    selection, restart intervals, EOB-run batching (flat image), and
+    color 4:4:4 / 4:2:0."""
+    rng = np.random.default_rng(41)
+    for shape in ((8, 8), (17, 29), (1, 1), (9, 40)):
+        g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = J.decode_jpeg_gray(J.encode_gray_jpeg(g, quant=ONE))
+        for kw in ({}, {"bands": ((1, 5), (6, 20), (21, 63))},
+                   {"restart_interval": 3}):
+            prog = J.decode_jpeg_gray(
+                J.encode_gray_jpeg_progressive(g, quant=ONE, **kw))
+            assert np.array_equal(base, prog), (shape, kw)
+    flat = np.full((40, 40), 130, dtype=np.uint8)  # long EOB runs
+    assert np.array_equal(
+        J.decode_jpeg_gray(J.encode_gray_jpeg_progressive(flat, quant=ONE)),
+        J.decode_jpeg_gray(J.encode_gray_jpeg(flat, quant=ONE)))
+    c = rng.integers(0, 256, size=(21, 35, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        assert np.array_equal(
+            J.decode_jpeg_rgb(J.encode_rgb_jpeg(c, quant=ONE,
+                                                subsampling=sub)),
+            J.decode_jpeg_rgb(J.encode_rgb_jpeg_progressive(
+                c, quant=ONE, subsampling=sub))), sub
+    with pytest.raises(ValueError, match="spectral band"):
+        J.encode_gray_jpeg_progressive(flat, bands=((0, 63),))
+
+
+def test_progressive_successive_approximation_hand_stream():
+    """Successive approximation decode (Ah/Al), exercised by a stream
+    assembled BY HAND per T.81 G.1.2 — DC first+refine, AC first at
+    Al=1, AC refine at Al=0 with a correction bit inside a run, a
+    correction bit inside an EOB tail, and a newly-significant
+    coefficient.  Expected pixels come from running the target
+    coefficients straight through idct_blocks."""
+    one = ONE
+    # target zigzag coefficients: two 8x8 blocks (16x8 image)
+    # block0: dc=5, zz1=+3, zz2=+1, zz5=-2 ; block1: dc=-6, zz4=-5, zz7=+1
+    dc_bits, dc_vals, dc_enc = J._flat_huff(12)
+    ac_bits, ac_vals, ac_enc = J._flat_huff(251)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(v) for v in one.reshape(64)[J.ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 16, 1) \
+        + bytes([1, 0x11, 0])
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals),
+                                         tc << 4) + bytes(bits) + vals
+
+    def sos(ss, se, ah, al):
+        return (b"\xff\xda" + struct.pack(">H", 8)
+                + bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    def put(w, sym, enc):
+        ln, code = enc[sym]
+        w.write(code, ln)
+
+    # scan 1: DC first, Al=1 -> diffs of dc>>1 (5>>1=2, -6>>1=-3)
+    out += sos(0, 0, 0, 1)
+    w = J._BitWriter()
+    put(w, 2, dc_enc); w.write(2, 2)              # diff +2
+    put(w, 3, dc_enc); w.write(-5 + 7, 3)         # diff -5
+    w.flush(); out += bytes(w.out)
+    # scan 2: DC refine, Al=0 -> one bit per block (5&1=1, -6&1=0)
+    out += sos(0, 0, 1, 0)
+    w = J._BitWriter()
+    w.write(1, 1); w.write(0, 1)
+    w.flush(); out += bytes(w.out)
+    # scan 3: AC first, Al=1 -> values >> 1 by magnitude
+    out += sos(1, 63, 0, 1)
+    w = J._BitWriter()
+    # block0: zz1 -> +1 (3>>1); zz5 -> -1 (2>>1, sign kept); EOB
+    put(w, 0x01, ac_enc); w.write(1, 1)           # run 0, +1
+    put(w, 0x31, ac_enc); w.write(0, 1)           # run 3, -1
+    put(w, 0x00, ac_enc)                          # EOB0
+    # block1: zz4 -> -2 (5>>1, sign kept); EOB
+    put(w, 0x32, ac_enc); w.write(-2 + 3, 2)      # run 3, -2
+    put(w, 0x00, ac_enc)
+    w.flush(); out += bytes(w.out)
+    # scan 4: AC refine, Al=0
+    out += sos(1, 63, 1, 0)
+    w = J._BitWriter()
+    # block0: zz2 newly +1 after run 0 (zz1 is significant history ->
+    # its correction bit 3&1=1 rides DURING the advance); then EOB0
+    # whose tail carries zz5's correction bit (2&1=0)
+    put(w, 0x01, ac_enc)
+    w.write(1, 1)                                 # sign of new +1
+    w.write(1, 1)                                 # corr bit for zz1
+    put(w, 0x00, ac_enc)                          # EOB0
+    w.write(0, 1)                                 # corr bit for zz5
+    # block1: zz7 newly +1 after 5 zero-history positions; zz4's
+    # correction bit (5&1=1) rides during the advance; then EOB0
+    put(w, 0x51, ac_enc)
+    w.write(1, 1)                                 # sign of new +1
+    w.write(1, 1)                                 # corr bit for zz4
+    put(w, 0x00, ac_enc)
+    w.flush(); out += bytes(w.out)
+    out += b"\xff\xd9"
+
+    got = J.decode_jpeg_gray(bytes(out))
+    # expected: run the target coefficients through the same IDCT
+    zz0 = np.zeros(64, dtype=np.int64)
+    zz0[[0, 1, 2, 5]] = [5, 3, 1, -2]
+    zz1 = np.zeros(64, dtype=np.int64)
+    zz1[[0, 4, 7]] = [-6, -5, 1]
+    nat = np.zeros((2, 64), dtype=np.int64)
+    nat[0][J.ZIGZAG] = zz0
+    nat[1][J.ZIGZAG] = zz1
+    pix = J.idct_blocks(nat.reshape(2, 8, 8), one)
+    expected = np.hstack([pix[0], pix[1]])
+    assert got.shape == (8, 16)
+    assert np.array_equal(got, expected)
+
+
+@pytest.mark.skipif(_pil_or_none() is None,
+                    reason="PIL not installed (stdlib-only sandbox)")
+def test_progressive_pil_parity():
+    """PIL saves progressive JPEG with libjpeg's standard scan script
+    (spectral selection AND successive approximation) — the real-world
+    validation of the full Annex G decode surface: both the luma and
+    RGB paths must match PIL bit for bit, and PIL must read our own
+    progressive streams back identically."""
+    import io
+
+    Image = _pil_or_none()
+    rng = np.random.default_rng(43)
+    g = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(g, mode="L").save(buf, format="JPEG", quality=90,
+                                      progressive=True)
+    payload = buf.getvalue()
+    assert (J.decode_jpeg_gray(payload)
+            == np.asarray(Image.open(io.BytesIO(payload)).convert("L"))).all()
+    c = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(c, mode="RGB").save(buf, format="JPEG", quality=85,
+                                        progressive=True)
+    payload = buf.getvalue()
+    assert (J.decode_jpeg_rgb(payload)
+            == np.asarray(Image.open(io.BytesIO(payload))
+                          .convert("RGB"))).all()
+    # and the reverse direction: PIL reads OUR progressive streams
+    ours = J.encode_gray_jpeg_progressive(g, quant=ONE,
+                                          bands=((1, 5), (6, 63)))
+    assert (np.asarray(Image.open(io.BytesIO(ours)).convert("L"))
+            == J.decode_jpeg_gray(ours)).all()

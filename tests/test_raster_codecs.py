@@ -151,12 +151,12 @@ def test_auto_dispatch_and_stub_surface():
     got = png_codec.decode_gray_auto(
         jpeg_codec.encode_gray_jpeg(big, quant=np.ones((8, 8), int)))
     assert np.abs(got.astype(int) - big.astype(int)).max() <= 1
-    # the remaining honest stubs: progressive JPEG (SOF2) names the
-    # baseline-only limitation; a non-JPEG exotic container hits the
-    # dispatcher's PIL stub
-    progressive = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+    # the remaining honest stubs: arithmetic-coded JPEG (SOF9) names
+    # the limitation (progressive SOF2 decodes since r13); a non-JPEG
+    # exotic container hits the dispatcher's PIL stub
+    progressive = (b"\xff\xd8\xff\xc9" + struct.pack(">H", 11)
                    + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    with pytest.raises(NotImplementedError, match="baseline SOF0"):
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         png_codec.decode_gray_auto(progressive)
     webp_ish = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 24
     with pytest.raises(NotImplementedError, match="PIL"):
