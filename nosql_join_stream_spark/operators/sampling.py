@@ -293,7 +293,11 @@ def weighted_acceptance_sample(df: DataFrame, id_col: str,
     One scan + a 1-row broadcast max — no shuffle of the data rows at
     any corpus size.
 
-    Weight domain: ``w`` must be non-null and > 0.  A NULL or zero
+    Weight domain: ``w`` must be non-null, non-NaN and > 0.  A NaN
+    weight slips past null/sign checks (NaN <= 0 is false) yet makes
+    ``p`` NaN, and Spark's NaN-is-largest ordering then silently KEEPS
+    the row — so the validator tests ``isnan`` explicitly.  A NULL or
+    zero
     weight makes ``p`` NULL/0 and the row vanishes WITHOUT its 1/p
     weight ever existing; a NEGATIVE weight is worse — ``sqrt`` gives
     NaN and Spark's NaN-is-largest ordering then KEEPS the row with a
@@ -306,12 +310,13 @@ def weighted_acceptance_sample(df: DataFrame, id_col: str,
     if validate:
         bad = df.agg(F.sum(
             F.when(F.col(weight_col).isNull()
+                   | F.isnan(F.col(weight_col).cast("double"))
                    | (F.col(weight_col).cast("double") <= 0.0), 1)
             .otherwise(0)).alias("n")).first()["n"]
         if bad:
             raise ValueError(
-                f"weighted_acceptance_sample: {bad} row(s) have NULL or "
-                f"non-positive {weight_col!r}; acceptance probability is "
+                f"weighted_acceptance_sample: {bad} row(s) have NULL, NaN "
+                f"or non-positive {weight_col!r}; acceptance probability is "
                 "undefined there and the rows would be dropped silently. "
                 "Filter or repair the weight column first.")
     wmax = df.agg(F.max(F.col(weight_col).cast("double")).alias("__wmax"))

@@ -11,6 +11,7 @@ asserted bit-identical for grayscale streams (both run islow)."""
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -322,3 +323,63 @@ def test_progressive_pil_parity():
                                           bands=((1, 5), (6, 63)))
     assert (np.asarray(Image.open(io.BytesIO(ours)).convert("L"))
             == J.decode_jpeg_gray(ours)).all()
+
+
+# ---------------------------------------------------------------------------
+# Foreign-stream fixtures (r13 advisor): every stream above except the
+# hand-built ones comes from the sibling encoder, so a shared
+# encoder/decoder misconception would pass.  These two fixtures were
+# produced by OTHER encoders entirely and are committed as bytes:
+#   foreign_baseline_420_16x16.jpg  — CPython test-suite image
+#     (Lib/test/test_email/data/python.jpg, PSF license): baseline
+#     SOF0, 3-component YCbCr, 2x2/1x1/1x1 (4:2:0) sampling.
+#   foreign_progressive_422_720x477.jpg — Rust embedded-book asset
+#     (f3.jpg, MIT/Apache-2.0): progressive SOF2, 4:2:2 (2x1),
+#     successive-approximation scan script from a real-world encoder.
+# The pinned hashes are this repo's decode output, captured at commit
+# time; when PIL is importable the same test upgrades to bit-parity
+# against libjpeg, so any environment with PIL re-derives the pins.
+
+_FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+_FOREIGN = [
+    ("foreign_baseline_420_16x16.jpg", (16, 16),
+     "2754aab623a612ac", "e78a941c6fdc47a3"),
+    ("foreign_progressive_422_720x477.jpg", (477, 720),
+     "a97045662d880be2", "961911d24eae6329"),
+]
+
+
+@pytest.mark.parametrize("name,shape,rgb_pin,gray_pin", _FOREIGN)
+def test_foreign_stream_decodes(name, shape, rgb_pin, gray_pin):
+    import hashlib
+
+    payload = open(os.path.join(_FIXDIR, name), "rb").read()
+    rgb = J.decode_jpeg_rgb(payload)
+    gray = J.decode_jpeg_gray(payload)
+    assert rgb.shape == (*shape, 3) and rgb.dtype == np.uint8
+    assert gray.shape == shape and gray.dtype == np.uint8
+    # regression pins: foreign entropy streams (optimized Huffman
+    # tables, real scan scripts) must keep decoding to these bytes
+    assert hashlib.sha256(rgb.tobytes()).hexdigest()[:16] == rgb_pin
+    assert hashlib.sha256(gray.tobytes()).hexdigest()[:16] == gray_pin
+    # the gray (luma) plane must track BT.601 luma of the RGB decode:
+    # same transform up to chroma-upsample rounding at block edges
+    y601 = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+            + 0.114 * rgb[..., 2])
+    assert np.abs(y601 - gray.astype(float)).mean() < 4.0
+
+
+@pytest.mark.skipif(_pil_or_none() is None,
+                    reason="PIL not installed (stdlib-only sandbox)")
+@pytest.mark.parametrize("name,shape,rgb_pin,gray_pin", _FOREIGN)
+def test_foreign_stream_pil_parity(name, shape, rgb_pin, gray_pin):
+    """With PIL present the pins above are re-derived from libjpeg:
+    foreign baseline-4:2:0 and progressive-4:2:2 streams must decode
+    bit-identically."""
+    import io
+
+    Image = _pil_or_none()
+    payload = open(os.path.join(_FIXDIR, name), "rb").read()
+    pil = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    assert (J.decode_jpeg_rgb(payload) == pil).all()

@@ -407,14 +407,21 @@ def test_weighted_acceptance_sample_properties(spark):
 def test_weighted_acceptance_rejects_bad_weights(spark):
     import pytest as _pytest
     bad = spark.createDataFrame(
-        [(0, 5), (1, 0), (2, -3), (3, None)], "id long, w int")
-    with _pytest.raises(ValueError, match="3 row"):
+        [(0, 5.0), (1, 0.0), (2, -3.0), (3, None), (4, float("nan"))],
+        "id long, w double")
+    with _pytest.raises(ValueError, match="4 row"):
         sampling.weighted_acceptance_sample(bad, "id", "w").collect()
     # validate=False is the caller-asserted-domain escape hatch.
-    # Documented hazard shapes: NULL/zero weights drop silently;
-    # a NEGATIVE weight survives with a NaN p under Spark's
-    # NaN-is-largest ordering -- exactly why validate defaults on.
+    # Documented hazard shapes: NULL/zero weights drop silently; a
+    # NEGATIVE weight survives with a NaN p; a NaN weight is worst of
+    # all -- Spark's NaN-is-largest MAX makes wmax itself NaN, every
+    # row's p NaN, and the whole frame is kept.  Exactly why validate
+    # defaults on and now tests isnan explicitly (r13 advisor).
+    no_nan = bad.filter("id <> 4")
     out = sampling.weighted_acceptance_sample(
-        bad, "id", "w", validate=False).collect()
+        no_nan, "id", "w", validate=False).collect()
     ids = {r.id for r in out}
     assert 0 in ids and 1 not in ids and 3 not in ids
+    poisoned = sampling.weighted_acceptance_sample(
+        bad, "id", "w", validate=False).collect()
+    assert {r.id for r in poisoned} == {0, 1, 2, 4}  # NaN keeps ALL

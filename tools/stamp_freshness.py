@@ -54,7 +54,8 @@ def main() -> None:
     window = ranked[:size]
     print(f"\nsuggested next window ({size}):")
     for n in window:
-        print(f'    "{n}",  # stamp r{st.get(n, 0) or "-never"}')
+        print(f'    "{n}",  # stamp '
+              + (f"r{st[n]}" if n in st else "never"))
 
 
 if __name__ == "__main__":
