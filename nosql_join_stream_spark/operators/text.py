@@ -757,3 +757,134 @@ def bpe_token_count(df, merges: list[tuple[str, str]],
             .agg(F.sum("cnt").alias("n_words"),
                  F.sum(F.col("cnt") * F.col("n_sub"))
                   .alias("n_bpe_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (r13 VERDICT lead #3): the first stage of
+# every web-crawl training corpus (C4 / RefinedWeb / jusText start at
+# markup, not clean text — the repo's boilerplate story previously
+# began at `common_gram_ratio`).
+
+# Block-level elements: opening OR closing one of these flushes the
+# current text block.  Inline elements (a, b, i, em, strong, span,
+# code, small, sub, sup) do not.
+HTML_BLOCK_TAGS = frozenset(
+    "html head body title p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd "
+    "table thead tbody tr td th blockquote pre br hr nav header footer "
+    "section article aside main figure figcaption form fieldset".split())
+HTML_SKIP_TAGS = frozenset(("script", "style", "noscript", "template"))
+
+# jusText/C4-style block classification thresholds (documented, fixed;
+# the oracle mirrors them bit-for-bit — all three features are exact
+# int/int divisions so the boolean is engine-portable).
+HTML_LINK_DENSITY_MAX = 0.4   # > this fraction of chars inside <a> -> nav
+HTML_MIN_BLOCK_CHARS = 40     # shorter blocks are headings/crumbs
+HTML_STOPWORD_MIN = 0.08      # lower stopword density -> not prose
+
+
+def _html_blocks(payload: str) -> list[tuple[str, int]]:
+    """Parse one HTML document into ordered (text, link_chars) blocks.
+
+    Real parser, not a regex chain: stdlib ``html.parser.HTMLParser``
+    handles comments, CDATA script/style content (``</p>`` inside a
+    script string must NOT flush a block), attribute quoting, and
+    entity/charref decoding (``convert_charrefs``) — and decoded
+    entities land as DATA, so ``&lt;eof&gt;`` becomes literal
+    ``<eof>`` text instead of being re-parsed as a tag (the classic
+    extractor bug).  Text is whitespace-normalized per block;
+    ``link_chars`` is the normalized length of text inside anchors
+    (link-density numerator).  Empty blocks are dropped.
+    """
+    from html.parser import HTMLParser
+
+    blocks: list[tuple[str, int]] = []
+    state = {"buf": [], "link": 0, "skip": 0, "a_depth": 0}
+
+    def flush() -> None:
+        text = " ".join("".join(state["buf"]).split())
+        if text:
+            blocks.append((text, state["link"]))
+        state["buf"] = []
+        state["link"] = 0
+
+    class _P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag in HTML_SKIP_TAGS:
+                state["skip"] += 1
+            elif tag in HTML_BLOCK_TAGS:
+                flush()
+            elif tag == "a":
+                state["a_depth"] += 1
+
+        def handle_endtag(self, tag):
+            if tag in HTML_SKIP_TAGS:
+                state["skip"] = max(0, state["skip"] - 1)
+            elif tag in HTML_BLOCK_TAGS:
+                flush()
+            elif tag == "a":
+                state["a_depth"] = max(0, state["a_depth"] - 1)
+
+        def handle_data(self, data):
+            if state["skip"]:
+                return
+            state["buf"].append(data)
+            if state["a_depth"]:
+                state["link"] += len(" ".join(data.split()))
+
+    p = _P(convert_charrefs=True)
+    p.feed(payload)
+    p.close()
+    flush()
+    return blocks
+
+
+def extract_html_text(df, html_col: str, id_col: str,
+                      link_density_max: float = HTML_LINK_DENSITY_MAX,
+                      min_chars: int = HTML_MIN_BLOCK_CHARS,
+                      stopword_min: float = HTML_STOPWORD_MIN):
+    """HTML -> (id, block_seq, text, is_boilerplate) block table.
+
+    The jusText/C4 discipline: strip tags/script/style/comments,
+    decode entities, segment at block-level elements, then flag each
+    block as boilerplate by three features — link density
+    (> ``link_density_max``: navigation), length (< ``min_chars``:
+    headings/breadcrumbs), and stopword density (< ``stopword_min``:
+    not prose; English function-word list :data:`STOPWORDS`).
+    ``block_seq`` numbers the surviving (non-empty) blocks 0..n-1 in
+    document order.
+
+    Scale shape: ONE ``mapInPandas`` pass — no shuffle, no driver
+    hop; the parser is a per-Arrow-batch Python kernel (HTML grammar
+    is beyond Column expressions), output is blocks-linear, and the
+    narrow parent partitioning is preserved, so at 100 TB this runs
+    at scan parallelism like the JPEG decode path.  All three
+    classification features are exact integer ratios, so the
+    boilerplate boolean is engine-portable (DuckDB oracle mirrors it).
+    """
+    stop = frozenset(STOPWORDS["en"])
+    schema = f"{id_col} long, block_seq int, text string, " \
+             "is_boilerplate boolean"
+
+    def op(batches):
+        for pdf in batches:
+            ids, seqs, texts, flags = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[html_col]):
+                for seq, (text, link) in enumerate(
+                        _html_blocks(payload or "")):
+                    tc = len(text)
+                    toks = text.split(" ")
+                    nstop = sum(1 for t in toks if t.lower() in stop)
+                    bp = (link / tc > link_density_max
+                          or tc < min_chars
+                          or nstop / len(toks) < stopword_min)
+                    ids.append(did)
+                    seqs.append(seq)
+                    texts.append(text)
+                    flags.append(bp)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "block_seq": pd.Series(seqs, dtype="int32"),
+                                "text": texts,
+                                "is_boilerplate": pd.Series(
+                                    flags, dtype="bool")})
+
+    return df.select(id_col, html_col).mapInPandas(op, schema=schema)

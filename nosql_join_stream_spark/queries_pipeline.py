@@ -7434,3 +7434,100 @@ def export_token_balanced_written(spark: SparkSession,
             .agg(F.count("*").alias("n_docs"),
                  F.sum("wt").cast("bigint").alias("total_tokens"),
                  F.sum("doc_id").cast("bigint").alias("id_sum")))
+
+
+# --- r14: HTML -> text extraction (web-crawl stage zero) -------------------
+
+# The plant (r13 VERDICT lead #3, the reference's planted-fixture
+# discipline, MongoIntegrationEnv.scala:85-93): each document is
+# deterministically wrapped in real markup — head/title, a style
+# block, a script whose string literal contains "</p>" (CDATA trap),
+# a comment containing fake tags, a nav of anchors (link-density
+# boilerplate), an entity-bearing h1 (&amp; + numeric &#8226;), two
+# <p> content blocks carrying the document text, and an anchor+&copy;
+# footer.  The oracle doesn't parse HTML: it reconstructs the exact
+# expected block table from the same raw columns, so hash equality
+# pins tag stripping, CDATA/comment handling, entity decode (named,
+# numeric), block segmentation, empty-block renumbering, AND the
+# three-feature boilerplate cascade bit-for-bit.
+_HTML_EXTRACT_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_replace(trim(substr(text, 1, 120)),
+                            ' +', ' ', 'g') AS p1,
+             regexp_replace(trim(substr(text, 121) || ' <eof>'),
+                            ' +', ' ', 'g') AS p2
+      FROM documents),
+    b AS (
+      SELECT doc_id, 0 AS seq, 'Doc ' || doc_id::VARCHAR AS text,
+             0 AS link_chars FROM d
+      UNION ALL
+      SELECT doc_id, 1, 'Home | Tags | ' || source,
+             8 + length(source) FROM d
+      UNION ALL
+      SELECT doc_id, 2, 'Doc ' || doc_id::VARCHAR || ' & ' || source
+                        || ' ' || chr(8226), 0 FROM d
+      UNION ALL SELECT doc_id, 3, p1, 0 FROM d
+      UNION ALL SELECT doc_id, 4, p2, 0 FROM d
+      UNION ALL
+      SELECT doc_id, 5, 'Terms ' || chr(169) || ' ' || source, 5 FROM d),
+    f AS (
+      SELECT doc_id, seq, text, link_chars,
+             len(list_filter(string_split(text, ' '),
+                 x -> lower(x) IN ('the','a','of','and','to','in',
+                                   'is','that','it','for'))) AS nstop,
+             len(string_split(text, ' ')) AS ntok
+      FROM b WHERE length(text) > 0)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq)
+                - 1 AS INT) AS block_seq,
+           text,
+           (link_chars * 1.0 / length(text) > 0.4
+            OR length(text) < 40
+            OR nstop * 1.0 / ntok < 0.08) AS is_boilerplate
+    FROM f
+    """
+
+
+def _html_plant(d):
+    """Wrap each document row in the deterministic markup above."""
+    did = F.col("doc_id").cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "), did,
+            F.lit("</title><style>p{margin:0}</style>"
+                  "<script>if (1 < 2 && x) { var s = \"</p>\"; }"
+                  "</script></head><body>"
+                  "<!-- comment with <p>fake tags</p> inside -->"
+                  "<nav><a href=\"/\">Home</a> | <a href=\"/t\">Tags</a>"
+                  " | <a href=\"/s\">"), F.col("source"),
+            F.lit("</a></nav><h1>Doc "), did, F.lit(" &amp; "),
+            F.col("source"), F.lit(" &#8226;</h1><p>"),
+            F.substring("text", 1, 120),
+            F.lit("</p><p>"), F.expr("substring(text, 121)"),
+            F.lit(" &lt;eof&gt;</p><footer>"
+                  "<a href=\"/terms\">Terms</a> &copy; "),
+            F.col("source"), F.lit("</footer></body></html>"),
+        ).alias("html"))
+
+
+@register(
+    "text_extract_html",
+    _HTML_EXTRACT_ORACLE,
+    doc="HTML -> text extraction, the C4/RefinedWeb/jusText stage "
+        "zero: strip tags/script/style/comments, decode entities, "
+        "segment at block-level elements, flag boilerplate blocks by "
+        "link density + length + stopword density "
+        "(text.extract_html_text). Planted markup derived from the "
+        "documents table (reference fixture discipline, "
+        "MongoIntegrationEnv.scala:85-93); oracle reconstructs the "
+        "exact block table, pinning parser semantics incl. the "
+        "script-CDATA and entity-as-text traps. One mapInPandas "
+        "pass, no shuffle — scan-parallel at 100 TB.",
+)
+def text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    planted = _html_plant(e.table("documents")
+                           .select("doc_id", "text", "source"))
+    return text.extract_html_text(planted, "html", "doc_id")

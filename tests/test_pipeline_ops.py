@@ -2084,3 +2084,42 @@ def test_ivf_near_dup_equals_exact_on_planted_corpus(spark, engine):
     iv = {(r.id1, r.id2, r.sim) for r in ivf.collect()}
     assert len(ex) == twins.count() > 0
     assert iv == ex
+
+
+def test_html_blocks_hand_cases():
+    """Parser semantics the oracle plant also pins, plus malformed
+    markup the plant can't reach: unclosed tags, nested inline,
+    attribute junk, numeric+named entities, CDATA traps."""
+    blocks = text._html_blocks(
+        '<html><head><title>T</title><style>p{}</style>'
+        '<script>var s = "</p> <div>"; if (1 < 2) {}</script></head>'
+        '<body><!-- <p>ghost</p> -->'
+        '<nav><a href="/">Home</a> <a href="/x">X&amp;Y</a></nav>'
+        '<p>Plain <b>bold <i>deep</i></b> tail &#65;&lt;z&gt;</p>'
+        '<p></p><p>   </p>'                    # empty blocks dropped
+        '<div>unclosed div text'               # EOF flush
+        '</body></html>')
+    assert blocks == [
+        ("T", 0),
+        ("Home X&Y", 7),                       # anchors: 4 + len("X&Y")
+        ("Plain bold deep tail A<z>", 0),      # entities become TEXT
+        ("unclosed div text", 0),
+    ]
+    # script/style/comment content never leaks, even with fake tags
+    assert not any("ghost" in t or "div>" in t for t, _ in blocks)
+
+
+def test_extract_html_text_flags(spark):
+    prose = ("this is the kind of sentence that has plenty of "
+             "stopwords in it and it runs long enough to pass")
+    linky = '<a href="/a">one two three four five six seven eight</a> x'
+    df = spark.createDataFrame(
+        [(1, f"<p>{prose}</p><div>{linky}</div><h1>Tiny</h1>")],
+        "id long, html string")
+    rows = {r.block_seq: r for r in
+            text.extract_html_text(df, "html", "id").collect()}
+    assert [rows[i].text for i in range(3)] == [
+        prose, "one two three four five six seven eight x", "Tiny"]
+    assert rows[0].is_boilerplate is False        # long, stopworded
+    assert rows[1].is_boilerplate is True         # link density > 0.4
+    assert rows[2].is_boilerplate is True         # < 40 chars
