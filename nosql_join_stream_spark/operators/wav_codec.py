@@ -1,0 +1,156 @@
+"""Pure-stdlib WAV (RIFF) PCM codec — the audio sibling of
+``jpeg_codec``/``png_codec`` (r13 VERDICT lead #5).
+
+The multimodal audio story previously stopped at synthetic byte
+chunking (multimodal.py ``chunk_payload``); this module makes the
+decode step REAL for the dominant uncompressed interchange format:
+RIFF/WAVE with integer PCM samples (8-bit unsigned, 16-bit signed
+little-endian), mono or multi-channel.  Like the image codecs it is
+numpy + ``struct`` only — no audio libraries exist in the sandbox —
+and mirrors their discipline exactly:
+
+- a real CHUNK WALK (not offset math): RIFF header, then iterate
+  ``<fourcc, size>`` chunks honoring the spec's odd-size pad byte, so
+  streams carrying LIST/INFO, ``fact``, cue or vendor chunks decode
+  the same as minimal ones;
+- loud, tested failure for documented format limits (non-PCM codecs
+  such as float/ADPCM/µ-law, bit depths other than 8/16) via
+  ``NotImplementedError`` — never a silent wrong waveform;
+- a sibling encoder so tests and planted fixtures can round-trip
+  self-encoded streams, plus hand-built foreign-layout streams
+  (extra chunks, pad bytes) pinning the walker.
+
+PCM is lossless, so unlike JPEG the planted-fixture witness is exact
+hash equality of decoded per-channel statistics against a closed-form
+oracle (see ``multimodal_decode_wav`` in queries_pipeline).
+
+Reference parity note: the reference repo has no codecs at all — its
+binary columns stop at opaque payloads (SURVEY §2.7); this is part of
+the beyond-reference multimodal surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_FMT_PCM = 1  # WAVE_FORMAT_PCM; everything else is a documented limit
+
+
+def encode_wav_pcm(samples: np.ndarray, sample_rate: int,
+                   bits: int = 16, extra_chunks: bool = False) -> bytes:
+    """Encode samples to a RIFF/WAVE stream.
+
+    ``samples``: int array shaped (n,) mono or (n, channels);
+    values must fit the target depth (int16 for ``bits=16``; for
+    ``bits=8`` the SIGNED value range -128..127, stored unsigned
+    per the WAV convention ``u8 = s + 128``).  ``extra_chunks=True``
+    inserts a LIST/INFO chunk with an odd-sized payload (forcing a
+    pad byte) BEFORE ``data`` — the foreign-layout shape real
+    encoders produce and naive offset-math readers break on.
+    """
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if bits == 16:
+        frames = arr.astype("<i2").tobytes()
+    elif bits == 8:
+        if arr.min() < -128 or arr.max() > 127:
+            raise ValueError("8-bit samples must be in -128..127")
+        frames = (arr.astype(np.int16) + 128).astype(np.uint8).tobytes()
+    else:
+        raise NotImplementedError(f"bits={bits}: only 8/16-bit PCM")
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", _FMT_PCM, ch, sample_rate,
+                      sample_rate * block, block, bits)
+    chunks = [(b"fmt ", fmt)]
+    if extra_chunks:
+        # odd-length INFO comment => spec requires a pad byte
+        info = b"INFOICMT" + struct.pack("<I", 5) + b"five\x00"
+        assert len(info) % 2 == 1
+        chunks.append((b"LIST", info))
+    chunks.append((b"data", frames))
+    body = b"WAVE"
+    for cc, payload in chunks:
+        body += cc + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"  # RIFF pad byte, not counted in size
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM stream to (samples, sample_rate).
+
+    ``samples`` is int16 shaped (n, channels) regardless of stored
+    depth — 8-bit unsigned is centered and scaled ``(u8-128)*256``
+    (the exact inverse of the natural 16->8 truncation, so round-trip
+    through 8-bit is bit-exact for 8-bit-representable values).
+    Walks every chunk with pad-byte handling; unknown chunks are
+    skipped.  Raises ``ValueError`` on malformed containers and
+    ``NotImplementedError`` on non-PCM formats or unsupported depths.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    end = min(end, len(payload))
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cc = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cc!r} chunk")
+        if cc == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cc == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # spec pad byte on odd sizes
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, ch, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != _FMT_PCM:
+        raise NotImplementedError(
+            f"audio format {audio_fmt}: only integer PCM (1) — "
+            "float/ADPCM/mu-law are documented limits")
+    if ch < 1:
+        raise ValueError("channel count must be >= 1")
+    if bits == 16:
+        n = len(data) // (2 * ch)
+        arr = np.frombuffer(data[:n * 2 * ch], dtype="<i2") \
+                .reshape(n, ch).astype(np.int16)
+    elif bits == 8:
+        n = len(data) // ch
+        arr = ((np.frombuffer(data[:n * ch], dtype=np.uint8)
+                .reshape(n, ch).astype(np.int16)) - 128) * 256
+    else:
+        raise NotImplementedError(
+            f"bits={bits}: only 8/16-bit integer PCM")
+    return arr, rate
+
+
+def waveform_stats(samples: np.ndarray) -> list[dict]:
+    """Exact per-channel statistics of an int16 waveform — the
+    planted-fixture witness surface (all int64, engine-portable):
+    n_samples, min/max, sum, sum of |s|, and a position-weighted
+    checksum ``sum((i+1) * s_i)`` that pins sample ORDER (catching
+    interleave/endianness bugs a plain sum cannot)."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n = arr.shape[0]
+    idx = np.arange(1, n + 1, dtype=np.int64)
+    return [{
+        "channel": c,
+        "n_samples": int(n),
+        "min_s": int(arr[:, c].min()) if n else 0,
+        "max_s": int(arr[:, c].max()) if n else 0,
+        "sum_s": int(arr[:, c].sum()),
+        "sum_abs": int(np.abs(arr[:, c]).sum()),
+        "checksum": int((idx * arr[:, c]).sum()),
+    } for c in range(arr.shape[1])]

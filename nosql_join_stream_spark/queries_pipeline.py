@@ -7531,3 +7531,106 @@ def text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = _html_plant(e.table("documents")
                            .select("doc_id", "text", "source"))
     return text.extract_html_text(planted, "html", "doc_id")
+
+
+# --- r14: real WAV/PCM audio decode (mirrors the JPEG discipline) ----------
+
+_WAV_DECODE_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 23 + 5) * 40 AS n,
+             CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS ch_n,
+             (doc_id % 3 = 0) AS is8,
+             (doc_id % 4 + 1) * 11025 AS rate
+      FROM documents),
+    s AS (
+      SELECT d.doc_id, c.ch AS channel, d.rate, d.n, u.i,
+             CASE WHEN d.is8
+                  THEN (((d.doc_id*31 + c.ch*7 + u.i*17) % 256) - 128)
+                       * 256
+                  ELSE ((d.doc_id*31 + c.ch*7 + u.i*17) % 65536) - 32768
+             END AS s
+      FROM d, UNNEST(range(0, d.ch_n)) AS c(ch),
+              UNNEST(range(0, d.n)) AS u(i))
+    SELECT doc_id, CAST(channel AS INT) AS channel,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(MIN(s) AS BIGINT) AS min_s,
+           CAST(MAX(s) AS BIGINT) AS max_s,
+           CAST(SUM(s) AS BIGINT) AS sum_s,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM((i + 1) * s) AS BIGINT) AS checksum
+    FROM s GROUP BY doc_id, channel, rate, n
+    """
+
+
+@register(
+    "multimodal_decode_wav",
+    _WAV_DECODE_ORACLE,
+    doc="REAL audio decode end-to-end (r13 VERDICT lead #5): per "
+        "document a deterministic PCM waveform — mono/stereo by "
+        "parity, 8-bit unsigned every third doc, varying sample "
+        "rates, every fifth stream carrying an extra odd-sized "
+        "LIST/INFO chunk (pad-byte chunk-walk trap) — encodes "
+        "through wav_codec.encode_wav_pcm and decodes through the "
+        "RIFF chunk walker.  PCM is lossless, so unlike the JPEG "
+        "witness this pins EXACT per-channel integer stats against "
+        "the closed-form oracle: the position-weighted checksum "
+        "catches interleave/endianness bugs a plain sum cannot.  "
+        "Same kernel shape as the JPEG queries: two mapInPandas "
+        "passes after an explicit task-count repartition — "
+        "scan-parallel at 100 TB.",
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id")
+
+    def plant(batches):
+        import numpy as _np
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import wav_codec as _wc
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = (did % 23 + 5) * 40
+                ch_n = 2 if did % 2 == 1 else 1
+                rate = (did % 4 + 1) * 11025
+                i = _np.arange(n, dtype=_np.int64)[:, None]
+                ch = _np.arange(ch_n, dtype=_np.int64)[None, :]
+                if did % 3 == 0:
+                    s8 = ((did * 31 + ch * 7 + i * 17) % 256) - 128
+                    payload = _wc.encode_wav_pcm(
+                        s8.astype(_np.int16), rate, bits=8,
+                        extra_chunks=(did % 5 == 0))
+                else:
+                    s16 = ((did * 31 + ch * 7 + i * 17) % 65536) - 32768
+                    payload = _wc.encode_wav_pcm(
+                        s16.astype(_np.int16), rate, bits=16,
+                        extra_chunks=(did % 5 == 0))
+                rows.append((did, payload))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def decode(batches):
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import wav_codec as _wc
+        for pdf in batches:
+            rows = []
+            for did, pay in zip(pdf["doc_id"], pdf["payload"]):
+                arr, rate = _wc.decode_wav(bytes(pay))
+                for st in _wc.waveform_stats(arr):
+                    rows.append((int(did), st["channel"], rate,
+                                 st["n_samples"], st["min_s"],
+                                 st["max_s"], st["sum_s"],
+                                 st["sum_abs"], st["checksum"]))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "channel", "sample_rate", "n_samples",
+                "min_s", "max_s", "sum_s", "sum_abs", "checksum"])
+
+    par = spark.sparkContext.defaultParallelism
+    return (docs.repartition(par, "doc_id")
+            .mapInPandas(plant, schema="doc_id long, payload binary")
+            .mapInPandas(decode, schema="doc_id long, channel int, "
+                         "sample_rate long, n_samples long, min_s long, "
+                         "max_s long, sum_s long, sum_abs long, "
+                         "checksum long"))

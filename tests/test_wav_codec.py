@@ -1,0 +1,98 @@
+"""wav_codec: RIFF chunk walk, PCM decode, error contract.
+
+The audio sibling of test_jpeg_codec (r13 VERDICT lead #5): round
+trips through the sibling encoder PLUS hand-built foreign-layout
+streams, so a shared encoder/decoder misconception can't pass."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from nosql_join_stream_spark.operators import wav_codec as W
+
+
+def test_roundtrip_mono_16():
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32768, size=500, dtype=np.int16)
+    arr, rate = W.decode_wav(W.encode_wav_pcm(s, 22050))
+    assert rate == 22050 and arr.shape == (500, 1)
+    assert np.array_equal(arr[:, 0], s)
+
+
+def test_roundtrip_stereo_and_interleave():
+    rng = np.random.default_rng(8)
+    s = rng.integers(-32768, 32768, size=(300, 2), dtype=np.int16)
+    arr, _ = W.decode_wav(W.encode_wav_pcm(s, 8000))
+    assert arr.shape == (300, 2)
+    assert np.array_equal(arr, s)
+    # checksum is position-weighted: swapping channels changes it
+    st = W.waveform_stats(arr)
+    sw = W.waveform_stats(arr[:, ::-1])
+    assert st[0]["checksum"] == sw[1]["checksum"]
+    assert st[0]["checksum"] != st[1]["checksum"]
+
+
+def test_roundtrip_8bit_exact():
+    s8 = np.arange(-128, 128, dtype=np.int16)
+    arr, _ = W.decode_wav(W.encode_wav_pcm(s8, 11025, bits=8))
+    assert np.array_equal(arr[:, 0], s8 * 256)
+
+
+def test_extra_chunks_and_pad_byte():
+    s = np.array([1, -2, 3], dtype=np.int16)
+    plain = W.decode_wav(W.encode_wav_pcm(s, 8000))[0]
+    extra = W.decode_wav(
+        W.encode_wav_pcm(s, 8000, extra_chunks=True))[0]
+    assert np.array_equal(plain, extra)
+
+
+def test_foreign_layout_data_before_fmt():
+    """Hand-built stream our encoder never produces: data chunk FIRST,
+    then an unknown odd-sized chunk with pad, then fmt."""
+    frames = np.array([100, -100, 3000], dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = (b"WAVE"
+            + b"data" + struct.pack("<I", len(frames)) + frames
+            + b"junk" + struct.pack("<I", 3) + b"abc\x00"  # pad
+            + b"fmt " + struct.pack("<I", 16) + fmt)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    arr, rate = W.decode_wav(payload)
+    assert rate == 16000
+    assert np.array_equal(arr[:, 0], [100, -100, 3000])
+
+
+def test_error_contract():
+    with pytest.raises(ValueError, match="RIFF"):
+        W.decode_wav(b"OggS" + b"\x00" * 40)
+    s = np.array([1, 2], dtype=np.int16)
+    good = bytearray(W.encode_wav_pcm(s, 8000))
+    # flip audio format to IEEE float (3): documented limit, loud
+    i = good.find(b"fmt ") + 8
+    bad = bytes(good[:i]) + struct.pack("<H", 3) + bytes(good[i + 2:])
+    with pytest.raises(NotImplementedError, match="only integer PCM"):
+        W.decode_wav(bad)
+    # 24-bit depth: documented limit
+    bad = bytearray(W.encode_wav_pcm(s, 8000))
+    j = bad.find(b"fmt ") + 8 + 14
+    bad[j:j + 2] = struct.pack("<H", 24)
+    with pytest.raises(NotImplementedError, match="8/16-bit"):
+        W.decode_wav(bytes(bad))
+    # truncated data chunk
+    with pytest.raises(ValueError, match="truncated"):
+        W.decode_wav(bytes(good[:-1]))
+    with pytest.raises(ValueError, match="missing fmt"):
+        W.decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with pytest.raises(NotImplementedError):
+        W.encode_wav_pcm(s, 8000, bits=24)
+    with pytest.raises(ValueError):
+        W.encode_wav_pcm(np.array([300], dtype=np.int16), 8000, bits=8)
+
+
+def test_waveform_stats_hand_values():
+    st = W.waveform_stats(np.array([[5], [-3], [2]], dtype=np.int16))
+    assert st == [{"channel": 0, "n_samples": 3, "min_s": -3,
+                   "max_s": 5, "sum_s": 4, "sum_abs": 10,
+                   "checksum": 5 * 1 + -3 * 2 + 2 * 3}]
