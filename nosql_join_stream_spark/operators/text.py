@@ -888,3 +888,219 @@ def extract_html_text(df, html_col: str, id_col: str,
                                     flags, dtype="bool")})
 
     return df.select(id_col, html_col).mapInPandas(op, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) subword tokenizer (r13 VERDICT
+# lead #6) — the second major tokenizer family next to bpe_learn.
+
+UNK_PIECE_COST = 100_0  # centi-nats per unknown single char (fixed)
+
+# Fixed demo vocabulary (piece -> integer centi-nat cost, i.e.
+# round(-100 * ln p)): common English fragments plus whole words from
+# the synthetic-corpus domain, so Viterbi segmentations are
+# interesting.  Integer costs make the DP engine-portable — the
+# DuckDB oracle reruns the exact lattice with a recursive CTE.
+UNIGRAM_VOCAB_EN_DEMO = {
+    "a": 350, "e": 320, "i": 360, "o": 355, "u": 400, "t": 370,
+    "n": 375, "s": 365, "r": 380, "l": 395, "h": 410, "d": 405,
+    "c": 415, "m": 425, "p": 430, "w": 435, "f": 440, "g": 445,
+    "b": 450, "y": 455, "v": 460, "k": 470, "x": 520, "j": 530,
+    "q": 540, "z": 545,
+    "th": 400, "the": 380, "in": 410, "an": 415, "er": 420,
+    "re": 425, "on": 430, "at": 435, "en": 440, "or": 445,
+    "st": 450, "and": 460, "ing": 455, "to": 465,
+    "value": 300, "table": 310, "data": 315, "row": 320,
+    "scan": 330, "part": 335, "fast": 340, "slow": 345,
+    "filter": 325, "window": 328, "batch": 332, "query": 338,
+}
+
+
+def _viterbi_encode_word(word: str, costs: dict[str, int],
+                         unk_cost: int = UNK_PIECE_COST,
+                         max_len: int | None = None) -> tuple[int, int]:
+    """Min-cost segmentation of ``word`` over the piece vocabulary —
+    the unigram-LM Viterbi decode (Kudo 2018).  Every single char is
+    always segmentable at ``unk_cost`` (the UNK floor), so the DP
+    never dead-ends.  Ties break to FEWER pieces: states compare as
+    (cost, n_pieces) lexicographically, exactly the oracle's
+    ``ORDER BY cost, np``.  Returns (n_pieces, total_cost)."""
+    if not word:
+        return 0, 0
+    L = max_len if max_len is not None else \
+        max((len(p) for p in costs), default=1)
+    inf = (1 << 60, 1 << 60)
+    dp: list[tuple[int, int]] = [inf] * (len(word) + 1)
+    dp[0] = (0, 0)
+    for i in range(len(word)):
+        c, n = dp[i]
+        if c >= inf[0]:
+            continue
+        cand = (c + unk_cost, n + 1)          # UNK single-char floor
+        if cand < dp[i + 1]:
+            dp[i + 1] = cand
+        for l in range(1, min(L, len(word) - i) + 1):
+            pc = costs.get(word[i:i + l])
+            if pc is not None:
+                cand = (c + pc, n + 1)
+                if cand < dp[i + l]:
+                    dp[i + l] = cand
+    c, n = dp[len(word)]
+    return n, c
+
+
+def unigram_learn(df, content_col: str, vocab_size: int = 200,
+                  max_piece_len: int = 4, em_iters: int = 3,
+                  max_vocab_words: int = 50_000) -> dict[str, int]:
+    """Learn a unigram-LM piece vocabulary (SentencePiece family,
+    Kudo 2018) — the sibling trainer to :func:`bpe_learn`, same
+    bounded-model contract: the word-frequency table aggregates
+    distributed (one token shuffle), only the top ``max_vocab_words``
+    rows collect, and training is driver-side Python over that
+    bounded dict (the MODEL is KBs; the corpus never leaves the
+    cluster).
+
+    Seed = all substrings up to ``max_piece_len`` weighted by word
+    frequency; then hard-EM: E-step Viterbi-segments every vocab word
+    under current costs and accumulates frequency-weighted piece
+    counts (the documented Viterbi simplification of the full
+    lattice forward-backward — deterministic, and the fixed point
+    the encoder actually uses); M-step re-derives integer centi-nat
+    costs ``round(-100 ln p)`` (clamped to 1..UNK_PIECE_COST-1 so
+    explicit pieces always beat the UNK floor); prune keeps every
+    single char plus the top multi-char pieces by count (ties
+    lexicographic).  Corpus Viterbi cost is non-increasing across
+    iterations (asserted in tests).  Returns piece -> cost.
+    """
+    import math
+
+    rows = (df.select(F.explode(
+                F.split(F.trim(F.lower(F.col(content_col))),
+                        r"\s+")).alias("w"))
+              .filter(F.col("w") != "")
+              .groupBy("w").count()
+              .orderBy(F.col("count").desc(), F.col("w"))
+              .limit(max_vocab_words)
+              .collect())
+    wf = {r["w"]: int(r["count"]) for r in rows}
+
+    def to_costs(counts: dict[str, float]) -> dict[str, int]:
+        total = sum(counts.values())
+        return {p: min(UNK_PIECE_COST - 1,
+                       max(1, int(math.floor(
+                           -100.0 * math.log(c / total) + 0.5))))
+                for p, c in counts.items() if c > 0}
+
+    def prune(counts: dict[str, float]) -> dict[str, float]:
+        singles = {p: c for p, c in counts.items() if len(p) == 1}
+        multi = sorted(((p, c) for p, c in counts.items() if len(p) > 1),
+                       key=lambda kv: (-kv[1], kv[0]))
+        keep = dict(multi[:max(0, vocab_size - len(singles))])
+        keep.update(singles)
+        return keep
+
+    counts: dict[str, float] = {}
+    for w, c in wf.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                p = w[i:i + l]
+                counts[p] = counts.get(p, 0) + c
+    counts = prune(counts)
+    for _ in range(em_iters):
+        costs = to_costs(counts)
+        new: dict[str, float] = {}
+        for w, c in wf.items():
+            for p in _viterbi_pieces(w, costs, max_piece_len):
+                new[p] = new.get(p, 0) + c
+        # singles must survive even if unused (UNK floor siblings)
+        for p in (p for p in counts if len(p) == 1):
+            new.setdefault(p, 1)
+        counts = prune(new)
+    return to_costs(counts)
+
+
+def _viterbi_pieces(word: str, costs: dict[str, int],
+                    max_len: int,
+                    unk_cost: int = UNK_PIECE_COST) -> list[str]:
+    """The argmin segmentation behind :func:`_viterbi_encode_word`
+    (same DP, with backpointers; same (cost, n_pieces) tie-break,
+    ties on both broken to the SHORTEST last piece)."""
+    if not word:
+        return []
+    inf = (1 << 60, 1 << 60)
+    dp = [inf] * (len(word) + 1)
+    back = [0] * (len(word) + 1)
+    dp[0] = (0, 0)
+    for i in range(len(word)):
+        c, n = dp[i]
+        if c >= inf[0]:
+            continue
+        opts = [(1, unk_cost)]
+        for l in range(1, min(max_len, len(word) - i) + 1):
+            pc = costs.get(word[i:i + l])
+            if pc is not None:
+                opts.append((l, pc))
+        for l, pc in opts:
+            cand = (c + pc, n + 1)
+            if cand < dp[i + l]:
+                dp[i + l] = cand
+                back[i + l] = l
+    out = []
+    j = len(word)
+    while j > 0:
+        l = back[j]
+        out.append(word[j - l:j])
+        j -= l
+    return out[::-1]
+
+
+def unigram_token_count(df, costs: dict[str, int], content_col: str,
+                        id_col: str):
+    """Tokenizer-faithful unigram-LM token counting — the Viterbi
+    twin of :func:`bpe_token_count`, same scale shape: the Python DP
+    runs once per DISTINCT WORD (vocabulary-sized, zipf-bounded) via
+    an Arrow-batched pandas UDF with the cost table broadcast; the
+    corpus-sized work (doc x word multiset, the join back, the sums)
+    stays JVM-side.  Returns (id, n_words, n_unigram_tokens,
+    total_cost_centinats) — the cost sum is the corpus negative
+    log-likelihood in centi-nats, exact in int64.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    max_len = max((len(p) for p in costs), default=1)
+    bc = df.sparkSession.sparkContext.broadcast(dict(costs))
+
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(
+                          F.trim(F.lower(F.col(content_col))),
+                          r"\s+")).alias("w"))
+              .filter(F.col("w") != ""))
+    doc_words = toks.groupBy("id", "w").agg(F.count("*").alias("cnt"))
+
+    @pandas_udf("n_sub int, cost long")
+    def enc(words: pd.Series) -> pd.DataFrame:
+        cs = bc.value
+        cache: dict[str, tuple[int, int]] = {}
+
+        def one(wd: str) -> tuple[int, int]:
+            r = cache.get(wd)
+            if r is None:
+                r = _viterbi_encode_word(wd, cs, max_len=max_len)
+                cache[wd] = r
+            return r
+
+        pairs = [one(w) for w in words]
+        return pd.DataFrame({"n_sub": [p[0] for p in pairs],
+                             "cost": [p[1] for p in pairs]})
+
+    wsub = (doc_words.select("w").distinct()
+            .withColumn("e", enc("w"))
+            .select("w", F.col("e.n_sub").alias("n_sub"),
+                    F.col("e.cost").alias("cost")))
+    return (doc_words.join(wsub, "w")
+            .groupBy("id")
+            .agg(F.sum("cnt").alias("n_words"),
+                 F.sum(F.col("cnt") * F.col("n_sub"))
+                  .alias("n_unigram_tokens"),
+                 F.sum(F.col("cnt") * F.col("cost"))
+                  .alias("total_cost_centinats")))

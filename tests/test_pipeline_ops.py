@@ -2123,3 +2123,62 @@ def test_extract_html_text_flags(spark):
     assert rows[0].is_boilerplate is False        # long, stopworded
     assert rows[1].is_boilerplate is True         # link density > 0.4
     assert rows[2].is_boilerplate is True         # < 40 chars
+
+
+def test_unigram_viterbi_hand_cases():
+    V = text.UNIGRAM_VOCAB_EN_DEMO
+    assert text._viterbi_encode_word("the", V) == (1, 380)
+    assert text._viterbi_pieces("thevalue", V, 5) == ["the", "value"]
+    # unknown chars ride the UNK floor, one piece per char
+    n, c = text._viterbi_encode_word("99", V)
+    assert (n, c) == (2, 2000)
+    # tie-break: fewer pieces wins at equal cost
+    costs = {"ab": 100, "a": 50, "b": 50}
+    assert text._viterbi_encode_word("ab", costs) == (1, 100)
+    assert text._viterbi_encode_word("", V) == (0, 0)
+
+
+def test_unigram_learn_properties(spark):
+    corpus = [("the value table holds the value data",),
+              ("fast scan beats slow scan on the value table",),
+              ("the the the value value data row row",)]
+    df = spark.createDataFrame(corpus, "text string")
+
+    def corpus_cost(costs):
+        words = " ".join(t for (t,) in corpus).split()
+        return sum(text._viterbi_encode_word(w, costs, max_len=4)[1]
+                   for w in words)
+
+    prev = None
+    for it in (0, 1, 3):
+        v = text.unigram_learn(df, "text", vocab_size=40, em_iters=it)
+        # every single char of the corpus is representable
+        chars = set("".join(t for (t,) in corpus).replace(" ", ""))
+        assert chars <= {p for p in v if len(p) == 1}
+        assert all(1 <= c < text.UNK_PIECE_COST for c in v.values())
+        cost = corpus_cost(v)
+        if prev is not None:
+            assert cost <= prev          # hard-EM never hurts
+        prev = cost
+    # frequent whole words become single pieces
+    assert "valu" in v or "value"[:4] in v  # max_piece_len=4 cap
+    assert text._viterbi_encode_word("the", v, max_len=4)[0] == 1
+
+
+def test_unigram_vs_bpe_twin_planted(spark):
+    """The two tokenizer families agree on planted text: unigram
+    piece count is bounded by chars, and whole-vocab words encode to
+    one piece while BPE needs its merge chain."""
+    df = spark.createDataFrame(
+        [(1, "the value table"), (2, "zz qq xx")],
+        "doc_id long, text string")
+    uni = {r.id: r for r in text.unigram_token_count(
+        df, text.UNIGRAM_VOCAB_EN_DEMO, "text", "doc_id").collect()}
+    assert uni[1].n_unigram_tokens == 3          # all whole pieces
+    assert uni[2].n_unigram_tokens == 6          # per-char fallback
+    bpe = {r.id: r for r in text.bpe_token_count(
+        df, text.BPE_MERGES_EN_DEMO_EOW, "text", "doc_id",
+        eow=True).collect()}
+    assert bpe[1].n_words == uni[1].n_words == 3
+    # unigram with whole-word pieces is never coarser than BPE here
+    assert uni[1].n_unigram_tokens <= bpe[1].n_bpe_tokens
