@@ -59,7 +59,45 @@ ANCHOR_QUERIES = [
     "tpch_q18_large_volume",        # Q18
 ]
 
+# r13 VERDICT lead #1: the bench spends most of its time in the
+# dedup/pipeline groups, which previously had NO external execution-
+# ratio check (only internal 10x probes).  These five heaviest
+# pipeline heads now anchor against DuckDB running the registry's own
+# oracle SQL.  Protocol differences from the strict set, annotated
+# per query in the artifact:
+# - Spark reps drop to 3 (each execution is seconds, medians stable).
+# - A DuckDB oracle whose FIRST warm-less run exceeds HEAVY_CUTOFF_S
+#   is recorded from that single run (rep'ing a ~30 s all-pairs
+#   recompute adds minutes of bench wall for a ratio that only needs
+#   order-of-magnitude honesty); under the cutoff it reps normally.
+# - Standing-index-backed queries (dedup_incremental_*) time Spark
+#   PROBING a prebuilt index vs DuckDB RECOMPUTING the cross-set join
+#   from raw parquet — that is the honest daily-job-vs-scratch
+#   comparison both engines would face, noted per query.
+# - retrieval_eval_metrics carries fixed distributed-orchestration
+#   constants (many small stages) that dominate at sf0.1 and amortize
+#   with data size; its ratio is an upper bound on the at-scale ratio.
+# Their ratios do NOT gate the BASELINE.md `ok` (that stays the
+# strict TPC-H set, its historical meaning) — they are recorded and
+# aggregated separately as pipeline_median_ratio / pipeline_max_ratio.
+PIPELINE_ANCHOR_QUERIES = {
+    "pipeline_clean_corpus": "exact PPJoin tier: both engines "
+        "recompute the full n-gram self-join from scratch",
+    "dedup_resolve_keep_best": "exact tier + CC resolution, both "
+        "engines from scratch",
+    "dedup_incremental_minhash": "Spark probes the standing MinHash "
+        "band index (the daily-job path); DuckDB recomputes the "
+        "cross-set join from raw parquet each run",
+    "dedup_incremental_bucketed": "Spark probes the standing "
+        "bucketed n-gram index; DuckDB recomputes from raw parquet",
+    "retrieval_eval_metrics": "many-small-stage orchestration: fixed "
+        "per-stage constants dominate at sf0.1 and amortize with "
+        "scale, so the ratio is an upper bound on the at-scale ratio",
+}
+
 RATIO_TARGET = 2.0
+PIPELINE_REPS = 3
+HEAVY_CUTOFF_S = 5.0
 
 
 def _median_spark(df, reps: int) -> float:
@@ -108,9 +146,30 @@ def run_anchor(spark, sf_dir: str, reps: int = 7,
         ratio = round(s / d, 3) if d > 0 else float("inf")
         per[name] = {"spark_s": round(s, 4), "duck_s": round(d, 4),
                      "ratio": ratio, "ok": ratio <= RATIO_TARGET}
+
+    # pipeline heads: recorded + annotated, aggregated separately
+    pipe = {}
+    if queries is None:
+        for name, note in PIPELINE_ANCHOR_QUERIES.items():
+            qd = REGISTRY[name]
+            df = qd.fn(spark, sf_dir)
+            df.collect()                   # warm (builds standing index
+            s = _median_spark(df, PIPELINE_REPS)   # if absent)
+            t0 = time.perf_counter()
+            con.execute(qd.oracle).fetchall()      # warm-less first run
+            d_first = time.perf_counter() - t0
+            if d_first > HEAVY_CUTOFF_S:
+                d, d_reps = d_first, 1     # single-shot, annotated
+            else:
+                d = _median_duck(con, qd.oracle, PIPELINE_REPS)
+                d_reps = PIPELINE_REPS
+            ratio = round(s / d, 3) if d > 0 else float("inf")
+            pipe[name] = {"spark_s": round(s, 4), "duck_s": round(d, 4),
+                          "duck_reps": d_reps, "ratio": ratio,
+                          "ok": ratio <= RATIO_TARGET, "note": note}
     con.close()
     ratios = [v["ratio"] for v in per.values()]
-    return {
+    out = {
         "queries": per,
         "median_ratio": round(statistics.median(ratios), 3),
         "max_ratio": round(max(ratios), 3),
@@ -118,6 +177,12 @@ def run_anchor(spark, sf_dir: str, reps: int = 7,
         "reps": reps,
         "target": RATIO_TARGET,
     }
+    if pipe:
+        pr = [v["ratio"] for v in pipe.values()]
+        out["pipeline"] = pipe
+        out["pipeline_median_ratio"] = round(statistics.median(pr), 3)
+        out["pipeline_max_ratio"] = round(max(pr), 3)
+    return out
 
 
 def main() -> int:
