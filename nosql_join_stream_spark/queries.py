@@ -832,43 +832,37 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 # remaining queries keep their registration order and stay covered by
 # tools/check_correctness.py.
 _DRIVER_WINDOW = [
-    # Round-13 rotation — never-stamped-first, then oldest-stamp
-    # (r12 VERDICT lead #1).  Stamps after r12: 7 queries landed
-    # after the r12 window was fixed and have NO driver stamp at all
-    # — they lead, together with this round's new
-    # mine_bitext_planted_recall (ship-round stamp).  Then the full
-    # 30-query r8 cohort drains (oldest remaining stamp), and the
-    # last 10 slots start the r9 cohort in registry order.
-    # Post-r13 state if green: zero never-stamped queries, no stamp
-    # older than r9; 37 r9-cohort queries remain
-    # (pivot_priority_status onward) — they lead the r14 window.
-    "mine_bitext_planted_recall", "multimodal_decode_jpeg_rgb",
-    "mine_bitext_planted_ivf",
-    # never-stamped (landed late in r12), registry order
-    "retrieval_eval_metrics", "export_shard_token_balanced",
-    "stream_scd2_point_in_time", "retrieval_hard_negatives",
-    "mine_bitext_pairs", "sample_weighted_acceptance",
-    "export_token_balanced_written",
-    # r8-stamp cohort, all 30, registry order
-    "text_unigram_logprob", "doc_pack_sequences_bpe",
-    "doc_pack_nosplit", "quality_decile_buckets",
-    "contamination_rate_by_source", "multimodal_audio_chunks",
-    "stream_dim_stats", "text_boilerplate_ratio", "corpus_source_kl",
-    "text_chunk_sliding", "text_repetition_ratio", "dedup_head_grams",
-    "text_token_count_bpe", "text_bpe_subword_count_eow",
-    "mine_contrastive_pairs", "multimodal_embed_stub",
-    "embedding_norm_outliers", "doc_pack_sequences_text",
-    "cdc_keyed_lookup", "dedup_substring_clean",
-    "text_nb_quality_llr", "table_profile_drift",
-    "dedup_substring_spans_incremental", "dedup_component_sizes",
-    "multimodal_chunk_jaccard", "multimodal_incremental_chunks",
-    "pyds_document_filter", "text_mixed_language",
-    "corpus_data_card", "sample_interleave_sources",
-    # r9-stamp cohort, registry order (12 of 49)
-    "join_outer_filtered", "join_left_anti", "mql_filter",
-    "either_merge", "concat_logs", "stream_interval_join_full",
-    "agg_pricing_summary", "agg_count_distinct",
-    "agg_approx_distinct", "agg_stats_funcs",
+    # Round-14 rotation — never-stamped-first, then oldest-stamp
+    # (the r13 plan executed: post-r13 histogram was r9:39 r10:50
+    # r11:49 r12:50 r13:50, zero never-stamped).  This round's 3 new
+    # queries lead (ship-round stamp), then the FULL 39-query r9
+    # cohort drains (r13 VERDICT lead #2), and the last 8 slots
+    # start the r10 cohort in registry order.  Post-r14 state if
+    # green: no stamp older than r10; 42 r10-cohort queries remain
+    # (typed_as_projection onward) — they lead the r15 window.
+    "text_extract_html", "multimodal_decode_wav",
+    "text_token_count_unigram",
+    # r9-stamp cohort, all 39, registry order
+    "rollup_region_nation", "cube_flags", "pivot_priority_status",
+    "window_topk_per_group", "window_running_sum",
+    "local_supplier_volume", "agg_percentiles", "window_lead_lag",
+    "agg_grouping_sets", "window_moving_avg", "sessionize",
+    "session_window_agg", "set_ops", "asof_join", "skew_key_profile",
+    "schemaless_json_extract", "funnel_view_click_purchase",
+    "events_interarrival_stats", "latest_event_per_user",
+    "integrity_orphan_check", "window_rank_distributions",
+    "unpivot_order_metrics", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_resolve_canonical", "dedup_minhash_lsh",
+    "dedup_embedding_cosine_celled", "ann_cosine_topk",
+    "ann_lsh_topk", "multimodal_decode_png", "agg_geomean_udaf",
+    "bm25_search", "decontaminate_overlap",
+    "dedup_incremental_bucketed", "hybrid_search_rrf",
+    "pyds_roundtrip_write", "pyds_stream_relay", "pyds_compact_scan",
+    "pyds_parse_modes",
+    # r10-stamp cohort, registry order (8 of 50)
+    "join_fk_inner", "join_salted_skew", "join_salted_auto",
+    "pred_surface", "pred_all_array", "sql_exists_decorrelated",
+    "pred_date_mql", "sort_skip_limit",
 ]
 
 
