@@ -7528,8 +7528,13 @@ def _html_plant(d):
 )
 def text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
+    # explicit task count for the Python parse kernel: the sf0.1
+    # parquet is one split, which would serialize the HTMLParser
+    # batches (the multimodal_decode_jpeg AQE-coalesce note)
+    par = spark.sparkContext.defaultParallelism
     planted = _html_plant(e.table("documents")
-                           .select("doc_id", "text", "source"))
+                           .select("doc_id", "text", "source")
+                           .repartition(par, "doc_id"))
     return text.extract_html_text(planted, "html", "doc_id")
 
 
@@ -7708,3 +7713,79 @@ def text_token_count_unigram(spark: SparkSession,
                 e.table("documents"), text.UNIGRAM_VOCAB_EN_DEMO,
                 "text", "doc_id")
             .withColumnRenamed("id", "doc_id"))
+
+
+_HTML_CLEAN_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, source,
+             regexp_replace(trim(substr(text, 1, 120)),
+                            ' +', ' ', 'g') AS p1,
+             regexp_replace(trim(substr(text, 121) || ' <eof>'),
+                            ' +', ' ', 'g') AS p2
+      FROM documents),
+    b AS (
+      SELECT doc_id, 0 AS seq, 'Doc ' || doc_id::VARCHAR AS text,
+             0 AS link_chars FROM d
+      UNION ALL
+      SELECT doc_id, 1, 'Home | Tags | ' || source,
+             8 + length(source) FROM d
+      UNION ALL
+      SELECT doc_id, 2, 'Doc ' || doc_id::VARCHAR || ' & ' || source
+                        || ' ' || chr(8226), 0 FROM d
+      UNION ALL SELECT doc_id, 3, p1, 0 FROM d
+      UNION ALL SELECT doc_id, 4, p2, 0 FROM d
+      UNION ALL
+      SELECT doc_id, 5, 'Terms ' || chr(169) || ' ' || source, 5 FROM d),
+    f AS (
+      SELECT doc_id, seq, text,
+             (link_chars * 1.0 / length(text) > 0.4
+              OR length(text) < 40
+              OR len(list_filter(string_split(text, ' '),
+                     x -> lower(x) IN ('the','a','of','and','to','in',
+                                       'is','that','it','for')))
+                 * 1.0 / len(string_split(text, ' ')) < 0.08)
+               AS bp
+      FROM b WHERE length(text) > 0)
+    SELECT doc_id,
+           string_agg(text, ' ' ORDER BY seq)
+             FILTER (WHERE NOT bp) AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE NOT bp) AS BIGINT)
+             AS n_content_blocks,
+           CAST(COUNT(*) FILTER (WHERE bp) AS BIGINT)
+             AS n_boilerplate_blocks
+    FROM f GROUP BY doc_id
+    """
+
+
+@register(
+    "text_extract_html_clean",
+    _HTML_CLEAN_ORACLE,
+    doc="The C4/RefinedWeb OUTPUT stage on top of text_extract_html: "
+        "reconstruct each document's cleaned text by concatenating "
+        "its content (non-boilerplate) blocks in document order, "
+        "with per-doc content/boilerplate block counts.  Documents "
+        "whose every block is boilerplate keep a row with NULL "
+        "clean_text (count witnesses intact) — the honest corpus-"
+        "yield accounting a crawl pipeline needs.  Same single "
+        "mapInPandas extraction pass + one partial-agg shuffle.",
+)
+def text_extract_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    planted = _html_plant(e.table("documents")
+                           .select("doc_id", "text", "source")
+                           .repartition(par, "doc_id"))
+    blocks = text.extract_html_text(planted, "html", "doc_id")
+    content = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(~F.col("is_boilerplate"),
+                       F.struct("block_seq", "text")))),
+            lambda s: s["text"]), " ")
+    return (blocks.groupBy("doc_id")
+            .agg(F.when(F.sum((~F.col("is_boilerplate")).cast("int")) > 0,
+                        content).alias("clean_text"),
+                 F.sum((~F.col("is_boilerplate")).cast("long"))
+                  .alias("n_content_blocks"),
+                 F.sum(F.col("is_boilerplate").cast("long"))
+                  .alias("n_boilerplate_blocks")))
