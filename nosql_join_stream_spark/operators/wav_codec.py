@@ -154,3 +154,35 @@ def waveform_stats(samples: np.ndarray) -> list[dict]:
         "sum_abs": int(np.abs(arr[:, c]).sum()),
         "checksum": int((idx * arr[:, c]).sum()),
     } for c in range(arr.shape[1])]
+
+
+def window_features(samples: np.ndarray, window: int) -> list[dict]:
+    """Fixed-window waveform features per (channel, window) — the
+    VAD/spectrogram prelude, exact in int64: sum of squares (energy;
+    RMS's radicand, left unrooted to stay engine-portable), peak
+    |amplitude|, and the zero-crossing count under the deterministic
+    rule ``(prev < 0) != (s < 0)`` for consecutive samples WITHIN the
+    window (the first sample of each window has no predecessor).
+    Trailing partial windows are emitted with their true length."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n = arr.shape[0]
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    out = []
+    for c in range(arr.shape[1]):
+        col = arr[:, c]
+        for wi in range(0, (n + w - 1) // w):
+            seg = col[wi * w:(wi + 1) * w]
+            neg = seg < 0
+            out.append({
+                "channel": c,
+                "window_id": wi,
+                "win_len": int(len(seg)),
+                "sum_sq": int((seg * seg).sum()),
+                "peak": int(np.abs(seg).max()),
+                "zero_cross": int((neg[1:] != neg[:-1]).sum()),
+            })
+    return out

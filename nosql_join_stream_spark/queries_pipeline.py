@@ -7540,6 +7540,46 @@ def text_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- r14: real WAV/PCM audio decode (mirrors the JPEG discipline) ----------
 
+def _wav_plant_kernel():
+    """Deterministic WAV plant shared by the audio decode queries:
+    mono/stereo by parity, 8-bit every third doc, varying rates,
+    extra LIST/INFO chunk every fifth stream (see
+    multimodal_decode_wav's doc).  Returns a NESTED closure so
+    cloudpickle ships it BY VALUE — a module-level kernel in this
+    module would pickle by reference, and an executor importing
+    queries_pipeline directly trips the queries<->queries_pipeline
+    registration cycle (worker-only ImportError; the driver never
+    sees it because it imports queries first)."""
+
+    def plant(batches):
+        import numpy as _np
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import wav_codec as _wc
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = (did % 23 + 5) * 40
+                ch_n = 2 if did % 2 == 1 else 1
+                rate = (did % 4 + 1) * 11025
+                i = _np.arange(n, dtype=_np.int64)[:, None]
+                ch = _np.arange(ch_n, dtype=_np.int64)[None, :]
+                if did % 3 == 0:
+                    s8 = ((did * 31 + ch * 7 + i * 17) % 256) - 128
+                    payload = _wc.encode_wav_pcm(
+                        s8.astype(_np.int16), rate, bits=8,
+                        extra_chunks=(did % 5 == 0))
+                else:
+                    s16 = ((did * 31 + ch * 7 + i * 17) % 65536) - 32768
+                    payload = _wc.encode_wav_pcm(
+                        s16.astype(_np.int16), rate, bits=16,
+                        extra_chunks=(did % 5 == 0))
+                rows.append((did, payload))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return plant
+
+
 _WAV_DECODE_ORACLE = """
     WITH d AS (
       SELECT doc_id,
@@ -7589,32 +7629,7 @@ _WAV_DECODE_ORACLE = """
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     docs = e.table("documents").select("doc_id")
-
-    def plant(batches):
-        import numpy as _np
-        import pandas as _pd
-        from nosql_join_stream_spark.operators import wav_codec as _wc
-        for pdf in batches:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                n = (did % 23 + 5) * 40
-                ch_n = 2 if did % 2 == 1 else 1
-                rate = (did % 4 + 1) * 11025
-                i = _np.arange(n, dtype=_np.int64)[:, None]
-                ch = _np.arange(ch_n, dtype=_np.int64)[None, :]
-                if did % 3 == 0:
-                    s8 = ((did * 31 + ch * 7 + i * 17) % 256) - 128
-                    payload = _wc.encode_wav_pcm(
-                        s8.astype(_np.int16), rate, bits=8,
-                        extra_chunks=(did % 5 == 0))
-                else:
-                    s16 = ((did * 31 + ch * 7 + i * 17) % 65536) - 32768
-                    payload = _wc.encode_wav_pcm(
-                        s16.astype(_np.int16), rate, bits=16,
-                        extra_chunks=(did % 5 == 0))
-                rows.append((did, payload))
-            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+    plant = _wav_plant_kernel()
 
     def decode(batches):
         import pandas as _pd
@@ -7789,3 +7804,79 @@ def text_extract_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("n_content_blocks"),
                  F.sum(F.col("is_boilerplate").cast("long"))
                   .alias("n_boilerplate_blocks")))
+
+
+_WAV_WINDOWS_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 23 + 5) * 40 AS n,
+             CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS ch_n,
+             (doc_id % 3 = 0) AS is8
+      FROM documents),
+    s AS (
+      SELECT d.doc_id, c.ch AS channel, u.i, u.i // 256 AS window_id,
+             CASE WHEN d.is8
+                  THEN (((d.doc_id*31 + c.ch*7 + u.i*17) % 256) - 128)
+                       * 256
+                  ELSE ((d.doc_id*31 + c.ch*7 + u.i*17) % 65536) - 32768
+             END AS s
+      FROM d, UNNEST(range(0, d.ch_n)) AS c(ch),
+              UNNEST(range(0, d.n)) AS u(i)),
+    l AS (
+      SELECT doc_id, channel, window_id, i, s,
+             LAG(s) OVER (PARTITION BY doc_id, channel, window_id
+                          ORDER BY i) AS prev
+      FROM s)
+    SELECT doc_id, CAST(channel AS INT) AS channel,
+           CAST(window_id AS INT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS win_len,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND ((prev < 0) <> (s < 0)) THEN 1 ELSE 0
+                    END) AS BIGINT) AS zero_cross
+    FROM l GROUP BY doc_id, channel, window_id
+    """
+
+
+@register(
+    "multimodal_wav_windows",
+    _WAV_WINDOWS_ORACLE,
+    doc="Windowed audio features over decoded PCM — the VAD/"
+        "spectrogram prelude: per 256-sample window and channel, "
+        "energy (sum of squares, unrooted so it stays exact int64), "
+        "peak |amplitude|, and zero-crossing count under the "
+        "deterministic (prev<0)!=(s<0) rule (wav_codec."
+        "window_features).  Same planted streams as "
+        "multimodal_decode_wav (shared _wav_plant_kernel), decoded "
+        "through the real RIFF walker, so the oracle pins decode AND "
+        "windowing bit-for-bit.  One plant+decode mapInPandas chain, "
+        "rows = windows (bounded fan-out) — scan-parallel at 100 TB.",
+)
+def multimodal_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id")
+    plant = _wav_plant_kernel()
+
+    def feats(batches):
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import wav_codec as _wc
+        for pdf in batches:
+            rows = []
+            for did, pay in zip(pdf["doc_id"], pdf["payload"]):
+                arr, _rate = _wc.decode_wav(bytes(pay))
+                for ft in _wc.window_features(arr, 256):
+                    rows.append((int(did), ft["channel"],
+                                 ft["window_id"], ft["win_len"],
+                                 ft["sum_sq"], ft["peak"],
+                                 ft["zero_cross"]))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "channel", "window_id", "win_len",
+                "sum_sq", "peak", "zero_cross"])
+
+    par = spark.sparkContext.defaultParallelism
+    return (docs.repartition(par, "doc_id")
+            .mapInPandas(plant, schema="doc_id long, payload binary")
+            .mapInPandas(feats, schema="doc_id long, channel int, "
+                         "window_id int, win_len long, sum_sq long, "
+                         "peak long, zero_cross long"))

@@ -96,3 +96,16 @@ def test_waveform_stats_hand_values():
     assert st == [{"channel": 0, "n_samples": 3, "min_s": -3,
                    "max_s": 5, "sum_s": 4, "sum_abs": 10,
                    "checksum": 5 * 1 + -3 * 2 + 2 * 3}]
+
+
+def test_window_features_hand_values():
+    s = np.array([1, -1, 2, -2, 3], dtype=np.int16)
+    f = W.window_features(s, 3)
+    assert f == [
+        {"channel": 0, "window_id": 0, "win_len": 3, "sum_sq": 6,
+         "peak": 2, "zero_cross": 2},
+        {"channel": 0, "window_id": 1, "win_len": 2, "sum_sq": 13,
+         "peak": 3, "zero_cross": 1},
+    ]
+    with pytest.raises(ValueError):
+        W.window_features(s, 0)
