@@ -1104,3 +1104,77 @@ def unigram_token_count(df, costs: dict[str, int], content_col: str,
                   .alias("n_unigram_tokens"),
                  F.sum(F.col("cnt") * F.col("cost"))
                   .alias("total_cost_centinats")))
+
+
+def _html_anchor_links(payload: str) -> list[tuple[str, str]]:
+    """Parse one HTML document into ordered (href, anchor_text) pairs
+    — same stdlib parser discipline as :func:`_html_blocks` (CDATA
+    script/style skipped, comments dropped, entities decoded in
+    anchor text AND in href attribute values).  Anchors without an
+    ``href`` attribute are ignored; nested anchors (illegal but seen
+    in the wild) close the outer one first, matching browser error
+    recovery."""
+    from html.parser import HTMLParser
+
+    links: list[tuple[str, str]] = []
+    state = {"href": None, "buf": [], "skip": 0}
+
+    def close() -> None:
+        if state["href"] is not None:
+            links.append((state["href"],
+                          " ".join("".join(state["buf"]).split())))
+        state["href"] = None
+        state["buf"] = []
+
+    class _P(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag in HTML_SKIP_TAGS:
+                state["skip"] += 1
+            elif tag == "a":
+                close()                     # browser-style recovery
+                href = dict(attrs).get("href")
+                if href is not None:
+                    state["href"] = href
+                    state["buf"] = []
+
+        def handle_endtag(self, tag):
+            if tag in HTML_SKIP_TAGS:
+                state["skip"] = max(0, state["skip"] - 1)
+            elif tag == "a":
+                close()
+
+        def handle_data(self, data):
+            if not state["skip"] and state["href"] is not None:
+                state["buf"].append(data)
+
+    p = _P(convert_charrefs=True)
+    p.feed(payload)
+    p.close()
+    close()
+    return links
+
+
+def extract_html_links(df, html_col: str, id_col: str):
+    """HTML -> (id, link_seq, href, anchor) out-link table — the
+    crawl-frontier / web-graph stage next to
+    :func:`extract_html_text`.  ``link_seq`` numbers anchors 0..n-1
+    in document order.  Same scale shape: one ``mapInPandas`` pass,
+    no shuffle, output links-linear."""
+    schema = f"{id_col} long, link_seq int, href string, anchor string"
+
+    def op(batches):
+        for pdf in batches:
+            ids, seqs, hrefs, anchors = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[html_col]):
+                for seq, (href, anchor) in enumerate(
+                        _html_anchor_links(payload or "")):
+                    ids.append(did)
+                    seqs.append(seq)
+                    hrefs.append(href)
+                    anchors.append(anchor)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "link_seq": pd.Series(seqs,
+                                                      dtype="int32"),
+                                "href": hrefs, "anchor": anchors})
+
+    return df.select(id_col, html_col).mapInPandas(op, schema=schema)

@@ -7489,9 +7489,22 @@ _HTML_EXTRACT_ORACLE = """
     """
 
 
-def _html_plant(d):
-    """Wrap each document row in the deterministic markup above."""
+def _html_plant(d, n_docs: int | None = None):
+    """Wrap each document row in the deterministic markup above.
+    With ``n_docs`` (the web-graph plant), a refs paragraph of
+    doc-to-doc anchors is inserted before the footer: doc d links to
+    ``(d*7+1) % N``, ``(d*13+2) % N``, ``(d*29+3) % N`` — a fixed
+    expander-ish graph the link/PageRank oracles reconstruct in
+    closed form (duplicate targets and self-links are legal and
+    exercised)."""
     did = F.col("doc_id").cast("string")
+    refs = []
+    if n_docs is not None:
+        for a, b in ((7, 1), (13, 2), (29, 3)):
+            t = ((F.col("doc_id") * a + b) % n_docs).cast("string")
+            refs += [F.lit("<a href=\"/doc/"), t, F.lit("\">see "),
+                     t, F.lit("</a> ")]
+        refs = [F.lit("<p class=\"refs\">"), *refs, F.lit("</p>")]
     return d.select(
         "doc_id",
         F.concat(
@@ -7506,7 +7519,8 @@ def _html_plant(d):
             F.col("source"), F.lit(" &#8226;</h1><p>"),
             F.substring("text", 1, 120),
             F.lit("</p><p>"), F.expr("substring(text, 121)"),
-            F.lit(" &lt;eof&gt;</p><footer>"
+            F.lit(" &lt;eof&gt;</p>"), *refs,
+            F.lit("<footer>"
                   "<a href=\"/terms\">Terms</a> &copy; "),
             F.col("source"), F.lit("</footer></body></html>"),
         ).alias("html"))
@@ -7880,3 +7894,136 @@ def multimodal_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mapInPandas(feats, schema="doc_id long, channel int, "
                          "window_id int, win_len long, sum_sq long, "
                          "peak long, zero_cross long"))
+
+
+# --- r14: web link graph + PageRank prior (crawl-frontier stage) -----------
+
+_LINK_EDGES_SQL = """
+    n AS (SELECT COUNT(*) AS c FROM documents),
+    e AS (SELECT DISTINCT src, dst FROM (
+      SELECT doc_id AS src, (doc_id*7+1) % n.c AS dst FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id*13+2) % n.c FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id*29+3) % n.c FROM documents, n) u)
+    """
+
+
+def _pagerank_oracle(iters: int = 8) -> str:
+    """Unrolled integer power-method PageRank in DuckDB SQL — the
+    oracle twin of web_pagerank_planted's iterative DataFrame loop.
+    All arithmetic is scaled-int64 (SCALE=1e12, damping 85/100,
+    floor division), so both engines are bit-exact with no float in
+    the loop; truncation dust is deterministic and identical."""
+    head = f"""
+    WITH {_LINK_EDGES_SQL},
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+    ed AS (SELECT e.src, e.dst, deg.out_deg FROM e JOIN deg USING (src)),
+    k AS (SELECT 15000000000000 // (100 * c) AS tele,
+                 1000000000000 // c AS p0 FROM n),
+    pr0 AS (SELECT doc_id, (SELECT p0 FROM k) AS p FROM documents),
+    """
+    steps = ",\n".join(f"""pr{i} AS (
+      SELECT d.doc_id, (SELECT tele FROM k) + COALESCE(s.s, 0) AS p
+      FROM documents d LEFT JOIN (
+        SELECT ed.dst AS doc_id,
+               SUM((p.p * 85) // (100 * ed.out_deg)) AS s
+        FROM ed JOIN pr{i-1} p ON p.doc_id = ed.src
+        GROUP BY ed.dst) s ON s.doc_id = d.doc_id)"""
+                       for i in range(1, iters + 1))
+    return (head + steps
+            + f"\n    SELECT doc_id, CAST(p AS BIGINT) AS pr_scaled"
+              f" FROM pr{iters}")
+
+
+def _planted_link_edges(spark, e):
+    """(src, dst) distinct edges extracted from the REAL parsed HTML
+    of the linked plant — the whole chain (markup -> anchor parse ->
+    href pattern -> graph) runs through text.extract_html_links, and
+    the closed-form oracle pins it."""
+    docs = e.table("documents").select("doc_id", "text", "source")
+    n_docs = docs.count()          # bounded scalar (id domain size)
+    par = spark.sparkContext.defaultParallelism
+    planted = _html_plant(docs.repartition(par, "doc_id"), n_docs=n_docs)
+    links = text.extract_html_links(planted, "html", "doc_id")
+    return (links
+            .filter(F.col("href").rlike(r"^/doc/[0-9]+$"))
+            .select(F.col("doc_id").alias("src"),
+                    F.regexp_extract("href", r"^/doc/([0-9]+)$", 1)
+                     .cast("long").alias("dst"))
+            .distinct()), n_docs
+
+
+@register(
+    "web_link_graph",
+    f"""
+    WITH {_LINK_EDGES_SQL},
+    outd AS (SELECT src AS doc_id, COUNT(*) AS out_deg FROM e
+             GROUP BY src),
+    ind AS (SELECT dst AS doc_id, COUNT(*) AS in_deg FROM e
+            GROUP BY dst)
+    SELECT d.doc_id, o.out_deg,
+           CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+    FROM documents d
+    JOIN outd o USING (doc_id) LEFT JOIN ind i USING (doc_id)
+    """,
+    doc="Web out-link graph from REAL anchor extraction "
+        "(text.extract_html_links over the linked plant): hrefs "
+        "matching /doc/N become (src, dst) edges — dedup'd, "
+        "self-links legal — then per-doc out/in degree.  The "
+        "crawl-frontier stage next to text_extract_html; one "
+        "mapInPandas parse pass + two degree aggregations.  Oracle "
+        "reconstructs the planted expander closed-form, pinning the "
+        "parse + href filter + graph build.",
+)
+def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    edges, _n = _planted_link_edges(spark, e)
+    outd = edges.groupBy(F.col("src").alias("doc_id")) \
+                .agg(F.count("*").alias("out_deg"))
+    ind = edges.groupBy(F.col("dst").alias("doc_id")) \
+               .agg(F.count("*").alias("in_deg"))
+    return (e.table("documents").select("doc_id")
+            .join(outd, "doc_id")
+            .join(ind, "doc_id", "left")
+            .select("doc_id", "out_deg",
+                    F.coalesce(F.col("in_deg"), F.lit(0).cast("long"))
+                     .alias("in_deg")))
+
+
+@register(
+    "web_pagerank_planted",
+    _pagerank_oracle(8),
+    doc="PageRank quality prior over the planted link graph — the "
+        "iterative-algorithm representative: 8 power-method "
+        "iterations, damping 0.85, ALL arithmetic in scaled int64 "
+        "(SCALE=1e12, floor division) so Spark and the 8-step "
+        "unrolled DuckDB oracle are bit-exact with no float in the "
+        "loop.  Spark shape: per-iteration edge join + partial-agg "
+        "sum with localCheckpoint lineage truncation (plan stays "
+        "O(1) per step — the CC-loop discipline, dedup.py:564); at "
+        "100 TB each step is one shuffle on dst, and the edge table "
+        "would be bucketed by src to make the join co-located.",
+)
+def web_pagerank_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    edges, n_docs = _planted_link_edges(spark, e)
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = edges.join(deg, "src").localCheckpoint()
+    tele = (15 * 10**12) // (100 * n_docs)
+    docs = e.table("documents").select("doc_id").localCheckpoint()
+    pr = docs.select("doc_id",
+                     F.lit(10**12 // n_docs).cast("long").alias("p"))
+    for _ in range(8):
+        contrib = (ed.join(pr.withColumnRenamed("doc_id", "src"), "src")
+                   .select(F.col("dst").alias("doc_id"),
+                           F.expr("(p * 85) DIV (100 * out_deg)")
+                            .alias("c")))
+        s = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+        pr = (docs.join(s, "doc_id", "left")
+              .select("doc_id",
+                      (F.lit(tele)
+                       + F.coalesce(F.col("s"), F.lit(0).cast("long")))
+                      .alias("p"))
+              .localCheckpoint())
+    return pr.select("doc_id", F.col("p").alias("pr_scaled"))

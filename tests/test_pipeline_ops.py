@@ -2182,3 +2182,34 @@ def test_unigram_vs_bpe_twin_planted(spark):
     assert bpe[1].n_words == uni[1].n_words == 3
     # unigram with whole-word pieces is never coarser than BPE here
     assert uni[1].n_unigram_tokens <= bpe[1].n_bpe_tokens
+
+
+def test_html_anchor_links_hand_cases():
+    links = text._html_anchor_links(
+        '<nav><a href="/">Home</a><a href="/doc/7">see <b>7</b></a></nav>'
+        '<script>var a = "<a href=/fake>x</a>";</script>'
+        '<a>no href</a>'
+        '<a href="/x">outer <a href="/y">nested</a>'   # browser recovery
+        '<a href="/a&amp;b?q=1">amp</a>')
+    assert links == [("/", "Home"), ("/doc/7", "see 7"),
+                     ("/x", "outer"), ("/y", "nested"),
+                     ("/a&b?q=1", "amp")]
+
+
+def test_pagerank_mass_and_sink(spark):
+    """Integer PageRank invariants on the planted graph: total mass
+    stays ~SCALE (truncation dust only), every rank >= teleport, and
+    the ordering is stable across reruns (pure integer arithmetic)."""
+    from nosql_join_stream_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["web_pagerank_planted"].fn(spark, sf).collect()
+    n = len(rows)
+    total = sum(r.pr_scaled for r in rows)
+    scale = 10**12
+    assert n > 0 and 0 < scale - total < n * 90 * 9  # dust only
+    tele = (15 * scale) // (100 * n)
+    assert min(r.pr_scaled for r in rows) >= tele
+    again = REGISTRY["web_pagerank_planted"].fn(spark, sf).collect()
+    assert sorted((r.doc_id, r.pr_scaled) for r in rows) == \
+           sorted((r.doc_id, r.pr_scaled) for r in again)
