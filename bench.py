@@ -117,7 +117,8 @@ def main():
                "text" if name.startswith(("text_", "token_", "corpus_",
                                           "doc_", "quality_", "sample_",
                                           "decontaminate_", "retrieval_",
-                                          "contamination_", "mine_")) else
+                                          "contamination_", "mine_",
+                                          "web_")) else
                "embedding" if name.startswith(("ann_", "embedding_",
                                                "cluster_", "hybrid_")) else
                "multimodal" if name.startswith("multimodal_") else
