@@ -109,3 +109,55 @@ def test_window_features_hand_values():
     ]
     with pytest.raises(ValueError):
         W.window_features(s, 0)
+
+
+# ---------------------------------------------------------------------------
+# Foreign-stream fixtures + stdlib-`wave` parity.  Unlike the JPEG
+# fixtures (whose PIL parity is environment-conditional), the stdlib
+# `wave` module is ALWAYS present, so every environment asserts
+# bit-parity of the chunk walker against an independent decoder on
+# streams produced by other encoders (CPython test-suite audio,
+# Lib/test/audiodata/pluck-pcm{8,16}.wav, PSF license).
+
+import os
+import wave as _wave
+
+_FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.mark.parametrize("name,width", [
+    ("foreign_pcm16_stereo.wav", 2),
+    ("foreign_pcm8_stereo.wav", 1),
+])
+def test_foreign_stream_wave_parity(name, width):
+    path = os.path.join(_FIXDIR, name)
+    ours, rate = W.decode_wav(open(path, "rb").read())
+    wf = _wave.open(path)
+    assert wf.getsampwidth() == width
+    assert rate == wf.getframerate()
+    frames = wf.readframes(wf.getnframes())
+    ch = wf.getnchannels()
+    if width == 2:
+        ref = np.frombuffer(frames, dtype="<i2").reshape(-1, ch)
+    else:
+        ref = (np.frombuffer(frames, dtype=np.uint8).reshape(-1, ch)
+               .astype(np.int16) - 128) * 256
+    assert ours.shape == ref.shape == (3307, 2)
+    assert np.array_equal(ours, ref)
+
+
+def test_our_encoder_read_by_wave_module():
+    """Reverse direction: streams from encode_wav_pcm (including the
+    extra-chunk layout) parse identically through stdlib wave."""
+    import io
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, size=(257, 2), dtype=np.int16)
+    for extra in (False, True):
+        payload = W.encode_wav_pcm(s, 22050, extra_chunks=extra)
+        wf = _wave.open(io.BytesIO(payload))
+        assert (wf.getnchannels(), wf.getsampwidth(),
+                wf.getframerate(), wf.getnframes()) == (2, 2, 22050, 257)
+        ref = np.frombuffer(wf.readframes(257), dtype="<i2") \
+                .reshape(257, 2)
+        assert np.array_equal(ref, s)
