@@ -186,3 +186,206 @@ def window_features(samples: np.ndarray, window: int) -> list[dict]:
                 "zero_cross": int((neg[1:] != neg[:-1]).sum()),
             })
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sibling audio containers (r14): AIFF (big-endian IFF) and Sun AU,
+# plus ITU-T G.711 mu-law expansion — together with RIFF/WAV these
+# cover the classic uncompressed interchange formats, each with
+# foreign CPython-test-suite fixtures and (where the deprecated
+# stdlib modules exist) independent-decoder parity tests.
+
+def _mulaw_table() -> np.ndarray:
+    """G.711 mu-law byte -> linear int16, the public-spec expansion
+    (sign/exponent/mantissa after ones'-complement; bias 0x84).
+    Bit-identical to audioop.ulaw2lin (asserted when importable)."""
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+        out[code] = -sample if u & 0x80 else sample
+    return out
+
+
+MULAW_TABLE = _mulaw_table()
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """Vectorized G.711 mu-law expansion: uint8 codes -> int16."""
+    return MULAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
+def _f80_to_int(b: bytes) -> int:
+    """80-bit IEEE 754 extended float -> int (AIFF sample rates are
+    small positive integers stored in this format, COMM chunk)."""
+    se = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:10])[0]
+    if se == 0 and mant == 0:
+        return 0
+    exponent = (se & 0x7FFF) - 16383 - 63
+    val = mant * (2.0 ** exponent)
+    return int(round(-val if se & 0x8000 else val))
+
+
+def _int_to_f80(n: int) -> bytes:
+    """int -> 80-bit extended float (AIFF COMM writer)."""
+    if n == 0:
+        return b"\x00" * 10
+    e = n.bit_length() - 1
+    mant = n << (63 - e)
+    return struct.pack(">HQ", 16383 + e, mant)
+
+
+def encode_aiff_pcm(samples: np.ndarray, sample_rate: int,
+                    bits: int = 16) -> bytes:
+    """Encode an AIFF stream (big-endian PCM; 8-bit AIFF is SIGNED,
+    unlike WAV's unsigned convention)."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if bits == 16:
+        frames = arr.astype(">i2").tobytes()
+    elif bits == 8:
+        if arr.min() < -128 or arr.max() > 127:
+            raise ValueError("8-bit AIFF samples must be in -128..127")
+        frames = arr.astype(np.int8).tobytes()
+    else:
+        raise NotImplementedError(f"bits={bits}: only 8/16-bit PCM")
+    comm = struct.pack(">hLh", ch, n, bits) + _int_to_f80(sample_rate)
+    ssnd = struct.pack(">LL", 0, 0) + frames
+    body = b"AIFF"
+    for cc, payload in ((b"COMM", comm), (b"SSND", ssnd)):
+        body += cc + struct.pack(">L", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"  # IFF pad byte, like RIFF
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an AIFF (FORM/AIFF) PCM stream to (int16 samples,
+    sample_rate) — the big-endian IFF sibling of :func:`decode_wav`:
+    same chunk walk with pad bytes, COMM carries the 80-bit-float
+    sample rate, SSND carries offset/blocksize before the frames.
+    8-bit AIFF is SIGNED (scaled ``s8*256``); AIFC compression types
+    other than raw PCM are documented limits."""
+    if len(payload) < 12 or payload[:4] != b"FORM" \
+            or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not a FORM/AIFF stream")
+    pos, end = 12, 8 + struct.unpack(">L", payload[4:8])[0]
+    end = min(end, len(payload))
+    comm = None
+    frames = None
+    while pos + 8 <= end:
+        cc = payload[pos:pos + 4]
+        size = struct.unpack(">L", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cc!r} chunk")
+        if cc == b"COMM":
+            ch, n, bits = struct.unpack(">hLh", body[:8])
+            rate = _f80_to_int(body[8:18])
+            compr = body[18:22] if size >= 22 else b"NONE"
+            comm = (ch, n, bits, rate, compr)
+        elif cc == b"SSND":
+            off, _block = struct.unpack(">LL", body[:8])
+            frames = body[8 + off:]
+        pos += 8 + size + (size % 2)
+    if comm is None or frames is None:
+        raise ValueError("missing COMM or SSND chunk")
+    ch, n, bits, rate, compr = comm
+    if compr not in (b"NONE", b"\x00\x00\x00\x00"):
+        raise NotImplementedError(
+            f"AIFC compression {compr!r}: only raw PCM (NONE)")
+    if ch < 1:
+        raise ValueError("channel count must be >= 1")
+    if bits == 16:
+        n = min(n, len(frames) // (2 * ch))
+        arr = np.frombuffer(frames[:n * 2 * ch], dtype=">i2") \
+                .reshape(n, ch).astype(np.int16)
+    elif bits == 8:
+        n = min(n, len(frames) // ch)
+        arr = np.frombuffer(frames[:n * ch], dtype=np.int8) \
+                .reshape(n, ch).astype(np.int16) * 256
+    else:
+        raise NotImplementedError(
+            f"bits={bits}: only 8/16-bit integer PCM")
+    return arr, rate
+
+
+_AU_MAGIC = b".snd"
+_AU_ENC_MULAW, _AU_ENC_PCM8, _AU_ENC_PCM16 = 1, 2, 3
+
+
+def encode_au(samples: np.ndarray, sample_rate: int,
+              encoding: int = _AU_ENC_PCM16) -> bytes:
+    """Encode a Sun AU stream (big-endian header; PCM16, signed PCM8,
+    or G.711 mu-law — for mu-law, ``samples`` are the raw uint8
+    CODES, the exact bytes a telephony source emits)."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    ch = arr.shape[1]
+    if encoding == _AU_ENC_PCM16:
+        data = arr.astype(">i2").tobytes()
+    elif encoding == _AU_ENC_PCM8:
+        data = arr.astype(np.int8).tobytes()
+    elif encoding == _AU_ENC_MULAW:
+        data = arr.astype(np.uint8).tobytes()
+    else:
+        raise NotImplementedError(f"AU encoding {encoding}")
+    hdr = struct.pack(">4sLLLLL", _AU_MAGIC, 28, len(data),
+                      encoding, sample_rate, ch) + b"nsjs"
+    return hdr + data
+
+
+def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a Sun AU stream to (int16 samples, sample_rate):
+    16-bit big-endian PCM, signed 8-bit PCM (``s8*256``), and G.711
+    mu-law (expanded through :data:`MULAW_TABLE` — a real COMPRESSED
+    telephony codec, spec-exact).  Other encodings (A-law, float,
+    ADPCM) are documented limits."""
+    if len(payload) < 24 or payload[:4] != _AU_MAGIC:
+        raise ValueError("not a Sun AU stream")
+    off, dsize, enc, rate, ch = struct.unpack(">LLLLL", payload[4:24])
+    if ch < 1:
+        raise ValueError("channel count must be >= 1")
+    data = payload[off:off + dsize]
+    if len(data) < dsize:
+        raise ValueError("truncated AU data")
+    if enc == _AU_ENC_PCM16:
+        n = len(data) // (2 * ch)
+        arr = np.frombuffer(data[:n * 2 * ch], dtype=">i2") \
+                .reshape(n, ch).astype(np.int16)
+    elif enc == _AU_ENC_PCM8:
+        n = len(data) // ch
+        arr = np.frombuffer(data[:n * ch], dtype=np.int8) \
+                .reshape(n, ch).astype(np.int16) * 256
+    elif enc == _AU_ENC_MULAW:
+        n = len(data) // ch
+        arr = mulaw_decode(np.frombuffer(data[:n * ch],
+                                         dtype=np.uint8)).reshape(n, ch)
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc}: only PCM16/PCM8/mu-law")
+    return arr, rate
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int, str]:
+    """Container-sniffing audio decode: RIFF/WAVE, FORM/AIFF, or Sun
+    AU by magic -> (int16 samples (n, ch), sample_rate, container).
+    The single entry point a mixed-corpus pipeline calls on an opaque
+    ``binary`` column."""
+    if payload[:4] == b"RIFF":
+        arr, rate = decode_wav(payload)
+        return arr, rate, "wav"
+    if payload[:4] == b"FORM":
+        arr, rate = decode_aiff(payload)
+        return arr, rate, "aiff"
+    if payload[:4] == _AU_MAGIC:
+        arr, rate = decode_au(payload)
+        return arr, rate, "au"
+    raise ValueError("unrecognized audio container "
+                     f"(magic {payload[:4]!r})")

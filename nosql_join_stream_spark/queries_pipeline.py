@@ -8027,3 +8027,122 @@ def web_pagerank_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("p"))
               .localCheckpoint())
     return pr.select("doc_id", F.col("p").alias("pr_scaled"))
+
+
+# --- r14: mixed-container audio decode (WAV / AIFF / AU mu-law) ------------
+
+# The G.711 expansion table is spec-derived and deterministic
+# (wav_codec.MULAW_TABLE, asserted == audioop where importable), so
+# the oracle embeds it as a VALUES relation and joins codes exactly.
+def _mulaw_values_sql() -> str:
+    from nosql_join_stream_spark.operators import wav_codec as _wc
+    return ", ".join(f"({i},{int(v)})"
+                     for i, v in enumerate(_wc.MULAW_TABLE))
+
+
+_AUDIO_MULTI_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 19 + 4) * 50 AS n,
+             CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS ch_n,
+             (doc_id % 3 + 1) * 8000 AS rate,
+             doc_id % 3 AS cont
+      FROM documents),
+    m(code, v) AS (VALUES {_mulaw_values_sql()}),
+    s0 AS (
+      SELECT d.doc_id, d.cont, c.ch AS channel, d.rate, d.n, u.i,
+             d.doc_id*37 + c.ch*11 + u.i*13 AS base
+      FROM d, UNNEST(range(0, d.ch_n)) AS c(ch),
+              UNNEST(range(0, d.n)) AS u(i)),
+    s AS (
+      SELECT s0.doc_id,
+             CASE s0.cont WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
+                          ELSE 'au' END AS container,
+             s0.channel, s0.rate, s0.n, s0.i,
+             CASE WHEN s0.cont = 2 THEN m.v
+                  ELSE (s0.base % 65536) - 32768 END AS s
+      FROM s0 LEFT JOIN m ON m.code = s0.base % 256)
+    SELECT doc_id, container, CAST(channel AS INT) AS channel,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(MIN(s) AS BIGINT) AS min_s,
+           CAST(MAX(s) AS BIGINT) AS max_s,
+           CAST(SUM(s) AS BIGINT) AS sum_s,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM((i + 1) * s) AS BIGINT) AS checksum
+    FROM s GROUP BY doc_id, container, channel, rate, n
+    """
+
+
+@register(
+    "multimodal_decode_audio_multi",
+    _AUDIO_MULTI_ORACLE,
+    doc="Mixed-container audio decode — the opaque-binary-column "
+        "story end-to-end: each document plants a WAV (RIFF/LE), "
+        "AIFF (IFF/BE, 80-bit-float rate) or Sun AU G.711 mu-law "
+        "stream by doc_id%3; wav_codec.decode_audio sniffs the magic "
+        "and dispatches, mu-law expanding through the spec-exact "
+        "MULAW_TABLE (== audioop bit-for-bit where importable).  The "
+        "oracle embeds the 256-entry expansion table as a VALUES "
+        "relation, so big-endian PCM, the IFF chunk walk, AND a real "
+        "compressed telephony codec are all hash-pinned.  Same "
+        "two-kernel scan-parallel shape as multimodal_decode_wav.",
+)
+def multimodal_decode_audio_multi(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id")
+
+    def plant(batches):
+        import numpy as _np
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import wav_codec as _wc
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = (did % 19 + 4) * 50
+                ch_n = 2 if did % 2 == 1 else 1
+                rate = (did % 3 + 1) * 8000
+                i = _np.arange(n, dtype=_np.int64)[:, None]
+                ch = _np.arange(ch_n, dtype=_np.int64)[None, :]
+                base = did * 37 + ch * 11 + i * 13
+                if did % 3 == 0:
+                    payload = _wc.encode_wav_pcm(
+                        ((base % 65536) - 32768).astype(_np.int16),
+                        rate, bits=16)
+                elif did % 3 == 1:
+                    payload = _wc.encode_aiff_pcm(
+                        ((base % 65536) - 32768).astype(_np.int16),
+                        rate, bits=16)
+                else:
+                    payload = _wc.encode_au(
+                        (base % 256).astype(_np.uint8), rate,
+                        encoding=1)  # G.711 mu-law codes
+                rows.append((did, payload))
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def decode(batches):
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import wav_codec as _wc
+        for pdf in batches:
+            rows = []
+            for did, pay in zip(pdf["doc_id"], pdf["payload"]):
+                arr, rate, cont = _wc.decode_audio(bytes(pay))
+                for st in _wc.waveform_stats(arr):
+                    rows.append((int(did), cont, st["channel"], rate,
+                                 st["n_samples"], st["min_s"],
+                                 st["max_s"], st["sum_s"],
+                                 st["sum_abs"], st["checksum"]))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "container", "channel", "sample_rate",
+                "n_samples", "min_s", "max_s", "sum_s", "sum_abs",
+                "checksum"])
+
+    par = spark.sparkContext.defaultParallelism
+    return (docs.repartition(par, "doc_id")
+            .mapInPandas(plant, schema="doc_id long, payload binary")
+            .mapInPandas(decode, schema="doc_id long, container string, "
+                         "channel int, sample_rate long, n_samples long, "
+                         "min_s long, max_s long, sum_s long, "
+                         "sum_abs long, checksum long"))

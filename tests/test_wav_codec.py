@@ -161,3 +161,106 @@ def test_our_encoder_read_by_wave_module():
         ref = np.frombuffer(wf.readframes(257), dtype="<i2") \
                 .reshape(257, 2)
         assert np.array_equal(ref, s)
+
+
+# AIFF / AU / mu-law siblings: foreign CPython fixtures with pinned
+# decode hashes (captured under 3.11 where aifc/sunau/audioop still
+# exist and re-derive them — see the conditional parity tests below).
+
+def _sha(arr):
+    import hashlib
+    return hashlib.sha256(arr.astype("<i2").tobytes()).hexdigest()[:16]
+
+
+@pytest.mark.parametrize("name,container,pin", [
+    ("foreign_pcm16_stereo.aiff", "aiff", "4dadbdbea22fb98e"),
+    ("foreign_pcm16_stereo.au", "au", "5befdac12cf91e53"),
+    ("foreign_ulaw_stereo.au", "au", "5d4a09af7f36bfc6"),
+])
+def test_foreign_aiff_au_decode(name, container, pin):
+    payload = open(os.path.join(_FIXDIR, name), "rb").read()
+    arr, rate, cont = W.decode_audio(payload)
+    assert cont == container
+    assert arr.shape == (3307, 2) and rate == 11025
+    assert _sha(arr) == pin
+
+
+def _mod_or_none(name):
+    import importlib
+    import warnings
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            return importlib.import_module(name)
+    except ImportError:
+        return None
+
+
+@pytest.mark.skipif(_mod_or_none("aifc") is None,
+                    reason="aifc removed (PEP 594, 3.13+)")
+def test_aiff_parity_vs_aifc():
+    path = os.path.join(_FIXDIR, "foreign_pcm16_stereo.aiff")
+    a = _mod_or_none("aifc").open(path)
+    ref = np.frombuffer(a.readframes(a.getnframes()), dtype=">i2") \
+            .reshape(-1, a.getnchannels()).astype(np.int16)
+    ours, rate = W.decode_aiff(open(path, "rb").read())
+    assert rate == a.getframerate()
+    assert np.array_equal(ours, ref)
+    # reverse: aifc reads our encoder's stream identically
+    import io
+    enc = W.encode_aiff_pcm(ref, 11025)
+    b = _mod_or_none("aifc").open(io.BytesIO(enc))
+    assert np.array_equal(
+        np.frombuffer(b.readframes(b.getnframes()), dtype=">i2")
+          .reshape(-1, 2), ref)
+
+
+@pytest.mark.skipif(_mod_or_none("sunau") is None
+                    or _mod_or_none("audioop") is None,
+                    reason="sunau/audioop removed (PEP 594, 3.13+)")
+@pytest.mark.parametrize("name", ["foreign_pcm16_stereo.au",
+                                  "foreign_ulaw_stereo.au"])
+def test_au_parity_vs_sunau(name):
+    path = os.path.join(_FIXDIR, name)
+    s = _mod_or_none("sunau").open(path)
+    raw = s.readframes(s.getnframes())
+    b = open(path, "rb").read()
+    import struct as _st
+    enc = _st.unpack(">L", b[12:16])[0]
+    if enc == 1:
+        # sunau expands ULAW to native-endian 16-bit linear itself
+        # (via audioop) — raw IS the linear reference
+        ref = np.frombuffer(raw, dtype="<i2").reshape(-1, 2)
+    else:
+        ref = np.frombuffer(raw, dtype=">i2").reshape(-1, 2)
+    ours, rate = W.decode_au(b)
+    assert rate == s.getframerate()
+    assert np.array_equal(ours, ref.astype(np.int16))
+
+
+def test_mulaw_table_spec_values():
+    # G.711 landmark codewords: 0x00 -> -32124 (max negative),
+    # 0x80 -> +32124, 0xFF -> 0 (positive zero), 0x7F -> -0
+    assert W.MULAW_TABLE[0x00] == -32124
+    assert W.MULAW_TABLE[0x80] == 32124
+    assert W.MULAW_TABLE[0xFF] == 0
+    assert W.MULAW_TABLE[0x7F] == 0
+    assert W.mulaw_decode(np.array([0, 0x80], dtype=np.uint8)).tolist() \
+        == [-32124, 32124]
+
+
+def test_decode_audio_dispatch_errors():
+    with pytest.raises(ValueError, match="unrecognized audio"):
+        W.decode_audio(b"OggS0000000000000000")
+    with pytest.raises(NotImplementedError, match="compression"):
+        # hand-flip an AIFC compression fourcc into the COMM chunk
+        enc = bytearray(W.encode_aiff_pcm(
+            np.array([1, 2], dtype=np.int16), 8000))
+        i = enc.find(b"COMM")
+        comm_len = 18 + 4
+        new_comm = enc[i + 8:i + 8 + 18] + b"ima4"
+        out = (bytes(enc[:i]) + b"COMM"
+               + __import__("struct").pack(">L", comm_len) + new_comm
+               + bytes(enc[i + 8 + 18:]))
+        out = out[:8] + out[8:]  # same FORM size is fine (walk clamps)
+        W.decode_aiff(out)
