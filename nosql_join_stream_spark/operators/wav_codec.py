@@ -217,6 +217,30 @@ def mulaw_decode(codes: np.ndarray) -> np.ndarray:
     return MULAW_TABLE[np.asarray(codes, dtype=np.uint8)]
 
 
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law byte -> linear int16 (even-bit inversion 0x55,
+    chord/step expansion; bit-identical to audioop.alaw2lin)."""
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        exponent = (a >> 4) & 0x07
+        mantissa = a & 0x0F
+        if exponent == 0:
+            sample = (mantissa << 4) + 8
+        else:
+            sample = ((mantissa << 4) + 0x108) << (exponent - 1)
+        out[code] = sample if a & 0x80 else -sample
+    return out
+
+
+ALAW_TABLE = _alaw_table()
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """Vectorized G.711 A-law expansion: uint8 codes -> int16."""
+    return ALAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
 def _f80_to_int(b: bytes) -> int:
     """80-bit IEEE 754 extended float -> int (AIFF sample rates are
     small positive integers stored in this format, COMM chunk)."""
@@ -317,6 +341,7 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
 
 _AU_MAGIC = b".snd"
 _AU_ENC_MULAW, _AU_ENC_PCM8, _AU_ENC_PCM16 = 1, 2, 3
+_AU_ENC_ALAW = 27
 
 
 def encode_au(samples: np.ndarray, sample_rate: int,
@@ -332,7 +357,7 @@ def encode_au(samples: np.ndarray, sample_rate: int,
         data = arr.astype(">i2").tobytes()
     elif encoding == _AU_ENC_PCM8:
         data = arr.astype(np.int8).tobytes()
-    elif encoding == _AU_ENC_MULAW:
+    elif encoding in (_AU_ENC_MULAW, _AU_ENC_ALAW):
         data = arr.astype(np.uint8).tobytes()
     else:
         raise NotImplementedError(f"AU encoding {encoding}")
@@ -343,10 +368,10 @@ def encode_au(samples: np.ndarray, sample_rate: int,
 
 def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
     """Decode a Sun AU stream to (int16 samples, sample_rate):
-    16-bit big-endian PCM, signed 8-bit PCM (``s8*256``), and G.711
-    mu-law (expanded through :data:`MULAW_TABLE` — a real COMPRESSED
-    telephony codec, spec-exact).  Other encodings (A-law, float,
-    ADPCM) are documented limits."""
+    16-bit big-endian PCM, signed 8-bit PCM (``s8*256``), and the G.711
+    companded pair — mu-law (:data:`MULAW_TABLE`) and A-law
+    (:data:`ALAW_TABLE`), both spec-exact real COMPRESSED telephony
+    codecs.  Other encodings (float, ADPCM) are documented limits."""
     if len(payload) < 24 or payload[:4] != _AU_MAGIC:
         raise ValueError("not a Sun AU stream")
     off, dsize, enc, rate, ch = struct.unpack(">LLLLL", payload[4:24])
@@ -363,13 +388,14 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
         n = len(data) // ch
         arr = np.frombuffer(data[:n * ch], dtype=np.int8) \
                 .reshape(n, ch).astype(np.int16) * 256
-    elif enc == _AU_ENC_MULAW:
+    elif enc in (_AU_ENC_MULAW, _AU_ENC_ALAW):
         n = len(data) // ch
-        arr = mulaw_decode(np.frombuffer(data[:n * ch],
-                                         dtype=np.uint8)).reshape(n, ch)
+        table = MULAW_TABLE if enc == _AU_ENC_MULAW else ALAW_TABLE
+        arr = table[np.frombuffer(data[:n * ch], dtype=np.uint8)] \
+            .reshape(n, ch)
     else:
         raise NotImplementedError(
-            f"AU encoding {enc}: only PCM16/PCM8/mu-law")
+            f"AU encoding {enc}: only PCM16/PCM8/mu-law/A-law")
     return arr, rate
 
 

@@ -264,3 +264,19 @@ def test_decode_audio_dispatch_errors():
                + bytes(enc[i + 8 + 18:]))
         out = out[:8] + out[8:]  # same FORM size is fine (walk clamps)
         W.decode_aiff(out)
+
+
+def test_alaw_table_and_au_roundtrip():
+    codes = np.arange(256, dtype=np.uint8).reshape(-1, 1)
+    arr, _ = W.decode_au(W.encode_au(codes, 8000, encoding=27))
+    assert np.array_equal(arr[:, 0], W.ALAW_TABLE)
+    # G.711 A-law landmarks: 0x55 -> -8 (smallest step), 0xD5 -> +8
+    assert W.ALAW_TABLE[0x55] == -8 and W.ALAW_TABLE[0xD5] == 8
+    audioop = _mod_or_none("audioop")
+    if audioop is not None:
+        ref = np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2),
+                            dtype="<i2")
+        assert np.array_equal(W.ALAW_TABLE, ref)
+        refu = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2),
+                             dtype="<i2")
+        assert np.array_equal(W.MULAW_TABLE, refu)
