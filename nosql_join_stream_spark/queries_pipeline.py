@@ -8146,3 +8146,62 @@ def multimodal_decode_audio_multi(spark: SparkSession,
                          "channel int, sample_rate long, n_samples long, "
                          "min_s long, max_s long, sum_s long, "
                          "sum_abs long, checksum long"))
+
+
+@register(
+    "stream_audio_decode",
+    _WAV_DECODE_ORACLE,
+    doc="Streaming twin of multimodal_decode_wav — decode-at-ingest "
+        "for audio payloads: readStream over the documents parquet, "
+        "per-micro-batch plant+decode through the SAME mapInPandas "
+        "kernels (stateless, so append mode with Trigger."
+        "AvailableNow drains to exactly the batch answer and the "
+        "SAME closed-form oracle applies).  The composition a media "
+        "ingest pipeline runs: codec kernels inside the stream, "
+        "feature rows landing continuously — no batch re-crawl.",
+)
+def stream_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    from nosql_join_stream_spark.streaming.log_stream import \
+        run_available_now
+    _STREAM_SEQ[0] += 1
+    name = f"stream_audio_decode_{_STREAM_SEQ[0]}"
+    import os as _os
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if _os.path.isfile(path):
+        # the file-stream source monitors a DIRECTORY; point it at the
+        # parent and glob-filter to the one file (read_log_stream's
+        # contract, log_stream.py)
+        reader = reader.option("pathGlobFilter", _os.path.basename(path))
+        path = _os.path.dirname(path)
+    stream = reader.load(path).select("doc_id")
+    plant = _wav_plant_kernel()
+
+    def decode(batches):
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import wav_codec as _wc
+        for pdf in batches:
+            rows = []
+            for did, pay in zip(pdf["doc_id"], pdf["payload"]):
+                arr, rate = _wc.decode_wav(bytes(pay))
+                for st in _wc.waveform_stats(arr):
+                    rows.append((int(did), st["channel"], rate,
+                                 st["n_samples"], st["min_s"],
+                                 st["max_s"], st["sum_s"],
+                                 st["sum_abs"], st["checksum"]))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "channel", "sample_rate", "n_samples",
+                "min_s", "max_s", "sum_s", "sum_abs", "checksum"])
+
+    par = spark.sparkContext.defaultParallelism
+    dec = (stream.repartition(par)
+           .mapInPandas(plant, schema="doc_id long, payload binary")
+           .mapInPandas(decode, schema="doc_id long, channel int, "
+                        "sample_rate long, n_samples long, min_s long, "
+                        "max_s long, sum_s long, sum_abs long, "
+                        "checksum long"))
+    run_available_now(dec, name, output_mode="append")
+    return spark.table(name)
