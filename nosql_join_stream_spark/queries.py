@@ -839,11 +839,12 @@ _DRIVER_WINDOW = [
     # cohort drains (r13 VERDICT lead #2), and the last 8 slots
     # start the r10 cohort in registry order.  Post-r14 state if
     # green: no stamp older than r10; 46 r10-cohort queries remain
-    # (pred_surface onward) — they lead the r15 window.
+    # (join_salted_auto onward) — they lead the r15 window.
     "text_extract_html", "multimodal_decode_wav",
     "text_token_count_unigram", "text_extract_html_clean",
     "multimodal_wav_windows", "web_link_graph",
     "web_pagerank_planted", "multimodal_decode_audio_multi",
+    "stream_audio_decode",
     # r9-stamp cohort, all 39, registry order
     "rollup_region_nation", "cube_flags", "pivot_priority_status",
     "window_topk_per_group", "window_running_sum",
@@ -861,8 +862,8 @@ _DRIVER_WINDOW = [
     "dedup_incremental_bucketed", "hybrid_search_rrf",
     "pyds_roundtrip_write", "pyds_stream_relay", "pyds_compact_scan",
     "pyds_parse_modes",
-    # r10-stamp cohort, registry order (3 of 50)
-    "join_fk_inner", "join_salted_skew", "join_salted_auto",
+    # r10-stamp cohort, registry order (2 of 50)
+    "join_fk_inner", "join_salted_skew",
 ]
 
 
