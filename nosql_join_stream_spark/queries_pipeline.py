@@ -8205,3 +8205,45 @@ def stream_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "checksum long"))
     run_available_now(dec, name, output_mode="append")
     return spark.table(name)
+
+
+# --- r14: WebDataset tar shard export --------------------------------------
+
+@register(
+    "export_webdataset_shards",
+    """
+    WITH b AS (
+      SELECT doc_id % 8 AS shard, doc_id, length(text) AS sz,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                ORDER BY doc_id) AS pos
+      FROM documents)
+    SELECT CAST(shard AS INT) AS shard,
+           COUNT(*) AS n_members,
+           CAST(SUM(sz) AS BIGINT) AS member_bytes,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS ids_checksum,
+           CAST(((SUM(512 + ((sz + 511) // 512) * 512) + 1024 + 10239)
+                 // 10240) * 10240 AS BIGINT) AS tar_bytes
+    FROM b GROUP BY shard
+    """,
+    doc="WebDataset-style tar shard export "
+        "(export_shards.write_webdataset_shards): the container "
+        "multimodal/LLM loaders stream — one USTAR member per "
+        "sample, byte-deterministic metadata, one applyInPandas "
+        "task per shard with atomic tmp+rename publish.  The oracle "
+        "pins member count, byte total, ORDER (position-weighted id "
+        "checksum) and even the tar FRAMING: tar_bytes must equal "
+        "the closed-form USTAR arithmetic (512-byte headers, "
+        "512-padded data, 1024 end blocks, 10240 record padding).  "
+        "Sha-determinism of the raw tar bytes is pytest-asserted.",
+)
+def export_webdataset_shards(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.export_shards import \
+        write_webdataset_shards
+    from nosql_join_stream_spark.queries import artifact_dir, sf_tag
+    e = _engine(spark, sf_dir)
+    out = artifact_dir("nsjs_wds", sf_tag(sf_dir))
+    stats = write_webdataset_shards(e.table("documents"), out,
+                                    "doc_id", "text", n_shards=8)
+    return stats.select("shard", "n_members", "member_bytes",
+                        "ids_checksum", "tar_bytes")

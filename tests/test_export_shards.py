@@ -202,3 +202,45 @@ def test_weight_balanced_writer_layout_manifest_balance(spark, tmp_path):
     # disk manifest round-trips
     disk = _json.load(open(os.path.join(path, "_MANIFEST.json")))
     assert disk == m
+
+
+def test_webdataset_shards_deterministic_and_readable(spark, tmp_path):
+    """Tar bytes are identical across reruns (pinned USTAR metadata),
+    members stream back in id order with exact content, and the
+    closed-form framing math matches the real file size."""
+    import os
+    import tarfile
+
+    from nosql_join_stream_spark.operators.export_shards import \
+        write_webdataset_shards
+
+    df = spark.createDataFrame(
+        [(i, f"sample {i} " + "x" * (i * 7 % 300)) for i in range(37)],
+        "doc_id long, text string")
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    s1 = {r.shard: r for r in
+          write_webdataset_shards(df, d1, "doc_id", "text", 5).collect()}
+    s2 = {r.shard: r for r in
+          write_webdataset_shards(df, d2, "doc_id", "text", 5).collect()}
+    assert set(s1) == set(s2) == set(range(5))
+    for k in s1:
+        assert s1[k].tar_sha == s2[k].tar_sha          # byte-identical
+        p = os.path.join(d1, f"shard-{k:05d}.tar")
+        assert os.path.getsize(p) == s1[k].tar_bytes
+        with tarfile.open(p) as tf:
+            names = [m.name for m in tf]
+            ids = [int(n.split(".")[0]) for n in names]
+            assert ids == sorted(ids)                   # id order
+            assert all(i % 5 == k for i in ids)
+            m0 = tf.extractfile(names[0]).read().decode()
+            assert m0.startswith(f"sample {ids[0]} ")
+        # framing closed form: headers + padded data + end + record
+        total = sum(
+            512 + (len((f"sample {i} " + "x" * (i * 7 % 300))
+                       .encode()) + 511) // 512 * 512
+            for i in ids)
+        assert s1[k].tar_bytes == ((total + 1024 + 10239)
+                                   // 10240) * 10240
+    with __import__("pytest").raises(ValueError):
+        write_webdataset_shards(df, str(tmp_path / "c"), "doc_id",
+                                "text", 0)
