@@ -322,3 +322,44 @@ def write_webdataset_shards(df: DataFrame, path: str, id_col: str,
                            schema="shard int, n_members long, "
                                   "member_bytes long, ids_checksum long, "
                                   "tar_bytes long, tar_sha string"))
+
+
+def read_webdataset_shards(spark, path: str):
+    """Ingest WebDataset-style ``.tar`` shards back into (id, content)
+    rows — the loader side of :func:`write_webdataset_shards`, so the
+    export loop is closed inside the engine (write -> read -> verify).
+
+    Scale shape: the ``binaryFile`` source lists and splits shard
+    files across tasks (one task per shard — WebDataset's own reading
+    discipline), and a ``mapInPandas`` kernel untars each shard
+    in-memory, emitting one row per member.  Nothing passes through
+    the driver; predicate/partition pruning on ``path`` glob applies
+    before any byte is read.
+    """
+
+    def op(batches):
+        import io
+        import tarfile
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, contents, shards = [], [], []
+            for fname, data in zip(pdf["path"], pdf["content"]):
+                base = str(fname).rsplit("/", 1)[-1]
+                shard = int(base.split("-")[1].split(".")[0])
+                with tarfile.open(fileobj=io.BytesIO(bytes(data))) as tf:
+                    for m in tf:
+                        ids.append(int(m.name.split(".")[0]))
+                        contents.append(
+                            tf.extractfile(m).read().decode("utf-8"))
+                        shards.append(shard)
+            yield _pd.DataFrame({
+                "id": _pd.Series(ids, dtype="int64"),
+                "shard": _pd.Series(shards, dtype="int32"),
+                "content": contents})
+
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "shard-*.tar").load(path)
+            .select("path", "content")
+            .mapInPandas(op, schema="id long, shard int, content string"))

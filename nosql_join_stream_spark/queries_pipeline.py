@@ -8247,3 +8247,31 @@ def export_webdataset_shards(spark: SparkSession,
                                     "doc_id", "text", n_shards=8)
     return stats.select("shard", "n_members", "member_bytes",
                         "ids_checksum", "tar_bytes")
+
+
+@register(
+    "export_webdataset_roundtrip",
+    """
+    SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, text AS content
+    FROM documents
+    """,
+    doc="WebDataset loop closed: write the corpus as USTAR shards "
+        "(export_shards.write_webdataset_shards), read them back "
+        "through the binaryFile + untar kernel "
+        "(read_webdataset_shards), and hash-compare the rows against "
+        "the source table — exact id/shard/content equality proves "
+        "the tar writer, member naming, ordering AND the loader path "
+        "in one oracle.  One task per shard both ways.",
+)
+def export_webdataset_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.export_shards import (
+        read_webdataset_shards, write_webdataset_shards)
+    from nosql_join_stream_spark.queries import artifact_dir, sf_tag
+    e = _engine(spark, sf_dir)
+    out = artifact_dir("nsjs_wds_rt", sf_tag(sf_dir))
+    # materialize the export (count() drives all shard tasks)
+    write_webdataset_shards(e.table("documents"), out,
+                            "doc_id", "text", n_shards=8).count()
+    return (read_webdataset_shards(spark, out)
+            .select(F.col("id").alias("doc_id"), "shard", "content"))
