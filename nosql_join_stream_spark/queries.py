@@ -839,12 +839,13 @@ _DRIVER_WINDOW = [
     # cohort drains (r13 VERDICT lead #2), and the last 8 slots
     # start the r10 cohort in registry order.  Post-r14 state if
     # green: no stamp older than r10; 46 r10-cohort queries remain
-    # (join_salted_skew onward) — they lead the r15 window.
+    # (join_fk_inner onward) — they lead the r15 window.
     "text_extract_html", "multimodal_decode_wav",
     "text_token_count_unigram", "text_extract_html_clean",
     "multimodal_wav_windows", "web_link_graph",
     "web_pagerank_planted", "multimodal_decode_audio_multi",
     "stream_audio_decode", "export_webdataset_shards",
+    "export_webdataset_roundtrip",
     # r9-stamp cohort, all 39, registry order
     "rollup_region_nation", "cube_flags", "pivot_priority_status",
     "window_topk_per_group", "window_running_sum",
@@ -862,8 +863,6 @@ _DRIVER_WINDOW = [
     "dedup_incremental_bucketed", "hybrid_search_rrf",
     "pyds_roundtrip_write", "pyds_stream_relay", "pyds_compact_scan",
     "pyds_parse_modes",
-    # r10-stamp cohort, registry order (1 of 50)
-    "join_fk_inner",
 ]
 
 
