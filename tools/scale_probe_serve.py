@@ -21,8 +21,9 @@ Fixed probes:
   every index — same candidates at every scale.
 - ANN: 500 query vectors (vec_id%10==9 from sf0.1, copy-0 offset).
 
-IVF builds scale n_cells with the corpus (16/160/1600 — constant
-target cell SIZE, the standard IVF discipline: cells ~ N/cell_size),
+IVF builds scale n_cells with the corpus (16/62/625 at the default
+CELL_TARGET — constant target cell SIZE, the standard IVF
+discipline: cells ~ N/cell_size),
 so a probe reads ~nprobe cells of constant byte size at every scale;
 this is what makes IVF serve flat, and the probe records it.
 
