@@ -8275,3 +8275,92 @@ def export_webdataset_roundtrip(spark: SparkSession,
                             "doc_id", "text", n_shards=8).count()
     return (read_webdataset_shards(spark, out)
             .select(F.col("id").alias("doc_id"), "shard", "content"))
+
+
+# --- r14: LM-perplexity quality filtering (CCNet discipline) ----------------
+
+@register(
+    "text_quality_unigram_ppl",
+    """
+    WITH RECURSIVE
+    v(p, c) AS (VALUES
+      ('a', 350), ('an', 415), ('and', 460), ('at', 435), ('b', 450),
+      ('batch', 332), ('c', 415), ('d', 405), ('data', 315),
+      ('e', 320), ('en', 440), ('er', 420), ('f', 440), ('fast', 340),
+      ('filter', 325), ('g', 445), ('h', 410), ('i', 360), ('in', 410),
+      ('ing', 455), ('j', 530), ('k', 470), ('l', 395), ('m', 425),
+      ('n', 375), ('o', 355), ('on', 430), ('or', 445), ('p', 430),
+      ('part', 335), ('q', 540), ('query', 338), ('r', 380),
+      ('re', 425), ('row', 320), ('s', 365), ('scan', 330),
+      ('slow', 345), ('st', 450), ('t', 370), ('table', 310),
+      ('th', 400), ('the', 380), ('to', 465), ('u', 400), ('v', 460),
+      ('value', 300), ('w', 435), ('window', 328), ('x', 520),
+      ('y', 455), ('z', 545)),
+    planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN text || repeat(' q9z', 30) ELSE text END AS text
+      FROM documents),
+    dw AS (
+      SELECT doc_id, w, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM planted) z
+      WHERE w <> '' GROUP BY doc_id, w),
+    words AS (SELECT DISTINCT w FROM dw),
+    chars AS (
+      SELECT DISTINCT unnest(regexp_extract_all(w, '.')) AS p
+      FROM words),
+    vv AS (SELECT p, c FROM v
+           UNION ALL SELECT p, 1000 FROM chars),
+    r(w, pos, cost, np) AS (
+      SELECT w, 0, 0, 0 FROM words
+      UNION
+      SELECT r.w, r.pos + len(vv.p), r.cost + vv.c, r.np + 1
+      FROM r JOIN vv ON substr(r.w, r.pos + 1, len(vv.p)) = vv.p),
+    fin AS (
+      SELECT w, np AS n_sub, cost FROM (
+        SELECT w, np, cost,
+               ROW_NUMBER() OVER (PARTITION BY w
+                                  ORDER BY cost, np) AS rk
+        FROM r WHERE pos = len(w)) q WHERE rk = 1),
+    agg AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.cnt * f.n_sub) AS BIGINT) AS n_unigram_tokens,
+             CAST(SUM(d.cnt * f.cost) AS BIGINT) AS total_cost
+      FROM dw d JOIN fin f ON d.w = f.w GROUP BY d.doc_id)
+    SELECT doc_id, n_unigram_tokens,
+           CAST(total_cost // n_unigram_tokens AS BIGINT)
+             AS avg_cost_centinats,
+           (doc_id % 13 = 0) AS is_planted_noise,
+           (total_cost // n_unigram_tokens <= 450) AS keep
+    FROM agg
+    """,
+    doc="LM-perplexity quality filtering — the CCNet/Wenzek-et-al "
+        "discipline: score each document by its unigram-LM negative "
+        "log-likelihood per token (integer centi-nats, "
+        "text.unigram_token_count over the fixed demo vocab) and "
+        "keep documents under a fixed cost threshold (450 c-nats/"
+        "token).  Planted ground truth: every 13th document is "
+        "contaminated with 30 UNK-heavy noise tokens ('q9z' — "
+        "~695 c-nats/token vs the clean corpus ceiling of ~408), so "
+        "keep == NOT is_planted_noise with margin at every SF and "
+        "the oracle pins scores AND the filter's perfect recall.  "
+        "Same distinct-word Viterbi kernel; corpus work JVM-side.",
+)
+def text_quality_unigram_ppl(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    planted = (e.table("documents")
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 13 == 0,
+                              F.concat(F.col("text"),
+                                       F.expr("repeat(' q9z', 30)")))
+                       .otherwise(F.col("text")).alias("text")))
+    t = text.unigram_token_count(planted, text.UNIGRAM_VOCAB_EN_DEMO,
+                                 "text", "doc_id")
+    avg = F.expr("total_cost_centinats DIV n_unigram_tokens")
+    return (t.select(F.col("id").alias("doc_id"), "n_unigram_tokens",
+                     avg.alias("avg_cost_centinats"),
+                     (F.col("id") % 13 == 0).alias("is_planted_noise"),
+                     (avg <= 450).alias("keep")))
