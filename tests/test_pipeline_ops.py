@@ -2213,3 +2213,18 @@ def test_pagerank_mass_and_sink(spark):
     again = REGISTRY["web_pagerank_planted"].fn(spark, sf).collect()
     assert sorted((r.doc_id, r.pr_scaled) for r in rows) == \
            sorted((r.doc_id, r.pr_scaled) for r in again)
+
+
+def test_bitext_margin_and_ppl_filter(spark):
+    """Margin mining accepts exactly the planted twins with the
+    measured separation band; the perplexity filter's keep flag is
+    the exact complement of the planted-noise flag."""
+    from nosql_join_stream_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["mine_bitext_margin"].fn(spark, sf).collect()
+    assert rows and all(r.is_planted for r in rows)
+    assert all(r.margin >= 1.5 and r.sim == 1.0 for r in rows)
+    ppl = REGISTRY["text_quality_unigram_ppl"].fn(spark, sf).collect()
+    assert all(r.keep != r.is_planted_noise for r in ppl)
+    assert any(r.is_planted_noise for r in ppl)
