@@ -1647,3 +1647,69 @@ def ann_ivf_probe(queries: DataFrame, location: str,
                   .filter(F.col("rank") <= k)
                   .select(F.col("__qid").alias(query_id),
                           F.col("__cid").alias(corpus_id), "sim", "rank"))
+
+
+def exact_knn_avg_micro(df: DataFrame, id_col: str = "vec_id",
+                        vec: str = "embedding", k: int = 4):
+    """Exact k-NN cosine SUM per vector in integer micro-units — the
+    GEMM tier of the brute all-pairs kNN (the margin-mining
+    denominator).
+
+    ``cosine_topk`` with queries == corpus materializes n² pair ROWS
+    through a Catalyst expression cosine — measured 97 s at sf0.1
+    (5.5k² pairs), the exact r47 cost class (deep interpreted
+    expression tree over array columns).  This kernel computes the
+    same numbers as ONE numpy GEMM per Arrow batch against a
+    broadcast unit-normalized corpus matrix: no pair rows exist
+    anywhere, output is one row per vector.
+
+    EXACT-TIER CONTRACT: the corpus matrix is collected and
+    broadcast (id + unit vector; MBs at oracle scales) — the same
+    data ``cosine_topk`` already ships via its broadcast side.  At
+    100 TB the margin denominator comes from the IVF kNN probe
+    instead (ann_ivf_partitioned); this tier exists to be
+    oracle-exact.
+
+    Determinism: sims round to 6 dp then convert to int64
+    micro-units (values sit within 1e-9 of integers, so the cast is
+    exact); top-k selects on (micro desc, neighbor id asc) — the
+    same (ROUND(sim,6) DESC, id) order as _rank_topk — and the
+    returned ``knn_sum_micro`` is an INTEGER sum, so engines agree
+    bit-for-bit with no float-summation-order hazard.  Self-matches
+    excluded by id.  Returns (id_col, knn_sum_micro).
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec).toPandas()
+    ids = pdf[id_col].to_numpy().astype("int64")
+    m = np.stack(pdf[vec].to_list()).astype("float64")
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    bc = spark.sparkContext.broadcast((ids, m / norms))
+
+    def op(batches):
+        import numpy as _np
+        import pandas as _pd
+        all_ids, mn = bc.value
+        for part in batches:
+            if len(part) == 0:
+                continue
+            qid = part[id_col].to_numpy().astype("int64")
+            v = _np.stack(part[vec].to_list()).astype("float64")
+            nv = _np.linalg.norm(v, axis=1, keepdims=True)
+            nv[nv == 0] = 1.0
+            micro = _np.rint(_np.round((v / nv) @ mn.T, 6) * 1e6) \
+                       .astype("int64")
+            sums = _np.empty(len(qid), dtype="int64")
+            for r in range(len(qid)):
+                row = micro[r].copy()
+                # safe sentinel: int64.min would overflow under the
+                # lexsort negation and sort FIRST instead of last
+                row[all_ids == qid[r]] = -(10 ** 15)
+                order = _np.lexsort((all_ids, -row))[:k]
+                sums[r] = row[order].sum()
+            yield _pd.DataFrame({id_col: qid, "knn_sum_micro": sums})
+
+    return (df.select(id_col, vec)
+            .mapInPandas(op, schema=f"{id_col} long, knn_sum_micro long"))

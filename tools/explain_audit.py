@@ -43,10 +43,6 @@ CROSS_OK = {"ann_cosine_topk", "zip_streams", "text_tfidf_topk",
             "ann_ivf_filtered", "stream_ann_probe",
             # MMR's candidate fetch is the intentional brute top-pool
             "retrieval_mmr_diversified",
-            # margin mining's kNN averages come from the exact brute
-            # cosine_topk baseline by design (IVF kNN is the scale
-            # path, documented in the query doc)
-            "mine_bitext_margin",
             # fk_rule stitches two 1-row aggregates (n_rows x
             # n_violations) — the standard 1-row-scalar BNLJ
             "data_quality_report",
