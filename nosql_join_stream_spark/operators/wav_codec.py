@@ -325,12 +325,17 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
             f"AIFC compression {compr!r}: only raw PCM (NONE)")
     if ch < 1:
         raise ValueError("channel count must be >= 1")
+    block = ch * bits // 8
+    if len(frames) < n * block:
+        # COMM declares more frames than SSND carries: data loss, not
+        # a layout variant — fail loudly like the WAV walker does
+        raise ValueError(
+            f"AIFF SSND holds {len(frames)} bytes but COMM declares "
+            f"{n} frames x {block} bytes")
     if bits == 16:
-        n = min(n, len(frames) // (2 * ch))
         arr = np.frombuffer(frames[:n * 2 * ch], dtype=">i2") \
                 .reshape(n, ch).astype(np.int16)
     elif bits == 8:
-        n = min(n, len(frames) // ch)
         arr = np.frombuffer(frames[:n * ch], dtype=np.int8) \
                 .reshape(n, ch).astype(np.int16) * 256
     else:

@@ -2228,3 +2228,25 @@ def test_bitext_margin_and_ppl_filter(spark):
     ppl = REGISTRY["text_quality_unigram_ppl"].fn(spark, sf).collect()
     assert all(r.keep != r.is_planted_noise for r in ppl)
     assert any(r.is_planted_noise for r in ppl)
+
+
+def test_html_parsers_fuzz_never_crash():
+    """Malformed markup must never raise out of the block/link
+    extractors — html.parser is error-recovering by design, and the
+    kernels must preserve that on adversarial input."""
+    import random
+
+    rng = random.Random(99)
+    frags = ["<", ">", "&", "&amp", "&#x", "&#999999999;", "<p", "</",
+             "<!--", "-->", "<script>", "</script>", "<a href=", '"',
+             "<a href='/x'>", "</a>", "\x00", "π", "<![CDATA[", "]]>",
+             "plain text ", "<div class=>", "<p/>", "<br>", "=''>"]
+    for trial in range(200):
+        doc = "".join(rng.choice(frags)
+                      for _ in range(rng.randrange(0, 40)))
+        blocks = text._html_blocks(doc)
+        links = text._html_anchor_links(doc)
+        assert all(isinstance(t, str) and isinstance(l, int)
+                   for t, l in blocks)
+        assert all(isinstance(h, str) and isinstance(a, str)
+                   for h, a in links)

@@ -280,3 +280,37 @@ def test_alaw_table_and_au_roundtrip():
         refu = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2),
                              dtype="<i2")
         assert np.array_equal(W.MULAW_TABLE, refu)
+
+
+def test_decode_fuzz_never_crashes_unstructured():
+    """Adversarial bytes must fail with the documented error types
+    (ValueError/NotImplementedError), never IndexError/struct.error/
+    silent garbage — the pydocsource option-fuzz discipline applied
+    to the codec walkers."""
+    import random
+
+    rng = random.Random(1234)
+    magics = [b"RIFF", b"FORM", b".snd", b"\x00\x00\x00\x00"]
+    suffixes = [b"WAVE", b"AIFF", b"AIFC", b"JUNK"]
+    for trial in range(300):
+        n = rng.randrange(0, 200)
+        body = bytes(rng.randrange(256) for _ in range(n))
+        payload = (rng.choice(magics) + body[:4] + rng.choice(suffixes)
+                   + body[4:])
+        for fn in (W.decode_wav, W.decode_aiff, W.decode_au,
+                   W.decode_audio):
+            try:
+                fn(payload)
+            except (ValueError, NotImplementedError):
+                pass  # the documented contract
+
+    # truncations of VALID streams at every prefix length
+    s = np.array([[1, -2], [3, -4], [5, -6]], dtype=np.int16)
+    for enc in (W.encode_wav_pcm(s, 8000, extra_chunks=True),
+                W.encode_aiff_pcm(s, 8000),
+                W.encode_au(s, 8000)):
+        for cut in range(len(enc)):
+            try:
+                W.decode_audio(enc[:cut])
+            except (ValueError, NotImplementedError):
+                pass
