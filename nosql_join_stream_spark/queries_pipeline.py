@@ -8466,3 +8466,38 @@ def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
                         & (F.col("id1") % 17 == 0))
             .select("id1", "id2", "lang1", "lang2", "sim", "margin",
                     "is_planted"))
+
+
+@register(
+    "stream_html_extract",
+    _HTML_EXTRACT_ORACLE,
+    doc="Streaming twin of text_extract_html — markup stripping at "
+        "CRAWL-INGEST time: readStream over the documents parquet, "
+        "per-micro-batch plant + the same HTMLParser mapInPandas "
+        "kernel (stateless, so AvailableNow append drains to exactly "
+        "the batch answer and the same planted-markup oracle "
+        "applies).  With stream_audio_decode this completes the "
+        "decode-at-ingest pair: text and media payloads both clean "
+        "inside the stream, no batch re-crawl.",
+)
+def stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    from nosql_join_stream_spark.streaming.log_stream import \
+        run_available_now
+    _STREAM_SEQ[0] += 1
+    name = f"stream_html_extract_{_STREAM_SEQ[0]}"
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if _os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", _os.path.basename(path))
+        path = _os.path.dirname(path)
+    stream = reader.load(path).select("doc_id", "text", "source")
+    par = spark.sparkContext.defaultParallelism
+    blocks = text.extract_html_text(
+        _html_plant(stream.repartition(par)), "html", "doc_id")
+    run_available_now(blocks, name, output_mode="append")
+    return spark.table(name)
