@@ -1,0 +1,76 @@
+"""WARC (ISO 28500) record walk: framing, HTTP split, gzip members,
+error contract, fuzz — the codec-discipline test file for the crawl
+stage-zero parser."""
+
+from __future__ import annotations
+
+import pytest
+
+from nosql_join_stream_spark.operators import warc as W
+
+
+def _pair(url="https://example.org/doc/7", html="<p>hi</p>"):
+    return W.build_warc_request(url) + W.build_warc_response(url, html)
+
+
+def test_roundtrip_plain_and_gzip():
+    raw = _pair()
+    for payload in (raw, W.gzip_bytes(raw)):
+        recs = W.parse_warc(payload)
+        assert [r["type"] for r in recs] == ["request", "response"]
+        st, hdrs, body = W.split_http_response(recs[1]["block"])
+        assert st == 200
+        assert hdrs["content-type"].startswith("text/html")
+        assert body == b"<p>hi</p>"
+        assert recs[0]["url"] == recs[1]["url"]
+
+
+def test_multi_member_gzip():
+    """Common Crawl gzips each record as its OWN member; members
+    concatenate.  zlib unused_data looping must walk them all."""
+    a = W.gzip_bytes(W.build_warc_request("https://example.org/a"))
+    b = W.gzip_bytes(W.build_warc_response("https://example.org/a",
+                                           "<p>x</p>"))
+    recs = W.parse_warc(a + b)
+    assert [r["type"] for r in recs] == ["request", "response"]
+
+
+def test_unicode_body_content_length_octets():
+    """Content-Length counts OCTETS, not characters — a multi-byte
+    body must frame correctly."""
+    html = "<p>café • ©</p>"
+    recs = W.parse_warc(W.build_warc_response("u", html))
+    _, _, body = W.split_http_response(recs[0]["block"])
+    assert body.decode("utf-8") == html
+
+
+def test_error_contract():
+    raw = _pair()
+    with pytest.raises(ValueError, match="version line"):
+        W.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated WARC record"):
+        W.parse_warc(raw[:-10])
+    with pytest.raises(ValueError, match="terminator"):
+        W.parse_warc(raw[:-2])
+    with pytest.raises(ValueError, match="Content-Length"):
+        W.parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n\r\n\r\n")
+    with pytest.raises(ValueError, match="trailing garbage"):
+        W.parse_warc(W.gzip_bytes(raw) + b"junk")
+    with pytest.raises(ValueError, match="status line"):
+        W.split_http_response(b"NOPE\r\n\r\nbody")
+    with pytest.raises(ValueError, match="header terminator"):
+        W.split_http_response(b"HTTP/1.1 200 OK\r\nno-end")
+
+
+def test_fuzz_never_crashes_unstructured():
+    import random
+
+    rng = random.Random(7)
+    for _ in range(300):
+        n = rng.randrange(0, 150)
+        payload = (rng.choice([b"WARC/1.0\r\n", b"\x1f\x8b", b""])
+                   + bytes(rng.randrange(256) for _ in range(n)))
+        try:
+            W.parse_warc(payload)
+        except ValueError:
+            pass  # the single documented error contract
