@@ -839,9 +839,11 @@ _DRIVER_WINDOW = [
     # cohort drains (r13 VERDICT lead #2), and the last 8 slots
     # start the r10 cohort in registry order.  Post-r14 state if
     # green: no stamp older than r10.  The r15 window leads with the
-    # never-stamped text_quality_unigram_ppl (landed after this
-    # window filled: 11 new + the full 39-query r9 drain = 50
-    # exactly), then the 50-query r10 cohort (join_fk_inner onward).
+    # 4 never-stamped queries that landed after this window filled
+    # (text_quality_unigram_ppl, mine_bitext_margin,
+    # stream_html_extract, pipeline_crawl_extract — 11 new + the
+    # full 39-query r9 drain already made 50 exactly), then the
+    # r10 cohort (join_fk_inner onward).
     "text_extract_html", "multimodal_decode_wav",
     "text_token_count_unigram", "text_extract_html_clean",
     "multimodal_wav_windows", "web_link_graph",
