@@ -1692,6 +1692,15 @@ def exact_knn_avg_micro(df: DataFrame, id_col: str = "vec_id",
         import numpy as _np
         import pandas as _pd
         all_ids, mn = bc.value
+        n = len(all_ids)
+        # composite total order (higher = better): micro desc, then
+        # corpus id asc via each id's dense rank — keys are UNIQUE,
+        # so the top-k SET is deterministic and np.argpartition
+        # (O(n) per row, fully vectorized) replaces the per-row
+        # lexsort that measured ×52 at the 10x probe (55k rows x
+        # an O(n log n) python-loop sort each)
+        id_rank = _np.empty(n, dtype="int64")
+        id_rank[_np.argsort(all_ids, kind="stable")] = _np.arange(n)
         for part in batches:
             if len(part) == 0:
                 continue
@@ -1699,16 +1708,21 @@ def exact_knn_avg_micro(df: DataFrame, id_col: str = "vec_id",
             v = _np.stack(part[vec].to_list()).astype("float64")
             nv = _np.linalg.norm(v, axis=1, keepdims=True)
             nv[nv == 0] = 1.0
-            micro = _np.rint(_np.round((v / nv) @ mn.T, 6) * 1e6) \
-                       .astype("int64")
+            vn = v / nv
             sums = _np.empty(len(qid), dtype="int64")
-            for r in range(len(qid)):
-                row = micro[r].copy()
-                # safe sentinel: int64.min would overflow under the
-                # lexsort negation and sort FIRST instead of last
-                row[all_ids == qid[r]] = -(10 ** 15)
-                order = _np.lexsort((all_ids, -row))[:k]
-                sums[r] = row[order].sum()
+            for lo in range(0, len(qid), 256):   # bound key memory
+                hi = min(lo + 256, len(qid))
+                micro = _np.rint(_np.round(vn[lo:hi] @ mn.T, 6)
+                                 * 1e6).astype("int64")
+                keys = micro * n - id_rank[None, :]
+                self_mask = all_ids[None, :] == qid[lo:hi, None]
+                # sentinel must survive the argpartition negation:
+                # int64.min wraps under unary minus and would sort
+                # self-matches INTO the top-k
+                keys[self_mask] = -(2 ** 62)
+                top = _np.argpartition(-keys, k - 1, axis=1)[:, :k]
+                sums[lo:hi] = _np.take_along_axis(
+                    micro, top, axis=1).sum(axis=1)
             yield _pd.DataFrame({id_col: qid, "knn_sum_micro": sums})
 
     return (df.select(id_col, vec)
