@@ -270,6 +270,12 @@ def write_webdataset_shards(df: DataFrame, path: str, id_col: str,
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     os.makedirs(path, exist_ok=True)
+    # Clear stale shards from prior runs: a shard group with zero rows
+    # writes no file, so leftovers from a different n_shards/corpus
+    # would be silently picked up by read_webdataset_shards.
+    import glob as _glob
+    for stale in _glob.glob(os.path.join(path, "shard-*.tar")):
+        os.remove(stale)
 
     assigned = df.select(
         F.col(id_col).cast("long").alias("id"),

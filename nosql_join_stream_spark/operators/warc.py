@@ -25,6 +25,7 @@ beyond-reference crawl-pipeline tier next to text.extract_html_text.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 CRLF = b"\r\n"
@@ -40,7 +41,9 @@ def build_warc_response(url: str, html: str,
     http = (f"HTTP/1.1 {status} OK\r\n"
             f"Content-Type: text/html; charset=utf-8\r\n"
             f"Content-Length: {len(body)}\r\n\r\n").encode() + body
-    rid = record_id or f"<urn:uuid:{abs(hash(url)) % 10**12:012d}>"
+    rid = record_id or (
+        "<urn:uuid:"
+        + hashlib.sha256(url.encode()).hexdigest()[:12] + ">")
     head = (b"WARC/1.0" + CRLF
             + b"WARC-Type: response" + CRLF
             + b"WARC-Target-URI: " + url.encode() + CRLF
@@ -85,6 +88,8 @@ def _gunzip_all(payload: bytes) -> bytes:
         except zlib.error as exc:  # corrupt member: one error contract
             raise ValueError(f"corrupt gzip member: {exc}") from exc
         rest = d.unused_data
+        if not d.eof:  # truncated member ends cleanly but incompletely
+            raise ValueError("truncated gzip member (no end-of-stream)")
     if not out:
         return payload
     if rest:

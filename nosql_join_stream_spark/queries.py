@@ -832,18 +832,14 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 # remaining queries keep their registration order and stay covered by
 # tools/check_correctness.py.
 _DRIVER_WINDOW = [
-    # Round-14 rotation — never-stamped-first, then oldest-stamp
-    # (the r13 plan executed: post-r13 histogram was r9:39 r10:50
-    # r11:49 r12:50 r13:50, zero never-stamped).  This round's 3 new
-    # queries lead (ship-round stamp), then the FULL 39-query r9
-    # cohort drains (r13 VERDICT lead #2), and the last 8 slots
-    # start the r10 cohort in registry order.  Post-r14 state if
-    # green: no stamp older than r10.  The r15 window leads with the
-    # 4 never-stamped queries that landed after this window filled
-    # (text_quality_unigram_ppl, mine_bitext_margin,
-    # stream_html_extract, pipeline_crawl_extract — 11 new + the
-    # full 39-query r9 drain already made 50 exactly), then the
-    # r10 cohort (join_fk_inner onward).
+    # Round-14 rotation — never-stamped-first, then oldest-stamp.
+    # As shipped: 11 new r14 queries lead (ship-round stamp), then
+    # the FULL 39-query r9 cohort drains (r13 VERDICT lead #2) —
+    # exactly 50, so the r10 cohort was deferred to r15.  Four late
+    # r14 arrivals (text_quality_unigram_ppl, mine_bitext_margin,
+    # stream_html_extract, pipeline_crawl_extract) landed after this
+    # window filled and lead the r15 window, followed by the r10
+    # cohort (join_fk_inner onward).
     "text_extract_html", "multimodal_decode_wav",
     "text_token_count_unigram", "text_extract_html_clean",
     "multimodal_wav_windows", "web_link_graph",

@@ -244,3 +244,24 @@ def test_webdataset_shards_deterministic_and_readable(spark, tmp_path):
     with __import__("pytest").raises(ValueError):
         write_webdataset_shards(df, str(tmp_path / "c"), "doc_id",
                                 "text", 0)
+
+
+def test_webdataset_stale_shards_cleared(spark, tmp_path):
+    """Re-exporting into the same directory with fewer shards must
+    not leave stale shard-*.tar behind (a zero-row group writes no
+    file, so leftovers would corrupt the read side)."""
+    import glob
+    import os
+
+    from nosql_join_stream_spark.operators.export_shards import (
+        read_webdataset_shards, write_webdataset_shards)
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(12)], "doc_id long, text string")
+    d = str(tmp_path / "re")
+    write_webdataset_shards(df, d, "doc_id", "text", 8).collect()
+    assert len(glob.glob(os.path.join(d, "shard-*.tar"))) == 8
+    write_webdataset_shards(df, d, "doc_id", "text", 3).collect()
+    assert len(glob.glob(os.path.join(d, "shard-*.tar"))) == 3
+    back = read_webdataset_shards(spark, d)
+    assert back.count() == 12

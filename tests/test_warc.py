@@ -35,6 +35,25 @@ def test_multi_member_gzip():
     assert [r["type"] for r in recs] == ["request", "response"]
 
 
+def test_truncated_gzip_member_is_loud():
+    """A gzip member cut mid-stream decompresses without a zlib error
+    (eof never reached) — the parser must still refuse it rather than
+    return a silently shortened record list."""
+    gz = W.gzip_bytes(_pair())
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        W.parse_warc(gz[:len(gz) // 2])
+
+
+def test_record_id_is_process_stable():
+    """Default WARC-Record-ID derives from a content hash, not
+    Python's salted hash() — fixture bytes are run-stable."""
+    rec = W.build_warc_response("https://example.org/a", "<p>x</p>")
+    assert b"WARC-Record-ID: <urn:uuid:" in rec
+    import hashlib
+    want = hashlib.sha256(b"https://example.org/a").hexdigest()[:12]
+    assert want.encode() in rec
+
+
 def test_unicode_body_content_length_octets():
     """Content-Length counts OCTETS, not characters — a multi-byte
     body must frame correctly."""

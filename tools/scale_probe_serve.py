@@ -19,7 +19,8 @@ Fixed probes:
 - dedup: the sf0.1 batch slice (doc_id%10==9, 500 docs) transformed
   with the copy-0 token, so it matches exactly the copy-0 region of
   every index — same candidates at every scale.
-- ANN: 500 query vectors (vec_id%10==9 from sf0.1, copy-0 offset).
+- ANN: 200 query vectors (vec_id%10==9 over the 2,000 sf0.1
+  embeddings, copy-0 offset).
 
 IVF builds scale n_cells with the corpus (16/62/625 at the default
 CELL_TARGET — constant target cell SIZE, the standard IVF
