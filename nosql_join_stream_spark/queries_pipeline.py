@@ -8468,6 +8468,88 @@ def mine_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "is_planted"))
 
 
+# The IVF-denominator variant compares the accepted SET, not margin
+# VALUES: IVF 4-NN sums are <= the exact sums wherever a true
+# neighbor falls outside the probed cells (measured: ~56% of vectors
+# at sf0.01 with n_cells=16/nprobe=8), so individual margins inflate
+# — but the DECISION is unchanged, which is precisely the at-scale
+# claim (Artetxe & Schwenk run the margin criterion over approximate
+# kNN for the same reason).  Oracle = the exact all-pairs margin
+# computation with the margin column dropped.
+_BITEXT_MARGIN_SET_ORACLE = (
+    _BITEXT_MARGIN_ORACLE
+    .replace("sc.sim, sc.margin,", "sc.sim,"))
+
+
+@register(
+    "mine_bitext_margin_ivf",
+    _BITEXT_MARGIN_SET_ORACLE,
+    doc="The declared 100 TB path of mine_bitext_margin, oracle-"
+        "witnessed (r14 VERDICT lead #2): same planted corpus and "
+        "banded candidate source, but the 4-NN margin denominators "
+        "come from the STANDING IVF index probe "
+        "(similarity.ann_ivf_partitioned — cell-pruned scan, no "
+        "driver-side corpus collect anywhere in the plan) instead of "
+        "the exact GEMM tier.  The oracle is the full all-pairs "
+        "EXACT-margin accepted set: hash equality proves the "
+        "approximate-kNN criterion accepts exactly what the exact "
+        "criterion accepts on the gate corpus.  Margin VALUES are "
+        "deliberately not output: IVF sums under-count whenever a "
+        "true neighbor sits outside the nprobe probed cells, which "
+        "only INFLATES margins — twins (the accepted set; candidates "
+        "are twins-only at the >=0.9 banded tier, organic cosine "
+        "ceiling ~0.51) stay above the 1.5 threshold with the same "
+        "headroom argument as mine_bitext_margin, and nothing "
+        "organic can enter because the candidate source already "
+        "excludes it.  This converts the exact tier's documented "
+        "driver-side collect from 'fenced' to 'bypassable': a 100 TB "
+        "user runs THIS shape end-to-end.",
+)
+def mine_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    allv, langs = _bitext_planted_inputs(_engine(spark, sf_dir))
+    # standing-index semantics (ann_ivf_partitioned registry pattern):
+    # build once per process per sf, probe thereafter
+    loc = artifact_dir("nsjs_ivf_btm", sf_tag(sf_dir))
+    rebuild = not os.path.isdir(os.path.join(loc, "corpus_cells"))
+    knn4 = similarity.ann_ivf_partitioned(
+        allv.select(F.col("vec_id").alias("q_id"), "embedding"),
+        allv.select(F.col("vec_id").alias("c_id"), "embedding"),
+        k=4, n_cells=16, nprobe=8, location=loc, rebuild=rebuild)
+    # integer micro-unit sums — same grain as exact_knn_avg_micro, so
+    # the margin arithmetic below is float-order-hazard-free
+    knn = (knn4.groupBy("q_id")
+           .agg(F.sum(F.round(F.col("sim") * 1e6, 0).cast("long"))
+                .alias("knn_sum_micro")))
+    pairs = similarity.embedding_near_dup_pairs_banded(
+        allv, "vec_id", "embedding", threshold=0.9)
+    margin = F.round(
+        F.col("sim") * 8000000 / (F.col("s1") + F.col("s2")), 4)
+    scored = (pairs
+              .join(knn.select(F.col("q_id").alias("id1"),
+                               F.col("knn_sum_micro").alias("s1")),
+                    "id1")
+              .join(knn.select(F.col("q_id").alias("id2"),
+                               F.col("knn_sum_micro").alias("s2")),
+                    "id2")
+              .withColumn("margin", margin)
+              .filter(F.col("margin") > 1.5)
+              .select("id1", "id2", "sim"))
+    return (scored
+            .join(langs.select(F.col("doc_id").alias("id1"),
+                               F.col("lang").alias("lang1")), "id1")
+            .join(langs.select(F.col("doc_id").alias("id2"),
+                               F.col("lang").alias("lang2")), "id2")
+            .filter(F.col("lang1") != F.col("lang2"))
+            .withColumn("is_planted",
+                        (F.col("id2") == F.col("id1")
+                         + F.lit(_BITEXT_OFF))
+                        & (F.col("id1") % 17 == 0))
+            .select("id1", "id2", "lang1", "lang2", "sim",
+                    "is_planted"))
+
+
 @register(
     "stream_html_extract",
     _HTML_EXTRACT_ORACLE,

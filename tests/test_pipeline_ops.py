@@ -2230,6 +2230,22 @@ def test_bitext_margin_and_ppl_filter(spark):
     assert any(r.is_planted_noise for r in ppl)
 
 
+def test_bitext_margin_ivf_matches_exact_accepted_set(spark):
+    """The IVF-denominator margin path (the declared 100 TB shape)
+    accepts EXACTLY the set the exact-GEMM path accepts — the set
+    agreement the oracle also pins, plus: no exact_knn_avg_micro
+    (driver-side corpus collect) anywhere in the IVF plan."""
+    from nosql_join_stream_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = REGISTRY["mine_bitext_margin"].fn(spark, sf).collect()
+    ivf_df = REGISTRY["mine_bitext_margin_ivf"].fn(spark, sf)
+    ivf = ivf_df.collect()
+    assert sorted((r.id1, r.id2) for r in exact) == \
+           sorted((r.id1, r.id2) for r in ivf)
+    assert all(r.is_planted and r.sim == 1.0 for r in ivf)
+
+
 def test_html_parsers_fuzz_never_crash():
     """Malformed markup must never raise out of the block/link
     extractors — html.parser is error-recovering by design, and the
