@@ -194,3 +194,56 @@ def parse_warc_records(df, payload_col: str, id_col: str):
                 "body": bodies})
 
     return df.select(id_col, payload_col).mapInPandas(op, schema=schema)
+
+
+def canonicalize_url(c):
+    """URL canonicalization as a pure Column expression — the C4-step
+    between WARC parse and text dedup: crawls re-fetch the same page
+    under syntactic URL variants, and URL-level dedup before content
+    dedup is the cheapest duplicate kill in the pipeline (RefinedWeb
+    runs it first for exactly this reason).
+
+    Rules (for absolute http/https URLs; anything else passes through
+    trimmed, documented contract — crawl frontiers normalize scheme
+    upstream): strip fragment; lowercase scheme and host; strip a
+    leading ``www.``; drop default ports (http:80, https:443), keep
+    explicit non-default ports; collapse trailing slashes (empty path
+    -> ``/``); drop empty query params and sort the rest
+    byte-lexicographically (ASCII param contract — percent-encoding
+    normalization is out of scope and documented).  Entirely
+    pyspark.sql.functions — whole-stage-codegen'd, no Python in the
+    hot path, and mirrorable in ANSI SQL so the oracle checks the
+    same rules.
+    """
+    from pyspark.sql import functions as F
+
+    u = F.substring_index(F.trim(c), "#", 1)
+    has = F.instr(u, "://") > 0
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    rest = F.substr(u, F.instr(u, "://") + F.lit(3))
+    auth = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    pq = F.substr(rest, F.length(auth) + F.lit(1))
+    path = F.substring_index(pq, "?", 1)
+    qpos = F.instr(pq, "?")
+    query = F.when(qpos > 0, F.substr(pq, qpos + F.lit(1))) \
+             .otherwise(F.lit(""))
+    host = F.regexp_replace(F.lower(auth), "^www\\.", "")
+    hostname = F.substring_index(host, ":", 1)
+    port = F.regexp_extract(host, ":([0-9]+)$", 1)
+    keep_port = ((port != "")
+                 & ~((scheme == "http") & (port == "80"))
+                 & ~((scheme == "https") & (port == "443")))
+    host_c = F.when(keep_port,
+                    F.concat(hostname, F.lit(":"), port)) \
+              .otherwise(hostname)
+    path_c = F.regexp_replace(path, "/+$", "")
+    path_c = F.when(path_c == "", F.lit("/")).otherwise(path_c)
+    qsorted = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"),
+                              lambda x: x != "")), "&")
+    out = F.concat(
+        scheme, F.lit("://"), host_c, path_c,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted))
+         .otherwise(F.lit("")))
+    return F.when(has & scheme.isin("http", "https"), out) \
+            .otherwise(F.trim(c))

@@ -8688,3 +8688,150 @@ def pipeline_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(agg, "doc_id")
             .select("doc_id", "url", "http_status", "clean_text",
                     "n_content_blocks"))
+
+
+# --- r15: URL canonicalization + URL-level dedup (crawl C4-step) ----------
+
+# The DuckDB mirror of warc_ops.canonicalize_url — same rule set,
+# chained CTEs over whatever (doc_id, seq, url) relation `v` the
+# caller plants.  Verified expression-by-expression against the Spark
+# column on the shared edge cases (tests/test_warc.py).
+_URL_CANON_SQL_TAIL = r"""
+    s1 AS (SELECT doc_id, seq, split_part(trim(url), '#', 1) AS u
+           FROM v),
+    s2 AS (SELECT doc_id, seq,
+                  lower(split_part(u, '://', 1)) AS scheme,
+                  substring(u, strpos(u, '://') + 3) AS rest
+           FROM s1),
+    s3 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1)
+                       AS auth
+           FROM s2),
+    s4 AS (SELECT *, substring(rest, length(auth) + 1) AS pq FROM s3),
+    s5 AS (SELECT *,
+                  split_part(pq, '?', 1) AS path,
+                  CASE WHEN strpos(pq, '?') > 0
+                       THEN substring(pq, strpos(pq, '?') + 1)
+                       ELSE '' END AS q,
+                  regexp_replace(lower(auth), '^www\.', '') AS host
+           FROM s4),
+    s6 AS (SELECT *,
+                  split_part(host, ':', 1) AS hostname,
+                  regexp_extract(host, ':([0-9]+)$', 1) AS port
+           FROM s5),
+    s7 AS (SELECT *,
+                  CASE WHEN port <> ''
+                            AND NOT (scheme='http' AND port='80')
+                            AND NOT (scheme='https' AND port='443')
+                       THEN hostname || ':' || port
+                       ELSE hostname END AS host_c,
+                  CASE WHEN regexp_replace(path, '/+$', '') = ''
+                       THEN '/'
+                       ELSE regexp_replace(path, '/+$', '') END
+                    AS path_c,
+                  array_to_string(list_sort(list_filter(
+                      string_split(q, '&'), x -> x <> '')), '&') AS qs
+           FROM s6),
+    c AS (SELECT doc_id, seq,
+                 scheme || '://' || host_c || path_c ||
+                 CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS curl
+          FROM s7)
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(MIN(seq) AS INT) AS first_fetch_seq
+    FROM c GROUP BY curl
+    """
+
+_URL_DEDUP_ORACLE = """
+    WITH v AS (
+      SELECT doc_id, 0 AS seq,
+             'https://example.org/doc/' || doc_id || '?a=1&b=2' AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1,
+             'HTTPS://WWW.Example.ORG:443/doc/' || doc_id
+               || '/?b=2&a=1#ref'
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2,
+             'https://example.org/doc/' || doc_id || '/?b=2&a=1&'
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 3,
+             'http://example.org:8080/alt/' || doc_id || '//'
+      FROM documents WHERE doc_id % 5 = 0),
+""" + _URL_CANON_SQL_TAIL
+
+
+@register(
+    "pipeline_crawl_url_dedup",
+    _URL_DEDUP_ORACLE,
+    doc="URL canonicalization + URL-level dedup — the C4-step between "
+        "WARC parse and content dedup (r14 VERDICT lead #3): crawls "
+        "re-fetch the same page under syntactic URL variants, and "
+        "killing those before any text is decoded is the cheapest "
+        "dedup in the pipeline (RefinedWeb runs it first).  Planted "
+        "ground truth in the pipeline_crawl_extract pattern: each "
+        "document is re-crawled 3x under variant URLs exercising "
+        "every canonicalization rule (scheme/host case, www prefix, "
+        "default :443 port, trailing slash, param order, empty param, "
+        "fragment), every 5th doc adds a genuinely DISTINCT url "
+        "(non-default port kept, multi-slash collapse); the records "
+        "travel as real gzip'd WARC responses through parse_warc_"
+        "records, then warc_ops.canonicalize_url (pure Column "
+        "expression — whole-stage codegen, zero Python) folds the "
+        "variants and the group-by yields one row per canonical URL "
+        "with fetch count + first fetch.  The oracle re-plants the "
+        "same variants and canonicalizes them with the mirrored SQL "
+        "rule set, so hash equality pins both the WARC transport AND "
+        "every canonicalization rule end-to-end.  Scale shape: two "
+        "scan-parallel kernels + one partial-agg shuffle on the "
+        "canonical key — URL dedup at 100 TB is exactly this plan.",
+)
+def pipeline_crawl_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    d = (e.table("documents").select("doc_id")
+         .repartition(par, "doc_id"))
+    did = F.col("doc_id").cast("string")
+
+    def variant(seq: int, url_col):
+        return d.select(
+            (F.col("doc_id") * 4 + seq).alias("rid"),
+            url_col.alias("url"))
+
+    v0 = variant(0, F.concat(F.lit("https://example.org/doc/"), did,
+                             F.lit("?a=1&b=2")))
+    v1 = variant(1, F.concat(F.lit("HTTPS://WWW.Example.ORG:443/doc/"),
+                             did, F.lit("/?b=2&a=1#ref")))
+    v2 = variant(2, F.concat(F.lit("https://example.org/doc/"), did,
+                             F.lit("/?b=2&a=1&")))
+    v3 = (d.filter(F.col("doc_id") % 5 == 0)
+          .select((F.col("doc_id") * 4 + 3).alias("rid"),
+                  F.concat(F.lit("http://example.org:8080/alt/"), did,
+                           F.lit("//")).alias("url")))
+    crawl = v0.unionByName(v1).unionByName(v2).unionByName(v3)
+
+    def wrap(batches):
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import warc as _w
+        for pdf in batches:
+            rows = [(int(rid),
+                     _w.gzip_bytes(_w.build_warc_response(
+                         str(url), "<p>ok</p>")))
+                    for rid, url in zip(pdf["rid"], pdf["url"])]
+            yield _pd.DataFrame(rows, columns=["rid", "payload"])
+
+    payloads = crawl.mapInPandas(wrap, schema="rid long, payload binary")
+    recs = warc_ops.parse_warc_records(payloads, "payload", "rid")
+    resp = (recs.filter(F.col("rec_type") == "response")
+            .select((F.col("rid") / 4).cast("long").alias("doc_id"),
+                    F.pmod(F.col("rid"), F.lit(4)).cast("int")
+                     .alias("seq"),
+                    warc_ops.canonicalize_url(F.col("url"))
+                     .alias("canonical_url")))
+    return (resp.groupBy("canonical_url")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").alias("n_fetches"),
+                 F.min("seq").alias("first_fetch_seq"))
+            .select("doc_id", "canonical_url", "n_fetches",
+                    "first_fetch_seq"))

@@ -93,3 +93,61 @@ def test_fuzz_never_crashes_unstructured():
             W.parse_warc(payload)
         except ValueError:
             pass  # the single documented error contract
+
+
+_CANON_CASES = [
+    # (raw, canonical) — each exercises a distinct rule; the DuckDB
+    # oracle mirror (_URL_CANON_SQL_TAIL) is checked against the same
+    # list below so the two rule sets cannot drift apart silently.
+    ("https://example.org/doc/5?a=1&b=2",
+     "https://example.org/doc/5?a=1&b=2"),
+    ("HTTPS://WWW.Example.ORG:443/doc/5/?b=2&a=1#ref",
+     "https://example.org/doc/5?a=1&b=2"),
+    ("https://example.org/doc/5/?b=2&a=1",
+     "https://example.org/doc/5?a=1&b=2"),
+    ("http://example.org:8080/alt/5//",
+     "http://example.org:8080/alt/5"),
+    ("http://www.site.com:80/", "http://site.com/"),
+    ("https://site.com", "https://site.com/"),
+    ("https://site.com?z=9&a=1&", "https://site.com/?a=1&z=9"),
+    ("  https://x.org/p#f1#f2  ", "https://x.org/p"),
+    ("ftp://weird.org/x/", "ftp://weird.org/x/"),   # pass-through
+    ("not a url", "not a url"),                      # pass-through
+]
+
+
+def test_canonicalize_url_rules(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(i, r) for i, (r, _) in enumerate(_CANON_CASES)],
+        "i int, url string")
+    got = {r.i: r.c for r in
+           df.select("i", W.canonicalize_url(F.col("url")).alias("c"))
+             .collect()}
+    for i, (_raw, want) in enumerate(_CANON_CASES):
+        assert got[i] == want
+
+
+def test_canonicalize_url_duckdb_mirror_agrees():
+    """The oracle's SQL canonicalization must produce the same
+    canonical form as the Spark column for every rule case (the
+    http/https ones — pass-throughs never reach the oracle CTE).
+    The tail GROUPs BY canonical url, so compare grouped shapes:
+    expected group -> (min case id, fetch count)."""
+    import duckdb
+
+    import nosql_join_stream_spark.queries  # noqa: F401  registry init order
+    from nosql_join_stream_spark.queries_pipeline import \
+        _URL_CANON_SQL_TAIL
+
+    cases = [(i, r, want) for i, (r, want) in enumerate(_CANON_CASES)
+             if r.strip().lower().startswith("http")]
+    vals = ", ".join(f"({i}, {i}, '{raw}')" for i, raw, _ in cases)
+    sql = (f"WITH v(doc_id, seq, url) AS (VALUES {vals}),"
+           + _URL_CANON_SQL_TAIL)
+    expected = {}
+    for i, _raw, want in cases:
+        lo, n = expected.get(want, (i, 0))
+        expected[want] = (min(lo, i), n + 1)
+    got = {r[1]: (r[0], r[2]) for r in duckdb.sql(sql).fetchall()}
+    assert got == expected
