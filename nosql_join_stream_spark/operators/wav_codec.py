@@ -98,6 +98,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     end = min(end, len(payload))
     fmt = None
     data = None
+    n_frames = None
     while pos + 8 <= end:
         cc = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
@@ -108,18 +109,26 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             if size < 16:
                 raise ValueError("fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cc == b"fact" and size >= 4:
+            n_frames = struct.unpack("<I", body[:4])[0]
         elif cc == b"data":
             data = body
         pos += 8 + size + (size % 2)  # spec pad byte on odd sizes
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    audio_fmt, ch, rate, _byte_rate, _block, bits = fmt
-    if audio_fmt != _FMT_PCM:
-        raise NotImplementedError(
-            f"audio format {audio_fmt}: only integer PCM (1) — "
-            "float/ADPCM/mu-law are documented limits")
+    audio_fmt, ch, rate, _byte_rate, block_align, bits = fmt
     if ch < 1:
         raise ValueError("channel count must be >= 1")
+    if audio_fmt == _FMT_IMA_ADPCM:
+        if bits != 4:
+            raise NotImplementedError(
+                f"IMA ADPCM bits={bits}: the spec form is 4")
+        return _ima_decode_data(data, ch, block_align, n_frames), rate
+    if audio_fmt != _FMT_PCM:
+        raise NotImplementedError(
+            f"audio format {audio_fmt}: only integer PCM (1) and "
+            "IMA ADPCM (0x11) — float/MS-ADPCM/mu-law-in-RIFF are "
+            "documented limits")
     if bits == 16:
         n = len(data) // (2 * ch)
         arr = np.frombuffer(data[:n * 2 * ch], dtype="<i2") \
@@ -239,6 +248,255 @@ ALAW_TABLE = _alaw_table()
 def alaw_decode(codes: np.ndarray) -> np.ndarray:
     """Vectorized G.711 A-law expansion: uint8 codes -> int16."""
     return ALAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
+_FMT_IMA_ADPCM = 0x11  # WAVE_FORMAT_IMA_ADPCM (DVI/Intel ADPCM)
+
+# IMA ADPCM public-spec tables (IMA Digital Audio Focus Group, 1992;
+# same tables audioop's Intel/DVI codec uses — asserted when importable)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], dtype=np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_codes(codes, pred: int, index: int) -> np.ndarray:
+    """Core IMA ADPCM nibble expansion: 4-bit codes + initial
+    (predictor, step index) -> int16 samples.  Sequential by nature
+    (each step feeds the next), bounded per WAV block (<= ~2k
+    samples), so the Python loop is block-local."""
+    out = np.empty(len(codes), dtype=np.int16)
+    for i, code in enumerate(codes):
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        pred = pred - diff if code & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX_ADJ[code & 7])))
+        out[i] = pred
+    return out
+
+
+def _ima_encode_codes(samples, pred: int, index: int) -> list[int]:
+    """Core IMA ADPCM compressor (fixture writer): int16 samples +
+    initial state -> 4-bit codes, using the spec's quantize-then-
+    update-with-the-decoder's-arithmetic discipline so decode is the
+    exact inverse of the state walk."""
+    codes = []
+    for s in samples:
+        step = int(_IMA_STEPS[index])
+        diff = int(s) - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        # replay the decoder update so encoder state == decoder state
+        vpdiff = step >> 3
+        if code & 1:
+            vpdiff += step >> 2
+        if code & 2:
+            vpdiff += step >> 1
+        if code & 4:
+            vpdiff += step
+        pred = pred - vpdiff if code & 8 else pred + vpdiff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX_ADJ[code & 7])))
+        codes.append(code)
+    return codes
+
+
+def encode_wav_ima_adpcm(samples: np.ndarray, sample_rate: int,
+                         block_align: int = 256) -> bytes:
+    """Encode int16 samples as a WAVE_FORMAT_IMA_ADPCM (0x11) RIFF
+    stream — the fixture writer for the last common legacy codec in
+    crawl audio after PCM/mu-law/A-law.  Standard MS-IMA block
+    layout: per block and channel a 4-byte state header (predictor
+    int16 = the block's first output sample, step index u8,
+    reserved u8), then the nibble payload in 4-byte-per-channel
+    interleave groups, LOW nibble first.  ``fact`` chunk carries the
+    exact frame count so decode trims the final partial block."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if n == 0:
+        raise ValueError("cannot encode an empty sample array")
+    if block_align % (4 * ch) != 0 or block_align < 8 * ch:
+        raise ValueError(
+            f"block_align {block_align} must be a multiple of 4*ch "
+            "and hold at least one nibble group per channel")
+    spb = (block_align - 4 * ch) * 2 // ch + 1  # samples per block
+    index = [0] * ch
+    blocks = []
+    for lo in range(0, n, spb):
+        blk = arr[lo:lo + spb]
+        head = b""
+        payload_codes = []
+        for c in range(ch):
+            pred = int(blk[0, c])
+            head += struct.pack("<hBB", pred, index[c], 0)
+            want = spb - 1
+            chan = blk[1:, c].tolist() + [int(blk[-1, c])] * \
+                (want - (len(blk) - 1))     # pad tail with last sample
+            codes = _ima_encode_codes(chan, pred, index[c])
+            # carry end-of-block step index into the next header
+            idx = index[c]
+            for code in codes:
+                idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[code & 7])))
+            index[c] = idx
+            payload_codes.append(codes)
+        body = bytearray(head)
+        # 8 samples (4 bytes) per channel, channels interleaved
+        for g in range(0, spb - 1, 8):
+            for c in range(ch):
+                cs = payload_codes[c][g:g + 8]
+                for k in range(0, 8, 2):
+                    body.append(cs[k] | (cs[k + 1] << 4))
+        blocks.append(bytes(body))
+    frames = b"".join(blocks)
+    fmt = struct.pack("<HHIIHHHH", _FMT_IMA_ADPCM, ch, sample_rate,
+                      sample_rate * block_align // spb, block_align,
+                      4, 2, spb)
+    fact = struct.pack("<I", n)
+    body = b"WAVE"
+    for cc, payload in ((b"fmt ", fmt), (b"fact", fact),
+                        (b"data", frames)):
+        body += cc + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# A fixed public code pattern for planted IMA fixtures whose decode
+# is CLOSED-FORM: with no sample clamping, decoded[t] = pred0 +
+# cumdiff(idx0, t) where cumdiff depends only on (idx0, pattern) —
+# pure spec-table arithmetic an oracle can embed as a VALUES relation
+# (the pattern wanders the step table up, back down, then oscillates,
+# keeping |cumdiff| < 2300 so any |pred0| <= 30000 never clamps).
+IMA_DEMO_PATTERN = tuple(
+    ([4] * 8 + [12] * 8 + [1, 9] * 12 + [4, 12] * 12)[:63])
+
+
+def ima_cumdiff(idx0: int, codes) -> list[int]:
+    """Cumulative predictor deltas of an IMA state walk from step
+    index ``idx0`` (no clamping; caller guarantees headroom):
+    returns [cum after code 0, cum after code 1, ...]."""
+    idx, cum, out = idx0, 0, []
+    for code in codes:
+        step = int(_IMA_STEPS[idx])
+        diff = step >> 3
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        cum = cum - diff if code & 8 else cum + diff
+        idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[code & 7])))
+        out.append(cum)
+    return out
+
+
+def encode_wav_ima_raw(preds, idxs, codes, sample_rate: int,
+                       n_frames: int) -> bytes:
+    """Single-block IMA WAV from EXPLICIT per-channel state + one
+    shared code sequence — the planted-fixture writer for the
+    closed-form oracle path (no compressor in the loop, so the
+    decoder is pinned against the spec tables directly).  ``preds``/
+    ``idxs``: per-channel block-header state; ``codes``: the shared
+    4-bit code list (padded with zeros to the block's nibble
+    capacity); ``n_frames`` rides the ``fact`` chunk and must be
+    <= len(codes)+1."""
+    ch = len(preds)
+    if len(idxs) != ch:
+        raise ValueError("preds/idxs channel count mismatch")
+    groups = (len(codes) + 7) // 8
+    block_align = 4 * ch + groups * 4 * ch
+    spb = groups * 8 + 1
+    if n_frames > len(codes) + 1:
+        raise ValueError("n_frames exceeds coded samples")
+    padded = list(codes) + [0] * (groups * 8 - len(codes))
+    body = bytearray()
+    for c in range(ch):
+        body += struct.pack("<hBB", int(preds[c]), int(idxs[c]), 0)
+    for g in range(0, spb - 1, 8):
+        for _c in range(ch):
+            cs = padded[g:g + 8]
+            for k in range(0, 8, 2):
+                body.append(cs[k] | (cs[k + 1] << 4))
+    fmt = struct.pack("<HHIIHHHH", _FMT_IMA_ADPCM, ch, sample_rate,
+                      sample_rate * block_align // spb, block_align,
+                      4, 2, spb)
+    fact = struct.pack("<I", n_frames)
+    out = b"WAVE"
+    for cc, payload in ((b"fmt ", fmt), (b"fact", fact),
+                        (b"data", bytes(body))):
+        out += cc + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            out += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def _ima_decode_data(data: bytes, ch: int, block_align: int,
+                     n_frames: int | None) -> np.ndarray:
+    """WAVE_FORMAT_IMA_ADPCM data chunk -> int16 samples (n, ch)."""
+    if block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch) != 0:
+        raise ValueError(
+            f"IMA ADPCM block_align {block_align} invalid for "
+            f"{ch} channel(s)")
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
+    for lo in range(0, len(data) - (len(data) % block_align),
+                    block_align):
+        blk = data[lo:lo + block_align]
+        preds, idxs = [], []
+        for c in range(ch):
+            pred, idx, _rsv = struct.unpack_from("<hBB", blk, 4 * c)
+            if idx > 88:
+                raise ValueError(f"IMA step index {idx} out of range")
+            preds.append(pred)
+            idxs.append(idx)
+        nib = blk[4 * ch:]
+        codes: list[list[int]] = [[] for _ in range(ch)]
+        for g in range(0, len(nib), 4 * ch):
+            for c in range(ch):
+                for b in nib[g + 4 * c:g + 4 * (c + 1)]:
+                    codes[c].append(b & 0x0F)      # LOW nibble first
+                    codes[c].append(b >> 4)
+        for c in range(ch):
+            dec = _ima_decode_codes(codes[c], preds[c], idxs[c])
+            chans[c].append(
+                np.concatenate(([np.int16(preds[c])], dec)))
+    if not chans[0]:
+        raise ValueError("IMA ADPCM stream holds no complete block")
+    out = np.stack([np.concatenate(parts) for parts in chans],
+                   axis=1)
+    if n_frames is not None:
+        if n_frames > len(out):
+            raise ValueError(
+                f"fact chunk claims {n_frames} frames but only "
+                f"{len(out)} decode")
+        out = out[:n_frames]
+    return out
 
 
 def _f80_to_int(b: bytes) -> int:

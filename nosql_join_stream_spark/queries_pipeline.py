@@ -8040,15 +8040,30 @@ def _mulaw_values_sql() -> str:
                      for i, v in enumerate(_wc.MULAW_TABLE))
 
 
+# IMA ADPCM closed-form leg: the planted block uses the fixed public
+# code pattern (wav_codec.IMA_DEMO_PATTERN), so decoded[t] = pred0 +
+# cumdiff(idx0, t) — pure spec-table arithmetic embedded as VALUES,
+# the same trick as the mu-law table (no compressor in the oracle).
+def _ima_cum_values_sql() -> str:
+    from nosql_join_stream_spark.operators import wav_codec as _wc
+    rows = []
+    for idx0 in range(4):
+        cd = [0] + _wc.ima_cumdiff(idx0, _wc.IMA_DEMO_PATTERN)
+        rows += [f"({idx0},{t},{cd[t]})" for t in range(64)]
+    return ", ".join(rows)
+
+
 _AUDIO_MULTI_ORACLE = f"""
     WITH d AS (
       SELECT doc_id,
-             (doc_id % 19 + 4) * 50 AS n,
+             CASE WHEN doc_id % 4 = 3 THEN 64
+                  ELSE (doc_id % 19 + 4) * 50 END AS n,
              CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS ch_n,
              (doc_id % 3 + 1) * 8000 AS rate,
-             doc_id % 3 AS cont
+             doc_id % 4 AS cont
       FROM documents),
     m(code, v) AS (VALUES {_mulaw_values_sql()}),
+    cum(idx0, t, v) AS (VALUES {_ima_cum_values_sql()}),
     s0 AS (
       SELECT d.doc_id, d.cont, c.ch AS channel, d.rate, d.n, u.i,
              d.doc_id*37 + c.ch*11 + u.i*13 AS base
@@ -8056,12 +8071,18 @@ _AUDIO_MULTI_ORACLE = f"""
               UNNEST(range(0, d.n)) AS u(i)),
     s AS (
       SELECT s0.doc_id,
-             CASE s0.cont WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff'
-                          ELSE 'au' END AS container,
+             CASE s0.cont WHEN 1 THEN 'aiff' WHEN 2 THEN 'au'
+                          ELSE 'wav' END AS container,
              s0.channel, s0.rate, s0.n, s0.i,
              CASE WHEN s0.cont = 2 THEN m.v
+                  WHEN s0.cont = 3 THEN
+                       ((s0.doc_id*37 + s0.channel*11) % 60000)
+                         - 30000 + cum.v
                   ELSE (s0.base % 65536) - 32768 END AS s
-      FROM s0 LEFT JOIN m ON m.code = s0.base % 256)
+      FROM s0 LEFT JOIN m ON m.code = s0.base % 256
+              LEFT JOIN cum
+                ON cum.idx0 = (s0.doc_id + s0.channel) % 4
+               AND cum.t = s0.i)
     SELECT doc_id, container, CAST(channel AS INT) AS channel,
            CAST(rate AS BIGINT) AS sample_rate,
            CAST(n AS BIGINT) AS n_samples,
@@ -8079,13 +8100,17 @@ _AUDIO_MULTI_ORACLE = f"""
     _AUDIO_MULTI_ORACLE,
     doc="Mixed-container audio decode — the opaque-binary-column "
         "story end-to-end: each document plants a WAV (RIFF/LE), "
-        "AIFF (IFF/BE, 80-bit-float rate) or Sun AU G.711 mu-law "
-        "stream by doc_id%3; wav_codec.decode_audio sniffs the magic "
-        "and dispatches, mu-law expanding through the spec-exact "
-        "MULAW_TABLE (== audioop bit-for-bit where importable).  The "
-        "oracle embeds the 256-entry expansion table as a VALUES "
-        "relation, so big-endian PCM, the IFF chunk walk, AND a real "
-        "compressed telephony codec are all hash-pinned.  Same "
+        "AIFF (IFF/BE, 80-bit-float rate), Sun AU G.711 mu-law, or "
+        "(r15) WAVE_FORMAT_IMA_ADPCM stream by doc_id%4; wav_codec."
+        "decode_audio sniffs the magic and dispatches, mu-law "
+        "expanding through the spec-exact MULAW_TABLE and IMA "
+        "through the block-state nibble walk (both == audioop "
+        "bit-for-bit where importable).  The oracle embeds the "
+        "256-entry mu-law table AND the 4x64 IMA cumulative-diff "
+        "table (closed-form because the planted block uses the "
+        "fixed public code pattern — no compressor in the oracle), "
+        "so big-endian PCM, the IFF chunk walk, a telephony codec "
+        "AND a real ADPCM state machine are all hash-pinned.  Same "
         "two-kernel scan-parallel shape as multimodal_decode_wav.",
 )
 def multimodal_decode_audio_multi(spark: SparkSession,
@@ -8101,24 +8126,32 @@ def multimodal_decode_audio_multi(spark: SparkSession,
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                n = (did % 19 + 4) * 50
+                cont = did % 4
+                n = 64 if cont == 3 else (did % 19 + 4) * 50
                 ch_n = 2 if did % 2 == 1 else 1
                 rate = (did % 3 + 1) * 8000
                 i = _np.arange(n, dtype=_np.int64)[:, None]
                 ch = _np.arange(ch_n, dtype=_np.int64)[None, :]
                 base = did * 37 + ch * 11 + i * 13
-                if did % 3 == 0:
+                if cont == 0:
                     payload = _wc.encode_wav_pcm(
                         ((base % 65536) - 32768).astype(_np.int16),
                         rate, bits=16)
-                elif did % 3 == 1:
+                elif cont == 1:
                     payload = _wc.encode_aiff_pcm(
                         ((base % 65536) - 32768).astype(_np.int16),
                         rate, bits=16)
-                else:
+                elif cont == 2:
                     payload = _wc.encode_au(
                         (base % 256).astype(_np.uint8), rate,
                         encoding=1)  # G.711 mu-law codes
+                else:  # IMA ADPCM, planted raw block (decode-only)
+                    preds = [(did * 37 + c * 11) % 60000 - 30000
+                             for c in range(ch_n)]
+                    idxs = [(did + c) % 4 for c in range(ch_n)]
+                    payload = _wc.encode_wav_ima_raw(
+                        preds, idxs, list(_wc.IMA_DEMO_PATTERN),
+                        rate, 64)
                 rows.append((did, payload))
             yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -8835,3 +8868,45 @@ def pipeline_crawl_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("seq").alias("first_fetch_seq"))
             .select("doc_id", "canonical_url", "n_fetches",
                     "first_fetch_seq"))
+
+
+# --- r15: standing unigram Viterbi table ------------------------------------
+
+from nosql_join_stream_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "text_quality_ppl_standing",
+    _REGISTRY["text_quality_unigram_ppl"].oracle,
+    doc="text_quality_unigram_ppl served from the STANDING per-word "
+        "(n_sub, cost) table (r14 VERDICT lead #5): the Viterbi "
+        "encoding is a pure function of (word, vocab), so the daily "
+        "job anti-joins the standing table and pays the DP only for "
+        "NEW vocabulary — the from-scratch query's x3.6 at 10x was "
+        "pure distinct-word inflation, and this path retires it "
+        "(steady state: zero Python, one vocab-sized join).  Same "
+        "append/compact lifecycle as the standing dedup index "
+        "(text.unigram_word_table_sync/_compact, vocab fingerprint "
+        "guard fails loudly on a cost-table change).  Output and "
+        "oracle are IDENTICAL to the from-scratch query, so hash "
+        "equality proves the standing table serves the exact same "
+        "scores.",
+)
+def text_quality_ppl_standing(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    planted = (e.table("documents")
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 13 == 0,
+                              F.concat(F.col("text"),
+                                       F.expr("repeat(' q9z', 30)")))
+                       .otherwise(F.col("text")).alias("text")))
+    loc = artifact_dir("nsjs_ppl_tbl", sf_tag(sf_dir))
+    t = text.unigram_token_count_standing(
+        planted, text.UNIGRAM_VOCAB_EN_DEMO, "text", "doc_id",
+        location=loc)
+    avg = F.expr("total_cost_centinats DIV n_unigram_tokens")
+    return (t.select(F.col("id").alias("doc_id"), "n_unigram_tokens",
+                     avg.alias("avg_cost_centinats"),
+                     (F.col("id") % 13 == 0).alias("is_planted_noise"),
+                     (avg <= 450).alias("keep")))

@@ -2184,6 +2184,69 @@ def test_unigram_vs_bpe_twin_planted(spark):
     assert uni[1].n_unigram_tokens <= bpe[1].n_bpe_tokens
 
 
+def test_unigram_standing_table_lifecycle(spark, tmp_path):
+    """Standing word table: bootstrap encodes everything; a second
+    sync with overlapping vocab appends ONLY the new words; the
+    served counts equal the from-scratch path; compact folds deltas;
+    a different vocab fails loudly (fingerprint guard)."""
+    import glob
+    import os
+
+    import pytest
+
+    loc = str(tmp_path / "ppl_tbl")
+    vocab = text.UNIGRAM_VOCAB_EN_DEMO
+    d1 = spark.createDataFrame(
+        [(1, "the value table"), (2, "zz qq xx")],
+        "doc_id long, text string")
+    got1 = {r.id: r for r in text.unigram_token_count_standing(
+        d1, vocab, "text", "doc_id", loc).collect()}
+    ref1 = {r.id: r for r in text.unigram_token_count(
+        d1, vocab, "text", "doc_id").collect()}
+    assert {k: (v.n_unigram_tokens, v.total_cost_centinats)
+            for k, v in got1.items()} == \
+           {k: (v.n_unigram_tokens, v.total_cost_centinats)
+            for k, v in ref1.items()}
+    tbl = os.path.join(loc, "word_costs")
+    n_boot = spark.read.parquet(tbl).count()
+    assert n_boot == 6  # the, value, table, zz, qq, xx
+
+    # overlapping batch: only 'fresh' and 'words' are new
+    d2 = spark.createDataFrame(
+        [(3, "the fresh words"), (4, "value table")],
+        "doc_id long, text string")
+    got2 = {r.id: r for r in text.unigram_token_count_standing(
+        d2, vocab, "text", "doc_id", loc).collect()}
+    ref2 = {r.id: r for r in text.unigram_token_count(
+        d2, vocab, "text", "doc_id").collect()}
+    assert {k: v.total_cost_centinats for k, v in got2.items()} == \
+           {k: v.total_cost_centinats for k, v in ref2.items()}
+    standing = spark.read.parquet(tbl)
+    assert standing.count() == 8           # exactly the 2-word delta
+    files_before = len(glob.glob(os.path.join(tbl, "*.parquet")))
+
+    # a third sync with zero new words appends nothing
+    text.unigram_token_count_standing(
+        d1, vocab, "text", "doc_id", loc).collect()
+    assert len(glob.glob(os.path.join(tbl, "*.parquet"))) \
+        == files_before
+
+    # compact folds the delta files into one
+    assert text.unigram_word_table_compact(spark, loc) == 8
+    assert len(glob.glob(os.path.join(tbl, "*.parquet"))) == 1
+    got3 = {r.id: r.total_cost_centinats
+            for r in text.unigram_token_count_standing(
+                d2, vocab, "text", "doc_id", loc).collect()}
+    assert got3 == {k: v.total_cost_centinats for k, v in ref2.items()}
+
+    # vocabulary change must fail loudly, not blend
+    other = dict(vocab)
+    other["zzz"] = 123
+    with pytest.raises(ValueError, match="different vocabulary"):
+        text.unigram_token_count_standing(
+            d1, other, "text", "doc_id", loc)
+
+
 def test_html_anchor_links_hand_cases():
     links = text._html_anchor_links(
         '<nav><a href="/">Home</a><a href="/doc/7">see <b>7</b></a></nav>'

@@ -314,3 +314,133 @@ def test_decode_fuzz_never_crashes_unstructured():
                 W.decode_audio(enc[:cut])
             except (ValueError, NotImplementedError):
                 pass
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAVE_FORMAT_IMA_ADPCM 0x11) — the last common legacy
+# codec in crawl audio after PCM / mu-law / A-law.  The fixture's
+# nibble streams were produced by the FOREIGN compressor
+# (audioop.lin2adpcm, CPython's Intel/DVI codec) over the pluck
+# samples and framed per the MS-IMA block layout; decode parity is
+# re-derived below wherever audioop still exists.
+
+def test_foreign_ima_decode_pinned():
+    payload = open(os.path.join(_FIXDIR, "foreign_ima_stereo.wav"),
+                   "rb").read()
+    arr, rate, cont = W.decode_audio(payload)
+    assert cont == "wav"
+    assert arr.shape == (3307, 2) and rate == 11025
+    assert _sha(arr) == "40f669c2d9ce6ef5"
+
+
+@pytest.mark.skipif(_mod_or_none("audioop") is None,
+                    reason="audioop removed (PEP 594, 3.13+)")
+def test_ima_parity_vs_audioop():
+    """Block-walk the fixture's SOURCE pcm through audioop's
+    compressor+expander with the same per-block state the fixture
+    carries; our decoder must match bit-for-bit.  Also pins the core
+    nibble codecs both ways on raw state."""
+    audioop = _mod_or_none("audioop")
+    pcm, rate = W.decode_wav(open(os.path.join(
+        _FIXDIR, "foreign_pcm16_stereo.wav"), "rb").read())
+    n, ch = pcm.shape
+    spb = (256 - 4 * ch) * 2 // ch + 1
+    exp_ch = []
+    for c in range(ch):
+        outs, idxc = [], 0
+        for lo in range(0, n, spb):
+            blk = pcm[lo:lo + spb]
+            pred = int(blk[0, c])
+            want = spb - 1
+            chanv = blk[1:, c].tolist() \
+                + [int(blk[-1, c])] * (want - (len(blk) - 1))
+            packed, (_p, i_out) = audioop.lin2adpcm(
+                np.array(chanv, dtype="<i2").tobytes(), 2,
+                (pred, idxc))
+            lin, _ = audioop.adpcm2lin(packed, 2, (pred, idxc))
+            idxc = i_out
+            outs.append(np.concatenate(
+                ([np.int16(pred)], np.frombuffer(lin, dtype="<i2"))))
+        exp_ch.append(np.concatenate(outs)[:n])
+    exp = np.stack(exp_ch, axis=1)
+    ours, r = W.decode_wav(open(os.path.join(
+        _FIXDIR, "foreign_ima_stereo.wav"), "rb").read())
+    assert r == rate and np.array_equal(ours, exp)
+    # core codecs vs audioop on raw state (encoder AND decoder)
+    sig = (4000 * np.sin(np.arange(401) / 6)).astype(np.int16)
+    mine = W._ima_encode_codes(sig[1:].tolist(), int(sig[0]), 3)
+    packed, _ = audioop.lin2adpcm(
+        sig[1:].astype("<i2").tobytes(), 2, (int(sig[0]), 3))
+    theirs = [b for x in packed for b in (x >> 4, x & 0xF)][:len(mine)]
+    assert mine == theirs
+    dec = W._ima_decode_codes(theirs, int(sig[0]), 3)
+    lin, _ = audioop.adpcm2lin(packed, 2, (int(sig[0]), 3))
+    assert np.array_equal(dec,
+                          np.frombuffer(lin, dtype="<i2")[:len(dec)])
+
+
+def test_ima_roundtrip_self():
+    """encode_wav_ima_adpcm -> decode_wav: exact frame count/rate,
+    every block's first sample exact (it travels in the header), and
+    bounded tracking error on a smooth signal (ADPCM is lossy; the
+    witness is the state walk, not fidelity)."""
+    t = np.arange(1000)
+    mono = (3000 * np.sin(t / 9)).astype(np.int16)
+    st = np.stack([mono, (mono // 3).astype(np.int16)], axis=1)
+    for sig in (mono, st):
+        raw = W.encode_wav_ima_adpcm(sig, 8000, block_align=256)
+        dec, rate = W.decode_wav(raw)
+        ref = sig[:, None] if sig.ndim == 1 else sig
+        assert rate == 8000 and dec.shape == ref.shape
+        ch = ref.shape[1]
+        spb = (256 - 4 * ch) * 2 // ch + 1
+        assert np.array_equal(dec[::spb], ref[::spb])  # header samples
+        err = np.abs(dec.astype(int) - ref.astype(int))
+        # step index starts at 0 (step=7): the first samples are
+        # slew-limited until the quantizer adapts — bounded transient,
+        # then tight tracking
+        assert err.max() < 1200 and err[32:].max() < 200
+
+
+def test_ima_error_contract():
+    sig = np.zeros(100, dtype=np.int16)
+    with pytest.raises(ValueError, match="block_align"):
+        W.encode_wav_ima_adpcm(sig, 8000, block_align=10)
+    with pytest.raises(ValueError, match="empty"):
+        W.encode_wav_ima_adpcm(np.zeros((0,), np.int16), 8000)
+    raw = bytearray(W.encode_wav_ima_adpcm(sig, 8000, block_align=64))
+    i = raw.find(b"fmt ")
+    # bits field (offset 14 into fmt body) != 4 -> documented limit
+    bad = bytearray(raw)
+    bad[i + 8 + 14] = 8
+    with pytest.raises(NotImplementedError, match="IMA ADPCM bits"):
+        W.decode_wav(bytes(bad))
+    # step index > 88 in a block header -> loud
+    bad = bytearray(raw)
+    j = bad.find(b"data") + 8 + 2          # first block, index byte
+    bad[j] = 100
+    with pytest.raises(ValueError, match="step index"):
+        W.decode_wav(bytes(bad))
+    # fact chunk claiming more frames than blocks decode -> loud
+    bad = bytearray(raw)
+    k = bad.find(b"fact") + 8
+    bad[k:k + 4] = (10 ** 6).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="fact chunk claims"):
+        W.decode_wav(bytes(bad))
+
+
+def test_ima_fuzz_never_crashes_unstructured():
+    import random
+
+    rng = random.Random(31)
+    base = W.encode_wav_ima_adpcm(
+        (100 * np.sin(np.arange(300) / 5)).astype(np.int16), 8000,
+        block_align=64)
+    for _ in range(150):
+        b = bytearray(base)
+        for _k in range(rng.randrange(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            W.decode_wav(bytes(b[:rng.randrange(20, len(b) + 1)]))
+        except (ValueError, NotImplementedError):
+            pass  # the documented error contract
