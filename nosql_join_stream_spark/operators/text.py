@@ -1198,15 +1198,56 @@ def unigram_word_table_compact(spark, location: str) -> int:
 
 def unigram_token_count_standing(df, costs: dict[str, int],
                                  content_col: str, id_col: str,
-                                 location: str):
+                                 location: str, sync: bool = True):
     """:func:`unigram_token_count` served from the standing word
     table: identical output, but the Viterbi DP runs only for words
-    not yet in the table at ``location`` — the steady-state daily-job
-    path (zero Python once vocabulary saturates)."""
-    doc_words = _unigram_doc_words(df, content_col, id_col)
-    wsub = unigram_word_table_sync(doc_words.select("w").distinct(),
-                                   costs, location)
-    return _unigram_doc_sums(doc_words, wsub)
+    not yet in the table at ``location``.
+
+    ``sync=True`` (ingest/bootstrap): anti-join the corpus vocabulary
+    against the table and encode+append the delta first — the daily
+    vocabulary-ingest step (one extra corpus pass).
+
+    ``sync=False`` (steady-state serve): ONE corpus pass and ONE
+    shuffle total — raw token stream broadcast-hash-joined against
+    the (vocab-sized) table, then a single partial-aggregated
+    groupBy(id); the from-scratch path's (id, word) pre-aggregation
+    exists only to bound the Viterbi UDF's input and is dead weight
+    once the DP is a table lookup, so the serve plan drops that
+    whole 25M-group exchange.  An IN-PLAN coverage guard (per-group
+    missing-word count through ``assert_true``) makes an uncovered
+    word raise loudly at execution instead of producing silently
+    wrong sums — the fail-fast sibling of the ``_VOCAB``
+    fingerprint."""
+    if sync:
+        doc_words = _unigram_doc_words(df, content_col, id_col)
+        wsub = unigram_word_table_sync(
+            doc_words.select("w").distinct(), costs, location)
+        return _unigram_doc_sums(doc_words, wsub)
+    import os
+
+    tbl = os.path.join(location, "word_costs")
+    if not os.path.isdir(tbl):
+        raise ValueError(
+            f"no standing unigram table at {location}; bootstrap "
+            "with sync=True or unigram_word_table_sync first")
+    wsub = df.sparkSession.read.parquet(tbl).dropDuplicates(["w"])
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(
+                          F.trim(F.lower(F.col(content_col))),
+                          r"\s+")).alias("w"))
+              .filter(F.col("w") != ""))
+    out = (toks.join(F.broadcast(wsub), "w", "left")
+           .groupBy("id")
+           .agg(F.count("*").alias("n_words"),
+                F.sum("n_sub").alias("n_unigram_tokens"),
+                F.sum("cost").alias("total_cost_centinats"),
+                F.sum(F.col("n_sub").isNull().cast("int"))
+                 .alias("__miss")))
+    guard = F.assert_true(
+        F.col("__miss") == 0,
+        F.lit("standing unigram table does not cover this corpus; "
+              "run unigram_word_table_sync first"))
+    return out.filter(guard.isNull()).drop("__miss")
 
 
 def _html_anchor_links(payload: str) -> list[tuple[str, str]]:

@@ -8543,13 +8543,18 @@ def mine_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     allv, langs = _bitext_planted_inputs(_engine(spark, sf_dir))
     # standing-index semantics (ann_ivf_partitioned registry pattern):
-    # build once per process per sf, probe thereafter
+    # build once per process per sf, probe thereafter.  n_cells scales
+    # with the corpus at constant target cell SIZE (the standard IVF
+    # discipline, scale_probe_serve CELL_TARGET ~132): a fixed cell
+    # count would make every probe join a constant FRACTION of the
+    # corpus — measured ×79.9 at the 10x probe before this fix.
     loc = artifact_dir("nsjs_ivf_btm", sf_tag(sf_dir))
     rebuild = not os.path.isdir(os.path.join(loc, "corpus_cells"))
+    n_cells = max(16, allv.count() // 132)
     knn4 = similarity.ann_ivf_partitioned(
         allv.select(F.col("vec_id").alias("q_id"), "embedding"),
         allv.select(F.col("vec_id").alias("c_id"), "embedding"),
-        k=4, n_cells=16, nprobe=8, location=loc, rebuild=rebuild)
+        k=4, n_cells=n_cells, nprobe=8, location=loc, rebuild=rebuild)
     # integer micro-unit sums — same grain as exact_knn_avg_micro, so
     # the margin arithmetic below is float-order-hazard-free
     knn = (knn4.groupBy("q_id")
@@ -8901,10 +8906,15 @@ def text_quality_ppl_standing(spark: SparkSession,
                               F.concat(F.col("text"),
                                        F.expr("repeat(' q9z', 30)")))
                        .otherwise(F.col("text")).alias("text")))
+    import os as _os
+
     loc = artifact_dir("nsjs_ppl_tbl", sf_tag(sf_dir))
+    # bootstrap syncs the vocabulary once per (process, sf); every
+    # later invocation is the one-pass serve with the coverage guard
+    boot = not _os.path.isdir(_os.path.join(loc, "word_costs"))
     t = text.unigram_token_count_standing(
         planted, text.UNIGRAM_VOCAB_EN_DEMO, "text", "doc_id",
-        location=loc)
+        location=loc, sync=boot)
     avg = F.expr("total_cost_centinats DIV n_unigram_tokens")
     return (t.select(F.col("id").alias("doc_id"), "n_unigram_tokens",
                      avg.alias("avg_cost_centinats"),

@@ -2239,6 +2239,25 @@ def test_unigram_standing_table_lifecycle(spark, tmp_path):
                 d2, vocab, "text", "doc_id", loc).collect()}
     assert got3 == {k: v.total_cost_centinats for k, v in ref2.items()}
 
+    # steady-state SERVE (sync=False, one corpus pass): same sums
+    got4 = {r.id: r.total_cost_centinats
+            for r in text.unigram_token_count_standing(
+                d2, vocab, "text", "doc_id", loc,
+                sync=False).collect()}
+    assert got4 == {k: v.total_cost_centinats for k, v in ref2.items()}
+
+    # serve with an UNCOVERED corpus trips the in-plan guard loudly
+    d3 = spark.createDataFrame([(9, "unseenword here")],
+                               "doc_id long, text string")
+    with pytest.raises(Exception, match="does not cover"):
+        text.unigram_token_count_standing(
+            d3, vocab, "text", "doc_id", loc, sync=False).collect()
+    # serve against a missing table is loud too
+    with pytest.raises(ValueError, match="no standing unigram"):
+        text.unigram_token_count_standing(
+            d1, vocab, "text", "doc_id", str(tmp_path / "nope"),
+            sync=False)
+
     # vocabulary change must fail loudly, not blend
     other = dict(vocab)
     other["zzz"] = 123
