@@ -832,37 +832,39 @@ from nosql_join_stream_spark import queries_pipeline  # noqa: E402,F401
 # remaining queries keep their registration order and stay covered by
 # tools/check_correctness.py.
 _DRIVER_WINDOW = [
-    # Round-14 rotation — never-stamped-first, then oldest-stamp.
-    # As shipped: 11 new r14 queries lead (ship-round stamp), then
-    # the FULL 39-query r9 cohort drains (r13 VERDICT lead #2) —
-    # exactly 50, so the r10 cohort was deferred to r15.  Four late
-    # r14 arrivals (text_quality_unigram_ppl, mine_bitext_margin,
-    # stream_html_extract, pipeline_crawl_extract) landed after this
-    # window filled and lead the r15 window, followed by the r10
-    # cohort (join_fk_inner onward).
-    "text_extract_html", "multimodal_decode_wav",
-    "text_token_count_unigram", "text_extract_html_clean",
-    "multimodal_wav_windows", "web_link_graph",
-    "web_pagerank_planted", "multimodal_decode_audio_multi",
-    "stream_audio_decode", "export_webdataset_shards",
-    "export_webdataset_roundtrip",
-    # r9-stamp cohort, all 39, registry order
-    "rollup_region_nation", "cube_flags", "pivot_priority_status",
-    "window_topk_per_group", "window_running_sum",
-    "local_supplier_volume", "agg_percentiles", "window_lead_lag",
-    "agg_grouping_sets", "window_moving_avg", "sessionize",
-    "session_window_agg", "set_ops", "asof_join", "skew_key_profile",
-    "schemaless_json_extract", "funnel_view_click_purchase",
-    "events_interarrival_stats", "latest_event_per_user",
-    "integrity_orphan_check", "window_rank_distributions",
-    "unpivot_order_metrics", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_resolve_canonical", "dedup_minhash_lsh",
-    "dedup_embedding_cosine_celled", "ann_cosine_topk",
-    "ann_lsh_topk", "multimodal_decode_png", "agg_geomean_udaf",
-    "bm25_search", "decontaminate_overlap",
-    "dedup_incremental_bucketed", "hybrid_search_rrf",
-    "pyds_roundtrip_write", "pyds_stream_relay", "pyds_compact_scan",
-    "pyds_parse_modes",
+    # Round-15 rotation — never-stamped-first, then this round's
+    # new/changed queries, then oldest-stamp.  The 4 late-r14
+    # arrivals lead (the r14 VERDICT's #1 ask); next the r15 work
+    # (mine_bitext_margin_ivf, pipeline_crawl_url_dedup,
+    # text_quality_ppl_standing new; multimodal_decode_audio_multi
+    # re-stamped because its plant/oracle gained the IMA leg); the
+    # remaining 42 slots drain the r10 cohort head in registry
+    # order.  Post-r15 state if green: 0 never-stamped, oldest
+    # stamp r10 (8-query tail: multimodal_patch_grid onward —
+    # r16 window leads with them).
+    "text_quality_unigram_ppl", "mine_bitext_margin",
+    "stream_html_extract", "pipeline_crawl_extract",
+    "mine_bitext_margin_ivf", "pipeline_crawl_url_dedup",
+    "text_quality_ppl_standing", "multimodal_decode_audio_multi",
+    # r10-stamp cohort head, registry order
+    "join_fk_inner", "join_salted_skew", "join_salted_auto",
+    "pred_surface", "pred_all_array", "sql_exists_decorrelated",
+    "pred_date_mql", "sort_skip_limit", "typed_as_projection",
+    "zip_streams", "stream_windowed_counts", "stream_dedup_keys",
+    "stream_static_enrich", "stream_interval_join",
+    "stream_sessionize_stateful", "log_scan_offset",
+    "agg_approx_percentiles", "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items", "tpch_q18_large_volume",
+    "tpch_q6_forecast_revenue", "tpch_q14_promo_effect",
+    "tpch_q19_discounted_revenue", "tpch_q4_order_priority",
+    "dedup_simhash", "text_quality", "multimodal_features",
+    "multimodal_decode_mixed", "pipeline_clean_corpus",
+    "data_quality_report", "pipeline_split_safe",
+    "embedding_quantize", "embedding_jl_project",
+    "embedding_pca_witness", "text_tfidf_topk", "sample_stratified",
+    "doc_pack_sequences", "cluster_assign_kmeans",
+    "stream_quality_filter", "dedup_incremental_batch",
+    "text_novelty_ratio", "stream_decontaminate",
 ]
 
 
