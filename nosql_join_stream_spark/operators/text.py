@@ -1322,3 +1322,141 @@ def extract_html_links(df, html_col: str, id_col: str):
                                 "href": hrefs, "anchor": anchors})
 
     return df.select(id_col, html_col).mapInPandas(op, schema=schema)
+
+
+def repetition_report(df, content_col: str, id_col: str,
+                      line_words: int = 10):
+    """Gopher-style INTRA-document repetition signals (Rae et al.
+    2021, table A1) — the quality-filter family the corpus-level
+    signals (novelty_ratio, common_gram_ratio) don't cover: a doc
+    that repeats ITSELF (boilerplate loops, scraper stutter, SEO
+    keyword stuffing) scores clean on cross-doc measures.
+
+    Signals, computed over the single-space word stream
+    ``split(trim(text), ' ')`` (the corpus' established grain):
+
+    * ``dup_line_frac`` / ``dup_line_char_frac`` — "lines" are
+      consecutive ``line_words``-word blocks (the corpus carries no
+      newlines); an occurrence is duplicate when its block text
+      appears more than once in the doc.  Char fraction is over the
+      summed block chars (``line_char_base``).
+    * ``top2_char_frac`` — chars covered by the most frequent word
+      2-gram (count × gram length, over ``char_base`` =
+      ``length(trim(text))``); ties break to the lexicographically
+      smallest gram, and a singleton top gram contributes 0 (Gopher
+      applies the raw fraction only to 50+-word docs; on short docs
+      one occurrence can clear the threshold vacuously).
+    * ``dup5_char_frac`` — chars covered by word 5-grams occurring
+      more than once (Σ count × gram length over ``char_base``).
+    * ``is_repetitive`` — any Gopher threshold tripped:
+      dup_line_frac > 0.30, dup_line_char_frac > 0.20,
+      top2_char_frac > 0.20, dup5_char_frac > 0.15.  Fractions are
+      pre-rounded to 6 dp before the literal compare, so the flag is
+      engine-portable.
+
+    Scale shape: ZERO shuffles.  Every signal lives inside one row —
+    lines/grams are built with transform/slice, duplicate counting is
+    sorted-array run analysis (array_sort + run boundaries via
+    filter/zip_with, O(n log n) per doc), tops/sums fold with
+    aggregate.  The whole report is a scan-parallel JVM projection:
+    at 100 TB it runs at parquet-scan speed with no exchange, unlike
+    the explode+groupBy form whose shuffle would carry every gram.
+    Reference fixture discipline for the planted gate corpus:
+    queries_pipeline.text_repetition_filter.
+    """
+    L = int(line_words)
+    w = F.split(F.trim(F.col(content_col)), " ")
+    d = (df.select(F.col(id_col).alias("id"), w.alias("w"),
+                   F.length(F.trim(F.col(content_col)))
+                    .alias("char_base"))
+           .withColumn("n_words", F.size("w").cast("long")))
+
+    # consecutive L-word blocks; slice() truncates the tail block
+    d = d.withColumn("lines", F.expr(
+        f"transform(sequence(1, CAST(ceil(size(w) / {L}.0) AS INT)),"
+        f" i -> array_join(slice(w, (i-1)*{L}+1, {L}), ' '))"))
+
+    # sorted-run machinery: starts = 1-based positions opening a run;
+    # runs = (count, value) structs via zip_with against the shifted
+    # starts list (same length, so no null padding).
+    def _runs(src: str, out: str):
+        return (
+            f"CASE WHEN size({src}) = 0 THEN "
+            f"  array(named_struct('cnt', CAST(0 AS LONG), 'g', '')) "
+            f"ELSE "
+            f"  zip_with(_st_{out}, "
+            f"    concat(slice(_st_{out}, 2, size(_st_{out})), "
+            f"           array(size({src}) + 1)), "
+            f"    (a, b) -> named_struct('cnt', CAST(b - a AS LONG), "
+            f"                           'g', element_at(_so_{out}, a)))"
+            f" END")
+
+    def _with_runs(frame, src: str, out: str):
+        frame = frame.withColumn(f"_so_{out}",
+                                 F.expr(f"array_sort({src})"))
+        # greatest(i-1, 1): ANSI element_at rejects index 0 even on a
+        # branch the OR makes dead — at i=1 the self-compare is false
+        # and the i = 1 disjunct decides.  The size-0 CASE also dodges
+        # sequence(1, 0), which counts DOWN ([1, 0]) rather than
+        # producing an empty list.
+        frame = frame.withColumn(f"_st_{out}", F.expr(
+            f"CASE WHEN size(_so_{out}) = 0 THEN "
+            f"CAST(array() AS ARRAY<INT>) ELSE "
+            f"filter(sequence(1, size(_so_{out})), i -> i = 1 OR "
+            f"element_at(_so_{out}, i) <> "
+            f"element_at(_so_{out}, greatest(i - 1, 1))) END"))
+        return frame.withColumn(out, F.expr(_runs(src, out)))
+
+    d = _with_runs(d, "lines", "lruns")
+    d = d.withColumn("g2", F.expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w)-1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"
+        " ELSE array() END"))
+    d = _with_runs(d, "g2", "g2runs")
+    d = d.withColumn("g5", F.expr(
+        "CASE WHEN size(w) >= 5 THEN transform(sequence(1, size(w)-4),"
+        " i -> array_join(slice(w, i, 5), ' ')) ELSE array() END"))
+    d = _with_runs(d, "g5", "g5runs")
+
+    agg_dup_cnt = ("aggregate({0}, CAST(0 AS LONG), (acc, x) -> "
+                   "acc + IF(x.cnt > 1, x.cnt, CAST(0 AS LONG)))")
+    agg_dup_chars = ("aggregate({0}, CAST(0 AS LONG), (acc, x) -> "
+                     "acc + IF(x.cnt > 1, x.cnt * length(x.g), "
+                     "CAST(0 AS LONG)))")
+    d = d.select(
+        "id", "char_base", "n_words",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr(agg_dup_cnt.format("lruns")).alias("n_dup_lines"),
+        F.expr(agg_dup_chars.format("lruns")).alias("dup_line_chars"),
+        F.expr("aggregate(lruns, CAST(0 AS LONG), (acc, x) -> "
+               "acc + x.cnt * length(x.g))").alias("line_char_base"),
+        F.expr("aggregate(g2runs, "
+               "named_struct('cnt', CAST(0 AS LONG), 'g', ''), "
+               "(acc, x) -> IF(x.cnt > acc.cnt OR "
+               "(x.cnt = acc.cnt AND x.g < acc.g), x, acc))"
+               ).alias("top2"),
+        F.expr(agg_dup_chars.format("g5runs")).alias("dup5_chars"),
+    )
+    # a singleton "top" gram is vacuous repetition — on short docs one
+    # occurrence can clear 20% of chars, so coverage requires cnt >= 2
+    # (Gopher applies the raw fraction only to 50+-word docs)
+    d = d.withColumn("top2_chars",
+                     F.expr("IF(top2.cnt > 1, "
+                            "top2.cnt * length(top2.g), 0)")
+                      .cast("long"))
+    frac = lambda n, dd: F.round(F.col(n) / F.greatest(F.col(dd),
+                                                       F.lit(1)), 6)
+    d = (d.withColumn("dup_line_frac", frac("n_dup_lines", "n_lines"))
+          .withColumn("dup_line_char_frac",
+                      frac("dup_line_chars", "line_char_base"))
+          .withColumn("top2_char_frac", frac("top2_chars", "char_base"))
+          .withColumn("dup5_char_frac", frac("dup5_chars", "char_base")))
+    return d.select(
+        "id", "n_words", "n_lines", "n_dup_lines", "dup_line_chars",
+        "line_char_base", "top2_chars", "dup5_chars", "char_base",
+        "dup_line_frac", "dup_line_char_frac", "top2_char_frac",
+        "dup5_char_frac",
+        ((F.col("dup_line_frac") > 0.30)
+         | (F.col("dup_line_char_frac") > 0.20)
+         | (F.col("top2_char_frac") > 0.20)
+         | (F.col("dup5_char_frac") > 0.15)).alias("is_repetitive"))

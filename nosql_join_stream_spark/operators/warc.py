@@ -247,3 +247,61 @@ def canonicalize_url(c):
          .otherwise(F.lit("")))
     return F.when(has & scheme.isin("http", "https"), out) \
             .otherwise(F.trim(c))
+
+
+def resolve_redirects(fetches, url_col: str = "url_id",
+                      status_col: str = "status",
+                      next_col: str = "next_id", doublings: int = 3):
+    """Resolve HTTP 3xx redirect chains to their landing page — the
+    crawl-normalization step between fetch and URL-level dedup: a
+    crawl that recorded ``A 301→ B 301→ C 200`` should attribute C's
+    content to every alias, and frontier/rank tables should key on
+    landing URLs (RefinedWeb/CCNet both collapse redirect aliases
+    before dedup).
+
+    Input: one row per fetched URL with ``status_col`` (3xx rows
+    redirect) and ``next_col`` (the redirect target id, ignored for
+    terminal rows).  Output: ``(url_id, final_id, n_hops)`` —
+    ``n_hops`` 0 for directly-terminal fetches.
+
+    Scale shape: POINTER DOUBLING, not per-hop walking.  Each round
+    self-joins the label table on its current pointer and composes
+    (ptr, hops); after k rounds every chain up to 2^k - 1 hops is
+    resolved AND flagged ``done`` (the done bit must itself
+    propagate from the terminal row, costing the -1), so
+    ``doublings`` rounds replace a 2^k-iteration sequential walk
+    with k equi-join stages.  localCheckpoint after
+    each round keeps the plan O(1) per stage (the CC-loop discipline,
+    dedup.py:564).  At 100 TB: k shuffles on the id key, each
+    broadcast-free and skew-safe (redirect fan-in is bounded by site
+    structure).  Chains longer than 2^k hops keep their partial
+    pointer (done=false rows) — callers size k from the crawler's
+    own redirect-follow limit (typically 5–10, so k=3..4); rows still
+    ``done=false`` after the budget keep their partial pointer.
+    """
+    from pyspark.sql import functions as F
+
+    is_redir = (F.col(status_col) >= 300) & (F.col(status_col) < 400)
+    m = fetches.select(
+        F.col(url_col).alias("url_id"),
+        F.when(is_redir, F.col(next_col)).otherwise(F.col(url_col))
+         .alias("ptr"),
+        F.when(is_redir, F.lit(1)).otherwise(F.lit(0))
+         .cast("long").alias("hops"),
+        (~is_redir).alias("done")).localCheckpoint()
+    for _ in range(int(doublings)):
+        nxt = m.select(F.col("url_id").alias("ptr"),
+                       F.col("ptr").alias("ptr2"),
+                       F.col("hops").alias("hops2"),
+                       F.col("done").alias("done2"))
+        m = (m.join(nxt, "ptr")
+              .select("url_id",
+                      F.when(F.col("done"), F.col("ptr"))
+                       .otherwise(F.col("ptr2")).alias("ptr"),
+                      F.when(F.col("done"), F.col("hops"))
+                       .otherwise(F.col("hops") + F.col("hops2"))
+                       .alias("hops"),
+                      (F.col("done") | F.col("done2")).alias("done"))
+              .localCheckpoint())
+    return m.select("url_id", F.col("ptr").alias("final_id"),
+                    F.col("hops").alias("n_hops"), "done")

@@ -7503,7 +7503,8 @@ def _html_plant(d, n_docs: int | None = None):
         for a, b in ((7, 1), (13, 2), (29, 3)):
             t = ((F.col("doc_id") * a + b) % n_docs).cast("string")
             refs += [F.lit("<a href=\"/doc/"), t, F.lit("\">see "),
-                     t, F.lit("</a> ")]
+                     t, F.lit(" via "), F.col("source"),
+                     F.lit("</a> ")]
         refs = [F.lit("<p class=\"refs\">"), *refs, F.lit("</p>")]
     return d.select(
         "doc_id",
@@ -8920,3 +8921,285 @@ def text_quality_ppl_standing(spark: SparkSession,
                      avg.alias("avg_cost_centinats"),
                      (F.col("id") % 13 == 0).alias("is_planted_noise"),
                      (avg <= 450).alias("keep")))
+
+
+# --- r15: Gopher repetition filter, redirect chains, anchor text -----------
+
+_REPETITION_PLANT_SQL = """
+    p AS (SELECT doc_id,
+      trim(text)
+      || CASE WHEN doc_id % 5 = 0 THEN
+           repeat(' pad', (10 - len(string_split(trim(text), ' ')) % 10)
+                          % 10)
+           || ' ' || array_to_string(
+                list_slice(string_split(trim(text), ' '), 1, 10), ' ')
+         ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN
+           repeat(' ' || array_to_string(
+                list_slice(string_split(trim(text), ' '), 1, 2), ' '), 12)
+         ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN
+           repeat(' ' || array_to_string(
+                list_slice(string_split(trim(text), ' '), 1, 5), ' '), 3)
+         ELSE '' END AS text
+      FROM documents)
+    """
+
+_REPETITION_ORACLE = f"""
+    WITH {_REPETITION_PLANT_SQL},
+    s AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+                 CAST(length(trim(text)) AS BIGINT) AS char_base
+          FROM p),
+    b AS (SELECT doc_id, w, char_base,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_lines
+          FROM s),
+    l AS (SELECT doc_id,
+                 array_to_string(list_slice(
+                     w, CAST(i*10+1 AS INT),
+                     CAST(least((i+1)*10, len(w)) AS INT)), ' ') AS line
+          FROM (SELECT doc_id, w, unnest(range(0, n_lines)) AS i FROM b)),
+    lc AS (SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY 1, 2),
+    lm AS (SELECT doc_id,
+                  SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup_lines,
+                  SUM(CASE WHEN c > 1 THEN c * length(line)
+                      ELSE 0 END) AS dup_line_chars,
+                  SUM(c * length(line)) AS line_char_base
+           FROM lc GROUP BY doc_id),
+    g2 AS (SELECT doc_id,
+                  w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                 FROM b WHERE n_words >= 2)),
+    g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    g2m AS (SELECT doc_id, MAX(c) AS mx FROM g2c GROUP BY doc_id),
+    g2t AS (SELECT g2c.doc_id, MIN(g) AS topg, MAX(g2c.c) AS cnt
+            FROM g2c JOIN g2m
+              ON g2c.doc_id = g2m.doc_id AND g2c.c = g2m.mx
+            GROUP BY g2c.doc_id),
+    g5 AS (SELECT doc_id,
+                  array_to_string(list_slice(
+                      w, CAST(i AS INT), CAST(i+4 AS INT)), ' ') AS g
+           FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+                 FROM b WHERE n_words >= 5)),
+    g5c AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+    g5m AS (SELECT doc_id,
+                   SUM(CASE WHEN c > 1 THEN c * length(g)
+                       ELSE 0 END) AS dup5_chars
+            FROM g5c GROUP BY doc_id),
+    j AS (SELECT b.doc_id, n_words, n_lines,
+                 CAST(COALESCE(lm.n_dup_lines, 0) AS BIGINT)
+                   AS n_dup_lines,
+                 CAST(COALESCE(lm.dup_line_chars, 0) AS BIGINT)
+                   AS dup_line_chars,
+                 CAST(COALESCE(lm.line_char_base, 0) AS BIGINT)
+                   AS line_char_base,
+                 CAST(COALESCE(CASE WHEN g2t.cnt > 1
+                          THEN g2t.cnt * length(g2t.topg)
+                          ELSE 0 END, 0) AS BIGINT)
+                   AS top2_chars,
+                 CAST(COALESCE(g5m.dup5_chars, 0) AS BIGINT)
+                   AS dup5_chars,
+                 char_base
+          FROM b LEFT JOIN lm ON b.doc_id = lm.doc_id
+                 LEFT JOIN g2t ON b.doc_id = g2t.doc_id
+                 LEFT JOIN g5m ON b.doc_id = g5m.doc_id),
+    r AS (SELECT *,
+                 ROUND(n_dup_lines * 1.0 / GREATEST(n_lines, 1), 6)
+                   AS dup_line_frac,
+                 ROUND(dup_line_chars * 1.0
+                       / GREATEST(line_char_base, 1), 6)
+                   AS dup_line_char_frac,
+                 ROUND(top2_chars * 1.0 / GREATEST(char_base, 1), 6)
+                   AS top2_char_frac,
+                 ROUND(dup5_chars * 1.0 / GREATEST(char_base, 1), 6)
+                   AS dup5_char_frac
+          FROM j)
+    SELECT doc_id, n_words, n_lines, n_dup_lines, dup_line_chars,
+           line_char_base, top2_chars, dup5_chars, char_base,
+           dup_line_frac, dup_line_char_frac, top2_char_frac,
+           dup5_char_frac,
+           (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20
+            OR top2_char_frac > 0.20 OR dup5_char_frac > 0.15)
+             AS is_repetitive
+    FROM r
+    """
+
+
+@register(
+    "text_repetition_filter",
+    _REPETITION_ORACLE,
+    doc="Gopher-style intra-document repetition filter "
+        "(text.repetition_report; Rae et al. 2021 table A1): "
+        "duplicate-line fraction and char fraction over 10-word "
+        "blocks, top word-2-gram char coverage, duplicate word-5-gram "
+        "char coverage, and the threshold-OR keep/kill flag — the "
+        "self-repetition family the corpus-level signals (novelty, "
+        "common-gram boilerplate) cannot see.  Plant: docs %5 get "
+        "their first 10-word block re-appended on an aligned boundary "
+        "(pad filler to the block edge first), %7 get their first "
+        "2-gram stuttered x12, %11 their first 5-gram x3 — each "
+        "lights up exactly one signal family, and organic docs "
+        "exercise the zero paths.  Scale: ZERO shuffles — every "
+        "signal folds inside the row via sorted-array run analysis "
+        "(array_sort + boundary filter + aggregate), so the filter "
+        "runs at parquet-scan speed; the oracle recomputes the same "
+        "contract relationally (explode + GROUP BY).",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    w0 = F.split(t, " ")
+
+    def _first(k: int):
+        return F.array_join(F.slice(w0, 1, k), " ")
+
+    planted = e.table("documents").select(
+        "doc_id",
+        F.concat(
+            t,
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.expr(
+                       "repeat(' pad', (10 - size(split(trim(text), ' '))"
+                       " % 10) % 10)"),
+                       F.lit(" "), _first(10)))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.expr("repeat(' ' || array_join(slice("
+                          "split(trim(text), ' '), 1, 2), ' '), 12)"))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.expr("repeat(' ' || array_join(slice("
+                          "split(trim(text), ' '), 1, 5), ' '), 3)"))
+             .otherwise(F.lit(""))).alias("text"))
+    return (text.repetition_report(planted, "text", "doc_id")
+            .withColumnRenamed("id", "doc_id"))
+
+
+_REDIRECT_ORACLE = """
+    WITH RECURSIVE n AS (SELECT COUNT(*) AS c FROM documents),
+    f AS (SELECT doc_id AS url_id,
+                 CASE WHEN doc_id % 7 IN (1, 2, 3) THEN 301
+                      ELSE 200 END AS status,
+                 (doc_id + 1) % (SELECT c FROM n) AS nxt
+          FROM documents),
+    r AS (
+      SELECT url_id, url_id AS cur, 0 AS hops FROM f
+      UNION ALL
+      SELECT r.url_id, f.nxt, r.hops + 1
+      FROM r JOIN f ON f.url_id = r.cur
+      WHERE f.status >= 300 AND f.status < 400),
+    t AS (SELECT url_id, cur, hops,
+                 ROW_NUMBER() OVER (PARTITION BY url_id
+                                    ORDER BY hops DESC) AS rn
+          FROM r)
+    SELECT url_id, CAST(cur AS BIGINT) AS final_id,
+           CAST(hops AS BIGINT) AS n_hops, TRUE AS done
+    FROM t WHERE rn = 1
+    """
+
+
+@register(
+    "pipeline_crawl_redirects",
+    _REDIRECT_ORACLE,
+    doc="Redirect-chain resolution (warc.resolve_redirects) — the "
+        "crawl-normalization step between fetch and URL dedup: "
+        "3xx aliases collapse onto their landing page so content "
+        "attribution, frontier state and rank tables key on final "
+        "URLs.  Plant: ids %7 in {1,2,3} 301-redirect to id+1 (mod "
+        "N), forming chains up to 3 hops that the recursive-CTE "
+        "oracle walks hop-by-hop.  Spark shape: POINTER DOUBLING — "
+        "k=3 self-equi-joins resolve chains up to 2^3 hops (vs 8 "
+        "sequential walk joins), localCheckpoint per round keeps the "
+        "plan O(1) per stage; at 100 TB each round is one shuffle on "
+        "the id key.  `done` TRUE for every row witnesses full "
+        "resolution within the doubling budget.",
+)
+def pipeline_crawl_redirects(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id")
+    n = docs.count()                   # bounded scalar (id domain size)
+    fetches = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.when((F.col("doc_id") % 7).isin(1, 2, 3), 301)
+         .otherwise(200).alias("status"),
+        ((F.col("doc_id") + 1) % n).alias("next_id"))
+    return warc_ops.resolve_redirects(fetches, doublings=3)
+
+
+_ANCHOR_TEXT_ORACLE = """
+    WITH n AS (SELECT COUNT(*) AS c FROM documents),
+    a AS (
+      SELECT doc_id AS src, (doc_id*7+1) % n.c AS dst,
+             'see ' || CAST((doc_id*7+1) % n.c AS VARCHAR)
+               || ' via ' || source AS anchor
+      FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id*13+2) % n.c,
+             'see ' || CAST((doc_id*13+2) % n.c AS VARCHAR)
+               || ' via ' || source
+      FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id*29+3) % n.c,
+             'see ' || CAST((doc_id*29+3) % n.c AS VARCHAR)
+               || ' via ' || source
+      FROM documents, n),
+    agg AS (SELECT dst, COUNT(*) AS n_anchors,
+                   COUNT(DISTINCT src) AS n_srcs,
+                   COUNT(DISTINCT anchor) AS n_texts
+            FROM a GROUP BY dst),
+    ac AS (SELECT dst, anchor, COUNT(*) AS c FROM a GROUP BY 1, 2),
+    am AS (SELECT dst, MAX(c) AS mx FROM ac GROUP BY dst),
+    top AS (SELECT ac.dst, MIN(anchor) AS top_anchor
+            FROM ac JOIN am ON ac.dst = am.dst AND ac.c = am.mx
+            GROUP BY ac.dst)
+    SELECT CAST(agg.dst AS BIGINT) AS doc_id,
+           CAST(n_anchors AS BIGINT) AS n_anchors,
+           CAST(n_srcs AS BIGINT) AS n_srcs,
+           CAST(n_texts AS BIGINT) AS n_texts,
+           top.top_anchor
+    FROM agg JOIN top ON agg.dst = top.dst
+    """
+
+
+@register(
+    "web_anchor_text",
+    _ANCHOR_TEXT_ORACLE,
+    doc="Anchor-text harvesting (text.extract_html_links over the "
+        "linked plant): every anchor pointing at /doc/N contributes "
+        "its VISIBLE text to N's description — the classic "
+        "weak-supervision source for retrieval training (anchor -> "
+        "target as query -> document pairs) and the web-graph "
+        "complement of web_link_graph's bare edges.  Per target: "
+        "total anchor occurrences (duplicates kept), distinct "
+        "linking docs, distinct texts, and the modal text (ties to "
+        "the lexicographic minimum).  One mapInPandas parse pass + "
+        "two target-keyed aggregations; the closed-form oracle "
+        "reconstructs the planted anchors exactly, pinning parse, "
+        "entity decode and the (count, text) tie-break.",
+)
+def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id", "text", "source")
+    n_docs = docs.count()              # bounded scalar (id domain size)
+    par = spark.sparkContext.defaultParallelism
+    planted = _html_plant(docs.repartition(par, "doc_id"),
+                          n_docs=n_docs)
+    links = (text.extract_html_links(planted, "html", "doc_id")
+             .filter(F.col("href").rlike(r"^/doc/[0-9]+$"))
+             .select(F.col("doc_id").alias("src"),
+                     F.regexp_extract("href", r"^/doc/([0-9]+)$", 1)
+                      .cast("long").alias("dst"),
+                     "anchor"))
+    agg = links.groupBy("dst").agg(
+        F.count("*").alias("n_anchors"),
+        F.countDistinct("src").alias("n_srcs"),
+        F.countDistinct("anchor").alias("n_texts"))
+    ac = links.groupBy("dst", "anchor").agg(F.count("*").alias("c"))
+    am = ac.groupBy("dst").agg(F.max("c").alias("mx"))
+    top = (ac.join(am, "dst")
+             .filter(F.col("c") == F.col("mx"))
+             .groupBy("dst").agg(F.min("anchor").alias("top_anchor")))
+    return (agg.join(top, "dst")
+            .select(F.col("dst").alias("doc_id"), "n_anchors",
+                    "n_srcs", "n_texts", "top_anchor"))

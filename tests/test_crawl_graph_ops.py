@@ -1,0 +1,128 @@
+"""r15 operator contracts: Gopher repetition report (zero-shuffle
+sorted-run analysis), redirect-chain pointer doubling, and anchor-text
+harvesting.  Value-level DuckDB parity is covered by
+tools/check_correctness.py; these pin the semantics on hand-built
+micro-corpora where the expected numbers are computed by eye."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nosql_join_stream_spark.operators import text
+from nosql_join_stream_spark.operators import warc as warc_ops
+
+
+# --- repetition_report ------------------------------------------------------
+
+def _report(spark, rows, line_words=3):
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = text.repetition_report(df, "text", "id",
+                                 line_words=line_words)
+    return {r["id"]: r.asDict() for r in out.collect()}
+
+
+def test_repetition_clean_doc_is_all_zero(spark):
+    # 6 distinct words, 3-word lines: no dup lines/grams anywhere
+    r = _report(spark, [(1, "a b c d e f")])[1]
+    assert r["n_words"] == 6 and r["n_lines"] == 2
+    assert r["n_dup_lines"] == 0 and r["dup5_chars"] == 0
+    assert r["dup_line_frac"] == 0.0 and r["is_repetitive"] is False
+    # a singleton top 2-gram is vacuous repetition: cnt < 2 ⇒ 0 chars
+    # (one occurrence would otherwise clear 20% of an 11-char doc)
+    assert r["top2_chars"] == 0
+
+
+def test_repetition_duplicate_lines_counted_per_occurrence(spark):
+    # lines (3 words): "a b c" x2 + "x y z" → 2 of 3 occurrences dup
+    r = _report(spark, [(1, "a b c a b c x y z")])[1]
+    assert r["n_lines"] == 3
+    assert r["n_dup_lines"] == 2          # both members of the group
+    assert r["dup_line_chars"] == 10      # 2 * len("a b c")
+    assert r["dup_line_frac"] == round(2 / 3, 6)
+    # "b c a" window also repeats → dup5 path may fire for 5-grams of
+    # the repeated region; check the flag via the line rule regardless
+    assert r["is_repetitive"] is True     # 0.667 > 0.30
+
+
+def test_repetition_top2gram_and_dup5(spark):
+    # "q w" appears 4 times in 8 words; chars = 4 * 3 = 12 over base
+    r = _report(spark, [(1, "q w q w q w q w")])[1]
+    assert r["top2_chars"] >= 4 * 3
+    assert r["is_repetitive"] is True
+    # a 5-gram repeated: "a b c d e a b c d e" → "a b c d e" count 2
+    r2 = _report(spark, [(2, "a b c d e a b c d e")])[2]
+    assert r2["dup5_chars"] >= 2 * 9
+    assert r2["is_repetitive"] is True
+
+
+def test_repetition_single_word_doc_no_grams(spark):
+    r = _report(spark, [(1, "hello")])[1]
+    assert r["n_words"] == 1 and r["n_lines"] == 1
+    assert r["top2_chars"] == 0 and r["dup5_chars"] == 0
+    assert r["is_repetitive"] is False
+
+
+def test_repetition_report_plan_has_no_exchange(spark):
+    # the scale contract: the whole report is a scan-side projection
+    df = spark.createDataFrame([(1, "a b c a b c")],
+                               "id long, text string")
+    plan = text.repetition_report(df, "text", "id") \
+               ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --- resolve_redirects ------------------------------------------------------
+
+def _fetches(spark, rows):
+    return spark.createDataFrame(
+        rows, "url_id long, status int, next_id long")
+
+
+def test_redirects_resolve_chain(spark):
+    # 1 → 2 → 3 → 4 (200); 5 direct
+    f = _fetches(spark, [(1, 301, 2), (2, 301, 3), (3, 302, 4),
+                         (4, 200, 0), (5, 200, 0)])
+    out = {r.url_id: (r.final_id, r.n_hops, r.done)
+           for r in warc_ops.resolve_redirects(f).collect()}
+    assert out[1] == (4, 3, True)
+    assert out[2] == (4, 2, True)
+    assert out[3] == (4, 1, True)
+    assert out[4] == (4, 0, True)
+    assert out[5] == (5, 0, True)
+
+
+def test_redirects_doubling_budget_marks_unresolved(spark):
+    # chain of 5 hops with doublings=1 (covers ≤2 hops): head is
+    # partially resolved and flagged done=False, tail rows resolve
+    rows = [(i, 301, i + 1) for i in range(1, 6)] + [(6, 200, 0)]
+    f = _fetches(spark, rows)
+    out = {r.url_id: (r.final_id, r.n_hops, r.done)
+           for r in warc_ops.resolve_redirects(f, doublings=1).collect()}
+    assert out[5] == (6, 1, True)         # ≤ 2^k - 1 hops ⇒ done
+    assert out[4][:2] == (6, 2)           # pointer landed, but the
+    assert out[4][2] is False             # row can't SEE it's terminal
+    assert out[1][2] is False             # 5 hops ≫ budget
+    # with the default budget (2^3 = 8) the same chain fully resolves
+    full = {r.url_id: (r.final_id, r.n_hops, r.done)
+            for r in warc_ops.resolve_redirects(f).collect()}
+    assert full[1] == (6, 5, True)
+
+
+def test_redirects_self_loop_terminal(spark):
+    # a 200 row whose next_id is garbage is still terminal at itself
+    f = _fetches(spark, [(7, 200, 99_999)])
+    (r,) = warc_ops.resolve_redirects(f).collect()
+    assert (r.final_id, r.n_hops, r.done) == (7, 0, True)
+
+
+# --- anchor text ------------------------------------------------------------
+
+def test_extract_links_keeps_anchor_text_per_occurrence(spark):
+    html = ('<p><a href="/doc/1">alpha</a>'
+            '<a href="/doc/1">alpha</a>'
+            '<a href="/doc/2">beta &amp; gamma</a></p>')
+    df = spark.createDataFrame([(9, html)], "doc_id long, html string")
+    rows = text.extract_html_links(df, "html", "doc_id").collect()
+    assert [(r.href, r.anchor) for r in rows] == [
+        ("/doc/1", "alpha"), ("/doc/1", "alpha"),
+        ("/doc/2", "beta & gamma")]
