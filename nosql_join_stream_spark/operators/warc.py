@@ -305,3 +305,148 @@ def resolve_redirects(fetches, url_col: str = "url_id",
               .localCheckpoint())
     return m.select("url_id", F.col("ptr").alias("final_id"),
                     F.col("hops").alias("n_hops"), "done")
+
+
+def _robots_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> Java-regex (prefix-anchored; ``*``
+    matches any octet run, trailing ``$`` anchors the end).  Only
+    non-alphanumerics are escaped — escaping letters would create
+    character classes (``\\d``)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    out = ["^"]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch.isalnum():
+            out.append(ch)
+        else:
+            out.append("\\" + ch)
+    if anchored:
+        out.append("$")
+    return "".join(out)
+
+
+def parse_robots(df, robots_col: str, host_col: str):
+    """Parse robots.txt documents (RFC 9309) into a rules table —
+    the crawl-politeness half of the first mile next to the WARC
+    walk: ``(host, agent, rule_seq, directive, pattern, pat_len,
+    has_wildcard, regex)``.
+
+    Grammar subset (the deployed-web core): ``User-agent`` lines
+    accumulate onto the next group (consecutive agent lines share
+    one rule block; a rule line closes accumulation, RFC 9309
+    §2.2.1); ``Allow``/``Disallow`` rules attach to every agent of
+    the open group; directives are case-insensitive; ``#`` comments
+    and unknown directives (Crawl-delay, Host, ...) are ignored;
+    ``Sitemap`` is group-independent and emitted with agent ''.
+    Empty-value Allow/Disallow rules mean "no restriction" (RFC
+    §2.2.2) and are dropped at parse.  Percent-encoding
+    normalization is out of scope (documented — patterns and paths
+    compare as octets).
+
+    The wildcard→regex translation happens HERE (Python, once per
+    rule) so the matcher stays pure JVM: plain-prefix rules (the
+    overwhelming majority in the wild) match via startswith and
+    never touch the regex engine.  One mapInPandas pass, rules-linear
+    output, no shuffle.
+    """
+    import pandas as pd
+
+    schema = ("host string, agent string, rule_seq int, "
+              "directive string, pattern string, pat_len int, "
+              "has_wildcard boolean, regex string")
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for host, txt in zip(pdf[host_col], pdf[robots_col]):
+                agents: list[str] = []
+                open_group = False
+                seq = 0
+                for raw in (txt or "").splitlines():
+                    line = raw.split("#", 1)[0].strip()
+                    if not line or ":" not in line:
+                        continue
+                    key, _, val = line.partition(":")
+                    key = key.strip().lower()
+                    val = val.strip()
+                    if key == "user-agent":
+                        if open_group:      # rule closed the block
+                            agents = []
+                            open_group = False
+                        agents.append(val.lower())
+                    elif key in ("allow", "disallow"):
+                        open_group = True
+                        if not val:          # empty = no restriction
+                            continue
+                        for a in agents:
+                            rows.append((host, a, seq, key, val,
+                                         len(val), "*" in val
+                                         or val.endswith("$"),
+                                         _robots_regex(val)))
+                        seq += 1
+                    elif key == "sitemap":
+                        rows.append((host, "", seq, "sitemap", val,
+                                     len(val), False, ""))
+                        seq += 1
+            yield pd.DataFrame(
+                rows, columns=["host", "agent", "rule_seq",
+                               "directive", "pattern", "pat_len",
+                               "has_wildcard", "regex"])
+
+    return df.select(host_col, robots_col).mapInPandas(op,
+                                                       schema=schema)
+
+
+def robots_filter(urls, rules, agent: str,
+                  host_col: str = "host", path_col: str = "path"):
+    """Apply parsed robots rules to a URL table for one crawler
+    ``agent``: per RFC 9309 §2.2.2 the LONGEST matching pattern
+    wins, an allow/disallow tie at equal length resolves to allow,
+    and a URL matching no rule is allowed.  Group selection: hosts
+    with a group for ``agent`` use exactly that group; others fall
+    back to the ``*`` group; hosts with no robots rules at all
+    allow everything.
+
+    Shape: one broadcast-sized rules table (robots files are KB —
+    at 100 TB of URLs the rules side stays a broadcast join on
+    host), matching JVM-side — startswith for plain-prefix rules,
+    regexp_like only for the wildcard minority — then one per-URL
+    max(struct) fold picks the winner; no window, no row-UDF.
+    Output: the url columns + ``allowed`` + the winning rule
+    (NULL pattern when no rule matched).
+    """
+    from pyspark.sql import functions as F
+
+    a = agent.lower()
+    g = rules.filter(F.col("directive").isin("allow", "disallow"))
+    spec = (g.filter(F.col("agent") == a)
+             .select(F.col("host").alias("_sh")).distinct())
+    eff = (g.join(spec, g["host"] == spec["_sh"], "left")
+            .filter((F.col("agent") == a)
+                    | ((F.col("agent") == "*") & F.col("_sh").isNull()))
+            .select("host", "directive", "pattern", "pat_len",
+                    "has_wildcard", "regex"))
+
+    j = urls.join(F.broadcast(eff),
+                  urls[host_col] == eff["host"], "left")
+    hit = F.when(F.col("pattern").isNull(), F.lit(False)) \
+           .when(~F.col("has_wildcard"),
+                 F.col(path_col).startswith(F.col("pattern"))) \
+           .otherwise(F.expr(f"regexp_like({path_col}, regex)"))
+    j = j.withColumn("_hit", hit)
+    key = [c for c in urls.columns]
+    best = (j.groupBy(*[urls[c] for c in key])
+             .agg(F.max(F.when(F.col("_hit"), F.struct(
+                      F.col("pat_len").alias("l"),
+                      (F.col("directive") == "allow").cast("int")
+                       .alias("a"),
+                      F.col("directive").alias("d"),
+                      F.col("pattern").alias("p"))))
+                   .alias("_w")))
+    return best.select(
+        *key,
+        F.coalesce(F.col("_w.a") == 1, F.lit(True)).alias("allowed"),
+        F.col("_w.d").alias("rule_directive"),
+        F.col("_w.p").alias("rule_pattern"))

@@ -9203,3 +9203,102 @@ def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.join(top, "dst")
             .select(F.col("dst").alias("doc_id"), "n_anchors",
                     "n_srcs", "n_texts", "top_anchor"))
+
+
+_ROBOTS_EVEN_TXT = """\
+# corpus policy
+User-agent: trainingbot
+Crawl-delay: 2
+Disallow: /private/
+Allow: /private/ok/
+Disallow: /*.tmp$
+Sitemap: https://example.org/sitemap.xml
+
+User-agent: *
+Disallow: /
+"""
+
+_ROBOTS_ODD_TXT = """\
+User-agent: *
+Disallow: /
+"""
+
+_ROBOTS_ORACLE = """
+    WITH v AS (
+      SELECT doc_id, source AS host,
+             CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2
+               AS odd, seq,
+             CASE seq
+               WHEN 0 THEN '/doc/' || doc_id::VARCHAR
+               WHEN 1 THEN '/private/doc' || doc_id::VARCHAR
+               WHEN 2 THEN '/private/ok/doc' || doc_id::VARCHAR
+               ELSE '/cache/doc' || doc_id::VARCHAR || '.tmp'
+               END AS path
+      FROM documents, (SELECT unnest(range(0, 4))::INT AS seq) s)
+    SELECT doc_id, seq, host, path,
+           CASE WHEN odd = 1 THEN FALSE
+                WHEN seq = 0 THEN TRUE
+                WHEN seq = 2 THEN TRUE
+                ELSE FALSE END AS allowed,
+           CASE WHEN odd = 1 THEN 'disallow'
+                WHEN seq = 1 THEN 'disallow'
+                WHEN seq = 2 THEN 'allow'
+                WHEN seq = 3 THEN 'disallow' END AS rule_directive,
+           CASE WHEN odd = 1 THEN '/'
+                WHEN seq = 1 THEN '/private/'
+                WHEN seq = 2 THEN '/private/ok/'
+                WHEN seq = 3 THEN '/*.tmp$' END AS rule_pattern
+    FROM v
+    """
+
+
+@register(
+    "pipeline_crawl_robots",
+    _ROBOTS_ORACLE,
+    doc="robots.txt politeness filtering (RFC 9309; "
+        "warc.parse_robots + warc.robots_filter) — the crawl-"
+        "compliance step every responsible corpus pipeline runs "
+        "before fetch attribution: per-host rule groups (specific "
+        "agent group wins over '*', longest matching pattern wins, "
+        "allow beats disallow at equal length, no-match allows).  "
+        "Plant: even-numbered source hosts carry a trainingbot "
+        "group (prefix disallow, longer allow carve-out, "
+        "wildcard+anchored '/*.tmp$' rule, plus comment/Crawl-delay/"
+        "Sitemap noise the parser must ignore); odd hosts only a "
+        "deny-all '*' group — 4 URL variants per doc hit every "
+        "precedence path and the closed-form oracle pins each "
+        "verdict AND the winning rule.  Scale: rules parse once per "
+        "host (KB-sized), broadcast to the URL side; plain-prefix "
+        "rules match via startswith (no regex), wildcard rules via "
+        "regexp_like; winner = one max(struct) fold — no window, no "
+        "row-UDF, URL-side linear.",
+)
+def pipeline_crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id", "source")
+    k = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    robots = (docs.select(F.col("source").alias("host"),
+                          (k % 2).alias("odd")).distinct()
+              .select("host",
+                      F.when(F.col("odd") == 1,
+                             F.lit(_ROBOTS_ODD_TXT))
+                       .otherwise(F.lit(_ROBOTS_EVEN_TXT))
+                       .alias("robots")))
+    rules = warc_ops.parse_robots(robots, "robots", "host")
+    did = F.col("doc_id").cast("string")
+    urls = (docs.select(
+        "doc_id", F.col("source").alias("host"),
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("seq"),
+                     F.concat(F.lit("/doc/"), did).alias("path")),
+            F.struct(F.lit(1).alias("seq"),
+                     F.concat(F.lit("/private/doc"), did).alias("path")),
+            F.struct(F.lit(2).alias("seq"),
+                     F.concat(F.lit("/private/ok/doc"), did)
+                      .alias("path")),
+            F.struct(F.lit(3).alias("seq"),
+                     F.concat(F.lit("/cache/doc"), did, F.lit(".tmp"))
+                      .alias("path")))).alias("v"))
+        .select("doc_id", F.col("v.seq").alias("seq"), "host",
+                F.col("v.path").alias("path")))
+    return warc_ops.robots_filter(urls, rules, "trainingbot")

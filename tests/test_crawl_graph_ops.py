@@ -126,3 +126,80 @@ def test_extract_links_keeps_anchor_text_per_occurrence(spark):
     assert [(r.href, r.anchor) for r in rows] == [
         ("/doc/1", "alpha"), ("/doc/1", "alpha"),
         ("/doc/2", "beta & gamma")]
+
+
+# --- robots.txt -------------------------------------------------------------
+
+_ROBOTS = """\
+# politeness policy
+User-agent: alpha
+User-agent: beta
+Crawl-delay: 7
+Disallow: /a/
+Allow: /a/b/
+Disallow:
+Disallow: /*.zip$
+
+User-agent: *
+Disallow: /priv
+Allow: /priv
+Sitemap: https://h/x.xml
+"""
+
+
+def _rules(spark):
+    df = spark.createDataFrame([("h", _ROBOTS)],
+                               "host string, robots string")
+    return warc_ops.parse_robots(df, "robots", "host")
+
+
+def test_parse_robots_groups_and_noise(spark):
+    rows = _rules(spark).collect()
+    ad = [(r.agent, r.directive, r.pattern) for r in rows]
+    # consecutive User-agent lines share one rule block; Crawl-delay
+    # noise doesn't break accumulation; empty Disallow is dropped
+    assert ("alpha", "disallow", "/a/") in ad
+    assert ("beta", "disallow", "/a/") in ad
+    assert ("alpha", "allow", "/a/b/") in ad
+    assert ("beta", "disallow", "/*.zip$") in ad
+    assert ("*", "disallow", "/priv") in ad
+    assert ("", "sitemap", "https://h/x.xml") in ad
+    assert not any(p == "" for (_, d, p) in ad if d != "sitemap")
+    wild = {r.pattern: r.has_wildcard for r in rows}
+    assert wild["/*.zip$"] is True and wild["/a/"] is False
+
+
+def _verdicts(spark, agent, paths):
+    urls = spark.createDataFrame([("h", p) for p in paths],
+                                 "host string, path string")
+    out = warc_ops.robots_filter(urls, _rules(spark), agent)
+    return {r.path: (r.allowed, r.rule_pattern) for r in out.collect()}
+
+
+def test_robots_filter_precedence(spark):
+    v = _verdicts(spark, "ALPHA",          # agent match case-folds
+                  ["/a/x", "/a/b/x", "/free", "/deep/f.zip", "/a"])
+    assert v["/a/x"] == (False, "/a/")            # prefix disallow
+    assert v["/a/b/x"] == (True, "/a/b/")         # longer allow wins
+    assert v["/free"] == (True, None)             # no match ⇒ allowed
+    assert v["/deep/f.zip"] == (False, "/*.zip$")  # wildcard + anchor
+    assert v["/a"] == (True, None)                # /a does not hit /a/
+
+
+def test_robots_filter_tie_allow_wins_and_fallback(spark):
+    # '*' group: /priv appears as both allow and disallow at equal
+    # length — RFC 9309 resolves the tie to allow
+    v = _verdicts(spark, "stranger", ["/priv/x", "/other"])
+    assert v["/priv/x"] == (True, "/priv")
+    assert v["/other"] == (True, None)
+    # a specific group EXCLUDES the '*' rules for that agent
+    v2 = _verdicts(spark, "alpha", ["/priv/x"])
+    assert v2["/priv/x"] == (True, None)
+
+
+def test_robots_host_without_rules_allows_all(spark):
+    urls = spark.createDataFrame([("nohost", "/a/x")],
+                                 "host string, path string")
+    out = warc_ops.robots_filter(urls, _rules(spark), "alpha")
+    (r,) = out.collect()
+    assert r.allowed is True and r.rule_pattern is None
