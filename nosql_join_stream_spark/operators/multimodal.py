@@ -535,3 +535,93 @@ def payload_chunk_jaccard(media: DataFrame, threshold: float = 0.5,
     return (common.withColumn("jaccard", j)
                   .filter(F.col("jaccard") >= threshold)
                   .select("id1", "id2", "jaccard"))
+
+
+def image_dhash(media: DataFrame, grid_w: int = 8,
+                grid_h: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) over binary image payloads
+    — the multimodal near-dup signature: re-encodes, resizes and
+    mild pixel noise leave the hash within a few bits, so exact
+    grouping catches byte-identical dupes' visual twins that
+    payload_dedup's sha256 cannot.
+
+    Contract (engine-portable, integer-exact end to end):
+    pixels block-average onto a ``(grid_w+1) x grid_h`` grid with
+    cell assignment ``cx = (x*(grid_w+1)) DIV w``, ``ry = (y*grid_h)
+    DIV h``; bit ``(ry, cx)`` is 1 iff the right cell's mean exceeds
+    the left's, decided by CROSS-MULTIPLIED integer sums
+    (``S_right*A_left > S_left*A_right``) — no division, no float,
+    no rounding anywhere.  Bit index ``b = ry*grid_w + cx``; the 64
+    bits pack as two uint32 halves (``hash_hi`` = bits 32..63) so
+    values stay positive BIGINTs in every engine.
+
+    One mapInPandas decode+hash pass (PIL if importable, stdlib
+    png_codec fallback — the extract_features discipline),
+    scan-parallel, output one row per image.
+    """
+    gw, gh = int(grid_w), int(grid_h)
+    schema = ("doc_id long, width int, height int, "
+              "hash_hi long, hash_lo long")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode(payload: bytes):
+            try:
+                from PIL import Image
+                import io as _io
+                return _np.asarray(
+                    Image.open(_io.BytesIO(payload)).convert("L"))
+            except ImportError:
+                pass
+            try:
+                from nosql_join_stream_spark.operators import (
+                    png_codec as _pc)
+            except ImportError:
+                raise NotImplementedError(
+                    "image decode requires PIL/libvips; not available "
+                    "here") from None
+            return _pc.decode_gray_auto(payload)
+
+        def _dhash(arr):
+            h, w = arr.shape
+            cx = (_np.arange(w, dtype=_np.int64) * (gw + 1)) // w
+            ry = (_np.arange(h, dtype=_np.int64) * gh) // h
+            cell = (ry[:, None] * (gw + 1) + cx[None, :]).ravel()
+            ncell = gh * (gw + 1)
+            s = _np.bincount(cell, weights=arr.ravel().astype(
+                _np.float64), minlength=ncell).astype(_np.int64)
+            a = _np.bincount(cell, minlength=ncell).astype(_np.int64)
+            s = s.reshape(gh, gw + 1)
+            a = a.reshape(gh, gw + 1)
+            bits = (s[:, 1:] * a[:, :-1] > s[:, :-1] * a[:, 1:])
+            hi = lo = 0
+            for r in range(gh):
+                for c in range(gw):
+                    if bits[r, c]:
+                        b = r * gw + c
+                        if b >= 32:
+                            hi |= 1 << (b - 32)
+                        else:
+                            lo |= 1 << b
+            return hi, lo
+
+        for pdf in batches:
+            his, los, ws, hs = [], [], [], []
+            for pay in pdf["payload"]:
+                arr = _decode(bytes(pay))
+                hi, lo = _dhash(arr)
+                his.append(hi)
+                los.append(lo)
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": _pd.Series(ws, dtype="int32"),
+                "height": _pd.Series(hs, dtype="int32"),
+                "hash_hi": _pd.Series(his, dtype="int64"),
+                "hash_lo": _pd.Series(los, dtype="int64")})
+
+    return media.select("doc_id", "payload").mapInPandas(op,
+                                                         schema=schema)

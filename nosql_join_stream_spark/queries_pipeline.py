@@ -9302,3 +9302,200 @@ def pipeline_crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("v.seq").alias("seq"), "host",
                 F.col("v.path").alias("path")))
     return warc_ops.robots_filter(urls, rules, "trainingbot")
+
+
+@register(
+    "stream_repetition_filter",
+    _REPETITION_ORACLE,
+    doc="Repetition filtering AT INGEST — the streaming twin of "
+        "text_repetition_filter: documents arrive as parquet files "
+        "(continuous crawl), each micro-batch computes the full "
+        "Gopher repetition report in-plan (the report is a "
+        "zero-shuffle row-local projection, so it is streaming-"
+        "planable with NO foreachBatch escape hatch — stateless "
+        "append, exactly-once via checkpointed file offsets).  Same "
+        "plant, same oracle as the batch query: drained result "
+        "hash-equals the batch report, proving filter-at-ingest "
+        "loses nothing vs filter-after-landing.",
+)
+def stream_repetition_filter(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.streaming.log_stream import (
+        DOCUMENTS_SCHEMA, read_table_stream, run_available_now)
+    from nosql_join_stream_spark.catalog import table_path
+    from nosql_join_stream_spark.queries import _STREAM_SEQ
+    _STREAM_SEQ[0] += 1
+    name = f"stream_rep_{_STREAM_SEQ[0]}"
+    par = spark.sparkContext.defaultParallelism
+    # one explicit repartition decouples the heavy HOF expression's
+    # parallelism from the source FILE layout (file-stream batches
+    # partition by file, not row group — the stream_audio_decode
+    # discipline); the batch operator itself stays Exchange-free
+    docs = read_table_stream(spark, table_path(sf_dir, "documents"),
+                             DOCUMENTS_SCHEMA).repartition(par)
+    t = F.trim(F.col("text"))
+    w0 = F.split(t, " ")
+
+    def _first(k: int):
+        return F.array_join(F.slice(w0, 1, k), " ")
+
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            t,
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.expr(
+                       "repeat(' pad', (10 - size(split(trim(text), ' '))"
+                       " % 10) % 10)"),
+                       F.lit(" "), _first(10)))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.expr("repeat(' ' || array_join(slice("
+                          "split(trim(text), ' '), 1, 2), ' '), 12)"))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.expr("repeat(' ' || array_join(slice("
+                          "split(trim(text), ' '), 1, 5), ' '), 3)"))
+             .otherwise(F.lit(""))).alias("text"))
+    out = (text.repetition_report(planted, "text", "doc_id")
+           .withColumnRenamed("id", "doc_id"))
+    run_available_now(out, name, output_mode="append")
+    return spark.table(name)
+
+
+_DHASH_ORACLE = """
+    WITH imgs AS (
+      SELECT doc_id, doc_id AS img_id, FALSE AS is_twin
+      FROM documents
+      UNION ALL
+      SELECT doc_id, doc_id + 10000000, TRUE
+      FROM documents WHERE doc_id % 17 = 0),
+    px AS (
+      SELECT img_id, doc_id, is_twin,
+             (doc_id % 32 + 8) AS w, (doc_id % 16 + 8) AS h, i,
+             CASE WHEN is_twin AND i % 97 = 0
+                  THEN pb + 1 - 2 * (pb % 2)
+                  ELSE pb END AS p
+      FROM (
+        SELECT imgs.*, u.i,
+               (doc_id*7 + 65536
+                + (1 - 2*(doc_id % 2)) * (u.i % (doc_id % 32 + 8))
+                  * (doc_id % 13 + 1)
+                + (u.i // (doc_id % 32 + 8)) * 3 * (doc_id % 11 + 1)
+                + (u.i % (doc_id % 32 + 8))
+                  * (u.i // (doc_id % 32 + 8)) * (doc_id % 5)) % 256
+                 AS pb
+        FROM imgs,
+             UNNEST(range(0, (doc_id % 32 + 8) * (doc_id % 16 + 8)))
+               AS u(i)) q),
+    cells AS (
+      SELECT img_id, ((i % w) * 9) // w AS cx, ((i // w) * 8) // h AS ry,
+             SUM(p) AS s, COUNT(*) AS a
+      FROM px GROUP BY 1, 2, 3),
+    bits AS (
+      SELECT l.img_id, l.ry, l.cx,
+             CASE WHEN r.s * l.a > l.s * r.a THEN 1 ELSE 0 END AS bit
+      FROM cells l JOIN cells r
+        ON l.img_id = r.img_id AND l.ry = r.ry AND r.cx = l.cx + 1
+      WHERE l.cx < 8),
+    hashes AS (
+      SELECT img_id,
+             CAST(SUM(CASE WHEN ry*8 + cx >= 32
+                      THEN bit * (1::BIGINT << (ry*8 + cx - 32))
+                      ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN ry*8 + cx < 32
+                      THEN bit * (1::BIGINT << (ry*8 + cx))
+                      ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY img_id),
+    jj AS (
+      SELECT i.img_id, i.is_twin, h.hash_hi, h.hash_lo,
+             CAST(bit_count(xor(h.hash_hi, b.hash_hi))
+                  + bit_count(xor(h.hash_lo, b.hash_lo)) AS BIGINT)
+               AS ham_to_base
+      FROM imgs i
+      JOIN hashes h ON h.img_id = i.img_id
+      JOIN hashes b ON b.img_id = i.doc_id)
+    SELECT img_id, is_twin, hash_hi, hash_lo, ham_to_base,
+           ham_to_base <= 16 AS is_near_dup
+    FROM jj
+    """
+
+
+@register(
+    "multimodal_image_dhash",
+    _DHASH_ORACLE,
+    doc="Perceptual image dedup (multimodal.image_dhash): dHash over "
+        "REAL encoded-then-decoded PNG bytes — the visual near-dup "
+        "signature sha256 payload dedup cannot see (re-encodes and "
+        "mild noise keep the hash within a few bits).  Contract is "
+        "integer-exact end to end: block sums onto a 9x8 grid (cell "
+        "= (x*9) DIV w), bits by CROSS-MULTIPLIED sum/area compares "
+        "(no division, no float), packed as two uint32 halves.  "
+        "Plant: per-doc varied-structure gradients (direction / "
+        "frequency / shear from doc_id) + a noisy twin (+10M id) "
+        "for %17 docs with every 97th pixel xor-1 perturbed — twins "
+        "land <=1 bit away, organic hashes spread (median ~31/64; "
+        "structure-identical patterns can still collide — dHash IS "
+        "a structure hash).  "
+        "The oracle recomputes the ENTIRE hash from the closed-form "
+        "pixel formulas, so any bit error in PNG encode, zlib, "
+        "decode, cell mapping, comparison or packing shifts a hash "
+        "and fails the value gate.  One mapInPandas decode+hash "
+        "pass; the base join is id-keyed; at 100 TB exact-hash "
+        "grouping and banded hamming join both run on the 16-byte "
+        "signature, never pixels.",
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    # the id table is KB-sized parquet (1-2 scan splits) but the plant
+    # does per-row PNG encode work — spread it across the cores first
+    # (the _planted_link_edges discipline)
+    docs = e.table("documents").select("doc_id").repartition(par, "doc_id")
+
+    def plant(batches):
+        import numpy as _np
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import png_codec as _pc
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 32 + 8, did % 16 + 8
+                i = _np.arange(w * h, dtype=_np.int64)
+                x, y = i % w, i // w
+                # varied-structure gradient: per-doc direction,
+                # frequency and shear so organic hashes SPREAD
+                # (median ~31/64 bits); +65536 keeps the dividend
+                # positive — DuckDB's % is C-style (sign-following),
+                # numpy's is floor-mod, and they only agree >= 0
+                base = ((did * 7 + 65536
+                         + (1 - 2 * (did % 2)) * x * (did % 13 + 1)
+                         + y * 3 * (did % 11 + 1)
+                         + x * y * (did % 5)) % 256)
+                rows.append((did, _pc.encode_gray(
+                    base.astype(_np.uint8).reshape(h, w)),
+                    "image/png", w, h, 1))
+                if did % 17 == 0:
+                    tw = base ^ (_np.arange(w * h) % 97 == 0)
+                    rows.append((did + 10_000_000, _pc.encode_gray(
+                        tw.astype(_np.uint8).reshape(h, w)),
+                        "image/png", w, h, 1))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "payload", "media_type", "width", "height",
+                "n_frames"])
+
+    media = docs.mapInPandas(plant, schema=multimodal.MEDIA_SCHEMA)
+    d = multimodal.image_dhash(media)
+    base = d.filter(F.col("doc_id") < 10_000_000).select(
+        F.col("doc_id").alias("_b"),
+        F.col("hash_hi").alias("_bhi"), F.col("hash_lo").alias("_blo"))
+    ham = F.expr("bit_count(hash_hi ^ _bhi) + bit_count(hash_lo ^ _blo)")
+    return (d.withColumn("_b", F.col("doc_id") % 10_000_000)
+             .join(base, "_b")
+             .select(F.col("doc_id").alias("img_id"),
+                     (F.col("doc_id") >= 10_000_000).alias("is_twin"),
+                     "hash_hi", "hash_lo",
+                     ham.cast("long").alias("ham_to_base"),
+                     (ham <= 16).alias("is_near_dup")))

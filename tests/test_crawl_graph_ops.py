@@ -203,3 +203,46 @@ def test_robots_host_without_rules_allows_all(spark):
     out = warc_ops.robots_filter(urls, _rules(spark), "alpha")
     (r,) = out.collect()
     assert r.allowed is True and r.rule_pattern is None
+
+
+# --- image dHash ------------------------------------------------------------
+
+def _dhash_of(spark, arrs):
+    import numpy as np
+    import pandas as pd
+    from nosql_join_stream_spark.operators import multimodal
+    from nosql_join_stream_spark.operators import png_codec as pc
+
+    rows = [(i, pc.encode_gray(np.asarray(a, dtype=np.uint8)),
+             "image/png", a.shape[1], a.shape[0], 1)
+            for i, a in enumerate(arrs)]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "payload", "media_type",
+                                    "width", "height", "n_frames"]))
+    out = multimodal.image_dhash(media)
+    return {r.doc_id: (r.hash_hi, r.hash_lo) for r in out.collect()}
+
+
+def test_image_dhash_gradient_extremes(spark):
+    import numpy as np
+    inc = np.tile(np.arange(18, dtype=np.uint8) * 10, (16, 1))
+    dec = inc[:, ::-1].copy()
+    flat = np.full((16, 18), 7, dtype=np.uint8)
+    h = _dhash_of(spark, [inc, dec, flat])
+    # strictly increasing columns ⇒ every right cell beats the left ⇒
+    # all 64 bits set; decreasing / constant ⇒ none
+    assert h[0] == (0xFFFFFFFF, 0xFFFFFFFF)
+    assert h[1] == (0, 0)
+    assert h[2] == (0, 0)
+
+
+def test_image_dhash_noise_robust_vs_sha(spark):
+    import numpy as np
+    rng_free = (np.add.outer(np.arange(16) * 3,
+                             np.arange(24) * 5) % 251).astype(np.uint8)
+    noisy = rng_free.copy()
+    noisy[::5, ::7] ^= 1                      # sub-quantization noise
+    h = _dhash_of(spark, [rng_free, noisy])
+    ham = bin(h[0][0] ^ h[1][0]).count("1") \
+        + bin(h[0][1] ^ h[1][1]).count("1")
+    assert ham <= 3        # perceptually identical ⇒ a few bits at most
