@@ -9499,3 +9499,107 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "hash_hi", "hash_lo",
                      ham.cast("long").alias("ham_to_base"),
                      (ham <= 16).alias("is_near_dup")))
+
+
+_DHASH_PAIRS_ORACLE = _DHASH_ORACLE.replace(
+    """    SELECT img_id, is_twin, hash_hi, hash_lo, ham_to_base,
+           ham_to_base <= 16 AS is_near_dup
+    FROM jj
+    """,
+    """    SELECT a.img_id AS id1, b.img_id AS id2,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT)
+             AS hamming,
+           b.img_id = a.img_id + 10000000 AS is_planted_pair
+    FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+    """)
+
+
+@register(
+    "multimodal_image_dhash_pairs",
+    _DHASH_PAIRS_ORACLE,
+    doc="Image near-dup PAIR MINING over the dHash signature "
+        "(multimodal.image_dhash) — the banded-hamming join that "
+        "makes perceptual dedup sub-quadratic: the 64 bits split "
+        "into 4 x 16-bit bands, candidates equi-join on (band_idx, "
+        "band_val), and hamming <= 3 GUARANTEES a shared band by "
+        "pigeonhole, so banded recall at the threshold is exactly 1 "
+        "and the oracle can be the EXACT all-pairs hamming set — "
+        "hash equality proves the sub-quadratic tier recovered every "
+        "planted twin (<=1 bit) and every organic structure "
+        "collision, nothing more (the SimHash/MinHash banding "
+        "discipline applied to the multimodal column).  Scale: "
+        "signatures are 16 bytes — banding shuffles 4 rows per "
+        "image, the verify runs on candidates only; pixels never "
+        "travel.",
+)
+def multimodal_image_dhash_pairs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    docs = e.table("documents").select("doc_id").repartition(par,
+                                                             "doc_id")
+
+    def plant(batches):
+        import numpy as _np
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import png_codec as _pc
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 32 + 8, did % 16 + 8
+                i = _np.arange(w * h, dtype=_np.int64)
+                x, y = i % w, i // w
+                base = ((did * 7 + 65536
+                         + (1 - 2 * (did % 2)) * x * (did % 13 + 1)
+                         + y * 3 * (did % 11 + 1)
+                         + x * y * (did % 5)) % 256)
+                rows.append((did, _pc.encode_gray(
+                    base.astype(_np.uint8).reshape(h, w)),
+                    "image/png", w, h, 1))
+                if did % 17 == 0:
+                    tw = base ^ (_np.arange(w * h) % 97 == 0)
+                    rows.append((did + 10_000_000, _pc.encode_gray(
+                        tw.astype(_np.uint8).reshape(h, w)),
+                        "image/png", w, h, 1))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "payload", "media_type", "width", "height",
+                "n_frames"])
+
+    media = docs.mapInPandas(plant, schema=multimodal.MEDIA_SCHEMA)
+    d = multimodal.image_dhash(media).localCheckpoint()
+    bands = d.select(
+        F.col("doc_id").alias("img_id"), "hash_hi", "hash_lo",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("bi"),
+                     F.expr("hash_lo & 65535").alias("bv")),
+            F.struct(F.lit(1).alias("bi"),
+                     F.expr("shiftright(hash_lo, 16) & 65535")
+                      .alias("bv")),
+            F.struct(F.lit(2).alias("bi"),
+                     F.expr("hash_hi & 65535").alias("bv")),
+            F.struct(F.lit(3).alias("bi"),
+                     F.expr("shiftright(hash_hi, 16) & 65535")
+                      .alias("bv")))).alias("b")) \
+        .select("img_id", "hash_hi", "hash_lo",
+                F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    l = bands.select(F.col("img_id").alias("id1"),
+                     F.col("hash_hi").alias("h1"),
+                     F.col("hash_lo").alias("l1"), "bi", "bv")
+    r = bands.select(F.col("img_id").alias("id2"),
+                     F.col("hash_hi").alias("h2"),
+                     F.col("hash_lo").alias("l2"), "bi", "bv")
+    cand = (l.join(r, ["bi", "bv"])
+             .filter(F.col("id1") < F.col("id2"))
+             .select("id1", "id2", "h1", "l1", "h2", "l2")
+             .distinct())
+    ham = F.expr("bit_count(h1 ^ h2) + bit_count(l1 ^ l2)")
+    return (cand.withColumn("hamming", ham.cast("long"))
+                .filter(F.col("hamming") <= 3)
+                .select("id1", "id2", "hamming",
+                        (F.col("id2") == F.col("id1") + 10_000_000)
+                         .alias("is_planted_pair")))
