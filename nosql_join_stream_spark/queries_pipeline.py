@@ -9603,3 +9603,129 @@ def multimodal_image_dhash_pairs(spark: SparkSession,
                 .select("id1", "id2", "hamming",
                         (F.col("id2") == F.col("id1") + 10_000_000)
                          .alias("is_planted_pair")))
+
+
+_VIDEO_SHOTS_ORACLE = """
+    WITH frames AS (
+      SELECT doc_id, doc_id % 24 + 1 AS n_frames,
+             u.f, u.f // 7 AS scene,
+             doc_id * 100 + u.f AS img_id
+      FROM documents,
+           UNNEST(range(0, doc_id % 24 + 1)) AS u(f)),
+    px AS (
+      SELECT img_id, doc_id, f,
+             (doc_id % 32 + 8) AS w, (doc_id % 16 + 8) AS h, i,
+             ((doc_id*7 + 65536
+               + (1 - 2*((doc_id + scene) % 2)) * (i % (doc_id % 32 + 8))
+                 * (doc_id % 13 + 1)
+               + (i // (doc_id % 32 + 8)) * 3 * ((doc_id + scene) % 11 + 1)
+               + (i % (doc_id % 32 + 8)) * (i // (doc_id % 32 + 8))
+                 * ((doc_id + scene) % 5)) % 251 + f % 5) AS p
+      FROM (SELECT frames.*, u.i
+            FROM frames,
+                 UNNEST(range(0, (doc_id % 32 + 8) * (doc_id % 16 + 8)))
+                   AS u(i)) q),
+    cells AS (
+      SELECT img_id, ((i % w) * 9) // w AS cx, ((i // w) * 8) // h AS ry,
+             SUM(p) AS s, COUNT(*) AS a
+      FROM px GROUP BY 1, 2, 3),
+    bits AS (
+      SELECT l.img_id, l.ry, l.cx,
+             CASE WHEN r.s * l.a > l.s * r.a THEN 1 ELSE 0 END AS bit
+      FROM cells l JOIN cells r
+        ON l.img_id = r.img_id AND l.ry = r.ry AND r.cx = l.cx + 1
+      WHERE l.cx < 8),
+    hashes AS (
+      SELECT img_id,
+             CAST(SUM(CASE WHEN ry*8 + cx >= 32
+                      THEN bit * (1::BIGINT << (ry*8 + cx - 32))
+                      ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN ry*8 + cx < 32
+                      THEN bit * (1::BIGINT << (ry*8 + cx))
+                      ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY img_id)
+    SELECT f.doc_id, f.f AS frame_idx,
+           CAST(bit_count(xor(h.hash_hi, p.hash_hi))
+                + bit_count(xor(h.hash_lo, p.hash_lo)) AS BIGINT)
+             AS ham_prev,
+           bit_count(xor(h.hash_hi, p.hash_hi))
+             + bit_count(xor(h.hash_lo, p.hash_lo)) > 3 AS is_boundary,
+           f.f % 7 = 0 AS scene_changed
+    FROM frames f
+    JOIN hashes h ON h.img_id = f.img_id
+    JOIN hashes p ON p.img_id = f.img_id - 1
+    WHERE f.f > 0
+    """
+
+
+@register(
+    "multimodal_video_shots",
+    _VIDEO_SHOTS_ORACLE,
+    doc="Video shot-boundary detection (the temporal leg of the "
+        "dHash family): frames arrive demuxed as one PNG row each "
+        "(the post-container state — real video demux needs codec "
+        "libs this sandbox lacks, and the pipeline downstream of "
+        "demux is what Spark owns), per-frame dHash, then a per-doc "
+        "lag window compares consecutive signatures — hamming > 3 "
+        "flags a cut.  Plant: scenes change structure every 7 "
+        "frames (direction/frequency/shear re-keyed on (doc, "
+        "scene)); WITHIN a shot frames carry a uniform +f%5 "
+        "(base squeezed to %251 so the jitter NEVER wraps at 255) "
+        "brightness jitter, which the cross-multiplied compare "
+        "provably cancels (S+kA on both sides of S_r*A_l > S_l*A_r) "
+        "— so is_boundary == scene_changed exactly, witnessed "
+        "in-plan by both columns.  The oracle recomputes every "
+        "frame hash closed-form.  Scale: per-frame signatures are "
+        "16 bytes; the lag window partitions by doc (bounded "
+        "frames/doc), pixels never shuffle.",
+)
+def multimodal_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _engine(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    docs = e.table("documents").select("doc_id").repartition(par,
+                                                             "doc_id")
+
+    def plant(batches):
+        import numpy as _np
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import png_codec as _pc
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 32 + 8, did % 16 + 8
+                i = _np.arange(w * h, dtype=_np.int64)
+                x, y = i % w, i // w
+                for f in range(did % 24 + 1):
+                    s = f // 7
+                    frame = (((did * 7 + 65536
+                               + (1 - 2 * ((did + s) % 2)) * x
+                                 * (did % 13 + 1)
+                               + y * 3 * ((did + s) % 11 + 1)
+                               + x * y * ((did + s) % 5)) % 251
+                              + f % 5))
+                    rows.append((did * 100 + f, _pc.encode_gray(
+                        frame.astype(_np.uint8).reshape(h, w)),
+                        "image/png", w, h, 1))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "payload", "media_type", "width", "height",
+                "n_frames"])
+
+    media = docs.mapInPandas(plant, schema=multimodal.MEDIA_SCHEMA)
+    d = multimodal.image_dhash(media).select(
+        (F.col("doc_id") / 100).cast("long").alias("vid"),
+        (F.col("doc_id") % 100).cast("int").alias("frame_idx"),
+        "hash_hi", "hash_lo")
+    wspec = Window.partitionBy("vid").orderBy("frame_idx")
+    d = (d.withColumn("phi", F.lag("hash_hi").over(wspec))
+          .withColumn("plo", F.lag("hash_lo").over(wspec))
+          .filter(F.col("frame_idx") > 0))
+    ham = F.expr("bit_count(hash_hi ^ phi) + bit_count(hash_lo ^ plo)")
+    return d.select(
+        F.col("vid").alias("doc_id"), "frame_idx",
+        ham.cast("long").alias("ham_prev"),
+        (ham > 3).alias("is_boundary"),
+        ((F.col("frame_idx") % 7) == 0).alias("scene_changed"))

@@ -246,3 +246,14 @@ def test_image_dhash_noise_robust_vs_sha(spark):
     ham = bin(h[0][0] ^ h[1][0]).count("1") \
         + bin(h[0][1] ^ h[1][1]).count("1")
     assert ham <= 3        # perceptually identical ⇒ a few bits at most
+
+
+def test_image_dhash_uniform_shift_invariant(spark):
+    # the shot-boundary contract: adding a constant to every pixel
+    # cancels in the cross-multiplied compare (S+kA on both sides)
+    import numpy as np
+    a = (np.add.outer(np.arange(12) * 7, np.arange(20) * 3)
+         % 251).astype(np.uint8)
+    b = (a + 4).astype(np.uint8)              # no wrap: max 250+4
+    h = _dhash_of(spark, [a, b])
+    assert h[0] == h[1]
