@@ -369,3 +369,184 @@ def read_webdataset_shards(spark, path: str):
             .option("pathGlobFilter", "shard-*.tar").load(path)
             .select("path", "content")
             .mapInPandas(op, schema="id long, shard int, content string"))
+
+
+# --- TFRecord shards (r15) --------------------------------------------------
+
+_CRC32C_POLY = 0x82F63B78          # Castagnoli, reflected
+_CRC32C_TABLE: list[int] | None = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) — the TFRecord integrity checksum.
+    Table-driven pure python; pinned against the published check
+    vector crc32c(b"123456789") == 0xE3069283 in tests."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ _CRC32C_POLY if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    tbl = _CRC32C_TABLE
+    for b in data:
+        crc = (crc >> 8) ^ tbl[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    """TFRecord's masked CRC: rotate right 15, add the mask constant
+    (the published framing spec)."""
+    c = _crc32c(data)
+    return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def tfrecord_frame(data: bytes) -> bytes:
+    """One TFRecord: u64le length, u32le masked-crc(length), data,
+    u32le masked-crc(data) — 16 framing bytes per record."""
+    import struct
+
+    ln = struct.pack("<Q", len(data))
+    return (ln + struct.pack("<I", _masked_crc(ln)) + data
+            + struct.pack("<I", _masked_crc(data)))
+
+
+def tfrecord_unframe(buf: bytes) -> list[bytes]:
+    """Walk a TFRecord stream, verifying BOTH crcs per record; raises
+    ValueError on any framing/checksum corruption (loud, the codec
+    discipline)."""
+    import struct
+
+    out = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if n - pos < 12:
+            raise ValueError("truncated TFRecord length block")
+        ln_raw = buf[pos:pos + 8]
+        (ln,) = struct.unpack("<Q", ln_raw)
+        (lcrc,) = struct.unpack("<I", buf[pos + 8:pos + 12])
+        if lcrc != _masked_crc(ln_raw):
+            raise ValueError(f"bad length crc at offset {pos}")
+        if n - pos - 12 < ln + 4:
+            raise ValueError("truncated TFRecord data block")
+        data = buf[pos + 12:pos + 12 + ln]
+        (dcrc,) = struct.unpack(
+            "<I", buf[pos + 12 + ln:pos + 16 + ln])
+        if dcrc != _masked_crc(data):
+            raise ValueError(f"bad data crc at offset {pos}")
+        out.append(data)
+        pos += 16 + ln
+    return out
+
+
+def write_tfrecord_shards(df: DataFrame, path: str, id_col: str,
+                          content_col: str, n_shards: int):
+    """Export ``df`` as TFRecord shards — the other canonical
+    training-data container next to WebDataset tar: fixed 16-byte
+    framing with TWO masked CRC-32Cs per record, streamed
+    sequentially by every TF/JAX input pipeline.
+
+    Record payload contract: ``{id:012d}\\t{content}`` UTF-8 — the
+    sample framing is the caller's schema (tf.train.Example proto is
+    one choice; the tab-framed record keeps the container math
+    closed-form), so each record's data length is exactly
+    ``13 + octet_length(content)`` and a shard's file size is
+    ``SUM(16 + 13 + octet_length(content))`` — the container FRAMING
+    is oracle-checkable just like the tar writer's.
+
+    Same scale/durability shape as write_webdataset_shards: shard =
+    id % n_shards, one applyInPandas task per shard, id-ordered
+    members, stale shards cleared, atomic tmp+rename publish,
+    byte-deterministic output (sha-asserted in tests).  Returns
+    per-shard stats (counts, payload bytes, position-weighted id
+    checksum, file bytes, sha).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    os.makedirs(path, exist_ok=True)
+    import glob as _glob
+    for stale in _glob.glob(os.path.join(path, "shard-*.tfrecord")):
+        os.remove(stale)
+
+    assigned = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(content_col).cast("string").alias("content"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"))
+
+    def build(key, pdf):
+        import hashlib
+
+        import pandas as _pd
+
+        shard = int(key[0])
+        pdf = pdf.sort_values("id")
+        parts = []
+        payload_bytes = 0
+        for did, content in zip(pdf["id"], pdf["content"]):
+            data = (f"{int(did):012d}\t"
+                    + ("" if content is None else str(content))) \
+                .encode("utf-8")
+            payload_bytes += len(data)
+            parts.append(tfrecord_frame(data))
+        raw = b"".join(parts)
+        out = os.path.join(path, f"shard-{shard:05d}.tfrecord")
+        tmp = out + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(raw)
+        os.replace(tmp, out)                  # atomic publish
+        checksum = sum((i + 1) * int(d)
+                       for i, d in enumerate(pdf["id"]))
+        return _pd.DataFrame([{
+            "shard": shard,
+            "n_records": len(pdf),
+            "payload_bytes": int(payload_bytes),
+            "ids_checksum": int(checksum),
+            "file_bytes": len(raw),
+            "file_sha": hashlib.sha256(raw).hexdigest(),
+        }])
+
+    return (assigned.groupBy("shard")
+            .applyInPandas(build,
+                           schema="shard int, n_records long, "
+                                  "payload_bytes long, "
+                                  "ids_checksum long, file_bytes long, "
+                                  "file_sha string"))
+
+
+def read_tfrecord_shards(spark, path: str):
+    """Ingest TFRecord shards back into (id, shard, content) rows —
+    the loader side of :func:`write_tfrecord_shards`, closing the
+    export loop in-engine.  binaryFile source (one task per shard) +
+    mapInPandas unframe with BOTH crcs verified per record; any
+    corruption raises, never silently truncates."""
+
+    def op(batches):
+        import pandas as _pd
+
+        from nosql_join_stream_spark.operators.export_shards import (
+            tfrecord_unframe)
+
+        for pdf in batches:
+            ids, contents, shards = [], [], []
+            for fname, data in zip(pdf["path"], pdf["content"]):
+                base = str(fname).rsplit("/", 1)[-1]
+                shard = int(base.split("-")[1].split(".")[0])
+                for rec in tfrecord_unframe(bytes(data)):
+                    txt = rec.decode("utf-8")
+                    rid, _, content = txt.partition("\t")
+                    ids.append(int(rid))
+                    contents.append(content)
+                    shards.append(shard)
+            yield _pd.DataFrame({
+                "id": _pd.Series(ids, dtype="int64"),
+                "shard": _pd.Series(shards, dtype="int32"),
+                "content": contents})
+
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "shard-*.tfrecord").load(path)
+            .select("path", "content")
+            .mapInPandas(op, schema="id long, shard int, content string"))

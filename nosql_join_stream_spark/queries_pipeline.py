@@ -9729,3 +9729,71 @@ def multimodal_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
         ham.cast("long").alias("ham_prev"),
         (ham > 3).alias("is_boundary"),
         ((F.col("frame_idx") % 7) == 0).alias("scene_changed"))
+
+
+@register(
+    "export_tfrecord_shards",
+    """
+    WITH b AS (
+      SELECT doc_id % 8 AS shard, doc_id,
+             13 + length(text) AS sz,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                ORDER BY doc_id) AS pos
+      FROM documents)
+    SELECT CAST(shard AS INT) AS shard,
+           COUNT(*) AS n_records,
+           CAST(SUM(sz) AS BIGINT) AS payload_bytes,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS ids_checksum,
+           CAST(SUM(16 + sz) AS BIGINT) AS file_bytes
+    FROM b GROUP BY shard
+    """,
+    doc="TFRecord shard export (export_shards.write_tfrecord_shards) "
+        "— the other canonical training-data container next to "
+        "WebDataset tar: fixed 16-byte framing with TWO masked "
+        "CRC-32Cs (Castagnoli) per record, streamed sequentially by "
+        "every TF/JAX input pipeline.  Record payload is the "
+        "id-tab-content contract (13 + octet_length(content) bytes), "
+        "so the oracle pins count, payload bytes, ORDER "
+        "(position-weighted id checksum) and the container FRAMING "
+        "itself: file_bytes must equal SUM(16 + 13 + len).  The "
+        "crc32c core is pinned against the published Castagnoli "
+        "check vector in pytest; sha-determinism asserted there too. "
+        " One applyInPandas task per shard, atomic tmp+rename.",
+)
+def export_tfrecord_shards(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.export_shards import \
+        write_tfrecord_shards
+    from nosql_join_stream_spark.queries import artifact_dir, sf_tag
+    e = _engine(spark, sf_dir)
+    out = artifact_dir("nsjs_tfr", sf_tag(sf_dir))
+    stats = write_tfrecord_shards(e.table("documents"), out,
+                                  "doc_id", "text", n_shards=8)
+    return stats.select("shard", "n_records", "payload_bytes",
+                        "ids_checksum", "file_bytes")
+
+
+@register(
+    "export_tfrecord_roundtrip",
+    """
+    SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, text AS content
+    FROM documents
+    """,
+    doc="TFRecord loop closed: write the corpus as TFRecord shards, "
+        "read them back through binaryFile + the unframing kernel "
+        "with BOTH per-record crcs verified "
+        "(read_tfrecord_shards), and hash-compare against the source "
+        "table — id/shard/content equality proves framing, crc "
+        "computation, ordering and the loader path in one oracle.",
+)
+def export_tfrecord_roundtrip(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from nosql_join_stream_spark.operators.export_shards import (
+        read_tfrecord_shards, write_tfrecord_shards)
+    from nosql_join_stream_spark.queries import artifact_dir, sf_tag
+    e = _engine(spark, sf_dir)
+    out = artifact_dir("nsjs_tfr_rt", sf_tag(sf_dir))
+    write_tfrecord_shards(e.table("documents"), out,
+                          "doc_id", "text", n_shards=8).count()
+    return (read_tfrecord_shards(spark, out)
+            .select(F.col("id").alias("doc_id"), "shard", "content"))

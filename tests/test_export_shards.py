@@ -265,3 +265,72 @@ def test_webdataset_stale_shards_cleared(spark, tmp_path):
     assert len(glob.glob(os.path.join(d, "shard-*.tar"))) == 3
     back = read_webdataset_shards(spark, d)
     assert back.count() == 12
+
+
+# --- TFRecord shards (r15) --------------------------------------------------
+
+def test_crc32c_published_vector_and_mask():
+    from nosql_join_stream_spark.operators.export_shards import (
+        _crc32c, _masked_crc)
+    # the Castagnoli check vector (RFC 3720 / every crc32c impl)
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(b"") == 0
+    # mask = rot15 + constant, mod 2^32 (TFRecord spec)
+    c = _crc32c(b"abc")
+    assert _masked_crc(b"abc") == \
+        ((((c >> 15) | (c << 17)) & 0xFFFFFFFF) + 0xA282EAD8) \
+        & 0xFFFFFFFF
+
+
+def test_tfrecord_frame_roundtrip_and_loud_corruption():
+    from nosql_join_stream_spark.operators.export_shards import (
+        tfrecord_frame, tfrecord_unframe)
+    recs = [b"", b"x", b"hello world" * 40]
+    buf = b"".join(tfrecord_frame(r) for r in recs)
+    assert tfrecord_unframe(buf) == recs
+    # flip one payload byte → data-crc failure, loud
+    bad = bytearray(buf)
+    bad[12] ^= 0xFF if len(recs[0]) else 0x00
+    bad[len(tfrecord_frame(b"")) + 12] ^= 0xFF
+    with pytest.raises(ValueError, match="crc"):
+        tfrecord_unframe(bytes(bad))
+    # truncation → loud
+    with pytest.raises(ValueError, match="truncated"):
+        tfrecord_unframe(buf[:-2])
+
+
+def test_tfrecord_shards_deterministic_framing_and_roundtrip(
+        spark, tmp_path):
+    import hashlib
+    import os
+
+    from nosql_join_stream_spark.operators.export_shards import (
+        read_tfrecord_shards, write_tfrecord_shards)
+
+    df = spark.createDataFrame(
+        [(i, f"content-{i} " * (i % 5 + 1)) for i in range(37)],
+        "doc_id long, text string")
+    out = str(tmp_path / "tfr")
+    s1 = {r.shard: r for r in write_tfrecord_shards(
+        df, out, "doc_id", "text", n_shards=4).collect()}
+    # framing arithmetic: file size == sum(16 + 13 + len(content))
+    for shard, r in s1.items():
+        path = os.path.join(out, f"shard-{shard:05d}.tfrecord")
+        assert os.path.getsize(path) == r.file_bytes
+        assert r.file_bytes == r.payload_bytes + 16 * r.n_records
+    # byte determinism: rewrite → identical shas
+    sha1 = {s: r.file_sha for s, r in s1.items()}
+    s2 = {r.shard: r.file_sha for r in write_tfrecord_shards(
+        df, out, "doc_id", "text", n_shards=4).collect()}
+    assert s2 == sha1
+    # a stale shard from a different n_shards run must not survive
+    write_tfrecord_shards(df, out, "doc_id", "text", n_shards=2) \
+        .count()
+    assert sorted(f for f in os.listdir(out)
+                  if f.endswith(".tfrecord")) == \
+        ["shard-00000.tfrecord", "shard-00001.tfrecord"]
+    back = read_tfrecord_shards(spark, out)
+    rows = {r.id: (r.shard, r.content) for r in back.collect()}
+    src = {r.doc_id: r.text for r in df.collect()}
+    assert set(rows) == set(src)
+    assert all(rows[i] == (i % 2, src[i]) for i in rows)
