@@ -9797,3 +9797,125 @@ def export_tfrecord_roundtrip(spark: SparkSession,
                           "doc_id", "text", n_shards=8).count()
     return (read_tfrecord_shards(spark, out)
             .select(F.col("id").alias("doc_id"), "shard", "content"))
+
+
+_AUDIO_FP_ORACLE = """
+    WITH dd AS (
+      SELECT doc_id, (doc_id % 23 + 5) * 40 AS n,
+             CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS ch_n
+      FROM documents),
+    e AS (
+      SELECT dd.doc_id, c.ch AS channel, u.i // 32 AS w,
+             SUM(CAST((((dd.doc_id*31 + c.ch*7 + u.i*17) % 65535)
+                       - 32767)
+                      * (((dd.doc_id*31 + c.ch*7 + u.i*17) % 65535)
+                       - 32767) AS BIGINT)) AS en
+      FROM dd, UNNEST(range(0, dd.ch_n)) AS c(ch),
+               UNNEST(range(0, dd.n)) AS u(i)
+      GROUP BY 1, 2, 3),
+    p AS (
+      SELECT a.doc_id, a.channel, a.w,
+             CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b
+        ON a.doc_id = b.doc_id AND a.channel = b.channel
+       AND b.w = a.w + 1),
+    f AS (
+      SELECT doc_id, channel,
+             CAST(SUM(bit * (1::BIGINT << CAST(w AS INT))) AS BIGINT)
+               AS fp,
+             CAST(COUNT(*) + 1 AS BIGINT) AS n_windows
+      FROM p GROUP BY 1, 2)
+    SELECT doc_id AS fp_id, CAST(channel AS INT) AS channel,
+           FALSE AS is_twin, n_windows, fp, TRUE AS fp_equals_base
+    FROM f
+    UNION ALL
+    SELECT doc_id + 10000000, CAST(channel AS INT), TRUE,
+           n_windows, fp, TRUE
+    FROM f WHERE doc_id % 13 = 0
+    """
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    _AUDIO_FP_ORACLE,
+    doc="Audio near-dup fingerprint — the audio member of the "
+        "perceptual-dedup family next to image dHash: per channel, "
+        "32-sample window energies (exact int64 sum-of-squares over "
+        "REAL decoded PCM, the window_features grain) compare "
+        "consecutively — bit k = E[k+1] > E[k] — and pack into one "
+        "BIGINT.  Energy-delta signs are invariant to amplitude "
+        "scaling and PHASE INVERSION ((-s)^2 = s^2), the transforms "
+        "re-encoded/re-mastered copies actually undergo.  Plant: "
+        "every %13 doc gets a phase-inverted twin (+10M id, sample "
+        "formula mod 65535 keeps negation int16-safe); the oracle "
+        "computes each fingerprint closed-form ONCE and pins the "
+        "twin's fp_equals_base TRUE — Spark must PROVE it by "
+        "decoding the real negated WAV through the RIFF walk and "
+        "matching bits.  Zero shuffles to fingerprint (decode+pack "
+        "in one kernel); the base-compare join is id-keyed.",
+)
+def multimodal_audio_fingerprint(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    docs = e.table("documents").select("doc_id").repartition(par,
+                                                             "doc_id")
+
+    def plant_fp(batches):
+        import numpy as _np
+        import pandas as _pd
+        from nosql_join_stream_spark.operators import wav_codec as _wc
+
+        def fp_of(arr):
+            # arr: (n, ch) int16 — per channel: 32-sample window
+            # energies, consecutive-compare bits, packed little-end
+            out = []
+            n = arr.shape[0]
+            w = _np.arange(n) // 32
+            for ch in range(arr.shape[1]):
+                s = arr[:, ch].astype(_np.int64)
+                en = _np.bincount(w, weights=(s * s).astype(
+                    _np.float64)).astype(_np.int64)
+                bits = en[1:] > en[:-1]
+                fp = 0
+                for k, b in enumerate(bits):
+                    if b:
+                        fp |= 1 << k
+                out.append((ch, len(en), fp))
+            return out
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = (did % 23 + 5) * 40
+                ch_n = 2 if did % 2 == 1 else 1
+                rate = (did % 4 + 1) * 11025
+                i = _np.arange(n, dtype=_np.int64)[:, None]
+                ch = _np.arange(ch_n, dtype=_np.int64)[None, :]
+                s16 = ((did * 31 + ch * 7 + i * 17) % 65535) - 32767
+                for fid, arr16 in (
+                        (did, s16),
+                        *(((did + 10_000_000, -s16),)
+                          if did % 13 == 0 else ())):
+                    pay = _wc.encode_wav_pcm(
+                        arr16.astype(_np.int16), rate, bits=16)
+                    dec, _r = _wc.decode_wav(pay)
+                    for c, nw, fp in fp_of(dec):
+                        rows.append((fid, c, fid >= 10_000_000,
+                                     nw, fp))
+            yield _pd.DataFrame(rows, columns=[
+                "fp_id", "channel", "is_twin", "n_windows", "fp"])
+
+    d = docs.mapInPandas(
+        plant_fp, schema="fp_id long, channel int, is_twin boolean, "
+                         "n_windows long, fp long").localCheckpoint()
+    base = d.filter(~F.col("is_twin")).select(
+        F.col("fp_id").alias("_bid"), F.col("channel").alias("_c"),
+        F.col("fp").alias("_bfp"))
+    left = d.withColumn("_base", F.col("fp_id") % 10_000_000)
+    return (left.join(base, [left["channel"] == base["_c"],
+                             left["_base"] == base["_bid"]])
+            .select("fp_id", "channel", "is_twin", "n_windows", "fp",
+                    (F.col("fp") == F.col("_bfp"))
+                     .alias("fp_equals_base")))
