@@ -450,3 +450,62 @@ def robots_filter(urls, rules, agent: str,
         F.coalesce(F.col("_w.a") == 1, F.lit(True)).alias("allowed"),
         F.col("_w.d").alias("rule_directive"),
         F.col("_w.p").alias("rule_pattern"))
+
+
+def parse_sitemaps(df, xml_col: str, host_col: str):
+    """Parse sitemap XML documents (sitemaps.org protocol 0.9) into
+    one row per entry — the crawl-SEEDING half of the first mile
+    (discovery: robots.txt points at sitemaps, sitemaps enumerate
+    fetchable URLs with freshness hints).
+
+    Handles both document kinds: ``<urlset>`` (kind='url', with
+    optional ``lastmod``/``priority``) and ``<sitemapindex>``
+    (kind='sitemap' — nested sitemap references the frontier
+    scheduler recurses on).  Namespace-tolerant: the sitemaps.org
+    namespace and bare tags both parse (real-world sitemaps are
+    sloppy).  Malformed XML raises ValueError (loud, the codec
+    discipline).  One mapInPandas pass, entries-linear, no shuffle.
+    """
+    import pandas as pd
+
+    schema = ("host string, seq int, kind string, url string, "
+              "lastmod string, priority string")
+
+    def op(batches):
+        import xml.etree.ElementTree as _ET
+
+        def _local(tag: str) -> str:
+            return tag.rsplit("}", 1)[-1]
+
+        for pdf in batches:
+            rows = []
+            for host, xml in zip(pdf[host_col], pdf[xml_col]):
+                try:
+                    root = _ET.fromstring(xml or "")
+                except _ET.ParseError as exc:
+                    raise ValueError(
+                        f"malformed sitemap XML for host {host!r}: "
+                        f"{exc}") from exc
+                kind = ("url" if _local(root.tag) == "urlset"
+                        else "sitemap"
+                        if _local(root.tag) == "sitemapindex"
+                        else None)
+                if kind is None:
+                    raise ValueError(
+                        f"unknown sitemap root <{_local(root.tag)}> "
+                        f"for host {host!r}")
+                seq = 0
+                for entry in root:
+                    fields = {_local(c.tag): (c.text or "").strip()
+                              for c in entry}
+                    loc = fields.get("loc")
+                    if not loc:
+                        continue          # spec: loc is required
+                    rows.append((host, seq, kind, loc,
+                                 fields.get("lastmod"),
+                                 fields.get("priority")))
+                    seq += 1
+            yield pd.DataFrame(rows, columns=[
+                "host", "seq", "kind", "url", "lastmod", "priority"])
+
+    return df.select(host_col, xml_col).mapInPandas(op, schema=schema)

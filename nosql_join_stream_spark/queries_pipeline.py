@@ -9919,3 +9919,103 @@ def multimodal_audio_fingerprint(spark: SparkSession,
             .select("fp_id", "channel", "is_twin", "n_windows", "fp",
                     (F.col("fp") == F.col("_bfp"))
                      .alias("fp_equals_base")))
+
+
+_FRONTIER_ORACLE = """
+    WITH h AS (
+      SELECT source,
+             CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2
+               AS odd
+      FROM documents GROUP BY source)
+    SELECT d.source AS host,
+           'https://' || d.source || '.example.org/doc/'
+             || d.doc_id::VARCHAR AS canonical_url,
+           CAST(1 + CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_variants,
+           '2026-01-' || lpad(CAST(d.doc_id % 28 + 1 AS VARCHAR),
+                              2, '0') AS last_lastmod,
+           '0.' || CAST(d.doc_id % 10 AS VARCHAR) AS top_priority
+    FROM documents d JOIN h ON d.source = h.source
+    WHERE h.odd = 0
+    """
+
+
+@register(
+    "pipeline_crawl_frontier",
+    _FRONTIER_ORACLE,
+    doc="Crawl-frontier construction — the full SEEDING chain "
+        "composed end to end: per-host sitemap XML (sitemaps.org "
+        "0.9, built in-plan) -> parse_sitemaps -> canonicalize_url "
+        "(case-fold/fragment/trailing-slash collapse the planted "
+        "variants) -> robots_filter under RFC 9309 precedence "
+        "(trainingbot groups on even hosts allow /doc/ but kill the "
+        "planted /private/ seeds; odd hosts deny-all and contribute "
+        "NOTHING) -> URL-level dedup with freshness (max lastmod) "
+        "and priority rollup.  ONE oracle pins the whole chain: XML "
+        "build, namespace-tolerant parse, every canonicalization "
+        "rule, every robots verdict, and the variant-collapse "
+        "counts.  Scale: sitemap + robots tables are KB-per-host "
+        "(broadcast side); the URL stream is linear with one "
+        "group-dedup shuffle.",
+)
+def pipeline_crawl_frontier(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    e = _engine(spark, sf_dir)
+    docs = e.table("documents").select("doc_id", "source")
+    did = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example.org/doc/"), did,
+        F.lit("</loc><lastmod>2026-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"))
+    variant = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("<url><loc>HTTPS://"), F.upper("source"),
+                 F.lit(".Example.ORG/doc/"), did,
+                 F.lit("/#top</loc></url>"))).otherwise(F.lit(""))
+    private = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("<url><loc>https://"), F.col("source"),
+                 F.lit(".example.org/private/doc"), did,
+                 F.lit("</loc></url>"))).otherwise(F.lit(""))
+    entries = docs.select(
+        "source", "doc_id",
+        F.concat(base, variant, private).alias("entry"))
+    sitemaps = (entries.groupBy("source")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct("doc_id", "entry"))).alias("es"))
+                .select(F.col("source").alias("host"),
+                        F.concat(
+                            F.lit('<urlset xmlns="http://www.'
+                                  'sitemaps.org/schemas/sitemap'
+                                  '/0.9">'),
+                            F.array_join(F.expr(
+                                "transform(es, x -> x.entry)"), ""),
+                            F.lit("</urlset>")).alias("xml")))
+    urls = (warc_ops.parse_sitemaps(sitemaps, "xml", "host")
+            .withColumn("canonical",
+                        warc_ops.canonicalize_url(F.col("url")))
+            .select(F.col("host"),
+                    F.col("canonical"),
+                    F.regexp_replace("canonical",
+                                     r"^https?://[^/]+", "")
+                     .alias("path"),
+                    "lastmod", "priority"))
+    k = F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+    robots = (docs.select(F.col("source").alias("host"),
+                          (k % 2).alias("odd")).distinct()
+              .select("host",
+                      F.when(F.col("odd") == 1,
+                             F.lit(_ROBOTS_ODD_TXT))
+                       .otherwise(F.lit(_ROBOTS_EVEN_TXT))
+                       .alias("robots")))
+    rules = warc_ops.parse_robots(robots, "robots", "host")
+    verdicts = warc_ops.robots_filter(urls, rules, "trainingbot")
+    return (verdicts.filter(F.col("allowed"))
+            .groupBy("host", F.col("canonical").alias("canonical_url"))
+            .agg(F.count("*").alias("n_variants"),
+                 F.max("lastmod").alias("last_lastmod"),
+                 F.max("priority").alias("top_priority")))

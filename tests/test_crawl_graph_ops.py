@@ -257,3 +257,35 @@ def test_image_dhash_uniform_shift_invariant(spark):
     b = (a + 4).astype(np.uint8)              # no wrap: max 250+4
     h = _dhash_of(spark, [a, b])
     assert h[0] == h[1]
+
+
+# --- sitemaps ---------------------------------------------------------------
+
+def test_parse_sitemaps_kinds_namespace_and_errors(spark):
+    import pytest
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    urlset = (f'<urlset {ns}><url><loc>https://h/a</loc>'
+              '<lastmod>2026-01-02</lastmod>'
+              '<priority>0.7</priority></url>'
+              '<url><lastmod>2026-01-03</lastmod></url>'   # no loc: skip
+              '<url><loc> https://h/b </loc></url></urlset>')
+    index = ('<sitemapindex><sitemap><loc>https://h/s1.xml</loc>'
+             '</sitemap></sitemapindex>')                  # bare tags
+    df = spark.createDataFrame(
+        [("h1", urlset), ("h2", index)], "host string, xml string")
+    rows = sorted(
+        ((r.host, r.seq, r.kind, r.url, r.lastmod, r.priority)
+         for r in warc_ops.parse_sitemaps(df, "xml", "host")
+                          .collect()))
+    assert rows == [
+        ("h1", 0, "url", "https://h/a", "2026-01-02", "0.7"),
+        ("h1", 1, "url", "https://h/b", None, None),
+        ("h2", 0, "sitemap", "https://h/s1.xml", None, None)]
+    bad = spark.createDataFrame([("hx", "<urlset><url>")],
+                                "host string, xml string")
+    with pytest.raises(Exception, match="malformed sitemap"):
+        warc_ops.parse_sitemaps(bad, "xml", "host").collect()
+    wrong = spark.createDataFrame([("hy", "<rss></rss>")],
+                                  "host string, xml string")
+    with pytest.raises(Exception, match="unknown sitemap root"):
+        warc_ops.parse_sitemaps(wrong, "xml", "host").collect()
