@@ -839,9 +839,17 @@ _DRIVER_WINDOW = [
     # text_quality_ppl_standing new; multimodal_decode_audio_multi
     # re-stamped because its plant/oracle gained the IMA leg); the
     # remaining 42 slots drain the r10 cohort head in registry
-    # order.  Post-r15 state if green: 0 never-stamped, oldest
-    # stamp r10 (8-query tail: multimodal_patch_grid onward —
-    # r16 window leads with them).
+    # order.  Post-r15 state if green: oldest stamp r10 (8-query
+    # tail: multimodal_patch_grid onward).  The r16 window should
+    # lead with the 12 queries REGISTERED AFTER this window froze
+    # (never-stamped: text_repetition_filter,
+    # pipeline_crawl_redirects, web_anchor_text,
+    # pipeline_crawl_robots, stream_repetition_filter,
+    # multimodal_image_dhash, multimodal_image_dhash_pairs,
+    # multimodal_video_shots, export_tfrecord_shards,
+    # export_tfrecord_roundtrip, multimodal_audio_fingerprint,
+    # pipeline_crawl_frontier), then the r10 tail, then
+    # oldest-stamp order.
     "text_quality_unigram_ppl", "mine_bitext_margin",
     "stream_html_extract", "pipeline_crawl_extract",
     "mine_bitext_margin_ivf", "pipeline_crawl_url_dedup",
