@@ -57,6 +57,8 @@ FULL_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 STANDING_BUILD = {
     "dedup_index_delete_probe",      # standing MinHash band index
     "stream_minhash_dedup_ingest",   # standing MinHash band index
+    "dedup_incremental_bucketed",    # standing bucketed PPJoin index (r15)
+    "dedup_incremental_minhash",     # standing bucketed band index (r15)
     "ann_ivf_partitioned",           # standing cell-partitioned IVF
     "ann_ivf_append_probe",          # standing IVF + append log
     "ann_ivf_filtered",              # standing IVF with metadata

@@ -2614,8 +2614,21 @@ def dedup_incremental_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = e.table("documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 9)
     batch = docs.filter(F.col("doc_id") % 10 == 9)
+    # standing-index semantics (same gate as dedup_index_delete_probe /
+    # the IVF family): the corpus-side bucketed index is built ONCE per
+    # (process, sf); every later invocation is the pure daily-job probe
+    # — the batch sort-merge-joins the standing buckets with zero
+    # corpus-side Exchange, which is the plan this query exists to
+    # demonstrate.  Rebuilding the corpus index per run re-paid the
+    # one-time cost on every rep (guide §1.2: fix the algorithmic
+    # shape first — here, stop re-doing one-time work).
+    tag = sf_tag(sf_dir)
+    db = f"nsjs_ppj_inc_{tag}"
+    loc = artifact_dir("nsjs_ppj_inc", tag)
+    rebuild = not spark.catalog.tableExists(f"{db}.corpus_prefix")
     return dedup.ngram_jaccard_pairs_between_bucketed(
-        corpus, batch, "text", "doc_id", n=3, threshold=0.6)
+        corpus, batch, "text", "doc_id", n=3, threshold=0.6,
+        db=db, location=loc, rebuild=rebuild)
 
 
 @register(
@@ -2661,8 +2674,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = e.table("documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 9)
     batch = docs.filter(F.col("doc_id") % 10 == 9)
+    # standing-index semantics, same gate as dedup_incremental_bucketed
+    tag = sf_tag(sf_dir)
+    db = f"nsjs_mh_inc_{tag}"
+    loc = artifact_dir("nsjs_mh_inc", tag)
+    rebuild = not spark.catalog.tableExists(f"{db}.corpus_bands")
     return dedup.minhash_pairs_between_bucketed(
-        corpus, batch, "text", "doc_id", n=3, threshold=0.6)
+        corpus, batch, "text", "doc_id", n=3, threshold=0.6,
+        db=db, location=loc, rebuild=rebuild)
 
 
 @register(

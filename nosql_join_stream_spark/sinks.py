@@ -125,7 +125,17 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
     lookups (N+1 pattern, storage.scala:390-391).  Requires
     ``saveAsTable`` (bucket metadata lives in the session catalog).
     """
-    w = (df.write.format("parquet").mode(mode)
+    # One shuffle on the bucket key BEFORE the write so each task holds
+    # exactly one bucket's rows: without it every map task writes one
+    # file per bucket it sees (tasks x buckets files — measured 512
+    # files / 1.2 MiB for the 32-task x 16-bucket standing dedup index,
+    # and every probe re-paid 512 parquet-footer opens).  With it the
+    # table is num_buckets files of num_buckets times the size
+    # (guide: small files hurt twice — listing/planning AND per-file
+    # open; aim for fewer, larger files).  repartition uses the same
+    # Murmur3 hash as the bucket spec, so task i holds bucket i only.
+    w = (df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+           .write.format("parquet").mode(mode)
            .bucketBy(num_buckets, *bucket_cols))
     if sort_by:
         w = w.sortBy(*sort_by)
