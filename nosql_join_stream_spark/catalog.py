@@ -50,6 +50,21 @@ def table_path(sf_dir: str, name: str) -> str:
 # reading of the same parquet.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
+# Tables whose downstream operators are CPU-bound per row (text
+# kernels: tokenize/quality/shingle/HTML/codec).  The driver's test
+# data ships each table as ONE parquet file with one row group, so a
+# plain scan is a single task and every expression above it runs
+# serially no matter how many cores the session has (the guide's
+# "input skew: one huge unsplittable file … repartition immediately
+# after the read" case).  When such a table arrives with fewer scan
+# partitions than the cluster's parallelism, spread it once at the
+# catalog boundary; a wide input (the 100 TB case, thousands of
+# splits) is left untouched, so the exchange exists only when the
+# input is too narrow to use the machine.  Value-safety of a catalog
+# repartition is exactly what the --perturb determinism gate proves
+# for every registered query (it re-shards every scan this same way).
+_SPREAD_TABLES = {"documents", "embeddings"}
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Scan a catalog table. Lazy; nothing runs until an action.
@@ -92,6 +107,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     if perturb:
         df = df.repartition(int(perturb))
+    elif name in _SPREAD_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:  # once per (session, path)
+            df = df.repartition(target)
     cache[cache_key] = df
     return df
 

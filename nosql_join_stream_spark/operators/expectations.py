@@ -286,6 +286,12 @@ def sketch_quantiles_by_group(df: DataFrame, group_col: str,
     exact_aggs = [F.expr(f"round(percentile(__v, {q}), 4)")
                   .alias(c) for q, c in zip(qs, qcols)]
     karg = f", {int(sketch_k)}" if sketch_k is not None else ""
+    # the exact-percentile + KLL partial aggregation is the heavy
+    # map-side work of this operator; an under-partitioned input (one
+    # parquet file) would run it serially, so spread first (the dedup
+    # kernel rule; a wide input is untouched)
+    from nosql_join_stream_spark.operators.dedup import _spread
+    df = _spread(df)
     vals = df.select(
         F.explode(F.array(_sentinel_guarded_group(group_col),
                           F.lit("__ALL__"))).alias("grp"),

@@ -876,15 +876,47 @@ def embedding_near_dup_pairs_ivf(df: DataFrame, id_col: str = "vec_id",
     IVF layout the ANN family already maintains.
     """
     assign = cluster_assign(df, k=k, id_col=id_col, vec=vec)
-    a = assign.select(F.col(id_col).alias("id1"),
-                      F.col("cluster_id").alias("__c"))
-    b = assign.select(F.col(id_col).alias("id2"),
-                      F.col("cluster_id").alias("__c"))
-    cand = (a.join(b, "__c")
-             .filter(F.col("id1") < F.col("id2"))
-             .select("id1", "id2"))
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec).alias("__v"))
-    return _verify_candidate_pairs(cand, base, threshold)
+    # Per-cell GEMM verify (the semantic_dedup kernel shape): the old
+    # form materialized the full O(cell²) candidate-pair table with
+    # BOTH embeddings attached per row — hundreds of MB of duplicated
+    # vector payload through two joins and the Arrow boundary, to
+    # compute sims the cell's own |cell|×d matrix already determines
+    # (guide §8: move the decision to the small representation, never
+    # ship the payload per pair).  Each vector now crosses once, one
+    # dense GEMM per cell emits exactly the id1 < id2, sim ≥ τ pairs.
+    thr = float(threshold)
+    vecs = df.select(F.col(id_col).alias("__id"),
+                     F.transform(vec, lambda x: x.cast("double"))
+                      .alias("__v"))
+    cells = (assign.select(F.col(id_col).alias("__id"), "cluster_id")
+                   .join(vecs, "__id"))
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+        empty = pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                              "id2": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("__id")
+        x = np.stack(pdf["__v"].to_list()).astype("float64")
+        num = x @ x.T
+        nrm = np.linalg.norm(x, axis=1)
+        den = np.outer(nrm, nrm)
+        # same arithmetic as _verify_candidate_pairs: raw dot / norm
+        # product, zero-norm rows pinned to 0.0, THEN round to 6 dp
+        s = np.where(den == 0, 0.0,
+                     np.round(num / np.where(den == 0, 1.0, den), 6))
+        iu = np.triu_indices(len(pdf), 1)
+        mask = s[iu] >= thr
+        ids = pdf["__id"].to_numpy().astype("int64")
+        return pd.DataFrame({"id1": ids[iu[0][mask]],
+                             "id2": ids[iu[1][mask]],
+                             "sim": s[iu][mask]})
+
+    return (cells.groupBy("cluster_id")
+                 .applyInPandas(cell_pairs, "id1 long, id2 long, sim double"))
 
 
 def cluster_assign(df: DataFrame, k: int = 8, id_col: str = "vec_id",
@@ -1621,10 +1653,13 @@ def ann_ivf_probe(queries: DataFrame, location: str,
                                  "__cell": order.reshape(-1).astype("int32"),
                                  "__qv": out.iloc[:, 1]})
 
+    # lazy: the collect below is the materializing action (one job
+    # instead of checkpoint-job + collect-job); later joins reuse the
+    # persisted RDD
     q_assigned = (queries.select(F.col(query_id), F.col(vec))
                   .mapInPandas(assign_queries,
                                schema=f"__qid long, __cell int, __qv {vec_t}")
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
     probed_cells = [r["__cell"] for r in
                     q_assigned.select("__cell").distinct().collect()]
     index = _apply_tombstones(

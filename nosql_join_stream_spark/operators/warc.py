@@ -288,7 +288,7 @@ def resolve_redirects(fetches, url_col: str = "url_id",
          .alias("ptr"),
         F.when(is_redir, F.lit(1)).otherwise(F.lit(0))
          .cast("long").alias("hops"),
-        (~is_redir).alias("done")).localCheckpoint()
+        (~is_redir).alias("done")).localCheckpoint(eager=False)
     for _ in range(int(doublings)):
         nxt = m.select(F.col("url_id").alias("ptr"),
                        F.col("ptr").alias("ptr2"),
@@ -302,7 +302,7 @@ def resolve_redirects(fetches, url_col: str = "url_id",
                        .otherwise(F.col("hops") + F.col("hops2"))
                        .alias("hops"),
                       (F.col("done") | F.col("done2")).alias("done"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     return m.select("url_id", F.col("ptr").alias("final_id"),
                     F.col("hops").alias("n_hops"), "done")
 

@@ -8029,9 +8029,16 @@ def web_pagerank_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _engine(spark, sf_dir)
     edges, n_docs = _planted_link_edges(spark, e)
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    ed = edges.join(deg, "src").localCheckpoint()
+    # LAZY checkpoints (eager=False), the CC-loop job-economy rule
+    # (dedup.py:577): every round still gets O(1) lineage, but the 8
+    # rounds + edge/doc materialization all execute inside the ONE
+    # job the caller's action runs, instead of 10 blocking driver
+    # round-trips at plan-construction time (measured ~2x wall on
+    # this loop shape).
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
     tele = (15 * 10**12) // (100 * n_docs)
-    docs = e.table("documents").select("doc_id").localCheckpoint()
+    docs = (e.table("documents").select("doc_id")
+            .localCheckpoint(eager=False))
     pr = docs.select("doc_id",
                      F.lit(10**12 // n_docs).cast("long").alias("p"))
     for _ in range(8):
@@ -8045,7 +8052,7 @@ def web_pagerank_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.lit(tele)
                        + F.coalesce(F.col("s"), F.lit(0).cast("long")))
                       .alias("p"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     return pr.select("doc_id", F.col("p").alias("pr_scaled"))
 
 
@@ -9590,7 +9597,7 @@ def multimodal_image_dhash_pairs(spark: SparkSession,
                 "n_frames"])
 
     media = docs.mapInPandas(plant, schema=multimodal.MEDIA_SCHEMA)
-    d = multimodal.image_dhash(media).localCheckpoint()
+    d = multimodal.image_dhash(media).localCheckpoint(eager=False)
     bands = d.select(
         F.col("doc_id").alias("img_id"), "hash_hi", "hash_lo",
         F.explode(F.array(
@@ -9928,7 +9935,8 @@ def multimodal_audio_fingerprint(spark: SparkSession,
 
     d = docs.mapInPandas(
         plant_fp, schema="fp_id long, channel int, is_twin boolean, "
-                         "n_windows long, fp long").localCheckpoint()
+                         "n_windows long, fp long").localCheckpoint(
+                             eager=False)
     base = d.filter(~F.col("is_twin")).select(
         F.col("fp_id").alias("_bid"), F.col("channel").alias("_c"),
         F.col("fp").alias("_bfp"))

@@ -62,6 +62,28 @@ def get_session(app_name: str = "nosql_join_stream_spark",
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
                 str(max(n_cpus * 8, 64)))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalesce floor: with the 1m default, a CPU-heavy
+        # post-shuffle stage over a small-bytes shuffle (array_
+        # intersect verify, per-row text kernels) coalesces to 2-4
+        # tasks and serializes on a 32-core machine — measured 2x on
+        # retrieval_eval_metrics / text_repetition_filter at sf0.1.
+        # 64k keeps tiny-shuffle stages wide enough to use the
+        # machine; on a production cluster shuffles are GB-scale and
+        # far above either floor, so this only changes the small-
+        # input regime (scale-adaptive: a floor, not a count).
+        # Env-overridable for A/B and cluster profiles.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("NSJS_AQE_MIN_PARTITION_SIZE", "64k"))
+        # Worker spawn robustness: the connect-back handshake between
+        # the JVM and a freshly forked Python worker defaults to a 15 s
+        # socket timeout (spark.python.authenticate.socketTimeout ->
+        # SPARK_AUTH_SOCKET_TIMEOUT).  On a fully saturated local[32]
+        # box a new worker can be descheduled past that and the whole
+        # query dies with "Python worker failed to connect back"
+        # (observed once in a 35-min full-registry bench, in a
+        # streaming source's PythonStreamingSourceRunner init).  60 s
+        # changes nothing when healthy and absorbs scheduler stalls.
+        .config("spark.python.authenticate.socketTimeout", "60s")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -632,7 +632,7 @@ def upsert_keyed(spark: SparkSession, path: str, batch: DataFrame,
     batch = _mark_deletes(batch, delete_col)
     b = (batch.withColumn(_KB, _key_bucket(key_col, num_buckets))
               .withColumn("__src", F.lit(1))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))  # the collect materializes
     touched = [r[_KB] for r in b.select(_KB).distinct().collect()]
     if not touched:
         return {"buckets_touched": 0, "rows_written": 0}
@@ -891,7 +891,7 @@ def write_keyed_snapshot(df: DataFrame, path: str, key_col: str,
     claims (the same contract as :func:`upsert_keyed`)."""
     spark = df.sparkSession
     stamped = (df.withColumn(_KB, _key_bucket(key_col, num_buckets))
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))  # write materializes
     (stamped.repartition(_KB)
      .sortWithinPartitions(key_col)
      .write.mode("overwrite").partitionBy(_KB).parquet(path + "/v1"))
@@ -1005,7 +1005,7 @@ def upsert_keyed_snapshot(spark: SparkSession, path: str, batch: DataFrame,
         if b is None:  # checkpoint once; rebase reuses the materialization
             b = (batch.withColumn(_KB, _key_bucket(key_col, num_buckets))
                       .withColumn("__src", F.lit(1))
-                      .localCheckpoint())
+                      .localCheckpoint(eager=False))  # collect materializes
             touched = [r[_KB] for r in b.select(_KB).distinct().collect()]
             if not touched:
                 return {"version": version, "buckets_touched": 0}

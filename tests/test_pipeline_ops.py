@@ -109,7 +109,10 @@ def test_ann_lsh_precision_and_recall(spark, sf_dir, engine):
 
 
 def test_multimodal_sha256_and_stub(spark, sf_dir, engine):
-    docs = engine.table("documents").limit(8)
+    # orderBy before limit: the catalog may spread single-file tables
+    # across partitions (r15), so a bare limit is not stable across
+    # the two actions below
+    docs = engine.table("documents").orderBy("doc_id").limit(8)
     media = multimodal.synthesize_media(docs)
     feats = multimodal.extract_features(media).collect()
     src = {r.doc_id: r.text for r in docs.collect()}
@@ -186,7 +189,9 @@ def test_connected_components_chain_triangle_singleton(spark, engine):
 
 def test_resize_stride_geometry_and_stub(spark, engine):
     import math
-    docs = engine.table("documents").limit(16)
+    # stable row set across the two collects below (see
+    # test_multimodal_sha256_and_stub)
+    docs = engine.table("documents").orderBy("doc_id").limit(16)
     media = multimodal.synthesize_media(docs)
     src = {r.doc_id: (r.width, r.height, len(r.payload))
            for r in media.collect()}
@@ -867,11 +872,13 @@ def test_ann_ivf_partitioned_matches_inline_and_prunes(spark, sf_dir, engine):
 def test_embed_media_stub_deterministic_and_composable(spark, sf_dir, engine):
     media = multimodal.synthesize_media(engine.table("documents"))
     emb = multimodal.embed_media_stub(media, dim=8)
-    rows = emb.limit(20).collect()
+    rows = emb.orderBy("doc_id").limit(20).collect()
     assert all(len(r.embedding) == 8 for r in rows)
     assert all(0.0 <= v < 1.0 for r in rows for v in r.embedding)
-    # deterministic across runs
-    again = {r.doc_id: r.embedding for r in emb.limit(20).collect()}
+    # deterministic across runs (ordered limit: stable row set even
+    # when the catalog spreads the scan, r15)
+    again = {r.doc_id: r.embedding
+             for r in emb.orderBy("doc_id").limit(20).collect()}
     assert all(again[r.doc_id] == r.embedding for r in rows)
     # vectors compose with the similarity family unchanged
     q = emb.limit(3).select(F.col("doc_id").alias("q_id"), "embedding")

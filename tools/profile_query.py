@@ -83,7 +83,9 @@ def main():
     if stages:
         os.makedirs(EVDIR, exist_ok=True)
         extra = {"spark.eventLog.enabled": "true",
-                 "spark.eventLog.dir": EVDIR}
+                 "spark.eventLog.dir": EVDIR,
+                 "spark.eventLog.compress": "false",
+                 "spark.eventLog.rolling.enabled": "false"}
     from nosql_join_stream_spark.session import get_session
     from nosql_join_stream_spark.queries import REGISTRY
 
