@@ -133,15 +133,22 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str,
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    toks = _tokens(df, text_col, id_col)
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    corpus = (dl.agg(F.avg("dl").alias("avgdl"),
-                     F.count("*").alias("n_docs")))
+    # dl rides the tf groupBy key instead of its own aggregate+join
+    # (row-local size(); same transform as bm25_multiquery_head —
+    # guide §2.4, see its comment)
+    tok_arr = F.filter(F.split(F.trim(F.lower(F.col(text_col))), " "),
+                       lambda x: x != "")
+    with_dl = df.select(F.col(id_col),
+                        F.size(tok_arr).cast("long").alias("dl"),
+                        tok_arr.alias("__toks"))
+    toks = with_dl.select(id_col, "dl", F.explode("__toks").alias("tok"))
+    corpus = (with_dl.select("dl").filter(F.col("dl") > 0)
+                     .agg(F.avg("dl").alias("avgdl"),
+                          F.count("*").alias("n_docs")))
     tf = (toks.filter(F.col("tok").isin(query_terms))
-              .groupBy(id_col, "tok").agg(F.count("*").alias("tf")))
+              .groupBy(id_col, "dl", "tok").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    per_term = (_join_scalar(tf.join(F.broadcast(dfreq), "tok")
-                               .join(dl, id_col), corpus)
+    per_term = (_join_scalar(tf.join(F.broadcast(dfreq), "tok"), corpus)
                   .withColumn(
                       "idf",
                       F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) /
@@ -376,22 +383,37 @@ def bm25_multiquery_head(docs: DataFrame, text_col: str, id_col: str,
     """
     from pyspark.sql import Window
 
-    toks = _tokens(docs, text_col, id_col)
+    # dl (per-doc token count) is a ROW-LOCAL quantity: computing it
+    # as size(token array) at the scan and carrying it through the tf
+    # groupBy key (dl is functionally dependent on the id, so the
+    # exchange is unchanged — +8 bytes/row) removes the dl aggregate
+    # exchange over the full token table AND the dl equi-join behind
+    # it (guide §2.4: remove shuffles outright).  The full-corpus
+    # explode now runs once (tf); the corpus avgdl/n_docs scalar
+    # aggregates the row-local dl with no explode at all.
+    tok_arr = F.filter(F.split(F.trim(F.lower(F.col(text_col))), " "),
+                       lambda x: x != "")
+    with_dl = docs.select(F.col(id_col),
+                          F.size(tok_arr).cast("long").alias("dl"),
+                          tok_arr.alias("__toks"))
+    toks = (with_dl.select(id_col, "dl",
+                           F.explode("__toks").alias("tok")))
     q_pred = (F.col(id_col).isin(list(query_ids)) if query_ids is not None
               else F.col(id_col) < n_queries)
     qt = (toks.filter(q_pred)
               .select(F.col(id_col).alias("q_id"), "tok").distinct())
     qvocab = qt.select("tok").distinct()
     tf = (toks.join(F.broadcast(qvocab), "tok")
-              .groupBy(id_col, "tok").agg(F.count("*").alias("tf")))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    corpus = dl.agg(F.avg("dl").alias("avgdl"),
-                    F.count("*").alias("n_docs"))
+              .groupBy(id_col, "dl", "tok").agg(F.count("*").alias("tf")))
+    # same population as the old toks-derived aggregate: docs with at
+    # least one (non-empty) token
+    corpus = (with_dl.select("dl").filter(F.col("dl") > 0)
+                     .agg(F.avg("dl").alias("avgdl"),
+                          F.count("*").alias("n_docs")))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     per_term = (_join_scalar(
                     F.broadcast(qt).join(tf, "tok")
-                      .filter(F.col(id_col) != F.col("q_id"))
-                      .join(dl, id_col), corpus)
+                      .filter(F.col(id_col) != F.col("q_id")), corpus)
                 .join(F.broadcast(dfreq), "tok")
                 .withColumn(
                     "idf",
