@@ -1102,10 +1102,22 @@ def _clean_corpus(spark: SparkSession, sf_dir: str, pair_fn) -> DataFrame:
     The pair stage is the only pluggable step; resolution and split
     are the registry operators, unchanged."""
     e = _engine(spark, sf_dir)
-    docs = e.table("documents")
+    # The lazy checkpoint below the quality gate is a predicate-
+    # pushdown BARRIER: without it Catalyst pushes the quality filter
+    # (the heaviest row expression in the repo: split x4 +
+    # regexp_extract_all per doc) through the catalog's spread
+    # repartition onto the single-file scan task, serializing it on
+    # one core — measured 1.2 s single-task stages, evaluated once
+    # per consumer.  The checkpoint pins the spread 32-way layout,
+    # and checkpointing `base` makes its three consumers (pair
+    # generation, resolution, final join) read the filtered rows
+    # instead of re-running the gate.
+    docs = (e.table("documents").select("doc_id", "text")
+             .localCheckpoint(eager=False))
     base = (docs.withColumn("quality", text.quality_score(F.col("text")))
                 .filter(F.col("quality") >= 0.7)
-                .select("doc_id", "text"))
+                .select("doc_id", "text")
+                .localCheckpoint(eager=False))
     pairs = pair_fn(base, "text", "doc_id", n=3, threshold=0.6)
     resolved = dedup.dedup_resolve(base, pairs, "doc_id")
     keep = resolved.filter(~F.col("is_duplicate")).select(
@@ -4461,10 +4473,16 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_materialize_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nosql_join_stream_spark.operators import sampling
     e = _engine(spark, sf_dir)
-    docs = e.table("documents")
+    # pushdown barrier + reuse across the two consumers of `kept`
+    # (winners agg and the join back) — see _clean_corpus's comment;
+    # project to the three columns the pipeline touches BEFORE the
+    # barrier (a checkpoint is opaque to column pruning)
+    docs = (e.table("documents").select("doc_id", "source", "text")
+             .localCheckpoint(eager=False))
     kept = (docs.withColumn("quality", text.quality_score(F.col("text")))
                 .filter(F.col("quality") >= 0.7)
-                .drop("quality"))
+                .drop("quality")
+                .localCheckpoint(eager=False))
     head = F.array_join(
         F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 20), " ")
     winners = (kept.withColumn("__head", head)
