@@ -62,6 +62,7 @@ STANDING_BUILD = {
     "ann_ivf_partitioned",           # standing cell-partitioned IVF
     "ann_ivf_append_probe",          # standing IVF + append log
     "ann_ivf_filtered",              # standing IVF with metadata
+    "mine_bitext_margin_ivf",        # standing IVF for margin kNN (r15)
     "stream_ann_probe",              # standing IVF, streaming probe
     "multimodal_incremental_chunks",  # standing media chunk index
     "dedup_resolve_incremental",     # standing CC label table
