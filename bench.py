@@ -67,6 +67,8 @@ STANDING_BUILD = {
     "multimodal_incremental_chunks",  # standing media chunk index
     "dedup_resolve_incremental",     # standing CC label table
     "cdc_upsert_snapshot",           # initial keyed snapshot version
+    "drift_psi_standing",            # standing PSI baseline (r15)
+    "text_quality_ppl_standing",     # standing unigram word-cost table (r15)
     "export_shard_written",          # one-time sharded corpus export
     "cdc_snapshot_time_travel",      # v1 load + v2 merge, once
     "stream_late_quarantine",        # two-drain staging + routing, once

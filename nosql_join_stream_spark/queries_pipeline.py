@@ -6375,8 +6375,14 @@ def drift_psi_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.table("events")
     tag = sf_tag(sf_dir)
     path = artifact_dir("nsjs_psibase", tag)
-    write_psi_baseline(ev.filter(F.col("event_id") % 2 == 0), path,
-                       "value", group_col="event_type")
+    # standing-artifact semantics (the point of this query): the
+    # baseline materializes ONCE per (process, sf) — every later
+    # invocation is the pure score-against-artifact path, exactly the
+    # lifecycle the dedup gram / ANN IVF indexes use.  Rebuilding it
+    # per call re-scanned the baseline half of events each run (r15).
+    if not os.path.isdir(path):
+        write_psi_baseline(ev.filter(F.col("event_id") % 2 == 0), path,
+                           "value", group_col="event_type")
     return psi_against_baseline(spark, path,
                                 ev.filter(F.col("event_id") % 2 == 1),
                                 "value", group_col="event_type")
@@ -8595,9 +8601,27 @@ def mine_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus — measured ×79.9 at the 10x probe before this fix.
     loc = artifact_dir("nsjs_ivf_btm", sf_tag(sf_dir))
     rebuild = not os.path.isdir(os.path.join(loc, "corpus_cells"))
-    n_cells = max(16, allv.count() // 132)
+    # n_cells only sizes the one-time build (the probe reads persisted
+    # centroids), so the corpus count job runs once per (process, sf),
+    # not per probe (r15: it was an extra scan+job on every call).
+    n_cells = max(16, allv.count() // 132) if rebuild else 16
+    # Candidates first: the margin join only ever consumes kNN
+    # denominators for ids that appear in a banded candidate pair, so
+    # the IVF probe queries are the candidate ids, not the whole
+    # corpus — probe cost tracks candidate volume, not corpus size
+    # (the 100 TB shape; kNN per query is independent of the query
+    # set, so each surviving denominator is bit-identical).  The lazy
+    # checkpoint shares one banded-pair computation between the query
+    # list and the margin join.
+    pairs = similarity.embedding_near_dup_pairs_banded(
+        allv, "vec_id", "embedding", threshold=0.9) \
+        .localCheckpoint(eager=False)
+    cand_ids = (pairs.select(F.col("id1").alias("vec_id"))
+                .unionByName(pairs.select(F.col("id2").alias("vec_id")))
+                .distinct())
     knn4 = similarity.ann_ivf_partitioned(
-        allv.select(F.col("vec_id").alias("q_id"), "embedding"),
+        allv.join(cand_ids, "vec_id")
+            .select(F.col("vec_id").alias("q_id"), "embedding"),
         allv.select(F.col("vec_id").alias("c_id"), "embedding"),
         k=4, n_cells=n_cells, nprobe=8, location=loc, rebuild=rebuild)
     # integer micro-unit sums — same grain as exact_knn_avg_micro, so
@@ -8605,8 +8629,6 @@ def mine_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = (knn4.groupBy("q_id")
            .agg(F.sum(F.round(F.col("sim") * 1e6, 0).cast("long"))
                 .alias("knn_sum_micro")))
-    pairs = similarity.embedding_near_dup_pairs_banded(
-        allv, "vec_id", "embedding", threshold=0.9)
     margin = F.round(
         F.col("sim") * 8000000 / (F.col("s1") + F.col("s2")), 4)
     scored = (pairs
@@ -8877,22 +8899,29 @@ def pipeline_crawl_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          .repartition(par, "doc_id"))
     did = F.col("doc_id").cast("string")
 
-    def variant(seq: int, url_col):
-        return d.select(
-            (F.col("doc_id") * 4 + seq).alias("rid"),
-            url_col.alias("url"))
+    # All four URL variants ride ONE scan via explode (r15): the
+    # union-of-four form scanned + exchanged `documents` once per
+    # variant and left a 4x-partition union above the WARC kernel.
+    # Rows (rid, url) are identical: seq 0-2 for every doc, seq 3
+    # only for doc_id % 5 == 0.
+    def v(seq: int, url_col):
+        return F.struct(F.lit(seq).alias("seq"), url_col.alias("url"))
 
-    v0 = variant(0, F.concat(F.lit("https://example.org/doc/"), did,
-                             F.lit("?a=1&b=2")))
-    v1 = variant(1, F.concat(F.lit("HTTPS://WWW.Example.ORG:443/doc/"),
-                             did, F.lit("/?b=2&a=1#ref")))
-    v2 = variant(2, F.concat(F.lit("https://example.org/doc/"), did,
-                             F.lit("/?b=2&a=1&")))
-    v3 = (d.filter(F.col("doc_id") % 5 == 0)
-          .select((F.col("doc_id") * 4 + 3).alias("rid"),
-                  F.concat(F.lit("http://example.org:8080/alt/"), did,
-                           F.lit("//")).alias("url")))
-    crawl = v0.unionByName(v1).unionByName(v2).unionByName(v3)
+    variants = F.array(
+        v(0, F.concat(F.lit("https://example.org/doc/"), did,
+                      F.lit("?a=1&b=2"))),
+        v(1, F.concat(F.lit("HTTPS://WWW.Example.ORG:443/doc/"),
+                      did, F.lit("/?b=2&a=1#ref"))),
+        v(2, F.concat(F.lit("https://example.org/doc/"), did,
+                      F.lit("/?b=2&a=1&"))),
+        v(3, F.concat(F.lit("http://example.org:8080/alt/"), did,
+                      F.lit("//"))))
+    crawl = (d.select("doc_id", F.explode(variants).alias("__v"))
+             .filter((F.col("__v.seq") < 3)
+                     | (F.col("doc_id") % 5 == 0))
+             .select((F.col("doc_id") * 4 + F.col("__v.seq"))
+                     .alias("rid"),
+                     F.col("__v.url").alias("url")))
 
     def wrap(batches):
         import pandas as _pd

@@ -436,3 +436,30 @@ def test_psi_baseline_appearing_cohort_counts(spark, tmp_path):
     assert out["c"]["psi"] is None and out["c"]["drifted"]
     assert out["c"]["n_new"] == 77 and out["c"]["n_old"] == 0
     assert not out["a"]["drifted"] and out["a"]["n_new"] == 100
+
+
+def test_drift_psi_standing_query_reuses_baseline(spark, sf_dir):
+    """The registered drift_psi_standing query must materialize its
+    PSI baseline ONCE per (process, sf) and serve every later
+    invocation from the standing artifact — invocation 2 returns
+    identical rows without rewriting a single baseline file (r15
+    optimization: the first cut re-scanned the baseline half of
+    events and rewrote the artifact on every call)."""
+    import glob
+    import os
+
+    from nosql_join_stream_spark.queries import REGISTRY, artifact_dir
+    from nosql_join_stream_spark.queries import sf_tag
+
+    first = sorted(map(tuple, REGISTRY["drift_psi_standing"]
+                       .fn(spark, sf_dir).collect()))
+    path = artifact_dir("nsjs_psibase", sf_tag(sf_dir))
+    files = {f: os.path.getmtime(f)
+             for f in glob.glob(os.path.join(path, "*"))}
+    assert files, "baseline artifact missing after first invocation"
+    second = sorted(map(tuple, REGISTRY["drift_psi_standing"]
+                        .fn(spark, sf_dir).collect()))
+    assert first == second
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(os.path.join(path, "*"))}
+    assert after == files, "baseline was rewritten on reuse"
