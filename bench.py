@@ -48,8 +48,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The committed BENCH_full.json is the round-over-round record for the
+# CANONICAL config only (sf0.1, 32 cores).  Any other invocation — a
+# smoke at sf0.001, the driver's 8-core scaling run — stamps its config
+# into the filename instead of clobbering the committed closing
+# artifact (r15: the driver's c8 run overwrote it in the working tree).
+_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+_CANONICAL = (os.path.normpath(SF_DIR).endswith("sf0.1") and _CPUS == "32")
+_SUFFIX = "" if _CANONICAL else \
+    f"_{os.path.basename(os.path.normpath(SF_DIR))}_c{_CPUS}"
 FULL_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_full.json")
+                             f"BENCH_full{_SUFFIX}.json")
 
 # Queries with a build-once-per-process standing artifact (tableExists /
 # isdir / snapshot-exists gate inside the query fn): their COLD run
@@ -162,7 +172,7 @@ def main():
         "queries_cold": {n: cold[n] for n in slowest},
         "queries_loaded": {n: loaded[n] for n in slowest},
         "standing_build_total": out["standing_build_total"],
-        "full_artifact": "BENCH_full.json",
+        "full_artifact": os.path.basename(FULL_ARTIFACT),
         "sf": sf,
         "cold_total": out["cold_total"],
         "loaded_total": out["loaded_total"],

@@ -107,7 +107,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     if perturb:
         df = df.repartition(int(perturb))
-    elif name in _SPREAD_TABLES:
+    elif (name in _SPREAD_TABLES
+          and os.environ.get("NSJS_CATALOG_SPREAD", "1") != "0"):
+        # NSJS_CATALOG_SPREAD=0 disables the spread — the A/B seam the
+        # r15 verdict asked for (measure the session-wide default on a
+        # fixed query sample before trusting it); production value is
+        # moot (wide inputs skip the branch via the partition probe).
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:  # once per (session, path)
             df = df.repartition(target)
