@@ -66,7 +66,8 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 _SPREAD_TABLES = {"documents", "embeddings"}
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None,
+               spread: bool = True) -> DataFrame:
     """Scan a catalog table. Lazy; nothing runs until an action.
 
     The normalized DataFrame is memoized per (session, path): the
@@ -86,7 +87,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # nondeterministic (the r11 tpch_q11 half-cent ROUND(SUM(double))
     # class) and would flake the driver's value hash.
     perturb = os.environ.get("SPARK_GRAFT_PERTURB")
-    cache_key = (path, perturb)
+    cache_key = (path, perturb, bool(spread))
     cache = getattr(spark, "_nsjs_table_cache", None)
     if cache is None:
         cache = {}
@@ -107,12 +108,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     if perturb:
         df = df.repartition(int(perturb))
-    elif (name in _SPREAD_TABLES
+    elif (spread and name in _SPREAD_TABLES
           and os.environ.get("NSJS_CATALOG_SPREAD", "1") != "0"):
         # NSJS_CATALOG_SPREAD=0 disables the spread — the A/B seam the
         # r15 verdict asked for (measure the session-wide default on a
         # fixed query sample before trusting it); production value is
         # moot (wide inputs skip the branch via the partition probe).
+        # ``spread=False`` is the per-CONSUMER opt-out (r16): the r15
+        # default was measured net-negative for query families whose
+        # plans shuffle the table immediately anyway (IVF/GEMM probes,
+        # the BM25 explode->aggregate) — for those the catalog exchange
+        # is pure per-stage overhead at 32 cores, while per-row CPU
+        # kernels (codecs, shingles, quality gates) keep the win.
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:  # once per (session, path)
             df = df.repartition(target)

