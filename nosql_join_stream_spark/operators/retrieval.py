@@ -103,18 +103,25 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
     ties broken on token so the ranking is a total order (engine-
     portable).  Returns (id, tok, tfidf, rnk), rnk in 1..k.
     """
+    from pyspark.sql import Window
+
     toks = _tokens(df, text_col, id_col)
     tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
-    dfreq = (toks.select(id_col, "tok").distinct()
-                 .groupBy("tok").agg(F.count("*").alias("df")))
+    # df (docs containing tok) = row count per tok of the tf table (one
+    # row per (id, tok)), computed as a WINDOW over tf instead of a
+    # second aggregate subtree: the old dfreq re-derived toks — a
+    # second full-corpus explode — then joined back (guide §2.4: two
+    # operations keyed the same way share one computation).  Same
+    # integer df, one tokenize/explode pass instead of two.
     n_docs = df.agg(F.count("*").alias("n_docs"))
-    scored = (_join_scalar(tf.join(F.broadcast(dfreq), "tok"), n_docs)
+    with_df = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok")))
+    scored = (_join_scalar(with_df, n_docs)
               .withColumn(
                     "tfidf",
                     F.round(F.col("tf") *
                             (F.log((F.col("n_docs") + 1.0) /
                                    (F.col("df") + 1.0)) + 1.0), 4)))
-    from pyspark.sql import Window
     w = (Window.partitionBy(id_col)
                .orderBy(F.col("tfidf").desc(), F.col("tok")))
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -145,10 +152,16 @@ def bm25_topk(df: DataFrame, text_col: str, id_col: str,
     corpus = (with_dl.select("dl").filter(F.col("dl") > 0)
                      .agg(F.avg("dl").alias("avgdl"),
                           F.count("*").alias("n_docs")))
+    from pyspark.sql import Window
+
     tf = (toks.filter(F.col("tok").isin(query_terms))
               .groupBy(id_col, "dl", "tok").agg(F.count("*").alias("tf")))
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    per_term = (_join_scalar(tf.join(F.broadcast(dfreq), "tok"), corpus)
+    # df as a window over tf (one row per (id, tok) here) — replaces a
+    # second aggregate over a re-derived tf subtree + broadcast join
+    # (guide §2.4; see tfidf_topk)
+    with_df = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok")))
+    per_term = (_join_scalar(with_df, corpus)
                   .withColumn(
                       "idf",
                       F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) /
@@ -410,11 +423,15 @@ def bm25_multiquery_head(docs: DataFrame, text_col: str, id_col: str,
     corpus = (with_dl.select("dl").filter(F.col("dl") > 0)
                      .agg(F.avg("dl").alias("avgdl"),
                           F.count("*").alias("n_docs")))
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # df as a window over tf BEFORE the query fan-out and self-match
+    # filter (same population the old dfreq aggregate saw) — removes
+    # the duplicated tf subtree (a second full-corpus explode +
+    # aggregate) and its broadcast join (guide §2.4; see tfidf_topk)
+    with_df = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("tok")))
     per_term = (_join_scalar(
-                    F.broadcast(qt).join(tf, "tok")
+                    F.broadcast(qt).join(with_df, "tok")
                       .filter(F.col(id_col) != F.col("q_id")), corpus)
-                .join(F.broadcast(dfreq), "tok")
                 .withColumn(
                     "idf",
                     F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) /
@@ -544,23 +561,35 @@ def retrieval_eval(docs: DataFrame, emb: DataFrame, text_col: str,
     truth = similarity.cosine_topk(queries, corpus_v, k=k)
 
     disc = F.array(*[F.lit(x) for x in dcg_discount_literals(head_n)])
-    rel = (head.join(truth.select("q_id", "c_id")
-                          .withColumn("rel", F.lit(1)),
-                     ["q_id", "c_id"], "left")
-               .withColumn("rel", F.coalesce("rel", F.lit(0))))
+    # ONE pass over head ⟗ truth (r16, guide §2.4): the old shape
+    # consumed ``truth`` twice — a LEFT join for the relevance flags
+    # and a separate COUNT aggregate for n_truth — which planned the
+    # exact-cosine subtree (BroadcastNestedLoopJoin + window) twice
+    # with no exchange reuse.  A FULL OUTER join keeps truth-only rows
+    # (bm_rank NULL), so n_truth rides the same single aggregate:
+    #   n_retrieved  = head rows            (bm_rank non-NULL)
+    #   __n_truth    = truth rows           (__t non-NULL; NULL when a
+    #                  query has no truth rows — same as the old LEFT
+    #                  join against a row-less aggregate)
+    #   hit/mrr/dcg conditions all require bm_rank, so truth-only rows
+    #   fall to the 0/0.0 branches exactly as non-relevant head rows
+    #   did.  Values are bit-identical; the cosine GEMM runs once.
+    rel = head.join(truth.select("q_id", "c_id")
+                         .withColumn("__t", F.lit(1)),
+                    ["q_id", "c_id"], "full")
     per_q = (rel.groupBy("q_id").agg(
-        F.count("*").alias("n_retrieved"),
-        F.sum(F.when((F.col("rel") == 1) & (F.col("bm_rank") <= k), 1)
+        F.count("bm_rank").alias("n_retrieved"),
+        F.sum(F.when((F.col("__t") == 1) & (F.col("bm_rank") <= k), 1)
                .otherwise(0)).alias("__n_hit"),
-        F.max(F.when(F.col("rel") == 1,
+        F.max(F.when((F.col("__t") == 1) & F.col("bm_rank").isNotNull(),
                      F.round(F.lit(1.0) / F.col("bm_rank"), 4))
                .otherwise(0.0)).alias("mrr"),
-        F.sum(F.when((F.col("rel") == 1) & (F.col("bm_rank") <= k),
+        F.sum(F.when((F.col("__t") == 1) & (F.col("bm_rank") <= k),
                      F.element_at(disc, F.col("bm_rank"))
                       .cast("decimal(18,8)"))
                .otherwise(F.lit(0).cast("decimal(18,8)")))
-         .alias("__dcg")))
-    n_truth = truth.groupBy("q_id").agg(F.count("*").alias("__n_truth"))
+         .alias("__dcg"),
+        F.sum(F.when(F.col("__t") == 1, 1)).alias("__n_truth")))
     # ideal DCG for m relevant docs = prefix sum of the discounts;
     # exact 8-dp decimal prefix sums, embedded as literals
     from decimal import Decimal
@@ -571,8 +600,7 @@ def retrieval_eval(docs: DataFrame, emb: DataFrame, text_col: str,
     idcg = F.array(*[F.lit(x) for x in cum])
     qids = (docs.filter(F.col(id_col) < n_queries)
                 .select(F.col(id_col).alias("q_id")))
-    return (qids.join(n_truth, "q_id", "left")
-                .join(per_q, "q_id", "left")
+    return (qids.join(per_q, "q_id", "left")
                 .select(
                     "q_id",
                     F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
