@@ -841,8 +841,15 @@ def _html_blocks(payload: str) -> list[tuple[str, int]]:
 def extract_html_text(df, html_col: str, id_col: str,
                       link_density_max: float = HTML_LINK_DENSITY_MAX,
                       min_chars: int = HTML_MIN_BLOCK_CHARS,
-                      stopword_min: float = HTML_STOPWORD_MIN):
+                      stopword_min: float = HTML_STOPWORD_MIN,
+                      passthrough: tuple = ()):
     """HTML -> (id, block_seq, text, is_boilerplate) block table.
+
+    ``passthrough`` names extra input columns to replicate onto every
+    block row (r16): columns functionally dependent on the id (url,
+    http_status) can then ride the downstream groupBy key instead of
+    re-deriving the whole upstream subtree for a re-attach join — the
+    §2.4 dl-rides-the-key discipline applied to the crawl chain.
 
     The jusText/C4 discipline: strip tags/script/style/comments,
     decode entities, segment at block-level elements, then flag each
@@ -862,13 +869,19 @@ def extract_html_text(df, html_col: str, id_col: str,
     boilerplate boolean is engine-portable (DuckDB oracle mirrors it).
     """
     stop = frozenset(STOPWORDS["en"])
-    schema = f"{id_col} long, block_seq int, text string, " \
+    pt = tuple(passthrough)
+    dtypes = dict(df.dtypes)
+    pt_schema = "".join(f"{c} {dtypes[c]}, " for c in pt)
+    schema = f"{id_col} long, {pt_schema}block_seq int, text string, " \
              "is_boilerplate boolean"
 
     def op(batches):
         for pdf in batches:
             ids, seqs, texts, flags = [], [], [], []
-            for did, payload in zip(pdf[id_col], pdf[html_col]):
+            extras: list[list] = [[] for _ in pt]
+            for row in zip(pdf[id_col], pdf[html_col],
+                           *(pdf[c] for c in pt)):
+                did, payload = row[0], row[1]
                 for seq, (text, link) in enumerate(
                         _html_blocks(payload or "")):
                     tc = len(text)
@@ -881,13 +894,17 @@ def extract_html_text(df, html_col: str, id_col: str,
                     seqs.append(seq)
                     texts.append(text)
                     flags.append(bp)
-            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
-                                "block_seq": pd.Series(seqs, dtype="int32"),
-                                "text": texts,
-                                "is_boilerplate": pd.Series(
-                                    flags, dtype="bool")})
+                    for i, v in enumerate(row[2:]):
+                        extras[i].append(v)
+            out = {id_col: pd.Series(ids, dtype="int64")}
+            for i, c in enumerate(pt):
+                out[c] = pd.Series(extras[i], dtype=pdf[c].dtype)
+            out["block_seq"] = pd.Series(seqs, dtype="int32")
+            out["text"] = texts
+            out["is_boilerplate"] = pd.Series(flags, dtype="bool")
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, html_col).mapInPandas(op, schema=schema)
+    return df.select(id_col, html_col, *pt).mapInPandas(op, schema=schema)
 
 
 # ---------------------------------------------------------------------------

@@ -8775,39 +8775,58 @@ def pipeline_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .select("doc_id", "text", "source")
                           .repartition(par, "doc_id"))
 
-    def wrap(batches):
+    # ONE Arrow kernel for the WARC transport roundtrip (r16, guide
+    # §4): the r15 shape shipped the gzip'd WARC payload JVM->Python->
+    # JVM between a build kernel and a parse kernel — two boundary
+    # crossings carrying the heaviest column.  The contract work is
+    # unchanged (real WARC framing built, gzip'd, then parsed back
+    # through the same public parse_warc / split_http_response walk —
+    # the payload bytes just never transit the JVM), and url /
+    # http_status still come OUT of the parsed records, not from the
+    # plant.
+    def wrap_parse(batches):
         import pandas as _pd
         from nosql_join_stream_spark.operators import warc as _w
         for pdf in batches:
-            rows = []
+            ids, urls, stats, bodies = [], [], [], []
             for did, html in zip(pdf["doc_id"], pdf["html"]):
                 url = f"https://example.org/doc/{int(did)}"
                 raw = (_w.build_warc_request(url)
                        + _w.build_warc_response(url, str(html)))
-                rows.append((int(did), _w.gzip_bytes(raw)))
-            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+                for rec in _w.parse_warc(_w.gzip_bytes(raw)):
+                    if rec["type"] != "response":
+                        continue
+                    st, _h, body = _w.split_http_response(rec["block"])
+                    ids.append(int(did))
+                    urls.append(rec["url"])
+                    stats.append(st)
+                    bodies.append(body.decode("utf-8"))
+            yield _pd.DataFrame({
+                "doc_id": _pd.Series(ids, dtype="int64"),
+                "url": urls,
+                "http_status": _pd.Series(stats, dtype="int32"),
+                "html": bodies})
 
-    payloads = planted.mapInPandas(
-        wrap, schema="doc_id long, payload binary")
-    recs = warc_ops.parse_warc_records(payloads, "payload", "doc_id")
-    resp = (recs.filter(F.col("rec_type") == "response")
-            .select("doc_id", "url", "http_status",
-                    F.col("body").alias("html")))
-    blocks = text.extract_html_text(
-        resp.select("doc_id", "html"), "html", "doc_id")
+    resp = planted.mapInPandas(
+        wrap_parse,
+        schema="doc_id long, url string, http_status int, html string")
+    # url/http_status ride the extract kernel and the groupBy key
+    # (functionally dependent on doc_id — §2.4): the r15 plan joined
+    # the aggregate back to ``resp``, which re-executed the whole
+    # WARC kernel chain for the second consumer.
+    blocks = text.extract_html_text(resp, "html", "doc_id",
+                                    passthrough=("url", "http_status"))
     content = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(
                 F.when(~F.col("is_boilerplate"),
                        F.struct("block_seq", "text")))),
             lambda s: s["text"]), " ")
-    agg = (blocks.groupBy("doc_id")
-           .agg(F.when(F.sum((~F.col("is_boilerplate")).cast("int")) > 0,
-                       content).alias("clean_text"),
-                F.sum((~F.col("is_boilerplate")).cast("long"))
-                 .alias("n_content_blocks")))
-    return (resp.select("doc_id", "url", "http_status")
-            .join(agg, "doc_id")
+    return (blocks.groupBy("doc_id", "url", "http_status")
+            .agg(F.when(F.sum((~F.col("is_boilerplate")).cast("int")) > 0,
+                        content).alias("clean_text"),
+                 F.sum((~F.col("is_boilerplate")).cast("long"))
+                  .alias("n_content_blocks"))
             .select("doc_id", "url", "http_status", "clean_text",
                     "n_content_blocks"))
 

@@ -2132,6 +2132,26 @@ def test_extract_html_text_flags(spark):
     assert rows[2].is_boilerplate is True         # < 40 chars
 
 
+def test_extract_html_text_passthrough(spark):
+    # passthrough columns replicate onto every block row with their
+    # input types, and the non-passthrough path is unchanged (r16:
+    # lets url/status ride the downstream groupBy key instead of a
+    # re-attach join re-executing the upstream kernel chain)
+    df = spark.createDataFrame(
+        [(1, "<p>alpha beta</p><p>gamma</p>", "https://x/1", 200),
+         (2, "<p>delta</p>", "https://x/2", 301)],
+        "id long, html string, url string, http_status int")
+    rows = text.extract_html_text(
+        df, "html", "id", passthrough=("url", "http_status")).collect()
+    assert {(r.id, r.url, r.http_status) for r in rows} == {
+        (1, "https://x/1", 200), (2, "https://x/2", 301)}
+    assert sum(1 for r in rows if r.id == 1) == 2     # one per block
+    base = text.extract_html_text(df, "html", "id").collect()
+    assert {(r.id, r.block_seq, r.text, r.is_boilerplate)
+            for r in base} == {(r.id, r.block_seq, r.text,
+                                r.is_boilerplate) for r in rows}
+
+
 def test_unigram_viterbi_hand_cases():
     V = text.UNIGRAM_VOCAB_EN_DEMO
     assert text._viterbi_encode_word("the", V) == (1, 380)
