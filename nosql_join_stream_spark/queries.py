@@ -747,8 +747,11 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_SEQ[0] += 1
     name = f"stream_sessionize_{_STREAM_SEQ[0]}"
     stream = read_log_stream(spark, table_path(sf_dir, "events"))
+    # per-key Python state (applyInPandasWithState): keep 8 stores —
+    # the r16 sweep shows this form WANTS the parallelism (1.97 s at 8
+    # vs 2.43 at 4 vs 3.49 at 2), unlike the stateful-join/agg forms
     run_available_now(stateful_session_stats(stream), name,
-                      output_mode="update")
+                      output_mode="update", shuffle_partitions=8)
     final = F.max(F.struct("n_events", "n_sessions", "sum_value")).alias("s")
     return (spark.table(name).groupBy("user_id").agg(final)
             .select("user_id", F.col("s.n_sessions").alias("n_sessions"),

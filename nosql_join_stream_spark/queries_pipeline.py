@@ -4275,7 +4275,9 @@ def stream_quality_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_hash(F.col("doc_id")).alias("hh"))
     out = stateful_quality_ewma(enriched, "source", "doc_id",
                                 "quality", "hh", alpha=0.2)
-    run_available_now(out, name, output_mode="update")
+    # per-key Python state: keep 8 stores (see stream_sessionize_stateful)
+    run_available_now(out, name, output_mode="update",
+                      shuffle_partitions=8)
     final = F.max(F.struct("n_seen", "ewma")).alias("s")
     return (spark.table(name).groupBy("source").agg(final)
             .select("source", F.col("s.n_seen").alias("n_seen"),
@@ -4325,7 +4327,9 @@ def stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_hash(F.col("doc_id")).alias("hh"))
     out = stateful_budget_admission(enriched, "source", "doc_id",
                                     "n_tokens", "hh", budget=600)
-    run_available_now(out, name, output_mode="append")
+    # per-key Python state: keep 8 stores (see stream_sessionize_stateful)
+    run_available_now(out, name, output_mode="append",
+                      shuffle_partitions=8)
     return spark.table(name)
 
 

@@ -15,12 +15,41 @@ matter on a 1000-executor cluster:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
+import uuid
 import warnings
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+_STREAM_CKPT_ROOT: list[str] = []
+
+
+def _stream_ckpt_root() -> str:
+    """Session-default root for streaming checkpoints WITHOUT an
+    explicit location (the memory-sink AvailableNow drains).  Spark's
+    fallback is a java.io.tmpdir temp dir — on this sandbox a disk
+    with documented IO-pressure phases, and the offset/commit-log
+    writes land on it once per micro-batch per query.  Point the
+    default at tmpfs when available (each drain uses a fresh
+    query name, so no checkpoint is ever reused across invocations —
+    the exactly-once contract within a run is unchanged, and nothing
+    outlives the process: the root is uuid-keyed and rmtree'd at
+    exit).  NSJS_STREAM_CKPT_DIR overrides — a production deployment
+    points it at durable shared storage, where checkpoint survival is
+    the recovery contract."""
+    if not _STREAM_CKPT_ROOT:
+        base = os.environ.get("NSJS_STREAM_CKPT_DIR") or (
+            "/dev/shm" if os.path.isdir("/dev/shm")
+            else tempfile.gettempdir())
+        root = os.path.join(base, f"nsjs_stream_ckpt_{uuid.uuid4().hex[:12]}")
+        _STREAM_CKPT_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return _STREAM_CKPT_ROOT[0]
 
 
 def get_session(app_name: str = "nosql_join_stream_spark",
@@ -84,6 +113,8 @@ def get_session(app_name: str = "nosql_join_stream_spark",
         # streaming source's PythonStreamingSourceRunner init).  60 s
         # changes nothing when healthy and absorbs scheduler stalls.
         .config("spark.python.authenticate.socketTimeout", "60s")
+        .config("spark.sql.streaming.checkpointLocation",
+                _stream_ckpt_root())
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -109,6 +140,7 @@ def get_session(app_name: str = "nosql_join_stream_spark",
             "spark.sql.shuffle.partitions": str(shuffle_partitions),
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
                 str(max(n_cpus * 8, 64)),
+            "spark.sql.streaming.checkpointLocation": _stream_ckpt_root(),
             **{k: str(v) for k, v in (extra_conf or {}).items()},
         }
         stale = []

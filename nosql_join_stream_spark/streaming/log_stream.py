@@ -600,9 +600,22 @@ def stream_ppjoin_dedup(doc_stream: DataFrame, corpus: DataFrame,
     return q.start()
 
 
+#: Default state-store parallelism for AvailableNow drains.  Each
+#: shuffle partition owns a state store paying load/commit per
+#: micro-batch; r16 swept {32, 8, 4, 2} on the stream family at sf0.1:
+#: 4 beats 8 on every stateful-JOIN/AGG form (interval_join 2.69 ->
+#: 2.22 s, dedup_keys 1.12 -> 0.82, windowed_counts 0.90 -> 0.71) and
+#: 2 starts hurting the per-key Python forms badly (sessionize 1.97 ->
+#: 3.49 at 2).  Per-key applyInPandasWithState callers pass 8
+#: explicitly (their state work parallelizes; see callers).  On a real
+#: cluster size this to key cardinality x executors — env-overridable.
+_DEFAULT_STORES = int(os.environ.get("NSJS_STREAM_STORES", "4"))
+
+
 def run_available_now(agg: DataFrame, query_name: str,
                       output_mode: str = "complete",
-                      shuffle_partitions: int | None = 8) -> None:
+                      shuffle_partitions: int | None = _DEFAULT_STORES
+                      ) -> None:
     """Drain everything currently in the source and stop — the batch
     test harness for streaming queries (Trigger.AvailableNow).
 
