@@ -1525,7 +1525,8 @@ def _clear_tombstones_for(ids: DataFrame, location: str) -> None:
 
 
 def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
-                        k: int = 5, n_cells: int = 16, nprobe: int = 4,
+                        k: int = 5, n_cells: int | None = 16,
+                        nprobe: int = 4,
                         query_id: str = "q_id", corpus_id: str = "c_id",
                         vec: str = "embedding",
                         location: str | None = None,
@@ -1540,6 +1541,11 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
     sample Lloyd as ``ann_ivf_topk``) persist as a tiny parquet next to
     the corpus assignment, which is written hive-partitioned by
     ``__cell`` (sinks.write_table) — ``__cell=N/`` directories.
+
+    ``n_cells`` sizes the one-time build only; pass ``None`` on a
+    ``rebuild=False`` probe-only call to make the 'unused when not
+    rebuilding' contract explicit (the persisted index carries its own
+    cell count via the centroids table).
 
     Probe: queries assign to their ``nprobe`` nearest cells; the union
     of probed cell ids (≤ |queries|·nprobe ints — a bounded driver
@@ -1580,6 +1586,8 @@ def ann_ivf_partitioned(queries: DataFrame, corpus: DataFrame,
     index_path = os.path.join(location, "corpus_cells")
 
     if rebuild:
+        if n_cells is None:
+            raise ValueError("n_cells is required when rebuild=True")
         # a rebuild folds deletions in by construction — stale
         # tombstones must not shadow legitimately re-ingested ids
         import shutil

@@ -6384,7 +6384,11 @@ def drift_psi_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocation is the pure score-against-artifact path, exactly the
     # lifecycle the dedup gram / ANN IVF indexes use.  Rebuilding it
     # per call re-scanned the baseline half of events each run (r15).
-    if not os.path.isdir(path):
+    # Gate on the parquet _SUCCESS marker, not the bare directory
+    # (r15 advisor): a write that failed partway leaves the dir
+    # behind, and an isdir gate would then skip the rebuild forever
+    # and score against garbage; a marker gate retries cleanly.
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         write_psi_baseline(ev.filter(F.col("event_id") % 2 == 0), path,
                            "value", group_col="event_type")
     return psi_against_baseline(spark, path,
@@ -8625,7 +8629,11 @@ def mine_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_cells only sizes the one-time build (the probe reads persisted
     # centroids), so the corpus count job runs once per (process, sf),
     # not per probe (r15: it was an extra scan+job on every call).
-    n_cells = max(16, allv.count() // 132) if rebuild else 16
+    # None on the probe path (r15 advisor): the persisted index's real
+    # cell count lives with the index; a numeric sentinel here could
+    # silently disagree with it if a future probe-path change started
+    # consuming n_cells.
+    n_cells = max(16, allv.count() // 132) if rebuild else None
     # Candidates first: the margin join only ever consumes kNN
     # denominators for ids that appear in a banded candidate pair, so
     # the IVF probe queries are the candidate ids, not the whole
@@ -8633,7 +8641,12 @@ def mine_bitext_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the 100 TB shape; kNN per query is independent of the query
     # set, so each surviving denominator is bit-identical).  The lazy
     # checkpoint shares one banded-pair computation between the query
-    # list and the margin join.
+    # list and the margin join.  NOTE (r15 advisor): localCheckpoint
+    # is NON-reliable — blocks live on executors, so on a real
+    # cluster an executor loss after materialization fails the later
+    # margin join instead of recomputing; a 100 TB deployment trades
+    # this for persist() (recomputable on block loss) or a reliable
+    # checkpoint dir when lineage-cut semantics are required.
     pairs = similarity.embedding_near_dup_pairs_banded(
         allv, "vec_id", "embedding", threshold=0.9) \
         .localCheckpoint(eager=False)
